@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the cleaning / sentiment / TF-IDF / dedup
+  * operators.
+  *
+  * Tokenization reproduces MLlib `Tokenizer` semantics (lowercase +
+  * whitespace split — reference reddit_consumer.py:183-184): Spark
+  * `split(lower(text), pattern)`. The driver corpus is single-space
+  * separated, so the oracle twin `string_split(text, ' ')` is equivalent on
+  * the verified surface; unit tests cover the general-whitespace behavior.
+  */
+object Text {
+
+  /** MLlib-Tokenizer-equivalent tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** English stopword subset relevant to the driver vocabulary. The full
+    * MLlib default list (StopWordsRemover, 181 words) is applied in the
+    * non-oracle parity path; the verified surface pins this explicit subset
+    * so the DuckDB oracle can inline it. */
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  def stopwordsSqlList: String = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Remove stopwords with a higher-order function (no shuffle; preserves
+    * duplicates and order, matching MLlib StopWordsRemover — `array_except`
+    * would dedup and silently break term frequencies). */
+  def withoutStopwords(toks: Column): Column =
+    filter(toks, t => !t.isin(stopwords: _*))
+
+  /** Reference-style regex reference extraction (reddit_consumer.py:400-407):
+    * counts of pattern matches per document. Patterns generalized onto the
+    * driver vocabulary (`/u/..`, `/r/..`, URLs do not occur in the synthetic
+    * corpus). Java and RE2 agree on these constructs. */
+  val userRefPattern = "\\bs\\w+" // scan slow small sort spark stream ...
+  val subRefPattern  = "\\bb\\w+" // batch big
+  val urlRefPattern  = "\\w+er\\b" // customer filter order ...
+
+  def refCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+}

@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, and a batched decode/feature-extract pass.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a clearly
+  * marked deterministic fake — but everything Spark-side is real and tested:
+  * the schema (binary payload + typed metadata), the partition-preserving
+  * `mapPartitions` batch shape (the Scala analog of a pandas-UDF iterator:
+  * per-partition init cost amortized across rows, e.g. loading a codec once),
+  * and the downstream relational feature queries.
+  */
+object Media {
+
+  /** One media object: opaque payload + metadata the catalog would carry. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String,            // "image" | "audio" | "video"
+      data: Array[Byte],
+      declared_width: Int,
+      declared_height: Int)
+
+  /** Output of the (stubbed) decoder. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      brightness: Double)
+
+  /** Manufacture media rows from `documents`: payload = UTF-8 text bytes
+    * (an opaque blob as far as the pipeline is concerned). */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id".as("media_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        encode($"text", "UTF-8").as("data"),
+        (pmod($"doc_id" * 37, lit(640)) + lit(1)).cast(IntegerType).as("declared_width"),
+        (pmod($"doc_id" * 53, lit(480)) + lit(1)).cast(IntegerType).as("declared_height"))
+      .as[MediaRecord]
+  }
+
+  /** STUB — deterministic fake decoder. A real deployment would call an
+    * image/audio codec here (libs not present in this container). The fake
+    * derives features purely from the payload bytes so tests are exact. */
+  def decodeStub(data: Array[Byte]): (Int, Int, Int, Double) = {
+    val n = data.length
+    val width = n % 640 + 1
+    val height = (n * 7) % 480 + 1
+    val channels = 3
+    // "brightness": mean byte value — a stand-in for a decoded-pixel stat.
+    val brightness =
+      if (n == 0) 0.0
+      else math.round(data.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n * 1e6) / 1e6
+    (width, height, channels, brightness)
+  }
+
+  /** Batched decode: mapPartitions so per-partition setup (codec init in a
+    * real deployment) happens once per partition, not once per row. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights, ...)
+      rows.map { r =>
+        val (w, h, c, bright) = decodeStub(r.data)
+        MediaFeatures(r.media_id, r.kind, r.data.length.toLong, w, h, c, bright)
+      }
+    }
+  }
+
+  /** The relational (oracle-checkable) twin of the feature pass: the same
+    * fake-decode arithmetic expressed as columns. `brightness` is the mean
+    * byte value = mean ASCII code of the text here. */
+  val qMediaFeatures = GraftQuery(
+    "q_media_features",
+    (spark, dir) => {
+      import spark.implicits._
+      val nBytes = length(encode($"text", "UTF-8")).cast(LongType)
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id".as("media_id"),
+          element_at(lit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+          nBytes.as("n_bytes"),
+          (nBytes % 640 + 1).as("width"),
+          ((nBytes * 7) % 480 + 1).as("height"),
+          expr("""round(aggregate(sequence(1, length(text)), 0L,
+                  (acc, i) -> acc + ascii(substring(text, i, 1)))
+                  / cast(length(text) as double), 6)""").as("brightness"))
+        .orderBy($"media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+        ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+        octet_length(encode(text))::BIGINT AS n_bytes,
+        octet_length(encode(text))::BIGINT % 640 + 1 AS width,
+        (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height,
+        round(list_sum(list_transform(range(1, length(text) + 1),
+              i -> ascii(text[i])))::DOUBLE
+              / octet_length(encode(text)), 6) AS brightness
+      FROM documents
+      ORDER BY media_id""")
+  )
+}

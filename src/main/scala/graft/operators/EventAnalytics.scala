@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det
+import graft.functions.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The dashboard analytics of the reference (SURVEY.md §2.5-2.7, §3.4) as
+  * Spark queries over the `events` stream table: union, dedup-keep-last,
+  * trailing time-window filter, rolling mean ± 2σ bands, group-sums, top-k,
+  * latest-row metrics, plus JSON prop extraction (F8 family).
+  *
+  * Timestamps: events.ts is nanosecond-precision; all arithmetic happens on
+  * exact epoch-microsecond bigints (`ts_us`) so Spark and the DuckDB oracle
+  * (epoch_us) agree bit-for-bit — see Tables.events.
+  */
+object EventAnalytics {
+
+  private val SixHoursUs = 6L * 3600 * 1000000
+  private val DayUs = 24L * 3600 * 1000000
+
+  /** A2 analog: global time range + row count of the batch/table. */
+  val qEventTimerange = GraftQuery(
+    "q_event_timerange",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .agg(min($"ts_us").as("min_ts_us"), max($"ts_us").as("max_ts_us"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""
+      SELECT min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+        count(*) AS n_events
+      FROM events""")
+  )
+
+  /** W3: dedup keep-last — latest event per user (ties: event_id desc). */
+  val qDedupKeepLast = GraftQuery(
+    "q_dedup_keep_last",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"ts_us", $"event_type", $"value")
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id""")
+  )
+
+  /** P7: trailing 6h window relative to max(ts) — the dashboard's 1h/6h/24h
+    * cutoff filter — then per-type activity. */
+  val qWindowFilter6h = GraftQuery(
+    "q_window_filter_6h",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val cutoff = ev.agg((max($"ts_us") - lit(SixHoursUs)).as("cutoff"))
+      ev.crossJoin(broadcast(cutoff))
+        .filter($"ts_us" >= $"cutoff")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n_events,
+        ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events) - ${SixHoursUs}
+      GROUP BY event_type
+      ORDER BY event_type""")
+  )
+
+  /** The 6h-bucket mean-value series that feeds the rolling-stat queries —
+    * the analog of the reference's per-batch metric snapshots. */
+  private def metricSeries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(expr(s"ts_us div $SixHoursUs").as("bucket"))
+      .agg(count(lit(1)).as("n_events"), davg($"value").as("avg_value"))
+  }
+
+  private val metricSeriesSql = s"""
+    SELECT epoch_us(ts) // ${SixHoursUs} AS bucket,
+      count(*) AS n_events, ${Oracle.davg("value")} AS avg_value
+    FROM events GROUP BY 1"""
+
+  /** W1+W2: pandas-rolling(5)-equivalent mean and ±2σ band over the metric
+    * series: null for the first 4 rows (min_periods=window), sample stddev
+    * (ddof=1). The stddev is computed from exact decimal window sums via
+    * sqrt((s2 - s1²/n)/(n-1)) so both engines do identical double math.
+    */
+  val qRollingSentiment = GraftQuery(
+    "q_rolling_metric",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"bucket")
+      val frame = w.rowsBetween(-4, Window.currentRow)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, Det.Scale))
+      val series = metricSeries(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s1", sum(dec($"avg_value")).over(frame).cast(DoubleType))
+        .withColumn("s2", sum(dec($"avg_value" * $"avg_value")).over(frame).cast(DoubleType))
+      val ma = when($"rn" >= 5, round($"s1" / lit(5.0), Det.OutScale))
+      val sd = when($"rn" >= 5,
+        round(sqrt(greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0))),
+          Det.OutScale))
+      series
+        .select($"bucket", $"n_events", $"avg_value",
+          ma.as("ma5"), sd.as("sd5"),
+          when($"rn" >= 5, round($"s1" / lit(5.0) + lit(2.0) * sqrt(
+            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0))),
+            Det.OutScale)).as("upper"),
+          when($"rn" >= 5, round($"s1" / lit(5.0) - lit(2.0) * sqrt(
+            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0))),
+            Det.OutScale)).as("lower"))
+        .orderBy($"bucket")
+    },
+    Some(s"""
+      WITH series AS ($metricSeriesSql),
+      win AS (
+        SELECT bucket, n_events, avg_value,
+          row_number() OVER (ORDER BY bucket) AS rn,
+          sum(CAST(avg_value AS DECIMAL(38,9))) OVER
+            (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::DOUBLE AS s1,
+          sum(CAST(avg_value * avg_value AS DECIMAL(38,9))) OVER
+            (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::DOUBLE AS s2
+        FROM series)
+      SELECT bucket, n_events, avg_value,
+        CASE WHEN rn >= 5 THEN round(s1 / 5.0, 6) END AS ma5,
+        CASE WHEN rn >= 5 THEN round(sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)), 6) END AS sd5,
+        CASE WHEN rn >= 5 THEN round(s1 / 5.0 + 2.0 * sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)), 6) END AS upper,
+        CASE WHEN rn >= 5 THEN round(s1 / 5.0 - 2.0 * sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)), 6) END AS lower
+      FROM win
+      ORDER BY bucket""")
+  )
+
+  /** W4: latest-row metric (max_by analog, explicit deterministic order). */
+  val qLatestMetric = GraftQuery(
+    "q_latest_metric",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .orderBy($"ts_us".desc, $"event_id".desc)
+        .limit(1)
+        .select($"event_id", $"ts_us", $"event_type", $"value")
+    },
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM events
+      ORDER BY epoch_us(ts) DESC, event_id DESC
+      LIMIT 1""")
+  )
+
+  /** A7: multi-key group-sums — daily activity per event type. */
+  val qActivityDaily = GraftQuery(
+    "q_activity_daily",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"day", $"event_type")
+    },
+    Some(s"""
+      SELECT epoch_us(ts) // ${DayUs} AS day, event_type,
+        count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value,
+        count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type""")
+  )
+
+  /** O3: top-3 event types by activity (dashboard's nlargest(3)). */
+  val qTop3EventTypes = GraftQuery(
+    "q_top3_event_types",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"n_events".desc, $"event_type")
+        .limit(3)
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY n_events DESC, event_type
+      LIMIT 3""")
+  )
+
+  /** U0: explicit unionByName of two metric slices then re-aggregate —
+    * the dashboard's concat-all-parquet-files path. */
+  val qUnionMetrics = GraftQuery(
+    "q_union_metrics",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      def slice(t: String) = ev.filter($"event_type" === t)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("kind", lit(t))
+      slice("click").unionByName(slice("view"))
+        .select($"day", $"kind", $"n_events")
+        .orderBy($"day", $"kind")
+    },
+    Some(s"""
+      SELECT day, kind, n_events FROM (
+        SELECT epoch_us(ts) // ${DayUs} AS day, 'click' AS kind, count(*) AS n_events
+        FROM events WHERE event_type = 'click' GROUP BY 1
+        UNION ALL
+        SELECT epoch_us(ts) // ${DayUs} AS day, 'view' AS kind, count(*) AS n_events
+        FROM events WHERE event_type = 'view' GROUP BY 1)
+      ORDER BY day, kind""")
+  )
+
+  /** F8 family: JSON prop extraction (the events.props column), grouped. */
+  val qJsonProps = GraftQuery(
+    "q_json_props",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(get_json_object($"props", "$.k").cast(LongType).as("k"), $"value")
+        .groupBy(expr("k div 10").as("k_decile"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"k_decile")
+    },
+    Some(s"""
+      SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_decile,
+        count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY k_decile""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingSentiment,
+    qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps)
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det._
+import org.apache.spark.sql.functions._
+
+/** Core relational surface on the TPC-H-ish tables: scans with pushed-down
+  * predicates, partial+final hash aggregation, broadcast vs shuffle joins,
+  * anti joins, top-k. Generalizes the reference's A1-A8/J1/O1-O4 operators
+  * (SURVEY.md §2.3-2.6) onto lineitem/orders/customer/part.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (`part`, `customer`→`nation`→`region`) are explicitly
+  *    `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and the
+  *    following groupBy reuses that partitioning where keys allow;
+  *  - all aggregates are partial+final (map-side combine) by construction;
+  *  - top-k goes through TakeOrderedAndProject, never a full global sort.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: wide multi-aggregate after a pushed-down
+    * timestamp range filter (reference A1/A2 analog). */
+  val q1PricingSummary = GraftQuery(
+    "q1_pricing_summary",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" < to_timestamp_ntz(lit("1998-09-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${Oracle.dsum("l_quantity")} AS sum_qty,
+        ${Oracle.dsum("l_extendedprice")} AS sum_base_price,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${Oracle.davg("l_quantity")} AS avg_qty,
+        ${Oracle.davg("l_extendedprice")} AS avg_price,
+        ${Oracle.davg("l_discount")} AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** Broadcast dimension join (reference J1 analog at TPC-H shape):
+    * revenue per part brand. `part` is small => explicit broadcast. */
+  val qRevenueByBrand = GraftQuery(
+    "q_revenue_by_brand",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    },
+    Some(s"""
+      SELECT p_brand,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+  )
+
+  /** Left-anti join (NOT EXISTS): customers that never ordered, by segment. */
+  val qCustomersWithoutOrders = GraftQuery(
+    "q_customers_without_orders",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+        .orderBy($"c_mktsegment")
+    },
+    Some(s"""
+      SELECT c_mktsegment,
+        count(*) AS n_customers,
+        ${Oracle.dsum("c_acctbal")} AS sum_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  )
+
+  /** Fact-fact join: orders⋈lineitem shuffles once on orderkey; the
+    * count(distinct o_orderkey) then reuses that clustering. */
+  val qPriorityRevenue = GraftQuery(
+    "q_priority_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_orderkey").as("n_orders"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""
+      SELECT o_orderpriority,
+        count(DISTINCT o_orderkey) AS n_orders,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  )
+
+  /** Star-schema rollup through two broadcast dimension hops. */
+  val qAcctbalByRegion = GraftQuery(
+    "q_acctbal_by_region",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some(s"""
+      SELECT r_name, n_name,
+        count(*) AS n_customers,
+        ${Oracle.dsum("c_acctbal")} AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""")
+  )
+
+  /** Top-k with deterministic tiebreaker (reference O1/O3 analog):
+    * top-10 customers by order value — TakeOrderedAndProject, no full sort. */
+  val qTopCustomers = GraftQuery(
+    "q_top_customers",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(dsum($"o_totalprice").as("total_spent"), count(lit(1)).as("n_orders"))
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"total_spent", $"n_orders")
+        .orderBy($"total_spent".desc, $"c_custkey")
+        .limit(10)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, total_spent, n_orders
+      FROM (
+        SELECT o_custkey,
+          ${Oracle.dsum("o_totalprice")} AS total_spent,
+          count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+      ) t JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_spent DESC, c_custkey
+      LIMIT 10""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
+    qPriorityRevenue, qAcctbalByRegion, qTopCustomers)
+}

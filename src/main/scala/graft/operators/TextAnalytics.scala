@@ -1,0 +1,408 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.{Det, SentimentLexicon, Text}
+import graft.functions.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's per-batch text pipeline (SURVEY.md §2.2, §2.8, §2.10),
+  * generalized onto the `documents` table, plus the training-data-pipeline
+  * text analysis operators (quality scoring, token counting, language id,
+  * fingerprinting).
+  *
+  * Reference semantics reproduced:
+  *  - P1 JSON parse + flatten (reddit_consumer.py:296-299) — including
+  *    PERMISSIVE null-on-malformed behavior;
+  *  - P2 cleaning filter (reddit_consumer.py:300-305) incl. keepalive drop;
+  *  - P3 derived columns (created_utc cast, text_length, sentiment);
+  *  - F5/F6 regex reference extraction + counts (reddit_consumer.py:400-407);
+  *  - A3/A5/A6 per-group stats and totals (reddit_consumer.py:375-384,
+  *    410-420);
+  *  - U1 sentiment scorer as a relational lexicon join (see
+  *    SentimentLexicon).
+  */
+object TextAnalytics {
+
+  /** The wire-format schema of the reference producer
+    * (reddit_producer.py:79-86). */
+  val postSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("subreddit", StringType),
+    StructField("id", StringType),
+    StructField("text", StringType),
+    StructField("created_utc", DoubleType),
+    StructField("author", StringType)))
+
+  /** Manufacture the reference's newline-JSON wire format from `documents`
+    * (FIXTURES.md §3 mapping), plus a keepalive and a malformed line to
+    * exercise PERMISSIVE parsing. */
+  def jsonLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(to_json(struct(
+        lit("submission").as("type"),
+        $"lang".as("subreddit"),
+        $"doc_id".cast(StringType).as("id"),
+        $"text",
+        (lit(1.7e9) + $"doc_id" * lit(1.5)).as("created_utc"),
+        $"source".as("author"))).as("value"))
+      .unionByName(Seq(
+        """{"type": "keepalive", "timestamp": 1700000001.23}""",
+        """this is not valid json {{{""",
+        """{"type": "submission", "subreddit": "x", "id": "short", "text": "tiny", "created_utc": 1.0, "author": "a"}"""
+      ).toDF("value"))
+  }
+
+  /** P1+P2+P3: parse the wire format, apply the cleaning filter, derive
+    * columns. Keepalives/malformed/short rows must all be dropped. */
+  val qParseClean = GraftQuery(
+    "q_parse_clean",
+    (spark, dir) => {
+      import spark.implicits._
+      jsonLines(spark, dir)
+        .select(from_json($"value", postSchema).as("data"))
+        .select($"data.*")
+        .filter($"text".isNotNull && $"text" =!= "" &&
+          length($"text") > 10 && $"type" =!= "keepalive")
+        .select(
+          $"id".cast(LongType).as("doc_id"),
+          $"subreddit",
+          $"author",
+          length($"text").cast(LongType).as("text_length"),
+          unix_micros($"created_utc".cast(TimestampType)).as("created_us"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang AS subreddit, source AS author,
+        length(text)::BIGINT AS text_length,
+        CAST((1700000000 + doc_id * 1.5) * 1000000 AS BIGINT) AS created_us
+      FROM documents
+      WHERE text IS NOT NULL AND text <> '' AND length(text) > 10
+      ORDER BY doc_id""")
+  )
+
+  /** A3 exact variant: per-group stats with exact distinct count. */
+  val qSubredditStats = GraftQuery(
+    "q_subreddit_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("post_count"),
+          countDistinct($"source").as("unique_sources"),
+          davg($"n_chars").as("avg_chars"))
+        .orderBy($"post_count".desc, $"lang")
+    },
+    Some(s"""
+      SELECT lang, count(*) AS post_count,
+        count(DISTINCT source) AS unique_sources,
+        ${Oracle.davg("n_chars")} AS avg_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY post_count DESC, lang""")
+  )
+
+  /** A4: approx_count_distinct (HLL++) — hash-seeded, so excluded from the
+    * SQL oracle (driver records rows-only). Kept as the scale path: at 100 TB
+    * an exact distinct is a full shuffle, the sketch is map-side mergeable. */
+  val qSubredditStatsApprox = GraftQuery(
+    "q_subreddit_stats_approx",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("post_count"),
+          approx_count_distinct($"source").as("unique_sources_approx"),
+          davg($"n_chars").as("avg_chars"))
+        .orderBy($"post_count".desc, $"lang")
+    },
+    None
+  )
+
+  /** F5/F6 per doc: regex reference counts (patterns generalized onto the
+    * driver vocabulary; /u/ /r/ URLs do not occur in the synthetic corpus). */
+  val qRefsByDoc = GraftQuery(
+    "q_refs_by_doc",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          Text.refCount($"text", Text.userRefPattern).cast(LongType).as("user_refs"),
+          Text.refCount($"text", Text.subRefPattern).cast(LongType).as("sub_refs"),
+          Text.refCount($"text", Text.urlRefPattern).cast(LongType).as("url_refs"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '\bs\w+'))::BIGINT AS user_refs,
+        len(regexp_extract_all(text, '\bb\w+'))::BIGINT AS sub_refs,
+        len(regexp_extract_all(text, '\w+er\b'))::BIGINT AS url_refs
+      FROM documents
+      ORDER BY doc_id""")
+  )
+
+  /** A5: per-group reference totals over the per-doc counts. */
+  val qRefsTotals = GraftQuery(
+    "q_refs_totals",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"lang",
+          Text.refCount($"text", Text.userRefPattern).cast(LongType).as("u"),
+          Text.refCount($"text", Text.subRefPattern).cast(LongType).as("s"),
+          Text.refCount($"text", Text.urlRefPattern).cast(LongType).as("l"))
+        .groupBy($"lang")
+        .agg(sum($"u").as("total_user_refs"), sum($"s").as("total_sub_refs"),
+          sum($"l").as("total_url_refs"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang,
+        sum(len(regexp_extract_all(text, '\bs\w+')))::BIGINT AS total_user_refs,
+        sum(len(regexp_extract_all(text, '\bb\w+')))::BIGINT AS total_sub_refs,
+        sum(len(regexp_extract_all(text, '\w+er\b')))::BIGINT AS total_url_refs
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""")
+  )
+
+  /** A6: two-level re-aggregation to a single global row. */
+  val qRefsGlobal = GraftQuery(
+    "q_refs_global",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          Text.refCount($"text", Text.userRefPattern).cast(LongType).as("u"),
+          Text.refCount($"text", Text.subRefPattern).cast(LongType).as("s"),
+          Text.refCount($"text", Text.urlRefPattern).cast(LongType).as("l"))
+        .agg(sum($"u").as("total_user_refs"), sum($"s").as("total_sub_refs"),
+          sum($"l").as("total_url_refs"))
+    },
+    Some("""
+      SELECT
+        sum(len(regexp_extract_all(text, '\bs\w+')))::BIGINT AS total_user_refs,
+        sum(len(regexp_extract_all(text, '\bb\w+')))::BIGINT AS total_sub_refs,
+        sum(len(regexp_extract_all(text, '\w+er\b')))::BIGINT AS total_url_refs
+      FROM documents""")
+  )
+
+  /** Per-doc token rows joined to the embedded lexicon (broadcast). */
+  private def docSentiment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
+      .join(broadcast(SentimentLexicon.df(spark)), Seq("term"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, Det.Scale)))
+          .cast(DoubleType) / count(lit(1)), Det.OutScale).as("sentiment"))
+  }
+
+  private val docSentimentSql = s"""
+    SELECT t.doc_id, count(*) AS n_tokens,
+      round((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
+            / count(*), 6) AS sentiment
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents) t
+    LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
+    GROUP BY t.doc_id"""
+
+  /** U1 tier (a): relational lexicon sentiment per document. */
+  val qSentimentDocs = GraftQuery(
+    "q_sentiment_docs",
+    (spark, dir) => {
+      import spark.implicits._
+      docSentiment(spark, dir)
+        .select($"doc_id", $"n_tokens", $"sentiment")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, n_tokens, sentiment FROM ($docSentimentSql)
+      ORDER BY doc_id""")
+  )
+
+  /** Reference's per-batch avg-sentiment metric (reddit_consumer.py:356),
+    * grouped by lang instead of one global batch row. Per-doc sentiment is
+    * already rounded to 6dp => exactly decimal-representable => the re-agg
+    * stays order-independent. */
+  val qAvgSentimentByLang = GraftQuery(
+    "q_avg_sentiment_by_lang",
+    (spark, dir) => {
+      import spark.implicits._
+      docSentiment(spark, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), davg($"sentiment").as("average_sentiment"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH ds AS (
+        SELECT t.doc_id, any_value(t.lang) AS lang,
+          round((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
+                / count(*), 6) AS sentiment
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
+        GROUP BY t.doc_id)
+      SELECT lang, count(*) AS n_docs,
+        ${Oracle.davg("sentiment")} AS average_sentiment
+      FROM ds GROUP BY lang ORDER BY lang""")
+  )
+
+  /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
+  val qTokenStats = GraftQuery(
+    "q_token_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          size(Text.tokens($"text")).cast(LongType).as("n_tokens"),
+          size(regexp_extract_all($"text", lit("[a-z0-9]+"), lit(0)))
+            .cast(LongType).as("n_word_tokens"),
+          size(array_distinct(Text.tokens($"text"))).cast(LongType).as("n_distinct"),
+          size(Text.withoutStopwords(array_distinct(Text.tokens($"text"))))
+            .cast(LongType).as("n_content"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_tokens,
+        len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_word_tokens,
+        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+        len(list_filter(list_distinct(string_split(text, ' ')),
+            w -> w NOT IN ${Text.stopwordsSqlList}))::BIGINT AS n_content
+      FROM documents
+      ORDER BY doc_id""")
+  )
+
+  /** Quality scoring for a training-data pipeline: stopword ratio, mean token
+    * length, log-length prior — a deterministic combination of the standard
+    * heuristics (cf. Gopher/C4 quality rules). */
+  val qQualityScore = GraftQuery(
+    "q_quality_score",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Text.tokens($"text")
+      val nTok = size(toks).cast(DoubleType)
+      val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*))).cast(DoubleType)
+      val avgLen = (length($"text") - size(toks) + lit(1)).cast(DoubleType) / size(toks)
+      val quality = round(
+        lit(0.3) * log(lit(1.0) + nTok) +
+        lit(0.5) * (lit(1.0) - nStop / nTok) +
+        lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), Det.OutScale)
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          size(toks).cast(LongType).as("n_tokens"),
+          round(nStop / nTok, Det.OutScale).as("stopword_ratio"),
+          round(avgLen, Det.OutScale).as("avg_token_len"),
+          quality.as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          len(list_filter(string_split(text, ' '),
+              w -> w IN ${Text.stopwordsSqlList}))::DOUBLE AS n_stop,
+          (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+            / len(string_split(text, ' ')) AS avg_len
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        round(n_stop / n_tokens, 6) AS stopword_ratio,
+        round(avg_len, 6) AS avg_token_len,
+        round(0.3 * ln(1.0 + n_tokens) + 0.5 * (1.0 - n_stop / n_tokens)
+              + 0.2 * least(avg_len / 10.0, 1.0), 6) AS quality
+      FROM q
+      ORDER BY doc_id""")
+  )
+
+  /** Language identification by n-gram profile (Cavnar-Trenkle shape, word
+    * unigrams as the n-grams): per language, the top-5 most frequent terms
+    * form its profile; a document is classified to the language whose profile
+    * overlaps its token set most (ties: lang asc). */
+  val qLangId = GraftQuery(
+    "q_lang_id",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select($"doc_id", $"lang",
+        explode(array_distinct(Text.tokens($"text"))).as("term"))
+      val profiles = docs
+        .select($"lang".as("plang"), explode(Text.tokens($"text")).as("term"))
+        .groupBy($"plang", $"term").agg(count(lit(1)).as("freq"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"plang").orderBy($"freq".desc, $"term")))
+        .filter($"rk" <= 5)
+        .select($"plang", $"term")
+      val overlap = toks.join(broadcast(profiles), Seq("term"))
+        .groupBy($"doc_id", $"lang", $"plang")
+        .agg(count(lit(1)).as("overlap"))
+      overlap
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"plang")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"plang".as("pred_lang"), $"lang".as("actual_lang"),
+          ($"plang" === $"lang").as("correct"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+      profiles AS (
+        SELECT plang, term FROM (
+          SELECT lang AS plang, term, count(*) AS freq,
+            row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY lang, term)
+        WHERE rk <= 5),
+      overlap AS (
+        SELECT t.doc_id, t.lang, p.plang, count(*) AS overlap
+        FROM toks t JOIN profiles p ON t.term = p.term
+        GROUP BY t.doc_id, t.lang, p.plang)
+      SELECT doc_id, plang AS pred_lang, lang AS actual_lang,
+        (plang = lang) AS correct
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+            FROM overlap)
+      WHERE rn = 1
+      ORDER BY doc_id""")
+  )
+
+  /** Document fingerprinting: full-text digest + min-shingle digest (the
+    * rolling-hash fingerprint family, realized with md5 so Spark and the
+    * oracle agree byte-for-byte). */
+  val qFingerprint = GraftQuery(
+    "q_fingerprint",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Text.tokens($"text")
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          md5($"text").as("fp_full"),
+          array_min(transform(toks, t => md5(t))).as("fp_min_token"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(text) AS fp_full,
+        list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS fp_min_token
+      FROM documents
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
+    qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
+    qTokenStats, qQualityScore, qLangId, qFingerprint)
+}

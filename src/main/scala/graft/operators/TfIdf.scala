@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{Det, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational TF-IDF (SURVEY.md §2.9) — the reference's
+  * Tokenizer→StopWordsRemover→CountVectorizer→IDF→explode→join→agg→top-k
+  * chain (reddit_consumer.py:175-247) collapsed into one DataFrame DAG:
+  * two shuffles (tf, df) and one broadcast join, no MLlib fit/transform, no
+  * vector serialization round-trip.
+  *
+  * Semantics pinned:
+  *  - vocabulary = top `vocabSize` terms by document frequency, ties broken
+  *    (df desc, term asc) — documented deviation from CountVectorizer's
+  *    arbitrary tie order;
+  *  - idf(t) = ln((m + 1) / (df(t) + 1)), MLlib's formula with minDocFreq=0;
+  *  - tfidf = tf * idf per (doc, term).
+  *
+  * Scale: df/vocab is a tiny aggregate (≤ vocabSize rows) broadcast back to
+  * the tf rows — the fact-side data shuffles once, on (doc_id, term).
+  */
+object TfIdf {
+  val VocabSize = 10000
+  val TopK = 10
+
+  /** (doc_id, term, tf, idf, tfidf) for every in-vocabulary term. */
+  def scores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id",
+      explode(Text.withoutStopwords(Text.tokens($"text"))).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val vocab = dfreq
+      .orderBy($"df".desc, $"term").limit(VocabSize)
+    val m = docs.agg(count(lit(1)).as("m"))
+    val idf = vocab.crossJoin(broadcast(m))
+      .withColumn("idf", log(($"m" + lit(1.0)) / ($"df" + lit(1.0))))
+      .select($"term", $"df", $"idf")
+    tf.join(broadcast(idf), Seq("term"))
+      .select($"doc_id", $"term", $"tf", $"df",
+        round($"tf" * $"idf", Det.OutScale).as("tfidf"))
+  }
+
+  private val scoresSql = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        w -> w NOT IN ${Text.stopwordsSqlList})) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+              ORDER BY df DESC, term LIMIT $VocabSize),
+    idf AS (SELECT term, df,
+              ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) AS idf
+            FROM dfreq)
+    SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+      round(tf.tf * idf.idf, 6) AS tfidf
+    FROM tf JOIN idf ON tf.term = idf.term"""
+
+  /** Full per-(doc, term) score relation. */
+  val qTfIdfScores = GraftQuery(
+    "q_tfidf_scores",
+    (spark, dir) => {
+      import spark.implicits._
+      scores(spark, dir).orderBy($"doc_id", $"term")
+    },
+    Some(s"SELECT * FROM ($scoresSql) ORDER BY doc_id, term")
+  )
+
+  /** Reference's top-10-keywords output (reddit_consumer.py:234-243):
+    * avg tfidf per term, deterministic tiebreak, true top-k plan. */
+  val qTopKeywords = GraftQuery(
+    "q_top_keywords",
+    (spark, dir) => {
+      import spark.implicits._
+      scores(spark, dir)
+        .groupBy($"term")
+        .agg(
+          round(sum($"tfidf".cast(DecimalType(38, Det.Scale))).cast(DoubleType),
+            Det.OutScale).as("total_score"),
+          count(lit(1)).as("n_docs"),
+          round(sum($"tfidf".cast(DecimalType(38, Det.Scale))).cast(DoubleType)
+            / count(lit(1)), Det.OutScale).as("avg_score"))
+        .orderBy($"avg_score".desc, $"term")
+        .limit(TopK)
+    },
+    Some(s"""
+      SELECT term,
+        round(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE, 6) AS total_score,
+        count(*) AS n_docs,
+        round(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE / count(*), 6) AS avg_score
+      FROM ($scoresSql)
+      GROUP BY term
+      ORDER BY avg_score DESC, term
+      LIMIT $TopK""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qTfIdfScores, qTopKeywords)
+}

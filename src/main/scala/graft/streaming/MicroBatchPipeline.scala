@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.functions.{Det, SentimentLexicon, Text}
+import graft.operators.TextAnalytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's streaming shell (SURVEY.md §2.11, §3.1) rebuilt on
+  * Structured Streaming:
+  *
+  *   source (socket / file / MemoryStream) → foreachBatch(processBatch) with
+  *   Trigger.ProcessingTime + a kept (not deleted) checkpoint.
+  *
+  * Per batch — the reference's process_batch (reddit_consumer.py:282-444)
+  * with its two defects fixed:
+  *   - the batch is persisted once (the reference re-executes the whole
+  *     parse+filter+UDF lineage for every one of its ~10 actions);
+  *   - every metric row carries an explicit (timestamp, batch_id), making
+  *     the dashboard's "keep-last" dedup deterministic (SURVEY.md §7.4.5).
+  *
+  * All analytics are per-batch and stateless across batches, exactly like
+  * the reference — state lives only in the appended metric files.
+  */
+object MicroBatchPipeline {
+
+  /** Parse wire JSON + cleaning filter + derived columns (P1/P2/P3). */
+  def parseBatch(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch
+      .select(from_json($"value", TextAnalytics.postSchema).as("data"))
+      .select($"data.*")
+      .filter($"text".isNotNull && $"text" =!= "" &&
+        length($"text") > 10 && $"type" =!= "keepalive")
+      .withColumn("created_time", $"created_utc".cast(TimestampType))
+      .withColumn("text_length", length($"text").cast(LongType))
+  }
+
+  /** Relational lexicon sentiment for a parsed batch (U1 tier (a)). */
+  def withSentiment(parsed: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val scores = parsed
+      .select($"id", explode(Text.tokens($"text")).as("term"))
+      .join(broadcast(SentimentLexicon.df(spark)), Seq("term"), "left")
+      .groupBy($"id")
+      .agg(round(sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, Det.Scale)))
+        .cast(DoubleType) / count(lit(1)), Det.OutScale).as("sentiment"))
+    parsed.join(scores, Seq("id"), "left")
+      .na.fill(0.0, Seq("sentiment"))
+  }
+
+  /** One micro-batch: persist once, fan out to metric sinks, apply retention.
+    * Mirrors reddit_consumer.py:282-444 action-for-action. */
+  def processBatch(batch: DataFrame, batchId: Long, outDir: String,
+                   retentionBytes: Long = 1L << 20): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    // raw batch persisted before parse (S4)
+    batch.write.mode("append").parquet(s"$outDir/raw")
+
+    val processed = withSentiment(parseBatch(batch))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!processed.isEmpty) {
+        processed.createOrReplaceTempView("processed") // S10: SQL surface
+        val now = current_timestamp()
+
+        // processed batch snapshot (S5)
+        processed.coalesce(1).write.mode("append").parquet(s"$outDir/processed")
+
+        // sentiment metric (reddit_consumer.py:356-366)
+        processed
+          .agg(Det.davg($"sentiment").as("average_sentiment"))
+          .select(now.as("timestamp"), lit(batchId).as("batch_id"), $"average_sentiment")
+          .coalesce(1).write.mode("append").parquet(s"$outDir/sentiment")
+
+        // per-subreddit stats (reddit_consumer.py:375-389)
+        processed
+          .groupBy($"subreddit")
+          .agg(count(lit(1)).as("post_count"),
+            approx_count_distinct($"author").as("unique_authors"),
+            Det.davg($"text_length").as("avg_length"))
+          .select(now.as("timestamp"), lit(batchId).as("batch_id"),
+            $"subreddit", $"post_count", $"unique_authors", $"avg_length")
+          .coalesce(1).write.mode("append").parquet(s"$outDir/subreddit_stats")
+
+        // reference extraction totals (reddit_consumer.py:400-429)
+        processed
+          .select(
+            Text.refCount($"text", Text.userRefPattern).cast(LongType).as("u"),
+            Text.refCount($"text", Text.subRefPattern).cast(LongType).as("s"),
+            Text.refCount($"text", Text.urlRefPattern).cast(LongType).as("l"))
+          .agg(sum($"u").as("total_user_refs"), sum($"s").as("total_sub_refs"),
+            sum($"l").as("total_urls"))
+          .select(now.as("timestamp"), lit(batchId).as("batch_id"),
+            $"total_user_refs", $"total_sub_refs", $"total_urls")
+          .coalesce(1).write.mode("append").parquet(s"$outDir/references")
+
+        // S11: size-based retention per metric dir
+        for (d <- Seq("sentiment", "subreddit_stats", "references"))
+          Retention.enforce(s"$outDir/$d", retentionBytes)
+      }
+    } finally processed.unpersist()
+  }
+
+  /** Wire a streaming source of JSON lines into the batch pipeline.
+    * Checkpoint is kept across runs (the reference deletes it — S12 — and
+    * thereby forfeits recovery; we do not reproduce that). */
+  def run(lines: DataFrame, outDir: String,
+          trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    lines.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id, outDir))
+      .trigger(trigger)
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .start()
+
+  /** Socket source, parity with the reference consumer (S1). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .option("includeTimestamp", "true")
+      .load()
+      .select(col("value"))
+
+  /** File-drop source for deterministic replay (S1 test alternative). */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text").load(dir).select(col("value"))
+}
