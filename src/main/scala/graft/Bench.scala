@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,9 +18,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass over a tiny sf to JIT/codegen before timing
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // per-query warm-up at the smallest sf: compiles/JITs each plan's
+    // generated code so the timed run measures compute, not Janino
+    val warmDir = "/root/testdata/sf0.001"
+    val warm = new java.io.File(warmDir).isDirectory
     val results = Queries.all.filter(_.bench).map { q =>
+      if (warm) try { q.run(spark, warmDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9

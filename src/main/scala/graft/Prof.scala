@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway per-query wall-time profiler (dev use only).
+  * Usage: runMain graft.Prof q_name [q_name ...] */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else Queries.all.map(_.name)
+    for (n <- names; q <- Queries.byName.get(n); rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val rows = q.run(spark, dir).count()
+      println(f"PROF $n%-24s run$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+    }
+    spark.stop()
+  }
+}

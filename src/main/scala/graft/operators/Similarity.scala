@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.Det
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,17 +10,21 @@ import org.apache.spark.sql.types._
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   * Three tiers:
-  *  1. `q_ann_cosine_topk` — exact brute-force top-k for a bounded query set,
-  *     computed through posexplode + exact decimal dot products so the DuckDB
-  *     oracle (parallel unnest) matches bit-for-bit. Correctness baseline.
-  *  2. `q_ann_cosine_fast` — the same semantics through the codegen'd
-  *     higher-order-function dot product (zip_with + aggregate, no explode,
-  *     no shuffle per dimension). The bench/scale path; excluded from the SQL
-  *     oracle only because float fold order differs from DuckDB's list ops.
+  *  1. `q_ann_cosine_topk` — exact brute-force top-k for a bounded query set.
+  *  2. `q_ann_cosine_fast` — the same semantics with plain-double fold math
+  *     (fastest path; float fold order keeps it out of the SQL oracle).
   *  3. `q_embed_neardup_lsh` — random-hyperplane (sign) LSH bucketing, then
   *     exact cosine verification *within buckets only*: the O(n²)-free
   *     near-dup path. Hyperplane weights are a deterministic integer formula
   *     so the oracle can reproduce them.
+  *
+  * Physical design: every dot product / projection is a per-row
+  * higher-order-function fold over the embedding arrays — there is NO
+  * per-dimension explode and NO per-(vector, dimension) shuffle anywhere.
+  * Exactness vs the DuckDB oracle is preserved by accumulating in
+  * DECIMAL(38,12): each addend (an IEEE double product) is cast to decimal
+  * before summation, and decimal addition is exact, hence order-independent —
+  * the oracle's per-dimension-row formulation produces bit-identical values.
   *
   * Scale: tier 3's bucket join is the 100 TB design (candidates ∝ bucket
   * sizes, not n²); tier 1 pins correctness at small n.
@@ -32,12 +36,29 @@ object Similarity {
   val NPlanes = 8
   val CosineThreshold = 0.9
 
-  /** (vec_id, pos, v_double) exploded view of the embeddings. */
-  private def exploded(spark: SparkSession, dir: String): DataFrame = {
+  private val Dec = DecimalType(38, 12)
+
+  /** Exact decimal dot product of two float arrays: Σ dec(double(aᵢ)·double(bᵢ)),
+    * emitted as double. Order-independent (decimal addition is exact). */
+  private def decDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, p) => (acc + p).cast(Dec))
+      .cast(DoubleType)
+
+  /** (vec_id, embedding, nrm) with the exact decimal L2 norm.
+    *
+    * Repartitioned before the fold projections: higher-order functions are
+    * CodegenFallback (interpreted), so their per-row cost must be spread
+    * across cores — a real multi-split table gets this from the scan, the
+    * driver's single small parquet file does not. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-      .select($"vec_id", $"pos", $"v".cast(DoubleType).as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id", $"embedding",
+        sqrt(decDot($"embedding", $"embedding")).as("nrm"))
   }
 
   private val explodedSql = """
@@ -45,36 +66,25 @@ object Similarity {
            unnest(embedding)::DOUBLE AS v
     FROM embeddings"""
 
-  /** Exact decimal L2 norm per vector (order-independent sum of squares). */
-  private def norms(ex: DataFrame): DataFrame = {
-    import ex.sparkSession.implicits._
-    ex.groupBy($"vec_id")
-      .agg(sqrt(sum(($"v" * $"v").cast(DecimalType(38, 12))).cast(DoubleType)).as("nrm"))
-  }
-
   private val normsSql = s"""
     SELECT vec_id,
       sqrt(sum(CAST(v * v AS DECIMAL(38,12)))::DOUBLE) AS nrm
     FROM ($explodedSql) GROUP BY vec_id"""
 
-  /** Tier 1: exact cosine top-k neighbors for query vectors vec_id < 10. */
+  /** Tier 1: exact cosine top-k neighbors for query vectors vec_id < 10.
+    * The (small) query side is broadcast against the full table; each pair's
+    * dot product is one codegen'd array fold. */
   val qAnnCosineTopk = GraftQuery(
     "q_ann_cosine_topk",
     (spark, dir) => {
       import spark.implicits._
-      val ex = exploded(spark, dir).cache()
-      val nrm = norms(ex)
-      val q = ex.filter($"vec_id" < NQueryVecs)
-        .select($"vec_id".as("qid"), $"pos", $"v".as("qv"))
-      val dots = q.join(ex.select($"vec_id".as("tid"), $"pos", $"v".as("tv")), Seq("pos"))
-        .filter($"qid" =!= $"tid")
-        .groupBy($"qid", $"tid")
-        .agg(sum(($"qv" * $"tv").cast(DecimalType(38, 12))).cast(DoubleType).as("dot"))
-      val cos = dots
-        .join(nrm.select($"vec_id".as("qid"), $"nrm".as("qn")), Seq("qid"))
-        .join(nrm.select($"vec_id".as("tid"), $"nrm".as("tn")), Seq("tid"))
-        .select($"qid", $"tid", round($"dot" / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
-      cos
+      val emb = withNorm(spark, dir)
+      val q = emb.filter($"vec_id" < NQueryVecs)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"))
+      emb.select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"))
+        .join(broadcast(q), $"qid" =!= $"tid")
+        .select($"qid", $"tid",
+          round(decDot($"qe", $"te") / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
         .filter($"rk" <= TopK)
@@ -103,22 +113,23 @@ object Similarity {
       ORDER BY qid, rk""")
   )
 
-  /** Tier 2: same query through zip_with/aggregate — single pass, codegen,
-    * no per-dimension explode/shuffle. Float fold order is Spark-internal,
-    * so this stays out of the SQL oracle (rows-only check). */
+  /** Tier 2: same query through plain-double zip_with/aggregate — the
+    * cheapest possible fold. Float fold order is Spark-internal, so this
+    * stays out of the SQL oracle (rows-only check). */
   val qAnnCosineFast = GraftQuery(
     "q_ann_cosine_fast",
     (spark, dir) => {
       import spark.implicits._
       val emb = Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select($"vec_id", transform($"embedding", v => v.cast(DoubleType)).as("e"))
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      def dot(a: Column, b: Column) =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      val withNorm = emb.withColumn("nrm", sqrt(dot($"e", $"e")))
-      val q = withNorm.filter($"vec_id" < NQueryVecs)
+      val wn = emb.withColumn("nrm", sqrt(dot($"e", $"e")))
+      val q = wn.filter($"vec_id" < NQueryVecs)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
-      q.join(broadcast(withNorm.select($"vec_id".as("tid"), $"e".as("te"), $"nrm".as("tn"))),
-          $"qid" =!= $"tid")
+      wn.select($"vec_id".as("tid"), $"e".as("te"), $"nrm".as("tn"))
+        .join(broadcast(q), $"qid" =!= $"tid")
         .select($"qid", $"tid",
           round(dot($"qe", $"te") / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
         .withColumn("rk", row_number().over(
@@ -132,37 +143,29 @@ object Similarity {
 
   /** Tier 3: sign-LSH bucketing + exact cosine ≥ threshold within buckets.
     * Plane weights w(j,d) = ((1103515245*(j*64+d) + 12345) div 65536) % 19 - 9
-    * — a plain LCG step, integer-exact in both engines. */
+    * — a plain LCG step, integer-exact in both engines. The whole 8-bit
+    * bucket is one nested fold per row (projections accumulate in decimal,
+    * so the sign decision matches the oracle's per-dimension decimal sum). */
   val qEmbedNeardupLsh = GraftQuery(
     "q_embed_neardup_lsh",
     (spark, dir) => {
       import spark.implicits._
-      val ex = exploded(spark, dir).cache()
-      val planes = spark.range(NPlanes).toDF("j")
-        .crossJoin(spark.range(64).toDF("d"))
-        .select($"j", $"d",
-          (expr("((1103515245 * (j * 64 + d) + 12345) div 65536) % 19") - lit(9L)).as("w"))
-      val signs = ex.join(broadcast(planes), $"pos" === $"d")
-        .groupBy($"vec_id", $"j")
-        .agg(sum(($"w" * $"v").cast(DecimalType(38, 12))).as("proj"))
-        .select($"vec_id", $"j",
-          when($"proj" >= 0, lit(1L)).otherwise(lit(0L)).as("bit"))
-      val buckets = signs
-        .groupBy($"vec_id")
-        .agg(sum(expr("shiftleft(bit, cast(j as int))")).as("bucket"))
-      val cand = buckets.as("a").join(buckets.as("b"),
+      val emb = withNorm(spark, dir)
+      val buckets = emb.select($"vec_id", $"embedding", $"nrm",
+        expr(s"""
+          aggregate(sequence(0, ${NPlanes - 1}), cast(0 as bigint), (acc, j) ->
+            acc + if(
+              aggregate(sequence(0, size(embedding) - 1), cast(0 as decimal(38,12)), (s, d) ->
+                cast(s + cast(
+                  (((cast(1103515245 as bigint) * (j * 64 + d) + 12345) div 65536) % 19 - 9)
+                  * cast(embedding[d] as double) as decimal(38,12))
+                as decimal(38,12))) >= 0,
+              shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("bucket"))
+      buckets.as("a").join(buckets.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"))
-      val nrm = norms(ex)
-      val dots = cand
-        .join(ex.select($"vec_id".as("ia"), $"pos", $"v".as("va")), Seq("ia"))
-        .join(ex.select($"vec_id".as("ib"), $"pos", $"v".as("vb")), Seq("ib", "pos"))
-        .groupBy($"ia", $"ib")
-        .agg(sum(($"va" * $"vb").cast(DecimalType(38, 12))).cast(DoubleType).as("dot"))
-      dots
-        .join(nrm.select($"vec_id".as("ia"), $"nrm".as("na")), Seq("ia"))
-        .join(nrm.select($"vec_id".as("ib"), $"nrm".as("nb")), Seq("ib"))
-        .select($"ia", $"ib", round($"dot" / ($"na" * $"nb"), Det.OutScale).as("cosine"))
+        .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+          round(decDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"),
+            Det.OutScale).as("cosine"))
         .filter($"cosine" >= CosineThreshold)
         .orderBy($"ia", $"ib")
     },

@@ -335,6 +335,7 @@ object TextAnalytics {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
       val toks = docs.select($"doc_id", $"lang",
         explode(array_distinct(Text.tokens($"text"))).as("term"))
       val profiles = docs

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Dedup family on the fixture corpus: docs 2/3 are exact duplicates, docs
+  * 4/5 are 30-token near-duplicates (one token changed). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val r = Dedup.qDedupExact.run(spark, fixtureDir)
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(r(2L) === 2L)            // docs 2+3 collapse into keeper 2
+    assert(r.values.sum === 6L)     // every doc accounted for
+    assert(r.keys.toSet === Set(0L, 1L, 2L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the exact-dup pair with jaccard 1.0") {
+    val pairs = Dedup.qDedupMinhash.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.contains((2L, 3L, 1.0)))
+    // near-dup pair: 2-shingle jaccard 28/30
+    assert(pairs.contains((4L, 5L, 0.933333)))
+    assert(pairs.forall(_._3 >= Dedup.JaccardThreshold))
+  }
+
+  test("simhash: identical docs have hamming 0; all pairs within radius") {
+    val pairs = Dedup.qDedupSimhash.run(spark, fixtureDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.contains((2L, 3L, 0L)))
+    assert(pairs.forall(_._3 <= 3L))
+  }
+
+  test("ngram jaccard: exact 3-shingle similarity") {
+    val pairs = Dedup.qNgramJaccard.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // docs 4/5: 27 shared 3-shingles of a 29-shingle union
+    assert(pairs.toSet === Set((2L, 3L, 1.0), (4L, 5L, 0.931034)))
+  }
+}

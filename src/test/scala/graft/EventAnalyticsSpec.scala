@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.EventAnalytics
+
+/** Dashboard analytics on the fixture events (one event per 6h bucket,
+  * values 1..6): rolling(5) null semantics + sample stddev, keep-last dedup,
+  * trailing window filter, top-k, json props. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling(5): first 4 rows null, then mean and ddof=1 stddev with ±2σ band") {
+    val rows = EventAnalytics.qRollingSentiment.run(spark, fixtureDir)
+      .select($"bucket", $"ma5", $"sd5", $"upper", $"lower")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows.map(_._1) === (0L to 5L))
+    assert(rows.take(4).forall(r => r._2.isEmpty && r._3.isEmpty))
+    // bucket 4: window values 1..5 => mean 3, stddev_samp sqrt(2.5)
+    val b4 = rows(4)
+    val sd = math.sqrt(2.5)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(b4._2 === Some(3.0))
+    assert(b4._3 === Some(r6(sd)))
+    assert(b4._4 === Some(r6(3.0 + 2 * sd)))
+    assert(b4._5 === Some(r6(3.0 - 2 * sd)))
+    // bucket 5: values 2..6 => mean 4, same spread
+    assert(rows(5)._2 === Some(4.0))
+    assert(rows(5)._3 === Some(r6(sd)))
+  }
+
+  test("dedup keep-last: latest event per user") {
+    val r = EventAnalytics.qDedupKeepLast.run(spark, fixtureDir)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+    assert(r === Map(0L -> 4L, 1L -> 5L))  // user 0: events 0,2,4; user 1: 1,3,5
+  }
+
+  test("trailing 6h window keeps only the last two buckets") {
+    val r = EventAnalytics.qWindowFilter6h.run(spark, fixtureDir)
+      .select($"event_type", $"n_events", $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(r === Set(("click", 1L, 5.0), ("signup", 1L, 6.0)))
+  }
+
+  test("top-3 event types by count with name tiebreak") {
+    val r = EventAnalytics.qTop3EventTypes.run(spark, fixtureDir)
+      .select($"event_type", $"n_events").as[(String, Long)].collect().toSeq
+    assert(r === Seq(("click", 3L), ("view", 2L), ("signup", 1L)))
+  }
+
+  test("latest metric is the single newest event") {
+    val r = EventAnalytics.qLatestMetric.run(spark, fixtureDir)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSeq
+    assert(r === Seq((5L, 6.0)))
+  }
+
+  test("json props extraction buckets k into deciles") {
+    val r = EventAnalytics.qJsonProps.run(spark, fixtureDir)
+      .select($"k_decile", $"n_events").as[(Long, Long)].collect().toMap
+    // k = 0,10,20,30,40,50 => deciles 0..5, one event each
+    assert(r === (0L to 5L).map(_ -> 1L).toMap)
+  }
+
+  test("union of metric slices preserves both branches") {
+    val r = EventAnalytics.qUnionMetrics.run(spark, fixtureDir)
+      .select($"kind", $"n_events").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(r === Map("click" -> 3L, "view" -> 2L))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{Det, SentimentLexicon, Text}
+import graft.streaming.Retention
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import scala.util.Random
+
+/** Property-style tests (SURVEY.md §5.3) over seeded random inputs:
+  * deterministic-aggregation order independence, tokenizer/shingle laws,
+  * scorer bounds, retention invariants. One Spark job per property (inputs
+  * generated as one DataFrame), seeded so failures reproduce. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("fast", "slow", "big", "the", "a", "spark",
+    "data", "zz", "w1", "w2", "merge", "join")
+  private def randText(): String =
+    Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("Det.dsum is order-independent (decimal accumulation)") {
+    val values = Seq.fill(5000)(rnd.nextDouble() * 2e6 - 1e6)
+    def total(vs: Seq[Double], parts: Int): Double =
+      spark.createDataset(vs).repartition(parts).toDF("v")
+        .agg(Det.dsum($"v").as("s")).as[Double].head()
+    val reference = total(values, 1)
+    assert(total(values, 7) === reference)
+    assert(total(rnd.shuffle(values), 13) === reference)
+  }
+
+  test("shingleArray law: equals distinct sliding n-grams of the token list") {
+    val texts = Seq.fill(200)(randText()).filter(_.split("\\s+").length >= 3)
+    val toks = Text.tokens($"text")
+    val got = texts.toDF("text")
+      .select($"text", array_distinct(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("sh"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (text, sh) =>
+      val expected = text.toLowerCase.split("\\s+").toSeq
+        .sliding(2).map(_.mkString(" ")).toSeq.distinct
+      assert(sh === expected, s"for text: $text")
+    }
+  }
+
+  test("lexicon scorer bounds hold for arbitrary texts") {
+    val maxAbs = SentimentLexicon.entries.map(e => math.abs(e._2)).max
+    val texts = Seq.fill(300)(randText())
+    val scores = texts.toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .join(broadcast(SentimentLexicon.df(spark)), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg((sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, 9)))
+        .cast(DoubleType) / count(lit(1))).as("sentiment"))
+      .as[(Long, Double)].collect()
+    assert(scores.length === texts.length)
+    assert(scores.forall { case (_, s) => s >= -maxAbs && s <= maxAbs })
+  }
+
+  test("retention invariants: post-total <= cap, deletions are the oldest prefix") {
+    for (trial <- 1 to 25) {
+      val dir = Files.createTempDirectory(s"graft-prop-ret$trial").toString
+      val n = 1 + rnd.nextInt(8)
+      val sizes = Seq.fill(n)(1 + rnd.nextInt(2000))
+      val t0 = 1700000000000L
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        val f = new java.io.File(dir, f"f$i%02d.parquet")
+        Files.write(f.toPath, Array.fill[Byte](sz)(1))
+        f.setLastModified(t0 + i * 1000)
+      }
+      val cap = rnd.nextInt(4000).toLong
+      val deleted = Retention.enforce(dir, cap)
+      val left = Retention.dataFiles(dir)
+      assert(left.map(_.length).sum <= cap || left.isEmpty || deleted.isEmpty)
+      // deleted files form a prefix of the mtime order
+      val expectPrefix = (0 until n).map(i => f"f$i%02d.parquet").take(deleted.length)
+      assert(deleted === expectPrefix)
+      // what remains is the newest suffix
+      assert(left.map(_.getName).sorted ===
+        (0 until n).map(i => f"f$i%02d.parquet").drop(deleted.length))
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Relational surface on the real sf0.001 tables: cross-query invariants
+  * (counts must reconcile), determinism of the declared orderings, and the
+  * physical plans we designed for — broadcast joins on dimensions, pushed
+  * filters, top-k without a global sort. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pricing summary groups cover exactly the distinct flag/status pairs") {
+    val out = Relational.q1PricingSummary.run(spark, dir)
+    val expected = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" < to_timestamp_ntz(lit("1998-09-01")))
+      .select($"l_returnflag", $"l_linestatus").distinct().count()
+    assert(out.count() === expected)
+    assert(out.select(sum($"count_order")).as[Long].head() ===
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" < to_timestamp_ntz(lit("1998-09-01"))).count())
+  }
+
+  test("anti-join count reconciles with total customers") {
+    val total = Tables.customer(spark, dir).count()
+    val withOrders = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .count()
+    val without = Relational.qCustomersWithoutOrders.run(spark, dir)
+      .select(coalesce(sum($"n_customers"), lit(0L))).as[Long].head()
+    assert(without === total - withOrders)
+  }
+
+  test("top customers: at most 10 rows, ordered by spend desc") {
+    val rows = Relational.qTopCustomers.run(spark, dir)
+      .select($"total_spent").as[Double].collect().toSeq
+    assert(rows.length <= 10)
+    assert(rows === rows.sortBy(-_))
+  }
+
+  test("physical plans: dimension joins broadcast; no shuffle of the dim table") {
+    val brandPlan = Relational.qRevenueByBrand.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(brandPlan.contains("BroadcastHashJoin"))
+    val regionPlan = Relational.qAcctbalByRegion.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(regionPlan.contains("BroadcastHashJoin"))
+  }
+
+  test("physical plans: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.qTopCustomers.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("parquet scans prune columns to what the query needs") {
+    val plan = Relational.qTopCustomers.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the orders scan must read only custkey + totalprice
+    assert(plan.contains("o_custkey") && plan.contains("o_totalprice"))
+    assert(!plan.contains("o_orderpriority"))
+  }
+}

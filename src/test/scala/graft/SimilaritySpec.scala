@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Similarity search on hand-built vectors: vecs 0/1 identical, 2 orthogonal
+  * to them, 3 at cos 0.6 from vec 0 and 0.8 from vec 2. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topk(q: GraftQuery): Map[(Long, Long), (Long, Double)] =
+    q.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+
+  test("exact cosine top-k ranks by cosine desc with tid tiebreak") {
+    val r = topk(Similarity.qAnnCosineTopk)
+    assert(r((0L, 1L)) === ((1L, 1.0)))    // identical vector first
+    assert(r((0L, 2L)) === ((3L, 0.6)))    // then cos 0.6
+    assert(r((0L, 3L)) === ((2L, 0.0)))    // orthogonal last
+    assert(r((2L, 1L)) === ((3L, 0.8)))
+  }
+
+  test("fast HOF-dot-product variant agrees with the exact plan on clean values") {
+    assert(topk(Similarity.qAnnCosineFast) === topk(Similarity.qAnnCosineTopk))
+  }
+
+  test("sign-LSH near-dup finds exactly the identical pair at threshold 0.9") {
+    val pairs = Similarity.qEmbedNeardupLsh.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs === Seq((0L, 1L, 1.0)))
+  }
+}

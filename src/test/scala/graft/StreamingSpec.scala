@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.MicroBatchPipeline
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** End-to-end streaming test (SURVEY.md §5.4): the producer wire format —
+  * including keepalives and malformed lines — replayed through a file source
+  * with Trigger.AvailableNow into the foreachBatch pipeline; metric dirs
+  * asserted afterwards. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch pipeline: file replay -> raw/processed/metric parquet") {
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+    val lines = Seq(
+      """{"type": "submission", "subreddit": "s1", "id": "a", "text": "fast fast fast slow", "created_utc": 1700000000.5, "author": "u1"}""",
+      """{"type": "submission", "subreddit": "s2", "id": "b", "text": "slow slow slow slow", "created_utc": 1700000002.0, "author": "u2"}""",
+      """{"type": "keepalive", "timestamp": 1700000003.0}""",
+      """garbage {{{ not json""",
+      """{"type": "submission", "subreddit": "s1", "id": "c", "text": "tiny", "created_utc": 1700000004.0, "author": "u3"}""")
+    Files.write(Paths.get(srcDir, "batch0.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val q = MicroBatchPipeline.run(
+      MicroBatchPipeline.fileLines(spark, srcDir), outDir,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // raw: every line persisted before parse (5 rows incl. bad ones)
+    assert(spark.read.parquet(s"$outDir/raw").count() === 5)
+
+    // processed: only the two valid long posts survive the cleaning filter
+    val processed = spark.read.parquet(s"$outDir/processed")
+    assert(processed.select($"id").as[String].collect().toSet === Set("a", "b"))
+    val sentById = processed.select($"id", $"sentiment").as[(String, Double)]
+      .collect().toMap
+    assert(sentById("a") === 0.375)   // (0.75*3 - 0.75) / 4
+    assert(sentById("b") === -0.75)   // 4 * -0.75 / 4
+
+    // sentiment metric: batch average over the two docs
+    val avg = spark.read.parquet(s"$outDir/sentiment")
+      .select($"average_sentiment").as[Double].head()
+    assert(avg === -0.1875)
+
+    // subreddit stats: one row per subreddit with counts
+    val stats = spark.read.parquet(s"$outDir/subreddit_stats")
+      .select($"subreddit", $"post_count").as[(String, Long)].collect().toMap
+    assert(stats === Map("s1" -> 1L, "s2" -> 1L))
+
+    // references: \bs\w+ matches "slow" x5 across both texts
+    val refs = spark.read.parquet(s"$outDir/references")
+      .select($"total_user_refs", $"total_sub_refs", $"total_urls")
+      .as[(Long, Long, Long)].head()
+    assert(refs === ((5L, 0L, 0L)))
+
+    // checkpoint kept (the reference deletes it; we do not)
+    assert(Files.exists(Paths.get(outDir, "checkpoint")))
+  }
+
+  test("empty batches write nothing and do not fail") {
+    val srcDir = Files.createTempDirectory("graft-stream-empty").toString
+    val outDir = Files.createTempDirectory("graft-stream-empty-out").toString
+    Files.write(Paths.get(srcDir, "b.txt"),
+      """{"type": "keepalive", "timestamp": 1.0}""".getBytes("UTF-8"))
+    val q = MicroBatchPipeline.run(
+      MicroBatchPipeline.fileLines(spark, srcDir), outDir,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$outDir/raw").count() === 1)
+    assert(!Files.exists(Paths.get(outDir, "processed")))
+    assert(!Files.exists(Paths.get(outDir, "sentiment")))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{SentimentLexicon, Text}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the text primitives (SURVEY.md §5.2): tokenizer edge
+  * cases, stopword removal duplicate preservation, regex reference counts,
+  * lexicon scorer bounds. */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tok(s: String): Seq[String] =
+    Seq(s).toDF("text").select(Text.tokens($"text").as("t"))
+      .as[Seq[String]].head()
+
+  test("tokens: lowercase + whitespace split, runs collapse") {
+    assert(tok("Fast SLOW big") === Seq("fast", "slow", "big"))
+    assert(tok("a\t b\n\nc") === Seq("a", "b", "c"))
+  }
+
+  test("tokens: leading whitespace yields a leading empty token (Java split semantics)") {
+    assert(tok("  x y") === Seq("", "x", "y"))
+  }
+
+  test("tokens: unicode text survives lowercasing") {
+    assert(tok("Héllo WÖRLD") === Seq("héllo", "wörld"))
+  }
+
+  test("withoutStopwords preserves duplicates and order (array_except would not)") {
+    val r = Seq("fast the fast a the slow").toDF("text")
+      .select(Text.withoutStopwords(Text.tokens($"text")).as("t"))
+      .as[Seq[String]].head()
+    assert(r === Seq("fast", "fast", "slow"))
+  }
+
+  test("refCount counts all matches of each reference pattern") {
+    val df = Seq("spark stream sort batch big merger").toDF("text")
+    val r = df.select(
+      Text.refCount($"text", Text.userRefPattern).as("u"),
+      Text.refCount($"text", Text.subRefPattern).as("s"),
+      Text.refCount($"text", Text.urlRefPattern).as("l"))
+      .as[(Int, Int, Int)].head()
+    // \bs\w+ : spark stream sort; \bb\w+ : batch big; \w+er\b : merger
+    assert(r === ((3, 2, 1)))
+  }
+
+  test("lexicon scorer: score bounded by max |valence|, empty/unknown => 0") {
+    val maxAbs = SentimentLexicon.entries.map(e => math.abs(e._2)).max
+    assert(maxAbs <= 1.0)
+    val docs = operators.TextAnalytics.qSentimentDocs.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect()
+    assert(docs.forall { case (_, _, s) => s >= -maxAbs && s <= maxAbs })
+    // doc 0 "fast fast slow": (0.75 + 0.75 - 0.75) / 3
+    assert(docs.find(_._1 == 0L).get._3 === 0.25)
+    // doc 4 is all unknown terms => 0.0
+    assert(docs.find(_._1 == 4L).get._3 === 0.0)
+  }
+}

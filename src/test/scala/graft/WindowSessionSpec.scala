@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.EventAnalytics
+import graft.streaming.Sessionize
+
+/** Event-time windows + batch sessionization on the fixture events (one
+  * event per 6h bucket, values 1..6, users alternating 0/1). */
+class WindowSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SixHUs = SparkSpec.SixHoursUs
+
+  test("tumbling 1h window: each fixture event in its own aligned window") {
+    val rows = EventAnalytics.qTumblingWindow.run(spark, fixtureDir)
+      .select($"win_start_us", $"event_type", $"n_events", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(rows.length === 6)
+    assert(rows.map(_._1) === (0 to 5).map(_ * SixHUs))
+    assert(rows.forall(_._3 == 1L))
+    assert(rows.map(_._4) === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("sliding 1h/30m window: every event lands in exactly two windows") {
+    val rows = EventAnalytics.qSlidingWindow.run(spark, fixtureDir)
+      .select($"win_start_us", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(rows.length === 12)
+    val expected = (0 to 5).flatMap(b =>
+      Seq(b * SixHUs - 1800000000L, b * SixHUs.toLong)).sorted
+    assert(rows.map(_._1) === expected)
+    assert(rows.forall(_._2 == 1L))
+  }
+
+  test("batch sessionize: 6h gaps split every fixture event into its own session") {
+    val rows = EventAnalytics.qSessionize.run(spark, fixtureDir)
+      .select($"user_id", $"sess_seq", $"n_events", $"duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // user 0 has events in buckets 0,2,4; user 1 in 1,3,5 — all 6h apart
+    assert(rows === Seq(
+      (0L, 1L, 1L, 0L), (0L, 2L, 1L, 0L), (0L, 3L, 1L, 0L),
+      (1L, 1L, 1L, 0L), (1L, 2L, 1L, 0L), (1L, 3L, 1L, 0L)))
+  }
+
+  test("sessionize update fn: gap splits, state carries the open session") {
+    // pure-function check of the streaming state transition (no Spark)
+    val evs = Seq(
+      Sessionize.Ev(7L, 0L, 0L),
+      Sessionize.Ev(7L, 10L * 60 * 1000000, 1L),
+      Sessionize.Ev(7L, 2L * 3600 * 1000000, 2L))
+    val state = new FakeGroupState[Sessionize.SessionState]
+    val out = Sessionize.update(EventAnalytics.SessionGapUs)(7L, evs.iterator, state).toSeq
+    assert(out === Seq(Sessionize.Session(7L, 0L, 600000000L, 2L, "gap")))
+    assert(state.value.contains(Sessionize.SessionState(
+      7200000000L, 7200000000L, 1L)))
+    // timed-out call flushes the open session
+    val state2 = new FakeGroupState[Sessionize.SessionState]
+    state2.value = state.value
+    state2.timedOut = true
+    val out2 = Sessionize.update(EventAnalytics.SessionGapUs)(7L, Iterator.empty, state2).toSeq
+    assert(out2 === Seq(Sessionize.Session(7L, 7200000000L, 7200000000L, 1L, "timeout")))
+    assert(state2.value.isEmpty)
+  }
+}
+
+/** Minimal GroupState stub for unit-testing state-transition functions. */
+class FakeGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  var value: Option[S] = None
+  var timedOut: Boolean = false
+  var timeoutTs: Long = -1
+  override def exists: Boolean = value.isDefined
+  override def get: S = value.get
+  override def getOption: Option[S] = value
+  override def update(newState: S): Unit = value = Some(newState)
+  override def remove(): Unit = value = None
+  override def hasTimedOut: Boolean = timedOut
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = timeoutTs = timestampMs
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
