@@ -8,6 +8,7 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -15,6 +16,11 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("-explain")) {
+      for (n <- args.tail; q <- Queries.byName.get(n))
+        println(q.run(spark, dir).queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Queries.all.map(_.name)
     for (n <- names; q <- Queries.byName.get(n); rep <- 1 to 2) {
       val t0 = System.nanoTime()

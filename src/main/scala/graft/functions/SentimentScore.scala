@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the lexicon sentiment scorer — the one
+  * place a custom expression is justified over built-ins (SURVEY.md §7.3):
+  * the reference's hot path runs a Python UDF per row per action
+  * (reddit_consumer.py:87-99); here the scorer is a single generated-code
+  * call with no serialization boundary, usable from SQL as
+  * `sentiment_score(text)` once [[GraftExtensions]] is installed.
+  *
+  * Semantics are identical to the relational formulation used by the
+  * verified surface (tokenize → Σ valence / n_tokens, exact decimal sum,
+  * rounded to 6 dp) — asserted by SentimentScoreSpec, so either path can
+  * serve the same queries.
+  */
+case class SentimentScore(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sentiment_score requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sentiment_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SentimentScore.score(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SentimentScore.score($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SentimentScore =
+    copy(child = newChild)
+}
+
+object SentimentScore {
+  private val valences: java.util.HashMap[String, java.math.BigDecimal] = {
+    val m = new java.util.HashMap[String, java.math.BigDecimal]()
+    SentimentLexicon.entries.foreach { case (t, v) =>
+      m.put(t, java.math.BigDecimal.valueOf(v))
+    }
+    m
+  }
+
+  /** Tokenize (MLlib Tokenizer semantics), sum valences exactly (decimal),
+    * divide by token count, round to 6 dp. Called from generated code. */
+  def score(text: String): Double = {
+    val toks = text.toLowerCase.split("\\s+")
+    if (toks.isEmpty) return 0.0
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < toks.length) {
+      val v = valences.get(toks(i))
+      if (v != null) sum = sum.add(v)
+      i += 1
+    }
+    // valueOf (shortest-decimal) + HALF_UP matches Spark's round() and
+    // DuckDB's round() exactly; new BigDecimal(double) would use the raw
+    // binary expansion and round 0.0796875-style values the other way
+    java.math.BigDecimal.valueOf(sum.doubleValue() / toks.length)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** Session extensions installing the engine's native functions; use with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("sentiment_score"),
+      new ExpressionInfo(classOf[SentimentScore].getName, "sentiment_score"),
+      (args: Seq[Expression]) => SentimentScore(args.head)))
+}

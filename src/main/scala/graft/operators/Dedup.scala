@@ -212,8 +212,8 @@ object Dedup {
             $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
           expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 3)
+        .filter($"hamming" <= 3)   // before distinct: cuts the band-join
+        .distinct()                // output ~30x ahead of the dedup shuffle
         .orderBy($"ia", $"ib")
     },
     Some("""

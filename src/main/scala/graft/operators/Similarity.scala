@@ -141,11 +141,28 @@ object Similarity {
     None
   )
 
+  /** Plain-double dot product — the cheap prefilter path. */
+  private def dblDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, p) => acc + p)
+
   /** Tier 3: sign-LSH bucketing + exact cosine ≥ threshold within buckets.
     * Plane weights w(j,d) = ((1103515245*(j*64+d) + 12345) div 65536) % 19 - 9
     * — a plain LCG step, integer-exact in both engines. The whole 8-bit
     * bucket is one nested fold per row (projections accumulate in decimal,
-    * so the sign decision matches the oracle's per-dimension decimal sum). */
+    * so the sign decision matches the oracle's per-dimension decimal sum).
+    *
+    * Physical shape:
+    *  - the bucketed relation is persisted — it IS the LSH index, shared by
+    *    both sides of the candidate self-join; without the barrier Catalyst
+    *    pushes an `isnotnull(bucket)` derived predicate through the
+    *    repartition to the scan and runs the whole fold single-threaded;
+    *  - verification is two-phase: a plain-double dot prefilter with a 1e-6
+    *    guard band (double error on 64-term dots is ~1e-14, so no survivors
+    *    are lost), then the exact decimal cosine only for prefilter
+    *    survivors. Conjunct order in the pushed join condition keeps the
+    *    cheap test first.
+    */
   val qEmbedNeardupLsh = GraftQuery(
     "q_embed_neardup_lsh",
     (spark, dir) => {
@@ -161,8 +178,11 @@ object Similarity {
                   * cast(embedding[d] as double) as decimal(38,12))
                 as decimal(38,12))) >= 0,
               shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       buckets.as("a").join(buckets.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .filter(dblDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")
+          >= CosineThreshold - 1e-6)
         .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
           round(decDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"),
             Det.OutScale).as("cosine"))
@@ -201,5 +221,86 @@ object Similarity {
       ORDER BY ia, ib""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh)
+  val NCells = 16
+  val NProbe = 2
+
+  /** IVF-style ANN: a 16-entry coarse codebook (deterministically the first
+    * 16 vectors — a stand-in for a trained quantizer, so the oracle can
+    * reproduce it), every vector assigned to its nearest centroid by cosine,
+    * and each query probing only its `NProbe` nearest cells. The scale path
+    * for top-k search: per query the candidate set is ∝ probed-cell sizes
+    * (n·NProbe/NCells on balanced cells), never the full table; the codebook
+    * is broadcast, so assignment is one map-side pass over the vectors. */
+  val qAnnIvf = GraftQuery(
+    "q_ann_ivf",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = withNorm(spark, dir)
+      val cents = emb.filter($"vec_id" < NCells)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          (decDot($"embedding", $"ce") / ($"nrm" * $"cn")).as("ccos"))
+      val byCcos = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val assign = scored
+        .withColumn("rk", row_number().over(byCcos)).filter($"rk" === 1)
+        .select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"),
+          $"cid".as("cell"))
+      val probes = scored.filter($"vec_id" < NQueryVecs)
+        .withColumn("rk", row_number().over(byCcos)).filter($"rk" <= NProbe)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
+          $"cid".as("cell"))
+      probes.join(assign, Seq("cell"))
+        .filter($"qid" =!= $"tid")
+        .select($"qid", $"tid",
+          round(decDot($"qe", $"te") / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
+        .filter($"rk" <= TopK)
+        .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"cosine")
+        .orderBy($"qid", $"rk")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      cdots AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS cid,
+          sum(CAST(a.v * b.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM ex a JOIN ex b ON a.pos = b.pos AND b.vec_id < $NCells
+        GROUP BY a.vec_id, b.vec_id),
+      ccos AS (
+        SELECT c.vec_id, c.cid, c.dot / (nv.nrm * nc.nrm) AS ccos
+        FROM cdots c
+        JOIN nrm nv ON c.vec_id = nv.vec_id
+        JOIN nrm nc ON c.cid = nc.vec_id),
+      ranked AS (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
+        FROM ccos),
+      assign AS (SELECT vec_id AS tid, cid AS cell FROM ranked WHERE rk = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+                 WHERE rk <= $NProbe AND vec_id < $NQueryVecs),
+      pairs AS (
+        SELECT p.qid, a.tid FROM probes p
+        JOIN assign a ON p.cell = a.cell AND a.tid <> p.qid),
+      dots AS (
+        SELECT qid, tid, sum(CAST(q.v * t.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM pairs
+        JOIN ex q ON qid = q.vec_id
+        JOIN ex t ON tid = t.vec_id AND q.pos = t.pos
+        GROUP BY qid, tid),
+      cos AS (
+        SELECT qid, tid, round(dot / (qn.nrm * tn.nrm), 6) AS cosine
+        FROM dots
+        JOIN nrm qn ON qid = qn.vec_id
+        JOIN nrm tn ON tid = tn.vec_id)
+      SELECT qid, rk, tid, cosine FROM (
+        SELECT qid, tid, cosine, row_number() OVER (
+          PARTITION BY qid ORDER BY cosine DESC, tid) AS rk
+        FROM cos)
+      WHERE rk <= $TopK
+      ORDER BY qid, rk""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf)
 }

@@ -257,6 +257,28 @@ object TextAnalytics {
       FROM ds GROUP BY lang ORDER BY lang""")
   )
 
+  /** U1 through the native codegen expression (graft.functions.SentimentScore,
+    * installed by GraftExtensions): same defined semantics as the relational
+    * scorer, zero join — the per-row fast path a 100 TB scoring pass wants. */
+  val qSentimentExpr = GraftQuery(
+    "q_sentiment_expr",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", expr("sentiment_score(text)").as("sentiment"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT t.doc_id,
+        round((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
+              / count(*), 6) AS sentiment
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) t
+      LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""")
+  )
+
   /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
   val qTokenStats = GraftQuery(
     "q_token_stats",
@@ -405,5 +427,5 @@ object TextAnalytics {
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
-    qTokenStats, qQualityScore, qLangId, qFingerprint)
+    qSentimentExpr, qTokenStats, qQualityScore, qLangId, qFingerprint)
 }

@@ -29,4 +29,17 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs === Seq((0L, 1L, 1.0)))
   }
+
+  test("IVF probe search returns only candidates from probed cells") {
+    // with 4 vectors every vector is its own centroid (self-cosine 1), so
+    // cells are {0: [0,1], 2: [2], 3: [3]} (vecs 0,1 tie at cid 0).
+    // probes (2 nearest centroids): q0,q1 -> {0,1}; q2 -> {2,3}; q3 -> {3,2}
+    val rows = Similarity.qAnnIvf.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 1L, 1L, 1.0),   // q0 sees only cell-0 member 1
+      (1L, 1L, 0L, 1.0),
+      (2L, 1L, 3L, 0.8),   // q2 sees cell-3 member 3, never vecs 0/1
+      (3L, 1L, 2L, 0.8)))
+  }
 }

@@ -15,6 +15,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
