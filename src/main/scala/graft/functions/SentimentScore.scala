@@ -74,9 +74,19 @@ object SentimentScore {
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("sentiment_score"),
       new ExpressionInfo(classOf[SentimentScore].getName, "sentiment_score"),
       (args: Seq[Expression]) => SentimentScore(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (args: Seq[Expression]) => DotF32(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (args: Seq[Expression]) => LshBucket(args.head,
+        args.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(8))))
+  }
 }

@@ -36,16 +36,13 @@ object Similarity {
   val NPlanes = 8
   val CosineThreshold = 0.9
 
-  private val Dec = DecimalType(38, 12)
-
-  /** Exact decimal dot product of two float arrays: Σ dec(double(aᵢ)·double(bᵢ)),
-    * emitted as double. Order-independent (decimal addition is exact). */
+  /** Exact decimal dot product of two float arrays: Σ dec₁₂(double(aᵢ)·double(bᵢ)),
+    * emitted as double. Order-independent (decimal addition is exact).
+    * Backed by the native codegen expression graft.functions.DotF32 — the
+    * declarative zip_with/aggregate twin is CodegenFallback and ~100×
+    * slower per element. */
   private def decDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec)),
-      lit(0).cast(Dec),
-      (acc, p) => (acc + p).cast(Dec))
-      .cast(DoubleType)
+    call_function("dot_f32", a, b)
 
   /** (vec_id, embedding, nrm) with the exact decimal L2 norm.
     *
@@ -141,27 +138,16 @@ object Similarity {
     None
   )
 
-  /** Plain-double dot product — the cheap prefilter path. */
-  private def dblDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, p) => acc + p)
-
   /** Tier 3: sign-LSH bucketing + exact cosine ≥ threshold within buckets.
     * Plane weights w(j,d) = ((1103515245*(j*64+d) + 12345) div 65536) % 19 - 9
-    * — a plain LCG step, integer-exact in both engines. The whole 8-bit
-    * bucket is one nested fold per row (projections accumulate in decimal,
-    * so the sign decision matches the oracle's per-dimension decimal sum).
+    * — a plain LCG step, integer-exact in both engines; bucket bits are the
+    * signs of decimal-exact projections (graft.functions.LshBucket), so
+    * they match the oracle's per-dimension decimal sums bit-for-bit.
     *
-    * Physical shape:
-    *  - the bucketed relation is persisted — it IS the LSH index, shared by
-    *    both sides of the candidate self-join; without the barrier Catalyst
-    *    pushes an `isnotnull(bucket)` derived predicate through the
-    *    repartition to the scan and runs the whole fold single-threaded;
-    *  - verification is two-phase: a plain-double dot prefilter with a 1e-6
-    *    guard band (double error on 64-term dots is ~1e-14, so no survivors
-    *    are lost), then the exact decimal cosine only for prefilter
-    *    survivors. Conjunct order in the pushed join condition keeps the
-    *    cheap test first.
+    * The bucketed relation is persisted — it IS the LSH index, shared by
+    * both sides of the candidate self-join; without the barrier Catalyst
+    * pushes an `isnotnull(bucket)` derived predicate through the
+    * repartition to the scan and evaluates the bucketing there too.
     */
   val qEmbedNeardupLsh = GraftQuery(
     "q_embed_neardup_lsh",
@@ -169,20 +155,10 @@ object Similarity {
       import spark.implicits._
       val emb = withNorm(spark, dir)
       val buckets = emb.select($"vec_id", $"embedding", $"nrm",
-        expr(s"""
-          aggregate(sequence(0, ${NPlanes - 1}), cast(0 as bigint), (acc, j) ->
-            acc + if(
-              aggregate(sequence(0, size(embedding) - 1), cast(0 as decimal(38,12)), (s, d) ->
-                cast(s + cast(
-                  (((cast(1103515245 as bigint) * (j * 64 + d) + 12345) div 65536) % 19 - 9)
-                  * cast(embedding[d] as double) as decimal(38,12))
-                as decimal(38,12))) >= 0,
-              shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""").as("bucket"))
+        call_function("lsh_bucket", $"embedding", lit(NPlanes)).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       buckets.as("a").join(buckets.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .filter(dblDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")
-          >= CosineThreshold - 1e-6)
         .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
           round(decDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"),
             Det.OutScale).as("cosine"))

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Native dot_f32 / lsh_bucket expressions: exact agreement with the
+  * declarative decimal zip_with/aggregate formulation they replace, null
+  * semantics, and codegen participation. */
+class ArrayOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+  private def randVec(n: Int): Array[Float] =
+    Array.fill(n)((rnd.nextFloat() - 0.5f) * 4f)
+
+  // NOTE the reference formulation is posexplode + sum(CAST(... AS
+  // DECIMAL(38,12))) — the aggregate keeps scale 12 exactly, like the DuckDB
+  // oracle. (An aggregate() HOF with a (38,12) accumulator does NOT: Spark's
+  // decimal addition yields (38,11), shaving a digit per step.)
+
+  test("dot_f32 equals the exploded decimal-sum formulation on 300 random pairs") {
+    val rows = Seq.fill(300)((randVec(64), randVec(64)))
+    val df = rows.toDF("a", "b").withColumn("id", monotonically_increasing_id())
+    val ref = df
+      .select($"id", explode(zip_with($"a", $"b",
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType))).as("p"))
+      .groupBy($"id")
+      .agg(sum($"p".cast(DecimalType(38, 12))).cast(DoubleType).as("declarative"))
+    val native = df.select($"id", call_function("dot_f32", $"a", $"b").as("native"))
+    val diffs = native.join(ref, Seq("id"))
+      .filter($"native" =!= $"declarative").count()
+    assert(diffs === 0)
+  }
+
+  test("lsh_bucket equals the exploded per-plane decimal sums on random vectors") {
+    val rows = Seq.fill(200)(randVec(64))
+    val df = rows.map(Tuple1(_)).toDF("e").withColumn("id", monotonically_increasing_id())
+    val ref = df
+      .select($"id", posexplode($"e").as(Seq("d", "v")))
+      .crossJoin(spark.range(8).toDF("j"))
+      .select($"id", $"j",
+        (expr("((1103515245 * (j * 64 + d) + 12345) div 65536) % 19") - lit(9L))
+          .cast(DoubleType).multiply($"v".cast(DoubleType)).as("p"))
+      .groupBy($"id", $"j")
+      .agg(sum($"p".cast(DecimalType(38, 12))).as("proj"))
+      .groupBy($"id")
+      .agg(sum(when($"proj" >= 0, expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+        .otherwise(0L)).as("declarative"))
+    val native = df.select($"id", call_function("lsh_bucket", $"e", lit(8)).as("native"))
+    val diffs = native.join(ref, Seq("id"))
+      .filter($"native" =!= $"declarative").count()
+    assert(diffs === 0)
+  }
+
+  test("null semantics: null array or length mismatch yields null") {
+    val r = spark.sql("""
+      SELECT dot_f32(cast(null as array<float>), array(1.0f)) AS a,
+             dot_f32(array(1.0f, 2.0f), array(1.0f)) AS b,
+             dot_f32(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS c""")
+      .as[(Option[Double], Option[Double], Option[Double])].head()
+    assert(r === ((None, None, Some(11.0))))
+  }
+
+  test("dot_f32 stays inside whole-stage codegen") {
+    val plan = Tables.embeddings(spark, fixtureDir)
+      .select(call_function("dot_f32", $"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dot_f32"))
+  }
+}
