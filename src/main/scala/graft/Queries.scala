@@ -13,6 +13,7 @@ object Queries {
       EventAnalytics.all ++
       Dedup.all ++
       Similarity.all ++
+      Skew.all ++
       Seq(Media.qMediaFeatures)
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
