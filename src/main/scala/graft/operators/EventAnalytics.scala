@@ -290,6 +290,27 @@ object EventAnalytics {
       ORDER BY win_start_us""")
   )
 
+  /** P6: membership (isin) filter — the dashboard's subreddit multi-select
+    * (streamlit_app.py:337) transposed onto event types. */
+  val qMembershipFilter = GraftQuery(
+    "q_membership_filter",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "view", "purchase"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n_events,
+        ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY event_type
+      ORDER BY event_type""")
+  )
+
   val SessionGapUs: Long = 30L * 60 * 1000000
 
   /** Sessionization (gap > 30 min starts a new session) as a batch query:
@@ -338,5 +359,5 @@ object EventAnalytics {
   val all: Seq[GraftQuery] = Seq(
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingSentiment,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
-    qTumblingWindow, qSlidingWindow, qSessionize)
+    qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize)
 }

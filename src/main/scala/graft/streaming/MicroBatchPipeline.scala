@@ -108,6 +108,21 @@ object MicroBatchPipeline {
     } finally processed.unpersist()
   }
 
+  /** S7: optional JDBC sink (reference reddit_consumer.py:329-338 pushes
+    * each batch to Postgres and tolerates failure). Disabled unless a URL is
+    * configured — this environment has no egress, so the path is compiled
+    * and flag-gated but intentionally outside the verified surface, exactly
+    * as SURVEY.md §2.1/S7 prescribes. */
+  def jdbcSink(df: DataFrame, urlOpt: Option[String], table: String): Unit =
+    urlOpt.foreach { url =>
+      try df.write.mode("append").format("jdbc")
+        .option("url", url).option("dbtable", table).save()
+      catch { case e: Throwable =>
+        // parity: JDBC failure must not abort local storage
+        System.err.println(s"[jdbc] sink failed (continuing): ${e.getMessage}")
+      }
+    }
+
   /** Wire a streaming source of JSON lines into the batch pipeline.
     * Checkpoint is kept across runs (the reference deletes it — S12 — and
     * thereby forfeits recovery; we do not reproduce that). */

@@ -49,6 +49,13 @@ class RelationalSpec extends SparkSpec {
     assert(regionPlan.contains("BroadcastHashJoin"))
   }
 
+  test("physical plans: the shipdate range predicate reaches the parquet scan") {
+    val plan = Relational.q1PricingSummary.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"expected pushed filter in:\n${plan.take(2000)}")
+  }
+
   test("physical plans: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val plan = Relational.qTopCustomers.run(spark, dir)
       .queryExecution.executedPlan.toString

@@ -59,6 +59,28 @@ class StreamingSpec extends SparkSpec {
     assert(Files.exists(Paths.get(outDir, "checkpoint")))
   }
 
+  test("checkpoint recovery: a restart resumes where the stream left off") {
+    val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString
+    def post(id: String): String =
+      s"""{"type": "submission", "subreddit": "s", "id": "$id", "text": "fast fast fast slow", "created_utc": 1.7e9, "author": "a"}"""
+
+    Files.write(Paths.get(srcDir, "b0.txt"), post("r1").getBytes("UTF-8"))
+    val q1 = MicroBatchPipeline.run(
+      MicroBatchPipeline.fileLines(spark, srcDir), outDir, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(s"$outDir/processed").count() === 1)
+
+    // second run against the SAME checkpoint: only the new file is consumed
+    Files.write(Paths.get(srcDir, "b1.txt"), post("r2").getBytes("UTF-8"))
+    val q2 = MicroBatchPipeline.run(
+      MicroBatchPipeline.fileLines(spark, srcDir), outDir, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val ids = spark.read.parquet(s"$outDir/processed")
+      .select($"id").as[String].collect().toSeq
+    assert(ids.sorted === Seq("r1", "r2"))   // r1 not reprocessed
+  }
+
   test("empty batches write nothing and do not fail") {
     val srcDir = Files.createTempDirectory("graft-stream-empty").toString
     val outDir = Files.createTempDirectory("graft-stream-empty-out").toString
