@@ -14,6 +14,7 @@ object Queries {
       Dedup.all ++
       Similarity.all ++
       Skew.all ++
+      TemporalJoins.all ++
       Seq(Media.qMediaFeatures)
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native form of, composed Spark-first
+  * (the preference order of the build brief: compose existing ops before
+  * custom plans).
+  *
+  *  - AS-OF join: "for each event, the latest right-side row at or before
+  *    it, per key". NOT a range join — one union + one window pass:
+  *    tag both sides, sort by (key, ts, side), carry the right side's value
+  *    forward with last(ignoreNulls). O(n log n) in the shuffle, no pair
+  *    explosion, and AQE-friendly. DuckDB's native ASOF JOIN is the oracle.
+  *
+  *  - RANGE join (event-in-interval): equi-join on a time bucket + residual
+  *    predicate. Each interval expands to the buckets it covers (bounded,
+  *    here ≤ 2); events hash-join on their bucket — the classic
+  *    bucket-and-prune shape that avoids the BroadcastNestedLoopJoin trap
+  *    a naive BETWEEN join plans at scale.
+  */
+object TemporalJoins {
+
+  /** For each event of `leftAll`, attach the latest (ts, value) of the
+    * user's `rightType` event at-or-before it. Right side deduped to one
+    * row per (user, ts) for determinism. */
+  def asofJoin(events: DataFrame, rightType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val right = events.filter($"event_type" === rightType)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"ts_us").orderBy($"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts_us", lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"),
+        $"ts_us".as("r_ts_us"), $"value".as("r_value"))
+    val left = events.select($"user_id", $"ts_us", lit(1).as("side"),
+      $"event_id", lit(null).cast("bigint").as("r_ts_us"),
+      lit(null).cast("double").as("r_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("asof_ts_us", last($"r_ts_us", ignoreNulls = true).over(w))
+      .withColumn("asof_value", last($"r_value", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", $"ts_us", $"asof_ts_us", $"asof_value")
+  }
+
+  /** AS-OF join of every event to the user's latest preceding purchase. */
+  val qAsofJoin = GraftQuery(
+    "q_asof_join",
+    (spark, dir) => {
+      import spark.implicits._
+      asofJoin(Tables.events(spark, dir), "purchase")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, epoch_us(ts) AS r_ts, value AS r_value,
+          row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        r.r_ts AS asof_ts_us, r.r_value AS asof_value
+      FROM events l
+      ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.r_ts
+      ORDER BY l.event_id""")
+  )
+
+  val NCampaigns = 20
+
+  /** Range join: 20 synthetic campaign intervals laid over [min(ts), max(ts)]
+    * (campaign k = [t0 + k·Δ, t0 + k·Δ + Δ/2), Δ = span div 20 — integer
+    * arithmetic, exact in both engines); events matched by bucket equi-join
+    * + residual BETWEEN, then aggregated per campaign. */
+  val qRangeJoin = GraftQuery(
+    "q_range_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val bounds = ev.agg(min($"ts_us").as("t0"), max($"ts_us").as("t1"))
+        .select($"t0", expr(s"(t1 - t0) div $NCampaigns").as("delta"))
+      val campaigns = spark.range(NCampaigns).toDF("campaign_id")
+        .crossJoin(broadcast(bounds))
+        .select($"campaign_id", $"delta",
+          ($"t0" + $"campaign_id" * $"delta").as("start"))
+        .select($"campaign_id", $"delta", $"start",
+          ($"start" + expr("delta div 2")).as("end"))
+        .withColumn("bucket",
+          explode(sequence(expr("start div (delta div 2)"),
+            expr("(end - 1) div (delta div 2)"))))
+      val evB = ev.crossJoin(broadcast(bounds))
+        .select($"ts_us", $"value", expr("ts_us div (delta div 2)").as("bucket"))
+      evB.join(campaigns, Seq("bucket"))
+        .filter($"ts_us" >= $"start" && $"ts_us" < $"end")
+        .groupBy($"campaign_id")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"campaign_id")
+    },
+    Some(s"""
+      WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS t0,
+          (max(epoch_us(ts)) - min(epoch_us(ts))) // $NCampaigns AS delta
+        FROM events),
+      camp AS (
+        SELECT k AS campaign_id, t0 + k * delta AS start,
+          t0 + k * delta + delta // 2 AS "end"
+        FROM bounds CROSS JOIN (SELECT unnest(range($NCampaigns)) AS k))
+      SELECT campaign_id, count(*) AS n_events,
+        ${Oracle.dsum("value")} AS sum_value
+      FROM events e JOIN camp c
+        ON epoch_us(e.ts) >= c.start AND epoch_us(e.ts) < c."end"
+      GROUP BY campaign_id
+      ORDER BY campaign_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qAsofJoin, qRangeJoin)
+}
