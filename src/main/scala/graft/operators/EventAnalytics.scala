@@ -356,7 +356,60 @@ object EventAnalytics {
       ORDER BY user_id, sess_seq""")
   )
 
+  /** ROLLUP aggregation: (event_type, day) hierarchy with subtotal and
+    * grand-total rows — beyond the reference's flat group-bys, standard for
+    * an analytics surface. grouping() flags disambiguate NULL keys. */
+  val qRollupActivity = GraftQuery(
+    "q_rollup_activity",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .rollup($"event_type", $"day")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"),
+          grouping($"event_type").cast(LongType).as("g_type"),
+          grouping($"day").cast(LongType).as("g_day"))
+        .select($"event_type", $"day", $"g_type", $"g_day",
+          $"n_events", $"sum_value")
+        .orderBy($"g_type", $"g_day", $"event_type", $"day")
+    },
+    Some(s"""
+      SELECT event_type, epoch_us(ts) // ${DayUs} AS day,
+        grouping(event_type)::BIGINT AS g_type,
+        grouping(epoch_us(ts) // ${DayUs})::BIGINT AS g_day,
+        count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY ROLLUP (event_type, epoch_us(ts) // ${DayUs})
+      ORDER BY g_type, g_day, event_type, day""")
+  )
+
+  /** Exact percentiles per group (median + p90). Spark `percentile` and
+    * DuckDB `quantile_cont` both use linear interpolation over the sorted
+    * values; rounded to 6 dp for a stable cross-engine compare. */
+  val qValueQuantiles = GraftQuery(
+    "q_value_quantiles",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), Det.OutScale).as("p50"),
+          round(expr("percentile(value, 0.9)"), Det.OutScale).as("p90"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.9), 6) AS p90,
+        count(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qRollupActivity, qValueQuantiles,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingSentiment,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize)
