@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native array expressions for the similarity operators.
   *
@@ -61,6 +62,118 @@ object ArrayOps {
     }
     bucket
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** `"i:"` prefix bytes for hash index i, cached for the small i this
+    * expression ever sees. */
+  private val prefixCache: Array[Array[Byte]] =
+    Array.tabulate(64)(i => (i.toString + ":").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def hex32(d: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < 16) {
+      sb.append(hexDigits((d(i) >> 4) & 0xf))
+      sb.append(hexDigits(d(i) & 0xf))
+      i += 1
+    }
+  }
+
+  /** MinHash LSH band keys of a shingle set, all K hashes in one pass.
+    *
+    * Semantically identical to the declarative formulation
+    * `concat_ws("|", array_min(transform(sh, s -> md5(concat(i, ':', s)))) …)`
+    * per band (and to the DuckDB oracle's
+    * `min(md5(h || ':' || shingle)) … string_agg(mh, '|' ORDER BY h)`):
+    * h_i(doc) = min over shingles of md5(i + ":" + shingle) as lowercase hex
+    * (hex strings compare identically to their digest bytes — the nibble→hex
+    * map is monotonic); band key b = h_{b·R} || '|' || … || h_{b·R+R-1}.
+    * Null shingle elements are skipped (array_min / concat_ws semantics); an
+    * empty set yields all-empty keys, as concat_ws over nulls does.
+    *
+    * The declarative twin is CodegenFallback: every one of the K·|sh| md5
+    * calls runs through an interpreted lambda with boxed UTF8String
+    * allocations. This loop is the same work inside whole-stage codegen —
+    * one MessageDigest per thread, digests compared as raw bytes.
+    */
+  def minhashBands(sh: ArrayData, k: Int, bandRows: Int): ArrayData = {
+    val md = md5Local.get()
+    val n = sh.numElements()
+    val mins = new Array[Array[Byte]](k)
+    var j = 0
+    while (j < n) {
+      if (!sh.isNullAt(j)) {
+        val sBytes = sh.getUTF8String(j).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(if (i < prefixCache.length) prefixCache(i)
+                    else (i.toString + ":").getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(i) == null || java.util.Arrays.compareUnsigned(d, mins(i)) < 0)
+            mins(i) = d
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val nBands = k / bandRows
+    val out = new Array[AnyRef](nBands)
+    var b = 0
+    while (b < nBands) {
+      val sb = new java.lang.StringBuilder(bandRows * 33)
+      var first = true
+      var r = 0
+      while (r < bandRows) {
+        val m = mins(b * bandRows + r)
+        if (m != null) {
+          if (!first) sb.append('|')
+          first = false
+          hex32(m, sb)
+        }
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word n-gram shingles of a text, lowercase whitespace-split.
+    *
+    * Set-identical to the declarative
+    * `array_distinct(zip_with(slice(toks,…), …, concat_ws(" ", …)))` over
+    * `split(lower(text), "\\s+")` (and to the oracle's
+    * `list_distinct([ws[i] || ' ' || ws[i+1] …])`): Java's
+    * `split(regex, -1)` matches Spark's `split` limit=-1 semantics
+    * (leading empty token kept, trailing empties kept), insertion order =
+    * first occurrence like array_distinct. The declarative twin is
+    * CodegenFallback — per-token interpreted lambdas; this is one tight
+    * loop inside codegen. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `dot_f32(a, b)`: exact-decimal dot product of two array&lt;float&gt;. */
@@ -114,5 +227,64 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(shingles, k, band_rows)`: the K-hash MinHash signature of a
+  * shingle array, pre-banded into k/band_rows LSH band keys (see
+  * [[ArrayOps.minhashBands]] for the exact semantics and oracle twin). */
+case class MinhashBands(child: Expression, k: Int, bandRows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if k > 0 && bandRows > 0 && k % bandRows == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"minhash_bands requires k > 0 divisible by band_rows, got k=$k band_rows=$bandRows")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("minhash_bands requires array<string>")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.minhashBands(input.asInstanceOf[ArrayData], k, bandRows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.minhashBands($c, $k, $bandRows);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
+/** `word_shingles(text, n)`: distinct word n-gram shingles of a string (see
+  * [[ArrayOps.wordShingles]] for the exact split/distinct semantics). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        TypeCheckResult.TypeCheckFailure(s"word_shingles requires n > 0, got $n")
+      case _ => TypeCheckResult.TypeCheckFailure("word_shingles requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.wordShingles($c, $n);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }

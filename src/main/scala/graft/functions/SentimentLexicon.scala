@@ -8,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * UDF (reference reddit_consumer.py:87-99). NLTK's lexicon is not available
   * offline, so the engine's *defined* semantic is a lexicon join: tokenize,
   * join tokens against a (term, valence) table, score = sum(valence)/n_tokens
-  * clamped to [-1, 1] — a pure relational formulation that is exactly
-  * reproducible in the DuckDB oracle (the VALUES clause below is generated
-  * from the same Seq, so Spark and oracle can never drift).
+  * — a pure relational formulation that is exactly reproducible in the DuckDB
+  * oracle (the VALUES clause below is generated from the same Seq, so Spark
+  * and oracle can never drift). No explicit clamp is applied or needed: with
+  * per-term |valence| ≤ 0.75 the per-token mean is bounded by [-0.75, 0.75]
+  * by construction. The VADER-faithful tier (graft.functions.Vader) is the
+  * one that clamps, per the published algorithm.
   *
   * Valences are tuned to the driver testdata's 31-word vocabulary so scores
   * are non-trivial; unknown terms contribute 0 like VADER's neutral words.

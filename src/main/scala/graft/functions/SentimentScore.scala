@@ -88,5 +88,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (args: Seq[Expression]) => LshBucket(args.head,
         args.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(8))))
+    ext.injectFunction((
+      new FunctionIdentifier("vader_score"),
+      new ExpressionInfo(classOf[VaderScore].getName, "vader_score"),
+      (args: Seq[Expression]) => VaderScore(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinhashBands(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -17,13 +17,16 @@ object Text {
   /** MLlib-Tokenizer-equivalent tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** English stopword subset relevant to the driver vocabulary. The full
-    * MLlib default list (StopWordsRemover, 181 words) is applied in the
-    * non-oracle parity path; the verified surface pins this explicit subset
-    * so the DuckDB oracle can inline it. */
-  val stopwords: Seq[String] = Seq("a", "the")
+  /** MLlib `StopWordsRemover`'s default English stopword list (181 words),
+    * loaded from the exact resource MLlib ships — the list the reference
+    * applies (reddit_consumer.py:186-187, StopWordsRemover with defaults).
+    * Static, so it inlines into the DuckDB oracle via [[stopwordsSqlList]]
+    * (apostrophe-bearing entries like "isn't" are SQL-escaped). */
+  val stopwords: Seq[String] =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english").toSeq
 
-  def stopwordsSqlList: String = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  def stopwordsSqlList: String =
+    stopwords.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   /** Remove stopwords with a higher-order function (no shuffle; preserves
     * duplicates and order, matching MLlib StopWordsRemover — `array_except`

@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** VADER-faithful sentiment tier (b) — the reference's headline semantic
+  * (reddit_consumer.py:87-99 calls vaderSentiment's
+  * `SentimentIntensityAnalyzer.polarity_scores(text)["compound"]`).
+  *
+  * This is a port of the published VADER heuristics (Hutto & Gilbert,
+  * ICWSM 2014; the vaderSentiment reference implementation) applied over the
+  * engine's embedded lexicon ([[SentimentLexicon]] — NLTK's lexicon file is
+  * not available offline, documented deviation):
+  *
+  *  - token = whitespace split, leading/trailing punctuation stripped unless
+  *    the stripped form has ≤ 2 chars (emoticon preservation rule);
+  *  - ALL-CAPS emphasis: +/-0.733 (C_INCR) when the token is upper-case and
+  *    the text mixes cases (allcap_differential);
+  *  - booster dictionary (B_INCR/B_DECR = ±0.293) over the 3 preceding
+  *    tokens, distance-damped ×0.95 (dist 2) and ×0.9 (dist 3), sign-matched
+  *    to the target valence, caps-boosted like the target;
+  *  - negation window: a negator in the 3 preceding tokens multiplies the
+  *    valence by N_SCALAR = -0.74 (checked per preceding position, as VADER
+  *    does), incl. the "n't" substring rule and the "least" rule;
+  *  - "but" clause weighting: valences before the first "but" ×0.5,
+  *    after ×1.5;
+  *  - punctuation emphasis: min(#"!", 4)·0.292 plus #"?" (2-3: ×0.18 each,
+  *    >3: 0.96), added in the direction of the pre-punctuation sum;
+  *  - compound = s / sqrt(s² + 15), rounded to 6 dp.
+  *
+  * Out of scope (documented): VADER's multi-word idiom table, "kind of"
+  * special cases, and emoji translation — none applicable to the embedded
+  * lexicon's vocabulary.
+  *
+  * Plain IEEE double arithmetic throughout (like the reference); the scorer
+  * is a pure per-row function, so the query it backs is declared rows-only
+  * (no SQL oracle) with hand-computed unit fixtures in VaderSpec.
+  */
+object Vader {
+
+  val BIncr = 0.293
+  val BDecr = -0.293
+  val CIncr = 0.733
+  val NScalar = -0.74
+
+  /** vaderSentiment BOOSTER_DICT, single-word entries (multi-word bigram
+    * entries cannot match a single-token scan; documented out of scope). */
+  val boosters: Map[String, Double] = Map(
+    "absolutely" -> BIncr, "amazingly" -> BIncr, "awfully" -> BIncr,
+    "completely" -> BIncr, "considerably" -> BIncr, "decidedly" -> BIncr,
+    "deeply" -> BIncr, "effing" -> BIncr, "enormously" -> BIncr,
+    "entirely" -> BIncr, "especially" -> BIncr, "exceptionally" -> BIncr,
+    "extremely" -> BIncr, "fabulously" -> BIncr, "flipping" -> BIncr,
+    "flippin" -> BIncr, "fricking" -> BIncr, "frickin" -> BIncr,
+    "frigging" -> BIncr, "friggin" -> BIncr, "fully" -> BIncr,
+    "fucking" -> BIncr, "greatly" -> BIncr, "hella" -> BIncr,
+    "highly" -> BIncr, "hugely" -> BIncr, "incredibly" -> BIncr,
+    "intensely" -> BIncr, "majorly" -> BIncr, "more" -> BIncr,
+    "most" -> BIncr, "particularly" -> BIncr, "purely" -> BIncr,
+    "quite" -> BIncr, "really" -> BIncr, "remarkably" -> BIncr,
+    "so" -> BIncr, "substantially" -> BIncr, "thoroughly" -> BIncr,
+    "totally" -> BIncr, "tremendously" -> BIncr, "uber" -> BIncr,
+    "unbelievably" -> BIncr, "unusually" -> BIncr, "utterly" -> BIncr,
+    "very" -> BIncr,
+    "almost" -> BDecr, "barely" -> BDecr, "hardly" -> BDecr,
+    "kinda" -> BDecr, "kindof" -> BDecr, "kind-of" -> BDecr,
+    "less" -> BDecr, "little" -> BDecr, "marginally" -> BDecr,
+    "occasionally" -> BDecr, "partly" -> BDecr, "scarcely" -> BDecr,
+    "slightly" -> BDecr, "somewhat" -> BDecr,
+    "sorta" -> BDecr, "sortof" -> BDecr, "sort-of" -> BDecr)
+
+  /** vaderSentiment NEGATE list. */
+  val negators: Set[String] = Set(
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
+    "doesnt", "ain't", "aren't", "can't", "couldn't", "daren't", "didn't",
+    "doesn't", "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt",
+    "mustnt", "neither", "don't", "hadn't", "hasn't", "haven't", "isn't",
+    "mightn't", "mustn't", "neednt", "needn't", "never", "none", "nope",
+    "nor", "not", "nothing", "nowhere", "oughtnt", "shant", "shouldnt",
+    "oughtn't", "shan't", "shouldn't", "uhuh", "wasnt", "werent",
+    "oughtn't", "uh-uh", "wasn't", "weren't", "without", "wont", "wouldnt",
+    "won't", "wouldn't", "rarely", "seldom", "despite")
+
+  private val lexicon: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    SentimentLexicon.entries.foreach { case (t, v) => m.put(t, v) }
+    m
+  }
+
+  private def isNegated(wLower: String): Boolean =
+    negators.contains(wLower) || wLower.contains("n't")
+
+  /** Python str.isupper(): at least one cased char, all cased chars upper. */
+  private def isUpperToken(w: String): Boolean = {
+    var hasCased = false
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (Character.isLowerCase(c)) return false
+      if (Character.isUpperCase(c)) hasCased = true
+      i += 1
+    }
+    hasCased
+  }
+
+  private def isPunct(c: Char): Boolean =
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".indexOf(c) >= 0
+
+  /** VADER token rule: strip surrounding punctuation; keep the raw token if
+    * the stripped form has ≤ 2 chars (so emoticons like ":)" survive). */
+  private[functions] def stripToken(w: String): String = {
+    var a = 0
+    var b = w.length
+    while (a < b && isPunct(w.charAt(a))) a += 1
+    while (b > a && isPunct(w.charAt(b - 1))) b -= 1
+    val s = w.substring(a, b)
+    if (s.length <= 2) w else s
+  }
+
+  private def scalarIncDec(wLower: String, wRaw: String, valence: Double,
+      capDiff: Boolean): Double = {
+    boosters.get(wLower) match {
+      case Some(b0) =>
+        var s = if (valence < 0) -b0 else b0
+        if (capDiff && isUpperToken(wRaw)) s += (if (valence < 0) -CIncr else CIncr)
+        s
+      case None => 0.0
+    }
+  }
+
+  /** The compound score. */
+  def compound(text: String): Double = {
+    val raw = text.split("\\s+").filter(_.nonEmpty)
+    if (raw.isEmpty) return 0.0
+    val toks = raw.map(stripToken)
+    val lower = toks.map(_.toLowerCase)
+
+    val anyUpper = toks.exists(isUpperToken)
+    val allUpper = toks.forall(isUpperToken)
+    val capDiff = anyUpper && !allUpper
+
+    val sentiments = new Array[Double](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val wl = lower(i)
+      // booster words themselves score 0 (VADER skips them in the lexicon
+      // pass); so does anything outside the lexicon
+      val base = if (boosters.contains(wl)) null else lexicon.get(wl)
+      if (base != null) {
+        var valence: Double = base.doubleValue()
+        if (capDiff && isUpperToken(toks(i)))
+          valence += (if (valence < 0) -CIncr else CIncr)
+        var d = 0
+        while (d < 3) {
+          val j = i - d - 1
+          if (j >= 0 && !lexicon.containsKey(lower(j))) {
+            var s = scalarIncDec(lower(j), toks(j), valence, capDiff)
+            if (d == 1 && s != 0.0) s *= 0.95
+            if (d == 2 && s != 0.0) s *= 0.9
+            valence += s
+            // per-position negation, as VADER's _negation_check does
+            if (isNegated(lower(j))) valence *= NScalar
+            // "least" rule: "least good" flips unless "at least"/"very least"
+            if (d == 0 && lower(j) == "least" &&
+                (j == 0 || (lower(j - 1) != "at" && lower(j - 1) != "very")))
+              valence *= NScalar
+          }
+          d += 1
+        }
+        sentiments(i) = valence
+      }
+      i += 1
+    }
+
+    // but-clause: everything before the first "but" ×0.5, after ×1.5
+    val bi = lower.indexOf("but")
+    if (bi >= 0) {
+      var k = 0
+      while (k < sentiments.length) {
+        if (k < bi) sentiments(k) *= 0.5
+        else if (k > bi) sentiments(k) *= 1.5
+        k += 1
+      }
+    }
+
+    var sum = 0.0
+    sentiments.foreach(sum += _)
+
+    // punctuation emphasis
+    var ep = 0
+    var qm = 0
+    var c = 0
+    while (c < text.length) {
+      if (text.charAt(c) == '!') ep += 1
+      if (text.charAt(c) == '?') qm += 1
+      c += 1
+    }
+    val epAmp = math.min(ep, 4) * 0.292
+    val qmAmp = if (qm > 1) { if (qm <= 3) qm * 0.18 else 0.96 } else 0.0
+    val punct = epAmp + qmAmp
+    if (sum > 0) sum += punct
+    else if (sum < 0) sum -= punct
+
+    val compoundRaw = sum / math.sqrt(sum * sum + 15.0)
+    val clamped = math.max(-1.0, math.min(1.0, compoundRaw))
+    java.math.BigDecimal.valueOf(clamped)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** `vader_score(text)`: the VADER compound score (see [[Vader]]). */
+case class VaderScore(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vader_score requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vader_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Vader.compound(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Vader.compound($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): VaderScore =
+    copy(child = newChild)
+}

@@ -59,8 +59,10 @@ object Dedup {
   )
 
   /** Distinct word n-gram shingles of a text column, as an array — computed
-    * per row, no explode. */
-  private def shingleArray(text: Column, n: Int): Column = {
+    * per row, no explode. Declarative (CodegenFallback) formulation, kept as
+    * the unit-tested semantic twin of the native `word_shingles` expression
+    * actually used by the queries (DedupSpec asserts set equality). */
+  private[graft] def shingleArray(text: Column, n: Int): Column = {
     val toks = Text.tokens(text)
     val sh =
       if (n == 2)
@@ -75,18 +77,20 @@ object Dedup {
     array_distinct(sh)
   }
 
-  /** (doc_id, sh: array&lt;string&gt;) distinct-shingle sets.
+  /** (doc_id, sh: array&lt;string&gt;) distinct-shingle sets, via the native
+    * codegen `word_shingles` expression (ArrayOps.wordShingles — the
+    * declarative [[shingleArray]] twin is CodegenFallback).
     *
-    * The scan is repartitioned before the CPU-heavy shingle/hash projections:
-    * higher-order array functions are CodegenFallback (interpreted), so their
-    * cost must be spread across all cores. On a real multi-split table the
-    * scan provides this parallelism for free; the driver's single small
-    * parquet file would otherwise pin the whole projection to one thread. */
+    * The scan is repartitioned before the shingle/hash projections so the
+    * downstream per-row md5 work is spread across all cores. On a real
+    * multi-split table the scan provides this parallelism for free; the
+    * driver's single small parquet file would otherwise pin the whole
+    * projection to one thread. */
   private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select($"doc_id", shingleArray($"text", n).as("sh"))
+      .select($"doc_id", call_function("word_shingles", $"text", lit(n)).as("sh"))
   }
 
   /** DuckDB twin of [[docShingles]] exploded (list comprehension over split
@@ -129,16 +133,16 @@ object Dedup {
     "q_dedup_minhash",
     (spark, dir) => {
       import spark.implicits._
+      // persisted for the same reason as in q_ngram_jaccard: banding + the
+      // two verify joins would otherwise re-run the shingle projection
       val docsSh = docShingles(spark, dir, 2)
-      // band keys computed directly — each of the K hash indices appears in
-      // exactly one band expression, so projection collapse cannot duplicate
-      // the md5 work (a naive sig-array-then-slice formulation re-evaluates
-      // the whole signature once per band)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // band keys from the native minhash_bands expression — all K md5 mins
+      // in one codegen'd pass per row (the declarative transform/array_min
+      // twin is CodegenFallback: interpreted lambdas + boxed allocations,
+      // ~100x slower; semantics identical — see ArrayOps.minhashBands)
       val banded = docsSh.select($"doc_id", posexplode(
-          transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), b =>
-            concat_ws("|", (0 until BandRows).map(r =>
-              array_min(transform($"sh", s =>
-                md5(concat((b * BandRows + r).cast(StringType), lit(":"), s))))): _*)))
+          call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
           .as(Seq("band", "key")))
       val cand = banded.as("a").join(banded.as("b"),
           $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
@@ -243,18 +247,48 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
-  /** Exact n-gram (3-shingle) Jaccard near-dup: intersection sizes come
-    * straight from a codegen'd count over the shared-shingle join (never all
-    * pairs); set sizes ride along as a broadcast of the tiny (doc_id, ns)
-    * relation — no second pass over the shingle rows. */
+  /** Document-frequency cap for the n-gram candidate join: shingles occurring
+    * in more than max(2, n_docs/50) documents (2%) are "stop-shingles" and
+    * are excluded from CANDIDATE GENERATION (not from verification). Integer
+    * `div` so Spark and DuckDB compute the identical cap. */
+  val NgramDfCapDivisor = 50
+  val NgramDfCapFloor = 2
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup over the stop-shingle-pruned
+    * feature set.
+    *
+    * The naive shared-shingle self-join is quadratic in the per-shingle
+    * document frequency — ONE hot shingle ("in the end", boilerplate headers)
+    * on a real corpus produces df² candidate rows. Standard fix (the same
+    * stop-shingle rule MinHash-dedup pipelines apply): shingles with
+    * df > max(2, n_docs/50) are dropped from the FEATURE SET — similarity is
+    * Jaccard over the remaining discriminative shingles, in both engines.
+    * The hot set is by construction tiny (≤ n_docs·avg_shingles/df_cap
+    * values), so it broadcasts as a left-anti join; per-shingle fan-out in
+    * the pair join is then provably ≤ df_cap, and intersection sizes come
+    * straight from a codegen'd count over that bounded join — no per-pair
+    * array materialization anywhere.
+    */
   val qNgramJaccard = GraftQuery(
     "q_ngram_jaccard",
     (spark, dir) => {
       import spark.implicits._
-      val docsSh = docShingles(spark, dir, 3)
-      val ex = docsSh.select($"doc_id", explode($"sh").as("shingle"))
-      val sizes = docsSh.select($"doc_id", size($"sh").cast(LongType).as("ns"))
-      val inter = ex.as("a").join(ex.as("b"),
+      // persisted: the (interpreted-HOF) shingle rows feed the df
+      // aggregation, the per-doc sizes, and both sides of the pair join —
+      // without the barrier the projection re-executes once per consumer
+      val ex = docShingles(spark, dir, 3)
+        .select($"doc_id", explode($"sh").as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      val hot = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter($"df" > greatest(lit(NgramDfCapFloor),
+          expr(s"n_docs div $NgramDfCapDivisor")))
+        .select($"shingle")
+      val pruned = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).cast(LongType).as("ns"))
+      val inter = pruned.as("a").join(pruned.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
         .agg(count(lit(1)).as("inter"))
@@ -268,10 +302,17 @@ object Dedup {
     },
     Some(s"""
       WITH sh AS (${shinglesSql(3)}),
-      sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      hot AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > greatest($NgramDfCapFloor,
+          (SELECT count(*) FROM documents) // $NgramDfCapDivisor)),
+      pruned AS (
+        SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      sizes AS (SELECT doc_id, count(*) AS ns FROM pruned GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM pruned a JOIN pruned b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY ia, ib)
       SELECT ia, ib,
         round(inter * 1.0 / (na.ns + nb.ns - inter), 6) AS jaccard

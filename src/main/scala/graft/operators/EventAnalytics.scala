@@ -245,18 +245,30 @@ object EventAnalytics {
       ORDER BY k_decile""")
   )
 
+  private val HourUs = 3600000000L
+  private val HalfHourUs = 1800000000L
+
   /** Event-time TUMBLING window aggregate — the semantics the reference's
-    * `WINDOW_SEC` env var intends but never applies (SURVEY.md §2.11):
-    * Spark's native `window()` on the event timestamp, 1h tumbling. */
+    * `WINDOW_SEC` env var intends but never applies (SURVEY.md §2.11).
+    *
+    * Window assignment is epoch-aligned bucket ARITHMETIC on the exact
+    * microsecond epoch (`ts_us div 1h * 1h`), identical to what Spark's
+    * `window($"ts", "1 hour")` computes for non-negative epochs — but the
+    * bucket expression stays inside whole-stage codegen, where `window()`
+    * over the `timestamp_micros`-derived column was measured ~20× slower at
+    * sf0.1 (BENCH_r01: 9.6 s vs sub-second for the same-shaped
+    * q_activity_daily). Native `window()` remains in the genuinely streaming
+    * path (streaming/Sessionize, MicroBatchPipeline), where its watermark
+    * integration is the point. */
   val qTumblingWindow = GraftQuery(
     "q_tumbling_window",
     (spark, dir) => {
       import spark.implicits._
       Tables.events(spark, dir)
-        .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+        .groupBy((expr(s"ts_us div $HourUs") * HourUs).as("win_start_us"),
+          $"event_type")
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
-        .select(unix_micros($"win.start").as("win_start_us"), $"event_type",
-          $"n_events", $"sum_value")
+        .select($"win_start_us", $"event_type", $"n_events", $"sum_value")
         .orderBy($"win_start_us", $"event_type")
     },
     Some(s"""
@@ -268,17 +280,20 @@ object EventAnalytics {
   )
 
   /** Event-time SLIDING window (1h window, 30m slide): every event lands in
-    * exactly window/slide = 2 windows. The oracle reproduces Spark's
-    * epoch-aligned window assignment with an explicit 2-way expansion. */
+    * exactly window/slide = 2 windows, materialized by an explicit 2-way
+    * expansion (`explode(sequence(0,1))`) + the same epoch-aligned bucket
+    * arithmetic as the tumbling query — identical results to
+    * `window($"ts", "1 hour", "30 minutes")` for non-negative epochs,
+    * without dropping out of whole-stage codegen (see qTumblingWindow). */
   val qSlidingWindow = GraftQuery(
     "q_sliding_window",
     (spark, dir) => {
       import spark.implicits._
       Tables.events(spark, dir)
-        .groupBy(window($"ts", "1 hour", "30 minutes").as("win"))
+        .select($"ts_us", $"value", explode(sequence(lit(0L), lit(1L))).as("k"))
+        .groupBy(((expr(s"ts_us div $HalfHourUs") - $"k") * HalfHourUs)
+          .as("win_start_us"))
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
-        .select(unix_micros($"win.start").as("win_start_us"),
-          $"n_events", $"sum_value")
         .orderBy($"win_start_us")
     },
     Some(s"""
@@ -408,8 +423,32 @@ object EventAnalytics {
       ORDER BY event_type""")
   )
 
+  /** Scale twin of qValueQuantiles: `approx_percentile` (Greenwald-Khanna
+    * sketch) — bounded memory per group and map-side mergeable, which the
+    * exact sort-based `percentile` is not; at 100 TB the exact variant
+    * buffers every value per group while the sketch stays O(1/accuracy).
+    * Sketch internals are engine-specific, so this mirrors the HLL++
+    * pattern: declared rows-only (no SQL oracle); RollupQuantilesSpec bounds
+    * its error against the exact twin. */
+  val qValueQuantilesApprox = GraftQuery(
+    "q_value_quantiles_approx",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          round(expr("approx_percentile(value, 0.5, 10000)"), Det.OutScale)
+            .as("p50_approx"),
+          round(expr("approx_percentile(value, 0.9, 10000)"), Det.OutScale)
+            .as("p90_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    },
+    None
+  )
+
   val all: Seq[GraftQuery] = Seq(
-    qRollupActivity, qValueQuantiles,
+    qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingSentiment,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize)

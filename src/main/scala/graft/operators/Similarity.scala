@@ -214,9 +214,14 @@ object Similarity {
       val emb = withNorm(spark, dir)
       val cents = emb.filter($"vec_id" < NCells)
         .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+      // persisted: `scored` (the n×NCells centroid-distance pass) feeds BOTH
+      // `assign` and `probes`; without the barrier the whole crossJoin +
+      // decimal dot products execute twice (BENCH_r01: 8.2 s → the fix is
+      // the same persist the LSH index query already uses)
       val scored = emb.crossJoin(broadcast(cents))
         .select($"vec_id", $"embedding", $"nrm", $"cid",
           (decDot($"embedding", $"ce") / ($"nrm" * $"cn")).as("ccos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val byCcos = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
       val assign = scored
         .withColumn("rk", row_number().over(byCcos)).filter($"rk" === 1)

@@ -279,6 +279,22 @@ object TextAnalytics {
       ORDER BY t.doc_id""")
   )
 
+  /** U1 tier (b): the VADER-faithful compound score (graft.functions.Vader —
+    * negation window, boosters, caps/punctuation emphasis, s/√(s²+15)
+    * normalization per the published algorithm, over the embedded lexicon).
+    * Pure per-row double arithmetic like the reference's Python UDF, so this
+    * is declared rows-only; VaderSpec pins hand-computed fixtures. */
+  val qSentimentVader = GraftQuery(
+    "q_sentiment_vader",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", expr("vader_score(text)").as("vader_compound"))
+        .orderBy($"doc_id")
+    },
+    None
+  )
+
   /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */
   val qTokenStats = GraftQuery(
     "q_token_stats",
@@ -427,5 +443,6 @@ object TextAnalytics {
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
-    qSentimentExpr, qTokenStats, qQualityScore, qLangId, qFingerprint)
+    qSentimentExpr, qSentimentVader, qTokenStats, qQualityScore, qLangId,
+    qFingerprint)
 }

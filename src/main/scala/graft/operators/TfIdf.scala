@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * vector serialization round-trip.
   *
   * Semantics pinned:
-  *  - vocabulary = top `vocabSize` terms by document frequency, ties broken
-  *    (df desc, term asc) — documented deviation from CountVectorizer's
-  *    arbitrary tie order;
+  *  - vocabulary = top `vocabSize` terms by CORPUS term frequency (sum of
+  *    per-doc tf), matching MLlib CountVectorizer's selection rank
+  *    (reddit_consumer.py:198-202); ties broken (cf desc, term asc) —
+  *    documented deviation from CountVectorizer's arbitrary tie order only;
   *  - idf(t) = ln((m + 1) / (df(t) + 1)), MLlib's formula with minDocFreq=0;
   *  - tfidf = tf * idf per (doc, term).
   *
@@ -33,9 +34,11 @@ object TfIdf {
     val toks = docs.select($"doc_id",
       explode(Text.withoutStopwords(Text.tokens($"text"))).as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
     val vocab = dfreq
-      .orderBy($"df".desc, $"term").limit(VocabSize)
+      .orderBy($"cf".desc, $"term").limit(VocabSize)
+      .select($"term", $"df")
     val m = docs.agg(count(lit(1)).as("m"))
     val idf = vocab.crossJoin(broadcast(m))
       .withColumn("idf", log(($"m" + lit(1.0)) / ($"df" + lit(1.0))))
@@ -51,8 +54,8 @@ object TfIdf {
         w -> w NOT IN ${Text.stopwordsSqlList})) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-              ORDER BY df DESC, term LIMIT $VocabSize),
+    dfreq AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+              ORDER BY cf DESC, term LIMIT $VocabSize),
     idf AS (SELECT term, df,
               ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) AS idf
             FROM dfreq)

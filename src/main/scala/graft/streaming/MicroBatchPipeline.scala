@@ -70,8 +70,23 @@ object MicroBatchPipeline {
         processed.createOrReplaceTempView("processed") // S10: SQL surface
         val now = current_timestamp()
 
-        // processed batch snapshot (S5)
-        processed.coalesce(1).write.mode("append").parquet(s"$outDir/processed")
+        // S5/F12: per-batch processed snapshot at a timestamped path, the
+        // reference's processed_%Y%m%d_%H%M%S.parquet naming
+        // (reddit_consumer.py:321-326) — plus a batch-id suffix and a
+        // replace-my-batch sweep so a checkpoint-recovery REPLAY of the same
+        // batch overwrites its own snapshot instead of duplicating it (the
+        // reference's pure-timestamp naming would duplicate on replay).
+        // Every row still carries batch_id via the metric sinks below.
+        val stamp = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        val procRoot = new java.io.File(s"$outDir/processed")
+        if (procRoot.isDirectory)
+          procRoot.listFiles()
+            .filter(_.getName.matches(s"processed_\\d{8}_\\d{6}_b$batchId\\.parquet"))
+            .foreach(deleteRecursively)
+        processed.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/processed/processed_${stamp}_b$batchId.parquet")
 
         // sentiment metric (reddit_consumer.py:356-366)
         processed
@@ -106,6 +121,11 @@ object MicroBatchPipeline {
           Retention.enforce(s"$outDir/$d", retentionBytes)
       }
     } finally processed.unpersist()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 
   /** S7: optional JDBC sink (reference reddit_consumer.py:329-338 pushes

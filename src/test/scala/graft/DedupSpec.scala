@@ -37,4 +37,23 @@ class DedupSpec extends SparkSpec {
     // docs 4/5: 27 shared 3-shingles of a 29-shingle union
     assert(pairs.toSet === Set((2L, 3L, 1.0), (4L, 5L, 0.931034)))
   }
+
+  test("native word_shingles matches the declarative zip_with twin") {
+    // texts with ≥ n-1 tokens: the declarative slice() formulation throws on
+    // shorter inputs (negative slice length) — an edge the native expression
+    // handles (returns []) and the corpus never exercises
+    val texts = Seq(
+      "a b c d", "a  b\tc", " leading space", "x y x y x y",
+      "the the the", (1 to 40).map(i => s"t$i").mkString(" "))
+    for (n <- Seq(2, 3)) {
+      val df = texts.toDF("text").select(
+        org.apache.spark.sql.functions.call_function(
+          "word_shingles", $"text", org.apache.spark.sql.functions.lit(n)).as("native"),
+        Dedup.shingleArray($"text", n).as("declarative"))
+      df.as[(Seq[String], Seq[String])].collect().zip(texts).foreach {
+        case ((nat, dec), t) =>
+          assert(nat.toSet === dec.toSet, s"n=$n text='$t'")
+      }
+    }
+  }
 }

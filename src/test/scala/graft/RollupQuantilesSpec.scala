@@ -27,6 +27,25 @@ class RollupQuantilesSpec extends SparkSpec {
     assert(grand.map(r => (r._5, r._6)) === Seq((6L, 21.0)))
   }
 
+  test("approx_percentile twin tracks the exact percentiles") {
+    val exact = EventAnalytics.qValueQuantiles.run(spark, fixtureDir)
+      .select($"event_type", $"p50", $"p90").as[(String, Double, Double)]
+      .collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
+    val approx = EventAnalytics.qValueQuantilesApprox.run(spark, fixtureDir)
+      .select($"event_type", $"p50_approx", $"p90_approx")
+      .as[(String, Double, Double)]
+      .collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
+    assert(approx.keySet === exact.keySet)
+    // GK sketch at accuracy 10000 returns an actual data value within rank
+    // error n/10000; on these tiny groups that is an adjacent sorted value,
+    // so the gap is bounded by the group's value spread (values 1..6).
+    for ((t, (p50e, p90e)) <- exact) {
+      val (p50a, p90a) = approx(t)
+      assert(math.abs(p50a - p50e) <= 2.0, s"p50 for $t")
+      assert(math.abs(p90a - p90e) <= 2.0, s"p90 for $t")
+    }
+  }
+
   test("percentiles interpolate linearly within each group") {
     val r = EventAnalytics.qValueQuantiles.run(spark, fixtureDir)
       .select($"event_type", $"p50", $"p90").as[(String, Double, Double)]

@@ -25,7 +25,7 @@ class SocketPipelineSpec extends SparkSpec {
       val deadline = System.currentTimeMillis() + 120000
       def processedIds(): Set[String] =
         if (!Files.exists(Paths.get(outDir, "processed"))) Set.empty
-        else try spark.read.parquet(s"$outDir/processed")
+        else try spark.read.parquet(s"$outDir/processed/processed_*")
           .select($"id").as[String].collect().toSet
         catch { case _: Throwable => Set.empty }
       while (processedIds() != Set("a", "b") && System.currentTimeMillis() < deadline)

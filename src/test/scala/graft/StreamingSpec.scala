@@ -31,8 +31,15 @@ class StreamingSpec extends SparkSpec {
     // raw: every line persisted before parse (5 rows incl. bad ones)
     assert(spark.read.parquet(s"$outDir/raw").count() === 5)
 
-    // processed: only the two valid long posts survive the cleaning filter
-    val processed = spark.read.parquet(s"$outDir/processed")
+    // processed: one timestamped per-batch snapshot (F12 naming parity:
+    // processed_%Y%m%d_%H%M%S.parquet + idempotency batch suffix)
+    val snapshots = new java.io.File(s"$outDir/processed").listFiles().map(_.getName)
+    assert(snapshots.nonEmpty &&
+      snapshots.forall(_.matches("processed_\\d{8}_\\d{6}_b\\d+\\.parquet")),
+      s"unexpected snapshot names: ${snapshots.mkString(", ")}")
+
+    // only the two valid long posts survive the cleaning filter
+    val processed = spark.read.parquet(s"$outDir/processed/processed_*")
     assert(processed.select($"id").as[String].collect().toSet === Set("a", "b"))
     val sentById = processed.select($"id", $"sentiment").as[(String, Double)]
       .collect().toMap
@@ -69,14 +76,14 @@ class StreamingSpec extends SparkSpec {
     val q1 = MicroBatchPipeline.run(
       MicroBatchPipeline.fileLines(spark, srcDir), outDir, Trigger.AvailableNow())
     q1.awaitTermination(120000)
-    assert(spark.read.parquet(s"$outDir/processed").count() === 1)
+    assert(spark.read.parquet(s"$outDir/processed/processed_*").count() === 1)
 
     // second run against the SAME checkpoint: only the new file is consumed
     Files.write(Paths.get(srcDir, "b1.txt"), post("r2").getBytes("UTF-8"))
     val q2 = MicroBatchPipeline.run(
       MicroBatchPipeline.fileLines(spark, srcDir), outDir, Trigger.AvailableNow())
     q2.awaitTermination(120000)
-    val ids = spark.read.parquet(s"$outDir/processed")
+    val ids = spark.read.parquet(s"$outDir/processed/processed_*")
       .select($"id").as[String].collect().toSeq
     assert(ids.sorted === Seq("r1", "r2"))   // r1 not reprocessed
   }
