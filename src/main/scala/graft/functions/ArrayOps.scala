@@ -146,6 +146,41 @@ object ArrayOps {
     new GenericArrayData(out)
   }
 
+  /** 32-bit tf-weighted SimHash signature of a text, computed per row.
+    *
+    * Identical to the relational formulation (explode tokens → per-token
+    * hv = first 8 md5 hex chars as unsigned 32-bit → per-bit Σ ±1 over token
+    * INSTANCES → sign) and to the DuckDB oracle's tf-weighted per-term sums
+    * (summing ±1 over instances ≡ tf-weighted sum over distinct terms) —
+    * but with no explode and no aggregation shuffle: the signature is one
+    * map-side pass per document, which at 100 TB removes the whole
+    * (doc_id, term) shuffle from the plan. */
+  def simhash32(text: UTF8String): Long = {
+    val md = md5Local.get()
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val sums = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((hv >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Distinct word n-gram shingles of a text, lowercase whitespace-split.
     *
     * Set-identical to the declarative
@@ -286,5 +321,28 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `simhash32(text)`: per-row 32-bit tf-weighted SimHash signature (see
+  * [[ArrayOps.simhash32]]). */
+case class Simhash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("simhash32 requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)
 }

@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
+      (args: Seq[Expression]) => Simhash32(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,

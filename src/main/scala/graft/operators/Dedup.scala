@@ -181,33 +181,41 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
+  /** Declarative SimHash signature (explode → md5 → 32 conditional sums →
+    * sign) — the relational twin of the native `simhash32` expression, kept
+    * for DedupSpec's equivalence assertion. One (doc_id, term) shuffle. */
+  private[graft] def simhashSigDeclarative(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .withColumn("hv", expr("cast(conv(substr(md5(term), 1, 8), 16, 10) as bigint)"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"(hv >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L)))
+        .as(s"s$b"))
+    toks.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 32).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash: 32-bit tf-weighted signature; banded join (4 bands × 8 bits)
     * guarantees recall for hamming distance ≤ 3 by pigeonhole.
     *
-    * Shape: hash each token instance once (md5 → 32-bit int), then ONE
-    * hash aggregate with 32 codegen'd conditional sums — bit b of the
-    * signature is sign(Σ ±1 over token instances), and summing over
-    * instances ≡ the tf-weighted sum over distinct terms. Everything stays
-    * inside whole-stage codegen (no higher-order lambdas in the hot path);
-    * the single shuffle is the partial→final aggregate on doc_id.
+    * Shape: the signature is ONE map-side pass per document via the native
+    * `simhash32` codegen expression — no token explode, no aggregation
+    * shuffle (the declarative twin above costs a full (doc_id, term)
+    * shuffle; at 100 TB that shuffle IS the job). The only shuffles left are
+    * the banded candidate join and the final dedup/sort.
     */
   val qDedupSimhash = GraftQuery(
     "q_dedup_simhash",
     (spark, dir) => {
       import spark.implicits._
-      val toks = Tables.documents(spark, dir)
+      val sig = Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
-        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
-        .withColumn("hv", expr("cast(conv(substr(md5(term), 1, 8), 16, 10) as bigint)"))
-      val bitSums = (0 until 32).map(b =>
-        sum(when(expr(s"(hv >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L)))
-          .as(s"s$b"))
-      val sig = toks.groupBy($"doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id",
-          (0 until 32).map(b =>
-            when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+        .select($"doc_id", call_function("simhash32", $"text").as("simhash"))
       val banded = sig.select($"doc_id", $"simhash",
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))

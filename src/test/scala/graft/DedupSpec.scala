@@ -38,6 +38,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet === Set((2L, 3L, 1.0), (4L, 5L, 0.931034)))
   }
 
+  test("native simhash32 matches the declarative explode/aggregate twin") {
+    val docs = Tables.documents(spark, fixtureDir)
+    val native = docs.select($"doc_id",
+      org.apache.spark.sql.functions.call_function("simhash32", $"text").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val declarative = Dedup.simhashSigDeclarative(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(native === declarative)
+  }
+
   test("native word_shingles matches the declarative zip_with twin") {
     // texts with ≥ n-1 tokens: the declarative slice() formulation throws on
     // shorter inputs (negative slice length) — an edge the native expression
