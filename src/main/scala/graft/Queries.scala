@@ -15,6 +15,7 @@ object Queries {
       Similarity.all ++
       Skew.all ++
       TemporalJoins.all ++
+      PipelineOps.all ++
       Seq(Media.qMediaFeatures)
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

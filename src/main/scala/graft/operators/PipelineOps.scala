@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators beyond the reference's surface: the
+  * corpus-preparation steps a 100 TB pretraining pipeline runs between "raw
+  * documents" and "training batches" — deterministic sampling / data mixing,
+  * text normalization, sequence packing, and a reproducible corpus shuffle.
+  *
+  * All four are oracle-checkable because every pseudo-random decision is an
+  * md5 derivation shared byte-for-byte with DuckDB — no engine-private RNG
+  * (`rand()` / `sample()`) appears anywhere in the verified surface.
+  */
+object PipelineOps {
+
+  /** Per-language sampling rates (data-mixing weights). Thresholds are exact
+    * integers against a 32-bit hash so both engines compare identically:
+    * keep doc iff u32(md5(doc_id)) < rate · 2³². */
+  val SampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.75, "zh" -> 0.50, "de" -> 0.50, "es" -> 0.25, "fr" -> 0.25)
+
+  private val TwoPow32 = 4294967296L
+  private def thresholds: Seq[(String, Long)] =
+    SampleRates.map { case (l, r) => l -> (r * TwoPow32).toLong }
+
+  private def thresholdsSql: String =
+    thresholds.map { case (l, t) => s"('$l', $t)" }
+      .mkString("(VALUES ", ", ", ") AS rates(lang, thr)")
+
+  /** Deterministic stratified sampling — the data-mixing primitive: each
+    * language is downsampled to its mixing weight by hashing the STABLE key
+    * (doc_id), not by `rand()`. Same rows on every run, every engine, any
+    * partitioning; adding executors cannot change the sample.
+    *
+    * Scale shape: map-only — the rates relation is a broadcast of 5 rows and
+    * the hash-compare is per-row codegen; the only cost beyond the scan is
+    * the output ORDER BY. */
+  val qStratifiedSample = GraftQuery(
+    "q_stratified_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val rates = thresholds.toDF("lang", "thr")
+      Tables.documents(spark, dir)
+        .withColumn("u32",
+          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter($"u32" < $"thr")
+        .select($"doc_id", $"lang", $"u32")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+      FROM documents
+      JOIN $thresholdsSql USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+      ORDER BY doc_id""")
+  )
+
+  /** Tokens per context window when packing documents back-to-back. */
+  val PackSize = 512
+
+  /** Sequence packing: assign each document to its context-window id and
+    * in-window offset by cumulative token count, per language partition —
+    * the "concatenate and chop into 512-token windows" step of a training
+    * pipeline, expressed as a running-sum window (each doc's pack is decided
+    * by the tokens BEFORE it; long docs spill into subsequent windows, which
+    * the consumer handles by reading offset + n_tokens).
+    *
+    * Scale shape: the cumulative sum partitions by `lang`, so parallelism =
+    * number of strata. That is the honest shape of any order-dependent
+    * packing; for a single giant stratum the standard two-phase prefix-sum
+    * (per-partition partials, broadcast offsets) applies — here each stratum
+    * already fits one task's streaming window pass. */
+  val qPackSequences = GraftQuery(
+    "q_pack_sequences",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).cast(LongType).as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"doc_id", $"lang", $"n_tokens",
+          expr(s"cum_before div $PackSize").as("pack_id"),
+          ($"cum_before" % PackSize).as("pack_offset"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, n_tokens,
+        cum_before // $PackSize AS pack_id,
+        cum_before % $PackSize AS pack_offset
+      FROM (
+        SELECT doc_id, lang, n_tokens,
+          coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS cum_before
+        FROM (SELECT doc_id, lang,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents))
+      ORDER BY doc_id""")
+  )
+
+  /** Text normalization — the standard pre-tokenization scrub: lowercase,
+    * non-alphanumerics to spaces, whitespace collapsed, trimmed. Pure
+    * per-row codegen'd regex work, map-only. */
+  val qNormalizeText = GraftQuery(
+    "q_normalize_text",
+    (spark, dir) => {
+      import spark.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(spark, dir)
+        .select($"doc_id", norm.as("norm_text"),
+          length(norm).cast(LongType).as("norm_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_len
+      FROM (
+        SELECT doc_id, trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+          ' +', ' ', 'g')) AS norm_text
+        FROM documents)
+      ORDER BY doc_id""")
+  )
+
+  /** Seed for the reproducible corpus shuffle. */
+  val ShuffleSeed = 7
+
+  /** Reproducible corpus shuffle for training order: sort by a seeded md5 of
+    * the stable key. Changing the seed reshuffles; re-running does not.
+    *
+    * Scale shape: Spark's ORDER BY is a range-partitioned distributed sort
+    * (sampled range boundaries, then per-partition sorts) — the canonical
+    * scalable global shuffle; no single-partition window function is
+    * involved. */
+  val qShuffleOrder = GraftQuery(
+    "q_shuffle_order",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          md5(concat(lit(s"$ShuffleSeed:"), $"doc_id".cast(StringType)))
+            .as("shuffle_key"))
+        .orderBy($"shuffle_key")
+    },
+    Some(s"""
+      SELECT doc_id, md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+      ORDER BY shuffle_key""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder)
+}

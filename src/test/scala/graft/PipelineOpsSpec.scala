@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.PipelineOps
+
+/** Training-data pipeline operators on the fixture corpus
+  * (en: docs 0,1 · de: docs 2,3 · fr: docs 4,5). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample keeps exactly the docs whose hash clears the rate") {
+    // hand-computed u32(md5(doc_id)) / 2^32 per doc:
+    //   0→0.8117  1→0.7687  2→0.7817  3→0.9250  4→0.6582  5→0.8940
+    // vs rates en 0.75, de 0.50, fr 0.25 → every fixture doc is excluded
+    val out = PipelineOps.qStratifiedSample.run(spark, fixtureDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(out.isEmpty)
+    // deterministic: a second run produces the identical (empty) set
+    val again = PipelineOps.qStratifiedSample.run(spark, fixtureDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(again === out)
+  }
+
+  test("sequence packing: per-lang cumulative offsets into 512-token windows") {
+    val rows = PipelineOps.qPackSequences.run(spark, fixtureDir)
+      .select($"doc_id", $"n_tokens", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows === Map(
+      0L -> ((3L, 0L, 0L)),  1L -> ((3L, 0L, 3L)),   // en
+      2L -> ((4L, 0L, 0L)),  3L -> ((4L, 0L, 4L)),   // de
+      4L -> ((30L, 0L, 0L)), 5L -> ((30L, 0L, 30L)))) // fr
+  }
+
+  test("normalize_text lowers, strips punctuation, collapses whitespace") {
+    val out = PipelineOps.qNormalizeText.run(spark, fixtureDir)
+      .select($"norm_text").as[String].collect()
+    assert(out.forall(t => t == t.toLowerCase))
+    assert(out.forall(t => !t.contains("  ") && t.trim == t))
+    assert(out.forall(_.matches("[a-z0-9 ]*")))
+  }
+
+  test("shuffle order is a deterministic permutation keyed by the seed") {
+    val order1 = PipelineOps.qShuffleOrder.run(spark, fixtureDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    val order2 = PipelineOps.qShuffleOrder.run(spark, fixtureDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(order1 === order2)
+    assert(order1.sorted === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(order1 !== order1.sorted)  // md5 order differs from key order
+  }
+}
