@@ -41,4 +41,16 @@ object Tables {
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
+
+  /** Spread a scan across the cluster ONLY when the scan itself cannot: the
+    * driver's sf tables are single small parquet files (1 split), which
+    * would pin every downstream per-row projection (md5 sketches, dot
+    * products) to one thread. A real multi-split table already provides
+    * scan parallelism, and an unconditional `repartition()` there would be
+    * a full shuffle of the fact data — the opposite of the 100 TB shape.
+    * Partition count comes from the planned file splits; no job runs. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -88,8 +88,7 @@ object Dedup {
     * projection to one thread. */
   private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", call_function("word_shingles", $"text", lit(n)).as("sh"))
   }
 
@@ -129,29 +128,31 @@ object Dedup {
     * crossJoin with a hash-index table, no shuffle); band key = concat of
     * BandRows signature values; candidate pairs = docs sharing any band key.
     */
-  val qDedupMinhash = GraftQuery(
-    "q_dedup_minhash",
-    (spark, dir) => {
-      import spark.implicits._
-      // persisted for the same reason as in q_ngram_jaccard: banding + the
-      // two verify joins would otherwise re-run the shingle projection
-      val docsSh = docShingles(spark, dir, 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // band keys from the native minhash_bands expression — all K md5 mins
-      // in one codegen'd pass per row (the declarative transform/array_min
-      // twin is CodegenFallback: interpreted lambdas + boxed allocations,
-      // ~100x slower; semantics identical — see ArrayOps.minhashBands)
-      val banded = docsSh.select($"doc_id", posexplode(
-          call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
-          .as(Seq("band", "key")))
-      val cand = banded.as("a").join(banded.as("b"),
-          $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
-        .distinct()
-      verifyJaccard(cand, docsSh)
-    },
-    Some(s"""
+  /** Verified MinHash near-dup pairs (ia &lt; ib, jaccard ≥ threshold) —
+    * shared by q_dedup_minhash and the cluster-assignment operator. */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted for the same reason as in q_ngram_jaccard: banding + the
+    // two verify joins would otherwise re-run the shingle projection
+    val docsSh = docShingles(spark, dir, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band keys from the native minhash_bands expression — all K md5 mins
+    // in one codegen'd pass per row (the declarative transform/array_min
+    // twin is CodegenFallback: interpreted lambdas + boxed allocations,
+    // ~100x slower; semantics identical — see ArrayOps.minhashBands)
+    val banded = docsSh.select($"doc_id", posexplode(
+        call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
+        .as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .distinct()
+    verifyJaccard(cand, docsSh)
+  }
+
+  /** The minhash pair relation as oracle SQL (shared with q_dedup_clusters). */
+  private def minhashPairsSql: String = s"""
       WITH sh AS (${shinglesSql(2)}),
       hashed AS (
         SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh
@@ -177,8 +178,75 @@ object Dedup {
       FROM inter
       JOIN sizes na ON ia = na.doc_id
       JOIN sizes nb ON ib = nb.doc_id
-      WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold
-      ORDER BY ia, ib""")
+      WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold"""
+
+  val qDedupMinhash = GraftQuery(
+    "q_dedup_minhash",
+    (spark, dir) => minhashPairs(spark, dir),
+    Some(s"SELECT * FROM ($minhashPairsSql) ORDER BY ia, ib")
+  )
+
+  /** Maximum label-propagation rounds for q_dedup_clusters — a guard far
+    * above any real near-dup component diameter. */
+  val MaxCcIterations = 20
+
+  /** Dedup cluster assignment: connected components over the verified
+    * MinHash near-dup pairs, every document labeled with its cluster's
+    * minimum doc_id (the canonical keeper; singletons keep themselves).
+    * This is the step that turns a PAIR list into an actionable keep/drop
+    * decision — grouping "A~B, B~C" into one cluster {A,B,C} → keeper A.
+    *
+    * Shape: iterative min-label propagation — per round one join of the
+    * edge list against current labels + one min-aggregate, converging in
+    * ≤ component-diameter rounds (each round is a bounded shuffle on the
+    * edge key; no driver-side data beyond the convergence counter). This is
+    * the standard large-scale connected-components loop; near-dup components
+    * have tiny diameters in practice, and MaxCcIterations bounds pathology.
+    * The oracle computes the same fixpoint with a recursive CTE.
+    */
+  val qDedupClusters = GraftQuery(
+    "q_dedup_clusters",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = minhashPairs(spark, dir).select($"ia", $"ib")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = pairs.union(pairs.select($"ib", $"ia")).toDF("src", "dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = Tables.documents(spark, dir)
+        .select($"doc_id".as("id"), $"doc_id".as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < MaxCcIterations) {
+        val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy($"src").agg(min($"label").as("nl"))
+        val next = labels.join(viaNeighbors, labels("id") === viaNeighbors("src"), "left")
+          .select(labels("id"), least($"label", coalesce($"nl", $"label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
+          .filter($"n.label" =!= $"o.label").count()
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      labels.select($"id".as("doc_id"), $"label".as("cluster"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS ($minhashPairsSql),
+      edges AS (
+        SELECT ia AS u, ib AS v FROM pairs
+        UNION SELECT ib, ia FROM pairs),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster
+        FROM reach GROUP BY u)
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+      ORDER BY d.doc_id""")
   )
 
   /** Declarative SimHash signature (explode → md5 → 32 conditional sums →
@@ -213,8 +281,7 @@ object Dedup {
     "q_dedup_simhash",
     (spark, dir) => {
       import spark.implicits._
-      val sig = Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val sig = Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", call_function("simhash32", $"text").as("simhash"))
       val banded = sig.select($"doc_id", $"simhash",
           explode(expr("sequence(0, 3)")).as("band"))
@@ -331,5 +398,6 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard)
+  val all: Seq[GraftQuery] = Seq(
+    qDedupExact, qDedupMinhash, qDedupClusters, qDedupSimhash, qNgramJaccard)
 }

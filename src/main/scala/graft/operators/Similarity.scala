@@ -52,8 +52,7 @@ object Similarity {
     * driver's single small parquet file does not. */
   private def withNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", $"embedding",
         sqrt(decDot($"embedding", $"embedding")).as("nrm"))
   }
@@ -117,8 +116,7 @@ object Similarity {
     "q_ann_cosine_fast",
     (spark, dir) => {
       import spark.implicits._
-      val emb = Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
         .select($"vec_id", transform($"embedding", v => v.cast(DoubleType)).as("e"))
       def dot(a: Column, b: Column) =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

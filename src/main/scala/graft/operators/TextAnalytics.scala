@@ -372,8 +372,7 @@ object TextAnalytics {
     "q_lang_id",
     (spark, dir) => {
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val docs = Tables.spread(Tables.documents(spark, dir))
       val toks = docs.select($"doc_id", $"lang",
         explode(array_distinct(Text.tokens($"text"))).as("term"))
       val profiles = docs

@@ -38,6 +38,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSet === Set((2L, 3L, 1.0), (4L, 5L, 0.931034)))
   }
 
+  test("cluster assignment labels every doc with its component's min id") {
+    val clusters = Dedup.qDedupClusters.run(spark, fixtureDir)
+      .as[(Long, Long)].collect().toMap
+    // near-dup pairs (2,3) and (4,5) collapse; 0/1 are singletons
+    assert(clusters === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
+      4L -> 4L, 5L -> 4L))
+  }
+
   test("native simhash32 matches the declarative explode/aggregate twin") {
     val docs = Tables.documents(spark, fixtureDir)
     val native = docs.select($"doc_id",
