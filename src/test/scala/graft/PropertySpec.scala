@@ -46,6 +46,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native expressions match their declarative twins on random corpora") {
+    // one randomized corpus through all three native/declarative pairs:
+    // word_shingles (n=2,3), simhash32, minhash_bands
+    val texts = Seq.fill(150)(randText()).filter(_.split("\\s+").length >= 3)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    for (n <- Seq(2, 3)) {
+      val both = df.select(
+        call_function("word_shingles", $"text", lit(n)).as("nat"),
+        operators.Dedup.shingleArray($"text", n).as("dec"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (nat, dec) => assert(nat.toSet === dec.toSet) }
+    }
+
+    val sig = df.select($"doc_id", call_function("simhash32", $"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val sigDec = operators.Dedup.simhashSigDeclarative(df)
+      .as[(Long, Long)].collect().toMap
+    assert(sig === sigDec)
+
+    val bands = df
+      .select($"doc_id", call_function("word_shingles", $"text", lit(2)).as("sh"))
+      .select($"doc_id",
+        call_function("minhash_bands", $"sh", lit(12), lit(3)).as("nat"),
+        array((0 until 4).map(b =>
+          concat_ws("|", (0 until 3).map(r =>
+            array_min(transform($"sh", s =>
+              md5(concat(lit((b * 3 + r).toString), lit(":"), s))))): _*)): _*)
+          .as("dec"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    bands.foreach { case (id, nat, dec) => assert(nat === dec, s"doc $id") }
+  }
+
   test("lexicon scorer bounds hold for arbitrary texts") {
     val maxAbs = SentimentLexicon.entries.map(e => math.abs(e._2)).max
     val texts = Seq.fill(300)(randText())
