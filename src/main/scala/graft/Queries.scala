@@ -16,7 +16,7 @@ object Queries {
       Skew.all ++
       TemporalJoins.all ++
       PipelineOps.all ++
-      Seq(Media.qMediaFeatures)
+      Media.all
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
   require(byName.size == all.size, "duplicate query names")

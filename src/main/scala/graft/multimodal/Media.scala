@@ -111,4 +111,84 @@ object Media {
       FROM documents
       ORDER BY media_id""")
   )
+
+  /** Vision-preprocessing target box (the standard 224×224 model input). */
+  val FitBox = 224
+
+  /** Resize planning: aspect-preserving fit of each media's (fake-decoded)
+    * dimensions into the FitBox — `scale = min(224/w, 224/h)`, floor, clamp
+    * to ≥ 1. Identical IEEE double math in both engines, so the plan is
+    * oracle-checkable; the payload "resample" itself would live in the same
+    * mapPartitions pass as decodeStub (codec work, out of container scope).
+    * Map-only. */
+  val qMediaResize = GraftQuery(
+    "q_media_resize",
+    (spark, dir) => {
+      import spark.implicits._
+      val nBytes = length(encode($"text", "UTF-8")).cast(LongType)
+      val w = (nBytes % 640 + 1).cast(DoubleType)
+      val h = ((nBytes * 7) % 480 + 1).cast(DoubleType)
+      val scale = least(lit(FitBox.toDouble) / w, lit(FitBox.toDouble) / h)
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id".as("media_id"),
+          w.cast(LongType).as("width"),
+          h.cast(LongType).as("height"),
+          greatest(lit(1L), floor(w * scale).cast(LongType)).as("out_width"),
+          greatest(lit(1L), floor(h * scale).cast(LongType)).as("out_height"))
+        .orderBy($"media_id")
+    },
+    Some(s"""
+      SELECT media_id, width::BIGINT AS width, height::BIGINT AS height,
+        greatest(1, floor(width * scale))::BIGINT AS out_width,
+        greatest(1, floor(height * scale))::BIGINT AS out_height
+      FROM (
+        SELECT media_id, width, height,
+          least($FitBox.0 / width, $FitBox.0 / height) AS scale
+        FROM (
+          SELECT doc_id AS media_id,
+            (octet_length(encode(text))::BIGINT % 640 + 1)::DOUBLE AS width,
+            ((octet_length(encode(text))::BIGINT * 7) % 480 + 1)::DOUBLE AS height
+          FROM documents))
+      ORDER BY media_id""")
+  )
+
+  /** Synthetic "duration": 1 second of video per 100 payload bytes. */
+  val BytesPerSecond = 100
+
+  /** Frame sampling: one frame timestamp per second of (fake) duration for
+    * the video-kind media — the explode-shaped fan-out a real frame sampler
+    * produces (rows ∝ Σ durations), with the per-frame decode again
+    * belonging to the batched mapPartitions pass. */
+  val qMediaFrames = GraftQuery(
+    "q_media_frames",
+    (spark, dir) => {
+      import spark.implicits._
+      val nBytes = length(encode($"text", "UTF-8")).cast(LongType)
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id".as("media_id"),
+          element_at(lit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+          expr(s"cast(length(encode(text, 'UTF-8')) as bigint) div $BytesPerSecond")
+            .as("dur_s"))
+        .filter($"kind" === "video")
+        .select($"media_id",
+          explode(sequence(lit(0L), $"dur_s")).as("frame_idx"))
+        .select($"media_id", $"frame_idx",
+          ($"frame_idx" * 1000).as("frame_ts_ms"))
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some(s"""
+      SELECT media_id, unnest(range(0, dur_s + 1)) AS frame_idx,
+        unnest(range(0, dur_s + 1)) * 1000 AS frame_ts_ms
+      FROM (
+        SELECT doc_id AS media_id,
+          octet_length(encode(text))::BIGINT // $BytesPerSecond AS dur_s
+        FROM documents
+        WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] = 'video')
+      ORDER BY media_id, frame_idx""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qMediaFeatures, qMediaResize, qMediaFrames)
 }

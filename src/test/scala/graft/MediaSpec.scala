@@ -32,4 +32,31 @@ class MediaSpec extends SparkSpec {
   test("decode stub is total: empty payload yields zero brightness") {
     assert(Media.decodeStub(Array.emptyByteArray) === ((1, 1, 3, 0.0)))
   }
+
+  test("resize plan fits the box, preserves aspect, never hits zero") {
+    val rows = Media.qMediaResize.run(spark, fixtureDir)
+      .select($"width", $"height", $"out_width", $"out_height")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, h, ow, oh) =>
+      assert(ow >= 1 && oh >= 1 && ow <= Media.FitBox && oh <= Media.FitBox)
+      // the longer side hits the box (within floor slack)
+      assert(math.max(ow, oh) >= Media.FitBox - 1 ||
+        (w <= Media.FitBox && h <= Media.FitBox))
+      // aspect preserved within one floor step
+      assert(math.abs(ow * h - oh * w) <= w + h)
+    }
+  }
+
+  test("frame sampling emits dur+1 frames for video media only") {
+    val frames = Media.qMediaFrames.run(spark, fixtureDir)
+      .as[(Long, Long, Long)].collect()
+    // fixture videos: doc_id % 3 == 2 -> docs 2 and 5
+    assert(frames.map(_._1).distinct.sorted === Seq(2L, 5L))
+    frames.groupBy(_._1).foreach { case (_, fs) =>
+      val idxs = fs.map(_._2).sorted
+      assert(idxs === (0L until idxs.length).toSeq)  // contiguous from 0
+      assert(fs.forall(f => f._3 === f._2 * 1000))
+    }
+  }
 }
