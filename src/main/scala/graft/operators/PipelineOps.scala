@@ -155,6 +155,53 @@ object PipelineOps {
       ORDER BY shuffle_key""")
   )
 
+  /** Quality cutoff for the composite prep pipeline (corpus range at
+    * sf0.01: 1.20–1.96, median ≈ 1.5). */
+  val QualityThreshold = 1.5
+
+  /** The end-to-end corpus-prep composition — what a user of this library
+    * actually runs between "raw documents" and "training set": exact-dedup
+    * keepers → quality filter → deterministic stratified sample, one
+    * DataFrame DAG. Demonstrates that the operator surface composes: one
+    * shuffle for the dedup window, everything after is map-side (the rate
+    * table broadcasts), and Catalyst prunes the scan to the columns the
+    * composition needs. */
+  val qCorpusPrep = GraftQuery(
+    "q_corpus_prep",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rates = thresholds.toDF("lang", "thr")
+      Tables.documents(spark, dir)
+        .withColumn("keep_id",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep_id")
+        .withColumn("quality", TextAnalytics.qualityCol)
+        .filter($"quality" >= QualityThreshold)
+        .withColumn("u32",
+          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter($"u32" < $"thr")
+        .select($"doc_id", $"lang", $"quality")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH keepers AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang, ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM keepers
+        WHERE doc_id = keep_id)
+      SELECT doc_id, lang, quality
+      FROM scored
+      JOIN $thresholdsSql USING (lang)
+      WHERE quality >= $QualityThreshold
+        AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder)
+    Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
+      qCorpusPrep)
 }

@@ -322,6 +322,27 @@ object TextAnalytics {
       ORDER BY doc_id""")
   )
 
+  /** The quality score of a `text` column, rounded to 6 dp — shared by
+    * q_quality_score and the composite corpus-prep pipeline. */
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*))).cast(DoubleType)
+    val avgLen = (length(col("text")) - size(toks) + lit(1)).cast(DoubleType) / size(toks)
+    round(
+      lit(0.3) * log(lit(1.0) + nTok) +
+      lit(0.5) * (lit(1.0) - nStop / nTok) +
+      lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), Det.OutScale)
+  }
+
+  /** The same score as DuckDB SQL over a relation exposing `text`. */
+  private[graft] def qualitySqlExpr: String = s"""
+    round(0.3 * ln(1.0 + len(string_split(text, ' ')))
+      + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+          w -> w IN ${Text.stopwordsSqlList}))::DOUBLE / len(string_split(text, ' ')))
+      + 0.2 * least(((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+          / len(string_split(text, ' '))) / 10.0, 1.0), 6)"""
+
   /** Quality scoring for a training-data pipeline: stopword ratio, mean token
     * length, log-length prior — a deterministic combination of the standard
     * heuristics (cf. Gopher/C4 quality rules). */

