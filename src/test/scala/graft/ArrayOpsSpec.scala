@@ -68,4 +68,23 @@ class ArrayOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [dot_f32"))
   }
+
+  test("all round-2 native expressions stay inside whole-stage codegen") {
+    // the whole point of these expressions is replacing CodegenFallback HOFs;
+    // a silent fallback would show as a Project OUTSIDE a *(n) codegen span
+    val docs = Tables.documents(spark, fixtureDir)
+    for ((name, colExpr) <- Seq(
+      "word_shingles" -> call_function("word_shingles", $"text", lit(2)),
+      "simhash32" -> call_function("simhash32", $"text"),
+      "vader_score" -> call_function("vader_score", $"text"),
+      "sentiment_score" -> call_function("sentiment_score", $"text"))) {
+      val plan = docs.select(colExpr).queryExecution.executedPlan.toString
+      assert(plan.contains(s"*(1) Project [$name"), s"$name fell out of codegen:\n$plan")
+    }
+    val bandsPlan = docs
+      .select(call_function("minhash_bands",
+        call_function("word_shingles", $"text", lit(2)), lit(12), lit(3)))
+      .queryExecution.executedPlan.toString
+    assert(bandsPlan.contains("*(1) Project [minhash_bands"), bandsPlan)
+  }
 }
