@@ -10,7 +10,12 @@ object Oracle {
   def dsum(c: String): String =
     s"round(sum(CAST(($c) AS DECIMAL(38,9))), 6)::DOUBLE"
 
+  /** Twin of Det.qround: cross-engine-exact 6-dp rounding of a double
+    * expression (identical IEEE ops in both engines — see Det.qround). */
+  def qround(e: String): String =
+    s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+
   /** Twin of Det.davg (divides by count(*) — use on non-null columns only). */
   def davg(c: String): String =
-    s"round((sum(CAST(($c) AS DECIMAL(38,9)))::DOUBLE) / count(*), 6)"
+    qround(s"(sum(CAST(($c) AS DECIMAL(38,9)))::DOUBLE) / count(*)")
 }

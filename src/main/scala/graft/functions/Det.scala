@@ -21,17 +21,28 @@ object Det {
   val Scale = 9      // decimal scale used for addends
   val OutScale = 6   // rounding of emitted doubles
 
-  /** Exact (order-independent) sum of a double column, rounded to 6 dp. */
+  /** Exact (order-independent) sum of a double column, rounded to 6 dp.
+    * The round happens on the DECIMAL (exact in both engines) before the
+    * double cast — no binary half-way hazard. */
   def dsum(c: Column): Column =
     round(sum(c.cast(DecimalType(38, Scale))), OutScale).cast(DoubleType)
 
-  /** Exact mean: exact decimal sum cast to double, divided by count, rounded.
-    * Both engines perform the identical IEEE double division, so the result
-    * matches bit-for-bit (up to the documented half-way rounding caveat).
-    */
-  def davg(c: Column): Column =
-    round(sum(c.cast(DecimalType(38, Scale))).cast(DoubleType) / count(lit(1)), OutScale)
+  /** Cross-engine-exact 6-dp rounding of an arbitrary DOUBLE expression:
+    * `floor(x·10⁶ + 0.5) / 10⁶` — the same IEEE ops in Spark and DuckDB, so
+    * the result is bit-identical however each engine's `round()` treats
+    * half-way cases. (Spark `round()` = HALF_UP on the SHORTEST-DECIMAL repr;
+    * DuckDB rounds the binary value — they disagree whenever a structured
+    * quotient lands exactly on x.xxxxxx5, e.g. a sentiment sum over 64
+    * tokens: 41/640 = 0.0640625 → Spark 0.064063, DuckDB 0.064062. Found by
+    * the sf0.1 oracle sweep.) Semantics: round half toward +∞ at 6 dp.
+    * The DuckDB twin is [[graft.Oracle.qround]]. */
+  def qround(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
-  /** Round an already-deterministic double expression for output. */
-  def dround(c: Column): Column = round(c, OutScale)
+  /** Exact mean: exact decimal sum cast to double, divided by count, then
+    * cross-engine-exact rounding (counts are often 2^a·5^b, which makes the
+    * quotient a terminating decimal — exactly the half-way hazard qround
+    * exists for). */
+  def davg(c: Column): Column =
+    qround(sum(c.cast(DecimalType(38, Scale))).cast(DoubleType) / count(lit(1)))
 }

@@ -62,11 +62,11 @@ object SentimentScore {
       if (v != null) sum = sum.add(v)
       i += 1
     }
-    // valueOf (shortest-decimal) + HALF_UP matches Spark's round() and
-    // DuckDB's round() exactly; new BigDecimal(double) would use the raw
-    // binary expansion and round 0.0796875-style values the other way
-    java.math.BigDecimal.valueOf(sum.doubleValue() / toks.length)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // cross-engine-exact rounding (Det.qround twin): floor(x*1e6+0.5)/1e6 —
+    // identical IEEE ops to the relational path and the DuckDB oracle, which
+    // disagree with BigDecimal HALF_UP exactly when the quotient terminates
+    // on x.xxxxxx5 (e.g. 41/640 = 0.0640625; n_tokens = 2^a*5^b is common)
+    math.floor(sum.doubleValue() / toks.length * 1000000.0 + 0.5) / 1000000.0
   }
 }
 

@@ -94,9 +94,12 @@ object Media {
           nBytes.as("n_bytes"),
           (nBytes % 640 + 1).as("width"),
           ((nBytes * 7) % 480 + 1).as("height"),
-          expr("""round(aggregate(sequence(1, length(text)), 0L,
+          // NOTE 1e6, not 1000000.0: in SQL text the latter parses as a
+          // DECIMAL literal and drags the whole expression into decimal math
+          expr("""floor(aggregate(sequence(1, length(text)), 0L,
                   (acc, i) -> acc + ascii(substring(text, i, 1)))
-                  / cast(length(text) as double), 6)""").as("brightness"))
+                  / cast(length(text) as double) * 1e6 + 0.5)
+                  / 1e6""").as("brightness"))
         .orderBy($"media_id")
     },
     Some("""
@@ -105,9 +108,10 @@ object Media {
         octet_length(encode(text))::BIGINT AS n_bytes,
         octet_length(encode(text))::BIGINT % 640 + 1 AS width,
         (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height,
-        round(list_sum(list_transform(range(1, length(text) + 1),
+        floor(list_sum(list_transform(range(1, length(text) + 1),
               i -> ascii(text[i])))::DOUBLE
-              / octet_length(encode(text)), 6) AS brightness
+              / octet_length(encode(text)) * 1000000.0 + 0.5)
+              / 1000000.0 AS brightness
       FROM documents
       ORDER BY media_id""")
   )

@@ -116,7 +116,7 @@ object Dedup {
         size(array_intersect($"sha", $"shb")).as("inter"),
         size($"sha").as("na"), size($"shb").as("nb"))
       .select($"ia", $"ib",
-        round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+        graft.functions.Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= JaccardThreshold)
       .orderBy($"ia", $"ib")
   }
@@ -174,11 +174,13 @@ object Dedup {
         JOIN sh sb ON ib = sb.doc_id AND sa.shingle = sb.shingle
         GROUP BY ia, ib)
       SELECT ia, ib,
-        round(inter * 1.0 / (na.ns + nb.ns - inter), 6) AS jaccard
+        floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
+          / 1000000.0 AS jaccard
       FROM inter
       JOIN sizes na ON ia = na.doc_id
       JOIN sizes nb ON ib = nb.doc_id
-      WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold"""
+      WHERE floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
+          / 1000000.0 >= $JaccardThreshold"""
 
   val qDedupMinhash = GraftQuery(
     "q_dedup_minhash",
@@ -371,7 +373,7 @@ object Dedup {
         .join(broadcast(sizes.select($"doc_id".as("ia"), $"ns".as("na"))), Seq("ia"))
         .join(broadcast(sizes.select($"doc_id".as("ib"), $"ns".as("nb"))), Seq("ib"))
         .select($"ia", $"ib",
-          round($"inter" / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+          graft.functions.Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
         .filter($"jaccard" >= JaccardThreshold)
         .orderBy($"ia", $"ib")
     },
@@ -390,11 +392,13 @@ object Dedup {
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY ia, ib)
       SELECT ia, ib,
-        round(inter * 1.0 / (na.ns + nb.ns - inter), 6) AS jaccard
+        floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
+          / 1000000.0 AS jaccard
       FROM inter
       JOIN sizes na ON ia = na.doc_id
       JOIN sizes nb ON ib = nb.doc_id
-      WHERE round(inter * 1.0 / (na.ns + nb.ns - inter), 6) >= $JaccardThreshold
+      WHERE floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
+          / 1000000.0 >= $JaccardThreshold
       ORDER BY ia, ib""")
   )
 

@@ -111,19 +111,18 @@ object EventAnalytics {
         .withColumn("rn", row_number().over(w))
         .withColumn("s1", sum(dec($"avg_value")).over(frame).cast(DoubleType))
         .withColumn("s2", sum(dec($"avg_value" * $"avg_value")).over(frame).cast(DoubleType))
-      val ma = when($"rn" >= 5, round($"s1" / lit(5.0), Det.OutScale))
+      val ma = when($"rn" >= 5, Det.qround($"s1" / lit(5.0)))
       val sd = when($"rn" >= 5,
-        round(sqrt(greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0))),
-          Det.OutScale))
+        Det.qround(sqrt(greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))))
       series
         .select($"bucket", $"n_events", $"avg_value",
           ma.as("ma5"), sd.as("sd5"),
-          when($"rn" >= 5, round($"s1" / lit(5.0) + lit(2.0) * sqrt(
-            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0))),
-            Det.OutScale)).as("upper"),
-          when($"rn" >= 5, round($"s1" / lit(5.0) - lit(2.0) * sqrt(
-            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0))),
-            Det.OutScale)).as("lower"))
+          when($"rn" >= 5, Det.qround($"s1" / lit(5.0) + lit(2.0) * sqrt(
+            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))))
+            .as("upper"),
+          when($"rn" >= 5, Det.qround($"s1" / lit(5.0) - lit(2.0) * sqrt(
+            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))))
+            .as("lower"))
         .orderBy($"bucket")
     },
     Some(s"""
@@ -137,10 +136,10 @@ object EventAnalytics {
             (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::DOUBLE AS s2
         FROM series)
       SELECT bucket, n_events, avg_value,
-        CASE WHEN rn >= 5 THEN round(s1 / 5.0, 6) END AS ma5,
-        CASE WHEN rn >= 5 THEN round(sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)), 6) END AS sd5,
-        CASE WHEN rn >= 5 THEN round(s1 / 5.0 + 2.0 * sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)), 6) END AS upper,
-        CASE WHEN rn >= 5 THEN round(s1 / 5.0 - 2.0 * sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)), 6) END AS lower
+        CASE WHEN rn >= 5 THEN floor(s1 / 5.0 * 1000000.0 + 0.5) / 1000000.0 END AS ma5,
+        CASE WHEN rn >= 5 THEN floor(sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0)) * 1000000.0 + 0.5) / 1000000.0 END AS sd5,
+        CASE WHEN rn >= 5 THEN floor((s1 / 5.0 + 2.0 * sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0))) * 1000000.0 + 0.5) / 1000000.0 END AS upper,
+        CASE WHEN rn >= 5 THEN floor((s1 / 5.0 - 2.0 * sqrt(greatest((s2 - s1 * s1 / 5.0) / 4.0, 0.0))) * 1000000.0 + 0.5) / 1000000.0 END AS lower
       FROM win
       ORDER BY bucket""")
   )
@@ -408,15 +407,15 @@ object EventAnalytics {
       Tables.events(spark, dir)
         .groupBy($"event_type")
         .agg(
-          round(expr("percentile(value, 0.5)"), Det.OutScale).as("p50"),
-          round(expr("percentile(value, 0.9)"), Det.OutScale).as("p90"),
+          Det.qround(expr("percentile(value, 0.5)")).as("p50"),
+          Det.qround(expr("percentile(value, 0.9)")).as("p90"),
           count(lit(1)).as("n_events"))
         .orderBy($"event_type")
     },
     Some("""
       SELECT event_type,
-        round(quantile_cont(value, 0.5), 6) AS p50,
-        round(quantile_cont(value, 0.9), 6) AS p90,
+        floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90,
         count(*) AS n_events
       FROM events
       GROUP BY event_type

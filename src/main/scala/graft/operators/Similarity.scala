@@ -80,7 +80,7 @@ object Similarity {
       emb.select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"))
         .join(broadcast(q), $"qid" =!= $"tid")
         .select($"qid", $"tid",
-          round(decDot($"qe", $"te") / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
+          Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
         .filter($"rk" <= TopK)
@@ -97,7 +97,8 @@ object Similarity {
         WHERE q.vec_id < $NQueryVecs
         GROUP BY q.vec_id, t.vec_id),
       cos AS (
-        SELECT qid, tid, round(dot / (qn.nrm * tn.nrm), 6) AS cosine
+        SELECT qid, tid,
+          floor(dot / (qn.nrm * tn.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
         FROM dots
         JOIN nrm qn ON qid = qn.vec_id
         JOIN nrm tn ON tid = tn.vec_id)
@@ -126,7 +127,7 @@ object Similarity {
       wn.select($"vec_id".as("tid"), $"e".as("te"), $"nrm".as("tn"))
         .join(broadcast(q), $"qid" =!= $"tid")
         .select($"qid", $"tid",
-          round(dot($"qe", $"te") / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
+          Det.qround(dot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
         .filter($"rk" <= TopK)
@@ -158,8 +159,8 @@ object Similarity {
       buckets.as("a").join(buckets.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
-          round(decDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"),
-            Det.OutScale).as("cosine"))
+          Det.qround(decDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
+            .as("cosine"))
         .filter($"cosine" >= CosineThreshold)
         .orderBy($"ia", $"ib")
     },
@@ -187,11 +188,13 @@ object Similarity {
         JOIN ex ea ON ia = ea.vec_id
         JOIN ex eb ON ib = eb.vec_id AND ea.pos = eb.pos
         GROUP BY ia, ib)
-      SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      SELECT ia, ib,
+        floor(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
       FROM dots
       JOIN nrm na ON ia = na.vec_id
       JOIN nrm nb ON ib = nb.vec_id
-      WHERE round(dot / (na.nrm * nb.nrm), 6) >= $CosineThreshold
+      WHERE floor(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0
+        >= $CosineThreshold
       ORDER BY ia, ib""")
   )
 
@@ -232,7 +235,7 @@ object Similarity {
       probes.join(assign, Seq("cell"))
         .filter($"qid" =!= $"tid")
         .select($"qid", $"tid",
-          round(decDot($"qe", $"te") / ($"qn" * $"tn"), Det.OutScale).as("cosine"))
+          Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
         .filter($"rk" <= TopK)
@@ -269,7 +272,8 @@ object Similarity {
         JOIN ex t ON tid = t.vec_id AND q.pos = t.pos
         GROUP BY qid, tid),
       cos AS (
-        SELECT qid, tid, round(dot / (qn.nrm * tn.nrm), 6) AS cosine
+        SELECT qid, tid,
+          floor(dot / (qn.nrm * tn.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
         FROM dots
         JOIN nrm qn ON qid = qn.vec_id
         JOIN nrm tn ON tid = tn.vec_id)

@@ -203,14 +203,14 @@ object TextAnalytics {
       .groupBy($"doc_id", $"lang")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, Det.Scale)))
-          .cast(DoubleType) / count(lit(1)), Det.OutScale).as("sentiment"))
+        Det.qround(sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, Det.Scale)))
+          .cast(DoubleType) / count(lit(1))).as("sentiment"))
   }
 
   private val docSentimentSql = s"""
     SELECT t.doc_id, count(*) AS n_tokens,
-      round((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
-            / count(*), 6) AS sentiment
+      floor((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
+            / count(*) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
     FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
           FROM documents) t
     LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
@@ -246,8 +246,8 @@ object TextAnalytics {
     Some(s"""
       WITH ds AS (
         SELECT t.doc_id, any_value(t.lang) AS lang,
-          round((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
-                / count(*), 6) AS sentiment
+          floor((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
+                / count(*) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
         FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
               FROM documents) t
         LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
@@ -270,8 +270,8 @@ object TextAnalytics {
     },
     Some(s"""
       SELECT t.doc_id,
-        round((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
-              / count(*), 6) AS sentiment
+        floor((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
+              / count(*) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
             FROM documents) t
       LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
@@ -329,19 +329,19 @@ object TextAnalytics {
     val nTok = size(toks).cast(DoubleType)
     val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*))).cast(DoubleType)
     val avgLen = (length(col("text")) - size(toks) + lit(1)).cast(DoubleType) / size(toks)
-    round(
+    Det.qround(
       lit(0.3) * log(lit(1.0) + nTok) +
       lit(0.5) * (lit(1.0) - nStop / nTok) +
-      lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), Det.OutScale)
+      lit(0.2) * least(avgLen / lit(10.0), lit(1.0)))
   }
 
   /** The same score as DuckDB SQL over a relation exposing `text`. */
   private[graft] def qualitySqlExpr: String = s"""
-    round(0.3 * ln(1.0 + len(string_split(text, ' ')))
+    floor((0.3 * ln(1.0 + len(string_split(text, ' ')))
       + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
           w -> w IN ${Text.stopwordsSqlList}))::DOUBLE / len(string_split(text, ' ')))
       + 0.2 * least(((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
-          / len(string_split(text, ' '))) / 10.0, 1.0), 6)"""
+          / len(string_split(text, ' '))) / 10.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0"""
 
   /** Quality scoring for a training-data pipeline: stopword ratio, mean token
     * length, log-length prior — a deterministic combination of the standard
@@ -354,16 +354,16 @@ object TextAnalytics {
       val nTok = size(toks).cast(DoubleType)
       val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*))).cast(DoubleType)
       val avgLen = (length($"text") - size(toks) + lit(1)).cast(DoubleType) / size(toks)
-      val quality = round(
+      val quality = Det.qround(
         lit(0.3) * log(lit(1.0) + nTok) +
         lit(0.5) * (lit(1.0) - nStop / nTok) +
-        lit(0.2) * least(avgLen / lit(10.0), lit(1.0)), Det.OutScale)
+        lit(0.2) * least(avgLen / lit(10.0), lit(1.0)))
       Tables.documents(spark, dir)
         .select(
           $"doc_id",
           size(toks).cast(LongType).as("n_tokens"),
-          round(nStop / nTok, Det.OutScale).as("stopword_ratio"),
-          round(avgLen, Det.OutScale).as("avg_token_len"),
+          Det.qround(nStop / nTok).as("stopword_ratio"),
+          Det.qround(avgLen).as("avg_token_len"),
           quality.as("quality"))
         .orderBy($"doc_id")
     },
@@ -377,10 +377,10 @@ object TextAnalytics {
             / len(string_split(text, ' ')) AS avg_len
         FROM documents)
       SELECT doc_id, n_tokens,
-        round(n_stop / n_tokens, 6) AS stopword_ratio,
-        round(avg_len, 6) AS avg_token_len,
-        round(0.3 * ln(1.0 + n_tokens) + 0.5 * (1.0 - n_stop / n_tokens)
-              + 0.2 * least(avg_len / 10.0, 1.0), 6) AS quality
+        floor(n_stop / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+        floor(avg_len * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+        floor((0.3 * ln(1.0 + n_tokens) + 0.5 * (1.0 - n_stop / n_tokens)
+              + 0.2 * least(avg_len / 10.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
       FROM q
       ORDER BY doc_id""")
   )

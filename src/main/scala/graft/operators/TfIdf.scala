@@ -45,7 +45,7 @@ object TfIdf {
       .select($"term", $"df", $"idf")
     tf.join(broadcast(idf), Seq("term"))
       .select($"doc_id", $"term", $"tf", $"df",
-        round($"tf" * $"idf", Det.OutScale).as("tfidf"))
+        Det.qround($"tf" * $"idf").as("tfidf"))
   }
 
   private val scoresSql = s"""
@@ -60,7 +60,7 @@ object TfIdf {
               ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) AS idf
             FROM dfreq)
     SELECT tf.doc_id, tf.term, tf.tf, idf.df,
-      round(tf.tf * idf.idf, 6) AS tfidf
+      floor(tf.tf * idf.idf * 1000000.0 + 0.5) / 1000000.0 AS tfidf
     FROM tf JOIN idf ON tf.term = idf.term"""
 
   /** Full per-(doc, term) score relation. */
@@ -82,19 +82,21 @@ object TfIdf {
       scores(spark, dir)
         .groupBy($"term")
         .agg(
-          round(sum($"tfidf".cast(DecimalType(38, Det.Scale))).cast(DoubleType),
-            Det.OutScale).as("total_score"),
+          Det.qround(sum($"tfidf".cast(DecimalType(38, Det.Scale)))
+            .cast(DoubleType)).as("total_score"),
           count(lit(1)).as("n_docs"),
-          round(sum($"tfidf".cast(DecimalType(38, Det.Scale))).cast(DoubleType)
-            / count(lit(1)), Det.OutScale).as("avg_score"))
+          Det.qround(sum($"tfidf".cast(DecimalType(38, Det.Scale))).cast(DoubleType)
+            / count(lit(1))).as("avg_score"))
         .orderBy($"avg_score".desc, $"term")
         .limit(TopK)
     },
     Some(s"""
       SELECT term,
-        round(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE, 6) AS total_score,
+        floor(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE
+          * 1000000.0 + 0.5) / 1000000.0 AS total_score,
         count(*) AS n_docs,
-        round(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE / count(*), 6) AS avg_score
+        floor(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE / count(*)
+          * 1000000.0 + 0.5) / 1000000.0 AS avg_score
       FROM ($scoresSql)
       GROUP BY term
       ORDER BY avg_score DESC, term

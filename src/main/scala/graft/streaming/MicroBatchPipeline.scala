@@ -47,8 +47,8 @@ object MicroBatchPipeline {
       .select($"id", explode(Text.tokens($"text")).as("term"))
       .join(broadcast(SentimentLexicon.df(spark)), Seq("term"), "left")
       .groupBy($"id")
-      .agg(round(sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, Det.Scale)))
-        .cast(DoubleType) / count(lit(1)), Det.OutScale).as("sentiment"))
+      .agg(Det.qround(sum(coalesce($"valence", lit(0.0)).cast(DecimalType(38, Det.Scale)))
+        .cast(DoubleType) / count(lit(1))).as("sentiment"))
     parsed.join(scores, Seq("id"), "left")
       .na.fill(0.0, Seq("sentiment"))
   }
