@@ -69,6 +69,28 @@ class ArrayOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [dot_f32"))
   }
 
+  test("native expressions are null-safe: null in, null out") {
+    val r = spark.sql("""
+      SELECT word_shingles(cast(null as string), 2) AS ws,
+             simhash32(cast(null as string)) AS sh,
+             minhash_bands(cast(null as array<string>), 12, 3) AS mb,
+             vader_score(cast(null as string)) AS vs,
+             sentiment_score(cast(null as string)) AS ss""")
+    assert(r.selectExpr("ws IS NULL", "sh IS NULL", "mb IS NULL",
+      "vs IS NULL", "ss IS NULL")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].head()
+      === ((true, true, true, true, true)))
+    // and degenerate non-null inputs are total
+    val d = spark.sql("""
+      SELECT word_shingles('', 3) AS ws, simhash32('') AS sh,
+             minhash_bands(cast(array() as array<string>), 12, 3) AS mb,
+             vader_score('') AS vs""")
+      .as[(Seq[String], Long, Seq[String], Double)].head()
+    assert(d._1 === Seq.empty)
+    assert(d._3 === Seq("", "", "", ""))  // concat_ws-over-nulls semantics
+    assert(d._4 === 0.0)
+  }
+
   test("all round-2 native expressions stay inside whole-stage codegen") {
     // the whole point of these expressions is replacing CodegenFallback HOFs;
     // a silent fallback would show as a Project OUTSIDE a *(n) codegen span

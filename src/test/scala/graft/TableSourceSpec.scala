@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalytics
+import graft.sources.TableSource
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Format-agnostic ingestion: the fixture documents table exported to CSV
+  * and JSONL, staged back into the parquet layout, must give every query
+  * identical results to the native fixture dir. */
+class TableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def stageThrough(format: String): String = {
+    val exportDir = Files.createTempDirectory(s"graft-src-$format").toString
+    val stagedDir = Files.createTempDirectory(s"graft-staged-$format").toString
+    val docs = Tables.documents(spark, fixtureDir)
+    format match {
+      case "csv" => docs.coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(s"$exportDir/documents")
+      case "jsonl" => docs.coalesce(1).write.mode("overwrite")
+        .json(s"$exportDir/documents")
+    }
+    val n = TableSource.ingest(spark, s"$exportDir/documents", format,
+      docSchema, stagedDir, "documents")
+    assert(n === SparkSpec.fixtureDocs.size)
+    stagedDir
+  }
+
+  for (format <- Seq("csv", "jsonl")) {
+    test(s"queries over a $format-landed table match the native parquet results") {
+      val staged = stageThrough(format)
+      val expected = TextAnalytics.qSubredditStats.run(spark, fixtureDir).collect()
+      val got = TextAnalytics.qSubredditStats.run(spark, staged).collect()
+      assert(got.toSeq === expected.toSeq)
+    }
+  }
+
+  test("malformed rows degrade to nulls instead of failing the read") {
+    val dir = Files.createTempDirectory("graft-src-bad").toString
+    Files.write(java.nio.file.Paths.get(dir, "bad.jsonl"),
+      Seq("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+          """not json at all {{{""").mkString("\n").getBytes("UTF-8"))
+    val df = TableSource.read(spark, dir, "jsonl", docSchema)
+    assert(df.count() === 2)
+    assert(df.filter($"doc_id".isNull).count() === 1)
+  }
+
+  test("unsupported format is rejected explicitly") {
+    intercept[IllegalArgumentException] {
+      TableSource.read(spark, "/tmp/x", "avro", docSchema)
+    }
+  }
+}
