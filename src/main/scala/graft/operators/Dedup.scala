@@ -20,13 +20,16 @@ import org.apache.spark.sql.types._
   * no engine-private hash (xxhash/murmur) appears in the verified surface.
   *
   * Physical design (the 100 TB shape): signatures are computed in a SINGLE
-  * per-row projection with higher-order array functions — no per-hash-index
-  * crossJoin, no per-(doc, hash) shuffle, no multi-level aggregation. The
-  * only shuffles left are (a) the banded candidate join on (band, key) —
-  * rows ∝ docs × bands, and (b) the final verify join, which only ever sees
+  * per-row projection through the native codegen expressions
+  * (`word_shingles`, `minhash_bands`, `simhash32` — functions/ArrayOps) —
+  * no per-hash-index crossJoin, no per-(doc, hash) shuffle, no multi-level
+  * aggregation, no CodegenFallback lambda in any hot path. The only
+  * shuffles left are (a) the banded candidate join on (band, key) — rows ∝
+  * docs × bands, and (b) the final verify join, which only ever sees
   * LSH-candidate pairs (O(n) with bounded bucket sizes), never O(n²).
   * Jaccard verification uses `array_intersect` on the per-doc shingle sets
-  * carried alongside the candidates.
+  * carried alongside the candidates; cluster assignment turns the verified
+  * pairs into per-doc keeper labels via bounded min-label propagation.
   *
   * The driver corpus plants 25 near-duplicate pairs (documents containing
   * the marker token "dup"); 2-shingle Jaccard ≥ 0.6 isolates exactly those.
@@ -121,15 +124,15 @@ object Dedup {
       .orderBy($"ia", $"ib")
   }
 
-  /** MinHash + LSH banding + exact Jaccard verification.
+  /** MinHash + LSH banding + exact Jaccard verification: verified near-dup
+    * pairs (ia &lt; ib, jaccard ≥ threshold), shared by q_dedup_minhash and
+    * the cluster-assignment operator.
     *
     * Signature h_i(doc) = min over shingles of md5(i || ':' || shingle),
-    * all K values computed in one projection (transform × array_min — no
+    * all K values computed in one codegen'd projection (minhash_bands — no
     * crossJoin with a hash-index table, no shuffle); band key = concat of
     * BandRows signature values; candidate pairs = docs sharing any band key.
     */
-  /** Verified MinHash near-dup pairs (ia &lt; ib, jaccard ≥ threshold) —
-    * shared by q_dedup_minhash and the cluster-assignment operator. */
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted for the same reason as in q_ngram_jaccard: banding + the
