@@ -201,7 +201,43 @@ object PipelineOps {
       ORDER BY doc_id""")
   )
 
+  /** Per-stratum selection size. */
+  val TopPerLang = 20
+
+  /** Training-data selection: the top-k documents per language by quality
+    * score (ties: doc_id asc) — "take the best N per stratum", the selection
+    * primitive quality-filtered corpora are built with.
+    *
+    * Scale shape: rank is a per-stratum window (one hash exchange on
+    * `lang`, in-partition sort); with k ≪ stratum size the post-filter
+    * discards most rows immediately after ranking. The quality expression
+    * itself is per-row codegen. */
+  val qTopQualityPerLang = GraftQuery(
+    "q_top_quality_per_lang",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", TextAnalytics.qualityCol.as("quality"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"lang").orderBy($"quality".desc, $"doc_id")))
+        .filter($"rk" <= TopPerLang)
+        .select($"doc_id", $"lang", $"quality", $"rk".cast(LongType).as("rk"))
+        .orderBy($"lang", $"rk")
+    },
+    Some(s"""
+      SELECT doc_id, lang, quality, rk
+      FROM (
+        SELECT doc_id, lang, quality,
+          row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+            AS rk
+        FROM (SELECT doc_id, lang, ${TextAnalytics.qualitySqlExpr} AS quality
+              FROM documents))
+      WHERE rk <= $TopPerLang
+      ORDER BY lang, rk""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
-      qCorpusPrep)
+      qCorpusPrep, qTopQualityPerLang)
 }

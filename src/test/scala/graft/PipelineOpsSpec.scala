@@ -56,6 +56,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keepers === Set(0L, 1L, 2L, 4L, 5L))  // 3 deduped away
   }
 
+  test("top-quality-per-lang returns at most k per stratum, rank-ordered") {
+    val rows = PipelineOps.qTopQualityPerLang.run(spark, fixtureDir)
+      .select($"lang", $"quality", $"rk").as[(String, Double, Long)].collect()
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet === Set("en", "de", "fr"))
+    byLang.values.foreach { g =>
+      assert(g.length <= PipelineOps.TopPerLang)
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3) === (1L to g.length).toSeq)
+      // quality non-increasing down the ranks
+      val qs = sorted.map(_._2)
+      assert(qs.zip(qs.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("shuffle order is a deterministic permutation keyed by the seed") {
     val order1 = PipelineOps.qShuffleOrder.run(spark, fixtureDir)
       .select($"doc_id").as[Long].collect().toSeq
