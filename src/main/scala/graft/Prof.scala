@@ -26,6 +26,7 @@ object Prof {
       val t0 = System.nanoTime()
       val rows = q.run(spark, dir).count()
       println(f"PROF $n%-24s run$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      if (rep == 2) spark.catalog.clearCache()
     }
     spark.stop()
   }

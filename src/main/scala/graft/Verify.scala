@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist() intermediates (LSH indexes, shingle sets) that
+      // only pay off within one query — drop them so a full-suite session
+      // does not accumulate dead cached partitions
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

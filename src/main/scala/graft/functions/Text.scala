@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Tokenization reproduces MLlib `Tokenizer` semantics (lowercase +
   * whitespace split — reference reddit_consumer.py:183-184): Spark
-  * `split(lower(text), pattern)`. The driver corpus is single-space
-  * separated, so the oracle twin `string_split(text, ' ')` is equivalent on
-  * the verified surface; unit tests cover the general-whitespace behavior.
+  * `split(lower(text), pattern)`. The DuckDB oracle twin is
+  * `string_split_regex(lower(text), '[[:space:]]+')` — POSIX `[[:space:]]`
+  * is exactly Java's `\s` (both include vertical tab, unlike RE2's `\s`),
+  * so Spark and oracle tokenize identically on ANY corpus, not just the
+  * driver's lowercase single-spaced one.
   */
 object Text {
 

@@ -24,12 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    to the target valence, caps-boosted like the target;
   *  - negation window: a negator in the 3 preceding tokens multiplies the
   *    valence by N_SCALAR = -0.74 (checked per preceding position, as VADER
-  *    does), incl. the "n't" substring rule and the "least" rule;
+  *    does), incl. the "n't" substring rule and the "least" rule; the
+  *    "never so|this" amplifier (×1.25 instead of negating, at distances
+  *    2-3, incl. vaderSentiment's bare so|this-at-distance-1 alternative in
+  *    the distance-3 branch) and the neutral "without doubt" carve-out are
+  *    ported verbatim from `_negation_check`;
   *  - "but" clause weighting: valences before the first "but" ×0.5,
   *    after ×1.5;
   *  - punctuation emphasis: min(#"!", 4)·0.292 plus #"?" (2-3: ×0.18 each,
   *    >3: 0.96), added in the direction of the pre-punctuation sum;
-  *  - compound = s / sqrt(s² + 15), rounded to 6 dp.
+  *  - compound = s / sqrt(s² + 15), rounded to 4 dp exactly as
+  *    vaderSentiment's `round(compound, 4)`.
   *
   * Out of scope (documented): VADER's multi-word idiom table, "kind of"
   * special cases, and emoji translation — none applicable to the embedded
@@ -161,8 +166,24 @@ object Vader {
             if (d == 1 && s != 0.0) s *= 0.95
             if (d == 2 && s != 0.0) s *= 0.9
             valence += s
-            // per-position negation, as VADER's _negation_check does
-            if (isNegated(lower(j))) valence *= NScalar
+            // vaderSentiment _negation_check, per preceding position:
+            // "never so|this" amplifies ×1.25 instead of negating (the
+            // distance-3 branch also fires on bare so|this at distance 1 —
+            // a quirk of the published condition, ported verbatim);
+            // "without doubt" is neutral and skips the flip.
+            def soThis(k: Int): Boolean = {
+              val w = lower(k); w == "so" || w == "this"
+            }
+            val neverSoThis =
+              (d == 1 && lower(j) == "never" && soThis(i - 1)) ||
+              (d == 2 && ((lower(j) == "never" && soThis(i - 2)) || soThis(i - 1)))
+            val withoutDoubt =
+              (d == 1 && lower(j) == "without" && lower(i - 1) == "doubt") ||
+              (d == 2 && lower(j) == "without" &&
+                (lower(i - 2) == "doubt" || lower(i - 1) == "doubt"))
+            if (neverSoThis) valence *= 1.25
+            else if (withoutDoubt) ()
+            else if (isNegated(lower(j))) valence *= NScalar
             // "least" rule: "least good" flips unless "at least"/"very least"
             if (d == 0 && lower(j) == "least" &&
                 (j == 0 || (lower(j - 1) != "at" && lower(j - 1) != "very")))
@@ -207,7 +228,7 @@ object Vader {
     val compoundRaw = sum / math.sqrt(sum * sum + 15.0)
     val clamped = math.max(-1.0, math.min(1.0, compoundRaw))
     java.math.BigDecimal.valueOf(clamped)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 }
 

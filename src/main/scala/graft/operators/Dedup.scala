@@ -101,11 +101,11 @@ object Dedup {
     if (n == 2)
       """SELECT doc_id, unnest(list_distinct(
            [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS shingle
-         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"""
+         FROM (SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws FROM documents)"""
     else
       """SELECT doc_id, unnest(list_distinct(
            [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
-         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"""
+         FROM (SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws FROM documents)"""
 
   /** Exact-Jaccard verification of candidate pairs against the true shingle
     * sets: join the (small) pair list back to the per-doc arrays and
@@ -234,6 +234,10 @@ object Dedup {
         labels = next
         it += 1
       }
+      // the convergence counts have materialized everything the final
+      // labels cache needs — the edge relations are dead weight from here
+      pairs.unpersist()
+      edges.unpersist()
       labels.select($"id".as("doc_id"), $"label".as("cluster"))
         .orderBy($"doc_id")
     },
@@ -304,7 +308,7 @@ object Dedup {
       WITH tf AS (
         SELECT doc_id, term, count(*) AS tf,
           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term FROM documents)
         GROUP BY doc_id, term),
       bits AS (
         SELECT doc_id, b, sum(tf * (((hv >> b) & 1) * 2 - 1)) AS s

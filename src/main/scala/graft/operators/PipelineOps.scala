@@ -100,7 +100,7 @@ object PipelineOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
             AS cum_before
         FROM (SELECT doc_id, lang,
-                len(string_split(text, ' '))::BIGINT AS n_tokens
+                len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens
               FROM documents))
       ORDER BY doc_id""")
   )

@@ -211,7 +211,7 @@ object TextAnalytics {
     SELECT t.doc_id, count(*) AS n_tokens,
       floor((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
-    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+    FROM (SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
           FROM documents) t
     LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
     GROUP BY t.doc_id"""
@@ -248,7 +248,7 @@ object TextAnalytics {
         SELECT t.doc_id, any_value(t.lang) AS lang,
           floor((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
-        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM (SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
               FROM documents) t
         LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
         GROUP BY t.doc_id)
@@ -272,7 +272,7 @@ object TextAnalytics {
       SELECT t.doc_id,
         floor((sum(CAST(coalesce(lex.valence, 0.0) AS DECIMAL(38,9)))::DOUBLE)
               / count(*) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
             FROM documents) t
       LEFT JOIN ${SentimentLexicon.valuesSql} ON t.term = lex.term
       GROUP BY t.doc_id
@@ -313,10 +313,10 @@ object TextAnalytics {
     },
     Some(s"""
       SELECT doc_id,
-        len(string_split(text, ' '))::BIGINT AS n_tokens,
+        len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens,
         len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_word_tokens,
-        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
-        len(list_filter(list_distinct(string_split(text, ' ')),
+        len(list_distinct(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT AS n_distinct,
+        len(list_filter(list_distinct(string_split_regex(lower(text), '[[:space:]]+')),
             w -> w NOT IN ${Text.stopwordsSqlList}))::BIGINT AS n_content
       FROM documents
       ORDER BY doc_id""")
@@ -337,11 +337,11 @@ object TextAnalytics {
 
   /** The same score as DuckDB SQL over a relation exposing `text`. */
   private[graft] def qualitySqlExpr: String = s"""
-    floor((0.3 * ln(1.0 + len(string_split(text, ' ')))
-      + 0.5 * (1.0 - len(list_filter(string_split(text, ' '),
-          w -> w IN ${Text.stopwordsSqlList}))::DOUBLE / len(string_split(text, ' ')))
-      + 0.2 * least(((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
-          / len(string_split(text, ' '))) / 10.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0"""
+    floor((0.3 * ln(1.0 + len(string_split_regex(lower(text), '[[:space:]]+')))
+      + 0.5 * (1.0 - len(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+          w -> w IN ${Text.stopwordsSqlList}))::DOUBLE / len(string_split_regex(lower(text), '[[:space:]]+')))
+      + 0.2 * least(((length(text) - len(string_split_regex(lower(text), '[[:space:]]+')) + 1)::DOUBLE
+          / len(string_split_regex(lower(text), '[[:space:]]+'))) / 10.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0"""
 
   /** Quality scoring for a training-data pipeline: stopword ratio, mean token
     * length, log-length prior — a deterministic combination of the standard
@@ -370,11 +370,11 @@ object TextAnalytics {
     Some(s"""
       WITH q AS (
         SELECT doc_id,
-          len(string_split(text, ' '))::BIGINT AS n_tokens,
-          len(list_filter(string_split(text, ' '),
+          len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens,
+          len(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
               w -> w IN ${Text.stopwordsSqlList}))::DOUBLE AS n_stop,
-          (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
-            / len(string_split(text, ' ')) AS avg_len
+          (length(text) - len(string_split_regex(lower(text), '[[:space:]]+')) + 1)::DOUBLE
+            / len(string_split_regex(lower(text), '[[:space:]]+')) AS avg_len
         FROM documents)
       SELECT doc_id, n_tokens,
         floor(n_stop / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
@@ -416,13 +416,13 @@ object TextAnalytics {
     },
     Some("""
       WITH toks AS (
-        SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+        SELECT doc_id, lang, unnest(list_distinct(string_split_regex(lower(text), '[[:space:]]+'))) AS term
         FROM documents),
       profiles AS (
         SELECT plang, term FROM (
           SELECT lang AS plang, term, count(*) AS freq,
             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk
-          FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+          FROM (SELECT lang, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term FROM documents)
           GROUP BY lang, term)
         WHERE rk <= 5),
       overlap AS (
@@ -455,7 +455,7 @@ object TextAnalytics {
     },
     Some("""
       SELECT doc_id, md5(text) AS fp_full,
-        list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS fp_min_token
+        list_min(list_transform(string_split_regex(lower(text), '[[:space:]]+'), t -> md5(t))) AS fp_min_token
       FROM documents
       ORDER BY doc_id""")
   )

@@ -50,7 +50,7 @@ object TfIdf {
 
   private val scoresSql = s"""
     WITH toks AS (
-      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
         w -> w NOT IN ${Text.stopwordsSqlList})) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -80,11 +80,17 @@ object MicroBatchPipeline {
         val stamp = java.time.format.DateTimeFormatter
           .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
           .format(java.time.Instant.now())
-        val procRoot = new java.io.File(s"$outDir/processed")
-        if (procRoot.isDirectory)
-          procRoot.listFiles()
-            .filter(_.getName.matches(s"processed_\\d{8}_\\d{6}_b$batchId\\.parquet"))
-            .foreach(deleteRecursively)
+        // Resolved through the Hadoop FileSystem API so the idempotency
+        // sweep works for any supported scheme (local, HDFS, S3A), not just
+        // java.io-visible paths.
+        val procRoot = new org.apache.hadoop.fs.Path(s"$outDir/processed")
+        val fs = procRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(procRoot)) {
+          val mine = s"processed_\\d{8}_\\d{6}_b$batchId\\.parquet"
+          fs.listStatus(procRoot)
+            .filter(st => st.getPath.getName.matches(mine))
+            .foreach(st => fs.delete(st.getPath, true))
+        }
         processed.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/processed/processed_${stamp}_b$batchId.parquet")
 
@@ -121,11 +127,6 @@ object MicroBatchPipeline {
           Retention.enforce(s"$outDir/$d", retentionBytes)
       }
     } finally processed.unpersist()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
   }
 
   /** S7: optional JDBC sink (reference reddit_consumer.py:329-338 pushes

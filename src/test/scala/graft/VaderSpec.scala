@@ -6,7 +6,8 @@ import graft.operators.TextAnalytics
 /** Hand-computed fixtures for the VADER-faithful compound scorer over the
   * embedded lexicon (fast=0.75, slow=-0.75, big=0.25, …). Every expected
   * value below is computed by hand from the published constants:
-  * compound = round₆(s / √(s² + 15)), with s assembled per the rules in
+  * compound = round₄(s / √(s² + 15)) — 4 dp, exactly vaderSentiment's
+  * `round(compound, 4)` — with s assembled per the rules in
   * graft.functions.Vader's scaladoc (B=0.293, C=0.733, N=-0.74).
   */
 class VaderSpec extends SparkSpec {
@@ -16,36 +17,48 @@ class VaderSpec extends SparkSpec {
     assert(Vader.compound(text) === expected, s"for '$text'")
 
   test("plain lexicon hit normalizes with s/sqrt(s^2+15)") {
-    check("fast", 0.190117)           // s = 0.75
-    check("slow", -0.190117)          // s = -0.75
-    check("fast fast", 0.361158)      // s = 1.5
+    check("fast", 0.1901)             // s = 0.75
+    check("slow", -0.1901)            // s = -0.75
+    check("fast fast", 0.3612)        // s = 1.5
     check("", 0.0)
     check("unknown words only", 0.0)
   }
 
   test("negation window flips with N_SCALAR = -0.74") {
-    check("not fast", -0.141851)      // s = 0.75 * -0.74
-    check("not slow", 0.141851)
-    check("never was fast", -0.141851) // negator 2 tokens back
-    check("least fast", -0.141851)     // the "least" rule
-    check("at least fast", 0.190117)   // "at least" exempt
+    check("not fast", -0.1419)        // s = 0.75 * -0.74
+    check("not slow", 0.1419)
+    check("never was fast", -0.1419)  // negator 2 tokens back
+    check("least fast", -0.1419)      // the "least" rule
+    check("at least fast", 0.1901)    // "at least" exempt
+  }
+
+  test("never so/this amplifies x1.25 instead of negating") {
+    // s = (0.75 + 0.293 booster for "so") * 1.25 = 1.30375
+    check("never so fast", 0.3190)
+    // s = -0.75 * 1.25 = -0.9375 ("this" is no booster)
+    check("never this slow", -0.2353)
+  }
+
+  test("without doubt is neutral (negation carve-out)") {
+    check("without doubt fast", 0.1901)   // s stays 0.75
+    check("without pause fast", -0.1419)  // control: "without" still negates
   }
 
   test("booster dictionary with distance damping") {
-    check("very fast", 0.260037)      // s = 0.75 + 0.293
-    check("very very fast", 0.322896) // s = 0.75 + 0.293 + 0.293*0.95
-    check("slightly fast", 0.117184)  // s = 0.75 - 0.293 = 0.457
+    check("very fast", 0.2600)        // s = 0.75 + 0.293
+    check("very very fast", 0.3229)   // s = 0.75 + 0.293 + 0.293*0.95
+    check("slightly fast", 0.1172)    // s = 0.75 - 0.293 = 0.457
   }
 
   test("ALL-CAPS emphasis only under mixed case") {
-    check("FAST code", 0.357590)      // s = 0.75 + 0.733 (cap differential)
-    check("FAST FAST", 0.361158)      // all-caps text: no boost, s = 1.5
+    check("FAST code", 0.3576)        // s = 0.75 + 0.733 (cap differential)
+    check("FAST FAST", 0.3612)        // all-caps text: no boost, s = 1.5
   }
 
   test("punctuation emphasis and but-clause") {
-    check("fast!!", 0.325661)         // s = 0.75 + 2*0.292
-    check("fast??", 0.275509)         // s = 0.75 + 2*0.18
-    check("slow but fast", 0.190117)  // s = -0.75*0.5 + 0.75*1.5 = 0.75
+    check("fast!!", 0.3257)           // s = 0.75 + 2*0.292
+    check("fast??", 0.2755)           // s = 0.75 + 2*0.18
+    check("slow but fast", 0.1901)    // s = -0.75*0.5 + 0.75*1.5 = 0.75
   }
 
   test("q_sentiment_vader scores every document, bounded in [-1, 1]") {
@@ -54,8 +67,8 @@ class VaderSpec extends SparkSpec {
     assert(out.size === SparkSpec.fixtureDocs.size)
     assert(out.values.forall(v => v >= -1.0 && v <= 1.0))
     // doc 0 "fast fast slow": s = 0.75 + 0.75 - 0.75 = 0.75
-    assert(out(0L) === 0.190117)
+    assert(out(0L) === 0.1901)
     // doc 2 "slow slow slow big": s = -0.75*3 + 0.25 = -2.0
-    assert(out(2L) === -0.458831)
+    assert(out(2L) === -0.4588)
   }
 }
