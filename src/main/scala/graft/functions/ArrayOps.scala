@@ -38,6 +38,25 @@ object ArrayOps {
     sum.doubleValue()
   }
 
+  /** Plain-double dot product of two float arrays — the cheap PREFILTER twin
+    * of [[dotF32]]: same null/length semantics, IEEE double accumulation in
+    * array order instead of exact decimals. Against the decimal-exact value
+    * the error is bounded by ~n·ε·Σ|aᵢbᵢ| (≈1e-13 at n=64, |v|≤1) — orders
+    * below the 1e-6 guard band the verify queries use, so
+    * `fast ≥ thr - 1e-6` can never drop a row the exact filter would keep. */
+  def dotF32Fast(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      sum += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
   /** Sign-LSH bucket of a float array under the deterministic LCG plane
     * weights w(j,d) = ((1103515245*(j*64+d) + 12345) div 65536) % 19 - 9,
     * projections accumulated in scale-12 decimals (sign decisions identical
@@ -236,6 +255,35 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_f32_fast(a, b)`: plain-double dot product of two array&lt;float&gt; —
+  * the prefilter twin of `dot_f32` (see [[ArrayOps.dotF32Fast]]). */
+case class DotF32Fast(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_f32_fast"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("dot_f32_fast requires two array<float> arguments")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.dotF32Fast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.ArrayOps.dotF32Fast($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF32Fast =
     copy(left = newLeft, right = newRight)
 }
 

@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       (args: Seq[Expression]) => DotF32(args(0), args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("dot_f32_fast"),
+      new ExpressionInfo(classOf[DotF32Fast].getName, "dot_f32_fast"),
+      (args: Seq[Expression]) => DotF32Fast(args(0), args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (args: Seq[Expression]) => LshBucket(args.head,

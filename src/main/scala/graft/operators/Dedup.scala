@@ -204,10 +204,15 @@ object Dedup {
     * Shape: iterative min-label propagation — per round one join of the
     * edge list against current labels + one min-aggregate, converging in
     * ≤ component-diameter rounds (each round is a bounded shuffle on the
-    * edge key; no driver-side data beyond the convergence counter). This is
-    * the standard large-scale connected-components loop; near-dup components
-    * have tiny diameters in practice, and MaxCcIterations bounds pathology.
-    * The oracle computes the same fixpoint with a recursive CTE.
+    * edge key; no driver-side data beyond the convergence counter). The
+    * iteration runs over the EDGE-ENDPOINT SUBGRAPH only — the set of
+    * documents that have at least one verified near-dup, a vanishing
+    * fraction of any real corpus — and the final labels are joined back to
+    * the full document table exactly once (documents outside the subgraph
+    * are their own cluster). At 100 TB this is the difference between
+    * per-round shuffles ∝ |near-dup pairs| and per-round shuffles ∝ |corpus|.
+    * MaxCcIterations bounds pathology; the oracle computes the same fixpoint
+    * with a recursive CTE.
     */
   val qDedupClusters = GraftQuery(
     "q_dedup_clusters",
@@ -217,28 +222,44 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = pairs.union(pairs.select($"ib", $"ia")).toDF("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = Tables.documents(spark, dir)
-        .select($"doc_id".as("id"), $"doc_id".as("label"))
+      // init = identity WITH the first propagation round folded in
+      // (label₀ = min over self + direct neighbors): diameter-1 components —
+      // the overwhelming near-dup case — converge before the loop even runs,
+      // so the loop body executes exactly once (the confirming round)
+      var cached = edges.groupBy($"src")
+        .agg(least($"src", min($"dst")).as("label"))
+        .select($"src".as("id"), $"label")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = cached
       var changed = 1L
       var it = 0
       while (changed > 0 && it < MaxCcIterations) {
+        // one join + ONE action per round: the next label and the
+        // did-it-shrink flag come out of the same pass (the count also
+        // materializes the persisted relation the next round reads)
         val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
           .groupBy($"src").agg(min($"label").as("nl"))
         val next = labels.join(viaNeighbors, labels("id") === viaNeighbors("src"), "left")
-          .select(labels("id"), least($"label", coalesce($"nl", $"label")).as("label"))
+          .select(labels("id"), $"label".as("old"),
+            least($"label", coalesce($"nl", $"label")).as("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
-          .filter($"n.label" =!= $"o.label").count()
-        labels.unpersist()
-        labels = next
+        changed = next.filter($"label" < $"old").count()
+        cached.unpersist()
+        cached = next
+        labels = next.select($"id", $"label")
         it += 1
       }
       // the convergence counts have materialized everything the final
       // labels cache needs — the edge relations are dead weight from here
       pairs.unpersist()
       edges.unpersist()
-      labels.select($"id".as("doc_id"), $"label".as("cluster"))
+      // one join back to the corpus: subgraph labels broadcast (they are
+      // tiny relative to the table whenever dedup is worth running; drop
+      // the hint if a corpus ever inverts that), everyone else keeps itself
+      Tables.documents(spark, dir)
+        .join(broadcast(labels.select($"id".as("doc_id"), $"label")),
+          Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("cluster"))
         .orderBy($"doc_id")
     },
     Some(s"""

@@ -110,17 +110,17 @@ object Similarity {
       ORDER BY qid, rk""")
   )
 
-  /** Tier 2: same query through plain-double zip_with/aggregate — the
-    * cheapest possible fold. Float fold order is Spark-internal, so this
-    * stays out of the SQL oracle (rows-only check). */
+  /** Tier 2: same query through the native plain-double fold
+    * (`dot_f32_fast`, whole-stage codegen) — the cheapest possible path.
+    * Double fold order is engine-internal, so this stays out of the SQL
+    * oracle (rows-only check). */
   val qAnnCosineFast = GraftQuery(
     "q_ann_cosine_fast",
     (spark, dir) => {
       import spark.implicits._
       val emb = Tables.spread(Tables.embeddings(spark, dir))
-        .select($"vec_id", transform($"embedding", v => v.cast(DoubleType)).as("e"))
-      def dot(a: Column, b: Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        .select($"vec_id", $"embedding".as("e"))
+      def dot(a: Column, b: Column) = call_function("dot_f32_fast", a, b)
       val wn = emb.withColumn("nrm", sqrt(dot($"e", $"e")))
       val q = wn.filter($"vec_id" < NQueryVecs)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
@@ -156,11 +156,21 @@ object Similarity {
       val buckets = emb.select($"vec_id", $"embedding", $"nrm",
         call_function("lsh_bucket", $"embedding", lit(NPlanes)).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Cheap-prefilter-then-exact-verify (the standard two-phase shape):
+      // the plain-double fold with a 1e-6 guard band rejects ~all candidate
+      // pairs before any decimal math runs; the exact decimal cosine — the
+      // one the oracle reproduces — is evaluated only for near-hits, and its
+      // threshold filter is unchanged, so results are identical (the guard
+      // band exceeds the double fold's error bound by ~7 orders).
       buckets.as("a").join(buckets.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
-          Det.qround(decDot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
-            .as("cosine"))
+          $"a.embedding".as("ea"), $"b.embedding".as("eb"),
+          ($"a.nrm" * $"b.nrm").as("nn"),
+          (call_function("dot_f32_fast", $"a.embedding", $"b.embedding") /
+            ($"a.nrm" * $"b.nrm")).as("fastcos"))
+        .filter($"fastcos" >= CosineThreshold - 1e-6)
+        .select($"ia", $"ib", Det.qround(decDot($"ea", $"eb") / $"nn").as("cosine"))
         .filter($"cosine" >= CosineThreshold)
         .orderBy($"ia", $"ib")
     },

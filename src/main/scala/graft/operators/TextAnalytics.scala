@@ -388,30 +388,42 @@ object TextAnalytics {
   /** Language identification by n-gram profile (Cavnar-Trenkle shape, word
     * unigrams as the n-grams): per language, the top-5 most frequent terms
     * form its profile; a document is classified to the language whose profile
-    * overlaps its token set most (ties: lang asc). */
+    * overlaps its token set most (ties: lang asc).
+    *
+    * Fit/transform shape: the profile table is the MODEL — a bounded
+    * artifact (langs × 5 terms) produced by one small aggregation — and
+    * classification is a map-only pass: each document intersects its
+    * distinct-token array with every broadcast profile row in-place
+    * (`array_intersect`, codegen), so no corpus-proportional shuffle of
+    * (doc, term) rows ever happens. The only per-doc shuffle left is the
+    * 1-row-per-doc `min_by` pick (partial-aggregated before the exchange —
+    * all of a doc's language rows sit in the same partition). The previous
+    * explode→join→groupBy→window formulation shuffled every matched token
+    * occurrence — at 100 TB that shuffle IS the job; this one never
+    * materializes it. */
   val qLangId = GraftQuery(
     "q_lang_id",
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.spread(Tables.documents(spark, dir))
-      val toks = docs.select($"doc_id", $"lang",
-        explode(array_distinct(Text.tokens($"text"))).as("term"))
       val profiles = docs
         .select($"lang".as("plang"), explode(Text.tokens($"text")).as("term"))
         .groupBy($"plang", $"term").agg(count(lit(1)).as("freq"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"plang").orderBy($"freq".desc, $"term")))
         .filter($"rk" <= 5)
-        .select($"plang", $"term")
-      val overlap = toks.join(broadcast(profiles), Seq("term"))
-        .groupBy($"doc_id", $"lang", $"plang")
-        .agg(count(lit(1)).as("overlap"))
-      overlap
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"plang")))
-        .filter($"rn" === 1)
-        .select($"doc_id", $"plang".as("pred_lang"), $"lang".as("actual_lang"),
-          ($"plang" === $"lang").as("correct"))
+        .groupBy($"plang").agg(collect_set($"term").as("pterms"))
+      docs
+        .select($"doc_id", $"lang", array_distinct(Text.tokens($"text")).as("dterms"))
+        .crossJoin(broadcast(profiles))
+        .select($"doc_id", $"lang", $"plang",
+          size(array_intersect($"dterms", $"pterms")).as("overlap"))
+        .filter($"overlap" >= 1)  // join parity: no row for zero overlap
+        .groupBy($"doc_id", $"lang")
+        .agg(min_by($"plang", struct((-$"overlap").as("no"), $"plang".as("p")))
+          .as("pred_lang"))
+        .select($"doc_id", $"pred_lang", $"lang".as("actual_lang"),
+          ($"pred_lang" === $"lang").as("correct"))
         .orderBy($"doc_id")
     },
     Some("""
