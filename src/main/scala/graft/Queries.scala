@@ -16,6 +16,8 @@ object Queries {
       Skew.all ++
       TemporalJoins.all ++
       PipelineOps.all ++
+      CorpusQuality.all ++
+      Clustering.all ++
       Media.all
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

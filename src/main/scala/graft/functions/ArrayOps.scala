@@ -200,6 +200,59 @@ object ArrayOps {
     sig
   }
 
+  /** Exact decimal squared L2 distance between a float vector and a double
+    * vector (a trained centroid): Σ dec₁₂((aᵢ-bᵢ)²). Same exactness contract
+    * as [[dotF32]] — each double term rounded to scale-12 decimal via its
+    * shortest-decimal representation, exact accumulation — so it is
+    * bit-identical to the oracle's
+    * `sum(CAST((v-c)*(v-c) AS DECIMAL(38,12)))::DOUBLE`. */
+  def dist2F32F64(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      sum = sum.add(java.math.BigDecimal.valueOf(d * d)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue()
+  }
+
+  /** Per-document repetition statistics in ONE pass (the Gopher repetition
+    * rules' raw counts): [n_tokens, distinct_tokens, top_token_count,
+    * n_2grams, distinct_2grams, top_2gram_count] over the lowercase
+    * whitespace tokenization every other text operator uses. The relational
+    * twin (explode → per-term counts → per-doc aggregate) costs a full
+    * (doc, term) shuffle; this is a map-side projection — at 100 TB the
+    * difference between a shuffle ∝ corpus tokens and none at all. */
+  def repStats(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val n = toks.length
+    val tokCounts = new java.util.HashMap[String, Int]()
+    var topTok = 0
+    var i = 0
+    while (i < n) {
+      val c = tokCounts.merge(toks(i), 1, (x, y) => x + y)
+      if (c > topTok) topTok = c
+      i += 1
+    }
+    val gramCounts = new java.util.HashMap[String, Int]()
+    var topGram = 0
+    i = 0
+    while (i + 2 <= n) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = gramCounts.merge(g, 1, (x, y) => x + y)
+      if (c > topGram) topGram = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](
+      n.toLong, tokCounts.size.toLong, topTok.toLong,
+      math.max(n - 1, 0).toLong, gramCounts.size.toLong, topGram.toLong))
+  }
+
   /** Distinct word n-gram shingles of a text, lowercase whitespace-split.
     *
     * Set-identical to the declarative
@@ -310,6 +363,63 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** `dist2_f32_f64(v, c)`: exact-decimal squared L2 distance between an
+  * array&lt;float&gt; vector and an array&lt;double&gt; centroid (see
+  * [[ArrayOps.dist2F32F64]]). */
+case class Dist2F32F64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dist2_f32_f64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "dist2_f32_f64 requires (array<float>, array<double>)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.dist2F32F64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.ArrayOps.dist2F32F64($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2F32F64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `rep_stats(text)`: one-pass repetition counters of a document (see
+  * [[ArrayOps.repStats]] — [n_tokens, distinct_tokens, top_token_count,
+  * n_2grams, distinct_2grams, top_2gram_count]). */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("rep_stats requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.repStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.repStats($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
     copy(child = newChild)
 }
 

@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => LshBucket(args.head,
         args.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(8))))
     ext.injectFunction((
+      new FunctionIdentifier("dist2_f32_f64"),
+      new ExpressionInfo(classOf[Dist2F32F64].getName, "dist2_f32_f64"),
+      (args: Seq[Expression]) => Dist2F32F64(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "rep_stats"),
+      (args: Seq[Expression]) => RepStats(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vader_score"),
       new ExpressionInfo(classOf[VaderScore].getName, "vader_score"),
       (args: Seq[Expression]) => VaderScore(args.head)))

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-hygiene operators for a training-data pipeline, over `documents`:
+  *
+  *  - repetition statistics (the Gopher repetition rules' raw signals:
+  *    duplicate-token fraction, duplicate/top 2-gram fractions — cf. Rae et
+  *    al. 2021 §A1.1, "repetition" filters);
+  *  - PII redaction (C4-style scrub pass: regex families replaced inline,
+  *    with a per-document redaction count);
+  *  - train/eval contamination screening (n-gram overlap of every training
+  *    document against a bounded benchmark/holdout partition — the standard
+  *    decontamination step before a training run).
+  *
+  * Physical design: repetition counters come from ONE map-side pass per row
+  * (native `rep_stats` codegen expression — no (doc, term) shuffle);
+  * redaction is a pure projection; contamination joins the corpus' shingles
+  * against the BROADCAST holdout side only (the benchmark set is bounded by
+  * construction), so no corpus×corpus pair ever materializes.
+  */
+object CorpusQuality {
+
+  /** A document is flagged repetitive when its most frequent 2-gram covers
+    * at least this fraction of all its 2-gram instances (corpus median is
+    * ~0.03; planted repetitive docs sit well above). */
+  val RepetitiveThreshold = 0.08
+
+  val qRepetitionStats = GraftQuery(
+    "q_repetition_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val st = call_function("rep_stats", $"text")
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", st.as("st"))
+        .select($"doc_id",
+          element_at($"st", 1).as("n_tokens"),
+          element_at($"st", 2).as("n_distinct"),
+          element_at($"st", 3).as("top_token_count"),
+          Det.qround(lit(1.0) -
+            element_at($"st", 2).cast(DoubleType) / element_at($"st", 1))
+            .as("dup_token_frac"),
+          when(element_at($"st", 4) > 0, Det.qround(
+            element_at($"st", 6).cast(DoubleType) / element_at($"st", 4)))
+            .as("top_2gram_frac"),
+          when(element_at($"st", 4) > 0, Det.qround(lit(1.0) -
+            element_at($"st", 5).cast(DoubleType) / element_at($"st", 4)))
+            .as("dup_2gram_frac"))
+        .withColumn("repetitive", $"top_2gram_frac" >= lit(RepetitiveThreshold))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term),
+      ts AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+          max(c)::BIGINT AS top_token_count
+        FROM tc GROUP BY doc_id),
+      gr AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+        FROM (SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+              FROM documents)),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+      gs AS (
+        SELECT doc_id, sum(c)::BIGINT AS n2, count(*)::BIGINT AS d2,
+          max(c)::BIGINT AS top2
+        FROM gc GROUP BY doc_id)
+      SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_token_count,
+        ${Oracle.qround("1.0 - t.n_distinct::DOUBLE / t.n_tokens")} AS dup_token_frac,
+        CASE WHEN g.n2 > 0
+          THEN ${Oracle.qround("g.top2::DOUBLE / g.n2")} END AS top_2gram_frac,
+        CASE WHEN g.n2 > 0
+          THEN ${Oracle.qround("1.0 - g.d2::DOUBLE / g.n2")} END AS dup_2gram_frac,
+        (CASE WHEN g.n2 > 0
+          THEN ${Oracle.qround("g.top2::DOUBLE / g.n2")} END) >= $RepetitiveThreshold
+          AS repetitive
+      FROM ts t LEFT JOIN gs g USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
+  /** Redaction pattern families: emails, long digit runs (ids / phone-ish),
+    * and an entity-token family generalized onto the driver vocabulary
+    * (`\\w+er\\b` — the same generalization precedent as Text.refPatterns;
+    * on a real corpus this slot holds the name/address patterns). Java and
+    * RE2 agree on every construct used here. */
+  val PiiPattern: String = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\d{6,}|\w+er\b"""
+
+  val qRedactPii = GraftQuery(
+    "q_redact_pii",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(PiiPattern), lit(0)))
+            .cast(LongType).as("n_redactions"),
+          regexp_replace($"text", PiiPattern, "<redacted>").as("clean_text"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$PiiPattern'))::BIGINT AS n_redactions,
+        regexp_replace(text, '$PiiPattern', '<redacted>', 'g') AS clean_text
+      FROM documents
+      ORDER BY doc_id""")
+  )
+
+  /** Documents with doc_id below this bound stand in for the benchmark /
+    * eval partition the training corpus must be screened against. */
+  val HoldoutMax = 25L
+  val ContaminationThreshold = 0.5
+
+  val qContamination = GraftQuery(
+    "q_contamination",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          explode(call_function("word_shingles", $"text", lit(2))).as("s"))
+      val bench = sh.filter($"doc_id" < HoldoutMax)
+        .select($"doc_id".as("bench_id"), $"s")
+      val train = sh.filter($"doc_id" >= HoldoutMax)
+      val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+      val inter = train.join(broadcast(bench), Seq("s"))
+        .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("i"))
+      val best = inter.join(sizes, Seq("doc_id"))
+        .groupBy($"doc_id")
+        .agg(max($"i".cast(DoubleType) / $"ns").as("mf"))
+      Tables.documents(spark, dir)
+        .filter($"doc_id" >= HoldoutMax)
+        .select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id",
+          Det.qround(coalesce($"mf", lit(0.0))).as("max_overlap_frac"),
+          (coalesce($"mf", lit(0.0)) >= ContaminationThreshold).as("contaminated"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH sh AS (${Dedup.shinglesSql(2)}),
+      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= $HoldoutMax),
+      ho AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < $HoldoutMax),
+      ns AS (SELECT doc_id, count(*) AS ns FROM tr GROUP BY doc_id),
+      ov AS (
+        SELECT t.doc_id, h.bench_id, count(*) AS i
+        FROM tr t JOIN ho h USING (shingle)
+        GROUP BY t.doc_id, h.bench_id),
+      mx AS (
+        SELECT o.doc_id, max(o.i::DOUBLE / n.ns) AS mf
+        FROM ov o JOIN ns n USING (doc_id)
+        GROUP BY o.doc_id)
+      SELECT d.doc_id,
+        ${Oracle.qround("coalesce(m.mf, 0.0)")} AS max_overlap_frac,
+        coalesce(m.mf, 0.0) >= $ContaminationThreshold AS contaminated
+      FROM documents d LEFT JOIN mx m USING (doc_id)
+      WHERE d.doc_id >= $HoldoutMax
+      ORDER BY d.doc_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qRepetitionStats, qRedactPii, qContamination)
+}

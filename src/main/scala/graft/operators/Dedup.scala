@@ -97,7 +97,7 @@ object Dedup {
 
   /** DuckDB twin of [[docShingles]] exploded (list comprehension over split
     * tokens) — the oracle works on shingle ROWS; same sets, same results. */
-  private def shinglesSql(n: Int): String =
+  private[operators] def shinglesSql(n: Int): String =
     if (n == 2)
       """SELECT doc_id, unnest(list_distinct(
            [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS shingle

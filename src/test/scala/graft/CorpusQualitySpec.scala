@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Clustering, CorpusQuality}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Corpus-hygiene operators (repetition stats, PII redaction, contamination
+  * screening) and the k-means assignment — hand-computed fixtures plus the
+  * native-vs-declarative equivalence and codegen checks every other native
+  * expression gets. */
+class CorpusQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rep_stats counters match a hand count") {
+    val r = spark.sql("SELECT rep_stats('fast fast slow') AS st")
+      .as[Seq[Long]].head()
+    // [n_tokens, distinct, top_token, n_2grams, distinct_2grams, top_2gram]
+    assert(r === Seq(3L, 2L, 2L, 2L, 2L, 1L))
+    val single = spark.sql("SELECT rep_stats('solo') AS st").as[Seq[Long]].head()
+    assert(single === Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("q_repetition_stats hand-computed rows") {
+    val out = CorpusQuality.qRepetitionStats.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Double, Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 0 "fast fast slow": 3 tokens (2 distinct), grams {fast fast, fast slow}
+    assert(out(0L) === ((0L, 3L, 2L, 2L, 0.333333, Some(0.5), Some(0.0), Some(true))))
+    // doc 4 w1..w30: no repetition at all
+    assert(out(4L) === ((4L, 30L, 30L, 1L, 0.0, Some(0.034483), Some(0.0), Some(false))))
+  }
+
+  test("PII pattern redacts emails, digit runs and entity tokens") {
+    val (n, cleaned) = spark.sql(
+      """SELECT cast(size(regexp_extract_all(
+           'contact a.user@mail.com or 1234567 customer order',
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|\\d{6,}|\\w+er\\b', 0)) as bigint),
+         regexp_replace('contact a.user@mail.com or 1234567 customer order',
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|\\d{6,}|\\w+er\\b', '<redacted>')""")
+      .as[(Long, String)].head()
+    assert(n === 4L)
+    assert(cleaned === "contact <redacted> or <redacted> <redacted> <redacted>")
+  }
+
+  test("q_redact_pii leaves the er-free fixture corpus untouched") {
+    val out = CorpusQuality.qRedactPii.run(spark, fixtureDir)
+      .as[(Long, Long, String)].collect()
+    assert(out.length === SparkSpec.fixtureDocs.size)
+    assert(out.forall(_._2 === 0L))
+    assert(out.map(r => r._1 -> r._3).toMap
+      === SparkSpec.fixtureDocs.map(d => d._1 -> d._2).toMap)
+  }
+
+  test("q_contamination is empty when every document is in the holdout") {
+    // all fixture doc_ids < HoldoutMax => no training partition
+    assert(CorpusQuality.qContamination.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("dist2_f32_f64 equals the exploded decimal-sum formulation") {
+    val rnd = new Random(11)
+    val rows = Seq.fill(200)((Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f),
+      Array.fill(64)((rnd.nextDouble() - 0.5) * 4)))
+    val df = rows.toDF("a", "b").withColumn("id", monotonically_increasing_id())
+    val ref = df
+      .select($"id", explode(zip_with($"a", $"b",
+        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y))).as("p"))
+      .groupBy($"id")
+      .agg(sum($"p".cast(DecimalType(38, 12))).cast(DoubleType).as("declarative"))
+    val native = df.select($"id",
+      call_function("dist2_f32_f64", $"a", $"b").as("native"))
+    assert(native.join(ref, Seq("id"))
+      .filter($"native" =!= $"declarative").count() === 0)
+  }
+
+  test("q_kmeans on the fixture: identical vectors share a cell, zero distance") {
+    val out = Clustering.qKmeans.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // vecs 0,1 identical -> cell 0 (tie to lower cid); 2 and 3 keep their own
+    assert(out === Seq((0L, 0L, 0.0), (1L, 0L, 0.0), (2L, 2L, 0.0), (3L, 3L, 0.0)))
+  }
+
+  test("new native expressions: null semantics and codegen participation") {
+    val r = spark.sql("""
+      SELECT rep_stats(cast(null as string)) AS rs,
+             dist2_f32_f64(cast(null as array<float>), array(1.0D)) AS d1,
+             dist2_f32_f64(array(1.0f, 2.0f), array(1.0D)) AS d2,
+             dist2_f32_f64(array(1.0f, 2.0f), array(0.0D, 0.0D)) AS d3""")
+      .selectExpr("rs IS NULL", "d1 IS NULL", "d2 IS NULL", "d3")
+      .as[(Boolean, Boolean, Boolean, Double)].head()
+    assert(r === ((true, true, true, 5.0)))
+    val docs = Tables.documents(spark, fixtureDir)
+    val repPlan = docs.select(call_function("rep_stats", $"text"))
+      .queryExecution.executedPlan.toString
+    assert(repPlan.contains("*(1) Project [rep_stats"), repPlan)
+    val distPlan = Tables.embeddings(spark, fixtureDir)
+      .select(call_function("dist2_f32_f64", $"embedding",
+        expr("cast(array(1.0D, 0D, 0D, 0D, 0D, 0D, 0D, 0D) as array<double>)")))
+      .queryExecution.executedPlan.toString
+    assert(distPlan.contains("*(1) Project [dist2_f32_f64"), distPlan)
+  }
+}
