@@ -49,4 +49,20 @@ object TableSource {
     out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     spark.read.parquet(s"$outDir/$name.parquet").count()
   }
+
+  /** Stage a table into a hive-partitioned parquet layout
+    * (`outDir/<name>.parquet/<col>=<value>/…`). At 100 TB this is the
+    * difference between scanning everything and scanning one directory:
+    * any query filtering on the partition column is pruned at PLANNING
+    * time (`PartitionFilters` on the scan — asserted by
+    * PartitionedLayoutSpec), and files below excluded directories are
+    * never listed, opened, or read. Pick partition columns with bounded
+    * cardinality (lang, source, date) — a high-cardinality partition col
+    * creates a small-file explosion, the opposite failure. */
+  def writePartitioned(df: DataFrame, outDir: String, name: String,
+      partitionCols: Seq[String]): String = {
+    val path = s"$outDir/$name.parquet"
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    path
+  }
 }
