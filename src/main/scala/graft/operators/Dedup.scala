@@ -307,26 +307,10 @@ object Dedup {
     * shuffle; at 100 TB that shuffle IS the job). The only shuffles left are
     * the banded candidate join and the final dedup/sort.
     */
-  val qDedupSimhash = GraftQuery(
-    "q_dedup_simhash",
-    (spark, dir) => {
-      import spark.implicits._
-      val sig = Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id", call_function("simhash32", $"text").as("simhash"))
-      val banded = sig.select($"doc_id", $"simhash",
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
-      banded.as("a").join(banded.as("b"),
-          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-          expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
-        .filter($"hamming" <= 3)   // before distinct: cuts the band-join
-        .distinct()                // output ~30x ahead of the dedup shuffle
-        .orderBy($"ia", $"ib")
-    },
-    Some("""
-      WITH tf AS (
+  /** Shared oracle fragment: the tf-weighted SimHash signature + 4×8-bit
+    * banding as CTE text (`tf`, `bits`, `sig`, `banded`) — interpolated into
+    * every simhash-based oracle so both engines always hash identically. */
+  private[operators] val simhashBandedSql: String = """tf AS (
         SELECT doc_id, term, count(*) AS tf,
           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv
         FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term FROM documents)
@@ -341,7 +325,34 @@ object Dedup {
         FROM bits GROUP BY doc_id),
       banded AS (
         SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
-        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)),
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band))"""
+
+  /** (doc_id, simhash, band, bkey) — the Spark twin of `banded` above:
+    * native map-side signature + 4×8-bit band keys. */
+  private def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", call_function("simhash32", $"text").as("simhash"))
+      .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+  }
+
+  val qDedupSimhash = GraftQuery(
+    "q_dedup_simhash",
+    (spark, dir) => {
+      import spark.implicits._
+      val banded = simhashBanded(spark, dir)
+      banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+          expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+        .filter($"hamming" <= 3)   // before distinct: cuts the band-join
+        .distinct()                // output ~30x ahead of the dedup shuffle
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH $simhashBandedSql,
       pairs AS (
         SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
@@ -350,6 +361,67 @@ object Dedup {
       SELECT ia, ib, hamming FROM pairs
       WHERE hamming <= 3
       ORDER BY ia, ib""")
+  )
+
+  /** Incremental (cross-run) near-dedup: the last 10% of doc_ids stand in
+    * for a NEWLY ARRIVED batch, screened against the SimHash index of the
+    * existing corpus — the production shape where an immutable signature
+    * index is maintained across runs and only new data is hashed and probed.
+    * Each new document gets its closest existing near-duplicate
+    * (min hamming, ties to the lower doc_id) or null if none within
+    * distance 3. Shapes: new-side signatures are one map pass; the
+    * candidate join touches only shared (band, bkey) buckets — never
+    * new × corpus; the final pick partial-aggregates to one row per new doc.
+    */
+  val qDedupIncremental = GraftQuery(
+    "q_dedup_incremental",
+    (spark, dir) => {
+      import spark.implicits._
+      // the split point is data-derived (count - count/10), computed
+      // declaratively and broadcast — no driver-side action
+      val cut = Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("n"))
+        .select((col("n") - expr("n div 10")).cast(LongType).as("c"))
+      val banded = simhashBanded(spark, dir).crossJoin(broadcast(cut))
+      val idx = banded.filter($"doc_id" < $"c")
+        .select($"doc_id".as("old_id"), $"simhash".as("old_sig"), $"band", $"bkey")
+      val fresh = banded.filter($"doc_id" >= $"c")
+      val cand = fresh.join(idx, Seq("band", "bkey"))
+        .select($"doc_id", $"old_id",
+          expr("cast(bit_count(simhash ^ old_sig) as bigint)").as("hamming"))
+        .filter($"hamming" <= 3)
+        .distinct()
+      val best = cand.groupBy($"doc_id")
+        .agg(min_by(struct($"old_id", $"hamming"), struct($"hamming", $"old_id"))
+          .as("b"))
+        .select($"doc_id", $"b.old_id".as("dup_of"), $"b.hamming".as("hamming"))
+      Tables.documents(spark, dir).crossJoin(broadcast(cut))
+        .filter($"doc_id" >= $"c").select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id", $"dup_of", $"hamming")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $simhashBandedSql,
+      cut AS (SELECT count(*) - count(*) // 10 AS c FROM documents),
+      cand AS (
+        SELECT DISTINCT n.doc_id, o.doc_id AS old_id,
+          bit_count(xor(n.simhash, o.simhash))::BIGINT AS hamming
+        FROM banded n JOIN banded o
+          ON n.band = o.band AND n.bkey = o.bkey
+        CROSS JOIN cut
+        WHERE n.doc_id >= cut.c AND o.doc_id < cut.c
+          AND bit_count(xor(n.simhash, o.simhash)) <= 3),
+      best AS (
+        SELECT doc_id, old_id AS dup_of, hamming FROM (
+          SELECT doc_id, old_id, hamming,
+            row_number() OVER (PARTITION BY doc_id ORDER BY hamming, old_id) AS rn
+          FROM cand)
+        WHERE rn = 1)
+      SELECT d.doc_id, b.dup_of, b.hamming
+      FROM documents d CROSS JOIN cut LEFT JOIN best b USING (doc_id)
+      WHERE d.doc_id >= cut.c
+      ORDER BY d.doc_id""")
   )
 
   /** Document-frequency cap for the n-gram candidate join: shingles occurring
@@ -431,5 +503,6 @@ object Dedup {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qDedupExact, qDedupMinhash, qDedupClusters, qDedupSimhash, qNgramJaccard)
+    qDedupExact, qDedupMinhash, qDedupClusters, qDedupSimhash,
+    qDedupIncremental, qNgramJaccard)
 }
