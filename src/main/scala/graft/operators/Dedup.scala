@@ -42,6 +42,9 @@ object Dedup {
                            // pair) while cutting false candidates ~20× on a
                            // high-baseline-similarity corpus
   val JaccardThreshold = 0.6
+  // the same threshold as an exact rational, for integer-form length filters
+  val JaccardNum = 3L
+  val JaccardDen = 5L
 
   /** Exact duplicate groups: one keeper per distinct text. */
   val qDedupExact = GraftQuery(
@@ -465,13 +468,21 @@ object Dedup {
       val pruned = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).cast(LongType).as("ns"))
-      val inter = pruned.as("a").join(pruned.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      // PPJoin-style length filter on candidate GENERATION: J(A,B) ≤
+      // min(|A|,|B|)/max(|A|,|B|), so J ≥ 3/5 requires 5·|A| ≥ 3·|B| and
+      // 5·|B| ≥ 3·|A|. Kept in exact INTEGER form (the double 0.6·ns can
+      // round across the boundary) — provably prunes only sub-threshold
+      // pairs, so results (and the oracle, which has no filter) are
+      // unchanged; rows entering the count shuffle drop before grouping.
+      val withNs = pruned.join(broadcast(sizes), Seq("doc_id"))
+      val inter = withNs.as("a").join(withNs.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.ns" * lit(JaccardDen) >= $"b.ns" * lit(JaccardNum) &&
+            $"b.ns" * lit(JaccardDen) >= $"a.ns" * lit(JaccardNum))
+        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+          $"a.ns".as("na"), $"b.ns".as("nb"))
         .agg(count(lit(1)).as("inter"))
       inter
-        .join(broadcast(sizes.select($"doc_id".as("ia"), $"ns".as("na"))), Seq("ia"))
-        .join(broadcast(sizes.select($"doc_id".as("ib"), $"ns".as("nb"))), Seq("ib"))
         .select($"ia", $"ib",
           graft.functions.Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
         .filter($"jaccard" >= JaccardThreshold)
