@@ -237,7 +237,82 @@ object PipelineOps {
       ORDER BY lang, rk""")
   )
 
+  /** Deterministic train/val/test assignment: bucket = u32(md5("split:" ||
+    * doc_id)) mod 10 → 0-7 train, 8 val, 9 test. Hash-of-stable-key, like
+    * the stratified sampler: the split survives re-runs, repartitioning,
+    * engine changes, and incremental corpus growth (a document's split
+    * never changes when others are added — the property date- or
+    * position-based splits lack). Map-only. */
+  val qTrainSplit = GraftQuery(
+    "q_train_split",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10"))
+        .withColumn("split",
+          when($"bucket" <= 7, "train")
+            .when($"bucket" === 8, "val").otherwise("test"))
+        .select($"doc_id", $"bucket", $"split")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, bucket,
+        CASE WHEN bucket <= 7 THEN 'train'
+             WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10 AS bucket
+            FROM documents)
+      ORDER BY doc_id""")
+  )
+
+  /** Chunk assembly — the step after [[qPackSequences]]: materialize each
+    * (lang, pack) context window by concatenating its documents in corpus
+    * order. Output carries the md5 of the packed text (not the text) so the
+    * verified result stays small while still pinning every byte.
+    *
+    * Scale shape: one hash exchange on (lang, pack_id) with the per-group
+    * collect bounded by PackSize tokens per window — groups are
+    * constant-sized by construction, so the collect_list can never blow a
+    * task (the property that makes per-group array assembly safe here and
+    * unsafe in general). */
+  val qChunkAssembly = GraftQuery(
+    "q_chunk_assembly",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"text",
+          size(split($"text", " ")).cast(LongType).as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("pack_id", expr(s"cum_before div $PackSize"))
+        .groupBy($"lang", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct($"doc_id", $"text"))),
+            s => s.getField("text")), " ")).as("chunk_md5"))
+        .orderBy($"lang", $"pack_id")
+    },
+    Some(s"""
+      SELECT lang, pack_id, count(*) AS n_docs,
+        md5(string_agg(text, ' ' ORDER BY doc_id)) AS chunk_md5
+      FROM (
+        SELECT doc_id, lang, text, cum_before // $PackSize AS pack_id
+        FROM (
+          SELECT doc_id, lang, text,
+            coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+              AS cum_before
+          FROM (SELECT doc_id, lang, text,
+                  len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens
+                FROM documents)))
+      GROUP BY lang, pack_id
+      ORDER BY lang, pack_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
-      qCorpusPrep, qTopQualityPerLang)
+      qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly)
 }
