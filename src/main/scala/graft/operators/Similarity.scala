@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
+import graft.{GraftQuery, Oracle, Tables}
 import graft.functions.Det
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -295,5 +295,98 @@ object Similarity {
       ORDER BY qid, rk""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf)
+  val PqSubspaces = 8   // M: 64 dims → 8 subvectors of 8
+  val PqCodes = 16      // K: codebook entries per subspace
+
+  /** Product-quantization ANN — the memory-compression tier: each vector is
+    * encoded as M=8 one-byte codes (nearest codebook entry per 8-dim
+    * subvector), and query-to-target distance is approximated by ADC
+    * (asymmetric distance computation): the query precomputes its distance
+    * to every codebook entry once (M×K=128 values), and each target costs M
+    * lookups + a sum — never a touch of the original vector. At 100 TB this
+    * is what makes the index fit in memory (64 floats → 8 bytes per
+    * vector, 32×).
+    *
+    * Codebook = subvectors of the first K vectors (the same deterministic
+    * trained-model stand-in as q_ann_ivf / q_kmeans, so the oracle replays
+    * it). Every distance is decimal-exact (`dist2_f32_f64` ↔ the oracle's
+    * `sum(CAST((v-c)² AS DECIMAL(38,12)))`), code ties to the lower id, and
+    * the ADC sum accumulates in decimals — bit-identical engines end to
+    * end. The encode join is ∝ n·M·K bounded rows (a production build
+    * hoists the trained codebook into a broadcast native expression; the
+    * shape stays map-side either way — no pair of ORIGINAL vectors ever
+    * meets).
+    */
+  val qAnnPq = GraftQuery(
+    "q_ann_pq",
+    (spark, dir) => {
+      import spark.implicits._
+      val subv = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("s"),
+          $"embedding")
+        .select($"vec_id", $"s",
+          expr(s"slice(embedding, s * $PqSubspaces + 1, $PqSubspaces)").as("sub"))
+      val cents = subv.filter($"vec_id" < PqCodes)
+        .select($"vec_id".as("cid"), $"s",
+          transform($"sub", v => v.cast(DoubleType)).as("ce"))
+      // per-(vector, subspace) distance to every codebook entry
+      def encDists(side: DataFrame): DataFrame =
+        side.join(broadcast(cents), Seq("s"))
+          .select(side("vec_id"), $"s", $"cid",
+            call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
+      val codes = encDists(subv)
+        .groupBy($"vec_id", $"s")
+        .agg(min_by($"cid", struct($"d2", $"cid")).as("code"))
+      // the query-side M×K lookup table (tiny, broadcast)
+      val qlut = encDists(subv.filter($"vec_id" < NQueryVecs))
+        .select($"vec_id".as("qid"), $"s", $"cid", $"d2")
+      codes.join(broadcast(qlut),
+          codes("s") === qlut("s") && codes("code") === qlut("cid") &&
+            codes("vec_id") =!= qlut("qid"))
+        .groupBy($"qid", codes("vec_id").as("tid"))
+        .agg(sum($"d2".cast(DecimalType(38, 12))).cast(DoubleType).as("ad2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"ad2", $"tid")))
+        .filter($"rk" <= TopK)
+        .select($"qid", $"rk".cast(LongType).as("rk"), $"tid",
+          Det.qround($"ad2").as("approx_dist2"))
+        .orderBy($"qid", $"rk")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      sub AS (SELECT vec_id, pos // $PqSubspaces AS s, pos % $PqSubspaces AS o, v
+              FROM ex),
+      cents AS (SELECT vec_id AS cid, s, o, v AS c FROM sub
+                WHERE vec_id < $PqCodes),
+      enc_d AS (
+        SELECT t.vec_id, t.s, c.cid,
+          sum(CAST((t.v - c.c) * (t.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM sub t JOIN cents c ON t.s = c.s AND t.o = c.o
+        GROUP BY t.vec_id, t.s, c.cid),
+      codes AS (
+        SELECT vec_id, s, cid AS code FROM (
+          SELECT vec_id, s, cid,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+          FROM enc_d)
+        WHERE rn = 1),
+      adc AS (
+        SELECT q.vec_id AS qid, t.vec_id AS tid,
+          sum(CAST(q.d2 AS DECIMAL(38,12)))::DOUBLE AS ad2
+        FROM codes t
+        JOIN enc_d q ON q.s = t.s AND q.cid = t.code
+          AND q.vec_id < $NQueryVecs AND q.vec_id <> t.vec_id
+        GROUP BY q.vec_id, t.vec_id)
+      SELECT qid, rk, tid, ${Oracle.qround("ad2")} AS approx_dist2 FROM (
+        SELECT qid, tid, ad2,
+          row_number() OVER (PARTITION BY qid ORDER BY ad2, tid) AS rk
+        FROM adc)
+      WHERE rk <= $TopK
+      ORDER BY qid, rk""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf, qAnnPq)
 }
