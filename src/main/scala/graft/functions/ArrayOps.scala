@@ -221,6 +221,23 @@ object ArrayOps {
     sum.doubleValue()
   }
 
+  /** Plain-double twin of [[dist2F32F64]] — the cheap RANKING prefilter:
+    * error vs the decimal-exact value is ~n·ε·Σ(aᵢ-bᵢ)² (≈1e-13 at n=64),
+    * so `fast ≤ group_min_fast + 1e-6` can never exclude the exact argmin. */
+  def dist2F32F64Fast(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      sum += d * d
+      i += 1
+    }
+    sum
+  }
+
   /** Per-document repetition statistics in ONE pass (the Gopher repetition
     * rules' raw counts): [n_tokens, distinct_tokens, top_token_count,
     * n_2grams, distinct_2grams, top_2gram_count] over the lowercase
@@ -394,6 +411,38 @@ case class Dist2F32F64(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Dist2F32F64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dist2_f32_f64_fast(v, c)`: plain-double squared L2 distance — the
+  * ranking-prefilter twin of `dist2_f32_f64` (see
+  * [[ArrayOps.dist2F32F64Fast]]). */
+case class Dist2F32F64Fast(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dist2_f32_f64_fast"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "dist2_f32_f64_fast requires (array<float>, array<double>)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.dist2F32F64Fast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.ArrayOps.dist2F32F64Fast($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2F32F64Fast =
     copy(left = newLeft, right = newRight)
 }
 

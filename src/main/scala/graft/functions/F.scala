@@ -55,6 +55,11 @@ object F {
   def dist2F32F64(v: Column, centroid: Column): Column =
     call_function("dist2_f32_f64", v, centroid)
 
+  /** Plain-double squared L2 distance — the fast ranking/prefilter twin of
+    * [[dist2F32F64]]. */
+  def dist2F32F64Fast(v: Column, centroid: Column): Column =
+    call_function("dist2_f32_f64_fast", v, centroid)
+
   /** Sign-LSH bucket id of an embedding under `nPlanes` deterministic
     * hyperplanes. */
   def lshBucket(embedding: Column, nPlanes: Int = 8): Column =

@@ -329,17 +329,24 @@ object Similarity {
       val cents = subv.filter($"vec_id" < PqCodes)
         .select($"vec_id".as("cid"), $"s",
           transform($"sub", v => v.cast(DoubleType)).as("ce"))
-      // per-(vector, subspace) distance to every codebook entry
-      def encDists(side: DataFrame): DataFrame =
-        side.join(broadcast(cents), Seq("s"))
-          .select(side("vec_id"), $"s", $"cid",
-            call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
-      val codes = encDists(subv)
+      // One-pass encode: the K distance rows of each (vector, subspace)
+      // group come from ONE source row's broadcast fan-out, so they sit in
+      // the same partition and the argmin collapses in the partial
+      // aggregate — no shuffle ever carries the fan-out. (A two-phase
+      // fast-rank/exact-confirm variant was measured: its per-(vec, s)
+      // group-min join adds an n·M·K-row shuffle, which at scale costs
+      // more than the map-side decimal CPU it saves.)
+      val codes = subv.join(broadcast(cents), Seq("s"))
+        .select(subv("vec_id"), $"s", $"cid",
+          call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
         .groupBy($"vec_id", $"s")
         .agg(min_by($"cid", struct($"d2", $"cid")).as("code"))
-      // the query-side M×K lookup table (tiny, broadcast)
-      val qlut = encDists(subv.filter($"vec_id" < NQueryVecs))
-        .select($"vec_id".as("qid"), $"s", $"cid", $"d2")
+      // the query-side M×K lookup table (tiny, broadcast) — ADC needs the
+      // EXACT distance to every entry, so no prefilter here
+      val qlut = subv.filter($"vec_id" < NQueryVecs)
+        .join(broadcast(cents), Seq("s"))
+        .select($"vec_id".as("qid"), $"s", $"cid",
+          call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
       codes.join(broadcast(qlut),
           codes("s") === qlut("s") && codes("code") === qlut("cid") &&
             codes("vec_id") =!= qlut("qid"))
