@@ -109,12 +109,12 @@ class PropertySpec extends SparkSpec {
       val cap = rnd.nextInt(4000).toLong
       val deleted = Retention.enforce(dir, cap)
       val left = Retention.dataFiles(dir)
-      assert(left.map(_.length).sum <= cap || left.isEmpty || deleted.isEmpty)
+      assert(left.map(_.getLen).sum <= cap || left.isEmpty || deleted.isEmpty)
       // deleted files form a prefix of the mtime order
       val expectPrefix = (0 until n).map(i => f"f$i%02d.parquet").take(deleted.length)
       assert(deleted === expectPrefix)
       // what remains is the newest suffix
-      assert(left.map(_.getName).sorted ===
+      assert(left.map(_.getPath.getName).sorted ===
         (0 until n).map(i => f"f$i%02d.parquet").drop(deleted.length))
     }
   }

@@ -24,7 +24,7 @@ class RetentionSpec extends SparkSpec {
     mk(dir, "new.parquet", 500, t0 + 2000)
     val deleted = Retention.enforce(dir, 1100)
     assert(deleted === Seq("old.parquet"))
-    assert(Retention.dataFiles(dir).map(_.getName).sorted ===
+    assert(Retention.dataFiles(dir).map(_.getPath.getName).sorted ===
       Seq("mid.parquet", "new.parquet"))
     // idempotent once under the cap
     assert(Retention.enforce(dir, 1100) === Seq.empty)
