@@ -42,9 +42,15 @@ object Dedup {
                            // pair) while cutting false candidates ~20× on a
                            // high-baseline-similarity corpus
   val JaccardThreshold = 0.6
-  // the same threshold as an exact rational, for integer-form length filters
-  val JaccardNum = 3L
-  val JaccardDen = 5L
+  // Length-filter bound as an exact rational. The verified filter keeps
+  // pairs with qROUNDED jaccard ≥ 0.6, which admits raw J as low as
+  // 0.5999995 — so the candidate filter must use a slightly WIDER bound
+  // than 3/5 or it could prune a pair the rounded filter keeps (visible
+  // only on multi-million-shingle documents). 599999/1000000 leaves
+  // another 5e-7 of headroom for IEEE noise in J·1e6 and still prunes
+  // essentially everything 3/5 would.
+  val LengthFilterNum = 599999L
+  val LengthFilterDen = 1000000L
 
   /** Exact duplicate groups: one keeper per distinct text. */
   val qDedupExact = GraftQuery(
@@ -469,16 +475,18 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).cast(LongType).as("ns"))
       // PPJoin-style length filter on candidate GENERATION: J(A,B) ≤
-      // min(|A|,|B|)/max(|A|,|B|), so J ≥ 3/5 requires 5·|A| ≥ 3·|B| and
-      // 5·|B| ≥ 3·|A|. Kept in exact INTEGER form (the double 0.6·ns can
-      // round across the boundary) — provably prunes only sub-threshold
-      // pairs, so results (and the oracle, which has no filter) are
-      // unchanged; rows entering the count shuffle drop before grouping.
+      // min(|A|,|B|)/max(|A|,|B|), so any retained pair needs
+      // min/max ≥ LengthFilterNum/LengthFilterDen (the rounded-threshold-
+      // inclusive bound — see the constant's comment). Kept in exact
+      // INTEGER form (a double 0.6·ns can round across the boundary) —
+      // provably prunes only pairs the verified filter would drop, so
+      // results (and the oracle, which has no filter) are unchanged; rows
+      // entering the count shuffle drop before grouping.
       val withNs = pruned.join(broadcast(sizes), Seq("doc_id"))
       val inter = withNs.as("a").join(withNs.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.ns" * lit(JaccardDen) >= $"b.ns" * lit(JaccardNum) &&
-            $"b.ns" * lit(JaccardDen) >= $"a.ns" * lit(JaccardNum))
+            $"a.ns" * lit(LengthFilterDen) >= $"b.ns" * lit(LengthFilterNum) &&
+            $"b.ns" * lit(LengthFilterDen) >= $"a.ns" * lit(LengthFilterNum))
         .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
           $"a.ns".as("na"), $"b.ns".as("nb"))
         .agg(count(lit(1)).as("inter"))

@@ -75,33 +75,49 @@ object PipelineOps {
     * packing; for a single giant stratum the standard two-phase prefix-sum
     * (per-partition partials, broadcast offsets) applies — here each stratum
     * already fits one task's streaming window pass. */
+  /** Shared packing assignment — (doc_id, lang, text, n_tokens, cum_before,
+    * pack_id) — used by BOTH q_pack_sequences and q_chunk_assembly so the
+    * pack boundaries can never desynchronize between them. Tokenization is
+    * `Text.tokens` (the engine-wide rule), matching [[packedSql]] exactly on
+    * any corpus. */
+  private def packAssign(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text",
+        size(graft.functions.Text.tokens($"text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $PackSize"))
+  }
+
+  /** DuckDB twin of [[packAssign]]: a relation with the same columns. */
+  private def packedSql: String = s"""
+        SELECT doc_id, lang, text, n_tokens, cum_before,
+          cum_before // $PackSize AS pack_id
+        FROM (
+          SELECT doc_id, lang, text, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+              AS cum_before
+          FROM (SELECT doc_id, lang, text,
+                  len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens
+                FROM documents))"""
+
   val qPackSequences = GraftQuery(
     "q_pack_sequences",
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(spark, dir)
-        .select($"doc_id", $"lang",
-          size(split($"text", " ")).cast(LongType).as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-        .select($"doc_id", $"lang", $"n_tokens",
-          expr(s"cum_before div $PackSize").as("pack_id"),
+      packAssign(spark, dir)
+        .select($"doc_id", $"lang", $"n_tokens", $"pack_id",
           ($"cum_before" % PackSize).as("pack_offset"))
         .orderBy($"doc_id")
     },
     Some(s"""
-      SELECT doc_id, lang, n_tokens,
-        cum_before // $PackSize AS pack_id,
+      SELECT doc_id, lang, n_tokens, pack_id,
         cum_before % $PackSize AS pack_offset
-      FROM (
-        SELECT doc_id, lang, n_tokens,
-          coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-            AS cum_before
-        FROM (SELECT doc_id, lang,
-                len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens
-              FROM documents))
+      FROM ($packedSql)
       ORDER BY doc_id""")
   )
 
@@ -281,13 +297,7 @@ object PipelineOps {
     "q_chunk_assembly",
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(spark, dir)
-        .select($"doc_id", $"lang", $"text",
-          size(split($"text", " ")).cast(LongType).as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-        .withColumn("pack_id", expr(s"cum_before div $PackSize"))
+      packAssign(spark, dir)
         .groupBy($"lang", $"pack_id")
         .agg(count(lit(1)).as("n_docs"),
           md5(array_join(transform(
@@ -298,16 +308,7 @@ object PipelineOps {
     Some(s"""
       SELECT lang, pack_id, count(*) AS n_docs,
         md5(string_agg(text, ' ' ORDER BY doc_id)) AS chunk_md5
-      FROM (
-        SELECT doc_id, lang, text, cum_before // $PackSize AS pack_id
-        FROM (
-          SELECT doc_id, lang, text,
-            coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-              AS cum_before
-          FROM (SELECT doc_id, lang, text,
-                  len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens
-                FROM documents)))
+      FROM ($packedSql)
       GROUP BY lang, pack_id
       ORDER BY lang, pack_id""")
   )

@@ -295,8 +295,10 @@ object Similarity {
       ORDER BY qid, rk""")
   )
 
-  val PqSubspaces = 8   // M: 64 dims → 8 subvectors of 8
-  val PqCodes = 16      // K: codebook entries per subspace
+  val PqSubspaces = 8             // M: number of subvectors
+  val PqSubDims = 64 / PqSubspaces // dims per subvector (distinct from M —
+                                   // they only coincide at M=8)
+  val PqCodes = 16                // K: codebook entries per subspace
 
   /** Product-quantization ANN — the memory-compression tier: each vector is
     * encoded as M=8 one-byte codes (nearest codebook entry per 8-dim
@@ -325,7 +327,7 @@ object Similarity {
         .select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("s"),
           $"embedding")
         .select($"vec_id", $"s",
-          expr(s"slice(embedding, s * $PqSubspaces + 1, $PqSubspaces)").as("sub"))
+          expr(s"slice(embedding, s * $PqSubDims + 1, $PqSubDims)").as("sub"))
       val cents = subv.filter($"vec_id" < PqCodes)
         .select($"vec_id".as("cid"), $"s",
           transform($"sub", v => v.cast(DoubleType)).as("ce"))
@@ -364,7 +366,7 @@ object Similarity {
         SELECT vec_id, unnest(range(len(embedding))) AS pos,
                unnest(embedding)::DOUBLE AS v
         FROM embeddings),
-      sub AS (SELECT vec_id, pos // $PqSubspaces AS s, pos % $PqSubspaces AS o, v
+      sub AS (SELECT vec_id, pos // $PqSubDims AS s, pos % $PqSubDims AS o, v
               FROM ex),
       cents AS (SELECT vec_id AS cid, s, o, v AS c FROM sub
                 WHERE vec_id < $PqCodes),

@@ -37,8 +37,15 @@ object Compaction {
     spark.read.parquet(dir)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // the Hadoop FS API reports these failures by RETURNING false, not by
+    // throwing — swallowing them here would strand the data in tmp while
+    // the reader-visible path 404s (silent data loss); fail loudly instead
+    if (!fs.delete(path, true))
+      throw new java.io.IOException(
+        s"compaction: failed to remove $path (rewrite preserved at $tmp)")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"compaction: failed to publish $tmp as $path (data intact at $tmp)")
     val after = fs.listStatus(path)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Size-based retention for metric directories (reference S11,
   * reddit_consumer.py:249-279): if the sum of data-file sizes in a directory
@@ -17,9 +18,17 @@ import org.apache.hadoop.fs.{FileStatus, Path}
   */
 object Retention {
 
+  /** The active session's Hadoop conf when one exists (it carries
+    * spark.hadoop.* credentials/endpoints — a bare Configuration only sees
+    * classpath XML); plain defaults otherwise (local-path unit use). */
+  private def fsFor(path: Path): FileSystem =
+    path.getFileSystem(SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration()))
+
   def dataFiles(dir: String): Seq[FileStatus] = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = fsFor(path)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -28,7 +37,7 @@ object Retention {
   /** Enforce the cap; returns the deleted files' names (oldest first). */
   def enforce(dir: String, maxBytes: Long): Seq[String] = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = fsFor(path)
     var files = dataFiles(dir)
       .sortBy(st => (st.getModificationTime, st.getPath.getName))
     var total = files.map(_.getLen).sum
