@@ -40,10 +40,12 @@ object ArrayOps {
 
   /** Plain-double dot product of two float arrays — the cheap PREFILTER twin
     * of [[dotF32]]: same null/length semantics, IEEE double accumulation in
-    * array order instead of exact decimals. Against the decimal-exact value
-    * the error is bounded by ~n·ε·Σ|aᵢbᵢ| (≈1e-13 at n=64, |v|≤1) — orders
-    * below the 1e-6 guard band the verify queries use, so
-    * `fast ≥ thr - 1e-6` can never drop a row the exact filter would keep. */
+    * array order instead of exact decimals. Error vs the decimal-exact value:
+    * ≤ n·5e-13 absolute (per-term decimal rounding) plus ~n·ε·Σ|aᵢbᵢ|
+    * relative fold error. Guard bands built on this must live in DOT space
+    * (`fast ≥ thr·scale − (abs + rel·scale)`, see qEmbedNeardupLsh) — a
+    * fixed cosine-space band divides the absolute part by the norms and
+    * silently stops covering small-norm vectors. */
   def dotF32Fast(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null

@@ -96,7 +96,7 @@ object CorpusQuality {
       import spark.implicits._
       Tables.documents(spark, dir)
         .select($"doc_id",
-          size(regexp_extract_all($"text", lit(PiiPattern), lit(0)))
+          graft.functions.Text.refCount($"text", PiiPattern)
             .cast(LongType).as("n_redactions"),
           regexp_replace($"text", PiiPattern, "<redacted>").as("clean_text"))
         .orderBy($"doc_id")
@@ -118,9 +118,13 @@ object CorpusQuality {
     "q_contamination",
     (spark, dir) => {
       import spark.implicits._
+      // persisted like Dedup's docShingles: the exploded shingle projection
+      // feeds the bench side, the per-doc sizes, and the candidate join —
+      // without the barrier the scan+shingle pass runs three times
       val sh = Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id",
           explode(call_function("word_shingles", $"text", lit(2))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bench = sh.filter($"doc_id" < HoldoutMax)
         .select($"doc_id".as("bench_id"), $"s")
       val train = sh.filter($"doc_id" >= HoldoutMax)

@@ -157,19 +157,24 @@ object Similarity {
         call_function("lsh_bucket", $"embedding", lit(NPlanes)).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Cheap-prefilter-then-exact-verify (the standard two-phase shape):
-      // the plain-double fold with a 1e-6 guard band rejects ~all candidate
-      // pairs before any decimal math runs; the exact decimal cosine — the
-      // one the oracle reproduces — is evaluated only for near-hits, and its
-      // threshold filter is unchanged, so results are identical (the guard
-      // band exceeds the double fold's error bound by ~7 orders).
+      // the plain-double fold rejects ~all candidate pairs before any
+      // decimal math runs; the exact decimal cosine — the one the oracle
+      // reproduces — is evaluated only for near-hits, and its threshold
+      // filter is unchanged, so results are identical. The guard compares
+      // DOTS, not cosines (fastdot ≥ thr·nn − (1e-9 + 1e-9·nn)): a
+      // cosine-space guard divides the dot-space error by nn and silently
+      // stops covering small-norm vectors, while this band dominates both
+      // the decimal per-term rounding (≤ 64·5e-13 absolute) and the fold's
+      // relative error (≲1e-14·nn) at every norm scale.
       buckets.as("a").join(buckets.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
           $"a.embedding".as("ea"), $"b.embedding".as("eb"),
           ($"a.nrm" * $"b.nrm").as("nn"),
-          (call_function("dot_f32_fast", $"a.embedding", $"b.embedding") /
-            ($"a.nrm" * $"b.nrm")).as("fastcos"))
-        .filter($"fastcos" >= CosineThreshold - 1e-6)
+          call_function("dot_f32_fast", $"a.embedding", $"b.embedding")
+            .as("fastdot"))
+        .filter($"fastdot" >=
+          lit(CosineThreshold) * $"nn" - (lit(1e-9) + lit(1e-9) * $"nn"))
         .select($"ia", $"ib", Det.qround(decDot($"ea", $"eb") / $"nn").as("cosine"))
         .filter($"cosine" >= CosineThreshold)
         .orderBy($"ia", $"ib")

@@ -27,5 +27,8 @@ object Enrich {
     stream.join(broadcast(dim), Seq(key), "left")
       .observe(MetricsName,
         count(lit(1)).as("rows"),
-        sum(when(col(probe).isNull, lit(1L)).otherwise(lit(0L))).as("unmatched"))
+        // coalesce: sum() over an EMPTY micro-batch is SQL NULL, and a
+        // metrics consumer reading a count must never see null
+        coalesce(sum(when(col(probe).isNull, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("unmatched"))
 }
