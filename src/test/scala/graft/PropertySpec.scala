@@ -118,4 +118,22 @@ class PropertySpec extends SparkSpec {
         (0 until n).map(i => f"f$i%02d.parquet").drop(deleted.length))
     }
   }
+
+  test("rep_stats law: equals a model computed directly from the token list") {
+    val texts = Seq.fill(300)(randText())
+    def model(t: String): Seq[Long] = {
+      val toks = t.toLowerCase.split("\\s+", -1).toSeq
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      def counts(xs: Seq[String]) = xs.groupBy(identity).view.mapValues(_.size)
+      val tc = counts(toks)
+      val gc = counts(grams)
+      Seq(toks.size.toLong, tc.size.toLong, tc.values.max.toLong,
+        grams.size.toLong, gc.size.toLong,
+        if (grams.isEmpty) 0L else gc.values.max.toLong)
+    }
+    val got = texts.toDF("text")
+      .select($"text", call_function("rep_stats", $"text").as("st"))
+      .as[(String, Seq[Long])].collect()
+    got.foreach { case (t, st) => assert(st === model(t), s"for '$t'") }
+  }
 }
