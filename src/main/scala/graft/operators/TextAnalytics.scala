@@ -56,17 +56,27 @@ object TextAnalytics {
       ).toDF("value"))
   }
 
+  /** P1+P2: parse the wire JSON and apply the cleaning filter — the ONE
+    * definition shared by the batch query (q_parse_clean) and the streaming
+    * pipeline (MicroBatchPipeline.parseBatch), so the cleaning rule can
+    * never desynchronize between the oracle-checked batch path and the
+    * per-batch streaming path (reference reddit_consumer.py:296-308). */
+  def parseClean(lines: DataFrame): DataFrame = {
+    import lines.sparkSession.implicits._
+    lines
+      .select(from_json($"value", postSchema).as("data"))
+      .select($"data.*")
+      .filter($"text".isNotNull && $"text" =!= "" &&
+        length($"text") > 10 && $"type" =!= "keepalive")
+  }
+
   /** P1+P2+P3: parse the wire format, apply the cleaning filter, derive
     * columns. Keepalives/malformed/short rows must all be dropped. */
   val qParseClean = GraftQuery(
     "q_parse_clean",
     (spark, dir) => {
       import spark.implicits._
-      jsonLines(spark, dir)
-        .select(from_json($"value", postSchema).as("data"))
-        .select($"data.*")
-        .filter($"text".isNotNull && $"text" =!= "" &&
-          length($"text") > 10 && $"type" =!= "keepalive")
+      parseClean(jsonLines(spark, dir))
         .select(
           $"id".cast(LongType).as("doc_id"),
           $"subreddit",

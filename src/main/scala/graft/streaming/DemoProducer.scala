@@ -42,7 +42,11 @@ object DemoProducer {
                   out.println(l)
                   if (paceMs > 0) Thread.sleep(paceMs)
                 }
-                while (!client.isClosed && !server.isClosed) {
+                // checkError() is the ONLY disconnect signal here:
+                // PrintWriter swallows IOExceptions and isClosed reflects
+                // only a local close — without it each dropped client
+                // leaks a thread writing to a broken pipe forever
+                while (!client.isClosed && !server.isClosed && !out.checkError()) {
                   out.println(s"""{"type": "keepalive", "timestamp": ${System.currentTimeMillis() / 1000.0}}""")
                   Thread.sleep(1000)
                 }

@@ -26,15 +26,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object MicroBatchPipeline {
 
-  /** Parse wire JSON + cleaning filter + derived columns (P1/P2/P3). */
+  /** Parse wire JSON + cleaning filter + derived columns (P1/P2/P3). The
+    * parse+clean step is TextAnalytics.parseClean — the same definition the
+    * oracle-checked q_parse_clean runs, so the streaming path can never
+    * drift from it. */
   def parseBatch(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    batch
-      .select(from_json($"value", TextAnalytics.postSchema).as("data"))
-      .select($"data.*")
-      .filter($"text".isNotNull && $"text" =!= "" &&
-        length($"text") > 10 && $"type" =!= "keepalive")
+    TextAnalytics.parseClean(batch)
       .withColumn("created_time", $"created_utc".cast(TimestampType))
       .withColumn("text_length", length($"text").cast(LongType))
   }
@@ -53,6 +52,20 @@ object MicroBatchPipeline {
       .na.fill(0.0, Seq("sentiment"))
   }
 
+  /** Delete any file under `dir` that an earlier attempt of THIS batch
+    * wrote (the replace-my-batch replay sweep) — resolved through the
+    * Hadoop FileSystem API so idempotent recovery works on any supported
+    * scheme (local, HDFS, S3A), not just java.io-visible paths. */
+  private def sweepBatchFiles(spark: SparkSession, dir: String,
+      namePattern: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(st => st.getPath.getName.matches(namePattern))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** One micro-batch: persist once, fan out to metric sinks, apply retention.
     * Mirrors reddit_consumer.py:282-444 action-for-action. */
   def processBatch(batch: DataFrame, batchId: Long, outDir: String,
@@ -60,8 +73,17 @@ object MicroBatchPipeline {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
-    // raw batch persisted before parse (S4)
-    batch.write.mode("append").parquet(s"$outDir/raw")
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    // S4: raw batch persisted before parse — at a per-batch timestamped
+    // path with the replay sweep, like the processed snapshots below: a
+    // checkpoint-recovery replay overwrites its own raw data instead of
+    // double-counting it (a flat append has no way to identify, much less
+    // replace, a replayed batch's rows — the reference's defect).
+    sweepBatchFiles(spark, s"$outDir/raw", s"raw_\\d{8}_\\d{6}_b$batchId\\.parquet")
+    batch.write.mode("overwrite")
+      .parquet(s"$outDir/raw/raw_${stamp}_b$batchId.parquet")
 
     val processed = withSentiment(parseBatch(batch))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -72,25 +94,13 @@ object MicroBatchPipeline {
 
         // S5/F12: per-batch processed snapshot at a timestamped path, the
         // reference's processed_%Y%m%d_%H%M%S.parquet naming
-        // (reddit_consumer.py:321-326) — plus a batch-id suffix and a
+        // (reddit_consumer.py:321-326) — plus a batch-id suffix and the
         // replace-my-batch sweep so a checkpoint-recovery REPLAY of the same
         // batch overwrites its own snapshot instead of duplicating it (the
         // reference's pure-timestamp naming would duplicate on replay).
         // Every row still carries batch_id via the metric sinks below.
-        val stamp = java.time.format.DateTimeFormatter
-          .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
-          .format(java.time.Instant.now())
-        // Resolved through the Hadoop FileSystem API so the idempotency
-        // sweep works for any supported scheme (local, HDFS, S3A), not just
-        // java.io-visible paths.
-        val procRoot = new org.apache.hadoop.fs.Path(s"$outDir/processed")
-        val fs = procRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(procRoot)) {
-          val mine = s"processed_\\d{8}_\\d{6}_b$batchId\\.parquet"
-          fs.listStatus(procRoot)
-            .filter(st => st.getPath.getName.matches(mine))
-            .foreach(st => fs.delete(st.getPath, true))
-        }
+        sweepBatchFiles(spark, s"$outDir/processed",
+          s"processed_\\d{8}_\\d{6}_b$batchId\\.parquet")
         processed.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/processed/processed_${stamp}_b$batchId.parquet")
 
@@ -161,7 +171,6 @@ object MicroBatchPipeline {
       .format("socket")
       .option("host", host)
       .option("port", port)
-      .option("includeTimestamp", "true")
       .load()
       .select(col("value"))
 

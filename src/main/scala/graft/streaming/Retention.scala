@@ -44,8 +44,13 @@ object Retention {
     val deleted = Seq.newBuilder[String]
     while (total > maxBytes && files.nonEmpty) {
       val oldest = files.head
-      total -= oldest.getLen
-      if (fs.delete(oldest.getPath, false)) deleted += oldest.getPath.getName
+      // Hadoop reports delete failure by RETURNING false — only a
+      // successful delete counts as freed space, or the cap is silently
+      // unenforced whenever a file can't be removed
+      if (fs.delete(oldest.getPath, false)) {
+        total -= oldest.getLen
+        deleted += oldest.getPath.getName
+      }
       files = files.tail
     }
     deleted.result()

@@ -39,29 +39,42 @@ object Sessionize {
       state.remove()
       return Iterator.single(Session(userId, s.startUs, s.lastUs, s.n, "timeout"))
     }
+    // Split THIS batch's (sorted) events into gap-sessions with the exact
+    // batch rule, then merge the open state session into that timeline at
+    // its sorted position — adjacent sessions within the gap coalesce
+    // (min start / max last / summed counts). This keeps batch parity for
+    // any IN-WATERMARK reordering across micro-batches: a late event can
+    // extend the open session backwards, sit inside it, or form its own
+    // earlier gap-closed session — a naive "ts - last <= gap ⇒ last := ts"
+    // update instead REGRESSES lastUs and emits inverted sessions.
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
-    val closed = Seq.newBuilder[Session]
-    var cur = state.getOption
-    for (e <- sorted) {
-      cur = cur match {
-        case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-          Some(SessionState(s.startUs, e.ts_us, s.n + 1))
-        case Some(s) =>
-          closed += Session(userId, s.startUs, s.lastUs, s.n, "gap")
-          Some(SessionState(e.ts_us, e.ts_us, 1))
-        case None =>
-          Some(SessionState(e.ts_us, e.ts_us, 1))
+    val batchSessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
+      acc match {
+        case h :: t if e.ts_us - h.lastUs <= gapUs =>
+          SessionState(h.startUs, math.max(h.lastUs, e.ts_us), h.n + 1) :: t
+        case _ => SessionState(e.ts_us, e.ts_us, 1) :: acc
       }
-    }
-    cur.foreach { s =>
-      state.update(s)
-      // flush the open session once the watermark passes last + gap;
-      // a timeout must sit strictly beyond the current watermark
-      state.setTimeoutTimestamp(
-        math.max(s.lastUs / 1000 + gapUs / 1000,
-          state.getCurrentWatermarkMs() + 1))
-    }
-    closed.result().iterator
+    }.reverse
+    val timeline = (state.getOption.toList ++ batchSessions)
+      .sortBy(s => (s.startUs, s.lastUs))
+    val merged = timeline.foldLeft(List.empty[SessionState]) { (acc, s) =>
+      acc match {
+        case h :: t if s.startUs - h.lastUs <= gapUs =>
+          SessionState(h.startUs, math.max(h.lastUs, s.lastUs), h.n + s.n) :: t
+        case _ => s :: acc
+      }
+    }.reverse
+    if (merged.isEmpty) return Iterator.empty
+    val open = merged.last
+    state.update(open)
+    // flush the open session once the watermark passes last + gap; ceiling
+    // division (micros → millis) so the timeout can never fire early, and
+    // a timeout must sit strictly beyond the current watermark
+    state.setTimeoutTimestamp(
+      math.max((open.lastUs + gapUs + 999) / 1000,
+        state.getCurrentWatermarkMs() + 1))
+    merged.init.map(s => Session(userId, s.startUs, s.lastUs, s.n, "gap"))
+      .iterator
   }
 
   /** Wire a streaming events DataFrame (ts TimestampType, user_id, event_id)

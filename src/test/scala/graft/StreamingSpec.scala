@@ -29,7 +29,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
 
     // raw: every line persisted before parse (5 rows incl. bad ones)
-    assert(spark.read.parquet(s"$outDir/raw").count() === 5)
+    assert(spark.read.parquet(s"$outDir/raw/*").count() === 5)
 
     // processed: one timestamped per-batch snapshot (F12 naming parity:
     // processed_%Y%m%d_%H%M%S.parquet + idempotency batch suffix)
@@ -97,7 +97,7 @@ class StreamingSpec extends SparkSpec {
       MicroBatchPipeline.fileLines(spark, srcDir), outDir,
       Trigger.AvailableNow())
     q.awaitTermination(120000)
-    assert(spark.read.parquet(s"$outDir/raw").count() === 1)
+    assert(spark.read.parquet(s"$outDir/raw/*").count() === 1)
     assert(!Files.exists(Paths.get(outDir, "processed")))
     assert(!Files.exists(Paths.get(outDir, "sentiment")))
   }

@@ -59,6 +59,31 @@ class WindowSessionSpec extends SparkSpec {
     assert(out2 === Seq(Sessionize.Session(7L, 7200000000L, 7200000000L, 1L, "timeout")))
     assert(state2.value.isEmpty)
   }
+
+  test("sessionize update fn: in-watermark reorder across batches keeps batch parity") {
+    val gapUs = 10L * 1000000
+    def s(start: Long, last: Long, n: Long) =
+      Sessionize.SessionState(start * 1000000, last * 1000000, n)
+    def ev(tsSec: Long, id: Long) = Sessionize.Ev(1L, tsSec * 1000000, id)
+    def run(state: Option[Sessionize.SessionState], evs: Sessionize.Ev*) = {
+      val gs = new FakeGroupState[Sessionize.SessionState]
+      gs.value = state
+      (Sessionize.update(gapUs)(1L, evs.iterator, gs).toSeq, gs.value)
+    }
+    // late-but-in-watermark event EXTENDS the open session backwards
+    assert(run(Some(s(100, 100, 1)), ev(95, 2)) === ((Seq(), Some(s(95, 100, 2)))))
+    // ...and a later event continues the MERGED session (the old
+    // last := ts update emitted an inverted 100..95 session here)
+    assert(run(Some(s(95, 100, 2)), ev(106, 3)) === ((Seq(), Some(s(95, 106, 3)))))
+    // an event older than start - gap is its own earlier gap-closed session
+    assert(run(Some(s(100, 100, 1)), ev(80, 4)) ===
+      ((Seq(Sessionize.Session(1L, 80000000L, 80000000L, 1, "gap")), Some(s(100, 100, 1)))))
+    // an event INSIDE the open span counts without moving the bounds
+    assert(run(Some(s(90, 100, 2)), ev(95, 5)) === ((Seq(), Some(s(90, 100, 3)))))
+    // two late events merge into ONE earlier session, batch-style
+    assert(run(Some(s(100, 100, 1)), ev(80, 6), ev(82, 7)) ===
+      ((Seq(Sessionize.Session(1L, 80000000L, 82000000L, 2, "gap")), Some(s(100, 100, 1)))))
+  }
 }
 
 /** Minimal GroupState stub for unit-testing state-transition functions. */
