@@ -100,7 +100,7 @@ object EventAnalytics {
     * (ddof=1). The stddev is computed from exact decimal window sums via
     * sqrt((s2 - s1²/n)/(n-1)) so both engines do identical double math.
     */
-  val qRollingSentiment = GraftQuery(
+  val qRollingMetric = GraftQuery(
     "q_rolling_metric",
     (spark, dir) => {
       import spark.implicits._
@@ -111,18 +111,16 @@ object EventAnalytics {
         .withColumn("rn", row_number().over(w))
         .withColumn("s1", sum(dec($"avg_value")).over(frame).cast(DoubleType))
         .withColumn("s2", sum(dec($"avg_value" * $"avg_value")).over(frame).cast(DoubleType))
-      val ma = when($"rn" >= 5, Det.qround($"s1" / lit(5.0)))
-      val sd = when($"rn" >= 5,
-        Det.qround(sqrt(greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))))
+      // one copy of the mean/deviation formulas; qround wraps each EMITTED
+      // band whole, so the doubles are bit-identical to the inlined form
+      val mean = $"s1" / lit(5.0)
+      val sd0 = sqrt(greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))
+      def band(c: org.apache.spark.sql.Column) = when($"rn" >= 5, Det.qround(c))
       series
         .select($"bucket", $"n_events", $"avg_value",
-          ma.as("ma5"), sd.as("sd5"),
-          when($"rn" >= 5, Det.qround($"s1" / lit(5.0) + lit(2.0) * sqrt(
-            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))))
-            .as("upper"),
-          when($"rn" >= 5, Det.qround($"s1" / lit(5.0) - lit(2.0) * sqrt(
-            greatest(($"s2" - $"s1" * $"s1" / lit(5.0)) / lit(4.0), lit(0.0)))))
-            .as("lower"))
+          band(mean).as("ma5"), band(sd0).as("sd5"),
+          band(mean + lit(2.0) * sd0).as("upper"),
+          band(mean - lit(2.0) * sd0).as("lower"))
         .orderBy($"bucket")
     },
     Some(s"""
@@ -448,7 +446,7 @@ object EventAnalytics {
 
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
-    qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingSentiment,
+    qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize)
 }

@@ -30,24 +30,28 @@ object TemporalJoins {
   def asofJoin(events: DataFrame, rightType: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // The right row travels as ONE struct: two independent last(ignoreNulls)
+    // columns would tear the pair when r_value is NULL (ts from the newest
+    // purchase, value skipping back to an older one) — an ASOF join must
+    // return the latest right ROW including its null value, like DuckDB's.
     val right = events.filter($"event_type" === rightType)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"user_id", $"ts_us").orderBy($"event_id".desc)))
       .filter($"rn" === 1)
       .select($"user_id", $"ts_us", lit(0).as("side"),
         lit(null).cast("bigint").as("event_id"),
-        $"ts_us".as("r_ts_us"), $"value".as("r_value"))
+        struct($"ts_us".as("r_ts_us"), $"value".as("r_value")).as("r"))
     val left = events.select($"user_id", $"ts_us", lit(1).as("side"),
-      $"event_id", lit(null).cast("bigint").as("r_ts_us"),
-      lit(null).cast("double").as("r_value"))
+      $"event_id",
+      lit(null).cast("struct<r_ts_us:bigint,r_value:double>").as("r"))
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts_us", $"side", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     left.unionByName(right)
-      .withColumn("asof_ts_us", last($"r_ts_us", ignoreNulls = true).over(w))
-      .withColumn("asof_value", last($"r_value", ignoreNulls = true).over(w))
+      .withColumn("asof", last($"r", ignoreNulls = true).over(w))
       .filter($"side" === 1)
-      .select($"event_id", $"user_id", $"ts_us", $"asof_ts_us", $"asof_value")
+      .select($"event_id", $"user_id", $"ts_us",
+        $"asof.r_ts_us".as("asof_ts_us"), $"asof.r_value".as("asof_value"))
   }
 
   /** AS-OF join of every event to the user's latest preceding purchase. */
@@ -61,7 +65,8 @@ object TemporalJoins {
     Some("""
       WITH r AS (
         SELECT user_id, epoch_us(ts) AS r_ts, value AS r_value,
-          row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+            ORDER BY event_id DESC) AS rn
         FROM events WHERE event_type = 'purchase')
       SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         r.r_ts AS asof_ts_us, r.r_value AS asof_value
@@ -82,19 +87,24 @@ object TemporalJoins {
     (spark, dir) => {
       import spark.implicits._
       val ev = Tables.events(spark, dir)
+      // bucket width floored at 1: a degenerate time span (single event, or
+      // all events within < 2·NCampaigns µs) makes `delta div 2` zero, and
+      // under Spark 4's default ANSI mode a zero divisor THROWS where the
+      // oracle's plain BETWEEN join just returns empty — the `end > start`
+      // guard reproduces that empty result instead
       val bounds = ev.agg(min($"ts_us").as("t0"), max($"ts_us").as("t1"))
         .select($"t0", expr(s"(t1 - t0) div $NCampaigns").as("delta"))
+        .withColumn("bw", greatest(expr("delta div 2"), lit(1L)))
       val campaigns = spark.range(NCampaigns).toDF("campaign_id")
         .crossJoin(broadcast(bounds))
-        .select($"campaign_id", $"delta",
-          ($"t0" + $"campaign_id" * $"delta").as("start"))
-        .select($"campaign_id", $"delta", $"start",
-          ($"start" + expr("delta div 2")).as("end"))
+        .select($"campaign_id", $"bw",
+          ($"t0" + $"campaign_id" * $"delta").as("start"),
+          ($"t0" + $"campaign_id" * $"delta" + expr("delta div 2")).as("end"))
+        .filter($"end" > $"start")
         .withColumn("bucket",
-          explode(sequence(expr("start div (delta div 2)"),
-            expr("(end - 1) div (delta div 2)"))))
+          explode(sequence(expr("start div bw"), expr("(end - 1) div bw"))))
       val evB = ev.crossJoin(broadcast(bounds))
-        .select($"ts_us", $"value", expr("ts_us div (delta div 2)").as("bucket"))
+        .select($"ts_us", $"value", expr("ts_us div bw").as("bucket"))
       evB.join(campaigns, Seq("bucket"))
         .filter($"ts_us" >= $"start" && $"ts_us" < $"end")
         .groupBy($"campaign_id")

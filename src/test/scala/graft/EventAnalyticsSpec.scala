@@ -9,7 +9,7 @@ class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
   test("rolling(5): first 4 rows null, then mean and ddof=1 stddev with ±2σ band") {
-    val rows = EventAnalytics.qRollingSentiment.run(spark, fixtureDir)
+    val rows = EventAnalytics.qRollingMetric.run(spark, fixtureDir)
       .select($"bucket", $"ma5", $"sd5", $"upper", $"lower")
       .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
       .collect().toSeq
