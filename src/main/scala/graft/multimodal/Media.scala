@@ -52,16 +52,27 @@ object Media {
 
   /** STUB — deterministic fake decoder. A real deployment would call an
     * image/audio codec here (libs not present in this container). The fake
-    * derives features purely from the payload bytes so tests are exact. */
+    * derives features from the payload so tests are exact; a null payload
+    * decodes like an empty one (no NPE in the batch pass). */
   def decodeStub(data: Array[Byte]): (Int, Int, Int, Double) = {
-    val n = data.length
+    val n = if (data == null) 0 else data.length
     val width = n % 640 + 1
-    val height = (n * 7) % 480 + 1
+    // Long arithmetic: n * 7 overflows Int past ~306 MB payloads, wrapping
+    // the remainder negative — the relational twin computes in BIGINT
+    val height = (n.toLong * 7 % 480 + 1).toInt
     val channels = 3
-    // "brightness": mean byte value — a stand-in for a decoded-pixel stat.
+    // "brightness": mean code point of the UTF-8-decoded payload — the
+    // stand-in for a decoded-pixel stat, chosen because the relational twin
+    // reproduces it exactly with ascii() over characters in BOTH engines
+    // (a mean over raw BYTES would diverge from any per-character SQL
+    // formulation on non-ASCII payloads).
+    val cps =
+      if (n == 0) Array.empty[Int]
+      else new String(data, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
     val brightness =
-      if (n == 0) 0.0
-      else math.round(data.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n * 1e6) / 1e6
+      if (cps.isEmpty) 0.0
+      else math.round(cps.map(_.toLong).sum.toDouble / cps.length * 1e6) / 1e6
     (width, height, channels, brightness)
   }
 
@@ -73,14 +84,15 @@ object Media {
       // per-partition init would go here (codec handles, model weights, ...)
       rows.map { r =>
         val (w, h, c, bright) = decodeStub(r.data)
-        MediaFeatures(r.media_id, r.kind, r.data.length.toLong, w, h, c, bright)
+        val nBytes = if (r.data == null) 0L else r.data.length.toLong
+        MediaFeatures(r.media_id, r.kind, nBytes, w, h, c, bright)
       }
     }
   }
 
   /** The relational (oracle-checkable) twin of the feature pass: the same
     * fake-decode arithmetic expressed as columns. `brightness` is the mean
-    * byte value = mean ASCII code of the text here. */
+    * code point of the text — byte-identical to decodeStub's value. */
   val qMediaFeatures = GraftQuery(
     "q_media_features",
     (spark, dir) => {
@@ -95,11 +107,16 @@ object Media {
           (nBytes % 640 + 1).as("width"),
           ((nBytes * 7) % 480 + 1).as("height"),
           // NOTE 1e6, not 1000000.0: in SQL text the latter parses as a
-          // DECIMAL literal and drags the whole expression into decimal math
-          expr("""floor(aggregate(sequence(1, length(text)), 0L,
+          // DECIMAL literal and drags the whole expression into decimal math.
+          // Character-count denominator on BOTH sides (mean code point, the
+          // decodeStub semantic); empty text is explicitly 0.0 — without the
+          // guard Spark's sequence(1, 0) degenerates and the oracle's
+          // list_sum([]) is NULL, so the engines would disagree.
+          expr("""CASE WHEN length(text) > 0 THEN
+                  floor(aggregate(sequence(1, length(text)), 0L,
                   (acc, i) -> acc + ascii(substring(text, i, 1)))
                   / cast(length(text) as double) * 1e6 + 0.5)
-                  / 1e6""").as("brightness"))
+                  / 1e6 ELSE 0.0 END""").as("brightness"))
         .orderBy($"media_id")
     },
     Some("""
@@ -108,10 +125,11 @@ object Media {
         octet_length(encode(text))::BIGINT AS n_bytes,
         octet_length(encode(text))::BIGINT % 640 + 1 AS width,
         (octet_length(encode(text))::BIGINT * 7) % 480 + 1 AS height,
-        floor(list_sum(list_transform(range(1, length(text) + 1),
-              i -> ascii(text[i])))::DOUBLE
-              / octet_length(encode(text)) * 1000000.0 + 0.5)
-              / 1000000.0 AS brightness
+        CASE WHEN length(text) > 0 THEN
+          floor(list_sum(list_transform(range(1, length(text) + 1),
+                i -> ascii(text[i])))::DOUBLE
+                / length(text) * 1000000.0 + 0.5)
+                / 1000000.0 ELSE 0.0 END AS brightness
       FROM documents
       ORDER BY media_id""")
   )

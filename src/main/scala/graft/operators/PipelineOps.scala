@@ -26,6 +26,14 @@ object PipelineOps {
   private def thresholds: Seq[(String, Long)] =
     SampleRates.map { case (l, r) => l -> (r * TwoPow32).toLong }
 
+  /** u32(md5(e)) — the deterministic 32-bit hash EVERY sampling/splitting
+    * decision in this file derives from; `e` is a SQL string expression.
+    * One definition per engine so the sites can never drift apart. */
+  private[operators] def u32Expr(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
+  private[operators] def u32Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
   private def thresholdsSql: String =
     thresholds.map { case (l, t) => s"('$l', $t)" }
       .mkString("(VALUES ", ", ", ") AS rates(lang, thr)")
@@ -44,8 +52,7 @@ object PipelineOps {
       import spark.implicits._
       val rates = thresholds.toDF("lang", "thr")
       Tables.documents(spark, dir)
-        .withColumn("u32",
-          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+        .withColumn("u32", expr(u32Expr("cast(doc_id as string)")))
         .join(broadcast(rates), Seq("lang"))
         .filter($"u32" < $"thr")
         .select($"doc_id", $"lang", $"u32")
@@ -53,10 +60,10 @@ object PipelineOps {
     },
     Some(s"""
       SELECT doc_id, lang,
-        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+        ${u32Sql("CAST(doc_id AS VARCHAR)")} AS u32
       FROM documents
       JOIN $thresholdsSql USING (lang)
-      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+      WHERE ${u32Sql("CAST(doc_id AS VARCHAR)")} < thr
       ORDER BY doc_id""")
   )
 
@@ -194,8 +201,7 @@ object PipelineOps {
         .filter($"doc_id" === $"keep_id")
         .withColumn("quality", TextAnalytics.qualityCol)
         .filter($"quality" >= QualityThreshold)
-        .withColumn("u32",
-          expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+        .withColumn("u32", expr(u32Expr("cast(doc_id as string)")))
         .join(broadcast(rates), Seq("lang"))
         .filter($"u32" < $"thr")
         .select($"doc_id", $"lang", $"quality")
@@ -213,7 +219,7 @@ object PipelineOps {
       FROM scored
       JOIN $thresholdsSql USING (lang)
       WHERE quality >= $QualityThreshold
-        AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+        AND ${u32Sql("CAST(doc_id AS VARCHAR)")} < thr
       ORDER BY doc_id""")
   )
 
@@ -264,21 +270,20 @@ object PipelineOps {
     (spark, dir) => {
       import spark.implicits._
       Tables.documents(spark, dir)
-        .withColumn("bucket", expr(
-          "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10"))
+        .withColumn("bucket",
+          expr(u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
         .withColumn("split",
           when($"bucket" <= 7, "train")
             .when($"bucket" === 8, "val").otherwise("test"))
         .select($"doc_id", $"bucket", $"split")
         .orderBy($"doc_id")
     },
-    Some("""
+    Some(s"""
       SELECT doc_id, bucket,
         CASE WHEN bucket <= 7 THEN 'train'
              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
       FROM (SELECT doc_id,
-              CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                AS BIGINT) % 10 AS bucket
+              ${u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
             FROM documents)
       ORDER BY doc_id""")
   )

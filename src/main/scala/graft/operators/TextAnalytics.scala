@@ -364,17 +364,16 @@ object TextAnalytics {
       val nTok = size(toks).cast(DoubleType)
       val nStop = size(filter(toks, t => t.isin(Text.stopwords: _*))).cast(DoubleType)
       val avgLen = (length($"text") - size(toks) + lit(1)).cast(DoubleType) / size(toks)
-      val quality = Det.qround(
-        lit(0.3) * log(lit(1.0) + nTok) +
-        lit(0.5) * (lit(1.0) - nStop / nTok) +
-        lit(0.2) * least(avgLen / lit(10.0), lit(1.0)))
       Tables.documents(spark, dir)
         .select(
           $"doc_id",
           size(toks).cast(LongType).as("n_tokens"),
           Det.qround(nStop / nTok).as("stopword_ratio"),
           Det.qround(avgLen).as("avg_token_len"),
-          quality.as("quality"))
+          // the ONE quality definition (shared with q_corpus_prep and
+          // q_top_quality_per_lang) — an inlined copy here could silently
+          // drift from the others on a weight change
+          qualityCol.as("quality"))
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -468,7 +467,10 @@ object TextAnalytics {
     (spark, dir) => {
       import spark.implicits._
       val toks = Text.tokens($"text")
-      Tables.documents(spark, dir)
+      // spread: the per-token md5 transform is CodegenFallback (interpreted),
+      // so its cost must not pin to a single-split scan — same rule as the
+      // Dedup/Similarity sketch projections
+      Tables.spread(Tables.documents(spark, dir))
         .select(
           $"doc_id",
           md5($"text").as("fp_full"),
