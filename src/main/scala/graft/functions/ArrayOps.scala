@@ -114,8 +114,11 @@ object ArrayOps {
     * h_i(doc) = min over shingles of md5(i + ":" + shingle) as lowercase hex
     * (hex strings compare identically to their digest bytes — the nibble→hex
     * map is monotonic); band key b = h_{b·R} || '|' || … || h_{b·R+R-1}.
-    * Null shingle elements are skipped (array_min / concat_ws semantics); an
-    * empty set yields all-empty keys, as concat_ws over nulls does.
+    * Null shingle elements are skipped (array_min semantics); an EMPTY set
+    * yields NULL — the doc never enters banding, exactly like the oracle
+    * (which produces no hashed rows for it). Empty-string keys here would
+    * collide every shingle-less document into one bucket per band and send
+    * the candidate self-join quadratic in their count.
     *
     * The declarative twin is CodegenFallback: every one of the K·|sh| md5
     * calls runs through an interpreted lambda with boxed UTF8String
@@ -145,6 +148,7 @@ object ArrayOps {
       }
       j += 1
     }
+    if (mins(0) == null) return null  // no non-null shingles at all
     val nBands = k / bandRows
     val out = new Array[AnyRef](nBands)
     var b = 0
@@ -367,7 +371,10 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) if nPlanes >= 1 && nPlanes <= 63 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+        s"lsh_bucket requires 1 <= n_planes <= 63 (bits of one bigint), got $nPlanes")
       case _ => TypeCheckResult.TypeCheckFailure("lsh_bucket requires array<float>")
     }
 
@@ -500,6 +507,7 @@ case class MinhashBands(child: Expression, k: Int, bandRows: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.ArrayOps.minhashBands($c, $k, $bandRows);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBands =

@@ -51,9 +51,14 @@ object SentimentScore {
   }
 
   /** Tokenize (MLlib Tokenizer semantics), sum valences exactly (decimal),
-    * divide by token count, round to 6 dp. Called from generated code. */
+    * divide by token count, round to 6 dp. Called from generated code.
+    * Locale.ROOT lowering + limit -1 split: the relational twin
+    * (split(lower(text), "\\s+") — locale-independent, trailing empties
+    * KEPT) and the DuckDB oracle both count trailing empty tokens in the
+    * denominator, and a Turkish default locale would break the lexicon
+    * lookup ("BIG" → "bıg"). */
   def score(text: String): Double = {
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     if (toks.isEmpty) return 0.0
     var sum = java.math.BigDecimal.ZERO
     var i = 0
@@ -74,6 +79,19 @@ object SentimentScore {
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Evaluate an integer parameter argument, failing with a readable error
+    * at registration time when it is not a literal — a bare
+    * `args(i).eval()` on a column reference throws an opaque
+    * UnsupportedOperationException from deep inside plan building. */
+  private def intArg(fn: String, name: String, args: Seq[Expression],
+      i: Int, default: => Int = throw new IllegalArgumentException("missing")): Int =
+    args.lift(i) match {
+      case None => default
+      case Some(e) if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case Some(e) => throw new IllegalArgumentException(
+        s"$fn: $name must be a literal integer, got ${e.sql}")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("sentiment_score"),
@@ -91,7 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (args: Seq[Expression]) => LshBucket(args.head,
-        args.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(8))))
+        intArg("lsh_bucket", "n_planes", args, 1, default = 8))))
     ext.injectFunction((
       new FunctionIdentifier("dist2_f32_f64"),
       new ExpressionInfo(classOf[Dist2F32F64].getName, "dist2_f32_f64"),
@@ -112,8 +130,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
       (args: Seq[Expression]) => MinhashBands(args.head,
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+        intArg("minhash_bands", "k", args, 1),
+        intArg("minhash_bands", "band_rows", args, 2))))
     ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
@@ -122,6 +140,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())))
+        intArg("word_shingles", "n", args, 1))))
   }
 }

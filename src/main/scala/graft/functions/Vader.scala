@@ -141,7 +141,7 @@ object Vader {
     val raw = text.split("\\s+").filter(_.nonEmpty)
     if (raw.isEmpty) return 0.0
     val toks = raw.map(stripToken)
-    val lower = toks.map(_.toLowerCase)
+    val lower = toks.map(_.toLowerCase(java.util.Locale.ROOT))
 
     val anyUpper = toks.exists(isUpperToken)
     val allUpper = toks.forall(isUpperToken)
@@ -184,13 +184,17 @@ object Vader {
             if (neverSoThis) valence *= 1.25
             else if (withoutDoubt) ()
             else if (isNegated(lower(j))) valence *= NScalar
-            // "least" rule: "least good" flips unless "at least"/"very least"
-            if (d == 0 && lower(j) == "least" &&
-                (j == 0 || (lower(j - 1) != "at" && lower(j - 1) != "very")))
-              valence *= NScalar
           }
           d += 1
         }
+        // "least" rule AFTER the whole booster/negation loop, exactly where
+        // vaderSentiment's _least_check runs — flipping inside the d==0
+        // iteration would let distance-2/3 boosters sign-match the already
+        // flipped valence ("extremely least fast" diverges otherwise)
+        if (i > 0 && lower(i - 1) == "least" &&
+            !lexicon.containsKey(lower(i - 1)) &&
+            (i == 1 || (lower(i - 2) != "at" && lower(i - 2) != "very")))
+          valence *= NScalar
         sentiments(i) = valence
       }
       i += 1

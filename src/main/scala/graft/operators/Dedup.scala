@@ -76,15 +76,19 @@ object Dedup {
     * actually used by the queries (DedupSpec asserts set equality). */
   private[graft] def shingleArray(text: Column, n: Int): Column = {
     val toks = Text.tokens(text)
+    // slice lengths clamped at 0: a doc with fewer than n-1 tokens would
+    // otherwise hand slice() a negative length, which THROWS at runtime
+    // (the native wordShingles returns [] for the same input)
+    def len(minus: Int) = greatest(size(toks) - minus, lit(0))
     val sh =
       if (n == 2)
-        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        zip_with(slice(toks, lit(1), len(1)), slice(toks, lit(2), len(1)),
           (a, b) => concat_ws(" ", a, b))
       else
         zip_with(
-          zip_with(slice(toks, lit(1), size(toks) - 2), slice(toks, lit(2), size(toks) - 2),
+          zip_with(slice(toks, lit(1), len(2)), slice(toks, lit(2), len(2)),
             (a, b) => concat_ws(" ", a, b)),
-          slice(toks, lit(3), size(toks) - 2),
+          slice(toks, lit(3), len(2)),
           (ab, c) => concat_ws(" ", ab, c))
     array_distinct(sh)
   }
@@ -186,13 +190,12 @@ object Dedup {
         JOIN sh sb ON ib = sb.doc_id AND sa.shingle = sb.shingle
         GROUP BY ia, ib)
       SELECT ia, ib,
-        floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
-          / 1000000.0 AS jaccard
+        ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS jaccard
       FROM inter
       JOIN sizes na ON ia = na.doc_id
       JOIN sizes nb ON ib = nb.doc_id
-      WHERE floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
-          / 1000000.0 >= $JaccardThreshold"""
+      WHERE ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")}
+          >= $JaccardThreshold"""
 
   val qDedupMinhash = GraftQuery(
     "q_dedup_minhash",
@@ -262,6 +265,11 @@ object Dedup {
       // labels cache needs — the edge relations are dead weight from here
       pairs.unpersist()
       edges.unpersist()
+      if (changed > 0)
+        System.err.println(
+          s"[dedup] WARNING: label propagation hit MaxCcIterations=" +
+            s"$MaxCcIterations before converging ($changed labels still " +
+            "moving) — cluster labels may not be component minima")
       // one join back to the corpus: subgraph labels broadcast (they are
       // tiny relative to the table whenever dedup is worth running; drop
       // the hint if a corpus ever inverts that), everyone else keeps itself
@@ -482,7 +490,10 @@ object Dedup {
       // provably prunes only pairs the verified filter would drop, so
       // results (and the oracle, which has no filter) are unchanged; rows
       // entering the count shuffle drop before grouping.
-      val withNs = pruned.join(broadcast(sizes), Seq("doc_id"))
+      // NO broadcast hint: sizes is one row per document — corpus-sized —
+      // and must flow through a shuffle join at scale (AQE still broadcasts
+      // it locally when it is actually small)
+      val withNs = pruned.join(sizes, Seq("doc_id"))
       val inter = withNs.as("a").join(withNs.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
             $"a.ns" * lit(LengthFilterDen) >= $"b.ns" * lit(LengthFilterNum) &&
@@ -511,13 +522,12 @@ object Dedup {
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY ia, ib)
       SELECT ia, ib,
-        floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
-          / 1000000.0 AS jaccard
+        ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS jaccard
       FROM inter
       JOIN sizes na ON ia = na.doc_id
       JOIN sizes nb ON ib = nb.doc_id
-      WHERE floor(inter * 1.0 / (na.ns + nb.ns - inter) * 1000000.0 + 0.5)
-          / 1000000.0 >= $JaccardThreshold
+      WHERE ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")}
+          >= $JaccardThreshold
       ORDER BY ia, ib""")
   )
 

@@ -60,7 +60,7 @@ object TfIdf {
               ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) AS idf
             FROM dfreq)
     SELECT tf.doc_id, tf.term, tf.tf, idf.df,
-      floor(tf.tf * idf.idf * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+      ${graft.Oracle.qround("tf.tf * idf.idf")} AS tfidf
     FROM tf JOIN idf ON tf.term = idf.term"""
 
   /** Full per-(doc, term) score relation. */
@@ -92,11 +92,11 @@ object TfIdf {
     },
     Some(s"""
       SELECT term,
-        floor(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE
-          * 1000000.0 + 0.5) / 1000000.0 AS total_score,
+        ${graft.Oracle.qround("sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE")}
+          AS total_score,
         count(*) AS n_docs,
-        floor(sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE / count(*)
-          * 1000000.0 + 0.5) / 1000000.0 AS avg_score
+        ${graft.Oracle.qround("sum(CAST(tfidf AS DECIMAL(38,9)))::DOUBLE / count(*)")}
+          AS avg_score
       FROM ($scoresSql)
       GROUP BY term
       ORDER BY avg_score DESC, term

@@ -87,7 +87,7 @@ class ArrayOpsSpec extends SparkSpec {
              vader_score('') AS vs""")
       .as[(Seq[String], Long, Seq[String], Double)].head()
     assert(d._1 === Seq.empty)
-    assert(d._3 === Seq("", "", "", ""))  // concat_ws-over-nulls semantics
+    assert(d._3 === null)  // empty shingle set: NULL bands, never "" keys
     assert(d._4 === 0.0)
   }
 
