@@ -40,4 +40,13 @@ class SentimentScoreSpec extends SparkSpec {
       .as[Option[Double]].collect().toSeq
     assert(r === Seq(None, Some(0.0), Some(0.0)))
   }
+
+  test("trailing whitespace counts an empty token, like the relational twin") {
+    // split(lower(text), '\\s+') keeps the trailing empty token (limit -1);
+    // the native scorer must divide by the SAME token count: 0.75 / 2
+    val r = Seq("fast ", "fast").toDF("text")
+      .select(expr("sentiment_score(text)").as("s"))
+      .as[Double].collect().toSeq
+    assert(r === Seq(0.375, 0.75))
+  }
 }

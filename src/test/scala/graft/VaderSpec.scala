@@ -30,6 +30,9 @@ class VaderSpec extends SparkSpec {
     check("never was fast", -0.1419)  // negator 2 tokens back
     check("least fast", -0.1419)      // the "least" rule
     check("at least fast", 0.1901)    // "at least" exempt
+    // _least_check runs AFTER the booster loop: s = (0.75 + 0.293·0.95)
+    // then ×-0.74 (flipping first would sign-match the booster wrongly)
+    check("extremely least fast", -0.1928)
   }
 
   test("never so/this amplifies x1.25 instead of negating") {
