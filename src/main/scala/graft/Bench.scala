@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times the headline queries at
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is fully executed
-  * via count() on its final plan (writes omitted so the number measures
-  * compute, not disk). */
+  * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query executes through
+  * the `noop` sink, which consumes EVERY output column: a bare count()
+  * would let Catalyst prune the projections away entirely — a map-only
+  * query (regex scrub, rep_stats, resize planning) degenerates to a
+  * zero-column metadata count and benchmarks as pure scan overhead.
+  * A query that throws is reported as -1 (and excluded from the total)
+  * instead of recording its time-to-exception as a healthy number. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,24 +27,28 @@ object Bench {
     // generated code so the timed run measures compute, not Janino
     val warmDir = "/root/testdata/sf0.001"
     val warm = new java.io.File(warmDir).isDirectory
+    def execute(q: GraftQuery, dir: String): Boolean =
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
     val results = Queries.all.filter(_.bench).map { q =>
-      if (warm) try { q.run(spark, warmDir).count() } catch { case _: Throwable => }
+      if (warm) execute(q, warmDir)
       // min of 2 timed runs: the steady-state compute cost, robust to a GC
       // pause or noisy-neighbor blip landing inside one run
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = execute(q, sfDir)
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
       // per-query caches (LSH indexes, shingle sets) are intra-query reuse;
       // clear between queries so the suite doesn't accumulate dead cache
-      // (kept ACROSS the two timed runs — same protocol as BENCH_r01/r02)
+      // (kept ACROSS the two timed runs — same protocol as earlier rounds)
       spark.catalog.clearCache()
-      q.name -> times.min
+      q.name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

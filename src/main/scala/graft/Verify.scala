@@ -19,6 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any previous run's output FIRST: with overwrite-on-success
+      // only, a query that starts failing would leave a stale (still
+      // oracle-green) parquet behind for the compare to validate
+      val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(stale, true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

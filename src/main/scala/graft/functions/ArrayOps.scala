@@ -244,6 +244,26 @@ object ArrayOps {
     sum
   }
 
+  /** Mean Unicode code point of a string, qrounded to 6 dp (0.0 for empty) —
+    * the decodeStub "brightness" semantic as one codegen pass. The
+    * declarative twin (aggregate over sequence(1, length) with
+    * ascii(substring)) is a CodegenFallback per-character interpreted fold —
+    * the single hottest expression in the honest bench before this existed. */
+  def meanCodepoint(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    var sum = 0L
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    math.floor(sum.toDouble / n * 1e6 + 0.5) / 1e6
+  }
+
   /** Per-document repetition statistics in ONE pass (the Gopher repetition
     * rules' raw counts): [n_tokens, distinct_tokens, top_token_count,
     * n_2grams, distinct_2grams, top_2gram_count] over the lowercase
@@ -453,6 +473,28 @@ case class Dist2F32F64Fast(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Dist2F32F64Fast =
     copy(left = newLeft, right = newRight)
+}
+
+/** `mean_codepoint(text)`: mean code point qrounded to 6 dp (see
+  * [[ArrayOps.meanCodepoint]]). */
+case class MeanCodepoint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "mean_codepoint"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("mean_codepoint requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.meanCodepoint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.meanCodepoint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MeanCodepoint =
+    copy(child = newChild)
 }
 
 /** `rep_stats(text)`: one-pass repetition counters of a document (see

@@ -70,6 +70,10 @@ object F {
   def repStats(text: Column): Column =
     call_function("rep_stats", text)
 
+  /** Mean Unicode code point, 6 dp (the media "brightness" semantic). */
+  def meanCodepoint(text: Column): Column =
+    call_function("mean_codepoint", text)
+
   /** MLlib-Tokenizer-equivalent tokens (lowercase whitespace split). */
   def tokens(text: Column): Column = Text.tokens(text)
 

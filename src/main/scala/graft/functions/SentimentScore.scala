@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Dist2F32F64Fast].getName, "dist2_f32_f64_fast"),
       (args: Seq[Expression]) => Dist2F32F64Fast(args(0), args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("mean_codepoint"),
+      new ExpressionInfo(classOf[MeanCodepoint].getName, "mean_codepoint"),
+      (args: Seq[Expression]) => MeanCodepoint(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[RepStats].getName, "rep_stats"),
       (args: Seq[Expression]) => RepStats(args.head)))

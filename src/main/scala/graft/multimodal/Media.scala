@@ -106,17 +106,11 @@ object Media {
           nBytes.as("n_bytes"),
           (nBytes % 640 + 1).as("width"),
           ((nBytes * 7) % 480 + 1).as("height"),
-          // NOTE 1e6, not 1000000.0: in SQL text the latter parses as a
-          // DECIMAL literal and drags the whole expression into decimal math.
-          // Character-count denominator on BOTH sides (mean code point, the
-          // decodeStub semantic); empty text is explicitly 0.0 — without the
-          // guard Spark's sequence(1, 0) degenerates and the oracle's
-          // list_sum([]) is NULL, so the engines would disagree.
-          expr("""CASE WHEN length(text) > 0 THEN
-                  floor(aggregate(sequence(1, length(text)), 0L,
-                  (acc, i) -> acc + ascii(substring(text, i, 1)))
-                  / cast(length(text) as double) * 1e6 + 0.5)
-                  / 1e6 ELSE 0.0 END""").as("brightness"))
+          // native one-pass mean code point (the decodeStub semantic,
+          // empty text → 0.0): the declarative aggregate-over-sequence
+          // fold is a CodegenFallback per-CHARACTER interpreted lambda —
+          // the hottest expression in the whole bench before this
+          call_function("mean_codepoint", $"text").as("brightness"))
         .orderBy($"media_id")
     },
     Some("""

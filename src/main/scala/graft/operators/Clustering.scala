@@ -62,8 +62,12 @@ object Clustering {
     "q_kmeans",
     (spark, dir) => {
       import spark.implicits._
+      // persisted: the scan feeds cents0, round-1 assignment (inside the
+      // centroid-update lineage) AND the final assignment — three scans
+      // otherwise, the same barrier rationale as q_contamination's shingles
       val emb = Tables.spread(Tables.embeddings(spark, dir))
         .select($"vec_id", $"embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cents0 = emb.filter($"vec_id" < K)
         .select($"vec_id".as("cid"),
           transform($"embedding", v => v.cast(DoubleType)).as("ce"))

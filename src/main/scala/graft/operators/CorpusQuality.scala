@@ -70,7 +70,7 @@ object CorpusQuality {
         SELECT doc_id, sum(c)::BIGINT AS n2, count(*)::BIGINT AS d2,
           max(c)::BIGINT AS top2
         FROM gc GROUP BY doc_id)
-      SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_token_count,
+      SELECT d.doc_id, t.n_tokens, t.n_distinct, t.top_token_count,
         ${Oracle.qround("1.0 - t.n_distinct::DOUBLE / t.n_tokens")} AS dup_token_frac,
         CASE WHEN g.n2 > 0
           THEN ${Oracle.qround("g.top2::DOUBLE / g.n2")} END AS top_2gram_frac,
@@ -79,7 +79,9 @@ object CorpusQuality {
         (CASE WHEN g.n2 > 0
           THEN ${Oracle.qround("g.top2::DOUBLE / g.n2")} END) >= $RepetitiveThreshold
           AS repetitive
-      FROM ts t LEFT JOIN gs g USING (doc_id)
+      FROM documents d
+      LEFT JOIN ts t USING (doc_id)
+      LEFT JOIN gs g USING (doc_id)
       ORDER BY doc_id""")
   )
 

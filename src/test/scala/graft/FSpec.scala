@@ -17,20 +17,20 @@ class FSpec extends SparkSpec {
       F.wordShingles($"t", 2), F.minhashBands(F.wordShingles($"t", 2), 12, 3),
       F.dotF32($"v", $"v"), F.dotF32Fast($"v", $"v"),
       F.dist2F32F64($"v", $"c"), F.dist2F32F64Fast($"v", $"c"),
-      F.lshBucket($"v"), F.repStats($"t"),
+      F.lshBucket($"v"), F.repStats($"t"), F.meanCodepoint($"t"),
       F.tokens($"t"), F.withoutStopwords(F.tokens($"t"))).collect()(0)
     val viaSql = df.selectExpr(
       "sentiment_score(t)", "vader_score(t)", "simhash32(t)",
       "word_shingles(t, 2)", "minhash_bands(word_shingles(t, 2), 12, 3)",
       "dot_f32(v, v)", "dot_f32_fast(v, v)",
       "dist2_f32_f64(v, c)", "dist2_f32_f64_fast(v, c)",
-      "lsh_bucket(v, 8)", "rep_stats(t)",
+      "lsh_bucket(v, 8)", "rep_stats(t)", "mean_codepoint(t)",
       "split(lower(t), '\\\\s+')", "filter(split(lower(t), '\\\\s+'), x -> true)")
       .collect()(0)
-    for (i <- 0 until 11)
+    for (i <- 0 until 12)
       assert(viaF.get(i) === viaSql.get(i), s"wrapper $i diverges")
     // tokens + stopword removal behave (no stopwords in the fixture text)
-    assert(viaF.getSeq[String](11) === Seq("fast", "fast", "slow"))
     assert(viaF.getSeq[String](12) === Seq("fast", "fast", "slow"))
+    assert(viaF.getSeq[String](13) === Seq("fast", "fast", "slow"))
   }
 }
