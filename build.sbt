@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps run output for bare JSON lines (Bench's contract is
+// "print ONE JSON line"); sbt's default LoggedOutput prefixes every forked
+// line with "[info] ", which breaks that parse. Stream child stdout raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
