@@ -15,6 +15,10 @@ run / fork := true
 // "print ONE JSON line"); sbt's default LoggedOutput prefixes every forked
 // line with "[info] ", which breaks that parse. Stream child stdout raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the same consumer keeps only the last ~2000 chars of output, so
+// sbt's trailing "[success] Total time: ..." banner eats into the window
+// that must hold Bench's JSON line. Suppress it.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

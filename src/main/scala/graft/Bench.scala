@@ -46,10 +46,20 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The consumer keeps only the last ~2000 chars of run output and parses
+    // the JSON line from that window: full-precision doubles pushed the line
+    // past the window and truncated its head every round. 3 decimals (ms
+    // resolution) keeps the whole line inside the window; Locale.ROOT pins
+    // '.' as the decimal separator.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" as a bare number (sf0.1 -> 0.1) when the dir follows the testdata
+    // naming; every char saved is tail-window headroom for new queries.
+    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }
