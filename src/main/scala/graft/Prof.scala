@@ -22,10 +22,12 @@ object Prof {
       spark.stop(); return
     }
     val names = if (args.nonEmpty) args.toSeq else Queries.all.map(_.name)
+    // Same sink as Bench: noop consumes every output column; count() lets
+    // Catalyst prune projections and under-measures map-heavy queries.
     for (n <- names; q <- Queries.byName.get(n); rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      val rows = q.run(spark, dir).count()
-      println(f"PROF $n%-24s run$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$rows")
+      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"PROF $n%-24s run$rep ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       if (rep == 2) spark.catalog.clearCache()
     }
     spark.stop()

@@ -324,6 +324,34 @@ object ArrayOps {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Non-overlapping word n-token chunks of a text, lowercase
+    * whitespace-split, IN ORDER and NOT distinct (unlike
+    * [[wordShingles]] — span-level dedup needs every positional span,
+    * including in-document repeats, and needs the trailing partial chunk
+    * so reassembly reproduces the full document). Same `split(regex, -1)`
+    * tokenization as every other text op in the engine; the DuckDB twin is
+    * `[array_to_string(ws[i:i+n-1], ' ') for i in range(1, len(ws)+1, n)]`. */
+  def wordChunks(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val out = new Array[UTF8String](((toks.length + n - 1) / n).max(1))
+    var i = 0
+    var k = 0
+    while (i < toks.length || (i == 0 && k == 0)) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + n, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+      i += n
+    }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 /** `dot_f32(a, b)`: exact-decimal dot product of two array&lt;float&gt;. */
