@@ -35,11 +35,17 @@ object Bench {
       if (warm) execute(q, warmDir)
       // min of 2 timed runs: the steady-state compute cost, robust to a GC
       // pause or noisy-neighbor blip landing inside one run
-      val times = (1 to 2).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         val ok = execute(q, sfDir)
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
+      val two = (1 to 2).map(_ => timed())
+      // BENCH_r05 recorded 10-36x inflation on four queries whose plans had
+      // not changed since r04 — noisy-neighbor contention that lasted across
+      // both timed runs. When the two runs disagree by >3x the min is not a
+      // steady-state number yet; one extra run is cheap insurance.
+      val times = if (two.max > two.min * 3) two :+ timed() else two
       // per-query caches (LSH indexes, shingle sets) are intra-query reuse;
       // clear between queries so the suite doesn't accumulate dead cache
       // (kept ACROSS the two timed runs — same protocol as earlier rounds)
@@ -56,9 +62,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // "sf" as a bare number (sf0.1 -> 0.1) when the dir follows the testdata
-    // naming; every char saved is tail-window headroom for new queries.
-    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    // naming; every char saved is tail-window headroom for new queries. The
+    // pattern admits only well-formed JSON numbers ("sf0..1"/"sf1." would
+    // emit invalid JSON bare); anything else takes the quoted fallback.
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
+      .map(_.group(1))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }

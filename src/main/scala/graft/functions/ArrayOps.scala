@@ -611,6 +611,35 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `word_chunks(text, n)`: non-overlapping in-order n-token chunks (see
+  * [[ArrayOps.wordChunks]] for the exact split/ordering semantics). The
+  * context-chunking primitive: posexplode of the result turns a document
+  * into its (chunk_idx, chunk_text) training windows. */
+case class WordChunks(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        TypeCheckResult.TypeCheckFailure(s"word_chunks requires n > 0, got $n")
+      case _ => TypeCheckResult.TypeCheckFailure("word_chunks requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.wordChunks(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.wordChunks($c, $n);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
 /** `simhash32(text)`: per-row 32-bit tf-weighted SimHash signature (see
   * [[ArrayOps.simhash32]]). */
 case class Simhash32(child: Expression) extends UnaryExpression {

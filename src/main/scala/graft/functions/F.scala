@@ -37,6 +37,11 @@ object F {
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))
 
+  /** Non-overlapping in-order n-token chunks of a text (context chunking;
+    * includes the trailing partial chunk so reassembly is lossless). */
+  def wordChunks(text: Column, n: Int): Column =
+    call_function("word_chunks", text, lit(n))
+
   /** MinHash LSH band keys: k hashes in one pass, banded every `bandRows`. */
   def minhashBands(shingles: Column, k: Int, bandRows: Int): Column =
     call_function("minhash_bands", shingles, lit(k), lit(bandRows))

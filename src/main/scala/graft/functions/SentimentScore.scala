@@ -145,5 +145,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,
         intArg("word_shingles", "n", args, 1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_chunks"),
+      new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+      (args: Seq[Expression]) => WordChunks(args.head,
+        intArg("word_chunks", "n", args, 1))))
   }
 }

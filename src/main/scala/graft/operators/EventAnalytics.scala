@@ -444,9 +444,76 @@ object EventAnalytics {
     None
   )
 
+  /** The event-type domain, pinned so `pivot` never runs its implicit
+    * distinct-collect pass (Spark collects pivot values to the driver when
+    * they are not supplied — an extra job AND a nondeterministic column
+    * order; a pinned domain is the 100 TB shape). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long-to-wide pivot: per-day revenue by event type as one row per day
+    * with one column per (pinned) event type. Catalyst rewrites this to a
+    * single hash aggregate with `sum(CASE WHEN type = t …)` per pivot value
+    * — exactly the conditional-aggregation twin the oracle states, and one
+    * exchange on `day` total. Combos absent from the data stay NULL (both
+    * engines: conditional SUM over zero rows). */
+  val qPivotDaily = GraftQuery(
+    "q_pivot_daily",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"day")
+        .pivot("event_type", EventTypes)
+        .agg(dsum($"value"))
+        .orderBy($"day")
+    },
+    Some(s"""
+      SELECT epoch_us(ts) // $DayUs AS day,
+        ${EventTypes.map(t =>
+          s"round(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(38,9)) END), 6)::DOUBLE AS $t")
+          .mkString(",\n        ")}
+      FROM events
+      GROUP BY day
+      ORDER BY day""")
+  )
+
+  /** CUBE over (event_type, day-of-week): every grouping-set combination in
+    * one pass — the full-materialization sibling of q_rollup_activity's
+    * hierarchy. GROUPING() flags disambiguate "NULL because subtotal" from a
+    * NULL key (the keys here are never null, but the flags are part of the
+    * operator's contract and pin a total ORDER BY that never compares
+    * engine-specific NULL orderings on the key columns first). Scale shape:
+    * Spark expands to 4 grouping sets BEFORE the exchange but partial
+    * aggregation collapses each set map-side; one exchange, 4x the
+    * (tiny) distinct-key space. */
+  val qCubeActivity = GraftQuery(
+    "q_cube_activity",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("dow", expr(s"(ts_us div $DayUs) % 7"))
+        .cube($"event_type", $"dow")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"),
+          grouping($"event_type").cast(LongType).as("g_type"),
+          grouping($"dow").cast(LongType).as("g_dow"))
+        .select($"event_type", $"dow", $"g_type", $"g_dow",
+          $"n_events", $"sum_value")
+        .orderBy($"g_type", $"g_dow", $"event_type", $"dow")
+    },
+    Some(s"""
+      SELECT event_type, (epoch_us(ts) // $DayUs) % 7 AS dow,
+        grouping(event_type)::BIGINT AS g_type,
+        grouping((epoch_us(ts) // $DayUs) % 7)::BIGINT AS g_dow,
+        count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY CUBE (event_type, (epoch_us(ts) // $DayUs) % 7)
+      ORDER BY g_type, g_dow, event_type, dow""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
-    qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize)
+    qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
+    qPivotDaily, qCubeActivity)
 }

@@ -318,7 +318,54 @@ object PipelineOps {
       ORDER BY lang, pack_id""")
   )
 
+  /** Tokens per context-window chunk for q_doc_chunks. */
+  val ChunkTokens = 32
+
+  /** Fixed-size context chunking — the other half of sequence packing:
+    * q_pack_sequences/q_chunk_assembly pack SHORT docs up to a token budget;
+    * this SPLITS each document into non-overlapping `ChunkTokens`-token
+    * windows (trailing partial kept, so concatenating a doc's chunks in
+    * chunk_idx order reproduces it losslessly). The chunker is the native
+    * codegen `word_chunks` expression — one tight loop per row, no
+    * interpreted higher-order functions.
+    *
+    * Scale shape: map-side only (scan → chunk → posexplode); output grows by
+    * the chunk factor but no shuffle exists except the oracle-grade final
+    * ORDER BY. At 100 TB this is the shape you want: chunking parallelizes
+    * per input split with zero coordination. */
+  val qDocChunks = GraftQuery(
+    "q_doc_chunks",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          posexplode(graft.functions.F.wordChunks($"text", ChunkTokens)))
+        .select($"doc_id", $"pos".cast(LongType).as("chunk_idx"),
+          $"col".as("chunk_text"),
+          length($"col").cast(LongType).as("chunk_chars"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    // DuckDB twin: zipped unnest of the chunk-index range and the list
+    // comprehension that joins each n-token slice (1-based inclusive
+    // slicing, so [i : i+n-1]); list lengths agree by construction.
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents)
+      SELECT doc_id,
+        unnest(range((len(ws) + ${ChunkTokens - 1}) // $ChunkTokens))::BIGINT
+          AS chunk_idx,
+        unnest([array_to_string(ws[i : i + ${ChunkTokens - 1}], ' ')
+                for i in range(1, len(ws) + 1, $ChunkTokens)]) AS chunk_text,
+        unnest([length(array_to_string(ws[i : i + ${ChunkTokens - 1}], ' '))
+                for i in range(1, len(ws) + 1, $ChunkTokens)])::BIGINT
+          AS chunk_chars
+      FROM t
+      ORDER BY doc_id, chunk_idx""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
-      qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly)
+      qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks)
 }

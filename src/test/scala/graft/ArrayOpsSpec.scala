@@ -91,12 +91,38 @@ class ArrayOpsSpec extends SparkSpec {
     assert(d._4 === 0.0)
   }
 
+  test("word_chunks: lossless in-order chunking incl. trailing partial and empty text") {
+    val r = spark.sql("""
+      SELECT word_chunks('A b c d e', 2) AS c5,
+             word_chunks('a b c d', 2) AS c4,
+             word_chunks('', 3) AS ce,
+             word_chunks('one', 3) AS c1,
+             word_chunks(cast(null as string), 2) AS cn""")
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String], Seq[String])].head()
+    assert(r._1 === Seq("a b", "c d", "e"))     // trailing partial kept
+    assert(r._2 === Seq("a b", "c d"))          // exact multiple: no empty tail
+    assert(r._3 === Seq(""))                    // empty text -> one empty chunk
+    assert(r._4 === Seq("one"))
+    assert(r._5 === null)
+    // reassembly reproduces the lowercased document verbatim
+    val doc = "The quick brown fox jumps over the lazy dog again and again"
+    val joined = spark.sql(
+      s"SELECT array_join(word_chunks('$doc', 5), ' ') AS j")
+      .as[String].head()
+    assert(joined === doc.toLowerCase)
+    // in-order and NOT distinct: repeated spans must all survive
+    val rep = spark.sql("SELECT word_chunks('x y x y x y', 2) AS c")
+      .as[Seq[String]].head()
+    assert(rep === Seq("x y", "x y", "x y"))
+  }
+
   test("all round-2 native expressions stay inside whole-stage codegen") {
     // the whole point of these expressions is replacing CodegenFallback HOFs;
     // a silent fallback would show as a Project OUTSIDE a *(n) codegen span
     val docs = Tables.documents(spark, fixtureDir)
     for ((name, colExpr) <- Seq(
       "word_shingles" -> call_function("word_shingles", $"text", lit(2)),
+      "word_chunks" -> call_function("word_chunks", $"text", lit(3)),
       "simhash32" -> call_function("simhash32", $"text"),
       "vader_score" -> call_function("vader_score", $"text"),
       "sentiment_score" -> call_function("sentiment_score", $"text"))) {
