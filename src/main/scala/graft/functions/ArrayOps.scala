@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native array expressions for the similarity operators.
@@ -352,6 +353,61 @@ object ArrayOps {
     }
     new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
   }
+
+  /** Bits per dimension interleaved by [[zorder2]]: 2 × 21 = 42-bit keys,
+    * exact in a BIGINT in both engines. */
+  val ZorderBits = 21
+
+  /** Morton / Z-order interleave of the low [[ZorderBits]] bits of two
+    * non-negative dimension values: bit i of `x` lands at bit 2i, bit i of
+    * `y` at bit 2i+1. Bits at or above 2^21 are ignored — callers bucket
+    * each dimension below that first (the curve only needs RELATIVE order
+    * within a dimension). DuckDB twin:
+    * `list_sum([(((x>>i)&1)<<(2*i)) + (((y>>i)&1)<<(2*i+1)) for i in
+    * range(21)])`. */
+  def zorder2(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < ZorderBits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Symmetric int8 round-trip stats of a float vector, one pass:
+    * `(max_abs, errs)` where `max_abs = max |x_i|` (as double — float→double
+    * is exact) and `errs_i = |dequant(quant(x_i)) − x_i|` for the symmetric
+    * int8 scheme `scale = max_abs / 127`, `q_i = floor(x_i·127/max_abs +
+    * 0.5)` (half-up, the cross-engine-exact floor(v+0.5) form — NEVER
+    * engine round()). Every step is IEEE double arithmetic written in the
+    * SAME association as the DuckDB twin (`x*127/max_abs`, `q*(max_abs/
+    * 127)`), so errs are bit-identical. All-zero vector: scale degenerates,
+    * errs defined as 0. */
+  def q8Stats(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val errs = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      errs(i) =
+        if (maxAbs == 0.0) 0.0
+        else {
+          val q = math.floor(x * 127.0 / maxAbs + 0.5)
+          math.abs(q * (maxAbs / 127.0) - x)
+        }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](maxAbs, new GenericArrayData(errs)))
+  }
 }
 
 /** `dot_f32(a, b)`: exact-decimal dot product of two array&lt;float&gt;. */
@@ -660,5 +716,57 @@ case class Simhash32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+/** `zorder2(x, y)`: Morton/Z-order bit-interleave of two bigint dimension
+  * values (see [[ArrayOps.zorder2]]) — the space-filling-curve key for
+  * multi-dimensional data layout. */
+case class Zorder2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "zorder2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("zorder2 requires two BIGINT arguments")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ArrayOps.zorder2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Zorder2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `q8_stats(vec)`: symmetric-int8 quantization round-trip stats of an
+  * array&lt;float&gt; — struct(max_abs, errs) (see [[ArrayOps.q8Stats]]). */
+case class Q8Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_abs", DoubleType, nullable = false),
+    StructField("errs", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "q8_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("q8_stats requires array<float>")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.q8Stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.q8Stats($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Q8Stats =
     copy(child = newChild)
 }

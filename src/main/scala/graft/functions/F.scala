@@ -46,6 +46,16 @@ object F {
   def minhashBands(shingles: Column, k: Int, bandRows: Int): Column =
     call_function("minhash_bands", shingles, lit(k), lit(bandRows))
 
+  /** Morton/Z-order interleave of two bigint dimensions (low 21 bits each)
+    * — the sort key for multi-dimensional data layout. */
+  def zorder2(x: Column, y: Column): Column =
+    call_function("zorder2", x, y)
+
+  /** Symmetric-int8 quantization round-trip stats of an array&lt;float&gt;:
+    * struct(max_abs, errs). */
+  def q8Stats(vec: Column): Column =
+    call_function("q8_stats", vec)
+
   /** Exact-decimal dot product of two array&lt;float&gt; columns
     * (order-independent — safe for oracle-grade comparisons). */
   def dotF32(a: Column, b: Column): Column =

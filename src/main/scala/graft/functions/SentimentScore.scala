@@ -150,5 +150,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
       (args: Seq[Expression]) => WordChunks(args.head,
         intArg("word_chunks", "n", args, 1))))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[Zorder2].getName, "zorder2"),
+      (args: Seq[Expression]) => Zorder2(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("q8_stats"),
+      new ExpressionInfo(classOf[Q8Stats].getName, "q8_stats"),
+      (args: Seq[Expression]) => Q8Stats(args.head)))
+    // Spark's own semi-join runtime-filter machinery, exposed as callable
+    // functions: bloom_agg(xxhash64(k), est_items, n_bits) builds the binary
+    // sketch, bloom_contains(bf, xxhash64(k)) probes it. Both are Tungsten
+    // expressions (the probe participates in codegen); the pair lets a query
+    // state the build-small-probe-big shape explicitly where the optimizer's
+    // injection heuristics would not fire.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
   }
 }

@@ -166,5 +166,61 @@ object CorpusQuality {
       ORDER BY d.doc_id""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qRepetitionStats, qRedactPii, qContamination)
+  /** Contamination screening with a Bloom-filter prefilter — the 100 TB
+    * shape of [[qContamination]]. At scale the corpus side's exploded
+    * shingles dominate the exact join's shuffle; here every train shingle is
+    * first probed against a broadcast Bloom sketch of the HOLDOUT shingles
+    * (`bloom_agg`/`bloom_contains`, Spark's own runtime-filter expressions),
+    * so only the tiny might-match slice reaches the join. Correctness is
+    * unchanged: a Bloom filter has no false negatives, and its false
+    * positives are eliminated by the exact join that follows — which is why
+    * this query shares [[qContamination]]'s oracle verbatim. Per-doc shingle
+    * totals (`ns`) are computed BEFORE the prefilter: the denominator needs
+    * every shingle, matched or not. */
+  val qBloomContamination = GraftQuery(
+    "q_bloom_contamination",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          explode(call_function("word_shingles", $"text", lit(2))).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bench = sh.filter($"doc_id" < HoldoutMax)
+        .select($"doc_id".as("bench_id"), $"s")
+      val train = sh.filter($"doc_id" >= HoldoutMax)
+      val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+      // bloom_contains requires its sketch side to be a constant or a
+      // SCALAR SUBQUERY (the shape Spark's own injected runtime filters
+      // use): the subquery executes first and its one-row binary result is
+      // inlined into every probe task. The DataFrame API cannot state a
+      // scalar subquery, so this one step goes through spark.sql over temp
+      // views of the same plans.
+      bench.createOrReplaceTempView("g_bloom_bench")
+      train.createOrReplaceTempView("g_bloom_train")
+      val candidates = spark.sql("""
+        SELECT doc_id, s FROM g_bloom_train
+        WHERE bloom_contains(
+          (SELECT bloom_agg(xxhash64(s), 100000L, 800000L)
+           FROM g_bloom_bench),
+          xxhash64(s))""")
+      val inter = candidates.join(broadcast(bench), Seq("s"))
+        .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("i"))
+      val best = inter.join(sizes, Seq("doc_id"))
+        .groupBy($"doc_id")
+        .agg(max($"i".cast(DoubleType) / $"ns").as("mf"))
+      Tables.documents(spark, dir)
+        .filter($"doc_id" >= HoldoutMax)
+        .select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id",
+          Det.qround(coalesce($"mf", lit(0.0))).as("max_overlap_frac"),
+          (coalesce($"mf", lit(0.0)) >= ContaminationThreshold).as("contaminated"))
+        .orderBy($"doc_id")
+    },
+    // identical result to the exact screen => identical oracle
+    qContamination.oracle
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination)
 }

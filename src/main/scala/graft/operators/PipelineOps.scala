@@ -365,7 +365,37 @@ object PipelineOps {
       ORDER BY doc_id, chunk_idx""")
   )
 
+  private val HourUs = 3600L * 1000000
+
+  /** Z-order (Morton curve) layout key over (user_id, hour): the
+    * space-filling-curve sort that makes a table clustered for BOTH
+    * per-user and per-time range scans at once — what Delta/Iceberg OPTIMIZE
+    * ZORDER does before writing files. The key is the native codegen
+    * `zorder2` bit-interleave (map-side, one tight loop); at 100 TB the only
+    * distributed work is the final range-partitioned sort, which a rewrite
+    * job needs anyway to lay files out. Readers then prune files on either
+    * dimension: rows close in (user, hour) are close in z, so min/max file
+    * stats stay tight. */
+  val qZorderLayout = GraftQuery(
+    "q_zorder_layout",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("hr", expr(s"ts_us div $HourUs"))
+        .select($"event_id", $"user_id", $"hr",
+          graft.functions.F.zorder2($"user_id", $"hr").as("z"))
+        .orderBy($"z", $"event_id")
+    },
+    Some(s"""
+      SELECT event_id, user_id, hr,
+        list_sum([(((user_id >> i) & 1) << (2*i)) + (((hr >> i) & 1) << (2*i+1))
+                  for i in range(21)])::BIGINT AS z
+      FROM (SELECT event_id, user_id, epoch_us(ts) // $HourUs AS hr FROM events)
+      ORDER BY z, event_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
-      qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks)
+      qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
+      qZorderLayout)
 }

@@ -171,7 +171,41 @@ object Relational {
       LIMIT 10""")
   )
 
+  /** Set operations (INTERSECT / EXCEPT, both DISTINCT semantics): the
+    * (source, lang) combinations present in both / exactly one of two
+    * corpus halves — the "what coverage did we gain/lose between snapshots"
+    * question. Scale shape: Catalyst plans INTERSECT as an aggregate +
+    * left-semi join and EXCEPT as aggregate + left-anti — each side
+    * distincts BEFORE the join, so the shuffles carry only the (tiny)
+    * distinct key space, never the corpus. */
+  val qSetOps = GraftQuery(
+    "q_set_ops",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val a = docs.filter($"doc_id" % 2 === 0).select($"source", $"lang").distinct()
+      val b = docs.filter($"doc_id" % 2 === 1).select($"source", $"lang").distinct()
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("even_only")))
+        .unionByName(b.except(a).withColumn("op", lit("odd_only")))
+        .select($"op", $"source", $"lang")
+        .orderBy($"op", $"source", $"lang")
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT source, lang FROM documents WHERE doc_id % 2 = 0),
+           b AS (SELECT DISTINCT source, lang FROM documents WHERE doc_id % 2 = 1)
+      SELECT 'both' AS op, source, lang
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT 'even_only' AS op, source, lang
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT 'odd_only' AS op, source, lang
+        FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      ORDER BY op, source, lang""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
-    qPriorityRevenue, qAcctbalByRegion, qTopCustomers)
+    qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps)
 }

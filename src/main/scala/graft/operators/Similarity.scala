@@ -401,6 +401,46 @@ object Similarity {
       ORDER BY qid, rk""")
   )
 
+  /** Symmetric int8 quantization audit — the compression step a 100 TB
+    * embedding store runs before serving (4× smaller, then ADC/dot on int8):
+    * per vector, the quantization scale (max_abs/127) and the total absolute
+    * round-trip error. One map-side pass per row via the native `q8_stats`
+    * codegen expression; the per-element errors are exploded and summed
+    * through the usual decimal-exact path so the oracle matches
+    * bit-for-bit. Every float step is written in the same IEEE association
+    * as the DuckDB twin (see ArrayOps.q8Stats). */
+  val qEmbedInt8 = GraftQuery(
+    "q_embed_int8",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", call_function("q8_stats", $"embedding").as("st"))
+        .select($"vec_id", $"st.max_abs".as("max_abs"),
+          explode($"st.errs").as("err"))
+        .groupBy($"vec_id", $"max_abs")
+        .agg(Det.dsum($"err").as("q8_abs_err"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+          coalesce(list_max([abs(x::DOUBLE) for x in embedding]), 0.0)
+            AS max_abs,
+          embedding
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, max_abs,
+          unnest(CASE WHEN max_abs = 0.0
+            THEN [0.0 for x in embedding]
+            ELSE [abs(floor(x::DOUBLE * 127.0 / max_abs + 0.5)
+                      * (max_abs / 127.0) - x::DOUBLE)
+                  for x in embedding] END) AS err
+        FROM q)
+      SELECT vec_id, max_abs, ${Oracle.dsum("err")} AS q8_abs_err
+      FROM e GROUP BY vec_id, max_abs ORDER BY vec_id""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf, qAnnPq)
+    Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf, qAnnPq,
+      qEmbedInt8)
 }

@@ -116,6 +116,46 @@ class ArrayOpsSpec extends SparkSpec {
     assert(rep === Seq("x y", "x y", "x y"))
   }
 
+  test("zorder2: bit interleave, 21-bit masking, null propagation") {
+    val r = spark.sql("""
+      SELECT zorder2(3L, 1L) AS a,          -- x bits at even, y at odd: 0b0111
+             zorder2(0L, 0L) AS b,
+             zorder2(2097151L, 0L) AS c,    -- x = 2^21-1: all even bits set
+             zorder2(2097152L, 0L) AS d,    -- bit 21 ignored by design
+             zorder2(cast(null as bigint), 1L) AS e""")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(r._1 === 7L)
+    assert(r._2 === 0L)
+    assert(r._3 === (0 until 21).map(i => 1L << (2 * i)).sum)
+    assert(r._4 === 0L)
+    assert(r._5 === None)
+    // locality: neighbors in both dims stay within a small z distance
+    assert(functions.ArrayOps.zorder2(5, 9) ===
+      (functions.ArrayOps.zorder2(4, 8) | 3L))
+  }
+
+  test("q8_stats: exact round-trip errors, zero-vector and empty-vector guards") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),      // all-zero: scale degenerates, errs 0
+      (3L, Array.empty[Float]))
+    val out = vecs.toDF("id", "v")
+      .selectExpr("id", "q8_stats(v) AS st")
+      .selectExpr("id", "st.max_abs", "st.errs")
+      .as[(Long, Double, Seq[Double])]
+      .collect().sortBy(_._1)
+    assert(out(0)._2 === 1.0)
+    // scale = 1/127; per-element err = |floor(x*127 + .5)/127 - x|
+    val expected = Seq(1.0, -0.5, 0.25, 0.0).map { x =>
+      val q = math.floor(x * 127.0 / 1.0 + 0.5)
+      math.abs(q * (1.0 / 127.0) - x)
+    }
+    assert(out(0)._3 === expected)
+    assert(out(0)._3.head === 0.0)  // exact max round-trips exactly
+    assert(out(1) === ((2L, 0.0, Seq(0.0, 0.0))))
+    assert(out(2) === ((3L, 0.0, Seq.empty[Double])))
+  }
+
   test("all round-2 native expressions stay inside whole-stage codegen") {
     // the whole point of these expressions is replacing CodegenFallback HOFs;
     // a silent fallback would show as a Project OUTSIDE a *(n) codegen span
