@@ -484,9 +484,44 @@ object TextAnalytics {
       ORDER BY doc_id""")
   )
 
+  /** Heavy hitters — the two-pass sketch-then-verify pattern for "top terms
+    * without a full-vocabulary shuffle": pass 1 runs Spark's `approx_top_k`
+    * (DataSketches frequent-items) as a grouping-less aggregate, whose
+    * exchange carries ONE sketch per partition instead of one row per
+    * distinct term; pass 2 recounts ONLY the candidate terms (broadcast
+    * semi join, so the aggregate's exchange carries ≤ map-side-combined
+    * candidate rows) and takes the exact top 20. Candidates (k=100) are a
+    * 5× superset of the output k, and the sketch's default capacity means
+    * it operates in its exact regime for vocabularies under ~10k distinct
+    * terms — on bigger vocabularies the guarantee is the standard
+    * frequent-items one (no true heavy hitter is missed; the 5× margin
+    * covers rank noise near the cut). Oracle = the plain exact top-20. */
+  val qHeavyHitters = GraftQuery(
+    "q_heavy_hitters",
+    (spark, dir) => {
+      import spark.implicits._
+      def toks = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("term"))
+      val cand = toks.agg(expr("approx_top_k(term, 100)").as("sk"))
+        .select(explode($"sk").as("c"))
+        .select($"c.item".as("term"))
+      toks.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy($"term").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"term")
+        .limit(20)
+    },
+    Some("""
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+              AS term FROM documents)
+      GROUP BY term
+      ORDER BY n DESC, term
+      LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qQualityScore, qLangId,
-    qFingerprint)
+    qFingerprint, qHeavyHitters)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The z-order layout claim, MEASURED: writing files ordered by the
+  * `zorder2` Morton key lets parquet row-group statistics prune on EITHER
+  * dimension, where a linear single-column sort only prunes on its leading
+  * column. 256×256 grid, 16 range-partitioned files per layout; the probe
+  * filters on the SECONDARY dimension and we compare the scans' actual
+  * output-row metrics (rows surviving row-group skipping). */
+class ZorderLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanOutputRows(df: DataFrame): Long = {
+    // collect through df's own queryExecution: a fresh plan would carry
+    // fresh (zero) metrics — see NOTES "metric-read pitfalls"
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("z-ordered files prune row groups on the secondary dimension; linear sort does not") {
+    val grid = spark.range(65536L).select(
+      ($"id" % 256).cast("long").as("x"),
+      ($"id" / 256).cast("long").as("y"))
+      .withColumn("z", graft.functions.F.zorder2($"x", $"y"))
+
+    val base = Files.createTempDirectory("graft-zorder").toString
+    // linear layout: files are x-slabs (every file spans the full y range)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .select($"x", $"y").write.parquet(s"$base/linear")
+    // z layout: files are Morton-contiguous blocks (bounded in BOTH dims)
+    grid.repartitionByRange(16, $"z").sortWithinPartitions($"z")
+      .select($"x", $"y").write.parquet(s"$base/zorder")
+
+    def probe(layout: String): DataFrame =
+      spark.read.parquet(s"$base/$layout").filter($"y" <= 15)
+
+    // same answer from both layouts…
+    val expect = (0 until 256).flatMap(x => (0 to 15).map(y => (x.toLong, y.toLong))).toSet
+    assert(probe("linear").as[(Long, Long)].collect().toSet === expect)
+    assert(probe("zorder").as[(Long, Long)].collect().toSet === expect)
+
+    // …and the y predicate reaches the parquet scan in both
+    val plan = probe("zorder").queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(y,15)"), plan)
+
+    // the measurable difference: x-sorted files all span y∈[0,255], so no
+    // row group can be skipped for a y filter; z-ordered files are bounded
+    // in y, so most row groups never decode
+    val linearRows = scanOutputRows(probe("linear"))
+    val zRows = scanOutputRows(probe("zorder"))
+    assert(linearRows === 65536L,
+      s"expected the linear layout to decode everything, got $linearRows")
+    assert(zRows * 4 <= linearRows,
+      s"z layout should prune >=4x vs linear, got $zRows vs $linearRows")
+  }
+}
