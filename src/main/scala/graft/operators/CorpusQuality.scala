@@ -116,35 +116,50 @@ object CorpusQuality {
   val HoldoutMax = 25L
   val ContaminationThreshold = 0.5
 
+  /** The ONE contamination-screen dataflow, shared by the exact and
+    * Bloom-prefiltered variants so the two can never drift apart (their
+    * contract is literally "identical output, identical oracle").
+    * `prefilter(train, bench)` returns the train shingles that reach the
+    * exact join — identity for the exact screen, the Bloom probe for the
+    * scale screen. The output is prefilter-invariant for any prefilter
+    * that never drops a shingle shared with the bench side: per-doc
+    * totals (`ns`, the overlap denominator) are computed BEFORE the
+    * prefilter, and dropped non-shared shingles contribute nothing to the
+    * intersection counts. */
+  private def contaminationScreen(
+      spark: org.apache.spark.sql.SparkSession, dir: String)(
+      prefilter: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // persisted like Dedup's docShingles: the exploded shingle projection
+    // feeds the bench side, the per-doc sizes, and the candidate join —
+    // without the barrier the scan+shingle pass runs three times
+    val sh = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(call_function("word_shingles", $"text", lit(2))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = sh.filter($"doc_id" < HoldoutMax)
+      .select($"doc_id".as("bench_id"), $"s")
+    val train = sh.filter($"doc_id" >= HoldoutMax)
+    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    val inter = prefilter(train, bench).join(broadcast(bench), Seq("s"))
+      .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("i"))
+    val best = inter.join(sizes, Seq("doc_id"))
+      .groupBy($"doc_id")
+      .agg(max($"i".cast(DoubleType) / $"ns").as("mf"))
+    Tables.documents(spark, dir)
+      .filter($"doc_id" >= HoldoutMax)
+      .select($"doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id",
+        Det.qround(coalesce($"mf", lit(0.0))).as("max_overlap_frac"),
+        (coalesce($"mf", lit(0.0)) >= ContaminationThreshold).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
   val qContamination = GraftQuery(
     "q_contamination",
-    (spark, dir) => {
-      import spark.implicits._
-      // persisted like Dedup's docShingles: the exploded shingle projection
-      // feeds the bench side, the per-doc sizes, and the candidate join —
-      // without the barrier the scan+shingle pass runs three times
-      val sh = Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id",
-          explode(call_function("word_shingles", $"text", lit(2))).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bench = sh.filter($"doc_id" < HoldoutMax)
-        .select($"doc_id".as("bench_id"), $"s")
-      val train = sh.filter($"doc_id" >= HoldoutMax)
-      val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-      val inter = train.join(broadcast(bench), Seq("s"))
-        .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("i"))
-      val best = inter.join(sizes, Seq("doc_id"))
-        .groupBy($"doc_id")
-        .agg(max($"i".cast(DoubleType) / $"ns").as("mf"))
-      Tables.documents(spark, dir)
-        .filter($"doc_id" >= HoldoutMax)
-        .select($"doc_id")
-        .join(best, Seq("doc_id"), "left")
-        .select($"doc_id",
-          Det.qround(coalesce($"mf", lit(0.0))).as("max_overlap_frac"),
-          (coalesce($"mf", lit(0.0)) >= ContaminationThreshold).as("contaminated"))
-        .orderBy($"doc_id")
-    },
+    (spark, dir) => contaminationScreen(spark, dir)((train, _) => train),
     Some(s"""
       WITH sh AS (${Dedup.shinglesSql(2)}),
       tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= $HoldoutMax),
@@ -179,43 +194,23 @@ object CorpusQuality {
     * every shingle, matched or not. */
   val qBloomContamination = GraftQuery(
     "q_bloom_contamination",
-    (spark, dir) => {
-      import spark.implicits._
-      val sh = Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id",
-          explode(call_function("word_shingles", $"text", lit(2))).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bench = sh.filter($"doc_id" < HoldoutMax)
-        .select($"doc_id".as("bench_id"), $"s")
-      val train = sh.filter($"doc_id" >= HoldoutMax)
-      val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+    (spark, dir) => contaminationScreen(spark, dir) { (train, bench) =>
       // bloom_contains requires its sketch side to be a constant or a
       // SCALAR SUBQUERY (the shape Spark's own injected runtime filters
       // use): the subquery executes first and its one-row binary result is
       // inlined into every probe task. The DataFrame API cannot state a
       // scalar subquery, so this one step goes through spark.sql over temp
-      // views of the same plans.
+      // views of the same plans. Bloom false negatives: none (so no shared
+      // shingle is ever dropped — the contaminationScreen invariant);
+      // false positives: eliminated by the exact join that follows.
       bench.createOrReplaceTempView("g_bloom_bench")
       train.createOrReplaceTempView("g_bloom_train")
-      val candidates = spark.sql("""
+      spark.sql("""
         SELECT doc_id, s FROM g_bloom_train
         WHERE bloom_contains(
           (SELECT bloom_agg(xxhash64(s), 100000L, 800000L)
            FROM g_bloom_bench),
           xxhash64(s))""")
-      val inter = candidates.join(broadcast(bench), Seq("s"))
-        .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("i"))
-      val best = inter.join(sizes, Seq("doc_id"))
-        .groupBy($"doc_id")
-        .agg(max($"i".cast(DoubleType) / $"ns").as("mf"))
-      Tables.documents(spark, dir)
-        .filter($"doc_id" >= HoldoutMax)
-        .select($"doc_id")
-        .join(best, Seq("doc_id"), "left")
-        .select($"doc_id",
-          Det.qround(coalesce($"mf", lit(0.0))).as("max_overlap_frac"),
-          (coalesce($"mf", lit(0.0)) >= ContaminationThreshold).as("contaminated"))
-        .orderBy($"doc_id")
     },
     // identical result to the exact screen => identical oracle
     qContamination.oracle

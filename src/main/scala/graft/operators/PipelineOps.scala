@@ -375,27 +375,73 @@ object PipelineOps {
     * distributed work is the final range-partitioned sort, which a rewrite
     * job needs anyway to lay files out. Readers then prune files on either
     * dimension: rows close in (user, hour) are close in z, so min/max file
-    * stats stay tight. */
+    * stats stay tight.
+    *
+    * Both dimensions are bucketed below 2^21 EXPLICITLY (zorder2's input
+    * contract) so the quantization decision lives in the query, visible to
+    * the oracle — not in zorder2's silent bit truncation. `% 2^21` is the
+    * identity on this data (dense user ids, epoch-hours < 2^21 until
+    * year 2209); a corpus with wider ids would pick its own bucketing
+    * here, and a missed one now fails loudly in review rather than
+    * degrading the clustering invisibly. */
   val qZorderLayout = GraftQuery(
     "q_zorder_layout",
     (spark, dir) => {
       import spark.implicits._
+      val m = 1L << 21
       Tables.events(spark, dir)
         .withColumn("hr", expr(s"ts_us div $HourUs"))
         .select($"event_id", $"user_id", $"hr",
-          graft.functions.F.zorder2($"user_id", $"hr").as("z"))
+          graft.functions.F.zorder2($"user_id" % m, $"hr" % m).as("z"))
         .orderBy($"z", $"event_id")
     },
     Some(s"""
       SELECT event_id, user_id, hr,
-        list_sum([(((user_id >> i) & 1) << (2*i)) + (((hr >> i) & 1) << (2*i+1))
+        list_sum([((((user_id % ${1L << 21}) >> i) & 1) << (2*i))
+                  + ((((hr % ${1L << 21}) >> i) & 1) << (2*i+1))
                   for i in range(21)])::BIGINT AS z
       FROM (SELECT event_id, user_id, epoch_us(ts) // $HourUs AS hr FROM events)
       ORDER BY z, event_id""")
   )
 
+  /** Quality quartiles per language (ntile ranking window): the curriculum /
+    * quality-mix report — how many docs and what mean quality in each
+    * quarter of the per-language quality distribution. Uses the ONE shared
+    * quality definition (TextAnalytics.qualityCol). ntile is exact and
+    * needs a per-language sort, fine while the heaviest language fits a
+    * sort spill; the 100 TB variant swaps ntile for bucketing against
+    * `approx_percentile` cutpoints (same output schema), trading exactness
+    * at the boundaries for a map-only second pass. */
+  val qQualityQuartiles = GraftQuery(
+    "q_quality_quartiles",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", TextAnalytics.qualityCol.as("quality"))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .groupBy($"lang", $"quartile")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.Det.davg($"quality").as("avg_quality"))
+        .orderBy($"lang", $"quartile")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, lang, ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM documents),
+      t AS (
+        SELECT lang, quality,
+          ntile(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)::BIGINT
+            AS quartile
+        FROM q)
+      SELECT lang, quartile, count(*) AS n_docs,
+        ${graft.Oracle.davg("quality")} AS avg_quality
+      FROM t GROUP BY lang, quartile
+      ORDER BY lang, quartile""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
-      qZorderLayout)
+      qZorderLayout, qQualityQuartiles)
 }

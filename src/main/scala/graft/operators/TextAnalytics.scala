@@ -490,19 +490,26 @@ object TextAnalytics {
     * exchange carries ONE sketch per partition instead of one row per
     * distinct term; pass 2 recounts ONLY the candidate terms (broadcast
     * semi join, so the aggregate's exchange carries ≤ map-side-combined
-    * candidate rows) and takes the exact top 20. Candidates (k=100) are a
-    * 5× superset of the output k, and the sketch's default capacity means
-    * it operates in its exact regime for vocabularies under ~10k distinct
-    * terms — on bigger vocabularies the guarantee is the standard
-    * frequent-items one (no true heavy hitter is missed; the 5× margin
-    * covers rank noise near the cut). Oracle = the plain exact top-20. */
+    * candidate rows) and takes the exact top 20.
+    *
+    * Oracle contract, stated precisely: maxItemsTracked is pinned at
+    * 100,000, and a frequent-items sketch is EXACT while the number of
+    * distinct tracked items stays under its capacity — so on any corpus
+    * with ≤100k distinct terms the candidates are the true top-100, the
+    * recount is exact, and the hash-compare against the plain exact top-20
+    * oracle is sound (driver corpora: tens of distinct terms). Beyond
+    * capacity the sketch only guarantees no item with frequency ≥ n/cap is
+    * missed; near-uniform tails could then rotate ranks near the cut, and
+    * this query would have to move to the rows-only tier like the other
+    * approximate twins. The 5× candidate superset (100 for a top-20) is
+    * margin for exactly that regime, not a proof. */
   val qHeavyHitters = GraftQuery(
     "q_heavy_hitters",
     (spark, dir) => {
       import spark.implicits._
       def toks = Tables.spread(Tables.documents(spark, dir))
         .select(explode(Text.tokens($"text")).as("term"))
-      val cand = toks.agg(expr("approx_top_k(term, 100)").as("sk"))
+      val cand = toks.agg(expr("approx_top_k(term, 100, 100000)").as("sk"))
         .select(explode($"sk").as("c"))
         .select($"c.item".as("term"))
       toks.join(broadcast(cand), Seq("term"), "left_semi")

@@ -56,7 +56,12 @@ class ZorderLayoutSpec extends SparkSpec {
     val zRows = scanOutputRows(probe("zorder"))
     assert(linearRows === 65536L,
       s"expected the linear layout to decode everything, got $linearRows")
-    assert(zRows * 4 <= linearRows,
-      s"z layout should prune >=4x vs linear, got $zRows vs $linearRows")
+    // ideal Morton-aligned boundaries yield exactly 1/4 (16384 rows);
+    // repartitionByRange boundaries come from SAMPLING, so a drifted
+    // boundary can pull one extra ~4096-row file (~20480) into the scan.
+    // Assert 3x, which tolerates that one-file jitter while still proving
+    // the secondary dimension pruned — impossible under the linear layout.
+    assert(zRows * 3 <= linearRows,
+      s"z layout should prune ~4x (>=3x asserted) vs linear, got $zRows vs $linearRows")
   }
 }
