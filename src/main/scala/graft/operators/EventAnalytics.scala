@@ -510,10 +510,67 @@ object EventAnalytics {
       ORDER BY g_type, g_dow, event_type, dow""")
   )
 
+  /** Statistical moments per event type — mean, sample stddev, and the
+    * value↔hour-of-day correlation — assembled from decimal-exact raw sums
+    * (Σv, Σv², Σh, Σh², Σvh) instead of Spark's `stddev_samp`/`corr`
+    * aggregates. The builtins are single-pass but accumulate in IEEE
+    * doubles whose partial-merge order is partition-dependent — not
+    * reproducible run to run, let alone engine to engine. Raw decimal sums
+    * are order-independent, and both engines then apply the SAME double
+    * formula to the SAME rounded sums, so the output is bit-identical by
+    * construction. One partial+final aggregate, one exchange on
+    * event_type; the moment formulas are driver-free column arithmetic. */
+  val qEventValueStats = GraftQuery(
+    "q_event_value_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val hourOfDay = expr(s"(ts_us div ${3600L * 1000000}) % 24").cast(DoubleType)
+      val g = Tables.events(spark, dir)
+        .withColumn("h", hourOfDay)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          dsum($"value").as("sv"),
+          dsum($"value" * $"value").as("svv"),
+          dsum($"h").as("sh"),
+          dsum($"h" * $"h").as("shh"),
+          dsum($"value" * $"h").as("svh"))
+      g.select($"event_type", $"n".cast(LongType).as("n_events"),
+          Det.qround($"sv" / $"n").as("mean_value"),
+          Det.qround(sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1)))
+            .as("stddev_value"),
+          Det.qround(($"n" * $"svh" - $"sv" * $"sh") /
+            (sqrt($"n" * $"svv" - $"sv" * $"sv") * sqrt($"n" * $"shh" - $"sh" * $"sh")))
+            .as("corr_value_hour"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type,
+          count(*)::DOUBLE AS n,
+          ${Oracle.dsum("value")} AS sv,
+          ${Oracle.dsum("value * value")} AS svv,
+          ${Oracle.dsum("h")} AS sh,
+          ${Oracle.dsum("h * h")} AS shh,
+          ${Oracle.dsum("value * h")} AS svh
+        FROM (SELECT event_type, value,
+                ((epoch_us(ts) // ${3600L * 1000000}) % 24)::DOUBLE AS h
+              FROM events)
+        GROUP BY event_type)
+      SELECT event_type, n::BIGINT AS n_events,
+        ${Oracle.qround("sv / n")} AS mean_value,
+        ${Oracle.qround("sqrt((svv - sv * sv / n) / (n - 1))")} AS stddev_value,
+        ${Oracle.qround(
+          "(n * svh - sv * sh) / (sqrt(n * svv - sv * sv) * sqrt(n * shh - sh * sh))")}
+          AS corr_value_hour
+      FROM g
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
-    qPivotDaily, qCubeActivity)
+    qPivotDaily, qCubeActivity, qEventValueStats)
 }
