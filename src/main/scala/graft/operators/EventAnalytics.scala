@@ -567,10 +567,66 @@ object EventAnalytics {
       ORDER BY event_type""")
   )
 
+  /** Wide→long UNPIVOT (melt) — the inverse of [[qPivotDaily]], stated with
+    * Spark 4's native `unpivot` operator over the pivoted frame. NULL cells
+    * (day × type combos with no events) are filtered explicitly because the
+    * two engines disagree by default (Spark unpivot keeps null measure
+    * rows; DuckDB UNPIVOT excludes them). With nulls dropped,
+    * unpivot∘pivot is exactly the plain (day, type) aggregate — which is
+    * the oracle, making this a ROUND-TRIP check of both operators. */
+  val qUnpivotDaily = GraftQuery(
+    "q_unpivot_daily",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"day")
+        .pivot("event_type", EventTypes)
+        .agg(dsum($"value"))
+        .unpivot(Array($"day"), EventTypes.map(col).toArray,
+          "event_type", "sum_value")
+        .filter($"sum_value".isNotNull)
+        .orderBy($"day", $"event_type")
+    },
+    Some(s"""
+      SELECT epoch_us(ts) // $DayUs AS day, event_type,
+        ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY day, event_type
+      ORDER BY day, event_type""")
+  )
+
+  /** VariantType JSON access — Spark 4's binary semi-structured path:
+    * `parse_json` shreds the props string ONCE into a Variant value and
+    * `variant_get` does typed field access on the binary form, vs
+    * [[qJsonProps]]'s `get_json_object`, which re-parses the string per
+    * extraction. One parse however many fields are pulled — the shape that
+    * matters when a 100 TB event stream carries wide JSON payloads. Same
+    * relational skeleton as q_json_props (per-key-group aggregate) so the
+    * two stay comparable in the bench. */
+  val qVariantProps = GraftQuery(
+    "q_variant_props",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(variant_get(parse_json($"props"), "$.k", "bigint").as("k"),
+          $"value")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"k")
+    },
+    Some(s"""
+      SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+        count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+      FROM events
+      GROUP BY k
+      ORDER BY k""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
-    qPivotDaily, qCubeActivity, qEventValueStats)
+    qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps)
 }
