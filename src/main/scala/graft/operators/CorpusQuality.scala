@@ -216,6 +216,46 @@ object CorpusQuality {
     qContamination.oracle
   )
 
+  /** Number of equi-width buckets in [[qLengthHistogram]]. */
+  val HistBuckets = 20L
+
+  /** Equi-width histogram of document lengths — the first plot anyone draws
+    * of a new corpus (length pathologies are the cheapest quality signal).
+    * The bucket index is PURE INTEGER arithmetic,
+    * `(n_chars − lo) · B ÷ (hi − lo + 1)`, identical by definition in both
+    * engines — deliberately not Spark's `width_bucket`, whose
+    * double-division bucket edges would have to be replicated bitwise in an
+    * engine that lacks the function. Bounds come from one global min/max
+    * pass; the histogram itself is a map-side-combined count per bucket —
+    * at 100 TB the exchange carries B rows per partition, nothing more. */
+  val qLengthHistogram = GraftQuery(
+    "q_length_histogram",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val bounds = docs.agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      docs.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr(s"(n_chars - lo) * $HistBuckets div (hi - lo + 1)"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+          Det.davg($"n_chars").as("avg_chars"))
+        .orderBy($"bucket")
+    },
+    Some(s"""
+      WITH bounds AS (
+        SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+      SELECT (n_chars - lo) * $HistBuckets // (hi - lo + 1) AS bucket,
+        count(*) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        ${Oracle.davg("n_chars")} AS avg_chars
+      FROM documents CROSS JOIN bounds
+      GROUP BY bucket
+      ORDER BY bucket""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination)
+    Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
+      qLengthHistogram)
 }

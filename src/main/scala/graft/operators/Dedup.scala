@@ -146,30 +146,39 @@ object Dedup {
     * crossJoin with a hash-index table, no shuffle); band key = concat of
     * BandRows signature values; candidate pairs = docs sharing any band key.
     */
+  /** LSH candidate pairs (ia &lt; ib) from MinHash banding over a per-doc
+    * shingle relation — band keys from the native minhash_bands expression:
+    * all K md5 mins in one codegen'd pass per row (the declarative
+    * transform/array_min twin is CodegenFallback: interpreted lambdas +
+    * boxed allocations, ~100x slower; semantics identical — see
+    * ArrayOps.minhashBands). Shared by the Jaccard-verified near-dup
+    * queries and the edit-distance audit. */
+  private def minhashCandidates(docsSh: DataFrame): DataFrame = {
+    import docsSh.sparkSession.implicits._
+    val banded = docsSh.select($"doc_id", posexplode(
+        call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .distinct()
+  }
+
   private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted for the same reason as in q_ngram_jaccard: banding + the
     // two verify joins would otherwise re-run the shingle projection
     val docsSh = docShingles(spark, dir, 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band keys from the native minhash_bands expression — all K md5 mins
-    // in one codegen'd pass per row (the declarative transform/array_min
-    // twin is CodegenFallback: interpreted lambdas + boxed allocations,
-    // ~100x slower; semantics identical — see ArrayOps.minhashBands)
-    val banded = docsSh.select($"doc_id", posexplode(
-        call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
-        .as(Seq("band", "key")))
-    val cand = banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
-      .distinct()
-    verifyJaccard(cand, docsSh)
+    verifyJaccard(minhashCandidates(docsSh), docsSh)
   }
 
-  /** The minhash pair relation as oracle SQL (shared with q_dedup_clusters). */
-  private def minhashPairsSql: String = s"""
-      WITH sh AS (${shinglesSql(2)}),
+  /** The LSH candidate relation (`cand(ia, ib)`) as oracle CTEs — the SQL
+    * twin of [[minhashCandidates]], shared by the pair/cluster oracles and
+    * the edit-distance audit. */
+  private def minhashCandCtes: String = s"""
+      sh AS (${shinglesSql(2)}),
       hashed AS (
         SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh
         FROM sh CROSS JOIN (SELECT unnest(range($MinHashK)) AS h)
@@ -181,7 +190,11 @@ object Dedup {
       cand AS (
         SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  /** The minhash pair relation as oracle SQL (shared with q_dedup_clusters). */
+  private def minhashPairsSql: String = s"""
+      WITH $minhashCandCtes,
       sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
       inter AS (
         SELECT ia, ib, count(*) AS inter
@@ -531,7 +544,50 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
+  /** Character budget for the edit-distance audit: distances are computed
+    * on the first EditPrefix characters of each document, bounding the
+    * O(len²) DP at EditPrefix² per pair regardless of document length
+    * (the standard trick — full-text edit distance on long documents is
+    * never run pairwise at scale). */
+  val EditPrefix = 96
+
+  /** Edit-distance audit of the LSH candidates: Levenshtein distance
+    * between the lowercased EditPrefix-char prefixes of every candidate
+    * pair — the character-level complement of the token-set Jaccard
+    * verify (token sets are blind to word order and inflection;
+    * Levenshtein is exactly sensitive to them). Emits ALL candidate pairs
+    * with their distance, so the result doubles as a calibration table for
+    * picking a distance threshold against the Jaccard-verified truth.
+    * Scale shape: the distance DP runs only on LSH-candidate pairs (O(n)
+    * with bounded bucket sizes, never O(n²)), and both engines implement
+    * textbook Levenshtein (unit insert/delete/substitute), so the oracle
+    * is exact. */
+  val qEditDistance = GraftQuery(
+    "q_edit_distance",
+    (spark, dir) => {
+      import spark.implicits._
+      val cand = minhashCandidates(docShingles(spark, dir, 2))
+      val pref = Tables.documents(spark, dir)
+        .select($"doc_id", substring(lower($"text"), 1, EditPrefix).as("pref"))
+      cand
+        .join(pref.select($"doc_id".as("ia"), $"pref".as("pa")), Seq("ia"))
+        .join(pref.select($"doc_id".as("ib"), $"pref".as("pb")), Seq("ib"))
+        .select($"ia", $"ib",
+          levenshtein($"pa", $"pb").cast(LongType).as("edit_dist"))
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH $minhashCandCtes
+      SELECT ia, ib,
+        levenshtein(substr(lower(da.text), 1, $EditPrefix),
+                    substr(lower(db.text), 1, $EditPrefix))::BIGINT AS edit_dist
+      FROM cand
+      JOIN documents da ON ia = da.doc_id
+      JOIN documents db ON ib = db.doc_id
+      ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qDedupIncremental, qNgramJaccard)
+    qDedupIncremental, qNgramJaccard, qEditDistance)
 }

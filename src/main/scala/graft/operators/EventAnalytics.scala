@@ -623,10 +623,178 @@ object EventAnalytics {
       ORDER BY k""")
   )
 
+  /** Time-series gap fill (densification): the per-(day, type) activity
+    * series with every missing combination zero-filled. The dense spine is
+    * `sequence(min_day, max_day)` × the pinned type domain — a BOUNDED
+    * relation (days × 5) built from one global min/max aggregate, never
+    * from the fact table's row count — and the only fact-proportional work
+    * is the single daily aggregation; the fill join touches aggregated
+    * rows only (Catalyst broadcasts the agg side). Gap-filled series are
+    * what makes downstream rolling windows / trend fits honest: a day with
+    * zero events must contribute a zero, not silently vanish. */
+  val qGapFill = GraftQuery(
+    "q_gap_fill",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+      val daily = ev.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      val spine = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+        .select(explode(sequence($"lo", $"hi")).as("day"))
+        .crossJoin(EventTypes.toDF("event_type"))
+      spine.join(daily, Seq("day", "event_type"), "left")
+        .select($"day", $"event_type",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"sum_value", lit(0.0)).as("sum_value"))
+        .orderBy($"day", $"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT epoch_us(ts) // $DayUs AS day, event_type,
+          count(*) AS n_events, ${Oracle.dsum("value")} AS sum_value
+        FROM events GROUP BY day, event_type),
+      bounds AS (
+        SELECT min(epoch_us(ts) // $DayUs) AS lo,
+          max(epoch_us(ts) // $DayUs) AS hi
+        FROM events),
+      spine AS (
+        SELECT gs.day, t.event_type
+        FROM (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds) gs
+        CROSS JOIN (SELECT unnest([${EventTypes.map(t => s"'$t'").mkString(",")}])
+          AS event_type) t)
+      SELECT s.day, s.event_type,
+        coalesce(d.n_events, 0) AS n_events,
+        coalesce(d.sum_value, 0.0) AS sum_value
+      FROM spine s LEFT JOIN daily d
+        ON s.day = d.day AND s.event_type = d.event_type
+      ORDER BY s.day, s.event_type""")
+  )
+
+  /** CDC upsert (MERGE INTO semantics, SCD type 1): the per-user latest
+    * state from the historical base, merged with a "late batch" (the final
+    * day of the stream). WHEN MATCHED → the update wins, WHEN NOT MATCHED
+    * BY TARGET → insert, WHEN NOT MATCHED BY SOURCE → base row is kept;
+    * `action` records which branch fired. Stated as one full-outer join on
+    * the merge key with coalesce per column — the shape every lakehouse
+    * MERGE lowers to. At scale both sides shuffle once on user_id
+    * (sort-merge full outer); a production target would be bucketed on the
+    * merge key so only the (much smaller) update batch moves. */
+  val qUpsertMerge = GraftQuery(
+    "q_upsert_merge",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val cutoff = ev.agg((max($"ts_us") - lit(DayUs)).as("cutoff"))
+      val tagged = ev.crossJoin(broadcast(cutoff))
+      def latest(df: DataFrame, p: String): DataFrame = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as(s"${p}event_id"),
+          col("ts_us").as(s"${p}ts_us"), col("event_type").as(s"${p}event_type"),
+          col("value").as(s"${p}value"))
+      val base = latest(tagged.filter($"ts_us" < $"cutoff"), "b_")
+      val upd = latest(tagged.filter($"ts_us" >= $"cutoff"), "u_")
+      base.join(upd, Seq("user_id"), "full_outer")
+        .select($"user_id",
+          coalesce($"u_event_id", $"b_event_id").as("event_id"),
+          coalesce($"u_ts_us", $"b_ts_us").as("ts_us"),
+          coalesce($"u_event_type", $"b_event_type").as("event_type"),
+          coalesce($"u_value", $"b_value").as("value"),
+          when($"b_event_id".isNull, lit("insert"))
+            .when($"u_event_id".isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy($"user_id")
+    },
+    Some(s"""
+      WITH cutoff AS (SELECT max(epoch_us(ts)) - $DayUs AS c FROM events),
+      base AS (
+        SELECT user_id, event_id, ts_us, event_type, value FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events WHERE epoch_us(ts) < (SELECT c FROM cutoff))
+        WHERE rn = 1),
+      upd AS (
+        SELECT user_id, event_id, ts_us, event_type, value FROM (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events WHERE epoch_us(ts) >= (SELECT c FROM cutoff))
+        WHERE rn = 1)
+      SELECT coalesce(u.user_id, b.user_id) AS user_id,
+        coalesce(u.event_id, b.event_id) AS event_id,
+        coalesce(u.ts_us, b.ts_us) AS ts_us,
+        coalesce(u.event_type, b.event_type) AS event_type,
+        coalesce(u.value, b.value) AS value,
+        CASE WHEN b.user_id IS NULL THEN 'insert'
+             WHEN u.user_id IS NULL THEN 'keep'
+             ELSE 'update' END AS action
+      FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+      ORDER BY user_id""")
+  )
+
+  /** Per-type revenue trend: least-squares slope/intercept of daily revenue
+    * vs day index — the REGR_SLOPE/REGR_INTERCEPT family, assembled from
+    * decimal-exact raw sums (Σx, Σx², Σy, Σxy) for the same reason as
+    * [[qEventValueStats]]: the builtin regr_* aggregates merge IEEE partials
+    * in partition order and are not reproducible; raw decimal sums are, and
+    * both engines then run the SAME double formula. Days are rebased to the
+    * series start (x = day − min_day) so the intercept is the fitted level
+    * at the first day, not at epoch 0. Two tiny aggregates over the daily
+    * series; all fact-proportional work is the first daily group-by. */
+  val qValueTrend = GraftQuery(
+    "q_value_trend",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"event_type", $"day")
+        .agg(dsum($"value").as("rev"))
+      val lo = daily.agg(min($"day").as("lo"))
+      val g = daily.crossJoin(broadcast(lo))
+        .withColumn("x", ($"day" - $"lo").cast(DoubleType))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          dsum($"x").as("sx"), dsum($"x" * $"x").as("sxx"),
+          dsum($"rev").as("sy"), dsum($"x" * $"rev").as("sxy"))
+        .withColumn("slope", Det.qround(
+          ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")))
+      g.select($"event_type", $"n".cast(LongType).as("n_days"), $"slope",
+          Det.qround(($"sy" - $"slope" * $"sx") / $"n").as("intercept"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("value")} AS rev
+        FROM events GROUP BY event_type, day),
+      g AS (
+        SELECT event_type,
+          count(*)::DOUBLE AS n,
+          ${Oracle.dsum("x")} AS sx, ${Oracle.dsum("x * x")} AS sxx,
+          ${Oracle.dsum("rev")} AS sy, ${Oracle.dsum("x * rev")} AS sxy
+        FROM (SELECT event_type, rev,
+                (day - (SELECT min(day) FROM daily))::DOUBLE AS x
+              FROM daily)
+        GROUP BY event_type),
+      s AS (
+        SELECT *, ${Oracle.qround("(n * sxy - sx * sy) / (n * sxx - sx * sx)")}
+          AS slope
+        FROM g)
+      SELECT event_type, n::BIGINT AS n_days, slope,
+        ${Oracle.qround("(sy - slope * sx) / n")} AS intercept
+      FROM s
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
-    qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps)
+    qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps,
+    qGapFill, qUpsertMerge, qValueTrend)
 }

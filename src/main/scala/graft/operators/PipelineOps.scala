@@ -440,8 +440,45 @@ object PipelineOps {
       ORDER BY lang, quartile""")
   )
 
+  /** Distribution ranking windows: every document's percent_rank and
+    * cume_dist within its language's quality distribution — the
+    * continuous-rank complement of [[qQualityQuartiles]]'s ntile buckets
+    * (curriculum ordering wants the exact percentile position, not just the
+    * quarter). The window order carries a doc_id tiebreak so ranks are
+    * total and both engines compute identical (rank−1)/(n−1) and rank/n
+    * quotients — pure integer-derived doubles, qround-pinned. One
+    * lang-partitioned sort, same shape (and same caveat: the 100 TB
+    * variant ranks against approx_percentile cutpoints instead of sorting
+    * every partition exactly). */
+  val qRankWindows = GraftQuery(
+    "q_rank_windows",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", TextAnalytics.qualityCol.as("quality"))
+        .select($"doc_id", $"lang", $"quality",
+          graft.functions.Det.qround(percent_rank().over(w)).as("pct_rank"),
+          graft.functions.Det.qround(cume_dist().over(w)).as("cume"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, lang, ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM documents)
+      SELECT doc_id, lang, quality,
+        ${graft.Oracle.qround(
+          "percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)")}
+          AS pct_rank,
+        ${graft.Oracle.qround(
+          "cume_dist() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)")}
+          AS cume
+      FROM q
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
-      qZorderLayout, qQualityQuartiles)
+      qZorderLayout, qQualityQuartiles, qRankWindows)
 }

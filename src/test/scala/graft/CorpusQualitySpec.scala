@@ -99,4 +99,12 @@ class CorpusQualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(distPlan.contains("*(1) Project [dist2_f32_f64"), distPlan)
   }
+
+  test("length histogram: integer equi-width buckets partition the corpus") {
+    // fixture n_chars: 14, 12, 18, 18, 110, 109 -> lo=12, hi=110, width 99
+    // bucket = (n - 12) * 20 div 99: 14->0, 12->0, 18->1, 110->19, 109->19
+    val r = CorpusQuality.qLengthHistogram.run(spark, fixtureDir)
+      .select($"bucket", $"n_docs").as[(Long, Long)].collect().toMap
+    assert(r === Map(0L -> 2L, 1L -> 2L, 19L -> 2L))
+  }
 }

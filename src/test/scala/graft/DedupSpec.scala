@@ -74,4 +74,14 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("edit distance audit: exact-dup candidates measure 0") {
+    // docs 2,3 are exact duplicates -> same bands -> candidate pair at 0;
+    // docs 4,5 differ only past the 96-char prefix -> also 0
+    val r = Dedup.qEditDistance.run(spark, fixtureDir)
+      .select($"ia", $"ib", $"edit_dist").as[(Long, Long, Long)]
+      .collect().map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(r.get((2L, 3L)) === Some(0L))
+    assert(r.values.forall(_ >= 0L))
+  }
 }

@@ -66,4 +66,36 @@ class EventAnalyticsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(r === Map("click" -> 3L, "view" -> 2L))
   }
+
+  test("gap fill densifies to the full day x type spine with zero rows") {
+    // fixture: 6 events on days 0-1; only 4 (day, type) combos have data
+    val rows = EventAnalytics.qGapFill.run(spark, fixtureDir)
+      .select($"day", $"event_type", $"n_events", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(rows.size === 10) // 2 days x 5 pinned types
+    assert(rows.count(_._3 == 0L) === 6)
+    val byKey = rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byKey((0L, "click")) === ((2L, 4.0)))   // values 1 + 3
+    assert(byKey((1L, "click")) === ((1L, 5.0)))
+    assert(byKey((1L, "signup")) === ((1L, 6.0)))
+    assert(byKey((0L, "error")) === ((0L, 0.0)))   // zero-filled gap
+  }
+
+  test("upsert merge: update wins for matched users, new users insert") {
+    // cutoff = 30h - 24h = 6h: base = {event 0 (user 0)};
+    // updates = events 1-5 -> latest per user: user 0 -> 4, user 1 -> 5
+    val r = EventAnalytics.qUpsertMerge.run(spark, fixtureDir)
+      .select($"user_id", $"event_id", $"action")
+      .as[(Long, Long, String)].collect().toSet
+    assert(r === Set((0L, 4L, "update"), (1L, 5L, "insert")))
+  }
+
+  test("value trend: hand-computed least-squares over the click series") {
+    // click revenue: day 0 -> 4.0, day 1 -> 5.0 => slope 1, intercept 4
+    val r = EventAnalytics.qValueTrend.run(spark, fixtureDir)
+      .filter($"event_type" === "click")
+      .select($"n_days", $"slope", $"intercept")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(r === Seq((2L, 1.0, 4.0)))
+  }
 }

@@ -80,4 +80,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(order1.sorted === Seq(0L, 1L, 2L, 3L, 4L, 5L))
     assert(order1 !== order1.sorted)  // md5 order differs from key order
   }
+
+  test("rank windows: two-doc languages rank to {0,1} and cume {0.5,1}") {
+    val rows = PipelineOps.qRankWindows.run(spark, fixtureDir)
+      .select($"lang", $"pct_rank", $"cume")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(rows.size === 6)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted === Seq(0.0, 1.0), lang)
+      assert(rs.map(_._3).sorted === Seq(0.5, 1.0), lang)
+    }
+  }
 }
