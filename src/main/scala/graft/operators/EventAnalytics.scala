@@ -790,11 +790,52 @@ object EventAnalytics {
       ORDER BY event_type""")
   )
 
+  /** Per-user event journey: the first 20 events of every user assembled
+    * into one ordered path string — ordered string aggregation (Spark 4's
+    * `listagg ... WITHIN GROUP (ORDER BY ...)`), the sequence-assembly
+    * primitive behind session-path mining and multi-turn conversation
+    * assembly for training data. The journey is truncated BEFORE
+    * aggregation (row_number ≤ 20, planned as WindowGroupLimit — partial
+    * top-k per key map-side), so no unbounded per-user string ever
+    * materializes: at 100 TB the output row is bounded by construction,
+    * not by hoping users are small. One hash exchange on user_id serves
+    * both the window and the aggregate. */
+  val qEventPaths = GraftQuery(
+    "q_event_paths",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .groupBy($"user_id")
+        .agg(
+          expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts_us, event_id)")
+            .as("path"),
+          count(lit(1)).as("n_steps"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH first20 AS (
+        SELECT user_id, event_type, ts_us, event_id FROM (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events)
+        WHERE rn <= 20)
+      SELECT user_id,
+        string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path,
+        count(*) AS n_steps
+      FROM first20
+      GROUP BY user_id
+      ORDER BY user_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
     qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps,
-    qGapFill, qUpsertMerge, qValueTrend)
+    qGapFill, qUpsertMerge, qValueTrend, qEventPaths)
 }

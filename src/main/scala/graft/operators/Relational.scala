@@ -205,7 +205,34 @@ object Relational {
       ORDER BY op, source, lang""")
   )
 
+  /** The SQL front-end surface: the reference registers temp views
+    * (reddit_consumer.py:292, 311) but never queries them; here a query is
+    * DEFINED as SQL text over registered views — parser → analyzer →
+    * Catalyst, the whole `spark.sql` path a user of the engine gets for
+    * free — and the text is deliberately dialect-neutral, so the oracle is
+    * the SAME statement. The plan is identical to the DataFrame twin
+    * (two-key hash aggregate); this entry pins the front-end, not a new
+    * operator. */
+  val qSqlSurface = GraftQuery(
+    "q_sql_surface",
+    (spark, dir) => {
+      Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+      spark.sql("""
+        SELECT lang, source, count(*) AS n_docs,
+          sum(n_chars) AS sum_chars, min(doc_id) AS first_doc
+        FROM documents_v
+        GROUP BY lang, source
+        ORDER BY lang, source""")
+    },
+    Some("""
+      SELECT lang, source, count(*) AS n_docs,
+        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS first_doc
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
-    qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps)
+    qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface)
 }

@@ -332,6 +332,51 @@ object TextAnalytics {
       ORDER BY doc_id""")
   )
 
+  /** GPT-2-style byte-pair pretokenizer regex, lookahead-free so it means
+    * the same thing under Java regex (Spark) and RE2 (DuckDB): contraction
+    * suffixes, optional-space letter runs, optional-space digit runs,
+    * optional-space punctuation runs, residual whitespace runs. Both
+    * engines use leftmost-first alternation, so the token boundaries
+    * agree. (The original GPT-2 pattern's `\s+(?!\S)` needs negative
+    * lookahead, which RE2 rejects — the residual `\s+` branch differs
+    * from it only in how interior whitespace RUNS are grouped, which
+    * shifts no letter/digit/punct boundary.) */
+  private val BpePretokenRegex =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Token counting the way an LLM data pipeline bills it: BPE-pretokenizer
+    * segments (the unit BPE merges operate on) next to whitespace tokens,
+    * with per-doc fertility (pretokens per whitespace token). Map-only —
+    * one regex pass per row inside whole-stage codegen; the corpus total is
+    * `sum(n_bpe_tokens)` downstream. */
+  val qBpeTokens = GraftQuery(
+    "q_bpe_tokens",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(
+          $"doc_id",
+          size(regexp_extract_all($"text", lit(BpePretokenRegex), lit(0)))
+            .cast(LongType).as("n_bpe_tokens"),
+          size(Text.tokens($"text")).cast(LongType).as("n_ws_tokens"))
+        .withColumn("fertility",
+          Det.qround($"n_bpe_tokens" / $"n_ws_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          len(regexp_extract_all(text,
+            '${BpePretokenRegex.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+          len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT
+            AS n_ws_tokens
+        FROM documents)
+      SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+        ${graft.Oracle.qround("n_bpe_tokens * 1.0 / n_ws_tokens")} AS fertility
+      FROM t
+      ORDER BY doc_id""")
+  )
+
   /** The quality score of a `text` column, rounded to 6 dp — shared by
     * q_quality_score and the composite corpus-prep pipeline. */
   private[graft] def qualityCol: org.apache.spark.sql.Column = {
@@ -529,6 +574,6 @@ object TextAnalytics {
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
-    qSentimentExpr, qSentimentVader, qTokenStats, qQualityScore, qLangId,
-    qFingerprint, qHeavyHitters)
+    qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
+    qLangId, qFingerprint, qHeavyHitters)
 }

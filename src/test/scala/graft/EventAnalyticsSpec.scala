@@ -90,6 +90,15 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r === Set((0L, 4L, "update"), (1L, 5L, "insert")))
   }
 
+  test("event paths: ordered per-user journeys from the fixture") {
+    val r = EventAnalytics.qEventPaths.run(spark, fixtureDir)
+      .select($"user_id", $"path", $"n_steps")
+      .as[(Long, String, Long)].collect().toSet
+    // user 0: events 0,2,4 (click,click,click); user 1: 1,3,5 (view,view,signup)
+    assert(r === Set((0L, "click>click>click", 3L),
+      (1L, "view>view>signup", 3L)))
+  }
+
   test("value trend: hand-computed least-squares over the click series") {
     // click revenue: day 0 -> 4.0, day 1 -> 5.0 => slope 1, intercept 4
     val r = EventAnalytics.qValueTrend.run(spark, fixtureDir)

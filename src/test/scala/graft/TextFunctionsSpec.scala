@@ -55,4 +55,16 @@ class TextFunctionsSpec extends SparkSpec {
     // doc 4 is all unknown terms => 0.0
     assert(docs.find(_._1 == 4L).get._3 === 0.0)
   }
+
+  test("bpe pretokens: letter/digit boundaries split inside fixture tokens") {
+    val r = operators.TextAnalytics.qBpeTokens.run(spark, fixtureDir)
+      .select($"doc_id", $"n_bpe_tokens", $"n_ws_tokens", $"fertility")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // "fast fast slow": pure letter runs -> 3 pretokens, 3 ws tokens
+    assert(r(0L) === ((0L, 3L, 3L, 1.0)))
+    // doc 4: 30 tokens "w<i>" each split into letter+digit runs -> 60
+    assert(r(4L) === ((4L, 60L, 30L, 2.0)))
+    // doc 5: 29 "w<i>" pairs + literal "zz" -> 59; 59/30 rounded at 6dp
+    assert(r(5L) === ((5L, 59L, 30L, 1.966667)))
+  }
 }
