@@ -18,6 +18,9 @@ object Queries {
       PipelineOps.all ++
       CorpusQuality.all ++
       Clustering.all ++
+      LexicalStats.all ++
+      BehaviorAnalytics.all ++
+      Graph.all ++
       Media.all
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** User-behavior analytics over `events` — the product-analytics trio every
+  * event pipeline ships:
+  *
+  *  - ordered conversion funnel (signup → click-after-signup →
+  *    purchase-after-that-click), each stage anchored at the FIRST
+  *    qualifying event of the previous stage;
+  *  - cohort retention matrix (cohort = a user's first active day; cell =
+  *    distinct users of that cohort active `offset` days later);
+  *  - statistical outlier detection (|z| > 3 against per-type moments) —
+  *    the cheap anomaly screen that runs before any model does.
+  *
+  * Physical design: all three key every shuffle on `user_id` or a bounded
+  * dimension. The funnel is three user-keyed aggregates whose joins reuse
+  * one hash partitioning (Spark plans a single exchange per side and reuses
+  * it across stages); retention reduces events to distinct (user, day) rows
+  * first — the only corpus-sized exchange — and every later join is against
+  * a days×days bounded table; outliers broadcast a 5-row moments table back
+  * onto a map-only scan. Per-type moments come from ONE pass of decimal
+  * raw sums (sum, sum of squares) — the same order-independent trick as
+  * q_value_trend — so mean/σ are bit-identical across engines and the
+  * z-filter decisions cannot drift.
+  */
+object BehaviorAnalytics {
+
+  private val DayUs = 24L * 3600 * 1000000
+
+  /** Funnel stage spine: event types in conversion order. */
+  val FunnelStages: Seq[String] = Seq("signup", "click", "purchase")
+
+  val qEventFunnel = GraftQuery(
+    "q_event_funnel",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts_us")
+      // the per-user stage tables are each consumed 2-3 times (next stage's
+      // join + the stage count + the conversion denominator): persist them
+      // so each stage's events pass runs once — same barrier rationale as
+      // q_contamination's shingles
+      val t1 = ev.filter($"event_type" === FunnelStages(0))
+        .groupBy($"user_id").agg(min($"ts_us").as("t1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t2 = ev.join(t1, Seq("user_id"))
+        .filter($"event_type" === FunnelStages(1) && $"ts_us" > $"t1")
+        .groupBy($"user_id").agg(min($"ts_us").as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t3 = ev.join(t2, Seq("user_id"))
+        .filter($"event_type" === FunnelStages(2) && $"ts_us" > $"t2")
+        .groupBy($"user_id").agg(min($"ts_us").as("t3"))
+      val counts = t1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), lit(FunnelStages(0)).as("step"), $"n_users")
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), lit(FunnelStages(1)).as("step"), $"n_users"))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), lit(FunnelStages(2)).as("step"), $"n_users"))
+      counts
+        .crossJoin(broadcast(t1.agg(count(lit(1)).as("n0"))))
+        .select($"stage", $"step", $"n_users",
+          when($"n0" > 0,
+            Det.qround($"n_users".cast(DoubleType) / $"n0")).as("conv_frac"))
+        .orderBy($"stage")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      t1 AS (
+        SELECT user_id, min(ts_us) AS t1 FROM ev
+        WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id),
+      t2 AS (
+        SELECT e.user_id, min(ts_us) AS t2 FROM ev e JOIN t1 USING (user_id)
+        WHERE event_type = '${FunnelStages(1)}' AND ts_us > t1
+        GROUP BY e.user_id),
+      t3 AS (
+        SELECT e.user_id, min(ts_us) AS t3 FROM ev e JOIN t2 USING (user_id)
+        WHERE event_type = '${FunnelStages(2)}' AND ts_us > t2
+        GROUP BY e.user_id),
+      c AS (
+        SELECT 1 AS stage, '${FunnelStages(0)}' AS step, count(*) AS n FROM t1
+        UNION ALL
+        SELECT 2, '${FunnelStages(1)}', count(*) FROM t2
+        UNION ALL
+        SELECT 3, '${FunnelStages(2)}', count(*) FROM t3),
+      n0 AS (SELECT count(*) AS n0 FROM t1)
+      SELECT stage, step, n::BIGINT AS n_users,
+        CASE WHEN n0 > 0 THEN ${Oracle.qround("n::DOUBLE / n0")} END AS conv_frac
+      FROM c CROSS JOIN n0
+      ORDER BY stage""")
+  )
+
+  val qRetentionCohorts = GraftQuery(
+    "q_retention_cohorts",
+    (spark, dir) => {
+      import spark.implicits._
+      // (user, day) distinct rows feed both the cohort assignment and the
+      // retention join — persist so the corpus-sized distinct runs once
+      val ud = Tables.events(spark, dir)
+        .select($"user_id", expr(s"ts_us div $DayUs").as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val coh = ud.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      val ret = ud.join(coh, Seq("user_id"))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      ret
+        .join(broadcast(ret.filter($"day_offset" === 0)
+          .select($"cohort_day", $"n_users".as("cohort_size"))), Seq("cohort_day"))
+        .select($"cohort_day", $"day_offset", $"n_users", $"cohort_size",
+          Det.qround($"n_users".cast(DoubleType) / $"cohort_size")
+            .as("retention"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+      coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+      ret AS (
+        SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+        FROM ud JOIN coh USING (user_id)
+        GROUP BY cohort_day, day - cohort_day),
+      sz AS (
+        SELECT cohort_day, n_users AS cohort_size FROM ret WHERE day_offset = 0)
+      SELECT cohort_day, day_offset, n_users::BIGINT AS n_users,
+        cohort_size::BIGINT AS cohort_size,
+        ${Oracle.qround("n_users::DOUBLE / cohort_size")} AS retention
+      FROM ret JOIN sz USING (cohort_day)
+      ORDER BY cohort_day, day_offset""")
+  )
+
+  /** |z| above this flags an event as an outlier (population σ). */
+  val ZThreshold = 3.0
+
+  val qOutlierEvents = GraftQuery(
+    "q_outlier_events",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      // decimal raw moments per type: order-independent, bit-identical to
+      // the oracle; mean/m2/σ derived in the SAME IEEE operation order
+      val stats = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(38, 12))).cast(DoubleType).as("s1"),
+          sum(($"value" * $"value").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("s2"))
+        .select($"event_type", ($"s1" / $"n").as("mean"),
+          sqrt($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")).as("sd"))
+        // a zero-variance group makes z = 0/0 = NaN, and the engines
+        // DISAGREE on NaN comparisons (Spark: NaN > x is false; DuckDB
+        // orders NaN above everything) — a degenerate group has no
+        // outliers by definition, so exclude it identically in both
+        .filter($"sd" > 0)
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter(abs(($"value" - $"mean") / $"sd") > ZThreshold)
+        .select($"event_id", $"event_type", $"value",
+          Det.qround(($"value" - $"mean") / $"sd").as("z"))
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, event_type, value FROM events),
+      st AS (
+        SELECT event_type, count(*) AS n,
+          sum(CAST(value AS DECIMAL(38,12)))::DOUBLE AS s1,
+          sum(CAST(value * value AS DECIMAL(38,12)))::DOUBLE AS s2
+        FROM ev GROUP BY event_type),
+      m AS (
+        SELECT event_type, s1 / n AS mean,
+          sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd
+        FROM st),
+      mg AS (SELECT * FROM m WHERE sd > 0),
+      z AS (
+        SELECT event_id, e.event_type, value, (value - mean) / sd AS z
+        FROM ev e JOIN mg USING (event_type))
+      SELECT event_id, event_type, value, ${Oracle.qround("z")} AS z
+      FROM z WHERE abs(z) > $ZThreshold
+      ORDER BY event_id""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents)
+}

@@ -102,7 +102,7 @@ object Dedup {
     * multi-split table the scan provides this parallelism for free; the
     * driver's single small parquet file would otherwise pin the whole
     * projection to one thread. */
-  private def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  private[operators] def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", call_function("word_shingles", $"text", lit(n)).as("sh"))
@@ -153,7 +153,7 @@ object Dedup {
     * boxed allocations, ~100x slower; semantics identical — see
     * ArrayOps.minhashBands). Shared by the Jaccard-verified near-dup
     * queries and the edit-distance audit. */
-  private def minhashCandidates(docsSh: DataFrame): DataFrame = {
+  private[operators] def minhashCandidates(docsSh: DataFrame): DataFrame = {
     import docsSh.sparkSession.implicits._
     val banded = docsSh.select($"doc_id", posexplode(
         call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
@@ -177,7 +177,7 @@ object Dedup {
   /** The LSH candidate relation (`cand(ia, ib)`) as oracle CTEs — the SQL
     * twin of [[minhashCandidates]], shared by the pair/cluster oracles and
     * the edit-distance audit. */
-  private def minhashCandCtes: String = s"""
+  private[operators] def minhashCandCtes: String = s"""
       sh AS (${shinglesSql(2)}),
       hashed AS (
         SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh

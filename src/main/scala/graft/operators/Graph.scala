@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.GraftQuery
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph centrality over the document-similarity graph: PageRank on the
+  * MinHash-LSH candidate-pair edge set (the same `cand(ia, ib)` relation the
+  * near-dup family verifies) — the "which document is the hub of its
+  * near-dup neighborhood" signal used to pick cluster representatives.
+  *
+  * Determinism: the ranks are computed in SCALED INTEGER arithmetic
+  * (micro-units of 1e-12) — every step is a bigint `div`/`sum`, so the
+  * fixed-iteration result is bit-identical across engines, where a
+  * float PageRank's order-dependent partial sums could never be oracled.
+  * Update rule per node v (damping 85/100, N = node count, deg from the
+  * undirected edge set):
+  *
+  *   pr'(v) = (SCALE div N) · 15 div 100  +  85 · Σ_{u→v} (pr(u) div deg(u)) div 100
+  *
+  * [[Iterations]] rounds from the uniform start; truncation loses ≤ 1
+  * micro-unit per op in both engines identically.
+  *
+  * Physical design (the standard distributed PageRank shape): the edge list
+  * is persisted once and re-joined per iteration — each round is one
+  * src-keyed broadcast-or-shuffle join plus a dst-keyed partial+final
+  * aggregate; ranks live in a nodes-sized table, never on the driver. At
+  * 100 TB the edge relation is the near-dup candidate set (O(n) with
+  * bounded LSH buckets, never O(n²)), and iteration count is fixed — the
+  * whole run is `Iterations` shuffles of a bounded pair list.
+  */
+object Graph {
+
+  val Iterations = 3
+  val Scale = 1000000000000L // rank micro-units: 1.0 == 1e12
+
+  private[graft] def iterate(edges: DataFrame, state: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val msgs = edges
+      .join(state.select($"id".as("src"), expr("pr div deg").as("contrib")),
+        Seq("src"))
+      .groupBy($"dst".as("id")).agg(sum($"contrib").as("m"))
+    state.drop("pr").join(msgs, Seq("id"), "left")
+      .select($"id", $"deg", $"n",
+        expr(s"(($Scale div n) * 15) div 100 + (coalesce(m, 0L) * 85) div 100")
+          .as("pr"))
+  }
+
+  val qPagerank = GraftQuery(
+    "q_pagerank",
+    (spark, dir) => {
+      import spark.implicits._
+      val cand = Dedup.minhashCandidates(Dedup.docShingles(spark, dir, 2))
+      // both directions of every undirected candidate edge; persisted — the
+      // edge list is re-joined every iteration
+      val edges = cand.select($"ia".as("src"), $"ib".as("dst"))
+        .union(cand.select($"ib".as("src"), $"ia".as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.agg(count(lit(1)).as("n"))
+      var state = deg.crossJoin(broadcast(n))
+        .select($"id", $"deg", $"n", expr(s"$Scale div n").as("pr"))
+      for (_ <- 1 to Iterations) state = iterate(edges, state)
+      state.select($"id".as("doc_id"), $"deg", $"pr")
+        .orderBy($"pr".desc, $"doc_id")
+    },
+    Some {
+      // unrolled fixed-iteration twin over the shared candidate CTEs
+      val rounds = (1 to Iterations).map { i =>
+        val prev = if (i == 1) "p0" else s"p${i - 1}"
+        s"""
+      m$i AS (
+        SELECT e.dst AS id, sum(p.pr // p.deg) AS m
+        FROM edges e JOIN $prev p ON e.src = p.id GROUP BY e.dst),
+      p$i AS (
+        SELECT d.id, d.deg,
+          (($Scale // n.n) * 15) // 100 + (coalesce(m.m, 0) * 85) // 100 AS pr
+        FROM deg d CROSS JOIN nn n LEFT JOIN m$i m ON d.id = m.id)"""
+      }.mkString(",")
+      s"""
+      WITH ${Dedup.minhashCandCtes},
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM cand
+        UNION ALL
+        SELECT ib, ia FROM cand),
+      deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      p0 AS (
+        SELECT id, deg, ($Scale // n) AS pr FROM deg CROSS JOIN nn),
+      $rounds
+      SELECT id AS doc_id, deg::BIGINT AS deg, pr::BIGINT AS pr
+      FROM p$Iterations
+      ORDER BY pr DESC, doc_id"""
+    }
+  )
+
+  val all: Seq[GraftQuery] = Seq(qPagerank)
+}

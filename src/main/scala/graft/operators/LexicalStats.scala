@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.{Det, Text}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lexical-statistics operators for a training-data pipeline, over
+  * `documents`:
+  *
+  *  - per-document vocabulary diversity (type-token ratio + Simpson's
+  *    repeat-probability index) — the log-free cousins of token entropy:
+  *    both are exact rationals of term counts, so they stay bit-identical
+  *    across engines where `sum(p·log p)` could not;
+  *  - corpus-level bigram association (lift = P(xy)/(P(x)P(y)) over document
+  *    sets) — the collocation signal behind phrase mining / tokenizer vocab
+  *    induction, again kept as an exact integer ratio;
+  *  - a C4/Gopher-style quality-filter FUNNEL: the cascade accounting
+  *    (evaluated → dropped → surviving per rule, in order) every corpus
+  *    curation run reports, computed in ONE pass over the corpus.
+  *
+  * Physical design: diversity is a two-level aggregate — the (doc, term)
+  * exchange partial-aggregates map-side, the per-doc rollup is 1 row per
+  * (doc, term) group; lift joins the bigram counts against the BROADCAST
+  * unigram vocabulary (vocabulary-sized, not corpus-sized) and takes top-k
+  * via TakeOrderedAndProject; the funnel is a map-side projection of four
+  * integer predicates (native `rep_stats`, no tokenization shuffle) feeding
+  * a single global aggregate — at 100 TB one row per partition crosses the
+  * exchange.
+  */
+object LexicalStats {
+
+  val qTokenDiversity = GraftQuery(
+    "q_token_diversity",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum($"c" * ($"c" - 1)).as("rep2"))
+        .select($"doc_id", $"n_tokens", $"n_types",
+          Det.qround($"n_types".cast(DoubleType) / $"n_tokens").as("ttr"),
+          when($"n_tokens" > 1, Det.qround($"rep2".cast(DoubleType) /
+            ($"n_tokens" * ($"n_tokens" - 1)))).as("simpson"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term)
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        ${Oracle.qround("count(*)::DOUBLE / sum(c)")} AS ttr,
+        CASE WHEN sum(c) > 1 THEN
+          ${Oracle.qround("sum(c * (c - 1))::DOUBLE / (sum(c) * (sum(c) - 1))")}
+        END AS simpson
+      FROM tc GROUP BY doc_id
+      ORDER BY doc_id""")
+  )
+
+  /** Minimum document frequency for a bigram to be scored — the standard
+    * support floor that keeps one-off co-occurrences out of the ranking. */
+  val LiftMinSupport = 5L
+  val LiftTopK = 20
+
+  /** Document-set semantics (a bigram/term counts once per document — the
+    * same set semantics as the shingle-based dedup family), so every count
+    * is a document frequency and lift is the exact integer ratio
+    * `df(xy)·N / (df(x)·df(y))`, divided once in IEEE doubles identically
+    * in both engines. */
+  val qBigramLift = GraftQuery(
+    "q_bigram_lift",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val bi = docs
+        .select(explode(call_function("word_shingles", $"text", lit(2))).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= LiftMinSupport)
+      val un = docs
+        .select($"doc_id", explode(array_distinct(Text.tokens($"text"))).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c_t"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      bi.withColumn("x", element_at(split($"bg", " "), 1))
+        .withColumn("y", element_at(split($"bg", " "), 2))
+        .join(broadcast(un.select($"t".as("x"), $"c_t".as("c_x"))), Seq("x"))
+        .join(broadcast(un.select($"t".as("y"), $"c_t".as("c_y"))), Seq("y"))
+        .crossJoin(broadcast(nDocs))
+        .select($"bg", $"c_xy", $"c_x", $"c_y",
+          Det.qround(($"c_xy" * $"n_docs").cast(DoubleType) / ($"c_x" * $"c_y"))
+            .as("lift"))
+        .orderBy($"lift".desc, $"bg")
+        .limit(LiftTopK)
+    },
+    Some(s"""
+      WITH sh AS (${Dedup.shinglesSql(2)}),
+      bi AS (
+        SELECT shingle AS bg, count(*) AS c_xy FROM sh GROUP BY shingle
+        HAVING count(*) >= $LiftMinSupport),
+      toks AS (
+        SELECT doc_id, unnest(list_distinct(
+          string_split_regex(lower(text), '[[:space:]]+'))) AS t
+        FROM documents),
+      un AS (SELECT t, count(*) AS c_t FROM toks GROUP BY t),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT bg, c_xy::BIGINT AS c_xy, ux.c_t::BIGINT AS c_x,
+        uy.c_t::BIGINT AS c_y,
+        ${Oracle.qround("(c_xy * n_docs)::DOUBLE / (ux.c_t * uy.c_t)")} AS lift
+      FROM bi
+      JOIN un ux ON ux.t = string_split(bg, ' ')[1]
+      JOIN un uy ON uy.t = string_split(bg, ' ')[2]
+      CROSS JOIN n
+      ORDER BY lift DESC, bg
+      LIMIT $LiftTopK""")
+  )
+
+  /** Funnel rule bounds (tuned to the driver corpus so every rule has both
+    * survivors and casualties; see NOTES.md). The fraction rules are stated
+    * as INTEGER cross-multiplications — `5·distinct ≥ 2·tokens` instead of
+    * `1 − distinct/tokens ≤ 0.6` — so the cascade is exact in both engines
+    * with no float comparison anywhere. */
+  val MinChars = 100L
+  val MaxChars = 500L
+  val MinTokens = 25L
+
+  val qFilterFunnel = GraftQuery(
+    "q_filter_funnel",
+    (spark, dir) => {
+      import spark.implicits._
+      val st = call_function("rep_stats", $"text")
+      val flags = Tables.spread(Tables.documents(spark, dir))
+        .select($"n_chars", st.as("st"))
+        .select(
+          ($"n_chars" >= MinChars && $"n_chars" <= MaxChars).as("p1"),
+          (element_at($"st", 1) >= MinTokens).as("p2"),
+          // dup_token_frac <= 0.6  <=>  5*distinct >= 2*tokens
+          (element_at($"st", 2) * 5 >= element_at($"st", 1) * 2).as("p3"),
+          // top_2gram_frac < 0.08  <=>  25*top2 < 2*n2
+          (element_at($"st", 4) > 0 &&
+            element_at($"st", 6) * 25 < element_at($"st", 4) * 2).as("p4"))
+      val agg = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(!$"p1", 1L).otherwise(0L)).as("d1"),
+        sum(when($"p1", 1L).otherwise(0L)).as("s1"),
+        sum(when($"p1" && !$"p2", 1L).otherwise(0L)).as("d2"),
+        sum(when($"p1" && $"p2", 1L).otherwise(0L)).as("s2"),
+        sum(when($"p1" && $"p2" && !$"p3", 1L).otherwise(0L)).as("d3"),
+        sum(when($"p1" && $"p2" && $"p3", 1L).otherwise(0L)).as("s3"),
+        sum(when($"p1" && $"p2" && $"p3" && !$"p4", 1L).otherwise(0L)).as("d4"),
+        sum(when($"p1" && $"p2" && $"p3" && $"p4", 1L).otherwise(0L)).as("s4"))
+      agg
+        .select(explode(array(
+          struct(lit(1).as("stage"), lit("chars_range").as("rule"),
+            $"n0".as("n_in"), $"d1".as("n_dropped"), $"s1".as("n_out")),
+          struct(lit(2).as("stage"), lit("min_tokens").as("rule"),
+            $"s1".as("n_in"), $"d2".as("n_dropped"), $"s2".as("n_out")),
+          struct(lit(3).as("stage"), lit("dup_tokens").as("rule"),
+            $"s2".as("n_in"), $"d3".as("n_dropped"), $"s3".as("n_out")),
+          struct(lit(4).as("stage"), lit("repetitive_2gram").as("rule"),
+            $"s3".as("n_in"), $"d4".as("n_dropped"), $"s4".as("n_out"))))
+          .as("r"))
+        .select($"r.stage", $"r.rule", $"r.n_in", $"r.n_dropped", $"r.n_out",
+          when($"r.n_in" > 0,
+            Det.qround($"r.n_dropped".cast(DoubleType) / $"r.n_in"))
+            .as("drop_frac"))
+        .orderBy($"stage")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, n_chars,
+          string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      tc AS (
+        SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        GROUP BY doc_id, term),
+      ts AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct
+        FROM tc GROUP BY doc_id),
+      gc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+              FROM toks)
+        GROUP BY doc_id, g),
+      gs AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM gc GROUP BY doc_id),
+      flags AS (
+        SELECT
+          d.n_chars >= $MinChars AND d.n_chars <= $MaxChars AS p1,
+          t.n_tokens >= $MinTokens AS p2,
+          t.n_distinct * 5 >= t.n_tokens * 2 AS p3,
+          g.n2 > 0 AND g.top2 * 25 < g.n2 * 2 AS p4
+        FROM documents d
+        JOIN ts t USING (doc_id)
+        JOIN gs g USING (doc_id)),
+      agg AS (
+        SELECT count(*) AS n0,
+          sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS d1,
+          sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS s1,
+          sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS d2,
+          sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS s2,
+          sum(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END) AS d3,
+          sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS s3,
+          sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END) AS d4,
+          sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS s4
+        FROM flags),
+      rows_ AS (
+        SELECT 1 AS stage, 'chars_range' AS rule,
+          n0 AS n_in, d1 AS n_dropped, s1 AS n_out FROM agg
+        UNION ALL SELECT 2, 'min_tokens', s1, d2, s2 FROM agg
+        UNION ALL SELECT 3, 'dup_tokens', s2, d3, s3 FROM agg
+        UNION ALL SELECT 4, 'repetitive_2gram', s3, d4, s4 FROM agg)
+      SELECT stage, rule, n_in::BIGINT AS n_in, n_dropped::BIGINT AS n_dropped,
+        n_out::BIGINT AS n_out,
+        CASE WHEN n_in > 0 THEN
+          ${Oracle.qround("n_dropped::DOUBLE / n_in")}
+        END AS drop_frac
+      FROM rows_
+      ORDER BY stage""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qTokenDiversity, qBigramLift, qFilterFunnel)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.BehaviorAnalytics
+
+/** Behavior analytics: funnel / cohort / outlier expectations hand-computed
+  * on the 6-event fixture (users 0,1 alternate; the one signup is user 1's
+  * LAST event, so later funnel stages are empty by construction). */
+class BehaviorAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_event_funnel hand-computed stages") {
+    // fixture: clicks all belong to user 0; the only signup is user 1's
+    // final event → stage 1 = {user 1}, stages 2 and 3 empty
+    val out = BehaviorAnalytics.qEventFunnel.run(spark, fixtureDir)
+      .as[(Int, String, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1, "signup", 1L, Some(1.0)),
+      (2, "click", 0L, Some(0.0)),
+      (3, "purchase", 0L, Some(0.0))))
+  }
+
+  test("q_event_funnel on sf0.001: monotone non-increasing stages") {
+    val rows = BehaviorAnalytics.qEventFunnel.run(spark, "/root/testdata/sf0.001")
+      .as[(Int, String, Long, Option[Double])].collect().toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 3))
+    assert(rows.sliding(2).forall { case Seq(a, b) => a._3 >= b._3 })
+    assert(rows.head._4 === Some(1.0))
+  }
+
+  test("q_retention_cohorts hand-computed matrix") {
+    // fixture events: both users active on day 0 AND day 1 → one cohort
+    // (day 0, size 2) fully retained at offset 1
+    val out = BehaviorAnalytics.qRetentionCohorts.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 2L, 2L, 1.0)))
+  }
+
+  test("q_retention_cohorts: offset-0 cell equals the cohort size") {
+    val rows = BehaviorAnalytics.qRetentionCohorts
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { r => assert(r._3 === r._4, r) }
+    rows.foreach { r => assert(r._3 <= r._4, r) }
+  }
+
+  test("q_outlier_events: fixture groups are tiny or degenerate → empty") {
+    // click values 1,3,5 (max |z| ≈ 1.22), view 2,4 (|z| = 1), signup is a
+    // single event (σ = 0, excluded by the guard)
+    assert(BehaviorAnalytics.qOutlierEvents.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_outlier_events on sf0.001: flagged rows really exceed 3σ") {
+    val rows = BehaviorAnalytics.qOutlierEvents
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(math.abs(r._4) > 3.0 - 1e-6, r) }
+  }
+}

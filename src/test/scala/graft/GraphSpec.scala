@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank: the iteration hand-checked on a 3-node path graph
+  * (every step a bigint div/sum — the values below are computed by hand in
+  * the scaladoc arithmetic), plus symmetry/conservation properties of the
+  * full query on the fixture near-dup graph. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("iterate matches the hand-computed path graph a-b-c") {
+    // undirected path 10-20-30: deg(10)=deg(30)=1, deg(20)=2, N=3
+    val cand = Seq((10L, 20L), (20L, 30L)).toDF("ia", "ib")
+    val edges = cand.select($"ia".as("src"), $"ib".as("dst"))
+      .union(cand.select($"ib".as("src"), $"ia".as("dst")))
+    val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var state = deg.crossJoin(broadcast(n))
+      .select($"id", $"deg", $"n", expr(s"${Graph.Scale} div n").as("pr"))
+    // p0: uniform 333333333333
+    assert(state.select($"pr").distinct().as[Long].collect().toSeq
+      === Seq(333333333333L))
+    state = Graph.iterate(edges, state)
+    val p1 = state.select($"id", $"pr").as[(Long, Long)].collect().toMap
+    assert(p1 === Map(10L -> 191666666665L, 20L -> 616666666665L,
+      30L -> 191666666665L))
+    state = Graph.iterate(edges, state)
+    val p2 = state.select($"id", $"pr").as[(Long, Long)].collect().toMap
+    assert(p2 === Map(10L -> 312083333331L, 20L -> 375833333329L,
+      30L -> 312083333331L))
+    state = Graph.iterate(edges, state)
+    val p3 = state.select($"id", $"pr").as[(Long, Long)].collect().toMap
+    assert(p3 === Map(10L -> 209729166663L, 20L -> 580541666661L,
+      30L -> 209729166663L))
+  }
+
+  test("q_pagerank on the fixture: symmetric near-dup twins rank equally") {
+    val rows = Graph.qPagerank.run(spark, fixtureDir)
+      .as[(Long, Long, Long)].collect()
+    val pr = rows.map(r => r._1 -> r._3).toMap
+    // the exact-duplicate pair (2,3) shares every band → always an edge;
+    // the graph is invariant under swapping them, so their ranks are equal
+    assert(pr.contains(2L) && pr.contains(3L))
+    assert(pr(2L) === pr(3L))
+    assert(rows.forall(_._3 > 0L))
+    // truncating integer division only ever loses mass
+    assert(rows.map(_._3).sum <= Graph.Scale)
+    // output ordering is (pr desc, doc_id asc)
+    assert(rows.sortBy(r => (-r._3, r._1)).toSeq === rows.toSeq)
+  }
+}

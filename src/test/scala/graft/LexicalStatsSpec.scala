@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.LexicalStats
+import org.apache.spark.sql.functions._
+
+/** Lexical statistics: hand-computed fixture expectations for token
+  * diversity and the quality-filter funnel, plus structural checks of the
+  * bigram-lift ranking on the sf0.001 corpus (the fixture corpus has no
+  * bigram above the support floor — itself a pinned expectation). */
+class LexicalStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_token_diversity hand-computed rows") {
+    val out = LexicalStats.qTokenDiversity.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 0 "fast fast slow": n=3 V=2, ttr=2/3, simpson=2·1/(3·2)=1/3
+    assert(out(0L) === ((0L, 3L, 2L, 0.666667, Some(0.333333))))
+    // doc 1 "fast the big": all distinct
+    assert(out(1L) === ((1L, 3L, 3L, 1.0, Some(0.0))))
+    // docs 2/3 "slow slow slow big": n=4 V=2, rep2=3·2=6 → 6/12
+    assert(out(2L) === ((2L, 4L, 2L, 0.5, Some(0.5))))
+    assert(out(3L) === ((3L, 4L, 2L, 0.5, Some(0.5))))
+    // docs 4/5: 30 distinct tokens
+    assert(out(4L) === ((4L, 30L, 30L, 1.0, Some(0.0))))
+    assert(out(5L) === ((5L, 30L, 30L, 1.0, Some(0.0))))
+  }
+
+  test("q_bigram_lift: fixture corpus has no bigram above the support floor") {
+    val out = LexicalStats.qBigramLift.run(spark, fixtureDir)
+    assert(out.columns.toSeq === Seq("bg", "c_xy", "c_x", "c_y", "lift"))
+    assert(out.count() === 0L)
+  }
+
+  test("q_bigram_lift on sf0.001: ranked, supported, exact integer ratios") {
+    val rows = LexicalStats.qBigramLift.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.length === LexicalStats.LiftTopK)
+    assert(rows.forall(_._2 >= LexicalStats.LiftMinSupport))
+    // ranking is (lift desc, bigram asc)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._5 > b._5 || (a._5 == b._5 && a._1 < b._1) })
+    // lift is the qrounded exact ratio of its own count columns (N = 500)
+    rows.foreach { case (_, cxy, cx, cy, lift) =>
+      assert(lift ===
+        math.floor((cxy * 500L).toDouble / (cx * cy) * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("q_filter_funnel hand-computed cascade") {
+    // fixture n_chars: 14,12,18,18,110,109 → rule1 (100..500) keeps only
+    // docs 4,5; those 30-token all-distinct docs pass every later rule
+    val out = LexicalStats.qFilterFunnel.run(spark, fixtureDir)
+      .as[(Int, String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1, "chars_range", 6L, 4L, 2L, Some(0.666667)),
+      (2, "min_tokens", 2L, 0L, 2L, Some(0.0)),
+      (3, "dup_tokens", 2L, 0L, 2L, Some(0.0)),
+      (4, "repetitive_2gram", 2L, 0L, 2L, Some(0.0))))
+  }
+
+  test("funnel stages are a partition: n_in = n_dropped + n_out, chained") {
+    val rows = LexicalStats.qFilterFunnel.run(spark, "/root/testdata/sf0.001")
+      .as[(Int, String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(rows.map(_._1) === Seq(1, 2, 3, 4))
+    rows.foreach { r => assert(r._3 === r._4 + r._5, r) }
+    rows.sliding(2).foreach { case Seq(a, b) => assert(a._5 === b._3) }
+    // every rule must have both survivors and casualties on the sf corpus
+    // (threshold tuning — see NOTES.md)
+    assert(rows.head._3 === 500L)
+    rows.foreach { r => assert(r._4 > 0L, r) }
+  }
+}
