@@ -297,6 +297,27 @@ object ArrayOps {
       math.max(n - 1, 0).toLong, gramCounts.size.toLong, topGram.toLong))
   }
 
+  /** One-pass vocabulary-diversity counters of a document:
+    * `[n_tokens, n_types, rep2]` over lowercase whitespace-split tokens,
+    * where `rep2 = Σ_term c·(c−1)` (the Simpson-index numerator: ordered
+    * same-term token pairs). Identical by construction to the declarative
+    * explode → count-per-(doc, term) → `sum(c*(c-1))` formulation (and to
+    * the oracle's `tc` CTE) — but computed map-side in one hash pass, so
+    * the per-(doc, term) exchange disappears entirely. Incremental
+    * identity: a term reaching count c adds 2·(c−1) ordered pairs. */
+  def tokenDiversity(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var rep2 = 0L
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, (x, y) => x + y)
+      rep2 += 2L * (c - 1)
+      i += 1
+    }
+    new GenericArrayData(Array[Long](toks.length.toLong, counts.size.toLong, rep2))
+  }
+
   /** Distinct word n-gram shingles of a text, lowercase whitespace-split.
     *
     * Set-identical to the declarative
@@ -604,6 +625,31 @@ case class RepStats(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** `token_diversity(text)`: one-pass diversity counters (see
+  * [[ArrayOps.tokenDiversity]] — [n_tokens, n_types, rep2]). */
+case class TokenDiversity(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_diversity"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("token_diversity requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.tokenDiversity(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.tokenDiversity($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenDiversity =
     copy(child = newChild)
 }
 

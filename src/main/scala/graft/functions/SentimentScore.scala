@@ -127,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepStats].getName, "rep_stats"),
       (args: Seq[Expression]) => RepStats(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("token_diversity"),
+      new ExpressionInfo(classOf[TokenDiversity].getName, "token_diversity"),
+      (args: Seq[Expression]) => TokenDiversity(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("vader_score"),
       new ExpressionInfo(classOf[VaderScore].getName, "vader_score"),
       (args: Seq[Expression]) => VaderScore(args.head)))

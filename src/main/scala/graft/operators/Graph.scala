@@ -62,7 +62,11 @@ object Graph {
       val n = deg.agg(count(lit(1)).as("n"))
       var state = deg.crossJoin(broadcast(n))
         .select($"id", $"deg", $"n", expr(s"$Scale div n").as("pr"))
-      for (_ <- 1 to Iterations) state = iterate(edges, state)
+      // each round consumes the previous state TWICE (message join + rank
+      // carry-over): without a barrier the unpersisted lineage doubles per
+      // iteration — persist cuts the plan to one computation per round
+      for (_ <- 1 to Iterations)
+        state = iterate(edges, state).persist(StorageLevel.MEMORY_AND_DISK)
       state.select($"id".as("doc_id"), $"deg", $"pr")
         .orderBy($"pr".desc, $"doc_id")
     },

@@ -34,12 +34,15 @@ object LexicalStats {
     "q_token_diversity",
     (spark, dir) => {
       import spark.implicits._
+      // native one-pass counters (token_diversity) — the declarative twin
+      // (explode → count per (doc, term) → sum(c·(c−1))) shuffles one row
+      // per (doc, term); this is a map-only projection plus the output sort
       Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
-          sum($"c" * ($"c" - 1)).as("rep2"))
+        .select($"doc_id", call_function("token_diversity", $"text").as("td"))
+        .select($"doc_id",
+          element_at($"td", 1).as("n_tokens"),
+          element_at($"td", 2).as("n_types"),
+          element_at($"td", 3).as("rep2"))
         .select($"doc_id", $"n_tokens", $"n_types",
           Det.qround($"n_types".cast(DoubleType) / $"n_tokens").as("ttr"),
           when($"n_tokens" > 1, Det.qround($"rep2".cast(DoubleType) /

@@ -26,6 +26,31 @@ class LexicalStatsSpec extends SparkSpec {
     assert(out(5L) === ((5L, 30L, 30L, 1.0, Some(0.0))))
   }
 
+  test("token_diversity equals the declarative explode/count formulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val declarative = docs
+      .select($"doc_id", explode(graft.functions.Text.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("dn"), count(lit(1)).as("dv"),
+        sum($"c" * ($"c" - 1)).as("dr"))
+    val native = docs
+      .select($"doc_id", call_function("token_diversity", $"text").as("td"))
+      .select($"doc_id", element_at($"td", 1).as("nn"),
+        element_at($"td", 2).as("nv"), element_at($"td", 3).as("nr"))
+    assert(native.join(declarative, Seq("doc_id"))
+      .filter($"nn" =!= $"dn" || $"nv" =!= $"dv" || $"nr" =!= $"dr")
+      .count() === 0L)
+  }
+
+  test("token_diversity stays inside whole-stage codegen") {
+    val plan = Tables.documents(spark, fixtureDir)
+      .select(call_function("token_diversity", $"text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [token_diversity"),
+      s"token_diversity fell out of codegen:\n$plan")
+  }
+
   test("q_bigram_lift: fixture corpus has no bigram above the support floor") {
     val out = LexicalStats.qBigramLift.run(spark, fixtureDir)
     assert(out.columns.toSeq === Seq("bg", "c_xy", "c_x", "c_y", "lift"))
