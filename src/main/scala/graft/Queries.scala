@@ -13,6 +13,7 @@ object Queries {
       EventAnalytics.all ++
       Dedup.all ++
       Similarity.all ++
+      Profiling.all ++
       Skew.all ++
       TemporalJoins.all ++
       PipelineOps.all ++

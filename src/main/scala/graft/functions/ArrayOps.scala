@@ -347,6 +347,33 @@ object ArrayOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Every word n-gram shingle of a text IN POSITION ORDER and NOT distinct
+    * (unlike [[wordShingles]]): `posexplode` of the result yields
+    * (start_token_position, shingle) for every sliding window — the
+    * positional span stream exact-substring dedup needs (a span repeated
+    * inside one document must surface once per occurrence, and the array
+    * index IS the token offset). Same lowercase `split("\\s+", -1)`
+    * tokenization as every other text op in the engine. Returns the empty
+    * array when the text has fewer than n tokens. */
+  def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val m = math.max(toks.length - n + 1, 0)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Non-overlapping word n-token chunks of a text, lowercase
     * whitespace-split, IN ORDER and NOT distinct (unlike
     * [[wordShingles]] — span-level dedup needs every positional span,
@@ -710,6 +737,34 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `word_shingles_all(text, n)`: every sliding word n-gram in position order,
+  * repeats kept — array index = start token offset (see
+  * [[ArrayOps.wordShinglesAll]]). */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        TypeCheckResult.TypeCheckFailure(s"word_shingles_all requires n > 0, got $n")
+      case _ => TypeCheckResult.TypeCheckFailure("word_shingles_all requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.wordShinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.wordShinglesAll($c, $n);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
     copy(child = newChild)
 }
 

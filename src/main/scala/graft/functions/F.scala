@@ -37,6 +37,12 @@ object F {
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))
 
+  /** Every sliding word n-gram in position order, repeats kept — the
+    * positional span stream for exact-substring dedup (array index = start
+    * token offset). */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    call_function("word_shingles_all", text, lit(n))
+
   /** Non-overlapping in-order n-token chunks of a text (context chunking;
     * includes the trailing partial chunk so reassembly is lossless). */
   def wordChunks(text: Column, n: Int): Column =

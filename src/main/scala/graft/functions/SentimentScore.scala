@@ -150,6 +150,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordShingles(args.head,
         intArg("word_shingles", "n", args, 1))))
     ext.injectFunction((
+      new FunctionIdentifier("word_shingles_all"),
+      new ExpressionInfo(classOf[WordShinglesAll].getName, "word_shingles_all"),
+      (args: Seq[Expression]) => WordShinglesAll(args.head,
+        intArg("word_shingles_all", "n", args, 1))))
+    ext.injectFunction((
       new FunctionIdentifier("word_chunks"),
       new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
       (args: Seq[Expression]) => WordChunks(args.head,

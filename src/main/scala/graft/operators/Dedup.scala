@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.{GraftQuery, Tables}
-import graft.functions.Text
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.{Det, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -587,7 +587,83 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
+  /** Span length for exact-substring dedup: 8 tokens. Short enough to catch
+    * partial overlap the document-level sketches miss, long enough that a
+    * shared span is evidence of copying rather than collocation. */
+  val SpanN = 8
+
+  /** Span-level (exact-substring) dedup coverage — the document-granularity
+    * complement of the sketch family above, after Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"): a span
+    * repeated ACROSS documents marks copied boilerplate even when the
+    * containing documents are globally dissimilar. Emits, per document, the
+    * fraction of token positions covered by at least one 8-token span that
+    * also occurs in another document — the statistic the
+    * remove-repeated-substrings pass thresholds on.
+    *
+    * Scale shape: the positional span stream comes from ONE map-side
+    * codegen projection (`word_shingles_all` + posexplode — no window, no
+    * per-doc sort); cross-doc spans are found by a partial+final aggregate
+    * on the span key, and rejoined via LEFT SEMI on the same key (two
+    * shuffles of the span stream, both on the span hash — never a pair
+    * join, never O(n²)). Coverage is the classic interval-union-by-
+    * position-explode: each surviving span occurrence expands to its 8
+    * positions (bounded ×8) and distinct-counts per document. */
+  val qSpanDedup = GraftQuery(
+    "q_span_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val spans = docs.select($"doc_id",
+        posexplode(call_function("word_shingles_all", $"text", lit(SpanN)))
+          .as(Seq("pos", "s")))
+      val shared = spans.groupBy($"s")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2)
+        .select($"s")
+      val covered = spans
+        .join(shared, Seq("s"), "left_semi")
+        .select($"doc_id", explode(sequence($"pos", $"pos" + lit(SpanN - 1))).as("p"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("covered_tokens"))
+      docs.select($"doc_id",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+          Det.qround(coalesce($"covered_tokens", lit(0L))
+            .cast(DoubleType) / $"n_tokens").as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      spans AS (
+        SELECT doc_id,
+          unnest(range(1, greatest(len(ws) - ${SpanN - 2}, 1))) - 1 AS pos,
+          unnest([array_to_string(ws[i:i+${SpanN - 1}], ' ')
+                  for i in range(1, greatest(len(ws) - ${SpanN - 2}, 1))]) AS s
+        FROM toks),
+      shared AS (
+        SELECT s FROM (
+          SELECT s, count(DISTINCT doc_id) AS df FROM spans GROUP BY s)
+        WHERE df >= 2),
+      cov AS (
+        SELECT doc_id, count(*) AS covered FROM (
+          SELECT DISTINCT doc_id, pos + j AS p
+          FROM spans JOIN shared USING (s)
+          CROSS JOIN unnest(range(0, $SpanN)) AS t(j))
+        GROUP BY doc_id),
+      nt AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM toks)
+      SELECT doc_id, n_tokens,
+        coalesce(covered, 0)::BIGINT AS covered_tokens,
+        ${Oracle.qround("coalesce(covered, 0)::DOUBLE / n_tokens")} AS dup_frac
+      FROM nt LEFT JOIN cov USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qDedupIncremental, qNgramJaccard, qEditDistance)
+    qDedupIncremental, qNgramJaccard, qEditDistance, qSpanDedup)
 }

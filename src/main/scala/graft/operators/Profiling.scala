@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-audit operators a large-scale curation pipeline runs before and
+  * after every transform:
+  *
+  *  - table PROFILING (the ANALYZE/data-quality surface): one pass over the
+  *    fact table emitting per-column row/null/NDV counts and min/max — the
+  *    stats block every catalog (and every CBO) keeps per table;
+  *  - data-MIXTURE weights: temperature sampling over the per-language token
+  *    counts (w ∝ tok^α with α = 1/2 — the multilingual rebalancing rule
+  *    from the mBERT/XLM-R lineage), plus the token budget each stratum
+  *    receives. `sqrt` is IEEE-754 correctly-rounded in both engines, so
+  *    the weights are oracle-exact with no rational-arithmetic contortions;
+  *  - feature CORRELATION: Pearson r between document length in chars and
+  *    in tokens, per language, from exact integer raw moments — the
+  *    redundancy check run before adding a feature to a quality classifier.
+  *
+  * Physical design: the profile is ONE aggregate over the scan — Catalyst
+  * plans the 6 `count(DISTINCT col)`s as a ×7 `Expand` feeding a single
+  * partial+final aggregate, the classic exact-NDV shape (the approx path at
+  * 100 TB swaps `approx_count_distinct` and drops the Expand — same query
+  * skeleton, see q_subreddit_stats_approx); mixture and correlation are
+  * two-level aggregates whose second level is language-sized (single-digit
+  * rows), with the language totals broadcast back across the tiny final
+  * join. Nothing corpus-sized crosses more than one exchange.
+  */
+object Profiling {
+
+  val qProfileTable = GraftQuery(
+    "q_profile_table",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.spread(Tables.orders(spark, dir))
+      def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        nNull("o_orderkey").as("nn_key"), countDistinct($"o_orderkey").as("nd_key"),
+        min($"o_orderkey").cast(DoubleType).as("min_key"),
+        max($"o_orderkey").cast(DoubleType).as("max_key"),
+        nNull("o_custkey").as("nn_cust"), countDistinct($"o_custkey").as("nd_cust"),
+        min($"o_custkey").cast(DoubleType).as("min_cust"),
+        max($"o_custkey").cast(DoubleType).as("max_cust"),
+        nNull("o_totalprice").as("nn_price"), countDistinct($"o_totalprice").as("nd_price"),
+        min($"o_totalprice").as("min_price"), max($"o_totalprice").as("max_price"),
+        nNull("o_orderdate").as("nn_date"), countDistinct($"o_orderdate").as("nd_date"),
+        // o_orderdate arrives TIMESTAMP_NTZ; the session is pinned UTC, so
+        // the TIMESTAMP cast is instant-preserving and unix_millis applies
+        unix_millis(min($"o_orderdate").cast(TimestampType)).cast(DoubleType)
+          .as("min_date"),
+        unix_millis(max($"o_orderdate").cast(TimestampType)).cast(DoubleType)
+          .as("max_date"),
+        nNull("o_orderstatus").as("nn_stat"), countDistinct($"o_orderstatus").as("nd_stat"),
+        min($"o_orderstatus").as("min_stat"), max($"o_orderstatus").as("max_stat"),
+        nNull("o_orderpriority").as("nn_prio"), countDistinct($"o_orderpriority").as("nd_prio"),
+        min($"o_orderpriority").as("min_prio"), max($"o_orderpriority").as("max_prio"))
+      val nullD = lit(null).cast(DoubleType)
+      val nullS = lit(null).cast(StringType)
+      agg
+        .select(explode(array(
+          struct(lit("o_orderkey").as("col_name"), $"n".as("n_rows"),
+            $"nn_key".as("n_null"), $"nd_key".as("n_distinct"),
+            $"min_key".as("min_num"), $"max_key".as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("o_custkey").as("col_name"), $"n".as("n_rows"),
+            $"nn_cust".as("n_null"), $"nd_cust".as("n_distinct"),
+            $"min_cust".as("min_num"), $"max_cust".as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("o_totalprice").as("col_name"), $"n".as("n_rows"),
+            $"nn_price".as("n_null"), $"nd_price".as("n_distinct"),
+            $"min_price".as("min_num"), $"max_price".as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("o_orderdate").as("col_name"), $"n".as("n_rows"),
+            $"nn_date".as("n_null"), $"nd_date".as("n_distinct"),
+            $"min_date".as("min_num"), $"max_date".as("max_num"),
+            nullS.as("min_str"), nullS.as("max_str")),
+          struct(lit("o_orderstatus").as("col_name"), $"n".as("n_rows"),
+            $"nn_stat".as("n_null"), $"nd_stat".as("n_distinct"),
+            nullD.as("min_num"), nullD.as("max_num"),
+            $"min_stat".as("min_str"), $"max_stat".as("max_str")),
+          struct(lit("o_orderpriority").as("col_name"), $"n".as("n_rows"),
+            $"nn_prio".as("n_null"), $"nd_prio".as("n_distinct"),
+            nullD.as("min_num"), nullD.as("max_num"),
+            $"min_prio".as("min_str"), $"max_prio".as("max_str"))))
+          .as("r"))
+        .select($"r.col_name", $"r.n_rows", $"r.n_null", $"r.n_distinct",
+          $"r.min_num", $"r.max_num", $"r.min_str", $"r.max_str")
+        .orderBy($"col_name")
+    },
+    Some("""
+      SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+        (count(*) - count(o_orderkey))::BIGINT AS n_null,
+        count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+        min(o_orderkey)::DOUBLE AS min_num, max(o_orderkey)::DOUBLE AS max_num,
+        NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*)::BIGINT, (count(*) - count(o_custkey))::BIGINT,
+        count(DISTINCT o_custkey)::BIGINT,
+        min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE,
+        NULL::VARCHAR, NULL::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*)::BIGINT, (count(*) - count(o_totalprice))::BIGINT,
+        count(DISTINCT o_totalprice)::BIGINT,
+        min(o_totalprice), max(o_totalprice),
+        NULL::VARCHAR, NULL::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*)::BIGINT, (count(*) - count(o_orderdate))::BIGINT,
+        count(DISTINCT o_orderdate)::BIGINT,
+        epoch_ms(min(o_orderdate))::DOUBLE, epoch_ms(max(o_orderdate))::DOUBLE,
+        NULL::VARCHAR, NULL::VARCHAR FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*)::BIGINT, (count(*) - count(o_orderstatus))::BIGINT,
+        count(DISTINCT o_orderstatus)::BIGINT,
+        NULL::DOUBLE, NULL::DOUBLE,
+        min(o_orderstatus), max(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*)::BIGINT, (count(*) - count(o_orderpriority))::BIGINT,
+        count(DISTINCT o_orderpriority)::BIGINT,
+        NULL::DOUBLE, NULL::DOUBLE,
+        min(o_orderpriority), max(o_orderpriority) FROM orders
+      ORDER BY col_name""")
+  )
+
+  /** Temperature exponent α = 1/2 and the per-epoch token budget the weights
+    * are applied to. α is a library parameter; 1/2 keeps `sqrt` (the one
+    * power both engines compute correctly-rounded) on the verified surface —
+    * `pow(x, 0.3)` would be libm-dependent and belongs on the rows-only
+    * path with the other approximate twins. */
+  val MixtureBudget = 1000000L
+
+  val qMixtureWeights = GraftQuery(
+    "q_mixture_weights",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang", element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      // Σ√tok through exact decimal addends: language count is tiny but the
+      // discipline is the same as every other float aggregate on the
+      // verified surface (order-independent, bit-identical in DuckDB).
+      val tot = per.agg(
+        sum(sqrt($"n_tokens".cast(DoubleType)).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("tot_sqrt"))
+      val weight = Det.qround(sqrt($"n_tokens".cast(DoubleType)) / $"tot_sqrt")
+      per.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs", $"n_tokens",
+          weight.as("weight"),
+          floor(weight * lit(MixtureBudget.toDouble)).cast(LongType)
+            .as("sample_tokens"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT lang, len(string_split_regex(lower(text), '[[:space:]]+')) AS n_toks
+        FROM documents),
+      per AS (
+        SELECT lang, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+        FROM toks GROUP BY lang),
+      tot AS (
+        SELECT sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(38,12)))::DOUBLE AS tot_sqrt
+        FROM per)
+      SELECT lang, n_docs, n_tokens,
+        ${Oracle.qround("sqrt(n_tokens::DOUBLE) / tot_sqrt")} AS weight,
+        floor((${Oracle.qround("sqrt(n_tokens::DOUBLE) / tot_sqrt")}) * ${MixtureBudget}e0)::BIGINT
+          AS sample_tokens
+      FROM per CROSS JOIN tot
+      ORDER BY lang""")
+  )
+
+  val qFeatureCorr = GraftQuery(
+    "q_feature_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang", $"n_chars",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum($"n_chars").as("sx"), sum($"n_toks").as("sy"),
+          sum($"n_chars" * $"n_toks").as("sxy"),
+          sum($"n_chars" * $"n_chars").as("sxx"),
+          sum($"n_toks" * $"n_toks").as("syy"))
+      // n·Σxy − Σx·Σy etc. stay in exact BIGINT (≈10^12 at sf0.1, well
+      // under 2^53 even at 100×) and convert to double once — both engines
+      // see the identical integer, so r is bit-identical without decimals.
+      val num = ($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType)
+      val vx = ($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)
+      val vy = ($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType)
+      per.select($"lang", $"n",
+        when(vx > 0 && vy > 0, Det.qround(num / (sqrt(vx) * sqrt(vy))))
+          .as("chars_tokens_r"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT lang, count(*)::BIGINT AS n,
+          sum(n_chars)::BIGINT AS sx,
+          sum(len(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT AS sy,
+          sum(n_chars * len(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT AS sxy,
+          sum(n_chars * n_chars)::BIGINT AS sxx,
+          sum(len(string_split_regex(lower(text), '[[:space:]]+')) *
+              len(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT AS syy
+        FROM documents GROUP BY lang)
+      SELECT lang, n,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+          ${Oracle.qround(
+            "(n * sxy - sx * sy)::DOUBLE / " +
+            "(sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))")}
+        END AS chars_tokens_r
+      FROM per
+      ORDER BY lang""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qProfileTable, qMixtureWeights, qFeatureCorr)
+}

@@ -103,5 +103,60 @@ object TfIdf {
       LIMIT $TopK""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qTfIdfScores, qTopKeywords)
+  /** Posting-list truncation and index size for [[qInvertedIndex]]. */
+  val PostingsK = 8
+  val IndexTopK = 50
+
+  /** Inverted-index build — the search-index materialization step of a
+    * retrieval/RAG pipeline: term → document frequency + the first
+    * [[PostingsK]] postings (doc_ids ascending, comma-joined), for the
+    * [[IndexTopK]] highest-df terms. Truncated postings keep the output
+    * bounded BY CONSTRUCTION (the full index is corpus-sized, which a
+    * verified surface can't dump).
+    *
+    * Scale shape: one exchange on `term` serves both the df count and the
+    * per-term top-[[PostingsK]] — Spark plans the `row_number ≤ K` filter
+    * as WindowGroupLimit (partial per-partition top-K BEFORE the exchange),
+    * so only K rows per (partition, term) cross the shuffle, then
+    * TakeOrderedAndProject caps the final listing. */
+  val qInvertedIndex = GraftQuery(
+    "q_inverted_index",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          explode(array_distinct(Text.withoutStopwords(Text.tokens($"text"))))
+            .as("term"))
+        .withColumn("df", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy($"doc_id")))
+        .filter($"rn" <= PostingsK)
+        .groupBy($"term")
+        .agg(max($"df").as("df"),
+          expr("listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)")
+            .as("postings"))
+        .orderBy($"df".desc, $"term")
+        .limit(IndexTopK)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[[:space:]]+'),
+            w -> w NOT IN ${Text.stopwordsSqlList})) AS term
+          FROM documents)),
+      per AS (
+        SELECT term, doc_id,
+          count(*) OVER (PARTITION BY term) AS df,
+          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM toks)
+      SELECT term, max(df)::BIGINT AS df,
+        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+      FROM per WHERE rn <= $PostingsK
+      GROUP BY term
+      ORDER BY df DESC, term
+      LIMIT $IndexTopK""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qTfIdfScores, qTopKeywords, qInvertedIndex)
 }

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Dedup, Profiling, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** The dataset-audit batch: word_shingles_all semantics, span-level dedup
+  * coverage on the hand-computable fixture, temperature mixture weights,
+  * integer-moment correlation, table profiling, and the inverted index. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("word_shingles_all keeps order and repeats; short text yields empty") {
+    val rows = Seq(
+      ("a b a b a", 2),   // repeats must be kept: "a b","b a","a b","b a"
+      ("one two", 3),     // fewer than n tokens -> empty
+      ("x y z", 3))
+      .toDF("t", "n")
+    val got = rows.select(call_function("word_shingles_all", $"t", lit(2)).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b", "b a", "a b", "b a"))
+    assert(got(2) === Seq("x y", "y z"))
+    val short = rows.select(call_function("word_shingles_all", $"t", lit(3)))
+      .as[Seq[String]].collect()
+    assert(short(1) === Seq.empty)
+    val n = rows.select(call_function("word_shingles_all", lit(null).cast("string"), lit(2)))
+      .collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
+  test("word_shingles_all array index is the start token offset (posexplode)") {
+    val got = Seq("t0 t1 t2 t3").toDF("t")
+      .select(posexplode(call_function("word_shingles_all", $"t", lit(2)))
+        .as(Seq("pos", "s")))
+      .as[(Int, String)].collect().toSeq
+    assert(got === Seq((0, "t0 t1"), (1, "t1 t2"), (2, "t2 t3")))
+  }
+
+  test("word_shingles_all stays inside whole-stage codegen") {
+    // non-foldable input (a LocalTableScan of literals would constant-fold)
+    val plan = spark.range(1)
+      .select(concat(lit("a b "), $"id".cast("string")).as("t"))
+      .select(call_function("word_shingles_all", $"t", lit(2)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [word_shingles_all"),
+      s"word_shingles_all fell out of codegen:\n$plan")
+  }
+
+  test("q_span_dedup on the fixture: only the near-dup pair shares 8-token spans") {
+    // docs 0-3 have < 8 tokens (no spans); docs 4/5 share every 8-gram that
+    // avoids the differing last token: starts 0..21, covering positions
+    // 0..28 -> 29 of 30 tokens on each side.
+    val got = Dedup.qSpanDedup.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 3L, 0L, 0.0), (1L, 3L, 0L, 0.0),
+      (2L, 4L, 0L, 0.0), (3L, 4L, 0L, 0.0),
+      (4L, 30L, 29L, qround(29.0 / 30)), (5L, 30L, 29L, qround(29.0 / 30))))
+  }
+
+  test("q_mixture_weights: sqrt-temperature weights over per-lang token counts") {
+    // fixture tokens: en 3+3=6, de 4+4=8, fr 30+30=60
+    val s6 = math.sqrt(6.0); val s8 = math.sqrt(8.0); val s60 = math.sqrt(60.0)
+    // the engine sums the sqrt addends through DECIMAL(38,12); replicate by
+    // rounding each addend to 12 dp before the (exact) sum
+    def d12(x: Double): BigDecimal =
+      BigDecimal.valueOf(x) // shortest-decimal repr, like Spark's Decimal cast
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val tot = (d12(s6) + d12(s8) + d12(s60)).toDouble
+    val got = Profiling.qMixtureWeights.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    def exp(lang: String, nDocs: Long, toks: Long, s: Double) = {
+      val w = qround(s / tot)
+      (lang, nDocs, toks, w, math.floor(w * Profiling.MixtureBudget.toDouble).toLong)
+    }
+    assert(got === Seq(
+      exp("de", 2, 8, s8), exp("en", 2, 6, s6), exp("fr", 2, 60, s60)))
+  }
+
+  test("q_feature_corr: zero-variance groups are null, varying group is exact") {
+    // every fixture lang has a zero-variance side (en/fr: equal token
+    // counts; de: exact duplicates) -> build a corpus where one lang varies
+    // on both axes. xx's chars are exactly 3·tokens − 1, so r = 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    val docs = Seq(
+      (0L, "aa", "xx"), (1L, "aa bb", "xx"), (2L, "aa bb cc cc", "xx"),
+      (3L, "dd", "yy"), (4L, "ee", "yy"))
+    docs.map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val xx = docs.filter(_._3 == "xx")
+      .map(d => (d._2.length.toLong, d._2.split("\\s+", -1).length.toLong))
+    val n = xx.size.toLong
+    val sx = xx.map(_._1).sum; val sy = xx.map(_._2).sum
+    val sxy = xx.map(p => p._1 * p._2).sum
+    val sxx = xx.map(p => p._1 * p._1).sum; val syy = xx.map(p => p._2 * p._2).sum
+    val vx = (n * sxx - sx * sx).toDouble; val vy = (n * syy - sy * sy).toDouble
+    val expXx = qround((n * sxy - sx * sy).toDouble / (math.sqrt(vx) * math.sqrt(vy)))
+    assert(expXx === 1.0) // sanity: the constructed relation is exactly linear
+    val got = Profiling.qFeatureCorr.run(spark, dir)
+      .select($"lang", $"chars_tokens_r").as[(String, Option[Double])]
+      .collect().toSeq
+    // yy: single-char docs -> both variances 0 -> null
+    assert(got === Seq(("xx", Some(expXx)), ("yy", None)))
+  }
+
+  test("q_profile_table on sf0.001: key column profiles as unique and non-null") {
+    val rows = Profiling.qProfileTable.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val key = rows("o_orderkey")
+    val n = key.getLong(1)
+    assert(n > 0 && key.getLong(2) === 0L && key.getLong(3) === n) // unique, no nulls
+    assert(key.getDouble(4) === 0.0)                               // min key
+    assert(rows.size === 6 && rows.values.forall(_.getLong(1) === n))
+    val status = rows("o_orderstatus")
+    assert(status.isNullAt(4) && !status.isNullAt(6))              // string-typed profile
+  }
+
+  test("q_inverted_index on the fixture: df rank, truncated ordered postings") {
+    val got = TfIdf.qInvertedIndex.run(spark, fixtureDir)
+      .as[(String, Long, String)].collect().toSeq
+    // "the" is a stopword; df-3 terms first (term asc), then df-2, then df-1
+    assert(got.head === ("big", 3L, "1,2,3"))
+    assert(got(1) === ("slow", 3L, "0,2,3"))
+    assert(got.find(_._1 == "fast").get === ("fast", 2L, "0,1"))
+    assert(got.find(_._1 == "w1").get === ("w1", 2L, "4,5"))
+    assert(got.find(_._1 == "zz").get === ("zz", 1L, "5"))
+    assert(got.find(_._1 == "the").isEmpty)
+    assert(got.size <= TfIdf.IndexTopK)
+  }
+}
