@@ -831,11 +831,65 @@ object EventAnalytics {
       ORDER BY user_id""")
   )
 
+  /** EWMA depth: 8 trailing observations; weights 1, 1/2, … 1/128. */
+  val EwmaDepth = 8
+
+  /** Exponentially-weighted moving average per event type — the smoothing
+    * the dashboard's rolling mean (W1) graduates to when recency should
+    * dominate: half-life-one decay over the trailing [[EwmaDepth]]
+    * observations, normalized by the weights actually present so the head
+    * of each series is well-defined (pandas `ewm(alpha=.5, adjust=True)`
+    * truncated to 8 terms).
+    *
+    * Exactness without decimals: every weight is a power of two, so each
+    * `value/2ᵏ` is an EXACT double (exponent shift), and both engines
+    * evaluate the 8-term numerator in the same left-to-right IEEE
+    * association (the q_embed_int8 discipline) — one qround at the end.
+    *
+    * Scale shape: one hash exchange on event_type, one in-partition sort,
+    * ONE Window operator computing all 7 lags (same frame), arithmetic in
+    * the following Project — no self-join formulation (the naive "join the
+    * 8 previous rows" is an 8× blowup). */
+  val qEwmaMetric = GraftQuery(
+    "q_ewma_metric",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts_us", $"event_id")
+      def l(k: Int) = lag($"value", k).over(w)
+      val num = (1 until EwmaDepth).foldLeft($"value": org.apache.spark.sql.Column) {
+        (acc, k) => acc + coalesce(l(k) / lit(1L << k), lit(0.0))
+      }
+      val den = (1 until EwmaDepth).foldLeft(lit(1.0)) {
+        (acc, k) => acc + when(l(k).isNotNull, lit(1.0 / (1L << k))).otherwise(lit(0.0))
+      }
+      Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"ts_us", $"value")
+        .withColumn("ewma", Det.qround(num / den))
+        .orderBy($"event_type", $"ts_us", $"event_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+          ${(1 until EwmaDepth).map(k =>
+            s"lag(value, $k) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS l$k")
+            .mkString(", ")}
+        FROM events)
+      SELECT event_id, event_type, ts_us, value,
+        ${Oracle.qround(
+          "(" + (1 until EwmaDepth).foldLeft("value") {
+            (acc, k) => s"$acc + coalesce(l$k / ${1L << k}, 0e0)"
+          } + ") / (" + (1 until EwmaDepth).foldLeft("1e0") {
+            (acc, k) => s"$acc + (CASE WHEN l$k IS NOT NULL THEN 1e0 / ${1L << k} ELSE 0e0 END)"
+          } + ")")} AS ewma
+      FROM w
+      ORDER BY event_type, ts_us, event_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
     qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps,
-    qGapFill, qUpsertMerge, qValueTrend, qEventPaths)
+    qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric)
 }

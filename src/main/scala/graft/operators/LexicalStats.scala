@@ -224,5 +224,59 @@ object LexicalStats {
       ORDER BY stage""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qTokenDiversity, qBigramLift, qFilterFunnel)
+  /** Unigram language-model surprisal — the perplexity-proxy quality score
+    * every corpus-filtering recipe ranks documents with (CCNet's "LM
+    * perplexity bucket" collapsed to its order-0 core): fit the unigram LM
+    * on the corpus itself (p(t) = cf(t)/N), then score each document by its
+    * mean token surprisal `−ln p(t)` = `ln(N/cf(t))`. High = rare-token
+    * text (specialist or garbage), low = boilerplate.
+    *
+    * Exactness: `ln` over the same double quotient is bit-identical across
+    * engines (established by the TF-IDF idf term since round 1); the
+    * per-document mean goes through the standard decimal-cast-before-sum
+    * path so token order can't perturb the sum.
+    *
+    * Scale shape: the LM is the vocabulary relation (term, cf) — tiny next
+    * to the corpus — broadcast onto the (doc, term) tf relation; the corpus
+    * shuffles once, on (doc_id, term), then once more on doc_id for the
+    * per-doc rollup (both partial+final). */
+  val qUnigramSurprisal = GraftQuery(
+    "q_unigram_surprisal",
+    (spark, dir) => {
+      import spark.implicits._
+      val tf = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
+      val tot = cf.agg(sum($"cf").as("tot"))
+      val lm = cf.crossJoin(broadcast(tot))
+        .select($"term",
+          log($"tot".cast(DoubleType) / $"cf".cast(DoubleType)).as("s"))
+      tf.join(broadcast(lm), Seq("term"))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_tokens"),
+          Det.qround(
+            sum(($"tf".cast(DoubleType) * $"s").cast(DecimalType(38, Det.Scale)))
+              .cast(DoubleType) / sum($"tf")).as("mean_surprisal"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+      tot AS (SELECT sum(cf) AS tot FROM cf),
+      lm AS (SELECT term, ln(tot::DOUBLE / cf::DOUBLE) AS s FROM cf CROSS JOIN tot)
+      SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        ${Oracle.qround(
+          "sum(CAST(tf::DOUBLE * s AS DECIMAL(38,9)))::DOUBLE / sum(tf)")}
+          AS mean_surprisal
+      FROM tf JOIN lm USING (term)
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal)
 }

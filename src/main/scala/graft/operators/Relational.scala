@@ -232,7 +232,44 @@ object Relational {
       ORDER BY lang, source""")
   )
 
+  /** Shared dialect-neutral SQL for [[qCorrelatedScalar]] — the one text
+    * runs unchanged in Spark (over the registered view) and DuckDB (over
+    * the parquet view), like [[qSqlSurface]]. The nation average is exact:
+    * decimal-cast-before-sum, double division once (identical IEEE in both
+    * engines), `1e6` spelled in e-notation so Spark parses a DOUBLE literal
+    * (a `1000000.0` literal is DECIMAL in Spark SQL text — NOTES.md). */
+  private def correlatedSql(tbl: String) = s"""
+      SELECT c.c_custkey, c.c_acctbal,
+        floor((SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(*)
+               FROM $tbl c2 WHERE c2.c_nationkey = c.c_nationkey) * 1e6 + 0.5)
+          / 1e6 AS nation_avg
+      FROM $tbl c
+      WHERE c.c_acctbal >
+        (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
+           / count(*)
+         FROM $tbl c2 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c.c_custkey"""
+
+  /** Correlated scalar subqueries (customers above their nation's average
+    * balance) — the decorrelation surface of the optimizer: Catalyst
+    * rewrites each correlated aggregate into a grouped join on the
+    * correlation key (and merges the WHERE/SELECT twins via
+    * MergeScalarSubqueries), so the executed plan is ONE per-nation
+    * aggregate broadcast back onto the customer scan — never a per-row
+    * re-aggregation. The subquery-heavy SQL a BI tool emits, priced at one
+    * small-side join. */
+  val qCorrelatedScalar = GraftQuery(
+    "q_correlated_scalar",
+    (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+      spark.sql(correlatedSql("customer_v"))
+    },
+    Some(correlatedSql("customer"))
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
-    qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface)
+    qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface,
+    qCorrelatedScalar)
 }

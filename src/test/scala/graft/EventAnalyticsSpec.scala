@@ -107,4 +107,15 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().toSeq
     assert(r === Seq((2L, 1.0, 4.0)))
   }
+
+  test("ewma: hand-computed half-life decay per type on the fixture") {
+    // click values 1,3,5; view 2,4; signup 6 (ts order)
+    val r = EventAnalytics.qEwmaMetric.run(spark, fixtureDir)
+      .select($"event_type", $"value", $"ewma")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(r.filter(_._1 == "click").map(_._3) === Seq(1.0, 2.333333, 3.857143))
+    assert(r.filter(_._1 == "view").map(_._3) === Seq(2.0, 3.333333))
+    assert(r.filter(_._1 == "signup").map(_._3) === Seq(6.0))
+  }
+
 }

@@ -95,4 +95,25 @@ class LexicalStatsSpec extends SparkSpec {
     assert(rows.head._3 === 500L)
     rows.foreach { r => assert(r._4 > 0L, r) }
   }
+
+  test("unigram surprisal: hand-computed mean -ln p on the fixture corpus") {
+    // cf: fast 3, slow 7, the 1, big 3, w1..w29 2 each, w30 1, zz 1; N = 74
+    val N = 74.0
+    def add(tf: Long, cf: Long): BigDecimal =
+      BigDecimal.valueOf(tf * math.log(N / cf))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = LexicalStats.qUnigramSurprisal.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // doc0 "fast fast slow"; doc1 "fast the big"; doc2/3 "slow slow slow big"
+    assert(got(0) === ((0L, 3L, qr((add(2, 3) + add(1, 7)).toDouble / 3))))
+    assert(got(1) === ((1L, 3L, qr((add(1, 3) + add(1, 1) + add(1, 3)).toDouble / 3))))
+    assert(got(2) === ((2L, 4L, qr((add(3, 7) + add(1, 3)).toDouble / 4))))
+    assert(got(2)._3 === got(3)._3) // exact duplicates score identically
+    // rare-token doc (w30) scores above its twin ending in... also rare zz:
+    // both docs 4/5 have 29 cf=2 tokens + one cf=1 token -> equal scores
+    assert(got(4)._3 === got(5)._3)
+  }
+
 }

@@ -69,4 +69,27 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("o_custkey") && plan.contains("o_totalprice"))
     assert(!plan.contains("o_orderpriority"))
   }
+
+  test("correlated scalar subquery matches the independent group-average join") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val cust = Tables.customer(spark, dir)
+    val avgs = cust.groupBy($"c_nationkey").agg(
+      (sum($"c_acctbal".cast(DecimalType(38, 9))).cast(DoubleType) /
+        count(lit(1))).as("nav"))
+    val expected = cust.join(avgs, Seq("c_nationkey"))
+      .filter($"c_acctbal" > $"nav")
+      .select($"c_custkey").as[Long].collect().toSet
+    val got = Relational.qCorrelatedScalar.run(spark, dir)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("correlated scalar subquery decorrelates to one aggregate (no per-row re-agg)") {
+    val plan = Relational.qCorrelatedScalar.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    // decorrelation rewrites both scalar subqueries into aggregate+join;
+    // no Subquery/ScalarSubquery node survives into the executed plan
+    assert(!plan.contains("ScalarSubquery"), s"subquery not decorrelated:\n$plan")
+  }
+
 }
