@@ -855,16 +855,21 @@ object EventAnalytics {
     (spark, dir) => {
       import spark.implicits._
       val w = Window.partitionBy($"event_type").orderBy($"ts_us", $"event_id")
-      def l(k: Int) = lag($"value", k).over(w)
+      // materialize each lag ONCE, then combine: referencing lag(k) in both
+      // num and den would double every window expression (Spark does not
+      // dedupe identical lags within one Window)
+      val lagged = Tables.events(spark, dir)
+        .select(Seq($"event_id", $"event_type", $"ts_us", $"value") ++
+          (1 until EwmaDepth).map(k => lag($"value", k).over(w).as(s"l$k")): _*)
       val num = (1 until EwmaDepth).foldLeft($"value": org.apache.spark.sql.Column) {
-        (acc, k) => acc + coalesce(l(k) / lit(1L << k), lit(0.0))
+        (acc, k) => acc + coalesce(col(s"l$k") / lit(1L << k), lit(0.0))
       }
       val den = (1 until EwmaDepth).foldLeft(lit(1.0)) {
-        (acc, k) => acc + when(l(k).isNotNull, lit(1.0 / (1L << k))).otherwise(lit(0.0))
+        (acc, k) => acc + when(col(s"l$k").isNotNull, lit(1.0 / (1L << k))).otherwise(lit(0.0))
       }
-      Tables.events(spark, dir)
-        .select($"event_id", $"event_type", $"ts_us", $"value")
-        .withColumn("ewma", Det.qround(num / den))
+      lagged
+        .select($"event_id", $"event_type", $"ts_us", $"value",
+          Det.qround(num / den).as("ewma"))
         .orderBy($"event_type", $"ts_us", $"event_id")
     },
     Some(s"""

@@ -239,26 +239,29 @@ object Relational {
     * engines), `1e6` spelled in e-notation so Spark parses a DOUBLE literal
     * (a `1000000.0` literal is DECIMAL in Spark SQL text — NOTES.md). */
   private def correlatedSql(tbl: String) = s"""
-      SELECT c.c_custkey, c.c_acctbal,
-        floor((SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
-                 / count(*)
-               FROM $tbl c2 WHERE c2.c_nationkey = c.c_nationkey) * 1e6 + 0.5)
-          / 1e6 AS nation_avg
-      FROM $tbl c
-      WHERE c.c_acctbal >
-        (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
-           / count(*)
-         FROM $tbl c2 WHERE c2.c_nationkey = c.c_nationkey)
-      ORDER BY c.c_custkey"""
+      SELECT c_custkey, c_acctbal,
+        floor(nav * 1e6 + 0.5) / 1e6 AS nation_avg
+      FROM (
+        SELECT c.c_custkey, c.c_acctbal,
+          (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*)
+           FROM $tbl c2 WHERE c2.c_nationkey = c.c_nationkey) AS nav
+        FROM $tbl c)
+      WHERE c_acctbal > nav
+      ORDER BY c_custkey"""
 
-  /** Correlated scalar subqueries (customers above their nation's average
+  /** Correlated scalar subquery (customers above their nation's average
     * balance) — the decorrelation surface of the optimizer: Catalyst
-    * rewrites each correlated aggregate into a grouped join on the
-    * correlation key (and merges the WHERE/SELECT twins via
-    * MergeScalarSubqueries), so the executed plan is ONE per-nation
-    * aggregate broadcast back onto the customer scan — never a per-row
-    * re-aggregation. The subquery-heavy SQL a BI tool emits, priced at one
-    * small-side join. */
+    * rewrites the correlated aggregate into a grouped-aggregate broadcast
+    * join on the correlation key — never a per-row re-aggregation. The
+    * subquery is written ONCE and re-referenced through the outer
+    * filter/projection; observed plan wart (sf0.1, Spark 4.1): filter
+    * pushdown inlines the reference twice, so TWO instances of the
+    * per-nation aggregate plan — both nation-sized and broadcast, while
+    * the corpus-sized probe side stays single-pass, which is what matters
+    * at 100 TB. (ReuseExchange would dedupe them but misses: the
+    * inner-join instance gains an extra IsNotNull filter.) The
+    * subquery-heavy SQL a BI tool emits, priced at dim-side joins. */
   val qCorrelatedScalar = GraftQuery(
     "q_correlated_scalar",
     (spark, dir) => {
