@@ -477,8 +477,39 @@ object PipelineOps {
       ORDER BY doc_id""")
   )
 
+  /** JSONL export manifest — the last step before training: each document
+    * rendered as one compact JSON line (`to_json(struct(...))`, the shape a
+    * `.write.text` JSONL dump serializes). The verified surface exports a
+    * MANIFEST (ids, lang, source, length, content md5) rather than raw
+    * text, so the oracle can rebuild the byte-exact line by concatenation —
+    * Spark's `to_json` emits `{"k":v,...}` with no whitespace, struct-field
+    * order, and no escaping needed for these fields (`lang`/`source` are
+    * plain alphanumerics in the driver corpus; raw-text escaping is
+    * engine-private and stays off the oracle path).
+    *
+    * Scale shape: map-only projection over the pruned scan plus the output
+    * sort — the export itself is embarrassingly parallel. */
+  val qJsonlExport = GraftQuery(
+    "q_jsonl_export",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          to_json(struct($"doc_id", $"lang", $"source", $"n_chars",
+            md5($"text").as("content_md5"))).as("line"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        '{"doc_id":' || doc_id || ',"lang":"' || lang || '","source":"' ||
+        source || '","n_chars":' || n_chars || ',"content_md5":"' ||
+        md5(text) || '"}' AS line
+      FROM documents
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
-      qZorderLayout, qQualityQuartiles, qRankWindows)
+      qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport)
 }

@@ -440,7 +440,93 @@ object Similarity {
       FROM e GROUP BY vec_id, max_abs ORDER BY vec_id""")
   )
 
+  /** Cluster count and cosine threshold for [[qSemanticDedup]]. K follows
+    * the q_kmeans/q_ann_ivf deterministic first-K init; the threshold is
+    * tuned to the synthetic corpus' cosine range (max in-cell cosine ≈
+    * 0.47-0.53 across SFs — random vectors, no planted twins), exactly as
+    * the MinHash band/threshold constants are tuned to its vocabulary. */
+  val SemK = 8
+  val SemThreshold = 0.35
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means the embedding
+    * space, then call two documents duplicates when their cosine similarity
+    * exceeds a threshold WITHIN the same cluster — the cluster scoping is
+    * what turns an O(n²) corpus problem into Σ O(cell²). Emits the
+    * duplicate pairs (cell, keeper ia < dropped ib, cosine).
+    *
+    * Scale shape: assignment is the broadcast-centroid map-only pass
+    * (native `dist2_f32_f64`, exact decimal — ties break to the lower
+    * centroid like the oracle's row_number); the pair join shuffles on the
+    * cell key only; candidates pass a cheap double-fold cosine prefilter
+    * (guard band 1e-6, ≳7 orders above the fold's error — the
+    * q_embed_neardup_lsh discipline) before the exact decimal cosine. At
+    * real scale K grows with n (the paper uses ~11k clusters for 100M
+    * docs) to keep cells bounded; K is a library parameter. */
+  val qSemanticDedup = GraftQuery(
+    "q_semantic_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      // persisted: feeds the centroid init AND both sides of the pair join
+      val emb = withNorm(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = emb.filter($"vec_id" < SemK)
+        .select($"vec_id".as("cid"),
+          transform($"embedding", v => v.cast(DoubleType)).as("ce"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          call_function("dist2_f32_f64", $"embedding", $"ce").as("d2"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d2", $"cid")).as("cell"),
+          first($"embedding").as("embedding"), first($"nrm").as("nrm"))
+      val x = assigned.select($"cell", $"vec_id".as("ia"),
+        $"embedding".as("ea"), $"nrm".as("na"))
+      val y = assigned.select($"cell", $"vec_id".as("ib"),
+        $"embedding".as("eb"), $"nrm".as("nb"))
+      x.join(y, Seq("cell")).filter($"ia" < $"ib")
+        .filter(call_function("dot_f32_fast", $"ea", $"eb") / ($"na" * $"nb")
+          >= lit(SemThreshold - 1e-6))
+        .select($"cell", $"ia", $"ib",
+          Det.qround(decDot($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+        .filter($"cosine" >= SemThreshold)
+        .orderBy($"cell", $"ia", $"ib")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      c0 AS (SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < $SemK),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM ex e JOIN c0 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cid),
+      a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d1)
+        WHERE rn = 1),
+      nrm AS ($normsSql),
+      pairs AS (
+        SELECT x.cell, x.vec_id AS ia, y.vec_id AS ib
+        FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      dots AS (
+        SELECT p.cell, p.ia, p.ib,
+          sum(CAST(ea.v * eb.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM pairs p
+        JOIN ex ea ON ea.vec_id = p.ia
+        JOIN ex eb ON eb.vec_id = p.ib AND ea.pos = eb.pos
+        GROUP BY p.cell, p.ia, p.ib),
+      cos AS (
+        SELECT cell, ia, ib,
+          ${Oracle.qround("dot / (na.nrm * nb.nrm)")} AS cosine
+        FROM dots
+        JOIN nrm na ON ia = na.vec_id
+        JOIN nrm nb ON ib = nb.vec_id)
+      SELECT cell, ia, ib, cosine FROM cos
+      WHERE cosine >= $SemThreshold
+      ORDER BY cell, ia, ib""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf, qAnnPq,
-      qEmbedInt8)
+      qEmbedInt8, qSemanticDedup)
 }

@@ -91,4 +91,16 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rs.map(_._3).sorted === Seq(0.5, 1.0), lang)
     }
   }
+
+  test("jsonl export renders the exact compact to_json line") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest("fast fast slow".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = PipelineOps.qJsonlExport.run(spark, fixtureDir)
+      .as[(Long, String)].collect().toSeq
+    assert(got.size === SparkSpec.fixtureDocs.size)
+    assert(got.head === ((0L,
+      s"""{"doc_id":0,"lang":"en","source":"srcA","n_chars":14,"content_md5":"$h"}""")))
+  }
+
 }

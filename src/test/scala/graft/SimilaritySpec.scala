@@ -42,4 +42,15 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1L, 3L, 0.8),   // q2 sees cell-3 member 3, never vecs 0/1
       (3L, 1L, 2L, 0.8)))
   }
+
+  test("semantic dedup: only the identical pair shares a cell above threshold") {
+    // fixture: v0 == v1 (cos 1.0); with first-K init both land in cell 0
+    // (d2 = 0 to centroids 0 AND 1, tie to the lower cid); v2, v3 stay in
+    // their own cells, so the cross-cell cos(v2, v3) = 0.8 pair is NOT a
+    // candidate — cluster scoping is the point of SemDeDup.
+    val got = Similarity.qSemanticDedup.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((0L, 0L, 1L, 1.0)))
+  }
+
 }

@@ -58,4 +58,23 @@ class TableSourceSpec extends SparkSpec {
       TableSource.read(spark, "/tmp/x", "avro", docSchema)
     }
   }
+
+  test("schema evolution: mergeSchema unifies parts written before/after a column add") {
+    // v1 part has no quality column; v2 adds it — the append-only layout
+    // every long-lived table accumulates. mergeSchema reads must unify the
+    // schema and null-fill the old part (and a plain read must still work
+    // off the newest-part schema without scanning both footers).
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((0L, "en"), (1L, "de"))
+      .toDF("doc_id", "lang").write.parquet(s"$dir/part=v1")
+    Seq((2L, "fr", 0.9), (3L, "en", 0.4))
+      .toDF("doc_id", "lang", "quality").write.parquet(s"$dir/part=v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "lang", "quality", "part"))
+    assert(merged.count() === 4)
+    assert(merged.filter($"quality".isNull).count() === 2)
+    val v2Only = merged.filter($"quality".isNotNull)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(v2Only === Set(2L, 3L))
+  }
 }
