@@ -216,5 +216,40 @@ object Profiling {
       ORDER BY lang""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qProfileTable, qMixtureWeights, qFeatureCorr)
+  /** Order-independent table checksum — the anti-entropy digest a migration
+    * (exactly like this repo's own oracle gate) or replica-repair pass
+    * compares across systems: per partition (language), the XOR of a
+    * 60-bit md5-derived row hash over a canonical field serialization,
+    * plus the row count. XOR is commutative/associative and never
+    * overflows, so the digest is partitioning- and order-independent by
+    * construction — no decimal machinery needed.
+    *
+    * Scale shape: map-side row hash (md5 is the engine-portable hash of
+    * the whole verified surface), partial+final `bit_xor`/`count` — one
+    * language-keyed exchange carrying one row per (partition, language). */
+  val qTableChecksum = GraftQuery(
+    "q_table_checksum",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"lang", expr(
+          """cast(conv(substr(md5(concat_ws('|',
+             cast(doc_id as string), lang, source,
+             cast(n_chars as string), md5(text))), 1, 15), 16, 10) as bigint)""")
+          .as("h"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, count(*)::BIGINT AS n_rows,
+        bit_xor(CAST(('0x' || substr(md5(
+          CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
+          CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT))::BIGINT
+          AS checksum
+      FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qProfileTable, qMixtureWeights, qFeatureCorr, qTableChecksum)
 }

@@ -136,4 +136,23 @@ class PropertySpec extends SparkSpec {
       .as[(String, Seq[Long])].collect()
     got.foreach { case (t, st) => assert(st === model(t), s"for '$t'") }
   }
+
+  test("word_shingles_all laws: distinct == word_shingles; count == max(n-k+1, 0)") {
+    val texts = Seq.fill(300)(randText())
+    val df = texts.toDF("text").select($"text",
+      call_function("word_shingles_all", $"text", lit(3)).as("all3"),
+      call_function("word_shingles", $"text", lit(3)).as("dist3"),
+      size(split(lower($"text"), "\\s+", -1)).as("n"))
+    // law 1: positional stream, deduplicated in first-occurrence order,
+    // IS the distinct-shingle set (both use the same tokenization)
+    assert(df.filter(array_distinct($"all3") =!= $"dist3").count() === 0)
+    // law 2: the stream has exactly max(n-k+1, 0) entries
+    assert(df.filter(size($"all3") =!= greatest($"n" - 2, lit(0))).count() === 0)
+    // law 3: table checksum is partitioning-independent (xor digest)
+    val base = texts.toDF("text")
+    def digest(parts: Int): Long = base.repartition(parts)
+      .select(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint)").as("h"))
+      .agg(expr("bit_xor(h)")).as[Long].head()
+    assert(digest(1) === digest(11))
+  }
 }
