@@ -224,6 +224,13 @@ object Profiling {
     * overflows, so the digest is partitioning- and order-independent by
     * construction — no decimal machinery needed.
     *
+    * Canonical serialization: each field is md5-hashed individually (NULL →
+    * 32 zeros, which md5 emits for no input) and the FIXED-WIDTH digests
+    * are concatenated — no delimiter, so a field containing the delimiter
+    * can't shift the framing, and no `concat_ws` NULL-skip divergence from
+    * the oracle's NULL-propagating `||` (a dropped field would silently
+    * alias two different rows).
+    *
     * Scale shape: map-side row hash (md5 is the engine-portable hash of
     * the whole verified surface), partial+final `bit_xor`/`count` — one
     * language-keyed exchange carrying one row per (partition, language). */
@@ -231,23 +238,27 @@ object Profiling {
     "q_table_checksum",
     (spark, dir) => {
       import spark.implicits._
+      def fh(e: String) = s"coalesce(md5(cast($e as string)), repeat('0', 32))"
       Tables.spread(Tables.documents(spark, dir))
         .select($"lang", expr(
-          """cast(conv(substr(md5(concat_ws('|',
-             cast(doc_id as string), lang, source,
-             cast(n_chars as string), md5(text))), 1, 15), 16, 10) as bigint)""")
+          s"""cast(conv(substr(md5(concat(
+             ${fh("doc_id")}, ${fh("lang")}, ${fh("source")},
+             ${fh("n_chars")}, ${fh("text")})), 1, 15), 16, 10) as bigint)""")
           .as("h"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
         .orderBy($"lang")
     },
-    Some("""
+    Some {
+      def fh(e: String) = s"coalesce(md5(CAST($e AS VARCHAR)), repeat('0', 32))"
+      s"""
       SELECT lang, count(*)::BIGINT AS n_rows,
         bit_xor(CAST(('0x' || substr(md5(
-          CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
-          CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 15)) AS BIGINT))::BIGINT
+          ${fh("doc_id")} || ${fh("lang")} || ${fh("source")} ||
+          ${fh("n_chars")} || ${fh("text")}), 1, 15)) AS BIGINT))::BIGINT
           AS checksum
-      FROM documents GROUP BY lang ORDER BY lang""")
+      FROM documents GROUP BY lang ORDER BY lang"""
+    }
   )
 
   val all: Seq[GraftQuery] =

@@ -148,11 +148,20 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(array_distinct($"all3") =!= $"dist3").count() === 0)
     // law 2: the stream has exactly max(n-k+1, 0) entries
     assert(df.filter(size($"all3") =!= greatest($"n" - 2, lit(0))).count() === 0)
-    // law 3: table checksum is partitioning-independent (xor digest)
-    val base = texts.toDF("text")
-    def digest(parts: Int): Long = base.repartition(parts)
-      .select(expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint)").as("h"))
-      .agg(expr("bit_xor(h)")).as[Long].head()
-    assert(digest(1) === digest(11))
+  }
+
+  test("q_table_checksum digest is row-order and partitioning independent") {
+    // re-land the fixture documents shuffled across many small parts; the
+    // REAL query must produce the identical digest relation
+    val dir = Files.createTempDirectory("graft-checksum").toString
+    Tables.documents(spark, fixtureDir)
+      .orderBy(expr("md5(cast(doc_id as string))")) // scramble row order
+      .repartition(5)
+      .write.parquet(s"$dir/documents.parquet")
+    val a = graft.operators.Profiling.qTableChecksum.run(spark, fixtureDir)
+      .collect().toSeq
+    val b = graft.operators.Profiling.qTableChecksum.run(spark, dir)
+      .collect().toSeq
+    assert(a === b && a.nonEmpty)
   }
 }
