@@ -271,8 +271,65 @@ object Relational {
     Some(correlatedSql("customer"))
   )
 
+  /** TPC-H Q5 shape — the multi-way join-order benchmark: 6 tables
+    * (lineitem ⋈ orders ⋈ supplier ⋈ customer ⋈ nation ⋈ region), a
+    * same-nation customer/supplier predicate, a selective date window, and
+    * a region filter reduced to per-nation revenue.
+    *
+    * Scale shape (observed sf0.1 plan): the date window is PUSHED to the
+    * orders scan and the filtered year is small enough that EVERY joined
+    * relation broadcasts — lineitem streams through 5 stacked
+    * BroadcastHashJoins and never crosses the wire before the 5-row
+    * n_name aggregate. At 100 TB a year of orders outgrows the broadcast
+    * threshold and AQE degrades exactly that one join to the fact-fact
+    * shuffle on orderkey — the same logical plan, worst case ONE fact
+    * exchange. The same-nation predicate rides inside the customer
+    * broadcast join condition — never an extra exchange. Revenue is the
+    * decimal-exact Det.dsum of `extendedprice·(1−discount)`. */
+  val q5LocalSupplier = GraftQuery(
+    "q5_local_supplier",
+    (spark, dir) => {
+      import spark.implicits._
+      val asiaNations = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val ord = Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= to_timestamp_ntz(lit("1996-01-01")) &&
+          $"o_orderdate" < to_timestamp_ntz(lit("1997-01-01")))
+        .select($"o_orderkey", $"o_custkey")
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some(s"""
+      SELECT n_name,
+        ${Oracle.dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
     qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface,
-    qCorrelatedScalar)
+    qCorrelatedScalar, q5LocalSupplier)
 }

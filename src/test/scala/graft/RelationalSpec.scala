@@ -92,4 +92,13 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("ScalarSubquery"), s"subquery not decorrelated:\n$plan")
   }
 
+
+  test("Q5 shape: the fact table never shuffles — all five joins broadcast") {
+    val plan = Relational.q5LocalSupplier.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") === 5)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+    // the date window reaches the orders scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
+  }
 }
