@@ -831,6 +831,49 @@ object EventAnalytics {
       ORDER BY user_id""")
   )
 
+  /** Winsorized robust statistics — outlier clipping, the robust
+    * preprocessing step a metrics (or training-feature) pipeline applies
+    * before averaging: clip each value into its group's exact [p5, p95]
+    * band, then take the decimal-exact mean of the clipped values. The
+    * clip bounds are the RAW interpolated percentiles (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, bit-identical — the q_value_quantiles
+    * precedent), so `least/greatest` sees the same doubles in both
+    * engines; rounding happens only on output.
+    *
+    * Scale shape: bounds are a group-sized aggregate broadcast back onto
+    * the fact scan; exact percentile buffers per group (the documented
+    * trade — q_value_quantiles_approx is the sketch-based scale twin). */
+  val qWinsorizedStats = GraftQuery(
+    "q_winsorized_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val bounds = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      Tables.events(spark, dir)
+        .join(broadcast(bounds), Seq("event_type"))
+        .groupBy($"event_type", $"lo", $"hi")
+        .agg(count(lit(1)).as("n_events"),
+          Det.davg(least(greatest($"value", $"lo"), $"hi")).as("winsor_mean"))
+        .select($"event_type", $"n_events",
+          Det.qround($"lo").as("p05"), Det.qround($"hi").as("p95"),
+          $"winsor_mean")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT event_type,
+          quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, count(*)::BIGINT AS n_events,
+        ${Oracle.qround("lo")} AS p05, ${Oracle.qround("hi")} AS p95,
+        ${Oracle.davg("least(greatest(value, lo), hi)")} AS winsor_mean
+      FROM events e JOIN b USING (event_type)
+      GROUP BY e.event_type, lo, hi
+      ORDER BY e.event_type""")
+  )
+
   /** EWMA depth: 8 trailing observations; weights 1, 1/2, … 1/128. */
   val EwmaDepth = 8
 
@@ -896,5 +939,6 @@ object EventAnalytics {
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
     qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps,
-    qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric)
+    qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
+    qWinsorizedStats)
 }

@@ -328,8 +328,41 @@ object Relational {
       ORDER BY revenue DESC, n_name""")
   )
 
+  /** EXISTS / NOT EXISTS correlated subqueries — the other half of the
+    * subquery front-end next to [[qCorrelatedScalar]]: suppliers that
+    * shipped at least one 49+-quantity line AND are not based in an
+    * A-nation. One dialect-neutral text; Catalyst rewrites EXISTS into a
+    * LEFT SEMI join against the fact table (inner predicate pushed to the
+    * scan) and NOT EXISTS into a LEFT ANTI join against the dimension —
+    * neither subquery re-executes per supplier row. (The anti predicate is
+    * deliberately a per-key-BOUNDED dimension property: any
+    * "never-shipped-X" per-line predicate saturates to the empty set as
+    * the fact table grows — every supplier eventually ships one of
+    * everything — which would make the query degenerate at scale.) */
+  private def existsSql(supplier: String, lineitem: String, nation: String) = s"""
+      SELECT s.s_suppkey, s.s_name
+      FROM $supplier s
+      WHERE EXISTS (
+          SELECT 1 FROM $lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        AND NOT EXISTS (
+          SELECT 1 FROM $nation n
+          WHERE n.n_nationkey = s.s_nationkey AND n.n_name LIKE 'A%')
+      ORDER BY s.s_suppkey"""
+
+  val qExistsRewrite = GraftQuery(
+    "q_exists_rewrite",
+    (spark, dir) => {
+      Tables.supplier(spark, dir).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+      spark.sql(existsSql("supplier_v", "lineitem_v", "nation_v"))
+    },
+    Some(existsSql("supplier", "lineitem", "nation"))
+  )
+
   val all: Seq[GraftQuery] = Seq(
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
     qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface,
-    qCorrelatedScalar, q5LocalSupplier)
+    qCorrelatedScalar, q5LocalSupplier, qExistsRewrite)
 }

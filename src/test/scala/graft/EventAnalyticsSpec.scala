@@ -118,4 +118,17 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.filter(_._1 == "signup").map(_._3) === Seq(6.0))
   }
 
+
+  test("winsorized stats: hand-computed p5/p95 clip on the fixture") {
+    // click [1,3,5]: p05 = 1.2, p95 = 4.8 -> clipped mean 3.0
+    // view [2,4]:   p05 = 2.1, p95 = 3.9 -> clipped mean 3.0
+    // signup [6]:   both bounds 6 -> mean 6
+    val got = EventAnalytics.qWinsorizedStats.run(spark, fixtureDir)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("click", 3L, 1.2, 4.8, 3.0),
+      ("signup", 1L, 6.0, 6.0, 6.0),
+      ("view", 2L, 2.1, 3.9, 3.0)))
+  }
+
 }

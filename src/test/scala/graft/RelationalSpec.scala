@@ -101,4 +101,21 @@ class RelationalSpec extends SparkSpec {
     // the date window reaches the orders scan
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
   }
+
+  test("EXISTS / NOT EXISTS rewrite to semi + anti joins and match the set algebra") {
+    val withBig = Tables.lineitem(spark, dir).filter($"l_quantity" >= 49)
+      .select($"l_suppkey").distinct().as[Long].collect().toSet
+    val aNations = Tables.nation(spark, dir).filter($"n_name".startsWith("A"))
+      .select($"n_nationkey".cast("long")).as[Long].collect().toSet
+    val inANation = Tables.supplier(spark, dir)
+      .filter($"s_nationkey".cast("long").isin(aNations.toSeq: _*))
+      .select($"s_suppkey").as[Long].collect().toSet
+    val expected = withBig -- inANation
+    val out = Relational.qExistsRewrite.run(spark, dir)
+    val got = out.select($"s_suppkey").as[Long].collect().toSet
+    assert(got === expected && got.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+  }
+
 }
