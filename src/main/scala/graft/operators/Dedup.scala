@@ -13,7 +13,12 @@ import org.apache.spark.sql.types._
   *    bucket join → exact Jaccard verify) — the scalable path: candidate
   *    generation never compares all pairs, only docs sharing an LSH bucket;
   *  - SimHash (tf-weighted bitwise signature, banded hamming join);
-  *  - n-gram Jaccard (exact, candidates pruned by the shared-shingle join).
+  *  - n-gram Jaccard (exact, candidates pruned by the shared-shingle join);
+  *  - connected-component cluster assignment over the verified pairs;
+  *  - incremental cross-run screening (new batch vs the corpus index);
+  *  - character-level edit-distance audit of the LSH candidates;
+  *  - span-level (exact-substring) coverage via the positional
+  *    `word_shingles_all` stream — see [[qSpanDedup]].
   *
   * All hashing is md5-based: Spark's `md5` and DuckDB's `md5` agree
   * byte-for-byte, which makes every one of these sketches oracle-checkable —

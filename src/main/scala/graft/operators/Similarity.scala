@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
   *
   * Scale: tier 3's bucket join is the 100 TB design (candidates ∝ bucket
   * sizes, not n²); tier 1 pins correctness at small n.
+  *
+  * Beyond search, the object also carries the IVF probe (`q_ann_ivf`),
+  * product-quantization ADC (`q_ann_pq`), the int8 quantization audit
+  * (`q_embed_int8`), and SemDeDup cell-scoped semantic dedup
+  * (`q_semantic_dedup`).
   */
 object Similarity {
 
