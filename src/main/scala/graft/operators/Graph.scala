@@ -100,5 +100,64 @@ object Graph {
     }
   )
 
-  val all: Seq[GraftQuery] = Seq(qPagerank)
+  /** Triangle count + global clustering coefficient over the same
+    * candidate-pair graph — the density signal that separates "chains of
+    * borderline near-dups" from "tight duplicate cliques" (a triangle-rich
+    * neighborhood is a copy cluster; a triangle-free one is transitive
+    * noise worth re-verifying).
+    *
+    * The canonical-orientation join (a < b < c, edges kept as `ia < ib`)
+    * counts each triangle exactly once with TWO self-joins of the edge
+    * list — never an all-pairs expansion; wedges come from the degree
+    * relation (nodes-sized). Coefficient = 3·triangles / wedges as one
+    * double division + qround. At 100 TB the edge list is the LSH
+    * candidate set (O(n) with bounded buckets), and the e1⋈e2 join is
+    * bounded by Σ deg² — the same wedge count the output reports. */
+  val qTriangleCount = GraftQuery(
+    "q_triangle_count",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Dedup.minhashCandidates(Dedup.docShingles(spark, dir, 2))
+        .persist(StorageLevel.MEMORY_AND_DISK) // e1, e2, e3 AND the degree scan
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.ib") === col("e2.ia"))
+        .join(e.as("e3"),
+          col("e3.ia") === col("e1.ia") && col("e3.ib") === col("e2.ib"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select($"ia".as("id")).union(e.select($"ib".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("d"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(tri).crossJoin(edges)
+        .select($"n_nodes", $"n_edges", $"n_triangles", $"n_wedges",
+          when($"n_wedges" > 0,
+            graft.functions.Det.qround(
+              (lit(3L) * $"n_triangles").cast("double") / $"n_wedges"))
+            .as("clustering_coeff"))
+    },
+    Some(s"""
+      WITH ${Dedup.minhashCandCtes},
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM cand e1
+        JOIN cand e2 ON e1.ib = e2.ia
+        JOIN cand e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+      deg AS (
+        SELECT id, count(*) AS d
+        FROM (SELECT ia AS id FROM cand UNION ALL SELECT ib FROM cand)
+        GROUP BY id),
+      st AS (
+        SELECT count(*)::BIGINT AS n_nodes,
+          sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+        FROM deg),
+      ne AS (SELECT count(*)::BIGINT AS n_edges FROM cand)
+      SELECT n_nodes, n_edges, n_triangles::BIGINT AS n_triangles, n_wedges,
+        CASE WHEN n_wedges > 0 THEN
+          ${graft.Oracle.qround("(3 * n_triangles)::DOUBLE / n_wedges")}
+        END AS clustering_coeff
+      FROM st CROSS JOIN tri CROSS JOIN ne""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qPagerank, qTriangleCount)
 }

@@ -50,4 +50,22 @@ class GraphSpec extends SparkSpec {
     // output ordering is (pr desc, doc_id asc)
     assert(rows.sortBy(r => (-r._3, r._1)).toSeq === rows.toSeq)
   }
+
+  test("triangle count: fixture graph has two disjoint edges, no triangles") {
+    // cand on the fixture corpus: (2,3) exact dups and (4,5) near dups —
+    // 4 nodes, 2 edges, every degree 1 -> 0 wedges, 0 triangles, null coeff
+    val r = Graph.qTriangleCount.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(r === Seq((4L, 2L, 0L, 0L, None)))
+  }
+
+  test("triangle count satisfies the wedge bound on sf0.001") {
+    val r = Graph.qTriangleCount.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val (nodes, edges, tris, wedges, coeff) = r
+    assert(nodes > 0 && edges > 0 && wedges >= 0)
+    assert(3 * tris <= wedges.max(0L)) // each triangle closes 3 wedges
+    coeff.foreach(c => assert(c >= 0.0 && c <= 1.0))
+  }
+
 }
