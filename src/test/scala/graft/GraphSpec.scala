@@ -68,4 +68,20 @@ class GraphSpec extends SparkSpec {
     coeff.foreach(c => assert(c >= 0.0 && c <= 1.0))
   }
 
+
+  test("triangleStats counts a known triangle once, with exact wedges") {
+    // K3 on {1,2,3} plus pendant edge (3,4): 1 triangle; degrees 2,2,3,1
+    // -> wedges 1+1+3+0 = 5; coefficient 3*1/5 = 0.6
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("ia", "ib")
+    val r = Graph.triangleStats(e)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(r === Seq((4L, 4L, 1L, 5L, Some(0.6))))
+    // two disjoint triangles: counted once each
+    val e2 = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 20L), (20L, 30L), (10L, 30L)).toDF("ia", "ib")
+    val r2 = Graph.triangleStats(e2)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(r2 === Seq((6L, 6L, 2L, 6L, Some(1.0))))
+  }
+
 }
