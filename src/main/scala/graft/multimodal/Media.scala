@@ -206,5 +206,67 @@ object Media {
       ORDER BY media_id, frame_idx""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qMediaFeatures, qMediaResize, qMediaFrames)
+  /** Byte budget per shard for [[qMediaShards]] — a library parameter (real
+    * WebDataset shards are ~100 MB-1 GB; the bench corpus uses a small
+    * budget so the assignment exercises multiple shards per kind). */
+  val ShardBytes = 4096L
+
+  /** Greedy in-order byte-budget shard assignment of a (media_id, kind,
+    * n_bytes) relation: shard_id = floor(bytes_before / budget) within each
+    * kind, offset = bytes_before % budget — the exact integer-division
+    * scheme q_pack_sequences uses for token budgets, applied to bytes.
+    * Factored out so the assignment math is unit-testable on a constructed
+    * relation with a tiny budget (MediaSpec). */
+  private[graft] def shardAssign(media: DataFrame, budget: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"kind").orderBy($"media_id")
+      .rowsBetween(Long.MinValue, -1)
+    media
+      .withColumn("bytes_before", coalesce(sum($"n_bytes").over(w), lit(0L)))
+      .select($"media_id", $"kind", $"n_bytes",
+        // integer div — `/` on two longs is DOUBLE division in Column math
+        expr(s"bytes_before div $budget").as("shard_id"),
+        ($"bytes_before" % budget).as("shard_offset"))
+  }
+
+  /** WebDataset-style shard planning — the manifest step between "curated
+    * media rows" and "tar shards on object storage": pack each modality's
+    * objects, in stable id order, into fixed-byte-budget shards. The
+    * manifest (object → shard, offset) is what the shard writer and the
+    * training dataloader both consume.
+    *
+    * Scale shape: one hash exchange on `kind` + an in-partition running
+    * sum — the per-stratum prefix-sum shape shared with q_pack_sequences.
+    * (At real scale the partition key is (kind, coarse id range) so no
+    * single modality serializes through one task; the budget constant and
+    * the scheme are unchanged.) */
+  val qMediaShards = GraftQuery(
+    "q_media_shards",
+    (spark, dir) => {
+      import spark.implicits._
+      val media = fromDocuments(spark, dir)
+        .select($"media_id", $"kind", length($"data").cast(LongType).as("n_bytes"))
+      shardAssign(media, ShardBytes).orderBy($"media_id")
+    },
+    Some(s"""
+      SELECT media_id, kind, n_bytes,
+        bytes_before // $ShardBytes AS shard_id,
+        bytes_before % $ShardBytes AS shard_offset
+      FROM (
+        SELECT media_id, kind, n_bytes,
+          coalesce(sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS bytes_before
+        FROM (
+          SELECT doc_id AS media_id,
+            CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+            strlen(text)::BIGINT AS n_bytes
+          FROM documents))
+      ORDER BY media_id""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qMediaFeatures, qMediaResize, qMediaFrames, qMediaShards)
 }

@@ -59,4 +59,34 @@ class MediaSpec extends SparkSpec {
       assert(fs.forall(f => f._3 === f._2 * 1000))
     }
   }
+
+  test("shardAssign packs greedily by byte budget within each kind") {
+    val media = Seq(
+      (1L, "image", 10L), (2L, "image", 5L), (3L, "image", 4L),
+      (4L, "audio", 20L), (5L, "audio", 1L))
+      .toDF("media_id", "kind", "n_bytes")
+    val got = Media.shardAssign(media, 16L)
+      .orderBy($"media_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "image", 10L, 0L, 0L),   // bytes_before 0
+      (2L, "image", 5L, 0L, 10L),   // 10
+      (3L, "image", 4L, 0L, 15L),   // 15 — still inside shard 0's budget
+      (4L, "audio", 20L, 0L, 0L),   // oversized object still gets a shard
+      (5L, "audio", 1L, 1L, 4L)))   // 20 -> shard 1, offset 4
+  }
+
+  test("q_media_shards: offsets reconstruct the running sum on the fixture") {
+    val rows = Media.qMediaShards.run(spark, fixtureDir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (_, _, nb, sid, off) =>
+        assert(sid === cum / Media.ShardBytes && off === cum % Media.ShardBytes)
+        cum += nb
+      }
+    }
+  }
+
 }
