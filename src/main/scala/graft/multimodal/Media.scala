@@ -211,30 +211,30 @@ object Media {
     * budget so the assignment exercises multiple shards per kind). */
   val ShardBytes = 4096L
 
-  /** Greedy in-order byte-budget shard assignment of a (media_id, kind,
-    * n_bytes) relation: shard_id = floor(bytes_before / budget) within each
-    * kind, offset = bytes_before % budget — the exact integer-division
-    * scheme q_pack_sequences uses for token budgets, applied to bytes.
-    * Factored out so the assignment math is unit-testable on a constructed
-    * relation with a tiny budget (MediaSpec). */
+  /** In-order byte-budget BLOCK layout of a (media_id, kind, n_bytes)
+    * relation — one thin wrapper over the single shared boundary-math
+    * helper ([[graft.operators.PipelineOps.prefixDivAssign]], also behind
+    * q_pack_sequences) so the two schemes can never drift. Block
+    * semantics: an object whose bytes overrun the budget STRADDLES into
+    * the next block (the reader seeks offset + n_bytes across block
+    * files) — deliberately not whole-object greedy tar packing, which has
+    * no closed prefix-sum form. Factored out so the assignment math is
+    * unit-testable on a constructed relation with a tiny budget
+    * (MediaSpec). */
   private[graft] def shardAssign(media: DataFrame, budget: Long): DataFrame = {
     import media.sparkSession.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"kind").orderBy($"media_id")
-      .rowsBetween(Long.MinValue, -1)
-    media
-      .withColumn("bytes_before", coalesce(sum($"n_bytes").over(w), lit(0L)))
-      .select($"media_id", $"kind", $"n_bytes",
-        // integer div — `/` on two longs is DOUBLE division in Column math
-        expr(s"bytes_before div $budget").as("shard_id"),
-        ($"bytes_before" % budget).as("shard_offset"))
+    graft.operators.PipelineOps
+      .prefixDivAssign(media, "kind", "media_id", "n_bytes", budget, "shard_id")
+      .select($"media_id", $"kind", $"n_bytes", $"shard_id",
+        ($"cum_before" % budget).as("shard_offset"))
   }
 
-  /** WebDataset-style shard planning — the manifest step between "curated
-    * media rows" and "tar shards on object storage": pack each modality's
-    * objects, in stable id order, into fixed-byte-budget shards. The
-    * manifest (object → shard, offset) is what the shard writer and the
-    * training dataloader both consume.
+  /** Media block-shard planning — the manifest step between "curated media
+    * rows" and "fixed-size blocks on object storage": lay each modality's
+    * objects, in stable id order, into fixed-byte-budget blocks. The
+    * manifest (object → block, offset) is what the block writer and the
+    * training dataloader both consume; objects may straddle block
+    * boundaries (see [[shardAssign]]).
     *
     * Scale shape: one hash exchange on `kind` + an in-partition running
     * sum — the per-stratum prefix-sum shape shared with q_pack_sequences.

@@ -87,16 +87,32 @@ object PipelineOps {
     * pack boundaries can never desynchronize between them. Tokenization is
     * `Text.tokens` (the engine-wide rule), matching [[packedSql]] exactly on
     * any corpus. */
+  /** THE stratified budget-assignment scheme — one copy of the boundary
+    * math for every consumer (token packing here, byte shard planning in
+    * multimodal.Media): within each stratum, in stable id order, annotate
+    * each row with the running value-sum BEFORE it (`cum_before`) and the
+    * integer-division bucket `cum_before div budget`. Block-layout
+    * semantics: a row whose value overruns the budget STRADDLES into the
+    * next bucket (consumers read offset + value), exactly like sequences
+    * straddling context windows in LLM packing — this is deliberately NOT
+    * whole-object greedy packing, which has no closed prefix-sum form. */
+  private[graft] def prefixDivAssign(df: org.apache.spark.sql.DataFrame,
+      stratum: String, id: String, value: String, budget: Long,
+      bucketCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(stratum)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(col(value)).over(w), lit(0L)))
+      .withColumn(bucketCol, expr(s"cum_before div $budget"))
+  }
+
   private def packAssign(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", $"text",
-        size(graft.functions.Text.tokens($"text")).cast(LongType).as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-      .withColumn("pack_id", expr(s"cum_before div $PackSize"))
+    prefixDivAssign(
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"text",
+          size(graft.functions.Text.tokens($"text")).cast(LongType).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", PackSize, "pack_id")
   }
 
   /** DuckDB twin of [[packAssign]]: a relation with the same columns. */

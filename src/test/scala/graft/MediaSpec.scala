@@ -60,7 +60,7 @@ class MediaSpec extends SparkSpec {
     }
   }
 
-  test("shardAssign packs greedily by byte budget within each kind") {
+  test("shardAssign lays out blocks by byte budget within each kind") {
     val media = Seq(
       (1L, "image", 10L), (2L, "image", 5L), (3L, "image", 4L),
       (4L, "audio", 20L), (5L, "audio", 1L))
@@ -71,9 +71,9 @@ class MediaSpec extends SparkSpec {
     assert(got === Seq(
       (1L, "image", 10L, 0L, 0L),   // bytes_before 0
       (2L, "image", 5L, 0L, 10L),   // 10
-      (3L, "image", 4L, 0L, 15L),   // 15 — still inside shard 0's budget
-      (4L, "audio", 20L, 0L, 0L),   // oversized object still gets a shard
-      (5L, "audio", 1L, 1L, 4L)))   // 20 -> shard 1, offset 4
+      (3L, "image", 4L, 0L, 15L),   // starts at 15 and STRADDLES into block 1
+      (4L, "audio", 20L, 0L, 0L),   // oversized object spans blocks 0-1
+      (5L, "audio", 1L, 1L, 4L)))   // 20 -> block 1, offset 4
   }
 
   test("q_media_shards: offsets reconstruct the running sum on the fixture") {
