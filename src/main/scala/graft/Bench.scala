@@ -60,24 +60,27 @@ object Bench {
       q.name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
     // The consumer keeps only the last ~2000 chars of run output and parses
-    // the JSON line from that window: full-precision doubles pushed the line
-    // past the window and truncated its head every round. 3 decimals (ms
-    // resolution) keeps the whole line inside the window; Locale.ROOT pins
-    // '.' as the decimal separator.
+    // JSON from that window. At 112 queries the single combined line grew to
+    // ~2.9 KB and was truncated mid-line (BENCH_r06 parsed:null). So: emit the
+    // full per-query detail FIRST (recoverable from logs / a wider window),
+    // then a compact <200-char summary line LAST — the tail window always
+    // captures the final line whole no matter how many queries are added.
+    // 3 decimals (ms resolution); Locale.ROOT pins '.' as decimal separator.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
     // "sf" as a bare number (sf0.1 -> 0.1) when the dir follows the testdata
-    // naming; every char saved is tail-window headroom for new queries. Bare
-    // emission ONLY for canonical JSON numbers — integer part "0" or
-    // leading-nonzero ("sf01"/"sf0..1"/"sf1." would emit invalid JSON);
-    // anything else takes the quoted, escaped fallback.
+    // naming. Bare emission ONLY for canonical JSON numbers — integer part
+    // "0" or leading-nonzero ("sf01"/"sf0..1"/"sf1." would emit invalid
+    // JSON); anything else takes the quoted, escaped fallback.
     val sf = "sf((?:0|[1-9][0-9]*)(?:\\.[0-9]+)?)$".r
       .findFirstMatchIn(sfDir.stripSuffix("/"))
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"detail","unit":"sec","sf":$sf,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"n":${results.size},"failed":$failed}""")
     spark.stop()
   }
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by construction. The VADER-faithful tier (graft.functions.Vader) is the
   * one that clamps, per the published algorithm.
   *
-  * Valences are tuned to the driver testdata's 31-word vocabulary so scores
-  * are non-trivial; unknown terms contribute 0 like VADER's neutral words.
+  * Core valences are tuned to the driver testdata's 31-word vocabulary so
+  * scores are non-trivial; [[extended]] widens coverage to common English
+  * sentiment terms for real text; unknown terms contribute 0 like VADER's
+  * neutral words.
   */
 object SentimentLexicon {
 
@@ -44,17 +46,115 @@ object SentimentLexicon {
     "query"  ->  0.25
   )
 
-  /** Lexicon as a DataFrame (term string, valence double). Tiny (20 rows) —
-    * any join against it broadcasts. */
+  private def tier(v: Double)(ws: String*): Seq[(String, Double)] = ws.map(_ -> v)
+
+  /** Widened tier: common-English sentiment terms so the scorer has real
+    * coverage on natural text, not just the driver vocabulary. The upstream
+    * lexicon files (NLTK VADER ~7.5k entries, AFINN-111) are unfetchable
+    * offline, so terms carry integer intensities in −4..5 assigned from
+    * general English sentiment knowledge in the spirit of those public
+    * lists — NOT a verbatim reproduction of either. Intensities are scaled
+    * by 1/8 so every valence is an exact binary fraction: Scala's Double
+    * rendering and DuckDB's literal parsing round-trip them identically,
+    * which is what keeps the generated oracle VALUES relation hash-exact.
+    *
+    * Deliberate exclusions (LexiconIntegrity test pins them): VADER booster
+    * and negator words (they are modifiers, not scored terms — and
+    * [[Vader]] skips boosters in its lexicon pass), and the 20 core terms
+    * above (core wins; no shadowing). */
+  val extended: Seq[(String, Double)] =
+    tier(0.625)(
+      "breathtaking", "outstanding", "phenomenal", "sublime", "superb") ++
+    tier(0.5)(
+      "amazing", "awesome", "brilliant", "ecstatic", "euphoric",
+      "exceptional", "extraordinary", "fabulous", "fantastic", "flawless",
+      "glorious", "incredible", "magnificent", "marvelous", "masterpiece",
+      "miracle", "spectacular", "splendid", "stunning", "thrilled",
+      "thrilling", "triumphant", "wonderful") ++
+    tier(0.375)(
+      "admire", "adorable", "beautiful", "best", "blissful", "charming",
+      "cheerful", "delight", "delighted", "delightful", "divine", "elegant",
+      "excellent", "excited", "exciting", "glad", "good", "gorgeous",
+      "grateful", "great", "happy", "heavenly", "impressive", "inspired",
+      "inspiring", "joy", "joyful", "love", "loved", "lovely", "optimistic",
+      "paradise", "passionate", "perfect", "praise", "proud", "rejoice",
+      "remarkable", "success", "successful", "terrific", "vibrant",
+      "victory", "win", "winner", "winning") ++
+    tier(0.25)(
+      "accomplish", "accomplished", "achievement", "amused", "amusing",
+      "appreciate", "appreciated", "brave", "calm", "capable", "celebrate",
+      "cheer", "clean", "clever", "comfort", "comfortable", "confident",
+      "cool", "creative", "cute", "eager", "easy", "encourage",
+      "encouraged", "energetic", "enthusiastic", "fair", "faith", "fine",
+      "fresh", "friendly", "fun", "funny", "generous", "gentle", "gift",
+      "graceful", "helpful", "honest", "hope", "hopeful", "humorous",
+      "interesting", "keen", "kind", "laugh", "laughed", "like", "liked",
+      "lucky", "nice", "peace", "peaceful", "pleasant", "pleased",
+      "pleasure", "polite", "positive", "pretty", "relaxed", "reliable",
+      "relieved", "respect", "respected", "reward", "rewarding", "safe",
+      "satisfied", "satisfying", "secure", "smart", "smile", "smiling",
+      "strong", "support", "supported", "sweet", "thank", "thankful",
+      "thanks", "trust", "trusted", "useful", "warm", "welcome", "wise",
+      "worthy") ++
+    tier(0.125)(
+      "accept", "accepted", "active", "agree", "agreed", "alive", "better",
+      "bonus", "care", "cared", "curious", "dream", "gain", "growth",
+      "heal", "healed", "health", "healthy", "improve", "improved",
+      "improving", "interest", "interested", "learn", "learned", "ok",
+      "okay", "share", "shared", "solid", "stable", "steady", "worth",
+      "yes") ++
+    tier(-0.125)(
+      "debt", "delay", "delayed", "down", "hard", "late", "low", "miss",
+      "missed", "missing", "noise", "noisy", "odd", "pressure", "strange",
+      "unclear", "unsure") ++
+    tier(-0.25)(
+      "afraid", "alarm", "alarmed", "annoy", "annoyed", "annoying",
+      "anxious", "ashamed", "blame", "blamed", "bored", "boring", "cheat",
+      "cheated", "complain", "complained", "complaint", "confused",
+      "confusing", "cried", "cry", "damage", "damaged", "dirty",
+      "disappoint", "disappointed", "disappointing", "dislike", "dull",
+      "dumb", "embarrassed", "embarrassing", "enemy", "error", "fake",
+      "fault", "greedy", "guilt", "guilty", "harsh", "insult", "insulted",
+      "lame", "lazy", "lie", "lied", "lonely", "lose", "losing", "loss",
+      "lost", "mess", "messy", "mistake", "negative", "nervous", "panic",
+      "poor", "problem", "regret", "reject", "rejected", "rough", "rude",
+      "sad", "scared", "selfish", "sick", "sorry", "steal", "stress",
+      "stressed", "struggle", "stupid", "suspicious", "tired", "trouble",
+      "unfair", "unhappy", "upset", "useless", "waste", "weak", "weird",
+      "worried", "worry", "wrong") ++
+    tier(-0.375)(
+      "abuse", "abused", "angry", "awful", "bad", "betray", "betrayed",
+      "bitter", "broken", "crisis", "cruel", "danger", "dangerous",
+      "depressed", "depressing", "despair", "destroy", "destroyed",
+      "disaster", "disgusted", "disgusting", "dread", "evil", "fail",
+      "failed", "failing", "failure", "fear", "furious", "grief", "hate",
+      "hated", "hates", "hopeless", "horrible", "hostile", "hurt", "hurts",
+      "jealous", "miserable", "pain", "painful", "pathetic", "poison",
+      "rage", "ruin", "ruined", "scam", "shame", "shameful", "suffer",
+      "suffered", "suffering", "terrible", "threat", "threatened", "toxic",
+      "ugly", "vicious", "worst", "worthless", "wretched") ++
+    tier(-0.5)(
+      "agony", "atrocious", "catastrophe", "catastrophic", "devastated",
+      "devastating", "disastrous", "horrendous", "horrific", "horrified",
+      "nightmare", "terrified", "terrifying", "torture", "tortured",
+      "tragedy", "tragic")
+
+  /** The full lexicon every scorer tier and oracle consumes: core + widened.
+    * Core comes first and the two sets are disjoint (tested), so lookup
+    * semantics are unambiguous. */
+  val all: Seq[(String, Double)] = entries ++ extended
+
+  /** Lexicon as a DataFrame (term string, valence double). Small (~390
+    * rows) — any join against it broadcasts. */
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    entries.toDF("term", "valence")
+    all.toDF("term", "valence")
   }
 
   /** The same lexicon as a DuckDB/ANSI VALUES relation named `lex(term,
     * valence)`; interpolate into oracle SQL with `FROM $valuesSql`. */
   def valuesSql: String =
-    entries
+    all
       .map { case (t, v) => s"('$t', $v)" }
       .mkString("(VALUES ", ", ", ") AS lex(term, valence)")
 }

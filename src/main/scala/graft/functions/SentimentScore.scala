@@ -44,7 +44,7 @@ case class SentimentScore(child: Expression)
 object SentimentScore {
   private val valences: java.util.HashMap[String, java.math.BigDecimal] = {
     val m = new java.util.HashMap[String, java.math.BigDecimal]()
-    SentimentLexicon.entries.foreach { case (t, v) =>
+    SentimentLexicon.all.foreach { case (t, v) =>
       m.put(t, java.math.BigDecimal.valueOf(v))
     }
     m

@@ -6,9 +6,16 @@ import org.apache.spark.sql.functions._
 /** Text primitives shared by the cleaning / sentiment / TF-IDF / dedup
   * operators.
   *
-  * Tokenization reproduces MLlib `Tokenizer` semantics (lowercase +
-  * whitespace split — reference reddit_consumer.py:183-184): Spark
-  * `split(lower(text), pattern)`. The DuckDB oracle twin is
+  * Tokenization follows MLlib `Tokenizer` (lowercase + whitespace split —
+  * reference reddit_consumer.py:183-184) with ONE deliberate deviation:
+  * the split pattern is `\s+` (runs of whitespace = one delimiter, never
+  * an empty token) where MLlib splits on single `\s` and so emits empty
+  * tokens between consecutive whitespace ("a  b" → ["a", "", "b"] in
+  * MLlib; ["a", "b"] here). The empty tokens are an MLlib wart — they
+  * survive StopWordsRemover ("" is not a stopword) and pollute TF and
+  * token counts — so this library pins the cleaner semantics, identical
+  * on single-spaced text, and TextFunctionsSpec fixes the "a  b" case.
+  * The DuckDB oracle twin is
   * `string_split_regex(lower(text), '[[:space:]]+')` — POSIX `[[:space:]]`
   * is exactly Java's `\s` (both include vertical tab, unlike RE2's `\s`),
   * so Spark and oracle tokenize identically on ANY corpus, not just the
@@ -16,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** MLlib-Tokenizer-equivalent tokens. */
+  /** Whitespace-run tokens (MLlib Tokenizer minus its empty-token wart —
+    * see the object doc above for the pinned deviation). */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** MLlib `StopWordsRemover`'s default English stopword list (181 words),

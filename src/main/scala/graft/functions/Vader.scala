@@ -91,7 +91,7 @@ object Vader {
 
   private val lexicon: java.util.HashMap[String, java.lang.Double] = {
     val m = new java.util.HashMap[String, java.lang.Double]()
-    SentimentLexicon.entries.foreach { case (t, v) => m.put(t, v) }
+    SentimentLexicon.all.foreach { case (t, v) => m.put(t, v) }
     m
   }
 

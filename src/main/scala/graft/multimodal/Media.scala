@@ -262,7 +262,7 @@ object Media {
           SELECT doc_id AS media_id,
             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS kind,
-            strlen(text)::BIGINT AS n_bytes
+            octet_length(encode(text))::BIGINT AS n_bytes
           FROM documents))
       ORDER BY media_id""")
   )

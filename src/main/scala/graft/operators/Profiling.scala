@@ -225,7 +225,8 @@ object Profiling {
     * construction — no decimal machinery needed.
     *
     * Canonical serialization: each field is md5-hashed individually (NULL →
-    * 32 zeros, which md5 emits for no input) and the FIXED-WIDTH digests
+    * 32 zeros — an arbitrary sentinel that no real md5 digest of a non-NULL
+    * value here collides with in practice) and the FIXED-WIDTH digests
     * are concatenated — no delimiter, so a field containing the delimiter
     * can't shift the framing, and no `concat_ws` NULL-skip divergence from
     * the oracle's NULL-propagating `||` (a dropped field would silently

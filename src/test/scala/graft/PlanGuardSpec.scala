@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Dedup, Profiling}
+
+/** EXPLAIN-based guards for the three most expensive queries' scale-safe
+  * shapes: a refactor that silently regressed one of them to an unbounded
+  * form (all-pairs join, candidate generation without the df-cap, a second
+  * Expand pass) would fail here long before a bench run noticed. Companions
+  * to the existing plan assertions (BucketingSpec zero-Exchange join,
+  * RelationalSpec Q5 broadcast stack, PartitionedLayoutSpec partition
+  * pruning, TfIdfSpec TakeOrderedAndProject).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(q: GraftQuery): String =
+    q.run(spark, fixtureDir).queryExecution.executedPlan.toString
+
+  private def occurrences(hay: String, needle: String): Int =
+    hay.split(java.util.regex.Pattern.quote(needle), -1).length - 1
+
+  test("q_profile_table: single Expand pass, no joins") {
+    // profiles `orders`, which the hand fixture doesn't carry — plan against
+    // the smallest driver dir (structure only, nothing executes)
+    val p = Profiling.qProfileTable.run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the 6 exact count(DISTINCT)s must share ONE Expand — a second Expand
+    // (or any join) means the multi-distinct rewrite split into extra
+    // corpus-sized passes
+    assert(occurrences(p, "Expand") === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_ngram_jaccard: df-cap anti-join + exact-rational length filter, no cartesian") {
+    val p = plan(Dedup.qNgramJaccard)
+    // stop-shingles leave candidate GENERATION via a left-anti join
+    assert(p.contains("LeftAnti"), p)
+    // the PPJoin length filter rides INSIDE the pair-join condition as the
+    // exact integer rational (not a post-join filter over all pairs)
+    assert(p.contains(s"* ${Dedup.LengthFilterNum}"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Cross joins are broadcast scalar relations (the n_docs
+    // 1-row aggregate), never a data-sized nested loop
+    for (line <- p.linesIterator if line.contains("Cross,"))
+      assert(line.contains("BroadcastNestedLoopJoin"), line)
+  }
+
+  test("q_span_dedup: LEFT SEMI rejoin, bounded shuffle count, no cartesian") {
+    val p = plan(Dedup.qSpanDedup)
+    // kept spans rejoin the span stream via LEFT SEMI (never materializing
+    // a span × span product)
+    assert(p.contains("LeftSemi"), p)
+    // two span-key shuffles (span-df agg + distinct) and two doc-key
+    // shuffles (coverage rollup + final join) — anything beyond means a
+    // new corpus-sized exchange crept in
+    assert(occurrences(p, "Exchange hashpartitioning") <= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

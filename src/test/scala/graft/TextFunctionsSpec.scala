@@ -18,6 +18,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(tok("a\t b\n\nc") === Seq("a", "b", "c"))
   }
 
+  test("tokens: repeated whitespace pins the documented MLlib deviation") {
+    // MLlib Tokenizer splits on single \s and yields ["a", "", "b"] here;
+    // Text.tokens splits on \s+ (deliberate deviation, see Text.scala doc)
+    // so consecutive whitespace never produces an empty token.
+    assert(tok("a  b") === Seq("a", "b"))
+  }
+
   test("tokens: leading whitespace yields a leading empty token (Java split semantics)") {
     assert(tok("  x y") === Seq("", "x", "y"))
   }
@@ -44,8 +51,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r === ((3, 2, 1)))
   }
 
+  test("lexicon integrity: unique terms, disjoint from core/boosters/negators, exact eighths") {
+    val lex = SentimentLexicon.all
+    assert(lex.map(_._1).distinct.size === lex.size, "duplicate lexicon terms")
+    val core = SentimentLexicon.entries.map(_._1).toSet
+    val ext = SentimentLexicon.extended.map(_._1).toSet
+    assert(core.intersect(ext).isEmpty, "extended must not shadow core")
+    val modifiers = functions.Vader.boosters.keySet ++ functions.Vader.negators
+    assert(lex.map(_._1).toSet.intersect(modifiers).isEmpty,
+      "booster/negator words are modifiers, never scored lexicon terms")
+    // exact binary fractions (multiples of 1/8) keep Scala Double rendering
+    // and DuckDB literal parsing hash-identical in the generated oracle
+    assert(lex.forall { case (_, v) => (v * 8) == math.rint(v * 8) })
+    assert(lex.forall { case (_, v) => math.abs(v) <= 0.75 })
+  }
+
   test("lexicon scorer: score bounded by max |valence|, empty/unknown => 0") {
-    val maxAbs = SentimentLexicon.entries.map(e => math.abs(e._2)).max
+    val maxAbs = SentimentLexicon.all.map(e => math.abs(e._2)).max
     assert(maxAbs <= 1.0)
     val docs = operators.TextAnalytics.qSentimentDocs.run(spark, fixtureDir)
       .as[(Long, Long, Double)].collect()

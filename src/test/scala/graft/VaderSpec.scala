@@ -64,6 +64,17 @@ class VaderSpec extends SparkSpec {
     check("slow but fast", 0.1901)    // s = -0.75*0.5 + 0.75*1.5 = 0.75
   }
 
+  test("widened lexicon terms score through every rule") {
+    check("good", 0.0964)              // s = 0.375 (3/8 tier)
+    check("amazing", 0.128)            // s = 0.5
+    check("outstanding", 0.1593)       // s = 0.625 (strongest tier)
+    check("terrible", -0.0964)         // s = -0.375
+    check("very good", 0.17)           // s = 0.375 + 0.293 booster
+    check("not good", -0.0715)         // s = 0.375 * -0.74
+    // but-clause over widened terms: s = 0.375*0.5 - 0.375*1.5 = -0.375
+    check("good but terrible", -0.0964)
+  }
+
   test("q_sentiment_vader scores every document, bounded in [-1, 1]") {
     val out = TextAnalytics.qSentimentVader.run(spark, fixtureDir)
       .as[(Long, Double)].collect().toMap
