@@ -221,6 +221,83 @@ object Dedup {
     Some(s"SELECT * FROM ($minhashPairsSql) ORDER BY ia, ib")
   )
 
+  /** LSH parameter audit — the dedup-QA query MinHashK/BandRows get retuned
+    * from (the NOTES "dedup constants" procedure, as a query instead of
+    * folklore): bucket shape and candidate volume straight off the banded
+    * relation (`band_pairs` = Σ C(bucket,2) is the work the band join
+    * performs BEFORE pair dedup — the number a runaway banding blows up
+    * first), exact-verify precision over the generated candidates, and the
+    * S-curve EXPECTED recall: for a pair with verified jaccard j, the
+    * banding catches it with p = 1 − (1 − j^r)^b, so avg(p) over the
+    * verified pairs estimates recall against the truth WITHOUT an all-pairs
+    * ground-truth join (which no 100 TB corpus can afford; the estimate is
+    * conditioned on the pairs LSH found — at scale you'd union a second,
+    * more permissive banding to debias, same query shape). Power terms are
+    * explicit left-associated products, IEEE-identical in both engines, so
+    * the whole audit is oracle-checkable.
+    */
+  val qLshCandidateAudit = GraftQuery(
+    "q_lsh_candidate_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val docsSh = docShingles(spark, dir, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = docsSh.select($"doc_id", posexplode(
+          call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
+          .as(Seq("band", "key")))
+      val bstats = banded.groupBy($"band", $"key").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_buckets"), max($"sz").as("max_bucket"),
+          sum(expr("(sz * (sz - 1)) div 2")).as("band_pairs"))
+      val cand = minhashCandidates(docsSh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cstats = cand.agg(count(lit(1)).as("n_cand"))
+      // power chains derived from the banding constants (left-assoc products,
+      // mirrored verbatim in the oracle) so a retune can't desync the S-curve
+      val jPowR = Seq.fill(BandRows)($"j": Column).reduce(_ * _)
+      val mPowB = Seq.fill(MinHashK / BandRows)($"m": Column).reduce(_ * _)
+      val vstats = verifyJaccard(cand, docsSh)
+        .select($"jaccard".as("j"))
+        .select((lit(1.0) - jPowR).as("m"))
+        .select((lit(1.0) - mPowB).as("p"))
+        .agg(count(lit(1)).as("n_verified"),
+          graft.functions.Det.davg($"p").as("exp_recall"))
+      bstats.crossJoin(broadcast(cstats)).crossJoin(broadcast(vstats))
+        .select($"n_buckets", $"max_bucket", $"band_pairs", $"n_cand",
+          $"n_verified",
+          graft.functions.Det.qround($"n_verified" / $"n_cand").as("precision"),
+          $"exp_recall")
+    },
+    Some(s"""
+      WITH $minhashCandCtes,
+      buckets AS (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key),
+      bstats AS (SELECT count(*) AS n_buckets, max(sz) AS max_bucket,
+        sum((sz * (sz - 1)) // 2)::BIGINT AS band_pairs FROM buckets),
+      cstats AS (SELECT count(*) AS n_cand FROM cand),
+      sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT ia, ib, count(*) AS inter FROM cand
+        JOIN sh sa ON ia = sa.doc_id
+        JOIN sh sb ON ib = sb.doc_id AND sa.shingle = sb.shingle
+        GROUP BY ia, ib),
+      verified AS (
+        SELECT ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS j
+        FROM inter
+        JOIN sizes na ON ia = na.doc_id
+        JOIN sizes nb ON ib = nb.doc_id
+        WHERE ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")}
+            >= $JaccardThreshold),
+      probs AS (
+        SELECT 1.0 - ${Seq.fill(MinHashK / BandRows)("m").mkString("*")} AS p
+        FROM (SELECT 1.0 - ${Seq.fill(BandRows)("j").mkString("*")} AS m
+              FROM verified)),
+      vstats AS (SELECT count(*) AS n_verified,
+        ${graft.Oracle.davg("p")} AS exp_recall FROM probs)
+      SELECT n_buckets, max_bucket, band_pairs, n_cand, n_verified,
+        ${graft.Oracle.qround("n_verified * 1.0 / n_cand")} AS precision,
+        exp_recall
+      FROM bstats, cstats, vstats""")
+  )
+
   /** Maximum label-propagation rounds for q_dedup_clusters — a guard far
     * above any real near-dup component diameter. */
   val MaxCcIterations = 20
@@ -669,6 +746,7 @@ object Dedup {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qDedupExact, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qDedupIncremental, qNgramJaccard, qEditDistance, qSpanDedup)
+    qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
+    qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
+    qSpanDedup)
 }

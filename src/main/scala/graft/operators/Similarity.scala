@@ -467,36 +467,30 @@ object Similarity {
     * q_embed_neardup_lsh discipline) before the exact decimal cosine. At
     * real scale K grows with n (the paper uses ~11k clusters for 100M
     * docs) to keep cells bounded; K is a library parameter. */
-  val qSemanticDedup = GraftQuery(
-    "q_semantic_dedup",
-    (spark, dir) => {
-      import spark.implicits._
-      // persisted: feeds the centroid init AND both sides of the pair join
-      val emb = withNorm(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = emb.filter($"vec_id" < SemK)
-        .select($"vec_id".as("cid"),
-          transform($"embedding", v => v.cast(DoubleType)).as("ce"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"embedding", $"nrm", $"cid",
-          call_function("dist2_f32_f64", $"embedding", $"ce").as("d2"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d2", $"cid")).as("cell"),
-          first($"embedding").as("embedding"), first($"nrm").as("nrm"))
-      val x = assigned.select($"cell", $"vec_id".as("ia"),
-        $"embedding".as("ea"), $"nrm".as("na"))
-      val y = assigned.select($"cell", $"vec_id".as("ib"),
-        $"embedding".as("eb"), $"nrm".as("nb"))
-      x.join(y, Seq("cell")).filter($"ia" < $"ib")
-        .filter(call_function("dot_f32_fast", $"ea", $"eb") / ($"na" * $"nb")
-          >= lit(SemThreshold - 1e-6))
-        .select($"cell", $"ia", $"ib",
-          Det.qround(decDot($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
-        .filter($"cosine" >= SemThreshold)
-        .orderBy($"cell", $"ia", $"ib")
-    },
-    Some(s"""
-      WITH ex AS ($explodedSql),
+  /** (vec_id, embedding, nrm, cell) — the SemDeDup k-means-cell assignment,
+    * shared by the dedup query and the cell audit (one definition, no
+    * drift). The norm'd relation is persisted: it feeds the centroid init
+    * AND the assignment (and, downstream, both sides of the pair join). */
+  private def semAssigned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = withNorm(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = emb.filter($"vec_id" < SemK)
+      .select($"vec_id".as("cid"),
+        transform($"embedding", v => v.cast(DoubleType)).as("ce"))
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cid",
+        call_function("dist2_f32_f64", $"embedding", $"ce").as("d2"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cid", struct($"d2", $"cid")).as("cell"),
+        first($"embedding").as("embedding"), first($"nrm").as("nrm"))
+  }
+
+  /** The assignment + verified in-cell duplicate pairs as oracle CTEs
+    * (`a1(vec_id, cell)`, `cos(cell, ia, ib, cosine)` — filter `cos` by the
+    * threshold to get duplicates), shared by both SemDeDup oracles. */
+  private def semCtes: String = s"""
+      ex AS ($explodedSql),
       c0 AS (SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < $SemK),
       d1 AS (
         SELECT e.vec_id, c.cid,
@@ -525,13 +519,78 @@ object Similarity {
           ${Oracle.qround("dot / (na.nrm * nb.nrm)")} AS cosine
         FROM dots
         JOIN nrm na ON ia = na.vec_id
-        JOIN nrm nb ON ib = nb.vec_id)
+        JOIN nrm nb ON ib = nb.vec_id)"""
+
+  /** Verified in-cell duplicate pairs (cell, ia, ib, cosine ≥ threshold) —
+    * the two-phase fold-prefilter / exact-decimal-verify pipeline over the
+    * shared assignment. */
+  private def semDupPairs(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val x = assigned.select($"cell", $"vec_id".as("ia"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val y = assigned.select($"cell", $"vec_id".as("ib"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    x.join(y, Seq("cell")).filter($"ia" < $"ib")
+      .filter(call_function("dot_f32_fast", $"ea", $"eb") / ($"na" * $"nb")
+        >= lit(SemThreshold - 1e-6))
+      .select($"cell", $"ia", $"ib",
+        Det.qround(decDot($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+      .filter($"cosine" >= SemThreshold)
+  }
+
+  val qSemanticDedup = GraftQuery(
+    "q_semantic_dedup",
+    (spark, dir) =>
+      semDupPairs(semAssigned(spark, dir))
+        .orderBy(col("cell"), col("ia"), col("ib")),
+    Some(s"""
+      WITH $semCtes
       SELECT cell, ia, ib, cosine FROM cos
       WHERE cosine >= $SemThreshold
       ORDER BY cell, ia, ib""")
   )
 
+  /** SemDeDup parameter audit — the semantic sibling of the dedup family's
+    * q_lsh_candidate_audit, for tuning SemK/SemThreshold: non-empty cell
+    * count, largest cell, Σ C(cell,2) candidate pairs (the EXACT pair-join
+    * work the cell scoping performs — the number that says whether K is
+    * large enough, since the paper grows K with n precisely to bound it),
+    * verified duplicates, duplicate rate among candidates, and cell skew
+    * (max cell over mean cell — balanced cells ≈ 1; a skewed quantizer
+    * concentrates pair work). Pure integer/quotient arithmetic on top of
+    * the shared assignment — fully oracle-checkable. */
+  val qSemdedupCellAudit = GraftQuery(
+    "q_semdedup_cell_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      // persisted: feeds the cell histogram AND both sides of the pair join
+      val assigned = semAssigned(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nstats = assigned.agg(count(lit(1)).as("n_vecs"))
+      val cstats = assigned.groupBy($"cell").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_cells"), max($"sz").as("max_cell"),
+          sum(expr("(sz * (sz - 1)) div 2")).as("cell_pairs"))
+      val dstats = semDupPairs(assigned).agg(count(lit(1)).as("n_dup"))
+      cstats.crossJoin(broadcast(dstats)).crossJoin(broadcast(nstats))
+        .select($"n_cells", $"max_cell", $"cell_pairs", $"n_dup",
+          Det.qround($"n_dup" / $"cell_pairs").as("dup_rate"),
+          Det.qround(($"max_cell" * $"n_cells") / $"n_vecs").as("cell_skew"))
+    },
+    Some(s"""
+      WITH $semCtes,
+      nstats AS (SELECT count(*) AS n_vecs FROM a1),
+      cells AS (SELECT cell, count(*) AS sz FROM a1 GROUP BY cell),
+      cstats AS (SELECT count(*) AS n_cells, max(sz) AS max_cell,
+        sum((sz * (sz - 1)) // 2)::BIGINT AS cell_pairs FROM cells),
+      dstats AS (SELECT count(*) AS n_dup FROM cos
+                 WHERE cosine >= $SemThreshold)
+      SELECT n_cells, max_cell, cell_pairs, n_dup,
+        ${Oracle.qround("n_dup * 1.0 / cell_pairs")} AS dup_rate,
+        ${Oracle.qround("(max_cell * n_cells) * 1.0 / n_vecs")} AS cell_skew
+      FROM cstats, dstats, nstats""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf, qAnnPq,
-      qEmbedInt8, qSemanticDedup)
+      qEmbedInt8, qSemanticDedup, qSemdedupCellAudit)
 }

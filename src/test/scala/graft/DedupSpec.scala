@@ -24,6 +24,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= Dedup.JaccardThreshold))
   }
 
+  test("lsh candidate audit: internal consistency on the fixture") {
+    val r = Dedup.qLshCandidateAudit.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    val (nBuckets, maxBucket, bandPairs, nCand, nVerified, precision, expRecall) = r
+    assert(nBuckets > 0 && maxBucket >= 1)
+    // distinct-pair dedup across bands can only shrink the band-pair count
+    assert(nCand <= bandPairs)
+    assert(nVerified <= nCand)
+    // both planted pairs (2,3) jaccard 1.0 and (4,5) 0.933 must be verified
+    assert(nVerified >= 2)
+    assert(precision > 0.0 && precision <= 1.0)
+    // j=1.0 contributes p=1; j=0.933 contributes p≈0.9998 — avg near 1
+    assert(expRecall > 0.99 && expRecall <= 1.0)
+  }
+
   test("simhash: identical docs have hamming 0; all pairs within radius") {
     val pairs = Dedup.qDedupSimhash.run(spark, fixtureDir)
       .as[(Long, Long, Long)].collect().toSeq

@@ -53,4 +53,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((0L, 0L, 1L, 1.0)))
   }
 
+  test("semdedup cell audit: hand-computed stats on the fixture") {
+    // cells: {v0, v1} (tie to cid 0), {v2}, {v3} -> 3 non-empty cells,
+    // max 2, C(2,2)=1 candidate pair, 1 verified dup (cos 1.0 >= 0.35);
+    // skew = max_cell / (n/n_cells) = 2 / (4/3) = 1.5
+    val r = Similarity.qSemdedupCellAudit.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r === Seq((3L, 2L, 1L, 1L, 1.0, 1.5)))
+  }
+
 }
