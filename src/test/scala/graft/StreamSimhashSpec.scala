@@ -56,6 +56,46 @@ class StreamSimhashSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream screen agrees with the batch incremental dedup on driver data") {
+    // Same split as q_dedup_incremental (index = first 90% of doc_ids,
+    // fresh = last 10%): seed the index exactly like the batch side, stream
+    // the fresh slice in one batch, and check consistency with the oracled
+    // batch query. The stream screen ALSO dedups fresh-vs-fresh (keep-
+    // lowest), which the batch probe deliberately does not, so:
+    //   - every batch-detected dup (dup_of non-null) must be suppressed;
+    //   - every stream survivor must be dup-free per the batch query.
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-ssim-inc").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val n = docs.count()
+    val cut = n - n / 10
+    docs.filter($"doc_id" < cut)
+      .select($"doc_id".as("old_id"),
+        call_function("simhash32", $"text").as("old_sig"))
+      .write.parquet(indexDir)
+
+    val fresh = docs.filter($"doc_id" >= cut).as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamSimhash.run(in.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt)
+    try {
+      in.addData(fresh.toIndexedSeq)
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().toSet
+      val inc = operators.Dedup.qDedupIncremental.run(spark, dir)
+        .select($"doc_id", $"dup_of").as[(Long, Option[Long])].collect()
+      val batchDups = inc.collect { case (id, Some(_)) => id }.toSet
+      val batchClean = inc.collect { case (id, None) => id }.toSet
+      assert(fresh.length === inc.length)
+      assert(survivors.nonEmpty)
+      assert(survivors.intersect(batchDups).isEmpty,
+        "a batch-detected near-dup survived the stream screen")
+      assert(survivors.subsetOf(batchClean))
+    } finally q.stop()
+  }
+
   test("a pre-existing batch-built index suppresses stream documents (shared layout)") {
     val base = Files.createTempDirectory("graft-ssim-seed").toString
     val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
