@@ -65,4 +65,20 @@ object TableSource {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     path
   }
+
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df` inside an existing partitioned table, leaving every other
+    * partition untouched — the daily re-land idiom (re-process one
+    * day/language without rewriting the table). Spark's DEFAULT overwrite
+    * mode is `static`, which TRUNCATES the whole table first; at 100 TB
+    * that is the difference between rewriting one directory and rewriting
+    * everything (TableSourceSpec pins both behaviors). The mode is scoped
+    * via the per-write option, not the session conf, so concurrent writers
+    * keep their own semantics. */
+  def overwritePartitions(df: DataFrame, tablePath: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(tablePath)
 }

@@ -77,4 +77,33 @@ class TableSourceSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(v2Only === Set(2L, 3L))
   }
+
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    val dir = Files.createTempDirectory("graft-dynover").toString
+    val base = Seq((0L, "a", "en"), (1L, "b", "de"), (2L, "c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val path = TableSource.writePartitioned(base, dir, "docs", Seq("lang"))
+    // re-land ONLY lang=de with corrected content
+    TableSource.overwritePartitions(
+      Seq((1L, "b-fixed", "de")).toDF("doc_id", "text", "lang"),
+      path, Seq("lang"))
+    val after = spark.read.parquet(path)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .collect().toSet
+    assert(after === Set((0L, "a", "en"), (1L, "b-fixed", "de"), (2L, "c", "fr")))
+  }
+
+  test("static overwrite mode (the default) truncates the whole table — the hazard") {
+    val dir = Files.createTempDirectory("graft-statover").toString
+    val base = Seq((0L, "a", "en"), (1L, "b", "de"))
+      .toDF("doc_id", "text", "lang")
+    val path = TableSource.writePartitioned(base, dir, "docs", Seq("lang"))
+    // same one-partition re-land through a DEFAULT-mode overwrite:
+    // every other partition is dropped — why overwritePartitions exists
+    Seq((1L, "b-fixed", "de")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    val after = spark.read.parquet(path)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(after === Set(1L))
+  }
 }
