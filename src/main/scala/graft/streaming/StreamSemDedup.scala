@@ -73,12 +73,13 @@ object StreamSemDedup {
   /** Start the screen on a stream with columns (vec_id: long, embedding:
     * array<float>): survivors append to `outDir` (vec_id, embedding), their
     * index rows to `indexDir`. An existing (batch-built) index is honored;
-    * a missing one starts empty. */
+    * a missing one starts empty. `compactEvery` as in [[StreamSimhash.run]]
+    * — per-batch appends are a file-listing liability at ingest scale. */
   def run(stream: DataFrame, indexDir: String, outDir: String,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,6 +97,8 @@ object StreamSemDedup {
             col("nrm").as("old_nrm"), col("bucket"))
             .write.mode("append").parquet(indexDir)
         } finally kept.unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          Compaction.compact(spark, indexDir)
         ()
       }
       .start()

@@ -74,12 +74,20 @@ object StreamSimhash {
   /** Start the screen on a stream with columns (doc_id: long, text: string):
     * survivors append to `outDir` (doc_id, text), their signatures to
     * `indexDir` (old_id, old_sig). An existing index (e.g. built by the
-    * batch pipeline) is honored; a missing one starts empty. */
+    * batch pipeline) is honored; a missing one starts empty.
+    *
+    * `compactEvery` > 0 compacts the index directory every that many
+    * batches (after the append): the per-batch appends otherwise
+    * accumulate one small file per batch per partition, and at ingest
+    * scale the probe's read cost becomes file-listing-bound long before it
+    * is data-bound. Inside foreachBatch is the documented no-reader-races
+    * window Compaction requires — the next batch's probe reads only after
+    * the swap completes. */
   def run(stream: DataFrame, indexDir: String, outDir: String,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,6 +105,8 @@ object StreamSimhash {
           kept.select(col("doc_id").as("old_id"), col("simhash").as("old_sig"))
             .write.mode("append").parquet(indexDir)
         } finally kept.unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          Compaction.compact(spark, indexDir)
         ()
       }
       .start()

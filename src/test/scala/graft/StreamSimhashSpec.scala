@@ -56,6 +56,31 @@ class StreamSimhashSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactEvery folds the per-batch index appends into one file, content intact") {
+    val base = Files.createTempDirectory("graft-ssim-compact").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamSimhash.run(in.toDF().toDF("doc_id", "text"),
+      indexDir, outDir, ckpt, compactEvery = 1)
+    try {
+      in.addData((0L, tA)); q.processAllAvailable()
+      in.addData((1L, tB)); q.processAllAvailable()
+      in.addData((2L, tC)); q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val dataFiles = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+      assert(dataFiles === 1, s"3 batch appends should compact to 1 file, found $dataFiles")
+      val ids = spark.read.parquet(indexDir)
+        .select($"old_id").as[Long].collect().toSeq.sorted
+      assert(ids === Seq(0L, 1L, 2L))
+      // and the probe path still works against the compacted index
+      in.addData((3L, tA)); q.processAllAvailable()   // near-dup of doc 0
+      val kept = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      assert(kept === Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream screen agrees with the batch incremental dedup on driver data") {
     // Same split as q_dedup_incremental (index = first 90% of doc_ids,
     // fresh = last 10%): seed the index exactly like the batch side, stream
