@@ -174,7 +174,22 @@ object MicroBatchPipeline {
       .load()
       .select(col("value"))
 
-  /** File-drop source for deterministic replay (S1 test alternative). */
-  def fileLines(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text").load(dir).select(col("value"))
+  /** File-drop source for deterministic replay (S1 test alternative).
+    *
+    * `maxFilesPerTrigger` > 0 bounds ingest admission: at most that many
+    * files enter each micro-batch. This is the file-source backpressure
+    * knob at scale — after downtime, an unbounded source admits the WHOLE
+    * backlog as one giant catch-up batch (blowing the trigger budget and
+    * executor memory at once); bounded admission drains the same backlog
+    * as a sequence of normal-sized batches. (Kafka's twin is
+    * `maxOffsetsPerTrigger`; `Trigger.AvailableNow` respects both while
+    * still terminating when the backlog is drained.) */
+  def fileLines(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.format("text")
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else reader)
+      .load(dir).select(col("value"))
+  }
 }

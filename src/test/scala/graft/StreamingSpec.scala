@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted === Seq("r1", "r2"))   // r1 not reprocessed
   }
 
+  test("maxFilesPerTrigger drains a file backlog as bounded batches, not one catch-up batch") {
+    val srcDir = Files.createTempDirectory("graft-throttle-src").toString
+    for (i <- 0 until 3)
+      Files.write(Paths.get(srcDir, s"f$i.txt"), s"line$i".getBytes("UTF-8"))
+
+    val batchSizes = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = MicroBatchPipeline.fileLines(spark, srcDir, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchSizes.put(id, df.count()); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-throttle-ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.sortBy(_._1).map(_._2)
+    // 3 files, admission capped at 1 file/batch -> 3 batches of 1 row each
+    // (an unbounded source would admit all 3 files into one batch)
+    assert(sizes === Seq(1L, 1L, 1L), s"batch sizes: $sizes")
+  }
+
   test("empty batches write nothing and do not fail") {
     val srcDir = Files.createTempDirectory("graft-stream-empty").toString
     val outDir = Files.createTempDirectory("graft-stream-empty-out").toString
