@@ -264,7 +264,12 @@ object Dedup {
       bstats.crossJoin(broadcast(cstats)).crossJoin(broadcast(vstats))
         .select($"n_buckets", $"max_bucket", $"band_pairs", $"n_cand",
           $"n_verified",
-          graft.functions.Det.qround($"n_verified" / $"n_cand").as("precision"),
+          // n_cand = 0 on an empty/dup-free corpus: precision is undefined
+          // there and ANSI division THROWS — null instead (both engines;
+          // found by the EmptyTablesSpec zero-row sweep)
+          when($"n_cand" > 0,
+            graft.functions.Det.qround($"n_verified" / $"n_cand"))
+            .as("precision"),
           $"exp_recall")
     },
     Some(s"""
@@ -293,7 +298,8 @@ object Dedup {
       vstats AS (SELECT count(*) AS n_verified,
         ${graft.Oracle.davg("p")} AS exp_recall FROM probs)
       SELECT n_buckets, max_bucket, band_pairs, n_cand, n_verified,
-        ${graft.Oracle.qround("n_verified * 1.0 / n_cand")} AS precision,
+        CASE WHEN n_cand > 0
+          THEN ${graft.Oracle.qround("n_verified * 1.0 / n_cand")} END AS precision,
         exp_recall
       FROM bstats, cstats, vstats""")
   )
