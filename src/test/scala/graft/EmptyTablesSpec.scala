@@ -30,4 +30,34 @@ class EmptyTablesSpec extends SparkSpec {
     assert(failures.isEmpty,
       failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
   }
+
+  /** sf0.001 with nulls INJECTED: every 7th document loses its text, every
+    * 11th its lang, every 13th its source; every 5th event loses its props.
+    * Real corpora have these holes; the driver's synthetic tables do not. */
+  private lazy val nullsDir: String = {
+    import org.apache.spark.sql.functions.{col, when}
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-nulls").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text", when(col("doc_id") % 7 === 0, null).otherwise(col("text")))
+      .withColumn("lang", when(col("doc_id") % 11 === 0, null).otherwise(col("lang")))
+      .withColumn("source", when(col("doc_id") % 13 === 0, null).otherwise(col("source")))
+      .write.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$src/events.parquet")
+      .withColumn("props", when(col("event_id") % 5 === 0, null).otherwise(col("props")))
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every declared query survives null text/lang/source/props") {
+    val failures = Queries.all.flatMap { q =>
+      try { q.run(spark, nullsDir).collect(); None }
+      catch { case e: Throwable => Some(q.name -> e.toString.linesIterator.next()) }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, e) => s"$n: $e" }.mkString("\n"))
+  }
 }
