@@ -99,7 +99,12 @@ object EventAnalytics {
     * series: null for the first 4 rows (min_periods=window), sample stddev
     * (ddof=1). The stddev is computed from exact decimal window sums via
     * sqrt((s2 - s1²/n)/(n-1)) so both engines do identical double math.
-    */
+    *
+    * The empty-partition-spec window (Spark warns "No Partition Defined")
+    * is deliberate and bounded: it runs over the 6h-bucket AGGREGATE
+    * series, whose row count is time-range/6h (1,460/year) regardless of
+    * corpus size — not over fact rows. For a corpus-sized global ordering
+    * see qAssignIds' two-phase shape (PipelineOps). */
   val qRollingMetric = GraftQuery(
     "q_rolling_metric",
     (spark, dir) => {

@@ -524,8 +524,50 @@ object PipelineOps {
       ORDER BY doc_id""")
   )
 
+  /** Global contiguous id assignment (gid = rank by doc_id, 0-based) — the
+    * corpus-prep step that gives every document a dense training-example
+    * index. The NAIVE formulation `row_number() OVER (ORDER BY doc_id)` is
+    * the canonical scale anti-pattern: an empty window partition spec sends
+    * THE WHOLE CORPUS through one task (Spark even warns "No Partition
+    * Defined for Window"). This is the two-phase zipWithIndex shape,
+    * declaratively: range-partition on the key (so partition p's keys all
+    * precede partition p+1's), per-partition local ranks from a
+    * PARTITIONED window, per-partition counts rolled into starting offsets
+    * by a window over the 32-row partition histogram — bounded by the
+    * partition count, not the corpus — and gid = offset + local rank.
+    * Output is invariant to where the sampled range boundaries land
+    * (offsets absorb any imbalance), so the trivially-sequential oracle
+    * reproduces it exactly. */
+  val qAssignIds = GraftQuery(
+    "q_assign_ids",
+    (spark, dir) => {
+      import spark.implicits._
+      val parts = spark.sparkContext.defaultParallelism
+      val ranged = Tables.documents(spark, dir).select($"doc_id")
+        .repartitionByRange(parts, $"doc_id")
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(
+          sum($"cnt").over(Window.orderBy($"pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"pid", $"offset")
+      ranged
+        .withColumn("lrank",
+          row_number().over(Window.partitionBy($"pid").orderBy($"doc_id"))
+            .cast(LongType))
+        .join(broadcast(offsets), Seq("pid"))
+        .select($"doc_id", ($"offset" + $"lrank" - 1).as("gid"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS gid
+      FROM documents
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
-      qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport)
+      qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds)
 }

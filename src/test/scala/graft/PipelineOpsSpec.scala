@@ -103,4 +103,18 @@ class PipelineOpsSpec extends SparkSpec {
       s"""{"doc_id":0,"lang":"en","source":"srcA","n_chars":14,"content_md5":"$h"}""")))
   }
 
+  test("assign_ids: dense 0-based gids in doc_id order, corpus window stays partitioned") {
+    val q = PipelineOps.qAssignIds.run(spark, fixtureDir)
+    val got = q.as[(Long, Long)].collect().toSeq
+    assert(got === SparkSpec.fixtureDocs.map(_._1).sorted.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) })
+    // the corpus-sized row_number window must be scoped by the range
+    // partition id — only the 32-row offsets histogram may run global
+    val windows = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    val corpusWindow = windows.filter(_.contains("row_number()"))
+    assert(corpusWindow.nonEmpty &&
+      corpusWindow.forall(_.replaceAll("#\\d+[L]?", "").contains("[pid]")),
+      windows.mkString("\n"))
+  }
 }
