@@ -572,6 +572,69 @@ object EventAnalytics {
       ORDER BY event_type""")
   )
 
+  /** Higher moments per event type — population skewness and EXCESS
+    * kurtosis from decimal-exact raw power sums (Σv..Σv⁴), the
+    * [[qEventValueStats]] discipline extended one tier up: Spark's
+    * `skewness`/`kurtosis` builtins accumulate IEEE central moments whose
+    * partial-merge order is partition-dependent, so the reproducible
+    * formulation is raw decimal sums + one shared double formula. Every
+    * power is an explicit left-associated product and the composite
+    * formulas are written with the same association in both engines; the
+    * moment ratios divide by varᵏ (>0 on any non-degenerate group,
+    * CASE-guarded to null otherwise — the EmptyTablesSpec discipline).
+    * Distribution-shape stats like these are the data-audit signal for
+    * value-metric drift (heavy tails, spikes) a training pipeline watches. */
+  val qValueMoments = GraftQuery(
+    "q_value_moments",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          dsum($"value").as("s1"),
+          dsum($"value" * $"value").as("s2"),
+          dsum($"value" * $"value" * $"value").as("s3"),
+          dsum($"value" * $"value" * $"value" * $"value").as("s4"))
+      val m = $"s1" / $"n"
+      val va = $"s2" / $"n" - m * m
+      val skew = ($"s3" / $"n" - lit(3.0) * m * ($"s2" / $"n") +
+        lit(2.0) * m * m * m) / (va * sqrt(va))
+      val kurt = ($"s4" / $"n" - lit(4.0) * m * ($"s3" / $"n") +
+        lit(6.0) * m * m * ($"s2" / $"n") - lit(3.0) * m * m * m * m) /
+        (va * va) - lit(3.0)
+      g.select($"event_type", $"n".cast(LongType).as("n_events"),
+          Det.qround(m).as("mean_value"),
+          Det.qround(va).as("var_pop"),
+          when(va > 0, Det.qround(skew)).as("skew_pop"),
+          when(va > 0, Det.qround(kurt)).as("kurt_excess"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type,
+          count(*)::DOUBLE AS n,
+          ${Oracle.dsum("value")} AS s1,
+          ${Oracle.dsum("value * value")} AS s2,
+          ${Oracle.dsum("value * value * value")} AS s3,
+          ${Oracle.dsum("value * value * value * value")} AS s4
+        FROM events
+        GROUP BY event_type),
+      d AS (
+        SELECT *, s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS va FROM g)
+      SELECT event_type, n::BIGINT AS n_events,
+        ${Oracle.qround("m")} AS mean_value,
+        ${Oracle.qround("va")} AS var_pop,
+        CASE WHEN va > 0 THEN ${Oracle.qround(
+          "(s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m) / (va * sqrt(va))")}
+          END AS skew_pop,
+        CASE WHEN va > 0 THEN ${Oracle.qround(
+          "(s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m) / (va * va) - 3.0")}
+          END AS kurt_excess
+      FROM d
+      ORDER BY event_type""")
+  )
+
   /** Wide→long UNPIVOT (melt) — the inverse of [[qPivotDaily]], stated with
     * Spark 4's native `unpivot` operator over the pivoted frame. NULL cells
     * (day × type combos with no events) are filtered explicitly because the
@@ -943,7 +1006,8 @@ object EventAnalytics {
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
-    qPivotDaily, qCubeActivity, qEventValueStats, qUnpivotDaily, qVariantProps,
+    qPivotDaily, qCubeActivity, qEventValueStats, qValueMoments,
+    qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats)
 }
