@@ -62,58 +62,72 @@ object Similarity {
         sqrt(decDot($"embedding", $"embedding")).as("nrm"))
   }
 
-  private val explodedSql = """
+  private[operators] val explodedSql = """
     SELECT vec_id, unnest(range(len(embedding))) AS pos,
            unnest(embedding)::DOUBLE AS v
     FROM embeddings"""
 
-  private val normsSql = s"""
+  private[operators] val normsSql = s"""
     SELECT vec_id,
       sqrt(sum(CAST(v * v AS DECIMAL(38,12)))::DOUBLE) AS nrm
     FROM ($explodedSql) GROUP BY vec_id"""
 
-  /** Tier 1: exact cosine top-k neighbors for query vectors vec_id < 10.
-    * The (small) query side is broadcast against the full table; each pair's
-    * dot product is one codegen'd array fold. */
+  /** Exact cosine top-k (qid, rk, tid, cosine), unordered — the body of
+    * [[qAnnCosineTopk]], shared with the IVF recall audit (one definition
+    * of "ground truth", no drift). The (small) query side is broadcast
+    * against the full table; each pair's dot product is one codegen'd
+    * array fold; ranking happens over the ROUNDED cosine (ties to the
+    * lower tid), matching the oracle exactly. */
+  private def exactTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = withNorm(spark, dir)
+    val q = emb.filter($"vec_id" < NQueryVecs)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"))
+    emb.select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"))
+      .join(broadcast(q), $"qid" =!= $"tid")
+      .select($"qid", $"tid",
+        Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
+      .filter($"rk" <= TopK)
+      .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"cosine")
+  }
+
+  /** Tier 1: exact cosine top-k neighbors for query vectors vec_id < 10. */
   val qAnnCosineTopk = GraftQuery(
     "q_ann_cosine_topk",
-    (spark, dir) => {
-      import spark.implicits._
-      val emb = withNorm(spark, dir)
-      val q = emb.filter($"vec_id" < NQueryVecs)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"))
-      emb.select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"))
-        .join(broadcast(q), $"qid" =!= $"tid")
-        .select($"qid", $"tid",
-          Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
-        .filter($"rk" <= TopK)
-        .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"cosine")
-        .orderBy($"qid", $"rk")
-    },
+    (spark, dir) => exactTopk(spark, dir).orderBy("qid", "rk"),
     Some(s"""
       WITH ex AS ($explodedSql),
       nrm AS ($normsSql),
-      dots AS (
+      $exactTopkCtes
+      SELECT qid, rk, tid, cosine FROM exact_topk
+      ORDER BY qid, rk""")
+  )
+
+  /** Oracle CTE block for [[exactTopk]] — assumes `ex` and `nrm` are in
+    * scope, exposes `exact_topk(qid, rk, tid, cosine)`. Shared by the
+    * exact query and the IVF recall audit. */
+  private def exactTopkCtes: String = s"""
+      xdots AS (
         SELECT q.vec_id AS qid, t.vec_id AS tid,
           sum(CAST(q.v * t.v AS DECIMAL(38,12)))::DOUBLE AS dot
         FROM ex q JOIN ex t ON q.pos = t.pos AND q.vec_id <> t.vec_id
         WHERE q.vec_id < $NQueryVecs
         GROUP BY q.vec_id, t.vec_id),
-      cos AS (
+      xcos AS (
         SELECT qid, tid,
-          floor(dot / (qn.nrm * tn.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        FROM dots
+          ${Oracle.qround("dot / (qn.nrm * tn.nrm)")} AS cosine
+        FROM xdots
         JOIN nrm qn ON qid = qn.vec_id
-        JOIN nrm tn ON tid = tn.vec_id)
-      SELECT qid, rk, tid, cosine FROM (
-        SELECT qid, tid, cosine,
-          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, tid) AS rk
-        FROM cos)
-      WHERE rk <= $TopK
-      ORDER BY qid, rk""")
-  )
+        JOIN nrm tn ON tid = tn.vec_id),
+      exact_topk AS (
+        SELECT qid, rk, tid, cosine FROM (
+          SELECT qid, tid, cosine,
+            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, tid)
+              AS rk
+          FROM xcos)
+        WHERE rk <= $TopK)"""
 
   /** Tier 2: same query through the native plain-double fold
     * (`dot_f32_fast`, whole-stage codegen) — the cheapest possible path.
@@ -228,43 +242,66 @@ object Similarity {
     * for top-k search: per query the candidate set is ∝ probed-cell sizes
     * (n·NProbe/NCells on balanced cells), never the full table; the codebook
     * is broadcast, so assignment is one map-side pass over the vectors. */
+  /** The IVF candidate relation (qid, tid, cosine) — every target in a
+    * probed cell, with its exact rounded cosine. Shared by [[qAnnIvf]]
+    * (which ranks it) and the recall audit (which also counts it: the
+    * candidate volume IS the per-query work the cell probe performs). */
+  private def ivfPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = withNorm(spark, dir)
+    val cents = emb.filter($"vec_id" < NCells)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    // persisted: `scored` (the n×NCells centroid-distance pass) feeds BOTH
+    // `assign` and `probes`; without the barrier the whole crossJoin +
+    // decimal dot products execute twice (BENCH_r01: 8.2 s → the fix is
+    // the same persist the LSH index query already uses)
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"cid",
+        (decDot($"embedding", $"ce") / ($"nrm" * $"cn")).as("ccos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byCcos = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val assign = scored
+      .withColumn("rk", row_number().over(byCcos)).filter($"rk" === 1)
+      .select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"),
+        $"cid".as("cell"))
+    val probes = scored.filter($"vec_id" < NQueryVecs)
+      .withColumn("rk", row_number().over(byCcos)).filter($"rk" <= NProbe)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
+        $"cid".as("cell"))
+    probes.join(assign, Seq("cell"))
+      .filter($"qid" =!= $"tid")
+      .select($"qid", $"tid",
+        Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
+  }
+
+  /** IVF top-k (qid, rk, tid, cosine), unordered, over an [[ivfPairs]]
+    * relation (taken as a parameter so the audit can rank the same
+    * instance it counts). */
+  private def ivfTopk(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
+      .filter($"rk" <= TopK)
+      .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"cosine")
+  }
+
   val qAnnIvf = GraftQuery(
     "q_ann_ivf",
-    (spark, dir) => {
-      import spark.implicits._
-      val emb = withNorm(spark, dir)
-      val cents = emb.filter($"vec_id" < NCells)
-        .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
-      // persisted: `scored` (the n×NCells centroid-distance pass) feeds BOTH
-      // `assign` and `probes`; without the barrier the whole crossJoin +
-      // decimal dot products execute twice (BENCH_r01: 8.2 s → the fix is
-      // the same persist the LSH index query already uses)
-      val scored = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"embedding", $"nrm", $"cid",
-          (decDot($"embedding", $"ce") / ($"nrm" * $"cn")).as("ccos"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val byCcos = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val assign = scored
-        .withColumn("rk", row_number().over(byCcos)).filter($"rk" === 1)
-        .select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"),
-          $"cid".as("cell"))
-      val probes = scored.filter($"vec_id" < NQueryVecs)
-        .withColumn("rk", row_number().over(byCcos)).filter($"rk" <= NProbe)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
-          $"cid".as("cell"))
-      probes.join(assign, Seq("cell"))
-        .filter($"qid" =!= $"tid")
-        .select($"qid", $"tid",
-          Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
-        .filter($"rk" <= TopK)
-        .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"cosine")
-        .orderBy($"qid", $"rk")
-    },
+    (spark, dir) => ivfTopk(ivfPairs(spark, dir)).orderBy("qid", "rk"),
     Some(s"""
       WITH ex AS ($explodedSql),
       nrm AS ($normsSql),
+      $ivfCtes
+      SELECT qid, rk, tid, cosine FROM ivf_topk
+      ORDER BY qid, rk""")
+  )
+
+  /** Oracle CTE block for [[ivfPairs]]/[[ivfTopk]] — assumes `ex` and `nrm`
+    * are in scope, exposes `ivf_pairs(qid, tid, cosine)` and
+    * `ivf_topk(qid, rk, tid, cosine)`. Shared by the IVF query and the
+    * recall audit. */
+  private def ivfCtes: String = s"""
       cdots AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS cid,
           sum(CAST(a.v * b.v AS DECIMAL(38,12)))::DOUBLE AS dot
@@ -275,34 +312,79 @@ object Similarity {
         FROM cdots c
         JOIN nrm nv ON c.vec_id = nv.vec_id
         JOIN nrm nc ON c.cid = nc.vec_id),
-      ranked AS (
+      cranked AS (
         SELECT vec_id, cid, row_number() OVER (
           PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk
         FROM ccos),
-      assign AS (SELECT vec_id AS tid, cid AS cell FROM ranked WHERE rk = 1),
-      probes AS (SELECT vec_id AS qid, cid AS cell FROM ranked
+      assign AS (SELECT vec_id AS tid, cid AS cell FROM cranked WHERE rk = 1),
+      probes AS (SELECT vec_id AS qid, cid AS cell FROM cranked
                  WHERE rk <= $NProbe AND vec_id < $NQueryVecs),
-      pairs AS (
+      cand AS (
         SELECT p.qid, a.tid FROM probes p
         JOIN assign a ON p.cell = a.cell AND a.tid <> p.qid),
-      dots AS (
+      idots AS (
         SELECT qid, tid, sum(CAST(q.v * t.v AS DECIMAL(38,12)))::DOUBLE AS dot
-        FROM pairs
+        FROM cand
         JOIN ex q ON qid = q.vec_id
         JOIN ex t ON tid = t.vec_id AND q.pos = t.pos
         GROUP BY qid, tid),
-      cos AS (
+      ivf_pairs AS (
         SELECT qid, tid,
-          floor(dot / (qn.nrm * tn.nrm) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        FROM dots
+          ${Oracle.qround("dot / (qn.nrm * tn.nrm)")} AS cosine
+        FROM idots
         JOIN nrm qn ON qid = qn.vec_id
-        JOIN nrm tn ON tid = tn.vec_id)
-      SELECT qid, rk, tid, cosine FROM (
-        SELECT qid, tid, cosine, row_number() OVER (
-          PARTITION BY qid ORDER BY cosine DESC, tid) AS rk
-        FROM cos)
-      WHERE rk <= $TopK
-      ORDER BY qid, rk""")
+        JOIN nrm tn ON tid = tn.vec_id),
+      ivf_topk AS (
+        SELECT qid, rk, tid, cosine FROM (
+          SELECT qid, tid, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, tid) AS rk
+          FROM ivf_pairs)
+        WHERE rk <= $TopK)"""
+
+  /** IVF parameter audit — the ANN sibling of q_lsh_candidate_audit /
+    * q_semdedup_cell_audit, for tuning NCells/NProbe: per query, the
+    * candidate volume the probe actually scanned (the per-query work — on
+    * balanced cells ≈ n·NProbe/NCells) and recall@k against the exact
+    * brute-force top-k, both built from the SAME shared relations the two
+    * search queries rank ([[ivfPairs]], [[exactTopk]]) so a parameter
+    * retune can never desync the audit from the operators it measures.
+    * The standard IVF tuning loop reads exactly this pair: raise NProbe
+    * until recall clears the product bar, watching candidates/query as
+    * the price. Fully oracle-checkable (both sides deterministic). */
+  val qIvfRecallAudit = GraftQuery(
+    "q_ivf_recall_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      // persisted: the candidate relation feeds the volume count AND the
+      // top-k ranking (without the barrier the probe join's exact decimal
+      // cosines execute twice)
+      val pairs = ivfPairs(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = pairs.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+      val hits = exactTopk(spark, dir).select($"qid", $"tid")
+        .join(ivfTopk(pairs).select($"qid", $"tid", lit(1).as("m")),
+          Seq("qid", "tid"), "left")
+        .groupBy($"qid").agg(count($"m").as("n_hit"))
+      hits.join(cands, Seq("qid"))
+        .select($"qid", $"n_cand", $"n_hit",
+          Det.qround($"n_hit" / lit(TopK)).as("recall"))
+        .orderBy($"qid")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      $exactTopkCtes,
+      $ivfCtes,
+      cands AS (SELECT qid, count(*) AS n_cand FROM ivf_pairs GROUP BY qid),
+      hits AS (
+        SELECT e.qid, count(i.tid) AS n_hit
+        FROM exact_topk e
+        LEFT JOIN ivf_topk i ON e.qid = i.qid AND e.tid = i.tid
+        GROUP BY e.qid)
+      SELECT h.qid, n_cand, n_hit,
+        ${Oracle.qround(s"n_hit * 1.0 / $TopK")} AS recall
+      FROM hits h JOIN cands c ON h.qid = c.qid
+      ORDER BY h.qid""")
   )
 
   val PqSubspaces = 8             // M: number of subvectors
@@ -591,6 +673,7 @@ object Similarity {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf, qAnnPq,
-      qEmbedInt8, qSemanticDedup, qSemdedupCellAudit)
+    Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
+      qIvfRecallAudit, qAnnPq, qEmbedInt8, qSemanticDedup,
+      qSemdedupCellAudit)
 }
