@@ -10,6 +10,7 @@ object Queries {
     Relational.all ++
       TextAnalytics.all ++
       TfIdf.all ++
+      Retrieval.all ++
       EventAnalytics.all ++
       Dedup.all ++
       Similarity.all ++

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.{Det, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lexical + hybrid retrieval — the query-time side of a RAG/search
+  * pipeline, completing the index-time surface (TfIdf.qInvertedIndex):
+  *
+  *  1. `q_bm25_scores` — Okapi BM25 (Lucene idf variant) document scoring
+  *     for a pinned query-term set over the same tokenize→stopword-remove
+  *     stream the TF-IDF chain uses.
+  *  2. `q_rrf_fusion` — reciprocal-rank fusion (Cormack et al. 2009) of
+  *     the BM25 ranking with an embedding-cosine ranking: the standard
+  *     hybrid-search combiner (`score = Σ 1/(k + rank)` over the rankers
+  *     that retrieved the document).
+  *
+  * Exactness: k1 = 1.25 and b = 0.75 are exact binary fractions, so every
+  * per-term BM25 factor is the same IEEE double expression tree in both
+  * engines (the `ln` quotient is cross-engine-identical — established by
+  * the idf term since round 1); per-document sums go through the usual
+  * decimal-cast path (Det.dsum) so addition order cannot matter. RRF
+  * contributions `1/(60 + rank)` are one double division each, summed the
+  * same way.
+  *
+  * Scale shape: only tokens matching the (tiny, pinned) query-term set
+  * survive the scan-side filter, so the tf relation is bounded by the
+  * query terms' posting lists, never the corpus vocabulary; df/idf and
+  * the corpus length stats are 1-row/≤|q|-row broadcast relations; top-k
+  * selection is orderBy+limit (TakeOrderedAndProject — no global window
+  * over corpus-sized input); rank assignment happens AFTER the limit, on
+  * a ≤[[FuseDepth]]-row relation (bounded by construction). The fusion
+  * itself unions two ≤[[FuseDepth]]-row rankings — trivially bounded.
+  */
+object Retrieval {
+
+  /** Pinned query-term set (none is a stopword; all occur in the driver
+    * vocabulary). A production build takes these per request — here they
+    * are constants so the oracle can replay the query. */
+  val QueryTerms = Seq("spark", "join", "stream", "window")
+
+  val K1 = 1.25 // term-frequency saturation; exact binary fraction
+  val B = 0.75  // length normalization strength; exact binary fraction
+  val FuseDepth = 20 // ranking depth of each ranker (and BM25 output rows)
+  val RrfK = 60      // the standard RRF dampening constant
+  val QueryVec = 0L  // pinned query vector for the embedding ranker
+
+  private def queryTermsSqlList: String =
+    QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** BM25 ranking (rank, doc_id, n_terms, score), rank 1..[[FuseDepth]].
+    *
+    * score(d) = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *            (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with dl = stopword-removed token count of d and avgdl its corpus
+    * mean. Ranking happens over the 6-dp-rounded score (ties to the lower
+    * doc_id) so both engines rank identical values. The term set is a
+    * parameter only so the fixture spec can exercise the math on its own
+    * vocabulary; the verified queries pin [[QueryTerms]]. */
+  private[graft] def bm25Ranked(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    // one row per (matching token occurrence), dl carried from the array
+    val toks = docs
+      .select($"doc_id", Text.withoutStopwords(Text.tokens($"text")).as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
+      .filter($"term".isInCollection(terms))
+    val tf = toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    // corpus length stats: one map-only pass, 1-row broadcast
+    val stats = Tables.documents(spark, dir)
+      .select(size(Text.withoutStopwords(Text.tokens($"text"))).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl0").as("sum_dl"))
+    val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(dfr), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        (log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+          (($"tf" * lit(K1 + 1.0)) /
+            ($"tf" + lit(K1) *
+              (lit(1.0) - lit(B) + lit(B) * ($"dl" / ($"sum_dl" / $"n_docs"))))))
+          .as("ts"))
+    val top = perTerm.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), Det.dsum($"ts").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(FuseDepth)
+    // rank over the ≤FuseDepth-row limited relation — bounded by
+    // construction, never a corpus-sized single-partition window
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .select($"rank".cast(LongType).as("rank"), $"doc_id", $"n_terms",
+        $"score")
+  }
+
+  /** Oracle CTE block for [[bm25Ranked]] — self-contained, exposes
+    * `bm25_ranked(rank, doc_id, n_terms, score)`. Every float literal is
+    * written with an `e0` exponent so DuckDB parses it as DOUBLE (a bare
+    * decimal literal would be DECIMAL and drag the tree into decimal
+    * math). */
+  private def bm25Ctes: String = s"""
+      btoks AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[[:space:]]+'),
+            w -> w NOT IN ${Text.stopwordsSqlList}) AS toks
+          FROM documents)),
+      btf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM btoks
+        WHERE term IN $queryTermsSqlList
+        GROUP BY doc_id, term),
+      bstats AS (
+        SELECT count(*) AS n_docs, sum(dl0) AS sum_dl FROM (
+          SELECT len(list_filter(
+            string_split_regex(lower(text), '[[:space:]]+'),
+            w -> w NOT IN ${Text.stopwordsSqlList})) AS dl0
+          FROM documents)),
+      bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+      bsc AS (
+        SELECT doc_id,
+          (ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0) *
+            ((tf * ${K1 + 1.0}e0) /
+              (tf + ${K1}e0 *
+                (1e0 - ${B}e0 + ${B}e0 * (dl / (sum_dl / n_docs)))))) AS ts
+        FROM btf JOIN bdf USING (term), bstats),
+      bdoc AS (
+        SELECT doc_id, count(*) AS n_terms, ${Oracle.dsum("ts")} AS score
+        FROM bsc GROUP BY doc_id),
+      btop AS (
+        SELECT doc_id, n_terms, score FROM bdoc
+        ORDER BY score DESC, doc_id LIMIT $FuseDepth),
+      bm25_ranked AS (
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+          doc_id, n_terms, score
+        FROM btop)"""
+
+  /** Okapi BM25 scoring: the top-[[FuseDepth]] documents for the pinned
+    * query-term set, with per-document matched-term count and score. */
+  val qBm25Scores = GraftQuery(
+    "q_bm25_scores",
+    (spark, dir) => bm25Ranked(spark, dir).orderBy("rank"),
+    Some(s"""
+      WITH $bm25Ctes
+      SELECT rank, doc_id, n_terms, score FROM bm25_ranked
+      ORDER BY rank""")
+  )
+
+  /** Embedding-cosine ranking (rank, doc_id, cosine) against the pinned
+    * query vector — vec_id doubles as doc_id (the embeddings table keys
+    * by the same id space; at SFs where embeddings cover a prefix of the
+    * corpus this ranker simply sees the embedded subset, the usual
+    * partial-coverage reality of a hybrid index). Exact decimal dots, the
+    * q_ann_cosine_topk discipline. */
+  private def cosRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"embedding",
+        sqrt(call_function("dot_f32", $"embedding", $"embedding")).as("nrm"))
+    val q = emb.filter($"vec_id" === QueryVec)
+      .select($"embedding".as("qe"), $"nrm".as("qn"))
+    val top = emb.filter($"vec_id" =!= QueryVec).crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        Det.qround(call_function("dot_f32", $"embedding", $"qe") /
+          ($"nrm" * $"qn")).as("cosine"))
+      .orderBy($"cosine".desc, $"doc_id").limit(FuseDepth)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"cosine".desc, $"doc_id")))
+      .select($"rank".cast(LongType).as("rank"), $"doc_id", $"cosine")
+  }
+
+  /** Oracle CTE block for [[cosRanked]] — assumes Similarity's `ex`/`nrm`
+    * relations are in scope, exposes `cos_ranked(rank, doc_id, cosine)`. */
+  private def cosCtes: String = s"""
+      qdots AS (
+        SELECT t.vec_id AS doc_id,
+          sum(CAST(q.v * t.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM ex q JOIN ex t ON q.pos = t.pos
+          AND q.vec_id = $QueryVec AND t.vec_id <> $QueryVec
+        GROUP BY t.vec_id),
+      qcos AS (
+        SELECT doc_id,
+          ${Oracle.qround("dot / (qn.nrm * tn.nrm)")} AS cosine
+        FROM qdots
+        JOIN nrm qn ON qn.vec_id = $QueryVec
+        JOIN nrm tn ON doc_id = tn.vec_id),
+      qctop AS (
+        SELECT doc_id, cosine FROM qcos
+        ORDER BY cosine DESC, doc_id LIMIT $FuseDepth),
+      cos_ranked AS (
+        SELECT row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank,
+          doc_id, cosine
+        FROM qctop)"""
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 and
+    * embedding-cosine rankings. Each ranker contributes 1/(k + rank) for
+    * the documents it retrieved; documents found by both float to the
+    * top. Emits every fused document (≤ 2·[[FuseDepth]] rows) with the
+    * number of rankers that retrieved it. */
+  /** The fused relation (doc_id, n_rankers, rrf) — see [[qRrfFusion]];
+    * term-set parameter for the fixture spec only. */
+  private[graft] def rrfFused(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    val contrib = bm25Ranked(spark, dir, terms)
+      .select($"doc_id", (lit(1.0) / (lit(RrfK) + $"rank")).as("c"))
+      .union(cosRanked(spark, dir)
+        .select($"doc_id", (lit(1.0) / (lit(RrfK) + $"rank")).as("c")))
+    contrib.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_rankers"), Det.dsum($"c").as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+  }
+
+  val qRrfFusion = GraftQuery(
+    "q_rrf_fusion",
+    (spark, dir) => rrfFused(spark, dir),
+    Some(s"""
+      WITH ex AS (${Similarity.explodedSql}),
+      nrm AS (${Similarity.normsSql}),
+      $bm25Ctes,
+      $cosCtes,
+      contrib AS (
+        SELECT doc_id, 1e0 / ($RrfK + rank) AS c FROM bm25_ranked
+        UNION ALL
+        SELECT doc_id, 1e0 / ($RrfK + rank) AS c FROM cos_ranked)
+      SELECT doc_id, count(*) AS n_rankers, ${Oracle.dsum("c")} AS rrf
+      FROM contrib GROUP BY doc_id
+      ORDER BY rrf DESC, doc_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qBm25Scores, qRrfFusion)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Retrieval
+
+/** BM25 + RRF fusion on the hand-computable fixture.
+  *
+  * Fixture vocabulary (stopword-removed): d0 "fast fast slow" (dl 3),
+  * d1 "fast big" (dl 2 — "the" removed), d2/d3 "slow slow slow big"
+  * (dl 4, identical texts), d4/d5 30-token w-docs. With query terms
+  * (fast, slow, big): df(fast)=2, df(slow)=df(big)=3, N=6, Σdl=73.
+  * Working the BM25 formula: d0 ≈ 2.832 > d1 ≈ 2.643 > d2 = d3 ≈ 2.255
+  * (identical texts tie exactly; the rank tie breaks to the lower id).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val FixtureTerms = Seq("fast", "slow", "big")
+
+  test("bm25: rarer/denser terms outrank, duplicate texts tie to lower id") {
+    val r = Retrieval.bm25Ranked(spark, fixtureDir, FixtureTerms)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // only the docs containing a query term are retrieved, each matches 2
+    assert(r.map(_._2) === Seq(0L, 1L, 2L, 3L))
+    assert(r.forall(_._3 == 2L))
+    val score = r.map(t => t._2 -> t._4).toMap
+    assert(score(2L) === score(3L)) // identical text -> identical score
+  }
+
+  test("q_bm25_scores degrades to empty when no pinned term occurs") {
+    assert(Retrieval.qBm25Scores.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("rrf fusion: cosine evidence reorders the bm25 tie, agreement wins") {
+    // bm25 ranks: d0,d1,d2,d3 -> 1/61,1/62,1/63,1/64
+    // cosine ranks vs vec 0: d1 (cos 1.0), d3 (0.6), d2 (0.0) -> 1/61..1/63
+    // fused: d1 .032522 > d3 .031754 > d2 .031746 > d0 .016393 — the
+    // cosine ranker flips d3 above d2 (bm25 alone had them tied, id order)
+    val rows = Retrieval.rrfFused(spark, fixtureDir, FixtureTerms)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq(1L, 3L, 2L, 0L))
+    assert(rows.map(t => t._1 -> t._2).toMap ===
+      Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("q_rrf_fusion with absent bm25 terms reduces to the cosine ranking") {
+    val rows = Retrieval.qRrfFusion.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 1L, 0.016393), // 1/61
+      (3L, 1L, 0.016129), // 1/62
+      (2L, 1L, 0.015873)  // 1/63
+    ))
+  }
+}
