@@ -277,6 +277,62 @@ object LexicalStats {
       ORDER BY doc_id""")
   )
 
+  /** Vocabulary size for [[qOovRate]] — deliberately smaller than the
+    * corpus vocabulary so the out-of-vocabulary tail is non-empty at every
+    * SF; a production run sets this to the tokenizer's vocab size. */
+  val OovVocabN = 20
+
+  /** Out-of-vocabulary rate per language — the tokenizer/vocab coverage
+    * audit a training pipeline runs before committing a vocabulary: fix
+    * the vocab as the top-[[OovVocabN]] corpus terms by token frequency
+    * (ties to the lexicographically lower term, the CountVectorizer
+    * discipline), then measure what fraction of each language's token
+    * stream falls outside it. A language whose oov_rate spikes is
+    * under-served by the vocabulary (the multilingual-tokenizer fairness
+    * metric).
+    *
+    * Scale shape: the vocab is a tiny top-N aggregate
+    * (TakeOrderedAndProject) broadcast back onto the token stream as a
+    * LEFT join membership probe — the corpus-sized side never shuffles on
+    * term; the final per-lang rollup is one partial+final aggregate.
+    * Token stream computed twice (vocab pass + coverage pass) — the usual
+    * recompute-a-cheap-projection-over-caching-a-corpus-sized-relation
+    * trade. */
+  val qOovRate = GraftQuery(
+    "q_oov_rate",
+    (spark, dir) => {
+      import spark.implicits._
+      def toks = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang", explode(Text.tokens($"text")).as("term"))
+      val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cf"))
+        .orderBy($"cf".desc, $"term").limit(OovVocabN)
+        .select($"term", lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"iv".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"lang", $"n_tokens", $"n_oov",
+          Det.qround($"n_oov" / $"n_tokens").as("oov_rate"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT lang, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, count(*) AS cf FROM toks GROUP BY term
+          ORDER BY cf DESC, term LIMIT $OovVocabN)),
+      probe AS (
+        SELECT t.lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+      SELECT lang, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
+        ${Oracle.qround("sum(oov)::DOUBLE / count(*)")} AS oov_rate
+      FROM probe GROUP BY lang
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal)
+    Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
+      qOovRate)
 }

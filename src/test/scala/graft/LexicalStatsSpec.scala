@@ -116,4 +116,20 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got(4)._3 === got(5)._3)
   }
 
+  test("q_oov_rate hand-computed per-lang coverage") {
+    // cf rank (desc, term asc): slow 7; big 3, fast 3; then 17 of the 29
+    // cf=2 w-terms lexicographically: w1, w10..w19, w2, w20..w24 -> the
+    // 20-term vocab. OOV tokens: "the" (en), w25..w29 + w3..w9 + zz ... per
+    // doc 4: w25..w30 missing? vocab w-terms = {w1, w2, w10..w24}: doc4
+    // in-vocab 17 of 30; doc5 likewise (zz OOV, w30 not in doc5).
+    // en: 6 tokens, 1 oov ("the"); de: 8 tokens, 0 oov; fr: 60 tokens,
+    // 2*(30-17) = 26 oov -> 26/60 = 0.433333 qround'd.
+    val got = LexicalStats.qOovRate.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("de", 8L, 0L, 0.0),
+      ("en", 6L, 1L, 0.166667),
+      ("fr", 60L, 26L, 0.433333)))
+  }
+
 }
