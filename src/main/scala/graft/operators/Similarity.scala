@@ -411,61 +411,66 @@ object Similarity {
     * shape stays map-side either way — no pair of ORIGINAL vectors ever
     * meets).
     */
-  val qAnnPq = GraftQuery(
-    "q_ann_pq",
-    (spark, dir) => {
-      import spark.implicits._
-      val subv = Tables.spread(Tables.embeddings(spark, dir))
-        .select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("s"),
-          $"embedding")
-        .select($"vec_id", $"s",
-          expr(s"slice(embedding, s * $PqSubDims + 1, $PqSubDims)").as("sub"))
-      val cents = subv.filter($"vec_id" < PqCodes)
-        .select($"vec_id".as("cid"), $"s",
-          transform($"sub", v => v.cast(DoubleType)).as("ce"))
-      // One-pass encode: the K distance rows of each (vector, subspace)
-      // group come from ONE source row's broadcast fan-out, so they sit in
-      // the same partition and the argmin collapses in the partial
-      // aggregate — no shuffle ever carries the fan-out. (A two-phase
-      // fast-rank/exact-confirm variant was measured: its per-(vec, s)
-      // group-min join adds an n·M·K-row shuffle, which at scale costs
-      // more than the map-side decimal CPU it saves.)
-      val codes = subv.join(broadcast(cents), Seq("s"))
-        .select(subv("vec_id"), $"s", $"cid",
-          call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
-        .groupBy($"vec_id", $"s")
-        .agg(min_by($"cid", struct($"d2", $"cid")).as("code"))
-      // the query-side M×K lookup table (tiny, broadcast) — ADC needs the
-      // EXACT distance to every entry, so no prefilter here
-      val qlut = subv.filter($"vec_id" < NQueryVecs)
-        .join(broadcast(cents), Seq("s"))
-        .select($"vec_id".as("qid"), $"s", $"cid",
-          call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
-      codes.join(broadcast(qlut),
-          codes("s") === qlut("s") && codes("code") === qlut("cid") &&
-            codes("vec_id") =!= qlut("qid"))
-        .groupBy($"qid", codes("vec_id").as("tid"))
-        .agg(sum($"d2".cast(DecimalType(38, 12))).cast(DoubleType).as("ad2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"qid").orderBy($"ad2", $"tid")))
-        .filter($"rk" <= TopK)
-        .select($"qid", $"rk".cast(LongType).as("rk"), $"tid",
-          Det.qround($"ad2").as("approx_dist2"))
-        .orderBy($"qid", $"rk")
-    },
-    Some(s"""
-      WITH ex AS (
-        SELECT vec_id, unnest(range(len(embedding))) AS pos,
-               unnest(embedding)::DOUBLE AS v
-        FROM embeddings),
+  /** The full ADC relation (qid, tid, ad2) with RAW (un-rounded) sums —
+    * [[qAnnPq]] ranks it; the distortion audit compares it against exact
+    * distances on the pairs the ranking selected. */
+  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subv = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("s"),
+        $"embedding")
+      .select($"vec_id", $"s",
+        expr(s"slice(embedding, s * $PqSubDims + 1, $PqSubDims)").as("sub"))
+    val cents = subv.filter($"vec_id" < PqCodes)
+      .select($"vec_id".as("cid"), $"s",
+        transform($"sub", v => v.cast(DoubleType)).as("ce"))
+    // One-pass encode: the K distance rows of each (vector, subspace)
+    // group come from ONE source row's broadcast fan-out, so they sit in
+    // the same partition and the argmin collapses in the partial
+    // aggregate — no shuffle ever carries the fan-out. (A two-phase
+    // fast-rank/exact-confirm variant was measured: its per-(vec, s)
+    // group-min join adds an n·M·K-row shuffle, which at scale costs
+    // more than the map-side decimal CPU it saves.)
+    val codes = subv.join(broadcast(cents), Seq("s"))
+      .select(subv("vec_id"), $"s", $"cid",
+        call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
+      .groupBy($"vec_id", $"s")
+      .agg(min_by($"cid", struct($"d2", $"cid")).as("code"))
+    // the query-side M×K lookup table (tiny, broadcast) — ADC needs the
+    // EXACT distance to every entry, so no prefilter here
+    val qlut = subv.filter($"vec_id" < NQueryVecs)
+      .join(broadcast(cents), Seq("s"))
+      .select($"vec_id".as("qid"), $"s", $"cid",
+        call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
+    codes.join(broadcast(qlut),
+        codes("s") === qlut("s") && codes("code") === qlut("cid") &&
+          codes("vec_id") =!= qlut("qid"))
+      .groupBy($"qid", codes("vec_id").as("tid"))
+      .agg(sum($"d2".cast(DecimalType(38, 12))).cast(DoubleType).as("ad2"))
+  }
+
+  /** PQ top-k (qid, rk, tid, ad2 RAW) over [[pqAdc]] — ranking happens on
+    * the raw ADC sum (ties to the lower tid), as in the oracle. */
+  private def pqTopk(adc: DataFrame): DataFrame = {
+    import adc.sparkSession.implicits._
+    adc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"ad2", $"tid")))
+      .filter($"rk" <= TopK)
+      .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"ad2")
+  }
+
+  /** Oracle CTE block for [[pqAdc]]/[[pqTopk]] — assumes `ex` is in scope,
+    * exposes `adc(qid, tid, ad2)` and `pq_topk(qid, rk, tid, ad2)`. */
+  private def pqCtes: String = s"""
       sub AS (SELECT vec_id, pos // $PqSubDims AS s, pos % $PqSubDims AS o, v
               FROM ex),
-      cents AS (SELECT vec_id AS cid, s, o, v AS c FROM sub
-                WHERE vec_id < $PqCodes),
+      pcents AS (SELECT vec_id AS cid, s, o, v AS c FROM sub
+                 WHERE vec_id < $PqCodes),
       enc_d AS (
         SELECT t.vec_id, t.s, c.cid,
           sum(CAST((t.v - c.c) * (t.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
-        FROM sub t JOIN cents c ON t.s = c.s AND t.o = c.o
+        FROM sub t JOIN pcents c ON t.s = c.s AND t.o = c.o
         GROUP BY t.vec_id, t.s, c.cid),
       codes AS (
         SELECT vec_id, s, cid AS code FROM (
@@ -479,13 +484,83 @@ object Similarity {
         FROM codes t
         JOIN enc_d q ON q.s = t.s AND q.cid = t.code
           AND q.vec_id < $NQueryVecs AND q.vec_id <> t.vec_id
-        GROUP BY q.vec_id, t.vec_id)
-      SELECT qid, rk, tid, ${Oracle.qround("ad2")} AS approx_dist2 FROM (
-        SELECT qid, tid, ad2,
-          row_number() OVER (PARTITION BY qid ORDER BY ad2, tid) AS rk
-        FROM adc)
-      WHERE rk <= $TopK
+        GROUP BY q.vec_id, t.vec_id),
+      pq_topk AS (
+        SELECT qid, rk, tid, ad2 FROM (
+          SELECT qid, tid, ad2,
+            row_number() OVER (PARTITION BY qid ORDER BY ad2, tid) AS rk
+          FROM adc)
+        WHERE rk <= $TopK)"""
+
+  val qAnnPq = GraftQuery(
+    "q_ann_pq",
+    (spark, dir) => {
+      import spark.implicits._
+      pqTopk(pqAdc(spark, dir))
+        .select($"qid", $"rk", $"tid",
+          Det.qround($"ad2").as("approx_dist2"))
+        .orderBy($"qid", $"rk")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      $pqCtes
+      SELECT qid, rk, tid, ${Oracle.qround("ad2")} AS approx_dist2
+      FROM pq_topk
       ORDER BY qid, rk""")
+  )
+
+  /** PQ distortion audit — the quantization-quality complement of the
+    * recall audits, for tuning M×K (subspaces × codebook size): on the
+    * pairs the ADC ranking actually selected, compare the approximate
+    * distance against the exact squared distance between the ORIGINAL
+    * vectors. Per query: mean exact distance, mean ADC distance, and mean
+    * absolute error — the number that says whether 32× compression is
+    * distorting the ranking (raise M or K when avg_abs_err approaches the
+    * gap between neighbor distances). Both sides are decimal-exact sums,
+    * so the audit is fully oracle-checkable.
+    *
+    * Scale shape: the selected pairs are a TopK·NQueryVecs-row relation,
+    * broadcast onto the embeddings scan twice (query side, target side) —
+    * the exact-distance pass costs 2·|pairs| array folds, never a corpus
+    * pair join. */
+  val qPqDistortion = GraftQuery(
+    "q_pq_distortion",
+    (spark, dir) => {
+      import spark.implicits._
+      val top = pqTopk(pqAdc(spark, dir)).select($"qid", $"tid", $"ad2")
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+      val withQ = emb.join(broadcast(top), $"vec_id" === $"qid")
+        .select($"qid", $"tid", $"ad2", $"embedding".as("qe"))
+      val pairs = emb.join(broadcast(withQ), $"vec_id" === $"tid")
+        .select($"qid", $"tid", $"ad2",
+          // dist2_f32_f64 takes (float[], double[]) — the float→double
+          // cast of the target side is exact, matching the oracle's
+          // all-double formulation
+          call_function("dist2_f32_f64", $"qe",
+            transform($"embedding", v => v.cast(DoubleType))).as("d2"))
+      pairs.groupBy($"qid")
+        .agg(count(lit(1)).as("n_pairs"),
+          Det.davg($"d2").as("avg_d2"),
+          Det.davg($"ad2").as("avg_ad2"),
+          Det.davg(abs($"ad2" - $"d2")).as("avg_abs_err"))
+        .orderBy($"qid")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      $pqCtes,
+      pd2 AS (
+        SELECT p.qid, p.tid, p.ad2,
+          sum(CAST((q.v - t.v) * (q.v - t.v) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM pq_topk p
+        JOIN ex q ON p.qid = q.vec_id
+        JOIN ex t ON p.tid = t.vec_id AND q.pos = t.pos
+        GROUP BY p.qid, p.tid, p.ad2)
+      SELECT qid, count(*) AS n_pairs,
+        ${Oracle.davg("d2")} AS avg_d2,
+        ${Oracle.davg("ad2")} AS avg_ad2,
+        ${Oracle.davg("abs(ad2 - d2)")} AS avg_abs_err
+      FROM pd2 GROUP BY qid
+      ORDER BY qid""")
   )
 
   /** Symmetric int8 quantization audit — the compression step a 100 TB
@@ -674,6 +749,6 @@ object Similarity {
 
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
-      qIvfRecallAudit, qAnnPq, qEmbedInt8, qSemanticDedup,
+      qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
       qSemdedupCellAudit)
 }

@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((0L, 0L, 1L, 1.0)))
   }
 
+  test("pq distortion audit: ADC error is finite and pairs are complete (sf0.001)") {
+    // the fixture's 8-dim vectors can't exercise the 64-dim PQ subspace
+    // layout, so this pins invariants on the real driver table: every
+    // query audits exactly its TopK selected pairs, distances are
+    // positive, and the ADC approximation error is bounded by the exact
+    // distance scale (a degenerate codebook would blow err past d2)
+    val rows = Similarity.qPqDistortion.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === (0L until 10L))
+    assert(rows.forall(_._2 == Similarity.TopK.toLong))
+    assert(rows.forall { case (_, _, d2, ad2, err) =>
+      d2 > 0 && ad2 > 0 && err >= 0 && err < d2 })
+  }
+
   test("semdedup cell audit: hand-computed stats on the fixture") {
     // cells: {v0, v1} (tie to cid 0), {v2}, {v3} -> 3 non-empty cells,
     // max 2, C(2,2)=1 candidate pair, 1 verified dup (cos 1.0 >= 0.35);
