@@ -332,7 +332,160 @@ object LexicalStats {
       ORDER BY lang""")
   )
 
+  /** Target stratum for [[qDsirWeights]] — a production run points this at
+    * a high-quality seed corpus; here the largest language stratum. */
+  val DsirTargetLang = "en"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): score every
+    * document by the log-likelihood ratio of a TARGET unigram LM (fit on the
+    * [[DsirTargetLang]] stratum — the stand-in for a curated seed corpus)
+    * against the CORPUS unigram LM, `Σ_t tf(t)·(ln p_target(t) − ln
+    * p_corpus(t))`. Documents with positive weight look more like the
+    * target than the mixture — the resampling then keeps them with
+    * probability ∝ exp(weight). Both LMs are add-one smoothed over the
+    * SHARED corpus vocabulary, so the ratio is finite for every token and
+    * both distributions sum to exactly 1.
+    *
+    * Exactness: each smoothed probability is one double quotient of exact
+    * integers, `ln` over the same double is bit-identical across engines
+    * (the q_unigram_surprisal precedent), the per-term difference and the
+    * tf scaling are single IEEE ops, and the per-document rollup is the
+    * decimal-cast-before-sum path — token order can't perturb it.
+    *
+    * Scale shape: both LMs live in ONE vocabulary-sized relation (term,
+    * ln-ratio) — built by a corpus tf pass that shuffles once on (doc,
+    * term) and once on term, then BROADCAST onto the tf relation; the
+    * per-doc rollup is one partial+final aggregate. The corpus never
+    * shuffles on anything wider than (doc, term). */
+  val qDsirWeights = GraftQuery(
+    "q_dsir_weights",
+    (spark, dir) => {
+      import spark.implicits._
+      val tf = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf"))
+      val cfc = tf.groupBy($"term").agg(sum($"tf").as("cfc"))
+      val cft = tf.filter($"lang" === DsirTargetLang)
+        .groupBy($"term").agg(sum($"tf").as("cft"))
+      val scal = cfc.agg(count(lit(1)).as("v"), sum($"cfc").as("nc"))
+        .crossJoin(cft.agg(sum($"cft").as("nt")))
+      val lm = cfc.join(cft, Seq("term"), "left")
+        .crossJoin(broadcast(scal))
+        .select($"term",
+          (log((coalesce($"cft", lit(0L)) + lit(1L)).cast(DoubleType) /
+               ($"nt" + $"v").cast(DoubleType)) -
+           log(($"cfc" + lit(1L)).cast(DoubleType) /
+               ($"nc" + $"v").cast(DoubleType))).as("lr"))
+      tf.join(broadcast(lm), Seq("term"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"tf").as("n_tokens"),
+          Det.qround(
+            sum(($"tf".cast(DoubleType) * $"lr").cast(DecimalType(38, Det.Scale)))
+              .cast(DoubleType)).as("dsir_weight"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, lang, term, count(*) AS tf
+        FROM (SELECT doc_id, lang,
+                unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+              FROM documents)
+        GROUP BY doc_id, lang, term),
+      cfc AS (SELECT term, sum(tf) AS cfc FROM tf GROUP BY term),
+      cft AS (SELECT term, sum(tf) AS cft FROM tf
+              WHERE lang = '$DsirTargetLang' GROUP BY term),
+      scal AS (SELECT (SELECT count(*) FROM cfc) AS v,
+                      (SELECT sum(cfc) FROM cfc) AS nc,
+                      (SELECT sum(cft) FROM cft) AS nt),
+      lm AS (
+        SELECT term,
+          ln((coalesce(cft, 0) + 1)::DOUBLE / (nt + v)::DOUBLE)
+            - ln((cfc + 1)::DOUBLE / (nc + v)::DOUBLE) AS lr
+        FROM cfc LEFT JOIN cft USING (term) CROSS JOIN scal)
+      SELECT doc_id, lang, sum(tf)::BIGINT AS n_tokens,
+        ${Oracle.qround("sum(CAST(tf::DOUBLE * lr AS DECIMAL(38,9)))::DOUBLE")}
+          AS dsir_weight
+      FROM tf JOIN lm USING (term)
+      GROUP BY doc_id, lang
+      ORDER BY doc_id""")
+  )
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the domain-drift audit behind mixture rebalancing: for each source,
+    * `KL(p_source ‖ p_corpus) = Σ_{t∈V} p_s(t)·(ln p_s(t) − ln p_c(t))`,
+    * both distributions add-one smoothed over the shared corpus vocabulary
+    * (so each sums to exactly 1 and the divergence is finite and ≥ 0). A
+    * source whose KL spikes is lexically off-mixture — the signal that its
+    * [[qMixtureWeights]]-style sampling weight needs review, or that a
+    * scrape changed under you.
+    *
+    * Exactness: the same one-quotient-per-probability + bit-identical-`ln`
+    * discipline as [[qDsirWeights]]; the per-source sum over vocabulary
+    * terms goes through the decimal cast, so term order can't perturb it.
+    *
+    * Scale shape: after the corpus-priced tf pass (one (source, term)
+    * exchange, partial-aggregated map-side), EVERYTHING is model-scale —
+    * the (source × vocabulary) grid is |sources|·|V| rows built from a
+    * broadcast vocabulary, never corpus-sized; one final one-row-per-source
+    * aggregate. */
+  val qKlBySource = GraftQuery(
+    "q_kl_by_source",
+    (spark, dir) => {
+      import spark.implicits._
+      val cfs = Tables.spread(Tables.documents(spark, dir))
+        .select($"source", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("cfs"))
+      val cfc = cfs.groupBy($"term").agg(sum($"cfs").as("cfc"))
+      val scal = cfc.agg(count(lit(1)).as("v"), sum($"cfc").as("nc"))
+      val srcTotals = cfs.groupBy($"source").agg(sum($"cfs").as("ns"))
+      val grid = srcTotals
+        .crossJoin(broadcast(cfc))
+        .join(broadcast(cfs), Seq("source", "term"), "left")
+        .crossJoin(broadcast(scal))
+      val ps = (coalesce($"cfs", lit(0L)) + lit(1L)).cast(DoubleType) /
+        ($"ns" + $"v").cast(DoubleType)
+      val pc = ($"cfc" + lit(1L)).cast(DoubleType) /
+        ($"nc" + $"v").cast(DoubleType)
+      grid
+        .select($"source", $"ns", (ps * (log(ps) - log(pc))).as("contrib"))
+        .groupBy($"source", $"ns")
+        .agg(Det.qround(
+          sum($"contrib".cast(DecimalType(38, Det.Scale))).cast(DoubleType))
+          .as("kl_div"))
+        .select($"source", $"ns".as("n_tokens"), $"kl_div")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH cfs AS (
+        SELECT source, term, count(*) AS cfs
+        FROM (SELECT source,
+                unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+              FROM documents)
+        GROUP BY source, term),
+      cfc AS (SELECT term, sum(cfs) AS cfc FROM cfs GROUP BY term),
+      scal AS (SELECT (SELECT count(*) FROM cfc) AS v,
+                      (SELECT sum(cfc) FROM cfc) AS nc),
+      srct AS (SELECT source, sum(cfs) AS ns FROM cfs GROUP BY source),
+      grid AS (
+        SELECT s.source, s.ns, c.term, c.cfc, f.cfs
+        FROM srct s CROSS JOIN cfc c
+        LEFT JOIN cfs f ON f.source = s.source AND f.term = c.term),
+      contrib AS (
+        SELECT source, ns,
+          ((coalesce(cfs, 0) + 1)::DOUBLE / (ns + v)::DOUBLE)
+            * (ln((coalesce(cfs, 0) + 1)::DOUBLE / (ns + v)::DOUBLE)
+               - ln((cfc + 1)::DOUBLE / (nc + v)::DOUBLE)) AS contrib
+        FROM grid CROSS JOIN scal)
+      SELECT source, ns::BIGINT AS n_tokens,
+        ${Oracle.qround("sum(CAST(contrib AS DECIMAL(38,9)))::DOUBLE")}
+          AS kl_div
+      FROM contrib
+      GROUP BY source, ns
+      ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
-      qOovRate)
+      qOovRate, qDsirWeights, qKlBySource)
 }

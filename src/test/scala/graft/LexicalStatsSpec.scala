@@ -132,4 +132,72 @@ class LexicalStatsSpec extends SparkSpec {
       ("fr", 60L, 26L, 0.433333)))
   }
 
+  /** Decimal-cast-before-sum replica: each addend rounded to 9 dp HALF_UP
+    * (Spark's double→DECIMAL(38,9) cast), summed exactly, then qround'd —
+    * the independent plain-Scala path for the LM-ratio queries below. */
+  private def decSum(addends: Seq[Double]): Double = {
+    val s = addends.map(BigDecimal.valueOf(_)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    math.floor(s * 1e6 + 0.5) / 1e6
+  }
+
+  private def fixtureTf: Seq[(Long, String, String, Map[String, Long])] =
+    SparkSpec.fixtureDocs.map { case (id, text, lang, src) =>
+      (id, lang, src,
+        text.toLowerCase.split("\\s+").toSeq.groupBy(identity)
+          .map { case (t, g) => t -> g.size.toLong })
+    }
+
+  test("q_dsir_weights: independent plain-Scala LM-ratio replica + sign structure") {
+    val tf = fixtureTf
+    val cfc = tf.flatMap(_._4).groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val cft = tf.filter(_._2 == "en").flatMap(_._4)
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val v = cfc.size.toLong                     // 35 terms
+    val nc = cfc.values.sum                     // 74 tokens
+    val nt = tf.filter(_._2 == "en").flatMap(_._4.values).sum // 6
+    assert((v, nc, nt) === ((35L, 74L, 6L)))
+    def lr(t: String): Double =
+      math.log((cft.getOrElse(t, 0L) + 1).toDouble / (nt + v)) -
+        math.log((cfc(t) + 1).toDouble / (nc + v))
+    val expect = tf.map { case (id, lang, _, m) =>
+      (id, lang, m.values.sum,
+        decSum(m.toSeq.map { case (t, c) => c.toDouble * lr(t) }))
+    }.sortBy(_._1)
+    val got = LexicalStats.qDsirWeights.run(spark, fixtureDir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got === expect)
+    // structure: target-language docs score positive (they ARE the target
+    // sample), the French near-dup twins score equal and negative
+    assert(got(0)._4 > 0 && got(1)._4 > 0)
+    assert(got(4)._4 === got(5)._4)
+    assert(got(4)._4 < 0)
+  }
+
+  test("q_kl_by_source: independent replica; KL non-negative; smoothed mass sums to 1") {
+    val tf = fixtureTf
+    val cfs = tf.flatMap { case (_, _, src, m) => m.map { case (t, c) => (src, t, c) } }
+      .groupBy(x => (x._1, x._2)).map { case ((s, t), g) => (s, t) -> g.map(_._3).sum }
+    val cfc = cfs.groupBy(_._1._2).map { case (t, g) => t -> g.map(_._2).sum }
+    val v = cfc.size.toLong
+    val nc = cfc.values.sum
+    val srcs = tf.map(_._3).distinct.sorted
+    val expect = srcs.map { s =>
+      val ns = cfs.collect { case ((`s`, _), c) => c }.sum
+      val contribs = cfc.toSeq.map { case (t, cc) =>
+        val ps = (cfs.getOrElse((s, t), 0L) + 1).toDouble / (ns + v)
+        val pc = (cc + 1).toDouble / (nc + v)
+        ps * (math.log(ps) - math.log(pc))
+      }
+      // smoothed p_source sums to exactly 1 over the shared vocabulary
+      assert(math.abs(cfc.keys.toSeq.map(t =>
+        (cfs.getOrElse((s, t), 0L) + 1).toDouble / (ns + v)).sum - 1.0) < 1e-12)
+      (s, ns, decSum(contribs))
+    }
+    val got = LexicalStats.qKlBySource.run(spark, fixtureDir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === expect)
+    assert(got.forall(_._3 >= 0.0)) // Gibbs' inequality
+  }
+
 }
