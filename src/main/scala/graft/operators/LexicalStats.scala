@@ -244,9 +244,12 @@ object LexicalStats {
     "q_unigram_surprisal",
     (spark, dir) => {
       import spark.implicits._
+      // tf (shuffled, corpus-priced) feeds both the LM build and the probe
+      // join — persist so the (doc, term) exchange runs once
       val tf = Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", explode(Text.tokens($"text")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
       val tot = cf.agg(sum($"cf").as("tot"))
       val lm = cf.crossJoin(broadcast(tot))
@@ -362,9 +365,14 @@ object LexicalStats {
     "q_dsir_weights",
     (spark, dir) => {
       import spark.implicits._
+      // tf is a SHUFFLED corpus-priced aggregate consumed four times (probe
+      // join, both LM counts, the scalar totals) — persist it so the (doc,
+      // term) exchange runs once, not per consumer (the q_contamination
+      // discipline; Verify/Bench clearCache() between queries)
       val tf = Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
         .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cfc = tf.groupBy($"term").agg(sum($"tf").as("cfc"))
       val cft = tf.filter($"lang" === DsirTargetLang)
         .groupBy($"term").agg(sum($"tf").as("cft"))
@@ -433,9 +441,13 @@ object LexicalStats {
     "q_kl_by_source",
     (spark, dir) => {
       import spark.implicits._
+      // cfs is the one corpus-priced aggregate (three consumers: corpus
+      // counts, per-source totals, the grid's left join) — persist so the
+      // (source, term) exchange runs once
       val cfs = Tables.spread(Tables.documents(spark, dir))
         .select($"source", explode(Text.tokens($"text")).as("term"))
         .groupBy($"source", $"term").agg(count(lit(1)).as("cfs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cfc = cfs.groupBy($"term").agg(sum($"cfs").as("cfc"))
       val scal = cfc.agg(count(lit(1)).as("v"), sum($"cfc").as("nc"))
       val srcTotals = cfs.groupBy($"source").agg(sum($"cfs").as("ns"))
