@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Oracle, Tables}
 import graft.functions.{Det, Text}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,9 +10,12 @@ import org.apache.spark.sql.types._
   * `documents`:
   *
   *  - per-document vocabulary diversity (type-token ratio + Simpson's
-  *    repeat-probability index) — the log-free cousins of token entropy:
-  *    both are exact rationals of term counts, so they stay bit-identical
-  *    across engines where `sum(p·log p)` could not;
+  *    repeat-probability index) — exact rationals of term counts, the
+  *    log-free cousins of token entropy — plus token entropy itself
+  *    ([[qTokenEntropy]]): `sum(−p·ln p)` IS cross-engine exact once each
+  *    addend is one ln-of-a-double-quotient (bit-identical, the
+  *    q_unigram_surprisal precedent) and the sum goes through the decimal
+  *    cast;
   *  - corpus-level bigram association (lift = P(xy)/(P(x)P(y)) over document
   *    sets) — the collocation signal behind phrase mining / tokenizer vocab
   *    induction, again kept as an exact integer ratio;
@@ -497,7 +501,59 @@ object LexicalStats {
       ORDER BY source""")
   )
 
+  /** Shannon token entropy per document (nats) — the information-density
+    * filter signal between the exact-rational diversity pair and the full
+    * LM scores: `H = Σ_t −p(t)·ln p(t)` over the document's own term
+    * distribution. Near-zero = one token repeated (boilerplate/spam);
+    * near `ln(n_distinct)` = uniform usage. Complements [[qTokenDiversity]]
+    * (which is blind to HOW unevenly the repeated mass is spread).
+    *
+    * Exactness: each p is one double quotient of exact counts, `ln` over
+    * the same double is bit-identical across engines, `−p · ln p` is two
+    * IEEE ops in a pinned order, and the per-doc sum is decimal-cast —
+    * term order can't perturb it.
+    *
+    * Scale shape: one (doc, term) exchange for tf, then ONE doc-keyed
+    * exchange feeding both the window total and the final rollup (the
+    * aggregate reuses the window's partitioning — no further shuffle). */
+  val qTokenEntropy = GraftQuery(
+    "q_token_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val tf = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val withN = tf.withColumn("n",
+        sum($"tf").over(Window.partitionBy($"doc_id")))
+      val p = $"tf".cast(DoubleType) / $"n".cast(DoubleType)
+      withN
+        .select($"doc_id", $"n", (-p * log(p)).as("contrib"))
+        .groupBy($"doc_id")
+        .agg(max($"n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          Det.qround(sum($"contrib".cast(DecimalType(38, Det.Scale)))
+            .cast(DoubleType)).as("entropy"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      tn AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY doc_id) AS n
+             FROM tf),
+      c AS (SELECT doc_id, n,
+              -(tf::DOUBLE / n::DOUBLE) * ln(tf::DOUBLE / n::DOUBLE) AS contrib
+            FROM tn)
+      SELECT doc_id, max(n)::BIGINT AS n_tokens, count(*) AS n_distinct,
+        ${Oracle.qround("sum(CAST(contrib AS DECIMAL(38,9)))::DOUBLE")}
+          AS entropy
+      FROM c GROUP BY doc_id
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
-      qOovRate, qDsirWeights, qKlBySource)
+      qOovRate, qDsirWeights, qKlBySource, qTokenEntropy)
 }

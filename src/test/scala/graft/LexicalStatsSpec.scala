@@ -200,4 +200,23 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.0)) // Gibbs' inequality
   }
 
+  test("q_token_entropy: hand-computed nats on the fixture corpus") {
+    def h(counts: Long*): Double = {
+      val n = counts.sum.toDouble
+      decSum(counts.map { c => -(c / n) * math.log(c / n) })
+    }
+    val got = LexicalStats.qTokenEntropy.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 3L, 2L, h(2, 1)),            // fast fast slow
+      (1L, 3L, 3L, h(1, 1, 1)),         // uniform -> ln 3
+      (2L, 4L, 2L, h(3, 1)),
+      (3L, 4L, 2L, h(3, 1)),
+      (4L, 30L, 30L, h(Seq.fill(30)(1L): _*)), // uniform -> ln 30
+      (5L, 30L, 30L, h(Seq.fill(30)(1L): _*))))
+    // uniform docs hit the ln(V) ceiling; skewed docs sit strictly below
+    assert(math.abs(got(1)._4 - math.floor(math.log(3) * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(got(0)._4 < math.log(2) + 1e-9)
+  }
+
 }

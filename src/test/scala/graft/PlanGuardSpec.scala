@@ -55,4 +55,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(occurrences(p, "Exchange hashpartitioning") <= 4, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_dsir_weights: LM broadcast onto the fact tf, tf exchange cached once") {
+    val p = plan(graft.operators.LexicalStats.qDsirWeights)
+    // the vocabulary-sized (term, ln-ratio) relation reaches the corpus tf
+    // as a BroadcastHashJoin — a SortMergeJoin here means the corpus
+    // shuffled on term
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // every consumer of the shared tf aggregate reads the cache (the
+    // corpus-priced (doc, lang, term) exchange EXECUTES once; it merely
+    // reprints inside each InMemoryTableScan's plan dump): all four
+    // consumers — probe, cfc, cft, scalars — show as cache scans
+    assert(occurrences(p, "InMemoryTableScan") >= 4, p)
+  }
+
+  test("q_kl_by_source: model-scale tail — broadcasts only after the one cfs exchange") {
+    val p = plan(graft.operators.LexicalStats.qKlBySource)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Cross joins are broadcast scalar/vocabulary relations
+    for (line <- p.linesIterator if line.contains("Cross,"))
+      assert(line.contains("BroadcastNestedLoopJoin"), line)
+  }
 }
