@@ -207,6 +207,50 @@ object ArrayOps {
     sig
   }
 
+  /** 16-bit average hash (aHash) of a payload's code-point stream — the
+    * perceptual-hash stand-in for media near-dedup: split the stream into
+    * 16 contiguous blocks (code point at position p → block ⌊p·16/n⌋), set
+    * bit b iff block b's mean code point strictly exceeds the global mean.
+    * On a real deployment the same 16-block/mean-threshold scheme runs over
+    * decoded pixel luma (classic aHash); the code-point stream is this
+    * container's deterministic decode stub (see multimodal.Media).
+    *
+    * Exactness: block-vs-global mean comparisons are cross-multiplied in
+    * INTEGER arithmetic (`sum_b · n > total · cnt_b`) — no double division,
+    * so bit-identical to a BIGINT/HUGEINT SQL twin; the multiply is done in
+    * BigInteger so multi-gigabyte payloads cannot overflow (DuckDB's twin
+    * casts to HUGEINT for the same reason). Empty payload → hash 0. */
+  def ahash16(s: UTF8String): Long = {
+    val str = s.toString
+    val sums = new Array[Long](16)
+    val cnts = new Array[Long](16)
+    val n = str.codePointCount(0, str.length).toLong
+    if (n == 0L) return 0L
+    var total = 0L
+    var i = 0
+    var p = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val b = (p * 16L / n).toInt
+      sums(b) += cp
+      cnts(b) += 1
+      total += cp
+      p += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0L
+    var b = 0
+    while (b < 16) {
+      if (cnts(b) > 0 &&
+        java.math.BigInteger.valueOf(sums(b)).multiply(java.math.BigInteger.valueOf(n))
+          .compareTo(java.math.BigInteger.valueOf(total)
+            .multiply(java.math.BigInteger.valueOf(cnts(b)))) > 0)
+        h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** Exact decimal squared L2 distance between a float vector and a double
     * vector (a trained centroid): Σ dec₁₂((aᵢ-bᵢ)²). Same exactness contract
     * as [[dotF32]] — each double term rounded to scale-12 decimal via its
@@ -817,6 +861,29 @@ case class Simhash32(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
+/** `ahash16(text)`: 16-bit average perceptual hash of a payload's code-point
+  * stream (see [[ArrayOps.ahash16]]) — map-side media near-dup signature. */
+case class Ahash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ahash16"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("ahash16 requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.ahash16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.ahash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Ahash16 =
     copy(child = newChild)
 }
 

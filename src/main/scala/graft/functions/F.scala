@@ -33,6 +33,11 @@ object F {
   def simhash32(text: Column): Column =
     call_function("simhash32", text)
 
+  /** 16-bit average perceptual hash of a payload's code-point stream —
+    * map-side media near-dup signature (see [[ArrayOps.ahash16]]). */
+  def ahash16(text: Column): Column =
+    call_function("ahash16", text)
+
   /** Distinct lowercase word n-gram shingles of a text. */
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))

@@ -145,6 +145,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
       (args: Seq[Expression]) => Simhash32(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("ahash16"),
+      new ExpressionInfo(classOf[Ahash16].getName, "ahash16"),
+      (args: Seq[Expression]) => Ahash16(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,

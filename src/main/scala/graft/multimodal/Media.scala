@@ -267,6 +267,88 @@ object Media {
       ORDER BY media_id""")
   )
 
+  /** Hamming radius for [[qMediaPhashDedup]]. With 4 bands of 4 bits, any
+    * pair within distance 3 shares at least one intact band (pigeonhole) —
+    * banded candidate generation has NO false negatives at this radius. */
+  val PhashHamming = 3
+
+  /** Perceptual-hash near-dedup over the media payloads — the multimodal
+    * member of the dedup family (images that differ by re-encode/resize
+    * survive exact byte-hash dedup; a perceptual hash catches them): one
+    * map-side `ahash16` signature per object (16-block average hash, the
+    * classic aHash scheme over the decode stub's code-point stream — a real
+    * deployment feeds decoded pixel luma through the SAME 16-block
+    * relational shape), 4×4-bit banded LSH candidate generation scoped per
+    * modality, exact Hamming verify ≤ [[PhashHamming]].
+    *
+    * Scale shape: signatures are one map pass (native codegen, no explode);
+    * candidates come only from shared (kind, band, bkey) buckets — never an
+    * all-pairs product; the Hamming filter runs before the distinct so the
+    * dedup shuffle carries only verified pairs (the q_dedup_simhash
+    * discipline, one modality column added to the bucket key). */
+  val qMediaPhashDedup = GraftQuery(
+    "q_media_phash_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val banded = Tables.documents(spark, dir)
+        .select(
+          $"doc_id".as("media_id"),
+          element_at(lit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+          call_function("ahash16", $"text").as("ah"))
+        .select($"media_id", $"kind", $"ah",
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bkey", expr("(ah >> (band * 4)) & 15"))
+      banded.as("a").join(banded.as("b"),
+          $"a.kind" === $"b.kind" && $"a.band" === $"b.band" &&
+            $"a.bkey" === $"b.bkey" && $"a.media_id" < $"b.media_id")
+        .select($"a.media_id".as("ia"), $"b.media_id".as("ib"),
+          $"a.kind".as("kind"),
+          expr("cast(bit_count(a.ah ^ b.ah) as bigint)").as("hamming"))
+        .filter($"hamming" <= PhashHamming)
+        .distinct()
+        .orderBy($"ia", $"ib")
+    },
+    // ahash16's relational twin: per-position code points via the
+    // qMediaFeatures ascii(text[i]) idiom; block b = (p·16) // n; bit set
+    // iff block mean > global mean by INTEGER cross-multiplication
+    // (HUGEINT, mirroring the expression's BigInteger guard)
+    Some(s"""
+      WITH media AS (
+        SELECT doc_id AS media_id,
+          ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+          text FROM documents),
+      pos AS (
+        SELECT media_id, kind, length(text) AS n,
+          unnest([{'p': i - 1, 'cp': ascii(text[i])}
+                  for i in range(1, length(text) + 1)]) AS c
+        FROM media),
+      blocks AS (
+        SELECT media_id, kind, n, (c.p * 16) // n AS b,
+          sum(c.cp) AS sb, count(*) AS cb
+        FROM pos GROUP BY media_id, kind, n, b),
+      tot AS (SELECT media_id, sum(sb) AS total FROM blocks GROUP BY media_id),
+      sig AS (
+        SELECT media_id, kind,
+          sum(CASE WHEN sb::HUGEINT * n > total::HUGEINT * cb
+              THEN 1::BIGINT << b ELSE 0 END) AS ah
+        FROM blocks JOIN tot USING (media_id)
+        GROUP BY media_id, kind),
+      banded AS (
+        SELECT media_id, kind, ah, band, (ah >> (band * 4)) & 15 AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band)),
+      pairs AS (
+        SELECT DISTINCT a.media_id AS ia, b.media_id AS ib, a.kind AS kind,
+          bit_count(xor(a.ah, b.ah))::BIGINT AS hamming
+        FROM banded a JOIN banded b
+          ON a.kind = b.kind AND a.band = b.band AND a.bkey = b.bkey
+            AND a.media_id < b.media_id)
+      SELECT ia, ib, kind, hamming FROM pairs
+      WHERE hamming <= $PhashHamming
+      ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qMediaFeatures, qMediaResize, qMediaFrames, qMediaShards)
+    Seq(qMediaFeatures, qMediaResize, qMediaFrames, qMediaShards,
+      qMediaPhashDedup)
 }

@@ -89,4 +89,56 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala replica of ahash16 (independent of ArrayOps' loop). */
+  private def ahashModel(s: String): Long = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    for ((cp, p) <- cps.zipWithIndex) {
+      val b = (p.toLong * 16 / n).toInt
+      sums(b) += cp; cnts(b) += 1
+    }
+    val total = cps.map(_.toLong).sum
+    (0 until 16).foldLeft(0L) { (h, b) =>
+      if (cnts(b) > 0 && BigInt(sums(b)) * n > BigInt(total) * cnts(b))
+        h | (1L << b)
+      else h
+    }
+  }
+
+  test("ahash16 law: expression equals the block-mean model; edge cases") {
+    val texts = Seq("", "a", "aaaa", "fast fast slow",
+      "abcdefghijklmnopqrstuvwxyz0123456789", "zz " * 40,
+      (1 to 30).map(i => s"w$i").mkString(" "))
+    val got = texts.toDF("t")
+      .selectExpr("ahash16(t)").as[Long].collect().toSeq
+    assert(got === texts.map(ahashModel))
+    // uniform payloads (every block mean == global mean) hash to 0
+    assert(ahashModel("aaaa") === 0L)
+    // hash is 16-bit
+    assert(got.forall(h => h >= 0L && h < 65536L))
+  }
+
+  test("q_media_phash_dedup: banded recall equals brute force at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val sig = Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "element_at(array('image','audio','video'), cast(doc_id % 3 + 1 as int)) AS kind",
+        "ahash16(text) AS ah")
+      .as[(Long, String, Long)].collect().toSeq
+    val brute = (for {
+      (ia, ka, ha) <- sig; (ib, kb, hb) <- sig
+      if ia < ib && ka == kb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= Media.PhashHamming
+    } yield (ia, ib, ka, d.toLong)).sortBy(p => (p._1, p._2))
+    val got = Media.qMediaPhashDedup.run(spark, dir)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // 4×4-bit bands over radius 3: pigeonhole guarantees zero false
+    // negatives, and the exact verify removes all false positives
+    assert(got === brute)
+    assert(got.nonEmpty) // the tiny-vocab corpus must surface near-dups
+  }
+
 }
