@@ -255,7 +255,72 @@ object CorpusQuality {
       ORDER BY bucket""")
   )
 
+  /** Pairwise source-level content overlap — the "does dump N duplicate
+    * dump M" audit run before mixing corpora (two crawls of the same sites,
+    * a filtered subset re-ingested beside its superset, a mirrored dataset
+    * under two names): exact shingle-set Jaccard between every pair of
+    * sources, from ONE distinct (source, shingle) relation. Document-level
+    * dedup ([[Dedup]]) can't see this — two sources can share most of their
+    * content without sharing one exact document.
+    *
+    * Scale shape: the corpus-priced step is the distinct (source, shingle)
+    * aggregate — partial-aggregated map-side, one exchange, persisted for
+    * its three consumers (per-source sizes + both sides of the pair join).
+    * The self-join keys on `shingle`, whose per-key multiplicity is bounded
+    * by |sources| — so the join output is ≤ C(|sources|, 2) rows PER
+    * DISTINCT SHINGLE and never corpus×corpus; the result grid is ≤
+    * C(|sources|, 2) rows total. With thousands of sources the ubiquitous-
+    * shingle fan-out would get a df cap (the q_ngram_jaccard discipline);
+    * at this corpus' 20 sources the bound is 190 rows per shingle. */
+  val qSourceOverlap = GraftQuery(
+    "q_source_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = Tables.spread(Tables.documents(spark, dir))
+        .select($"source",
+          explode(call_function("word_shingles", $"text", lit(2))).as("s"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ns = sh.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val inter = sh.select($"source".as("src_a"), $"s")
+        .join(sh.select($"source".as("src_b"), $"s"), Seq("s"))
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(ns.select($"source".as("src_a"), $"ns".as("ns_a"))),
+          Seq("src_a"))
+        .join(broadcast(ns.select($"source".as("src_b"), $"ns".as("ns_b"))),
+          Seq("src_b"))
+        .select($"src_a", $"src_b", $"ns_a", $"ns_b", $"n_shared",
+          Det.qround($"n_shared".cast(DoubleType) /
+            ($"ns_a" + $"ns_b" - $"n_shared").cast(DoubleType)).as("jaccard"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT source, shingle FROM (
+          SELECT source,
+            unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+              AS shingle
+          FROM (SELECT source, string_split_regex(lower(text), '[[:space:]]+')
+                  AS ws
+                FROM documents))),
+      ns AS (SELECT source, count(*) AS ns FROM sh GROUP BY source),
+      iv AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, na.ns AS ns_a, nb.ns AS ns_b, n_shared,
+        ${Oracle.qround(
+          "n_shared::DOUBLE / (na.ns + nb.ns - n_shared)::DOUBLE")} AS jaccard
+      FROM iv
+      JOIN ns na ON na.source = iv.src_a
+      JOIN ns nb ON nb.source = iv.src_b
+      ORDER BY src_a, src_b""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
-      qLengthHistogram)
+      qLengthHistogram, qSourceOverlap)
 }

@@ -553,7 +553,74 @@ object LexicalStats {
       ORDER BY doc_id""")
   )
 
+  /** Vocabulary coverage curve per language — the tokenizer-sizing query:
+    * how many vocabulary entries (ranked by corpus frequency, ties by term)
+    * does it take to cover 90% / 99% of a language's token mass? A language
+    * whose `v99` is a large multiple of its `v90` has a long lexical tail —
+    * the signal that a shared multilingual vocabulary will fragment it into
+    * subword pieces (the [[qOovRate]] fairness metric's design-time
+    * counterpart: OOV rate audits a CHOSEN vocab, this query tells you what
+    * vocab size to choose).
+    *
+    * Exactness: ranks and cumulative masses are exact integers; the
+    * coverage threshold test is integer cross-multiplication
+    * (`cum·100 ≥ tot·90` — no double division anywhere), so the minimal
+    * ranks are definitionally identical across engines. (Long overflow
+    * would need a single-language token mass ≥ 9.2e16 ≈ 2e4× a 100 TB
+    * corpus.)
+    *
+    * Scale shape: one (lang, term) tf exchange (partial-aggregated
+    * map-side), then EVERYTHING runs on the vocabulary-sized relation —
+    * one lang-keyed exchange feeding both Windows (ordered cumulative sum
+    * + unordered total share the partitioning; Catalyst plans them without
+    * a second shuffle) and the final one-row-per-language rollup. The
+    * corpus never shuffles on anything wider than (lang, term). */
+  val qVocabCoverage = GraftQuery(
+    "q_vocab_coverage",
+    (spark, dir) => {
+      import spark.implicits._
+      val tf = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("cf"))
+      val byFreq = Window.partitionBy($"lang").orderBy($"cf".desc, $"term")
+      val whole = Window.partitionBy($"lang")
+      tf
+        .withColumn("rnk", row_number().over(byFreq))
+        .withColumn("cum", sum($"cf").over(byFreq
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"cf").over(whole))
+        .groupBy($"lang")
+        .agg(max($"tot").as("n_tokens"), count(lit(1)).as("vocab_size"),
+          min(when($"cum" * 100L >= $"tot" * 90L, $"rnk"))
+            .cast(LongType).as("v90"),
+          min(when($"cum" * 100L >= $"tot" * 99L, $"rnk"))
+            .cast(LongType).as("v99"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT lang, term, count(*) AS cf
+        FROM (SELECT lang,
+                unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+              FROM documents)
+        GROUP BY lang, term),
+      ranked AS (
+        SELECT lang, cf,
+          row_number() OVER w AS rnk,
+          sum(cf) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum,
+          sum(cf) OVER (PARTITION BY lang) AS tot
+        FROM tf
+        WINDOW w AS (PARTITION BY lang ORDER BY cf DESC, term))
+      SELECT lang, max(tot)::BIGINT AS n_tokens, count(*) AS vocab_size,
+        min(CASE WHEN cum * 100 >= tot * 90 THEN rnk END) AS v90,
+        min(CASE WHEN cum * 100 >= tot * 99 THEN rnk END) AS v99
+      FROM ranked
+      GROUP BY lang
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
-      qOovRate, qDsirWeights, qKlBySource, qTokenEntropy)
+      qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage)
 }

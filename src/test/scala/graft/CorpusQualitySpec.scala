@@ -107,4 +107,29 @@ class CorpusQualitySpec extends SparkSpec {
       .select($"bucket", $"n_docs").as[(Long, Long)].collect().toMap
     assert(r === Map(0L -> 2L, 1L -> 2L, 19L -> 2L))
   }
+
+  test("q_source_overlap hand-computed fixture grid") {
+    // srcA = docs {0, 2}: {fast fast, fast slow, slow slow, slow big}  (4)
+    // srcB = docs {1, 4}: {fast the, the big} ∪ {wi wi+1 : i=1..29}    (31)
+    // srcC = docs {3, 5}: {slow slow, slow big} ∪ {wi wi+1 : i=1..28}
+    //                     ∪ {w29 zz}                                   (31)
+    // A∩B = ∅ (pair absent); A∩C = 2 → 2/33; B∩C = 28 → 28/34
+    val got = CorpusQuality.qSourceOverlap.run(spark, fixtureDir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", "srcC", 4L, 31L, 2L, 0.060606),
+      ("srcB", "srcC", 31L, 31L, 28L, 0.823529)))
+  }
+
+  test("q_source_overlap laws at sf0.001: full grid, bounded intersections") {
+    val rows = CorpusQuality.qSourceOverlap.run(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // 20 sources sharing a 31-word vocabulary: every pair overlaps
+    assert(rows.size === 190)
+    rows.foreach { case (a, b, nsa, nsb, i, j) =>
+      assert(a < b)
+      assert(i >= 1 && i <= math.min(nsa, nsb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
 }

@@ -219,4 +219,28 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got(0)._4 < math.log(2) + 1e-9)
   }
 
+  test("q_vocab_coverage hand-computed fixture rows") {
+    // en: fast×3 slow×1 the×1 big×1 → n=6 V=4; cum 3,4,5,6 (ties term-asc:
+    //     big, slow, the) → first cum ≥ 5.4 and ≥ 5.94 is rank 4
+    // de: slow×6 big×2 → n=8 V=2; cum 6,8 → rank 2 for both thresholds
+    // fr: w1..w29 ×2, w30×1, zz×1 → n=60 V=31; cum(k)=2k for k ≤ 29 →
+    //     v90 = ⌈54/2⌉ = 27; cum(30)=59 < 59.4 → v99 = 31
+    val got = LexicalStats.qVocabCoverage.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("de", 8L, 2L, 2L, 2L),
+      ("en", 6L, 4L, 4L, 4L),
+      ("fr", 60L, 31L, 27L, 31L)))
+  }
+
+  test("q_vocab_coverage laws at sf0.001: rank ordering and bounds") {
+    val rows = LexicalStats.qVocabCoverage.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, v, v90, v99) =>
+      assert(1L <= v90 && v90 <= v99 && v99 <= v)
+      assert(v <= n)
+    }
+  }
+
 }
