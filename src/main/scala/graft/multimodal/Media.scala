@@ -348,7 +348,117 @@ object Media {
       ORDER BY ia, ib""")
   )
 
+  /** ViT patch edge for [[qPackMultimodal]] (224/16 = the standard 14×14
+    * grid at full FitBox). */
+  val PatchSize = 16L
+
+  /** Audio token rate for [[qPackMultimodal]] — tokens per (fake) second of
+    * audio payload, the Whisper-style fixed-rate encoder convention. */
+  val TokensPerAudioSecond = 25L
+
+  /** Context-window token budget for [[qPackMultimodal]] — larger than the
+    * text-only [[graft.operators.PipelineOps.PackSize]] because interleaved
+    * samples carry media tokens too. */
+  val MMPackTokens = 2048L
+
+  /** Interleaved multimodal sequence packing — the batch-assembly step of a
+    * multimodal training pipeline: each document is an interleaved sample
+    * costing its TEXT tokens plus its attached media object's tokens under
+    * the standard per-modality encoders — image: ViT patch grid of the
+    * [[qMediaResize]] output (`⌈out_w/16⌉·⌈out_h/16⌉`); audio: fixed
+    * [[TokensPerAudioSecond]] per second of [[qMediaFrames]]-convention
+    * duration; video: one resized frame per second, each a patch grid.
+    * Samples are then packed into [[MMPackTokens]]-token context windows
+    * per language with the SAME shared prefix-sum boundary math as text
+    * packing and byte shard planning — three consumers, one scheme.
+    *
+    * Exactness: resize doubles are the oracle-green [[qMediaResize]] ops;
+    * every token count is integer arithmetic (`⌈a/b⌉` as `(a+b−1) div b`);
+    * the prefix sum is exact BIGINT.
+    *
+    * Scale shape: token costing is map-only; the packing is one lang-keyed
+    * exchange + running-sum window (the [[graft.operators.PipelineOps]]
+    * per-stratum prefix-sum shape — parallelism = strata, the honest form
+    * of order-dependent packing). */
+  val qPackMultimodal = GraftQuery(
+    "q_pack_multimodal",
+    (spark, dir) => {
+      import spark.implicits._
+      val nBytes = length(encode($"text", "UTF-8")).cast(LongType)
+      val w = (nBytes % 640 + 1).cast(DoubleType)
+      val h = ((nBytes * 7) % 480 + 1).cast(DoubleType)
+      val scale = least(lit(FitBox.toDouble) / w, lit(FitBox.toDouble) / h)
+      val outW = greatest(lit(1L), floor(w * scale).cast(LongType))
+      val outH = greatest(lit(1L), floor(h * scale).cast(LongType))
+      val patches = expr(s"((out_w + ${PatchSize - 1}) div $PatchSize) * " +
+        s"((out_h + ${PatchSize - 1}) div $PatchSize)")
+      val costed = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang",
+          element_at(lit(Array("image", "audio", "video")),
+            (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+          size(graft.functions.Text.tokens($"text")).cast(LongType)
+            .as("n_text_tokens"),
+          outW.as("out_w"), outH.as("out_h"),
+          expr(s"cast(length(encode(text, 'UTF-8')) as bigint) div $BytesPerSecond")
+            .as("dur_s"))
+        .select($"doc_id", $"lang", $"kind", $"n_text_tokens",
+          when($"kind" === "image", patches)
+            .when($"kind" === "audio", $"dur_s" * TokensPerAudioSecond)
+            .otherwise(($"dur_s" + 1L) * patches).as("n_media_tokens"))
+        .withColumn("n_tokens", $"n_text_tokens" + $"n_media_tokens")
+      graft.operators.PipelineOps
+        .prefixDivAssign(costed, "lang", "doc_id", "n_tokens",
+          MMPackTokens, "pack_id")
+        .select($"doc_id", $"lang", $"kind", $"n_text_tokens",
+          $"n_media_tokens", $"n_tokens", $"pack_id",
+          ($"cum_before" % MMPackTokens).as("pack_offset"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH rs AS (
+        SELECT doc_id, lang, kind, n_text_tokens,
+          greatest(1, floor(w * least($FitBox.0 / w, $FitBox.0 / h)))::BIGINT
+            AS out_w,
+          greatest(1, floor(h * least($FitBox.0 / w, $FitBox.0 / h)))::BIGINT
+            AS out_h,
+          n_bytes // $BytesPerSecond AS dur_s
+        FROM (
+          SELECT doc_id, lang,
+            ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+            len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT
+              AS n_text_tokens,
+            octet_length(encode(text))::BIGINT AS n_bytes,
+            (octet_length(encode(text))::BIGINT % 640 + 1)::DOUBLE AS w,
+            ((octet_length(encode(text))::BIGINT * 7) % 480 + 1)::DOUBLE AS h
+          FROM documents)),
+      tok AS (
+        SELECT doc_id, lang, kind, n_text_tokens,
+          CASE kind
+            WHEN 'image' THEN
+              ((out_w + ${PatchSize - 1}) // $PatchSize)
+                * ((out_h + ${PatchSize - 1}) // $PatchSize)
+            WHEN 'audio' THEN dur_s * $TokensPerAudioSecond
+            ELSE (dur_s + 1)
+              * ((out_w + ${PatchSize - 1}) // $PatchSize)
+              * ((out_h + ${PatchSize - 1}) // $PatchSize)
+          END AS n_media_tokens
+        FROM rs),
+      packed AS (
+        SELECT doc_id, lang, kind, n_text_tokens, n_media_tokens,
+          n_text_tokens + n_media_tokens AS n_tokens,
+          coalesce(sum(n_text_tokens + n_media_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS cum_before
+        FROM tok)
+      SELECT doc_id, lang, kind, n_text_tokens, n_media_tokens, n_tokens,
+        cum_before // $MMPackTokens AS pack_id,
+        cum_before % $MMPackTokens AS pack_offset
+      FROM packed
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qMediaFeatures, qMediaResize, qMediaFrames, qMediaShards,
-      qMediaPhashDedup)
+      qMediaPhashDedup, qPackMultimodal)
 }

@@ -566,8 +566,84 @@ object PipelineOps {
       ORDER BY doc_id""")
   )
 
+  /** Epoch upsampling manifest — the EXECUTION step after
+    * [[Profiling.qMixtureWeights]] decides the allocation: each language's
+    * repeat ratio `r = alloc / n_tokens` is realized per document as
+    * `floor(r)` whole copies plus one fractional copy kept iff
+    * `u32(md5('epoch:' || doc_id)) < frac(r)·2³²` — deterministic Bernoulli
+    * rounding whose EXPECTED token count per language equals the allocation,
+    * with no engine-private RNG. The hash input is salted with `'epoch:'`
+    * so the fractional-copy decision is independent of the
+    * [[qStratifiedSample]] / [[qTrainSplit]] decisions that hash the bare
+    * doc_id (unsalted, a document unlucky in one draw would be unlucky in
+    * every draw).
+    *
+    * Exactness: `alloc` and `n_tokens` are exact BIGINTs, so `r` is ONE
+    * IEEE double quotient, `floor(r)` is exact, `r − floor(r)` and the
+    * `·2³²` threshold are single IEEE ops — every engine computes the same
+    * copy count by definition.
+    *
+    * Scale shape: the per-language ratio relation is language-count-sized
+    * and BROADCAST onto the corpus; the manifest itself is one map pass
+    * (native `rep_stats` token count + two md5s per row) — the corpus
+    * never shuffles except the output sort. */
+  val qEpochPlan = GraftQuery(
+    "q_epoch_plan",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+        .groupBy($"lang").agg(sum($"n_toks").as("n_tokens"))
+      val tot = per.agg(
+        sum(sqrt($"n_tokens".cast(DoubleType)).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("tot_sqrt"))
+      val weight = graft.functions.Det.qround(
+        sqrt($"n_tokens".cast(DoubleType)) / $"tot_sqrt")
+      val ratio = per.crossJoin(broadcast(tot))
+        .select($"lang",
+          (floor(weight * lit(Profiling.MixtureBudget.toDouble))
+            .cast(DoubleType) / $"n_tokens".cast(DoubleType)).as("r"))
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_doc_tokens"),
+          expr(u32Expr("concat('epoch:', cast(doc_id as string))")).as("u32"))
+        .join(broadcast(ratio), Seq("lang"))
+        .select($"doc_id", $"lang", $"n_doc_tokens",
+          (floor($"r") +
+            when($"u32" < floor(($"r" - floor($"r")) * lit(TwoPow32.toDouble))
+              .cast(LongType), 1L).otherwise(0L)).as("n_copies"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          len(string_split_regex(lower(text), '[[:space:]]+')) AS n_toks
+        FROM documents),
+      per AS (
+        SELECT lang, sum(n_toks)::BIGINT AS n_tokens FROM toks GROUP BY lang),
+      tot AS (
+        SELECT sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(38,12)))::DOUBLE
+          AS tot_sqrt
+        FROM per),
+      rat AS (
+        SELECT lang,
+          floor((${graft.Oracle.qround("sqrt(n_tokens::DOUBLE) / tot_sqrt")})
+              * ${Profiling.MixtureBudget}e0)
+            / n_tokens::DOUBLE AS r
+        FROM per CROSS JOIN tot)
+      SELECT doc_id, lang, n_toks::BIGINT AS n_doc_tokens,
+        (floor(r) + CASE
+          WHEN ${u32Sql("'epoch:' || doc_id::VARCHAR")}
+               < floor((r - floor(r)) * ${TwoPow32}e0)
+          THEN 1 ELSE 0 END)::BIGINT AS n_copies
+      FROM toks JOIN rat USING (lang)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
-      qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds)
+      qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
+      qEpochPlan)
 }

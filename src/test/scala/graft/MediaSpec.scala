@@ -141,4 +141,46 @@ class MediaSpec extends SparkSpec {
     assert(got.nonEmpty) // the tiny-vocab corpus must surface near-dups
   }
 
+  test("q_pack_multimodal equals an independent plain-Scala cost+pack model") {
+    def cost(id: Long, text: String): (String, Long, Long) = {
+      val n = text.getBytes("UTF-8").length
+      val kinds = Seq("image", "audio", "video")
+      val kind = kinds((id % 3).toInt)
+      val w = (n % 640 + 1).toDouble
+      val h = ((n.toLong * 7) % 480 + 1).toDouble
+      val scale = math.min(224.0 / w, 224.0 / h)
+      val outW = math.max(1L, math.floor(w * scale).toLong)
+      val outH = math.max(1L, math.floor(h * scale).toLong)
+      val patches = ((outW + 15) / 16) * ((outH + 15) / 16)
+      val durS = n / 100
+      val media = kind match {
+        case "image" => patches
+        case "audio" => durS * Media.TokensPerAudioSecond
+        case _       => (durS + 1) * patches
+      }
+      (kind, text.split("\\s+").length.toLong, media)
+    }
+    val costed = SparkSpec.fixtureDocs.map { case (id, text, lang, _) =>
+      val (kind, t, m) = cost(id, text)
+      (id, lang, kind, t, m, t + m)
+    }
+    val expected = costed.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(_._1).scanLeft((0L, 0L, "", "", 0L, 0L, 0L)) {
+        case ((cum, _, _, _, _, _, tokPrev), (id, lang, kind, t, m, tot)) =>
+          (cum + tokPrev, id, lang, kind, t, m, tot)
+      }.drop(1).map { case (cum, id, lang, kind, t, m, tot) =>
+        (id, lang, kind, t, m, tot,
+          cum / Media.MMPackTokens, cum % Media.MMPackTokens)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Media.qPackMultimodal.run(spark, fixtureDir)
+      .as[(Long, String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === expected)
+    // fixture sanity: all three modalities appear, and every sample's
+    // media cost is positive (an image is never 0 patches)
+    assert(got.map(_._3).distinct.sorted === Seq("audio", "image", "video"))
+    assert(got.filter(_._3 != "audio").forall(_._5 > 0))
+  }
+
 }

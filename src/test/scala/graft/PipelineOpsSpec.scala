@@ -117,4 +117,36 @@ class PipelineOpsSpec extends SparkSpec {
       corpusWindow.forall(_.replaceAll("#\\d+[L]?", "").contains("[pid]")),
       windows.mkString("\n"))
   }
+
+  test("q_epoch_plan equals an independent plain-Scala model of the math") {
+    // replicate the whole chain — decimal(38,12) sqrt sum, qround weight,
+    // allocation floor, ratio quotient, salted-md5 Bernoulli — outside Spark
+    def u32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = SparkSpec.fixtureDocs
+      .map { case (id, text, lang, _) => (id, lang, text.split("\\s+").length.toLong) }
+    val nTok = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val totSqrt = nTok.values.toSeq.sorted
+      .map(n => BigDecimal(math.sqrt(n.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val r = nTok.map { case (l, n) =>
+      l -> math.floor(qround(math.sqrt(n.toDouble) / totSqrt) * 1000000.0) / n }
+    val expected = docs.map { case (id, lang, nt) =>
+      val rr = r(lang)
+      val extra = if (u32(s"epoch:$id") <
+        math.floor((rr - math.floor(rr)) * 4294967296.0)) 1L else 0L
+      (id, lang, nt, math.floor(rr).toLong + extra)
+    }
+    val got = PipelineOps.qEpochPlan.run(spark, fixtureDir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // per-language Bernoulli rounding: copy counts differ by at most 1
+    got.groupBy(_._2).values.foreach { rows =>
+      val cs = rows.map(_._4)
+      assert(cs.max - cs.min <= 1)
+    }
+  }
 }
