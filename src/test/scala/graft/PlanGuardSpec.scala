@@ -79,4 +79,31 @@ class PlanGuardSpec extends SparkSpec {
     for (line <- p.linesIterator if line.contains("Cross,"))
       assert(line.contains("BroadcastNestedLoopJoin"), line)
   }
+
+  test("q_vocab_coverage: both windows + final agg share one lang exchange") {
+    val p = plan(graft.operators.LexicalStats.qVocabCoverage)
+    // exchanges: the (lang, term) tf shuffle, the lang window shuffle, and
+    // the output range sort — the unordered total-window and the final
+    // rollup must REUSE the lang partitioning, not add exchanges
+    assert(occurrences(p, "Exchange hashpartitioning") === 2, p)
+    assert(occurrences(p, "Window") === 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_source_overlap: persisted shingle relation feeds all three consumers") {
+    val p = plan(graft.operators.CorpusQuality.qSourceOverlap)
+    // pair-join sides + per-source sizes all read the one cached distinct
+    // (source, shingle) relation — fewer cache scans means the corpus-priced
+    // distinct recomputes per consumer
+    assert(occurrences(p, "InMemoryTableScan") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_epoch_plan: broadcast ratio relation, no corpus-sized join shuffle") {
+    val p = plan(graft.operators.PipelineOps.qEpochPlan)
+    // the language-sized ratio relation must broadcast onto the manifest's
+    // map pass; a SortMergeJoin means the corpus shuffled on lang
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
