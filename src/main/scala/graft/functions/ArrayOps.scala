@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native array expressions for the similarity operators.
@@ -249,6 +249,33 @@ object ArrayOps {
       b += 1
     }
     h
+  }
+
+  /** Upper-triangle outer-product stream of a float vector: one
+    * struct(i, j, p = double(vᵢ)·double(vⱼ)) per dimension pair i ≤ j, in
+    * row-major order — the map-side feed of the Gram/covariance aggregate
+    * (explode → partial sum per (i, j), so the shuffle carries d(d+1)/2
+    * rows per partition however large the corpus). Each product is one
+    * IEEE double multiply of exactly-widened floats — bit-identical to the
+    * oracle's `embedding[i]::DOUBLE * embedding[j]::DOUBLE`. */
+  def upperProducts(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = a.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Any](n * (n + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](i, j, v(i) * v(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Exact decimal squared L2 distance between a float vector and a double
@@ -884,6 +911,36 @@ case class Ahash16(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.ahash16($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Ahash16 =
+    copy(child = newChild)
+}
+
+/** `upper_products(vec)`: upper-triangle outer-product stream of an
+  * array&lt;float&gt; — array of struct(i, j, p) (see
+  * [[ArrayOps.upperProducts]]) — the map-side Gram/covariance feed. */
+case class UpperProducts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("p", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "upper_products"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("upper_products requires array<float>")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.upperProducts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.upperProducts($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): UpperProducts =
     copy(child = newChild)
 }
 

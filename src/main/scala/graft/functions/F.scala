@@ -38,6 +38,11 @@ object F {
   def ahash16(text: Column): Column =
     call_function("ahash16", text)
 
+  /** Upper-triangle outer-product stream (i, j, p) of a float vector —
+    * the map-side Gram/covariance feed (see [[ArrayOps.upperProducts]]). */
+  def upperProducts(vec: Column): Column =
+    call_function("upper_products", vec)
+
   /** Distinct lowercase word n-gram shingles of a text. */
   def wordShingles(text: Column, n: Int): Column =
     call_function("word_shingles", text, lit(n))

@@ -149,6 +149,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Ahash16].getName, "ahash16"),
       (args: Seq[Expression]) => Ahash16(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("upper_products"),
+      new ExpressionInfo(classOf[UpperProducts].getName, "upper_products"),
+      (args: Seq[Expression]) => UpperProducts(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head,

@@ -641,9 +641,74 @@ object PipelineOps {
       ORDER BY doc_id""")
   )
 
+  /** Sample size per language stratum for [[qWeightedSample]]. */
+  val WeightedPerLang = 15
+
+  /** Quality-weighted sampling WITHOUT replacement, per language —
+    * distributed Efraimidis–Spirakis (2006) A-ES: every document draws the
+    * key `ln(u) / w` (u = salted-md5 uniform in (0,1], w = the shared
+    * quality score) and each stratum keeps its [[WeightedPerLang]] largest
+    * keys. Inclusion probability is proportional to weight, the selection
+    * is a true sample without replacement, and — unlike sequential weighted
+    * reservoirs — the top-k-by-key formulation is embarrassingly parallel:
+    * partial top-k per partition, merge at the exchange (exactly Spark's
+    * WindowGroupLimit shape, shared with [[qTopQualityPerLang]]). The
+    * [[qStratifiedSample]] complement: that query realizes FIXED per-stratum
+    * rates; this one realizes per-DOCUMENT weights.
+    *
+    * Exactness: u = (u32+1)/2³² is an exact binary fraction (dividend ≤ 2³²
+    * exactly representable, divisor a power of two), `ln` over the same
+    * double is bit-identical across engines (the q_unigram_surprisal
+    * precedent), w is the 6-dp-rounded shared quality score (> 0 by
+    * construction — its log-length term alone is ≥ 0.3·ln 2), and the key
+    * is ONE IEEE division — so both engines rank identical keys. Ties
+    * cannot occur between distinct u (ln is injective) but the order
+    * pins (key, doc_id) anyway.
+    *
+    * Scale shape: map-only scoring (two md5s + the quality projection per
+    * row), per-stratum top-k with partial WindowGroupLimit before the one
+    * lang exchange — the corpus never fully sorts. */
+  val qWeightedSample = GraftQuery(
+    "q_weighted_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = (expr(u32Expr("concat('ws:', cast(doc_id as string))")) + 1L)
+        .cast(DoubleType) / lit(TwoPow32.toDouble)
+      val key = log(u) / TextAnalytics.qualityCol
+      val w = Window.partitionBy($"lang").orderBy($"es_key".desc, $"doc_id")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang",
+          TextAnalytics.qualityCol.as("quality"), key.as("es_key"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= WeightedPerLang)
+        .select($"doc_id", $"lang", $"quality",
+          graft.functions.Det.qround($"es_key").as("es_key"),
+          $"rk".cast(LongType).as("rk"))
+        .orderBy($"lang", $"rk")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          ${TextAnalytics.qualitySqlExpr} AS quality,
+          ln((${u32Sql("'ws:' || doc_id::VARCHAR")} + 1)::DOUBLE
+             / ${TwoPow32}e0)
+            / (${TextAnalytics.qualitySqlExpr}) AS es_key
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, lang, quality, es_key,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY es_key DESC, doc_id) AS rk
+        FROM scored)
+      SELECT doc_id, lang, quality,
+        ${graft.Oracle.qround("es_key")} AS es_key, rk::BIGINT AS rk
+      FROM ranked
+      WHERE rk <= $WeightedPerLang
+      ORDER BY lang, rk""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
-      qEpochPlan)
+      qEpochPlan, qWeightedSample)
 }

@@ -747,8 +747,74 @@ object Similarity {
       FROM cstats, dstats, nstats""")
   )
 
+  /** Embedding covariance matrix (population, upper triangle) — the
+    * whitening/PCA-prep statistic of the embedding space (decorrelating
+    * dimensions before product quantization or IVF routing is the standard
+    * OPQ-style preprocessing; the diagonal alone is the per-dimension
+    * variance audit): `cov(i,j) = (Σvᵢvⱼ − ΣvᵢΣvⱼ/n)/n` over all vectors.
+    *
+    * Scale shape: the native codegen `upper_products` expression streams
+    * each row's d(d+1)/2 (i, j, p) products into a partial+final aggregate
+    * keyed on the dimension pair — the shuffle carries d(d+1)/2 rows per
+    * partition HOWEVER large the corpus (the MLlib RowMatrix.computeGramian
+    * treeAggregate shape, expressed relationally so it stays on the
+    * oracle-verified surface); the d-row moment relations then broadcast.
+    *
+    * Exactness: float→double widening is exact, each product is one IEEE
+    * multiply, both sums go through the scale-12 decimal cast
+    * (order-independent), and the covariance combination is a pinned
+    * sequence of IEEE double ops over identical inputs. */
+  val qEmbedCovariance = GraftQuery(
+    "q_embed_covariance",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+      val n = emb.agg(count(lit(1)).as("n"))
+      val sx = emb
+        .select(posexplode($"embedding").as(Seq("i", "v")))
+        .groupBy($"i")
+        .agg(sum($"v".cast(DoubleType).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("sx"))
+      emb
+        .select(explode(call_function("upper_products", $"embedding")).as("c"))
+        .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+        .groupBy($"i", $"j")
+        .agg(sum($"p".cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))
+        .join(broadcast(sx), Seq("i"))
+        .join(broadcast(sx.select($"i".as("j"), $"sx".as("sy"))), Seq("j"))
+        .crossJoin(broadcast(n))
+        .select($"i".cast(LongType).as("i"), $"j".cast(LongType).as("j"),
+          Det.qround(($"sxy" - $"sx" * $"sy" / $"n".cast(DoubleType))
+            / $"n".cast(DoubleType)).as("cov"))
+        .orderBy($"i", $"j")
+    },
+    Some(s"""
+      WITH pr AS (
+        SELECT unnest(flatten(
+          [[{'i': i, 'j': j,
+             'p': embedding[i+1]::DOUBLE * embedding[j+1]::DOUBLE}
+            for j in range(i, len(embedding))]
+           for i in range(0, len(embedding))])) AS c
+        FROM embeddings),
+      sxy AS (
+        SELECT c.i AS i, c.j AS j,
+          sum(CAST(c.p AS DECIMAL(38,12)))::DOUBLE AS sxy
+        FROM pr GROUP BY c.i, c.j),
+      sx AS (
+        SELECT pos AS i, sum(CAST(v AS DECIMAL(38,12)))::DOUBLE AS sx
+        FROM ($explodedSql) GROUP BY pos),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
+      SELECT sxy.i::BIGINT AS i, sxy.j::BIGINT AS j,
+        ${Oracle.qround("(sxy - x.sx * y.sx / n) / n")} AS cov
+      FROM sxy
+      JOIN sx x ON x.i = sxy.i
+      JOIN sx y ON y.i = sxy.j
+      CROSS JOIN nn
+      ORDER BY i, j""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
-      qSemdedupCellAudit)
+      qSemdedupCellAudit, qEmbedCovariance)
 }

@@ -76,4 +76,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r === Seq((3L, 2L, 1L, 1L, 1.0, 1.5)))
   }
 
+  test("upper_products: row-major upper triangle, F wrapper == SQL") {
+    val df = Seq(Tuple1(Array(1f, 2f, 3f))).toDF("v")
+    val viaF = df.select(graft.functions.F.upperProducts($"v"))
+      .as[Seq[(Int, Int, Double)]].head()
+    val viaSql = df.selectExpr("upper_products(v)")
+      .as[Seq[(Int, Int, Double)]].head()
+    val expected = Seq((0, 0, 1.0), (0, 1, 2.0), (0, 2, 3.0),
+      (1, 1, 4.0), (1, 2, 6.0), (2, 2, 9.0))
+    assert(viaF === expected)
+    assert(viaSql === expected)
+  }
+
+  test("q_embed_covariance equals a plain-Scala dec12 model on the fixture") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val vecs = Tables.embeddings(spark, fixtureDir).orderBy("vec_id")
+      .as[(Long, Array[Float], Int)].collect().map(_._2)
+    val n = vecs.length.toDouble
+    val d = vecs.head.length
+    val expected = for {
+      i <- 0 until d; j <- i until d
+      sxy = vecs.map(v => dec12(v(i).toDouble * v(j).toDouble)).sum.toDouble
+      sx = vecs.map(v => dec12(v(i).toDouble)).sum.toDouble
+      sy = vecs.map(v => dec12(v(j).toDouble)).sum.toDouble
+    } yield (i.toLong, j.toLong, qround((sxy - sx * sy / n) / n))
+    val got = Similarity.qEmbedCovariance.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // diagonal = variances, never negative; full upper triangle present
+    assert(got.size === d * (d + 1) / 2)
+    assert(got.filter(r => r._1 == r._2).forall(_._3 >= 0.0))
+  }
+
 }
