@@ -182,6 +182,72 @@ object BehaviorAnalytics {
       ORDER BY event_id""")
   )
 
+  /** Modified-z threshold for [[qAnomalyMad]] (Iglewicz–Hoaglin's
+    * recommended 3.5). */
+  val MadThreshold = 3.5
+
+  /** 0.6745 ≈ Φ⁻¹(3/4): scales MAD to estimate σ under normality. */
+  val MadScale = 0.6745
+
+  /** Robust outlier detection via median absolute deviation — the screen
+    * that survives what breaks [[qOutlierEvents]]: the z-score's own mean
+    * and stddev are corrupted by the outliers being hunted (masking), while
+    * the median and MAD have a 50% breakdown point. Flags events whose
+    * modified z-score `0.6745·(v − med)/MAD` exceeds ±[[MadThreshold]]
+    * (Iglewicz & Hoaglin 1993).
+    *
+    * Exactness: Spark's exact interpolated `percentile` ≡ DuckDB's
+    * `quantile_cont` on raw doubles (the q_winsorized_stats precedent);
+    * the deviation, scaling, and ratio are pinned IEEE ops over identical
+    * medians. A zero-MAD group (majority-constant values) is excluded
+    * identically in both engines — same discipline as the zero-variance
+    * guard in [[qOutlierEvents]].
+    *
+    * Scale shape: two per-type aggregates (median pass, then MAD pass over
+    * broadcast-joined deviations) — exact medians are sort-based aggs kept
+    * deliberately as the oracle twin, with the GK-sketch
+    * `q_value_quantiles_approx` pattern as the declared scale path; the
+    * final screen broadcasts the 5-row (type, med, mad) relation onto a
+    * map-only scan. */
+  val qAnomalyMad = GraftQuery(
+    "q_anomaly_mad",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy($"event_type", $"med")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        .filter($"mad" > 0)
+      ev.join(broadcast(mad), Seq("event_type"))
+        .filter(abs(lit(MadScale) * ($"value" - $"med") / $"mad")
+          > MadThreshold)
+        .select($"event_id", $"event_type", $"value",
+          Det.qround(lit(MadScale) * ($"value" - $"med") / $"mad").as("mz"))
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, event_type, value FROM events),
+      med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM ev GROUP BY event_type),
+      mad AS (
+        SELECT e.event_type, med,
+          quantile_cont(abs(value - med), 0.5) AS mad
+        FROM ev e JOIN med USING (event_type)
+        GROUP BY e.event_type, med),
+      mg AS (SELECT * FROM mad WHERE mad > 0),
+      z AS (
+        SELECT event_id, e.event_type, value,
+          $MadScale * (value - med) / mad AS mz
+        FROM ev e JOIN mg USING (event_type))
+      SELECT event_id, event_type, value, ${Oracle.qround("mz")} AS mz
+      FROM z WHERE abs(mz) > $MadThreshold
+      ORDER BY event_id""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents)
+    Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad)
 }

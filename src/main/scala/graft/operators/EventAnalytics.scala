@@ -1001,6 +1001,59 @@ object EventAnalytics {
       ORDER BY event_type, ts_us, event_id""")
   )
 
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * pattern: a standing per-type summary (the 80% "base" slice, standing
+    * in for yesterday's materialization) is REFRESHED by merging the 20%
+    * "delta" slice's summary, WITHOUT rescanning the base rows' raw form.
+    * Works because every statistic carried is algebraic: counts and exact
+    * decimal sums add, min/max take min/max, and the mean is derived once
+    * from the merged exact state — the same partial/final decomposition
+    * Spark's own HashAggregate uses, lifted to the query level so a
+    * standing table can hold the partials across runs.
+    *
+    * The oracle is deliberately the ONE-SHOT full aggregation over all
+    * events: the gate proves refresh ≡ recompute bit-for-bit, which is the
+    * entire contract of incremental maintenance (exact decimal partials
+    * make the merge order-independent; IEEE-float partials would not
+    * hash-match a recompute).
+    *
+    * Scale shape: each slice is one partial+final aggregate on the bounded
+    * type key; the merge re-aggregates two |types|-row relations. At 100 TB
+    * only the delta slice is scanned per refresh — that is the point. */
+  val qIncrementalAgg = GraftQuery(
+    "q_incremental_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(38, 9))).as("s1"),
+            min($"value").as("mn"), max($"value").as("mx"))
+      val base = summarize(ev.filter(pmod($"event_id", lit(10)) < 8))
+      val delta = summarize(ev.filter(pmod($"event_id", lit(10)) >= 8))
+      base.unionByName(delta)
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n_events"), sum($"s1").as("s1"),
+          min($"mn").as("min_value"), max($"mx").as("max_value"))
+        .select($"event_type", $"n_events",
+          round($"s1", 6).cast(DoubleType).as("total_value"),
+          Det.qround($"s1".cast(DoubleType) / $"n_events").as("mean_value"),
+          $"min_value", $"max_value")
+        .orderBy($"event_type")
+    },
+    // the full one-shot recompute: refresh must equal it exactly
+    Some(s"""
+      SELECT event_type, count(*) AS n_events,
+        ${Oracle.dsum("value")} AS total_value,
+        ${Oracle.davg("value")} AS mean_value,
+        min(value) AS min_value, max(value) AS max_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1009,5 +1062,5 @@ object EventAnalytics {
     qPivotDaily, qCubeActivity, qEventValueStats, qValueMoments,
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
-    qWinsorizedStats)
+    qWinsorizedStats, qIncrementalAgg)
 }

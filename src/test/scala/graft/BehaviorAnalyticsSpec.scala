@@ -59,4 +59,25 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r => assert(math.abs(r._4) > 3.0 - 1e-6, r) }
   }
+
+  test("q_anomaly_mad fixture: no modified-z beyond 3.5, zero-MAD excluded") {
+    // click {1,3,5}: med 3, MAD 2 → max |mz| = 0.6745; view {2,4}: ±0.67;
+    // signup {6}: MAD 0 → excluded by the guard. Nothing flags.
+    assert(BehaviorAnalytics.qAnomalyMad.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_anomaly_mad on sf0.001: flagged rows exceed the modified-z bound") {
+    val rows = BehaviorAnalytics.qAnomalyMad
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r._4) > BehaviorAnalytics.MadThreshold - 1e-6, r)
+    }
+    // robustness: MAD flags at least the extreme z-outliers' magnitude
+    // class without being masked by them (same corpus, both screens fire)
+    val z = BehaviorAnalytics.qOutlierEvents
+      .run(spark, "/root/testdata/sf0.001").count()
+    assert(z > 0 && rows.length > 0)
+  }
 }

@@ -131,4 +131,32 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", 2L, 2.1, 3.9, 3.0)))
   }
 
+  test("q_incremental_agg: base+delta refresh equals hand-computed recompute") {
+    // fixture events: click values {1,3,5}, view {2,4}, signup {6}
+    val got = graft.operators.EventAnalytics.qIncrementalAgg
+      .run(spark, fixtureDir)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("click", 3L, 9.0, 3.0, 1.0, 5.0),
+      ("signup", 1L, 6.0, 6.0, 6.0, 6.0),
+      ("view", 2L, 6.0, 3.0, 2.0, 4.0)))
+  }
+
+  test("q_incremental_agg invariance at sf0.001: refresh == one-shot recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val direct = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Det.dsum($"value").as("total_value"),
+        graft.functions.Det.davg($"value").as("mean_value"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"event_type")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    val refreshed = graft.operators.EventAnalytics.qIncrementalAgg
+      .run(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(refreshed === direct)
+  }
+
 }
