@@ -1054,6 +1054,70 @@ object EventAnalytics {
       ORDER BY event_type""")
   )
 
+  /** Time-weighted average of `value` per (event_type, day) — the
+    * irregular-sampling mean: a plain AVG over-weights bursts of closely
+    * spaced readings, while the trapezoidal integral ∫v dt / ∫dt weights
+    * each reading by the time it "held". Each adjacent pair (ordered by
+    * ts, event_id within the day) contributes (vᵢ+vᵢ₋₁)/2 · Δt; the
+    * denominator telescopes to last−first. Days whose events all share one
+    * microsecond (span 0) have no integral and are excluded identically in
+    * both engines; a single-event day loses its only row to the lag filter
+    * and vanishes the same way.
+    *
+    * Exactness: (vᵢ+vᵢ₋₁)/2 · Δt is pinned IEEE double arithmetic (Δt a
+    * ≤2⁵³ integer, exact as double); the trapezoid sum goes through the
+    * exact decimal path, and the final quotient is qround'd.
+    *
+    * Scale shape: the lag window is partitioned by (event_type, day) — a
+    * bounded partition (one type-day of events) that shrinks further with
+    * sub-day bucketing; one hash exchange, partial+final aggregate on the
+    * same key, no self-join. */
+  val qTimeWeightedAvg = GraftQuery(
+    "q_time_weighted_avg",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type", $"day")
+        .orderBy($"ts_us", $"event_id")
+      Tables.events(spark, dir)
+        .select($"event_type", expr(s"ts_us div $DayUs").as("day"),
+          $"ts_us", $"event_id", $"value")
+        .select($"event_type", $"day", $"ts_us", $"value",
+          lag($"value", 1).over(w).as("pv"),
+          lag($"ts_us", 1).over(w).as("pt"))
+        .filter($"pt".isNotNull)
+        .groupBy($"event_type", $"day")
+        .agg(
+          count(lit(1)).as("n_seg"),
+          sum($"ts_us" - $"pt").as("span_us"),
+          sum(((($"value" + $"pv") / lit(2.0)) * ($"ts_us" - $"pt"))
+            .cast(DecimalType(38, 9))).cast(DoubleType).as("num"))
+        .filter($"span_us" > 0)
+        .select($"event_type", $"day", $"n_seg", $"span_us",
+          Det.qround($"num" / $"span_us").as("twa"))
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          epoch_us(ts) AS ts_us, event_id, value
+        FROM events),
+      l AS (
+        SELECT event_type, day, ts_us, value,
+          lag(value) OVER w AS pv, lag(ts_us) OVER w AS pt
+        FROM ev
+        WINDOW w AS (PARTITION BY event_type, day ORDER BY ts_us, event_id)),
+      s AS (
+        SELECT event_type, day, count(*) AS n_seg,
+          sum(ts_us - pt)::BIGINT AS span_us,
+          sum(CAST(((value + pv) / 2.0) * (ts_us - pt) AS DECIMAL(38,9)))::DOUBLE AS num
+        FROM l WHERE pt IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT event_type, day, n_seg, span_us,
+        ${Oracle.qround("num / span_us")} AS twa
+      FROM s WHERE span_us > 0
+      ORDER BY event_type, day""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1062,5 +1126,5 @@ object EventAnalytics {
     qPivotDaily, qCubeActivity, qEventValueStats, qValueMoments,
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
-    qWinsorizedStats, qIncrementalAgg)
+    qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg)
 }

@@ -706,9 +706,128 @@ object PipelineOps {
       ORDER BY lang, rk""")
   )
 
+  /** Length-bucket boundaries for [[qLengthBuckets]] — powers of two from
+    * 16 to 4096 (the fixed context lengths a batching system pads to).
+    * The SAME Seq generates both the Spark `when` chain and the oracle's
+    * CASE, so a boundary change cannot desync the engines. Documents longer
+    * than the last boundary clamp into it (upstream chunking — q_doc_chunks
+    * — guarantees ≤ context length in a real pipeline). */
+  val PadBuckets: Seq[Long] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+  /** Padding-waste audit for length-bucketed batch assembly: each document
+    * is padded up to the smallest power-of-two bucket that holds it, and the
+    * per-bucket waste ratio (padded tokens that carry no content) is what a
+    * batching scheme trades against bucket-count overhead. The standard
+    * sizing query behind dynamic batching / bucketed samplers: too few
+    * buckets → waste; too many → tiny batches.
+    *
+    * Exactness: bucket assignment and token sums are pure integer
+    * arithmetic; the waste ratio is one qround'd double quotient.
+    *
+    * Scale shape: map-only bucket assignment (a literal `when` chain —
+    * no join, no distinct-collect), one partial+final aggregate on the
+    * ≤|PadBuckets| bucket key. */
+  val qLengthBuckets = GraftQuery(
+    "q_length_buckets",
+    (spark, dir) => {
+      import spark.implicits._
+      val n = size(graft.functions.Text.tokens($"text")).cast(LongType)
+      val bucket = PadBuckets.init.foldRight(
+        lit(PadBuckets.last): org.apache.spark.sql.Column) {
+        (b, acc) => when(n <= b, lit(b)).otherwise(acc)
+      }
+      Tables.documents(spark, dir)
+        .select(bucket.as("bucket"), n.as("n_tokens"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .select($"bucket", $"n_docs", $"sum_tokens",
+          ($"bucket" * $"n_docs").as("padded_tokens"),
+          graft.functions.Det.qround(lit(1.0) -
+            $"sum_tokens".cast(DoubleType) / ($"bucket" * $"n_docs"))
+            .as("waste"))
+        .orderBy($"bucket")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT (CASE ${PadBuckets.init.map(b =>
+            s"WHEN n_tokens <= $b THEN $b").mkString(" ")}
+          ELSE ${PadBuckets.last} END)::BIGINT AS bucket, n_tokens
+        FROM (SELECT len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT
+                AS n_tokens FROM documents)),
+      agg AS (
+        SELECT bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+        FROM d GROUP BY bucket)
+      SELECT bucket, n_docs, sum_tokens,
+        (bucket * n_docs)::BIGINT AS padded_tokens,
+        ${graft.Oracle.qround("1.0 - sum_tokens::DOUBLE / (bucket * n_docs)")} AS waste
+      FROM agg
+      ORDER BY bucket""")
+  )
+
+  /** Per-language quality–length Pareto frontier (2D skyline: minimize
+    * n_tokens, maximize quality): the documents for which no other document
+    * of the same language is both no-longer AND no-worse (strictly better in
+    * at least one dimension). The data-selection view of "best value per
+    * token" — the frontier is the efficient set when a token budget trades
+    * off against the shared quality score; everything under the staircase is
+    * dominated. Equal-quality ties at the same length are all kept (neither
+    * dominates); a doc whose quality merely EQUALS a strictly-shorter doc's
+    * is dominated (the shorter one is strictly better on length).
+    *
+    * Scale shape: the skyline is computed on the per-(lang, n_tokens)
+    * max-quality AGGREGATE — one partial+final exchange over the corpus,
+    * after which the relation is (langs × distinct lengths) rows, bounded by
+    * the max document length, not the corpus. The prefix-max window runs
+    * over that bounded relation, and the winning (lang, length, quality)
+    * triples broadcast back onto the corpus scan to recover every frontier
+    * document. No corpus-sized window, no pair join (the naive NOT EXISTS
+    * dominance check is O(n²)). */
+  val qParetoFront = GraftQuery(
+    "q_pareto_front",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang",
+          size(graft.functions.Text.tokens($"text")).cast(LongType).as("n_tokens"),
+          TextAnalytics.qualityCol.as("quality"))
+      val byLen = docs.groupBy($"lang", $"n_tokens")
+        .agg(max($"quality").as("maxq"))
+      val frontier = byLen
+        .withColumn("prevq", max($"maxq").over(
+          Window.partitionBy($"lang").orderBy($"n_tokens")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter($"prevq".isNull || $"maxq" > $"prevq")
+        .select($"lang", $"n_tokens", $"maxq")
+      docs.join(broadcast(frontier), Seq("lang", "n_tokens"))
+        .filter($"quality" === $"maxq")
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .orderBy($"lang", $"n_tokens", $"doc_id")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, lang,
+          len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens,
+          ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM documents),
+      bylen AS (
+        SELECT lang, n_tokens, max(quality) AS maxq
+        FROM docs GROUP BY 1, 2),
+      front AS (
+        SELECT lang, n_tokens, maxq,
+          max(maxq) OVER (PARTITION BY lang ORDER BY n_tokens
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevq
+        FROM bylen)
+      SELECT doc_id, d.lang, d.n_tokens, quality
+      FROM docs d
+      JOIN front f ON d.lang = f.lang AND d.n_tokens = f.n_tokens
+        AND d.quality = f.maxq
+      WHERE prevq IS NULL OR maxq > prevq
+      ORDER BY d.lang, d.n_tokens, doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
-      qEpochPlan, qWeightedSample)
+      qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets)
 }

@@ -571,9 +571,57 @@ object TextAnalytics {
       LIMIT 20""")
   )
 
+  /** BPE tokenizer training, first merge step (Sennrich et al. 2016): the
+    * corpus-weighted frequency of every adjacent character pair, ranked —
+    * the top pair is the first merge a BPE trainer would perform, and the
+    * ranking is the merge-candidate table each subsequent iteration
+    * re-derives. Counted the way real BPE trainers do: build the WORD
+    * FREQUENCY table first (one corpus pass, partial+final on the token),
+    * then enumerate each distinct word's adjacent pairs once and weight by
+    * the word's corpus frequency — pair occurrences within a word count
+    * with multiplicity ("aaa" contributes "aa" twice).
+    *
+    * Scale shape: the only corpus-proportional work is the token-frequency
+    * aggregate; pair enumeration runs over the VOCABULARY (distinct words ×
+    * avg word length), the pair aggregate is pair-domain-sized, and the
+    * ranked output is a TakeOrderedAndProject top-20. This is why BPE
+    * training is feasible on 100 TB corpora at all — iterations touch the
+    * word-frequency table, never the raw text again. */
+  val qBpeMergePairs = GraftQuery(
+    "q_bpe_merge_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val words = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .filter(length($"word") >= 2)
+      words
+        .select($"word", $"freq",
+          explode(sequence(lit(1), length($"word") - 1)).as("i"))
+        .select($"word".substr($"i", lit(2)).as("pair"), $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("n_occ"))
+        .orderBy($"n_occ".desc, $"pair")
+        .limit(20)
+    },
+    Some("""
+      WITH words AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS word FROM documents)
+        GROUP BY word),
+      pos AS (
+        SELECT word, freq, unnest(range(1, length(word))) AS i
+        FROM words WHERE length(word) >= 2)
+      SELECT substring(word, i, 2) AS pair, sum(freq)::BIGINT AS n_occ
+      FROM pos
+      GROUP BY 1
+      ORDER BY n_occ DESC, pair
+      LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
-    qLangId, qFingerprint, qHeavyHitters)
+    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs)
 }

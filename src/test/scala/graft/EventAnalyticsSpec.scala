@@ -142,6 +142,20 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", 2L, 6.0, 3.0, 2.0, 4.0)))
   }
 
+  test("q_time_weighted_avg: hand-computed trapezoids; single-event days vanish") {
+    // fixture: events every 6h, value b+1, types [click,view,click,view,click,signup].
+    // Day 0 holds b=0..3; day 1 holds b=4,5.
+    //   click day 0: (v1 @0h, v3 @12h)  -> one segment, (1+3)/2 = 2.0 over 12h
+    //   view  day 0: (v2 @6h, v4 @18h)  -> one segment, (2+4)/2 = 3.0 over 12h
+    //   click day 1 (b=4) and signup day 1 (b=5) are single-event days -> excluded
+    val halfDayUs = 12L * 3600 * 1000000
+    val got = EventAnalytics.qTimeWeightedAvg.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("click", 0L, 1L, halfDayUs, 2.0),
+      ("view", 0L, 1L, halfDayUs, 3.0)))
+  }
+
   test("q_incremental_agg invariance at sf0.001: refresh == one-shot recompute") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"

@@ -149,4 +149,34 @@ class PipelineOpsSpec extends SparkSpec {
       assert(cs.max - cs.min <= 1)
     }
   }
+
+  test("pareto front equals the brute-force per-language skyline") {
+    // ground truth from the shared quality surface + an O(n²) dominance scan
+    val docs = graft.operators.TextAnalytics.qQualityScore.run(spark, fixtureDir)
+      .select($"doc_id", $"n_tokens", $"quality")
+      .as[(Long, Long, Double)].collect().toSeq
+    val langOf = SparkSpec.fixtureDocs.map(d => d._1 -> d._3).toMap
+    val rows = docs.map { case (id, nt, q) => (id, langOf(id), nt, q) }
+    val expected = rows.filter { case (id, l, nt, q) =>
+      !rows.exists { case (oid, ol, ont, oq) =>
+        oid != id && ol == l && ont <= nt && oq >= q && (ont < nt || oq > q)
+      }
+    }.sortBy(r => (r._2, r._3, r._1))
+    val got = PipelineOps.qParetoFront.run(spark, fixtureDir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+      .map(r => (r._1, r._2, r._3, r._4))
+    assert(got === expected)
+    // the de twins tie on both dimensions: neither dominates, both survive
+    assert(got.count(_._2 == "de") === 2)
+  }
+
+  test("length buckets: hand-computed pow-2 padding waste") {
+    // fixture token counts: 3,3,4,4 -> bucket 16 (sum 14, padded 64);
+    // 30,30 -> bucket 32 (sum 60, padded 64)
+    val got = PipelineOps.qLengthBuckets.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (16L, 4L, 14L, 64L, 0.78125),
+      (32L, 2L, 60L, 64L, 0.0625)))
+  }
 }

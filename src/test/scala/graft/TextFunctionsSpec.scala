@@ -89,4 +89,20 @@ class TextFunctionsSpec extends SparkSpec {
     // doc 5: 29 "w<i>" pairs + literal "zz" -> 59; 59/30 rounded at 6dp
     assert(r(5L) === ((5L, 59L, 30L, 1.966667)))
   }
+
+  test("bpe merge pairs: corpus-weighted adjacent-pair counts, hand-computed") {
+    // word freqs: fast=3, slow=7, the=1, big=3, w1..w29=2 each, w30=1, zz=1.
+    // pair "w1" = w1(2) + w10..w19(2 each) = 22; "w2" = w2(2) + w20..w29 = 22;
+    // slow's sl/lo/ow = 7; fast's fa/as/st = 3; big's bi/ig = 3; th/he = 1;
+    // "w3" = w3(2) + w30(1) = 3. Top-20 tie-break is (n_occ desc, pair asc),
+    // so the trailing freq-2 digit pairs admit "10".."18" and cut "19".
+    val got = operators.TextAnalytics.qBpeMergePairs.run(spark, fixtureDir)
+      .as[(String, Long)].collect().toSeq
+    val expected = Seq(
+      "w1" -> 22L, "w2" -> 22L,
+      "lo" -> 7L, "ow" -> 7L, "sl" -> 7L,
+      "as" -> 3L, "bi" -> 3L, "fa" -> 3L, "ig" -> 3L, "st" -> 3L, "w3" -> 3L) ++
+      (10 to 18).map(d => d.toString -> 2L)
+    assert(got === expected)
+  }
 }
