@@ -620,7 +620,134 @@ object LexicalStats {
       ORDER BY lang""")
   )
 
+  /** Tokenizer fertility audit per language — the bytes/chars-per-token
+    * ratios a multilingual pipeline tracks to see which languages the
+    * whitespace tokenizer serves cheaply and which it fragments (for a
+    * subword tokenizer the same query, pointed at its token counts, is the
+    * standard "fertility" fairness metric: a language paying 2× the
+    * bytes-per-token budget gets half the effective context window).
+    *
+    * Exactness: all five aggregates are integer sums (token counts,
+    * UTF-8 octet lengths, code-point lengths); the three ratios are single
+    * qround'd double quotients of exact integers.
+    *
+    * Scale shape: map-only projection (size/length/encode are codegen'd,
+    * no explode — the token ARRAY is never materialized into rows), one
+    * partial+final aggregate on the ≤|langs| key. At 100 TB one row per
+    * (partition, lang) crosses the exchange. */
+  val qTokenFertility = GraftQuery(
+    "q_token_fertility",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"lang",
+          size(Text.tokens($"text")).cast(LongType).as("nt"),
+          length($"text").cast(LongType).as("nc"),
+          length(encode($"text", "UTF-8")).cast(LongType).as("nb"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+          sum($"nc").as("n_chars"), sum($"nb").as("n_bytes"))
+        .select($"lang", $"n_docs", $"n_tokens", $"n_chars", $"n_bytes",
+          Det.qround($"n_bytes".cast(DoubleType) / $"n_tokens")
+            .as("bytes_per_token"),
+          Det.qround($"n_chars".cast(DoubleType) / $"n_tokens")
+            .as("chars_per_token"),
+          Det.qround($"n_tokens".cast(DoubleType) / $"n_docs")
+            .as("tokens_per_doc"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang,
+          len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS nt,
+          length(text)::BIGINT AS nc,
+          octet_length(encode(text))::BIGINT AS nb
+        FROM documents),
+      a AS (
+        SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+          sum(nc)::BIGINT AS n_chars, sum(nb)::BIGINT AS n_bytes
+        FROM d GROUP BY lang)
+      SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+        ${Oracle.qround("n_bytes::DOUBLE / n_tokens")} AS bytes_per_token,
+        ${Oracle.qround("n_chars::DOUBLE / n_tokens")} AS chars_per_token,
+        ${Oracle.qround("n_tokens::DOUBLE / n_docs")} AS tokens_per_doc
+      FROM a
+      ORDER BY lang""")
+  )
+
+  /** Zipf's-law fit over the corpus token-frequency spectrum — the OLS
+    * slope/intercept of ln(cf) on ln(rank), the one-number corpus-health
+    * summary (natural text sits near slope −1; machine-generated or
+    * boilerplate-heavy corpora flatten, dedup failures steepen the head).
+    * The diagnostic a curation run plots after every major filter stage.
+    *
+    * Exactness: rank is an exact integer (freq desc, term asc — the
+    * CountVectorizer tie-break); each ln is one libm call on a bit-identical
+    * input (the q_unigram_surprisal precedent); the regression moments
+    * Σx, Σy, Σxy, Σx² go through the scale-12 decimal cast
+    * (order-independent), and the closed-form slope/intercept is a pinned
+    * sequence of IEEE double ops, qround'd.
+    *
+    * Scale shape: one corpus-pass (term) aggregate (partial+final), then
+    * EVERYTHING runs on the vocabulary-sized relation: the global
+    * frequency rank is a single-partition sort of the vocabulary — bounded
+    * by distinct terms, not corpus size, the same discipline as the TF-IDF
+    * vocab rank — and the moments collapse in one partial+final aggregate
+    * to a single row. */
+  val qZipfFit = GraftQuery(
+    "q_zipf_fit",
+    (spark, dir) => {
+      import spark.implicits._
+      val cf = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cf"))
+      cf
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"cf".desc, $"term")))
+        .select(log($"rnk".cast(DoubleType)).as("x"),
+          log($"cf".cast(DoubleType)).as("y"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          sum($"x".cast(DecimalType(38, 12))).cast(DoubleType).as("sx"),
+          sum($"y".cast(DecimalType(38, 12))).cast(DoubleType).as("sy"),
+          sum(($"x" * $"y").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sxy"),
+          sum(($"x" * $"x").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sxx"))
+        .select($"n_terms",
+          Det.qround(($"n_terms" * $"sxy" - $"sx" * $"sy") /
+            ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("slope"),
+          Det.qround(($"sy" * $"sxx" - $"sx" * $"sxy") /
+            ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("intercept"))
+    },
+    Some(s"""
+      WITH cf AS (
+        SELECT term, count(*) AS cf
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS term FROM documents)
+        GROUP BY term),
+      ranked AS (
+        SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+        FROM cf),
+      xy AS (
+        SELECT ln(rnk::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM ranked),
+      m AS (
+        SELECT count(*) AS n_terms,
+          sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+          sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+          sum(CAST(x * y AS DECIMAL(38,12)))::DOUBLE AS sxy,
+          sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx
+        FROM xy)
+      SELECT n_terms,
+        ${Oracle.qround(
+          "(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)")} AS slope,
+        ${Oracle.qround(
+          "(sy * sxx - sx * sxy) / (n_terms * sxx - sx * sx)")} AS intercept
+      FROM m""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
-      qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage)
+      qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
+      qTokenFertility, qZipfFit)
 }

@@ -764,32 +764,36 @@ object Similarity {
     * multiply, both sums go through the scale-12 decimal cast
     * (order-independent), and the covariance combination is a pinned
     * sequence of IEEE double ops over identical inputs. */
-  val qEmbedCovariance = GraftQuery(
-    "q_embed_covariance",
-    (spark, dir) => {
-      import spark.implicits._
-      val emb = Tables.spread(Tables.embeddings(spark, dir))
-      val n = emb.agg(count(lit(1)).as("n"))
-      val sx = emb
-        .select(posexplode($"embedding").as(Seq("i", "v")))
-        .groupBy($"i")
-        .agg(sum($"v".cast(DoubleType).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("sx"))
-      emb
-        .select(explode(call_function("upper_products", $"embedding")).as("c"))
-        .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
-        .groupBy($"i", $"j")
-        .agg(sum($"p".cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))
-        .join(broadcast(sx), Seq("i"))
-        .join(broadcast(sx.select($"i".as("j"), $"sx".as("sy"))), Seq("j"))
-        .crossJoin(broadcast(n))
-        .select($"i".cast(LongType).as("i"), $"j".cast(LongType).as("j"),
-          Det.qround(($"sxy" - $"sx" * $"sy" / $"n".cast(DoubleType))
-            / $"n".cast(DoubleType)).as("cov"))
-        .orderBy($"i", $"j")
-    },
-    Some(s"""
-      WITH pr AS (
+  /** Upper-triangle covariance relation (i, j, cov) with the 6-dp-rounded
+    * entries — shared by [[qEmbedCovariance]] (which just orders it) and
+    * [[qPcaPower]] (which iterates on it; sharing the ROUNDED matrix is
+    * what keeps both engines' power iterations on bit-identical inputs). */
+  private def covUpper(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+    val n = emb.agg(count(lit(1)).as("n"))
+    val sx = emb
+      .select(posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"i")
+      .agg(sum($"v".cast(DoubleType).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("sx"))
+    emb
+      .select(explode(call_function("upper_products", $"embedding")).as("c"))
+      .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+      .groupBy($"i", $"j")
+      .agg(sum($"p".cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))
+      .join(broadcast(sx), Seq("i"))
+      .join(broadcast(sx.select($"i".as("j"), $"sx".as("sy"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select($"i".cast(LongType).as("i"), $"j".cast(LongType).as("j"),
+        Det.qround(($"sxy" - $"sx" * $"sy" / $"n".cast(DoubleType))
+          / $"n".cast(DoubleType)).as("cov"))
+  }
+
+  /** Oracle CTE chain ending in `cov(i, j, cov)` — the DuckDB twin of
+    * [[covUpper]]. */
+  private def covSql: String = s"""
+      pr AS (
         SELECT unnest(flatten(
           [[{'i': i, 'j': j,
              'p': embedding[i+1]::DOUBLE * embedding[j+1]::DOUBLE}
@@ -803,18 +807,119 @@ object Similarity {
       sx AS (
         SELECT pos AS i, sum(CAST(v AS DECIMAL(38,12)))::DOUBLE AS sx
         FROM ($explodedSql) GROUP BY pos),
-      nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings)
-      SELECT sxy.i::BIGINT AS i, sxy.j::BIGINT AS j,
-        ${Oracle.qround("(sxy - x.sx * y.sx / n) / n")} AS cov
-      FROM sxy
-      JOIN sx x ON x.i = sxy.i
-      JOIN sx y ON y.i = sxy.j
-      CROSS JOIN nn
-      ORDER BY i, j""")
+      nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+      cov AS (
+        SELECT sxy.i::BIGINT AS i, sxy.j::BIGINT AS j,
+          ${Oracle.qround("(sxy - x.sx * y.sx / n) / n")} AS cov
+        FROM sxy
+        JOIN sx x ON x.i = sxy.i
+        JOIN sx y ON y.i = sxy.j
+        CROSS JOIN nn)"""
+
+  val qEmbedCovariance = GraftQuery(
+    "q_embed_covariance",
+    (spark, dir) =>
+      covUpper(spark, dir).orderBy(col("i"), col("j")),
+    Some(s"""
+      WITH $covSql
+      SELECT i, j, cov FROM cov ORDER BY i, j""")
+  )
+
+  /** Power-iteration count for [[qPcaPower]]. Fixed (not convergence-
+    * tested) so the computation is a deterministic finite plan in both
+    * engines; 4 steps resolve the top component to well past the 6-dp
+    * output rounding whenever the spectral gap is moderate (error decays
+    * as (λ₂/λ₁)^k). */
+  val PowerIters = 4
+
+  /** Top principal component of the embedding space by power iteration —
+    * the OPQ/whitening prep step on top of [[qEmbedCovariance]]: the
+    * dominant eigenvector is the rotation axis PCA-based dimension
+    * reduction, ANN pre-rotation, and embedding-drift monitoring all start
+    * from. Output: one row per dimension with its loading, plus the
+    * Rayleigh-quotient eigenvalue estimate (the L2 norm of the last
+    * un-normalized iterate — since its input is unit-norm, ‖Cv‖ → λ₁).
+    *
+    * Exactness: both engines iterate on the SAME 6-dp-rounded covariance
+    * entries ([[covUpper]]); each mat-vec addend `cov·vⱼ` is one IEEE
+    * multiply summed through the scale-12 decimal cast
+    * (order-independent), the norm is one sqrt of such a sum, and v₀ =
+    * 1/√d is a pinned double expression — so every iterate is
+    * bit-identical across engines and the 6-dp output rounding is safe.
+    *
+    * Scale shape: the corpus-priced work is covUpper's d(d+1)/2-per-
+    * partition Gramian exchange (done ONCE — the d²-row matrix relation is
+    * then `localCheckpoint`ed, MLlib's own iterative-algorithm discipline:
+    * without lineage truncation each of the [[PowerIters]] unrolled steps
+    * re-embeds the whole covariance subtree TWICE — once under the norm,
+    * once under the normalized iterate — and the logical plan grows 2^k
+    * copies that Catalyst re-optimizes from scratch); each d-row iterate is
+    * likewise checkpointed, so every step plans as one flat
+    * matrix-join-broadcast over materialized leaves. No corpus re-scan, no
+    * driver-side collect. */
+  val qPcaPower = GraftQuery(
+    "q_pca_power",
+    (spark, dir) => {
+      import spark.implicits._
+      val up = covUpper(spark, dir)
+      val full = up.union(
+        up.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"cov"))
+        .localCheckpoint()
+      val d = full.agg(countDistinct($"i").as("d"))
+      var v = full.select($"i").distinct()
+        .crossJoin(broadcast(d))
+        .select($"i", (lit(1.0) / sqrt($"d".cast(DoubleType))).as("v"))
+        .localCheckpoint()
+      var lambda: DataFrame = null
+      for (_ <- 1 to PowerIters) {
+        val w = full
+          .join(broadcast(v.select($"i".as("j"), $"v".as("vj"))), Seq("j"))
+          .groupBy($"i")
+          .agg(sum(($"cov" * $"vj").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("w"))
+          .localCheckpoint()
+        val nrm = w.agg(
+          sqrt(sum(($"w" * $"w").cast(DecimalType(38, 12))).cast(DoubleType))
+            .as("nrm")).localCheckpoint()
+        lambda = nrm
+        v = w.crossJoin(broadcast(nrm)).select($"i", ($"w" / $"nrm").as("v"))
+          .localCheckpoint()
+      }
+      v.crossJoin(broadcast(lambda))
+        .select($"i".as("dim"), Det.qround($"v").as("loading"),
+          Det.qround($"nrm").as("lambda"))
+        .orderBy($"dim")
+    },
+    Some {
+      val iters = (1 to PowerIters).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""
+      w$k AS (
+        SELECT f.i, sum(CAST(f.cov * p.v AS DECIMAL(38,12)))::DOUBLE AS w
+        FROM full_m f JOIN $prev p ON p.i = f.j GROUP BY f.i),
+      n$k AS (
+        SELECT sqrt(sum(CAST(w * w AS DECIMAL(38,12)))::DOUBLE) AS nrm
+        FROM w$k),
+      v$k AS (SELECT i, w / nrm AS v FROM w$k, n$k)"""
+      }.mkString(",")
+      s"""
+      WITH $covSql,
+      full_m AS (
+        SELECT i, j, cov FROM cov
+        UNION ALL
+        SELECT j AS i, i AS j, cov FROM cov WHERE i <> j),
+      dd AS (SELECT count(DISTINCT i)::DOUBLE AS d FROM full_m),
+      v0 AS (SELECT DISTINCT i, 1.0 / sqrt(d) AS v FROM full_m, dd),$iters
+      SELECT i AS dim,
+        ${Oracle.qround("v")} AS loading,
+        ${Oracle.qround("nrm")} AS lambda
+      FROM v$PowerIters, n$PowerIters
+      ORDER BY dim"""
+    }
   )
 
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
-      qSemdedupCellAudit, qEmbedCovariance)
+      qSemdedupCellAudit, qEmbedCovariance, qPcaPower)
 }

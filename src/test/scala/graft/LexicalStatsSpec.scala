@@ -243,4 +243,43 @@ class LexicalStatsSpec extends SparkSpec {
     }
   }
 
+  test("q_token_fertility hand-computed per-language ratios") {
+    // en: docs 0/1 — 6 tokens, 26 ASCII chars (= 26 bytes); 26/6 qrounds
+    //     to 4.333333 (floor at the 6th dp), tokens/doc = 3
+    // de: docs 2/3 — 8 tokens, 36 chars → 4.5, 4 tokens/doc
+    // fr: docs 4/5 — 60 tokens; chars 110 + 109 = 219 → 3.65, 30/doc
+    val got = LexicalStats.qTokenFertility.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("de", 2L, 8L, 36L, 36L, 4.5, 4.5, 4.0),
+      ("en", 2L, 6L, 26L, 26L, 4.333333, 4.333333, 3.0),
+      ("fr", 2L, 60L, 219L, 219L, 3.65, 3.65, 30.0)))
+  }
+
+  test("q_zipf_fit equals the plain-Scala dec12 OLS model; slope < 0") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def dsum(vs: Seq[Double]): Double = vs.map(dec12).sum.toDouble
+    // fixture vocabulary: slow(7) > big(3) = fast(3) > w1..w29(2) >
+    // the(1) = w30(1) = zz(1) — 35 terms, ranked (cf desc, term asc)
+    val cf = SparkSpec.fixtureDocs
+      .flatMap(_._2.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val ranked = cf.toSeq.sortBy { case (t, c) => (-c, t) }
+    val xs = ranked.zipWithIndex.map { case (_, i) => math.log((i + 1).toDouble) }
+    val ys = ranked.map { case (_, c) => math.log(c.toDouble) }
+    val n = ranked.size.toDouble
+    val sx = dsum(xs); val sy = dsum(ys)
+    val sxy = dsum(xs.zip(ys).map { case (a, b) => a * b })
+    val sxx = dsum(xs.map(a => a * a))
+    val expSlope = qround((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    val expIcept = qround((sy * sxx - sx * sxy) / (n * sxx - sx * sx))
+    val got = LexicalStats.qZipfFit.run(spark, fixtureDir)
+      .as[(Long, Double, Double)].head()
+    assert(got === ((35L, expSlope, expIcept)))
+    assert(expSlope < 0.0)
+  }
+
 }

@@ -110,4 +110,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(r => r._1 == r._2).forall(_._3 >= 0.0))
   }
 
+  test("q_pca_power equals a plain-Scala dec12 power-iteration model") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // iterate on the SAME rounded covariance the query starts from
+    val cov = Similarity.qEmbedCovariance.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect()
+    val d = 8
+    val m = Array.ofDim[Double](d, d)
+    cov.foreach { case (i, j, c) =>
+      m(i.toInt)(j.toInt) = c; m(j.toInt)(i.toInt) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lam = 0.0
+    for (_ <- 1 to Similarity.PowerIters) {
+      val w = Array.tabulate(d)(i =>
+        dsumModel((0 until d).map(j => m(i)(j) * v(j)), dec12))
+      lam = math.sqrt(dsumModel(w.toSeq.map(x => x * x), dec12))
+      v = w.map(_ / lam)
+    }
+    val got = Similarity.qPcaPower.run(spark, fixtureDir)
+      .as[(Long, Double, Double)].collect().toSeq
+    val expected = (0 until d).map(i => (i.toLong, qround(v(i)), qround(lam)))
+    assert(got === expected)
+    // fixture's active 2×2 block [[.1675,-.1725],[-.1725,.2075]] has
+    // λ₁ = (0.375 + √0.120625)/2 ≈ 0.361156 — 4 iterations land within 1e-3
+    assert(math.abs(got.head._3 - 0.361156) < 1e-3)
+    // dims 2..7 carry no variance: loadings exactly 0
+    assert(got.drop(2).forall(_._2 === 0.0))
+  }
+
+  private def dsumModel(vs: Seq[Double], dec12: Double => BigDecimal): Double =
+    vs.map(dec12).sum.toDouble
+
 }
