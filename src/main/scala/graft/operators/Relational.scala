@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Oracle, Tables}
 import graft.functions.Det._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Core relational surface on the TPC-H-ish tables: scans with pushed-down
   * predicates, partial+final hash aggregation, broadcast vs shuffle joins,
@@ -361,7 +362,90 @@ object Relational {
     Some(existsSql("supplier", "lineitem", "nation"))
   )
 
+  /** TPC-H Q8-style national market share — the one join SHAPE the rest of
+    * the relational surface doesn't exercise: the same dimension (`nation`)
+    * participates in TWO ROLES at once (the customer's nation scopes the
+    * market region; the supplier's nation is the share dimension), so the
+    * planner must keep two independent broadcast copies rather than reuse
+    * one. Share of the EUROPE-market ECONOMY-part volume supplied from
+    * NATION_3, per order year.
+    *
+    * Exactness: both volume sums go through dsum (decimal-exact,
+    * order-independent, 6-dp-rounded) and the share is one qround'd
+    * quotient of the two ROUNDED sums — a pinned double op on identical
+    * inputs. Year extraction is calendar arithmetic on an ntz timestamp
+    * (no zone dependence), cast to long on both sides.
+    *
+    * Scale shape: part filter and both nation-role lookups broadcast (the
+    * customer side collapses to a key set before broadcasting); the only
+    * corpus-priced exchange is the lineitem⋈orders fact-fact join; the
+    * conditional share aggregates partial+final on the ≤|years| key. */
+  val qMarketShare = GraftQuery(
+    "q_market_share",
+    (spark, dir) => {
+      import spark.implicits._
+      val euroCust = Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+            .join(broadcast(Tables.region(spark, dir)
+              .filter($"r_name" === "EUROPE")),
+              $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val supNation = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("s_nation"))
+      val ord = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").cast(LongType).as("o_year"))
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+        .join(broadcast(Tables.part(spark, dir)
+          .filter($"p_type" === "ECONOMY").select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(euroCust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"o_year")
+        .agg(
+          dsum(when($"s_nation" === "NATION_3", $"volume")
+            .otherwise(lit(0.0))).as("nation_volume"),
+          dsum($"volume").as("total_volume"))
+        .select($"o_year", $"nation_volume", $"total_volume",
+          qround($"nation_volume" / $"total_volume").as("mkt_share"))
+        .orderBy($"o_year")
+    },
+    Some(s"""
+      WITH vol AS (
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+          ${Oracle.dsum(
+            """CASE WHEN n2.n_name = 'NATION_3'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END""")}
+            AS nation_volume,
+          ${Oracle.dsum("l_extendedprice * (1 - l_discount)")} AS total_volume
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, region, nation n2
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_nationkey = n2.n_nationkey
+          AND p_type = 'ECONOMY'
+        GROUP BY 1)
+      SELECT o_year, nation_volume, total_volume,
+        ${Oracle.qround("nation_volume / total_volume")} AS mkt_share
+      FROM vol
+      ORDER BY o_year""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
+    qMarketShare,
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
     qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface,
     qCorrelatedScalar, q5LocalSupplier, qExistsRewrite)

@@ -866,10 +866,12 @@ object Similarity {
         up.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"cov"))
         .localCheckpoint()
       val d = full.agg(countDistinct($"i").as("d"))
+      // only `w` needs truncating: each iterate's norm and normalization
+      // derive FLATLY from the checkpointed w, so checkpointing them too
+      // would just add eager jobs (~130 ms each) without shrinking any plan
       var v = full.select($"i").distinct()
         .crossJoin(broadcast(d))
         .select($"i", (lit(1.0) / sqrt($"d".cast(DoubleType))).as("v"))
-        .localCheckpoint()
       var lambda: DataFrame = null
       for (_ <- 1 to PowerIters) {
         val w = full
@@ -880,10 +882,9 @@ object Similarity {
           .localCheckpoint()
         val nrm = w.agg(
           sqrt(sum(($"w" * $"w").cast(DecimalType(38, 12))).cast(DoubleType))
-            .as("nrm")).localCheckpoint()
+            .as("nrm"))
         lambda = nrm
         v = w.crossJoin(broadcast(nrm)).select($"i", ($"w" / $"nrm").as("v"))
-          .localCheckpoint()
       }
       v.crossJoin(broadcast(lambda))
         .select($"i".as("dim"), Det.qround($"v").as("loading"),

@@ -106,4 +106,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_token_fertility: map-only projection — no explode, one lang exchange") {
+    val p = plan(graft.operators.LexicalStats.qTokenFertility)
+    // size(split(...)) must stay a scalar projection; a Generate here means
+    // the token array materialized into corpus×tokens rows
+    assert(!p.contains("Generate"), p)
+    assert(occurrences(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_zipf_fit: one corpus exchange; rank + moments on the vocab only") {
+    val p = plan(graft.operators.LexicalStats.qZipfFit)
+    // the only hash exchange is the (term) cf aggregate — the global
+    // frequency rank is a deliberate vocab-sized SinglePartition window
+    // and the regression moments collapse without another shuffle
+    assert(occurrences(p, "Exchange hashpartitioning") === 1, p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_pareto_front: skyline on the aggregate; frontier broadcast back") {
+    val p = plan(graft.operators.PipelineOps.qParetoFront)
+    // the prefix-max window runs on the (lang, n_tokens) AGGREGATE and the
+    // winning triples must come back to the corpus as a broadcast join —
+    // a SortMergeJoin means the corpus shuffled on (lang, n_tokens)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

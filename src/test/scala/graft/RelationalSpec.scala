@@ -118,4 +118,53 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
   }
 
+  test("Q8 market share: laws, one fact-fact shuffle join, dims broadcast") {
+    val out = Relational.qMarketShare.run(spark, dir)
+    val rows = out.as[(Long, Double, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nv, tv, share) =>
+      assert(nv >= 0.0 && nv <= tv)
+      assert(share >= 0.0 && share <= 1.0)
+      // the share column IS the qround'd quotient of the emitted sums
+      assert(share === math.floor(nv / tv * 1e6 + 0.5) / 1e6)
+    }
+    // independent recomputation: per-year volumes from first principles
+    val nations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".cast("long"), $"n_name", $"r_name")
+      .as[(Long, String, String)].collect()
+    val euro = nations.filter(_._3 == "EUROPE").map(_._1).toSet
+    val nname = nations.map(n => n._1 -> n._2).toMap
+    val euroCust = Tables.customer(spark, dir)
+      .filter($"c_nationkey".cast("long").isin(euro.toSeq: _*))
+      .select($"c_custkey").as[Long].collect().toSet
+    val supN = Tables.supplier(spark, dir)
+      .select($"s_suppkey".cast("long"), $"s_nationkey".cast("long"))
+      .as[(Long, Long)].collect().map { case (s, n) => s -> nname(n) }.toMap
+    val econ = Tables.part(spark, dir).filter($"p_type" === "ECONOMY")
+      .select($"p_partkey").as[Long].collect().toSet
+    val facts = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_partkey", $"l_suppkey", $"o_custkey",
+        year($"o_orderdate").cast("long"),
+        $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .filter(f => econ(f._1) && euroCust(f._3))
+    val expected = facts.groupBy(_._4).map { case (y, fs) =>
+      def dsum(vs: Seq[Double]) = (vs.map(v =>
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble
+      val tv = dsum(fs.map(_._5))
+      val nv = dsum(fs.map(f =>
+        if (supN(f._2) == "NATION_3") f._5 else 0.0))
+      (y, nv, tv, math.floor(nv / tv * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy(_._1)
+    assert(rows === expected)
+    // plan: both nation roles + part + customer keys broadcast; the only
+    // non-broadcast join is lineitem ⋈ orders
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
 }
