@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Oracle, Tables}
 import graft.functions.{Det, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -751,8 +752,94 @@ object Dedup {
       ORDER BY doc_id""")
   )
 
+  /** Candidate threshold for the prefix index as an exact rational. The
+    * verified filter keeps pairs with qROUNDED jaccard ≥ 0.7, which admits
+    * raw J as low as 0.6999995 = 1399999/2000000 — the same widening rule
+    * as LengthFilterNum above: prefix lengths sized for the plain 7/10
+    * could prune a pair the rounded filter keeps. */
+  val PrefixThreshold = 0.7
+  val PrefixNum = 1399999L
+  val PrefixDen = 2000000L
+
+  /** Lossless prefix-filtered exact-Jaccard self-join (AllPairs, Bayardo et
+    * al. WWW'07; PPJoin, Xiao et al. WWW'08) — the EXACT complement of
+    * q_ngram_jaccard's df-cap. There, hot shingles are dropped from the
+    * feature set (a documented semantic change); here the FULL 3-shingle
+    * sets are kept and only candidate GENERATION is pruned, provably
+    * without changing the result.
+    *
+    * Global shingle order = (df ASC, shingle ASC) — rarest first — and each
+    * document indexes only its first ns − ⌈t′·ns⌉ + 1 shingles under that
+    * order. Prefix-filter lemma: two sets with |A∩B| ≥ α must collide
+    * within their (|·| − α + 1)-prefixes, and J ≥ t′ forces
+    * α ≥ ⌈t′·ns⌉ on each side — so every qualifying pair shares a prefix
+    * shingle, while the hottest shingles (exactly the ones that explode a
+    * naive shared-shingle join) fall out of every prefix. The symmetric
+    * PPJoin length filter (min/max ≥ t′, exact integer form) rides in the
+    * join condition.
+    *
+    * The oracle is the UNPRUNED full shared-shingle join — the gate
+    * re-proves losslessness cross-engine on every run.
+    *
+    * Scale shape: df aggregate (one shuffle on shingle) → per-doc rank
+    * (one window shuffle on doc_id) → prefix join keyed on shingle with
+    * fan-out concentrated on rare keys → array-intersect verify only on
+    * candidate pairs. No unbounded pair explosion anywhere; candidate
+    * count shrinks as the corpus grows hotter, the opposite of the naive
+    * join. */
+  val qJaccardPrefix = GraftQuery(
+    "q_jaccard_prefix",
+    (spark, dir) => {
+      import spark.implicits._
+      val docsSh = docShingles(spark, dir, 3)
+      // persisted: feeds the df aggregate AND the ranked prefix projection
+      val ex = docsSh.select($"doc_id", explode($"sh").as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy($"doc_id")
+      val prefix = ex.join(dfreq, Seq("shingle"))
+        .select($"doc_id", $"shingle",
+          row_number().over(wDoc.orderBy($"df", $"shingle")).as("rk"),
+          count(lit(1)).over(wDoc).as("ns"))
+        .filter($"rk" <=
+          $"ns" - expr(s"(ns * $PrefixNum + ${PrefixDen - 1}) div $PrefixDen")
+            + lit(1))
+        .select($"doc_id", $"shingle", $"ns")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.ns" * lit(PrefixDen) >= $"b.ns" * lit(PrefixNum) &&
+            $"b.ns" * lit(PrefixDen) >= $"a.ns" * lit(PrefixNum))
+        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib")).distinct()
+      cand
+        .join(docsSh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
+        .join(docsSh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
+        .select($"ia", $"ib",
+          size(array_intersect($"sha", $"shb")).as("inter"),
+          size($"sha").as("na"), size($"shb").as("nb"))
+        .select($"ia", $"ib",
+          Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
+        .filter($"jaccard" >= PrefixThreshold)
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH sh AS (${shinglesSql(3)}),
+      sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY ia, ib)
+      SELECT ia, ib,
+        ${Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS jaccard
+      FROM inter
+      JOIN sizes na ON ia = na.doc_id
+      JOIN sizes nb ON ib = nb.doc_id
+      WHERE ${Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")}
+          >= $PrefixThreshold
+      ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
-    qSpanDedup)
+    qSpanDedup, qJaccardPrefix)
 }

@@ -99,4 +99,31 @@ class DedupSpec extends SparkSpec {
     assert(r.get((2L, 3L)) === Some(0L))
     assert(r.values.forall(_ >= 0L))
   }
+
+  test("prefix-filtered jaccard join is lossless vs the unpruned full join") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    // the gate's oracle re-checks this at sf0.01/sf0.1; here: the fixture
+    // (planted pairs) AND sf0.001 against a driver-side brute-force over
+    // the FULL shingle sets — every J ≥ 0.7 pair must survive the pruning
+    for (d <- Seq(fixtureDir, "/root/testdata/sf0.001")) {
+      val got = Dedup.qJaccardPrefix.run(spark, d)
+        .as[(Long, Long, Double)].collect().toSeq
+      val sh = Tables.documents(spark, d)
+        .select($"doc_id", call_function("word_shingles", $"text", lit(3)))
+        .as[(Long, Seq[String])].collect().map { case (id, s) => (id, s.toSet) }
+      val expected = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        inter = sa.intersect(sb).size
+        un = sa.size + sb.size - inter
+        if un > 0
+        j = math.floor(inter.toDouble / un * 1e6 + 0.5) / 1e6
+        if j >= Dedup.PrefixThreshold
+      } yield (ia, ib, j)).toSeq.sortBy(p => (p._1, p._2))
+      assert(got === expected, d)
+    }
+    // fixture sanity: both planted near-dup pairs survive at t = 0.7
+    val fx = Dedup.qJaccardPrefix.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fx === Set((2L, 3L, 1.0), (4L, 5L, 0.931034)))
+  }
 }

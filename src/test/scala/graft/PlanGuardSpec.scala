@@ -126,6 +126,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_jaccard_prefix: shingle-keyed candidate join, prefix cut in place") {
+    val p = plan(Dedup.qJaccardPrefix)
+    // candidates come from an equi-join on the prefix shingle — never a
+    // pair enumeration
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the integer-exact prefix cut (ns·1399999 ceil-div) must ride as a
+    // pre-join Filter on the ranked rows, not vanish into a post-join pass
+    assert(p.contains(s"* ${Dedup.PrefixNum}"), p)
+  }
+
   test("q_pareto_front: skyline on the aggregate; frontier broadcast back") {
     val p = plan(graft.operators.PipelineOps.qParetoFront)
     // the prefix-max window runs on the (lang, n_tokens) AGGREGATE and the
