@@ -19,6 +19,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // legacy-compat: lets Tables.events read old INT64 TIMESTAMP(NANOS)
+      // files; no-op on the current timestamp[us] testdata (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,15 +62,15 @@ object Bench {
       q.name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
     }
     // The consumer keeps only the last ~2000 chars of run output and parses
-    // JSON from that window. At 112 queries the single combined line grew to
-    // ~2.9 KB and was truncated mid-line (BENCH_r06 parsed:null). So: emit the
-    // full per-query detail FIRST (recoverable from logs / a wider window),
-    // then a compact <200-char summary line LAST — the tail window always
-    // captures the final line whole no matter how many queries are added.
+    // JSON from that window. At 112 queries a single combined detail line grew
+    // to ~2.9 KB and was truncated mid-line (BENCH_r06 parsed:null). So: emit
+    // the per-query detail FIRST as several SHORT lines (each a complete JSON
+    // object covering a slice of the suite — a mid-line cut in the consumer's
+    // window costs one slice, not half the suite), then a compact <200-char
+    // summary line LAST — the tail window always captures the final line
+    // whole no matter how many queries are added.
     // 3 decimals (ms resolution); Locale.ROOT pins '.' as decimal separator.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     // "sf" as a bare number (sf0.1 -> 0.1) when the dir follows the testdata
@@ -79,7 +81,12 @@ object Bench {
       .findFirstMatchIn(sfDir.stripSuffix("/"))
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    println(s"""{"metric":"detail","unit":"sec","sf":$sf,"queries":$qs}""")
+    val slices = results.grouped(math.max(1, math.ceil(results.size / 8.0).toInt)).toSeq
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val qs = slice.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"detail","part":${i + 1},"of":${slices.size},"unit":"sec","sf":$sf,"queries":$qs}""")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"n":${results.size},"failed":$failed}""")
     spark.stop()
   }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic tables (TESTDATA.md).
   *
@@ -24,22 +25,47 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events.parquet stores `ts` as parquet INT64 TIMESTAMP(NANOS) which Spark
-    * cannot map to TimestampType directly; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as nanosecond
-    * bigint. We expose both:
+  /** Schema-adaptive events loader. The driver has shipped `events.parquet`
+    * with two different physical types for `ts` across rounds — INT64
+    * TIMESTAMP(NANOS) (arrives as nanosecond bigint under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and, after a regeneration,
+    * plain `timestamp[us]` (arrives as TimestampNTZType, or TimestampType if
+    * NTZ inference is off). Branch on the LOADED type instead of assuming one
+    * shape, so a future regeneration cannot break the events family again.
+    * Either way we expose both:
     *   - `ts_us`  : epoch microseconds (bigint) — exact, used in arithmetic and
     *                in query outputs (robust to compare across engines;
-    *                DuckDB twin is `epoch_us(ts)`).
+    *                DuckDB twin is `epoch_us(ts)`, which handles timestamp[us]
+    *                and TIMESTAMP(NANOS) alike).
     *   - `ts`     : TimestampType at microsecond precision.
-    * NOTE `ts div 1000` must be integer division — ns epochs exceed the 53-bit
-    * mantissa of a double, so `/ 1000` through DoubleType would corrupt values.
+    * NOTE (nanos branch) `ts div 1000` must be integer division — ns epochs
+    * exceed the 53-bit mantissa of a double, so `/ 1000` through DoubleType
+    * would corrupt values.
+    * NOTE (NTZ branch) the naive wall-clock must be interpreted as UTC to
+    * match DuckDB's epoch_us; `convert_timezone('UTC', current_timezone())`
+    * before the cast makes that explicit and independent of the session zone
+    * (all graft entrypoints set UTC anyway).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // no-op on micros/NTZ files; keeps legacy INT64(NANOS) files readable
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-bigint shape
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType => // timestamp[us], isAdjustedToUTC=false
+        raw
+          .withColumn("ts", convert_timezone(lit("UTC"), current_timezone(), col("ts"))
+            .cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case TimestampType => // timestamp[us], isAdjustedToUTC=true (or INT96)
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected LongType (nanos), " +
+            "TimestampNTZType or TimestampType")
+    }
   }
 
   /** Spread a scan across the cluster ONLY when the scan itself cannot: the

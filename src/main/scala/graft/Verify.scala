@@ -15,7 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores INT64 TIMESTAMP(NANOS); see Tables.events
+      // legacy-compat: lets Tables.events read old INT64 TIMESTAMP(NANOS)
+      // files; no-op on the current timestamp[us] testdata (schema-adaptive
+      // loader branches on the loaded type — see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -137,14 +137,144 @@ object SentimentLexicon {
       "agony", "atrocious", "catastrophe", "catastrophic", "devastated",
       "devastating", "disastrous", "horrendous", "horrific", "horrified",
       "nightmare", "terrified", "terrifying", "torture", "tortured",
-      "tragedy", "tragic")
+      "tragedy", "tragic") ++
+    // round-8 widening: same provenance and scaling rules as above (general
+    // English sentiment knowledge, intensities in eighths, no verbatim list)
+    tier(0.625)(
+      "dazzling", "exhilarating", "exquisite", "immaculate", "impeccable",
+      "majestic", "unbeatable", "wondrous") ++
+    tier(0.5)(
+      "astonishing", "astounding", "beloved", "bliss", "cherished", "elated",
+      "enchanted", "enchanting", "epic", "genius", "heroic", "jubilant",
+      "legendary", "overjoyed", "radiant", "sensational", "victorious") ++
+    tier(0.375)(
+      "admirable", "affection", "affectionate", "appealing", "attractive",
+      "bright", "compassion", "compassionate", "courage", "courageous",
+      "dedicated", "delicious", "devoted", "empower", "empowered", "enjoy",
+      "enjoyable", "enjoyed", "enthusiasm", "favorite", "flourish",
+      "flourishing", "forgive", "freedom", "fulfilled", "fulfilling",
+      "generosity", "genuine", "gifted", "grace", "gracious", "gratitude",
+      "harmonious", "harmony", "honor", "honored", "ideal", "innovative",
+      "intelligent", "kindness", "laughter", "loving", "loyal", "loyalty",
+      "memorable", "motivated", "motivating", "noble", "praised", "prosper",
+      "prosperity", "prosperous", "refreshing", "satisfaction", "stellar",
+      "talented", "treasure", "triumph", "uplifting", "valuable", "warmth",
+      "wholesome", "wow") ++
+    tier(0.25)(
+      "able", "abundance", "abundant", "admired", "advantage", "affordable",
+      "approve", "approved", "assure", "assured", "attentive", "balanced",
+      "benefit", "beneficial", "bless", "blessed", "boost", "boosted",
+      "charitable", "charity", "classy", "comfy", "commend", "commended",
+      "committed", "congrats", "congratulations", "considerate",
+      "constructive", "content", "contented", "convenient", "cordial",
+      "courteous", "cozy", "dependable", "diligent", "earnest", "ease",
+      "efficient", "elevate", "elevated", "enrich", "enriched", "excel",
+      "excelled", "famous", "favor", "favorable", "fond", "fortunate",
+      "fortune", "glow", "glowing", "goodness", "goodwill", "handy",
+      "heartfelt", "helping", "honesty", "humble", "impress", "impressed",
+      "innovation", "insightful", "inspire", "inspires", "inviting",
+      "justice", "merit", "mindful", "neat", "nifty", "nourish",
+      "nourishing", "patient", "playful", "popular", "practical",
+      "productive", "proficient", "progress", "promising", "prompt",
+      "protect", "protected", "proven", "pure", "reassure", "reassured",
+      "recommend", "recommended", "refined", "refresh", "refreshed",
+      "resilient", "resolve", "resolved", "robust", "satisfy", "savvy",
+      "sincere", "skilled", "skillful", "smooth", "soothe", "soothing",
+      "sparkle", "sparkling", "spirited", "steadfast", "strength",
+      "succeed", "succeeded", "superior", "supportive", "tender",
+      "thoughtful", "thrive", "thriving", "tidy", "timely", "tolerant",
+      "tranquil", "trustworthy", "truthful", "upbeat", "upgrade",
+      "upgraded", "uplift", "uplifted", "versatile", "vital", "vivid",
+      "willing", "witty", "wonder", "worthwhile") ++
+    tier(0.125)(
+      "adequate", "advance", "advanced", "affirm", "affirmed", "aid",
+      "aided", "allow", "allowed", "ample", "apt", "certain", "clarity",
+      "clear", "complete", "completed", "consent", "consistent", "credible",
+      "decent", "defend", "defended", "eligible", "enable", "enabled",
+      "endorse", "endorsed", "engage", "engaged", "enough", "establish",
+      "established", "familiar", "feasible", "grant", "granted", "grow",
+      "growing", "guarantee", "guaranteed", "guide", "guided", "increase",
+      "increased", "intrigued", "mature", "normal", "notable", "plus",
+      "prepared", "proper", "reasonable", "recover", "recovered",
+      "recovering", "relief", "restore", "restored", "revive", "revived",
+      "settle", "settled", "sound", "sufficient", "sure", "tolerable",
+      "upward", "valid", "validated", "viable", "well", "wellness", "won") ++
+    tier(-0.125)(
+      "awkward", "bland", "bother", "bothered", "burden", "burdened",
+      "cheap", "clumsy", "cluttered", "concern", "concerned", "costly",
+      "cramped", "decline", "declined", "deficit", "dim", "distracted",
+      "distraction", "doubt", "doubtful", "doubts", "drained", "fatigue",
+      "fatigued", "flaw", "flawed", "fuss", "fussy", "glitch", "hassle",
+      "hesitant", "idle", "inconsistent", "lack", "lacking", "lag",
+      "lagging", "limited", "mediocre", "mundane", "murky", "obstacle",
+      "outdated", "overdue", "overload", "overloaded", "pricey", "rusty",
+      "setback", "shaky", "shortage", "skeptical", "sluggish", "stale",
+      "stall", "stalled", "strain", "strained", "stuck", "tedious",
+      "tense", "tension", "uncertain", "uncertainty", "uneasy", "uneven",
+      "unstable", "vague", "wary", "weary", "worn") ++
+    tier(-0.25)(
+      "abandon", "abandoned", "accuse", "accused", "ache", "aching",
+      "aggravate", "aggravated", "aggravating", "agitated", "annoyance",
+      "apathy", "apprehensive", "argue", "argued", "argument", "arrogant",
+      "blunder", "breach", "broke", "bruise", "bruised", "chaos",
+      "chaotic", "complicated", "conflict", "confront", "confronted",
+      "cranky", "crude", "cumbersome", "defect", "defective", "deficient",
+      "degrade", "degraded", "denied", "deny", "deprive", "deprived",
+      "disagree", "disagreed", "disagreement", "disapprove", "disapproved",
+      "discomfort", "discontent", "discourage", "discouraged", "disorder",
+      "dispute", "disrupt", "disrupted", "disruption", "disturb",
+      "disturbed", "disturbing", "drab", "erratic", "excuse", "excuses",
+      "exhausted", "exhausting", "faulty", "feeble", "fool", "fooled",
+      "foolish", "forgot", "forgotten", "fragile", "frown", "frustrate",
+      "frustrated", "frustrating", "frustration", "gloomy", "grievance",
+      "grim", "gross", "grudge", "grumpy", "harm", "harmed", "harmful",
+      "helpless", "hinder", "hindered", "ignorant", "ignore", "ignored",
+      "ill", "impatient", "improper", "inability", "inadequate",
+      "incomplete", "inconvenient", "inferior", "injure", "injured",
+      "injury", "insecure", "irritate", "irritated", "irritating", "junk",
+      "lackluster", "misinformed", "mislead", "misled", "mistaken",
+      "mistakes", "mock", "mocked", "moody", "neglect", "neglected",
+      "objection", "overpriced", "overwhelmed", "penalty", "pessimistic",
+      "petty", "pity", "protest", "provoke", "provoked", "quarrel",
+      "reckless", "refuse", "refused", "remorse", "resent", "resented",
+      "restless", "risky", "sarcastic", "scold", "scolded", "shabby",
+      "shaken", "shock", "shocked", "shocking", "slump", "sneaky",
+      "spoil", "spoiled", "stubborn", "stumble", "stumbled", "subpar",
+      "suspect", "suspicion", "tantrum", "troubling", "unable",
+      "uncomfortable", "undermine", "undermined", "unfinished", "unfit",
+      "unfortunate", "unfriendly", "ungrateful", "unlucky", "unpleasant",
+      "unreliable", "unsafe", "unsatisfied", "unsettling", "unwanted",
+      "unwelcome", "unwell", "vain", "vex", "vexed", "victim", "warn",
+      "warned", "warning", "whine", "whined", "worse", "worsen",
+      "worsened") ++
+    tier(-0.375)(
+      "anger", "anguish", "appalled", "appalling", "betrayal", "brutal",
+      "condemn", "condemned", "contempt", "corrupt", "corrupted",
+      "corruption", "deceit", "deceive", "deceived", "despise", "despised",
+      "destruction", "destructive", "disgrace", "disgraceful", "dishonest",
+      "dismal", "distress", "distressed", "distressing", "doom", "doomed",
+      "dreadful", "enrage", "enraged", "fraud", "frightened",
+      "frightening", "fury", "havoc", "heartbreaking", "heartbroken",
+      "hideous", "humiliate", "humiliated", "humiliating", "humiliation",
+      "hurtful", "illegal", "incompetent", "infuriate", "infuriated",
+      "infuriating", "insulting", "liar", "loathe", "loathed", "mad",
+      "malice", "malicious", "menace", "menacing", "misery", "mourn",
+      "mourning", "obnoxious", "offensive", "outrage", "outraged",
+      "outrageous", "revolting", "ruthless", "scandal", "scandalous",
+      "scorn", "severe", "shattered", "sinister", "slander", "spiteful",
+      "terror", "treacherous", "unacceptable", "unbearable", "unethical",
+      "unforgivable", "vile", "villain", "violent", "wicked", "wrath") ++
+    tier(-0.5)(
+      "abysmal", "calamity", "deplorable", "despicable", "diabolical",
+      "excruciating", "ghastly", "gruesome", "harrowing", "heinous",
+      "monstrous", "sickening", "unspeakable")
 
   /** The full lexicon every scorer tier and oracle consumes: core + widened.
     * Core comes first and the two sets are disjoint (tested), so lookup
     * semantics are unambiguous. */
   val all: Seq[(String, Double)] = entries ++ extended
 
-  /** Lexicon as a DataFrame (term string, valence double). Small (~390
+  /** Lexicon as a DataFrame (term string, valence double). Small (~1050
     * rows) — any join against it broadcasts. */
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * trailing time-window filter, rolling mean ± 2σ bands, group-sums, top-k,
   * latest-row metrics, plus JSON prop extraction (F8 family).
   *
-  * Timestamps: events.ts is nanosecond-precision; all arithmetic happens on
-  * exact epoch-microsecond bigints (`ts_us`) so Spark and the DuckDB oracle
-  * (epoch_us) agree bit-for-bit — see Tables.events.
+  * Timestamps: Tables.events adapts to the physical type the driver shipped
+  * (INT64 nanos in early rounds, timestamp[us] since the round-7 regen) and
+  * always exposes exact epoch-microsecond bigints (`ts_us`); all arithmetic
+  * happens on `ts_us` so Spark and the DuckDB oracle (epoch_us) agree
+  * bit-for-bit regardless of the file's shape — see Tables.events.
   */
 object EventAnalytics {
 

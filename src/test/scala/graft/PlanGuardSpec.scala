@@ -137,6 +137,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains(s"* ${Dedup.PrefixNum}"), p)
   }
 
+  test("q_pca_power: checkpointed iterates — the final plan never re-embeds the covariance subtree") {
+    val p = plan(graft.operators.Similarity.qPcaPower)
+    // localCheckpoint truncates lineage after the one Gramian pass: the
+    // executed plan of the LAST step must read materialized iterate RDDs,
+    // not re-plan the covariance computation (which would grow 2^k copies
+    // of the upper_products scan across the unrolled power iteration)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("upper_products"), p)
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("BatchScan"), p)
+    // the norm rides in as a broadcast 1-row relation, never a shuffle join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_pareto_front: skyline on the aggregate; frontier broadcast back") {
     val p = plan(graft.operators.PipelineOps.qParetoFront)
     // the prefix-max window runs on the (lang, n_tokens) AGGREGATE and the

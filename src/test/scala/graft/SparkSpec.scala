@@ -20,6 +20,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // legacy-compat for old INT64(NANOS) events files; no-op on timestamp[us]
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
@@ -55,13 +56,18 @@ object SparkSpec {
       .write.parquet(s"$dir/documents.parquet")
 
     // one event per 6h bucket b=0..5: value b+1, user b%2, props k=b*10.
-    // ts is written as epoch NANOS int64, like the driver's events table
-    // reads under spark.sql.legacy.parquet.nanosAsLong.
+    // ts is written as parquet timestamp[us] with isAdjustedToUTC=false
+    // (TimestampNTZ), matching the driver's CURRENT events table; the
+    // legacy INT64(NANOS) shape is covered by SchemaDriftSpec, which pins
+    // both branches of the adaptive Tables.events loader to identical ts_us.
     (0 to 5).map { b =>
       val types = Seq("click", "view", "click", "view", "click", "signup")
-      (b.toLong, b * SixHoursUs * 1000L, (b % 2).toLong, types(b),
+      (b.toLong, b * SixHoursUs, (b % 2).toLong, types(b),
         (b + 1).toDouble, s"""{"k": ${b * 10}}""")
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros($"ts_us").cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
 
     // embeddings: 0 and 1 identical; 2 orthogonal; 3 between (cos 0.6 / 0.8)

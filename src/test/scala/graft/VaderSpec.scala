@@ -43,7 +43,11 @@ class VaderSpec extends SparkSpec {
   }
 
   test("without doubt is neutral (negation carve-out)") {
-    check("without doubt fast", 0.1901)   // s stays 0.75
+    // "fast" keeps +0.75 (the carve-out suppresses the distance-2 negation);
+    // "doubt" itself scores −0.125 (round-8 lexicon) and IS negated by the
+    // adjacent "without" (the carve-out only guards the word after "doubt"):
+    // s = 0.75 + (−0.125 · −0.74) = 0.8425
+    check("without doubt fast", 0.2126)
     check("without pause fast", -0.1419)  // control: "without" still negates
   }
 
