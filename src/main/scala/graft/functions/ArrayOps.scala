@@ -527,6 +527,73 @@ object ArrayOps {
     }
     new GenericInternalRow(Array[Any](maxAbs, new GenericArrayData(errs)))
   }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): md5-hex each positional word n-gram, slide a w-window over
+    * the hash sequence, keep each window's MINIMUM hash, return the DISTINCT
+    * selected hashes sorted ascending.
+    *
+    * Guarantee (the paper's): any token run of length ≥ n + w − 1 shared by
+    * two documents contributes at least one shared selected fingerprint —
+    * so overlap detection keyed on this set has no false negatives above
+    * that span length, while keeping only ~2/(w+1) of the gram stream.
+    * Lowercase-hex md5 strings compare identically to their digest bytes
+    * (the nibble→hex map is monotonic), so both engines pick the same
+    * minima. Fewer than n tokens → empty array; 0 < grams < w → one window
+    * spanning all grams (the standard short-document tail rule). Positions
+    * are deliberately dropped: the overlap operators key on the hash SET,
+    * and a distinct sorted array keeps the per-doc relation bounded.
+    *
+    * The window scan is the naive O(grams·w) loop — w is a small constant
+    * (≤ 8 everywhere in the engine) and the md5 pass dominates; a monotonic
+    * deque would save nothing measurable. Same lowercase `split("\\s+", -1)`
+    * tokenization as every other text op in the engine. */
+  def winnowHashes(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val md = md5Local.get()
+    val hs = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hx = new java.lang.StringBuilder(32)
+      hex32(d, hx)
+      hs(i) = hx.toString
+      i += 1
+    }
+    val sel = new java.util.TreeSet[String]()
+    val nWindows = math.max(m - w + 1, 1)
+    var s = 0
+    while (s < nWindows) {
+      var min = hs(s)
+      var k = s + 1
+      val end = math.min(s + w, m)
+      while (k < end) {
+        if (hs(k).compareTo(min) < 0) min = hs(k)
+        k += 1
+      }
+      sel.add(min)
+      s += 1
+    }
+    val out = new Array[AnyRef](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(it.next())
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `dot_f32(a, b)`: exact-decimal dot product of two array&lt;float&gt;. */
@@ -993,5 +1060,33 @@ case class Q8Stats(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): Q8Stats =
+    copy(child = newChild)
+}
+
+/** `winnow_hashes(text, n, w)`: distinct sorted winnowing fingerprints of a
+  * text — window-w minima over the md5 hashes of its positional word
+  * n-grams (see [[ArrayOps.winnowHashes]]). */
+case class WinnowHashes(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType if n > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        TypeCheckResult.TypeCheckFailure(s"winnow_hashes requires n > 0 and w > 0, got n=$n w=$w")
+      case _ => TypeCheckResult.TypeCheckFailure("winnow_hashes requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.winnowHashes(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.winnowHashes($c, $n, $w);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
     copy(child = newChild)
 }

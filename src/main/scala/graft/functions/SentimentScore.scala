@@ -172,6 +172,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Zorder2].getName, "zorder2"),
       (args: Seq[Expression]) => Zorder2(args(0), args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
+      (args: Seq[Expression]) => WinnowHashes(args.head,
+        intArg("winnow_hashes", "n", args, 1),
+        intArg("winnow_hashes", "w", args, 2))))
+    ext.injectFunction((
       new FunctionIdentifier("q8_stats"),
       new ExpressionInfo(classOf[Q8Stats].getName, "q8_stats"),
       (args: Seq[Expression]) => Q8Stats(args.head)))

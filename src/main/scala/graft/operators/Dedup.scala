@@ -838,8 +838,159 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
+  /** Winnowing parameters (Schleimer/Wilkerson/Aiken SIGMOD'03): gram size
+    * n, window size w. The paper's guarantee threshold is t = n + w − 1 = 6
+    * tokens — any shared run of ≥ 6 tokens between two documents surfaces
+    * at least one shared fingerprint — while only ~2/(w+1) of the gram
+    * stream survives selection. */
+  val WinnowN = 3
+  val WinnowW = 4
+
+  /** Minimum shared fingerprints for a pair to appear in the overlap
+    * report (MOSS-style: 1 shared fingerprint is a 6-token coincidence;
+    * ≥ 2 distinct shared local regions is the interesting signal). */
+  val WinnowMinShared = 2
+
+  /** Same df-cap discipline as [[qNgramJaccard]]: fingerprints selected in
+    * more than max(floor, n_docs/divisor) documents are boilerplate, not
+    * evidence of pairwise copying, and leave the overlap feature set. */
+  val WinnowDfCapFloor = 2
+  val WinnowDfCapDivisor = 50
+
+  /** Per-document winnowing fingerprint profile: positional 3-gram md5
+    * stream → window-4 minima → distinct selected set ([[graft.functions.
+    * ArrayOps.winnowHashes]], one native codegen projection — no explode,
+    * no shuffle until the final sort). `density` ≈ 2/(w+1) = 0.4 on random
+    * text; a LOW density means long repeated runs inside the document
+    * (few distinct minima), making this a self-repetition screen as well
+    * as the fingerprint source for [[qWinnowOverlap]].
+    *
+    * Scale shape: map-only per-row projection inside whole-stage codegen;
+    * the only exchange is the output ORDER BY. */
+  val qWinnowStats = GraftQuery(
+    "q_winnow_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          greatest(size(split(lower($"text"), "\\s+", -1)) - lit(WinnowN) + 1, lit(0))
+            .cast(LongType).as("n_grams"),
+          call_function("winnow_hashes", $"text", lit(WinnowN), lit(WinnowW)).as("fps"))
+        .select($"doc_id", $"n_grams",
+          size($"fps").cast(LongType).as("n_fp"),
+          when($"n_grams" > 0, Det.qround(
+            size($"fps") * lit(1.0) /
+              greatest($"n_grams" - lit(WinnowW) + 1, lit(1))))
+            .as("density"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      hs AS (
+        SELECT doc_id,
+          [md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           for i in range(1, len(ws) - 1)] AS h
+        FROM base),
+      fp AS (
+        SELECT doc_id, len(h)::BIGINT AS n_grams,
+          CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+            ELSE list_sort(list_distinct(
+              [list_min(h[j:least(j + $WinnowW - 1, len(h))])
+               for j in range(1, greatest(len(h) - $WinnowW + 1, 1) + 1)]))
+          END AS fps
+        FROM hs)
+      SELECT doc_id, n_grams, len(fps)::BIGINT AS n_fp,
+        CASE WHEN n_grams > 0 THEN ${Oracle.qround(
+          s"len(fps) * 1.0 / greatest(n_grams - $WinnowW + 1, 1)")} END AS density
+      FROM fp ORDER BY doc_id""")
+  )
+
+  /** MOSS-style local-overlap report over the winnowing fingerprints:
+    * document pairs sharing ≥ [[WinnowMinShared]] selected fingerprints,
+    * with `containment` = shared/min(|A|,|B|) as the copy-fraction
+    * estimate. Complements the set-similarity family: Jaccard scores
+    * whole-document similarity; winnowing overlap localizes SHARED RUNS
+    * (≥ n+w−1 = 6 tokens), so a small plagiarized passage inside an
+    * otherwise unrelated document still surfaces.
+    *
+    * Scale shape: fingerprint selection is the map-only [[qWinnowStats]]
+    * projection (~2/(w+1) of the gram stream survives BEFORE any shuffle);
+    * candidate generation is an equi-join keyed on the fingerprint hash
+    * with the [[qNgramJaccard]] df-cap discipline (boilerplate
+    * fingerprints leave via a broadcast anti-join, per-key fan-out then
+    * provably ≤ cap) — never an all-pairs comparison. */
+  val qWinnowOverlap = GraftQuery(
+    "q_winnow_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      // persisted: the exploded fingerprint rows feed the df cap, the
+      // per-doc sizes, and both sides of the pair join
+      val fps = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          explode(call_function("winnow_hashes", $"text", lit(WinnowN), lit(WinnowW)))
+            .as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      val hot = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter($"df" > greatest(lit(WinnowDfCapFloor),
+          expr(s"n_docs div $WinnowDfCapDivisor")))
+        .select($"fp")
+      val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // corpus-sized; must flow through a shuffle join at scale (AQE still
+      // broadcasts it locally when it is actually small)
+      val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+      pruned.as("a").join(pruned.as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= WinnowMinShared)
+        .join(sizes.select($"doc_id".as("ia"), $"nf".as("na")), Seq("ia"))
+        .join(sizes.select($"doc_id".as("ib"), $"nf".as("nb")), Seq("ib"))
+        .select($"ia", $"ib", $"shared", $"na", $"nb",
+          Det.qround($"shared" * lit(1.0) / least($"na", $"nb")).as("containment"))
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      hs AS (
+        SELECT doc_id,
+          [md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           for i in range(1, len(ws) - 1)] AS h
+        FROM base),
+      sel AS (
+        SELECT doc_id, unnest(list_distinct(
+            [list_min(h[j:least(j + $WinnowW - 1, len(h))])
+             for j in range(1, greatest(len(h) - $WinnowW + 1, 1) + 1)])) AS fp
+        FROM hs WHERE len(h) > 0),
+      hot AS (
+        SELECT fp FROM sel GROUP BY fp
+        HAVING count(*) > greatest($WinnowDfCapFloor,
+          (SELECT count(*) FROM documents) // $WinnowDfCapDivisor)),
+      pruned AS (
+        SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot)),
+      sizes AS (SELECT doc_id, count(*) AS nf FROM pruned GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+        FROM pruned a JOIN pruned b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY ia, ib
+        HAVING count(*) >= $WinnowMinShared)
+      SELECT ia, ib, shared, na.nf AS na, nb.nf AS nb,
+        ${Oracle.qround("shared * 1.0 / least(na.nf, nb.nf)")} AS containment
+      FROM pairs
+      JOIN sizes na ON ia = na.doc_id
+      JOIN sizes nb ON ib = nb.doc_id
+      ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
-    qSpanDedup, qJaccardPrefix)
+    qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap)
 }
