@@ -320,7 +320,63 @@ object CorpusQuality {
       ORDER BY src_a, src_b""")
   )
 
+  /** A 3-shingle is "source boilerplate" when it appears in at least this
+    * many distinct documents of the SAME source (site chrome, templated
+    * headers/footers, navigation text — the C4/RefinedWeb removal target).
+    * At the driver corpus' 25-docs-per-source shape, df ≥ 3 flags ~0.15%
+    * of shingle instances concentrated in a minority of documents — a
+    * sparse, discriminative signal rather than a constant offset. */
+  val BoilerplateDf = 3
+
+  /** Per-document boilerplate rate: the fraction of a document's DISTINCT
+    * 3-shingles that are source-common ([[BoilerplateDf]]). High-rate
+    * documents are template shells whose token mass is site chrome — the
+    * standard pre-training drop/clean candidate that per-document
+    * repetition stats (q_repetition_stats) cannot see, because the
+    * repetition lives ACROSS documents of a source, not inside any one.
+    *
+    * Scale shape: one exchange keyed (source, shingle) where the window
+    * computes the within-source df in place — no self-join, no second
+    * scan of the shingle stream — then one doc_id exchange for the rollup.
+    * Both keys are high-cardinality (no source-level skew: the window key
+    * includes the shingle), and the shingle stream enters the first
+    * exchange already distinct-per-doc via the native `word_shingles`
+    * projection. */
+  val qBoilerplateRate = GraftQuery(
+    "q_boilerplate_rate",
+    (spark, dir) => {
+      import spark.implicits._
+      val ss = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"source",
+          explode(call_function("word_shingles", $"text", lit(3))).as("shingle"))
+      val sdf = ss.withColumn("sdf",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source", $"shingle")))
+      sdf.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          count(when($"sdf" >= BoilerplateDf, 1)).as("n_common"))
+        .select($"doc_id", $"n_sh", $"n_common",
+          Det.qround($"n_common" * lit(1.0) / $"n_sh").as("boilerplate_rate"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH sh AS (${Dedup.shinglesSql(3)}),
+      ss AS (
+        SELECT s.doc_id, d.source, s.shingle
+        FROM sh s JOIN documents d USING (doc_id)),
+      w AS (
+        SELECT doc_id,
+          count(*) OVER (PARTITION BY source, shingle) AS sdf
+        FROM ss)
+      SELECT doc_id, count(*)::BIGINT AS n_sh,
+        count(*) FILTER (WHERE sdf >= $BoilerplateDf)::BIGINT AS n_common,
+        ${Oracle.qround(
+          s"(count(*) FILTER (WHERE sdf >= $BoilerplateDf)) * 1.0 / count(*)")}
+          AS boilerplate_rate
+      FROM w GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
-      qLengthHistogram, qSourceOverlap)
+      qLengthHistogram, qSourceOverlap, qBoilerplateRate)
 }

@@ -746,8 +746,97 @@ object LexicalStats {
       FROM m""")
   )
 
+  /** Held-out cross-entropy per language: the validation split scored under
+    * a Laplace-smoothed (add-1) unigram LM fit on the TRAIN split — the
+    * generalization-gap twin of [[qUnigramSurprisal]] (which scores the
+    * corpus under itself and so can only under-estimate entropy). The split
+    * is q_train_split's salted-md5 assignment VERBATIM (buckets ≤ 7 train,
+    * = 8 val), so this query and the materialized split can never disagree.
+    * Per language: p(w) = (ctf(w)+1) / (N_train + V + 1), unseen terms get
+    * ctf = 0 under the same formula; xent_nats = Σ_val tf·ln(1/p) / N_val,
+    * and oov_rate = the val-token mass unseen in train — rising xent with
+    * rising oov says the split's vocabulary drifted, rising xent with flat
+    * oov says the token DISTRIBUTION drifted (the practical drift-triage
+    * split).
+    *
+    * Exactness: each addend is one ln of a double quotient of exact
+    * integers (the q_unigram_surprisal precedent — bit-identical across
+    * engines), summed through the scale-9 decimal cast; the rest is exact
+    * integer arithmetic and qround.
+    *
+    * Scale shape: ONE (lang, term) exchange computes train and val counts
+    * together (partial+final); the per-lang LM normalizers are a tiny
+    * aggregate broadcast back onto the vocabulary relation; the final
+    * rollup is one lang-keyed aggregate. The corpus never shuffles twice. */
+  val qHeldoutXent = GraftQuery(
+    "q_heldout_xent",
+    (spark, dir) => {
+      import spark.implicits._
+      val bucketed = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket",
+          expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
+        .filter($"bucket" <= 8)
+      // train ctf and val vtf from the same exchange: count token INSTANCES
+      // per (lang, term) on each side of the split
+      val tf = bucketed
+        .select($"lang", $"bucket", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"lang", $"term")
+        .agg(count(when($"bucket" <= 7, 1)).as("ctf"),
+          count(when($"bucket" === 8, 1)).as("vtf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = tf.groupBy($"lang")
+        .agg(sum($"ctf").as("n_train"),
+          count(when($"ctf" > 0, 1)).as("vocab"),
+          sum($"vtf").as("n_val"))
+      tf.filter($"vtf" > 0)
+        .join(broadcast(st), Seq("lang"))
+        .groupBy($"lang", $"n_train", $"vocab", $"n_val")
+        .agg(
+          coalesce(sum(when($"ctf" === 0, $"vtf")), lit(0L)).as("n_oov"),
+          sum(($"vtf".cast(DoubleType) *
+            log(($"n_train" + $"vocab" + 1).cast(DoubleType) /
+              ($"ctf" + 1).cast(DoubleType)))
+            .cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("xsum"))
+        .select($"lang", $"n_train".as("n_train_tokens"), $"vocab",
+          $"n_val".as("n_val_tokens"),
+          Det.qround($"n_oov" * lit(1.0) / $"n_val").as("oov_rate"),
+          Det.qround($"xsum" / $"n_val").as("xent_nats"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT lang, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+        FROM documents),
+      toks AS (
+        SELECT lang, bucket,
+          unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM split WHERE bucket <= 8),
+      tf AS (
+        SELECT lang, term,
+          count(*) FILTER (WHERE bucket <= 7) AS ctf,
+          count(*) FILTER (WHERE bucket = 8) AS vtf
+        FROM toks GROUP BY lang, term),
+      st AS (
+        SELECT lang, sum(ctf) AS n_train,
+          count(*) FILTER (WHERE ctf > 0) AS vocab,
+          sum(vtf) AS n_val
+        FROM tf GROUP BY lang)
+      SELECT lang, n_train::BIGINT AS n_train_tokens, vocab::BIGINT AS vocab,
+        n_val::BIGINT AS n_val_tokens,
+        ${Oracle.qround(
+          "coalesce(sum(vtf) FILTER (WHERE ctf = 0), 0) * 1.0 / n_val")} AS oov_rate,
+        ${Oracle.qround(
+          "sum(CAST(vtf::DOUBLE * ln((n_train + vocab + 1)::DOUBLE / (ctf + 1)::DOUBLE)" +
+            " AS DECIMAL(38,9)))::DOUBLE / n_val")} AS xent_nats
+      FROM tf JOIN st USING (lang)
+      WHERE vtf > 0
+      GROUP BY lang, n_train, vocab, n_val
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
-      qTokenFertility, qZipfFit)
+      qTokenFertility, qZipfFit, qHeldoutXent)
 }

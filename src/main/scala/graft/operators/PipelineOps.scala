@@ -825,9 +825,79 @@ object PipelineOps {
       ORDER BY d.lang, d.n_tokens, doc_id""")
   )
 
+  /** Total token budget [[qTokenBudget]] allocates. A production run sets
+    * this to the training-run token target; fixed here so the allocation is
+    * a deterministic finite computation both engines reproduce. */
+  val TokenBudgetT = 1000000L
+
+  /** Integer token-budget allocation across languages by Hamilton's
+    * largest-remainder method: each language's ideal share T·nᵢ/N is paid
+    * as its floor, and the `T − Σ floor` leftover units go one each to the
+    * largest fractional remainders (ties broken by language, so the
+    * allocation is total). The result is the UNIQUE integer vector that (a)
+    * sums exactly to T and (b) is within 1 token of every ideal share —
+    * what a mixture-weighted training run actually needs after
+    * q_mixture_weights produces real-valued proportions (naive per-language
+    * rounding can miss T by ±|langs|/2 tokens, which a packed dataloader
+    * rejects).
+    *
+    * Exactness: everything is int64 arithmetic on token counts (T·nᵢ stays
+    * far below 2^63 for any real corpus shard); no doubles anywhere.
+    *
+    * Scale shape: ONE map-side `size(split())` projection + one lang
+    * aggregate reduces the corpus to |langs| rows; the rank window and the
+    * leftover scalar run on that tiny relation (the deliberate
+    * SinglePartition window of the q_zipf_fit precedent). */
+  val qTokenBudget = GraftQuery(
+    "q_token_budget",
+    (spark, dir) => {
+      import spark.implicits._
+      val counts = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang",
+          size(graft.functions.Text.tokens($"text")).cast(LongType).as("nt"))
+        .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
+      val tot = counts.agg(sum($"n_tokens").as("n_total"))
+      val shares = counts.crossJoin(broadcast(tot))
+        .select($"lang", $"n_tokens",
+          expr(s"$TokenBudgetT * n_tokens div n_total").as("base"),
+          expr(s"($TokenBudgetT * n_tokens) % n_total").as("rem"))
+      // |langs|-sized relation: the leftover count and the remainder rank
+      // both come from deliberate single-partition windows over it
+      val w = Window.orderBy($"rem".desc, $"lang".asc)
+      val wAll = Window.orderBy($"rem".desc, $"lang".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      shares
+        .withColumn("rk", row_number().over(w))
+        .withColumn("leftover", lit(TokenBudgetT) - sum($"base").over(wAll))
+        .select($"lang", $"n_tokens", $"base",
+          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT lang,
+          sum(len(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT
+            AS n_tokens
+        FROM documents GROUP BY lang),
+      tot AS (SELECT sum(n_tokens)::BIGINT AS n_total FROM counts),
+      shares AS (
+        SELECT lang, n_tokens,
+          ($TokenBudgetT * n_tokens) // n_total AS base,
+          ($TokenBudgetT * n_tokens) % n_total AS rem
+        FROM counts CROSS JOIN tot),
+      ranked AS (
+        SELECT lang, n_tokens, base,
+          row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+          $TokenBudgetT - sum(base) OVER () AS leftover
+        FROM shares)
+      SELECT lang, n_tokens, base::BIGINT AS base,
+        (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+      FROM ranked ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
-      qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets)
+      qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget)
 }

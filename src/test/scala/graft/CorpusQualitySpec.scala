@@ -132,4 +132,43 @@ class CorpusQualitySpec extends SparkSpec {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("q_boilerplate_rate: zero on the boilerplate-free fixture") {
+    // every (source, shingle) in the hand fixture is unique → sdf = 1
+    // everywhere, below BoilerplateDf: all rates must be exactly 0
+    val rows = CorpusQuality.qBoilerplateRate.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // n_sh = max(tokens − 2, 0) distinct 3-shingles per fixture doc
+    assert(rows.map(r => (r._1, r._2)) ===
+      Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 28L), (5L, 28L)))
+    rows.foreach { case (_, _, common, rate) =>
+      assert(common === 0L); assert(rate === 0.0)
+    }
+  }
+
+  test("q_boilerplate_rate: planted template shingles are flagged, cross-source repeats are not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    // srcT: 3 docs sharing the template run "legal notice acme" (+ unique
+    // tails); srcU: one doc containing the SAME run — cross-source, so it
+    // must NOT count toward srcU's boilerplate (df within srcU is 1)
+    Seq(
+      (0L, "legal notice acme alpha beta", "en", "srcT"),
+      (1L, "legal notice acme gamma delta", "en", "srcT"),
+      (2L, "legal notice acme epsilon zeta", "en", "srcT"),
+      (3L, "legal notice acme unrelated tail", "en", "srcU"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CorpusQuality.qBoilerplateRate.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // each doc has 3 distinct 3-shingles; only "legal notice acme" reaches
+    // df 3 within srcT → rate 1/3 for srcT docs, 0 for the srcU doc
+    assert(rows === Seq(
+      (0L, 3L, 1L, 1.0 / 3),
+      (1L, 3L, 1L, 1.0 / 3),
+      (2L, 3L, 1L, 1.0 / 3),
+      (3L, 3L, 0L, 0.0)).map { case (a, b, c, d) =>
+        (a, b, c, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })
+  }
 }

@@ -282,4 +282,64 @@ class LexicalStatsSpec extends SparkSpec {
     assert(expSlope < 0.0)
   }
 
+  test("q_heldout_xent equals a plain-Scala replica of split + add-1 LM + ln sums") {
+    // the shared hand fixture has no doc_id hashing to the val bucket
+    // (md5('split:0..5') % 10 ∈ {4,9,6,7,9,5}), so build one whose ids are
+    // CHOSEN to land on both sides of the split: ids 0,2,3 → train,
+    // ids 14,23 → val (verified against the same salted md5 the query uses)
+    val docs = Seq(
+      (0L, "fast fast slow big", "en"),
+      (2L, "slow big fast", "en"),
+      (3L, "the big big big", "en"),
+      (14L, "fast slow unknownword", "en"),  // val: 2 seen terms + 1 OOV
+      (23L, "big big fast the", "en"))       // val: all seen
+    val dir = java.nio.file.Files.createTempDirectory("graft-xent").toString
+    docs.map { case (id, t, l) => (id, t, l, "srcX", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // independent model: same salted-md5 split, add-1 LM, decimal-summed
+    // ln addends, qround outputs
+    def u32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def bucket(id: Long): Long = u32(s"split:$id") % 10
+    assert(docs.map(d => bucket(d._1)).toSet.subsetOf(Set(4L, 6L, 7L, 8L)))
+    val train = docs.filter(d => bucket(d._1) <= 7)
+      .flatMap(_._2.toLowerCase.split("\\s+", -1))
+    val valT = docs.filter(d => bucket(d._1) == 8)
+      .flatMap(_._2.toLowerCase.split("\\s+", -1))
+    assert(train.nonEmpty && valT.nonEmpty)
+    val ctf = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vtf = valT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nTrain, vocab, nVal) = (train.size.toLong, ctf.size.toLong, valT.size.toLong)
+    val denom = (nTrain + vocab + 1).toDouble
+    val xsum = vtf.toSeq.map { case (t, f) =>
+      BigDecimal(f.toDouble * math.log(denom / (ctf.getOrElse(t, 0L) + 1).toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val nOov = vtf.collect { case (t, f) if !ctf.contains(t) => f }.sum
+    assert(nOov > 0L) // the planted "unknownword" keeps the OOV path live
+
+    val got = LexicalStats.qHeldoutXent.run(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("en", nTrain, vocab, nVal,
+      qround(nOov * 1.0 / nVal), qround(xsum / nVal))))
+  }
+
+  test("q_heldout_xent laws at sf0.001: bounds and smoothing floor") {
+    val rows = LexicalStats.qHeldoutXent.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTrain, vocab, nVal, oov, xent) =>
+      assert(nTrain > 0 && vocab > 0 && nVal > 0)
+      assert(oov >= 0.0 && oov <= 1.0)
+      // xent is at least the best-case -ln(max p) > 0 and at most ln of the
+      // smoothing denominator (the unseen-term worst case)
+      assert(xent > 0.0 && xent <= math.log((nTrain + vocab + 1).toDouble))
+    }
+  }
 }

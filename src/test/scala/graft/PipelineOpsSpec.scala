@@ -179,4 +179,27 @@ class PipelineOpsSpec extends SparkSpec {
       (16L, 4L, 14L, 64L, 0.78125),
       (32L, 2L, 60L, 64L, 0.0625)))
   }
+
+  test("q_token_budget: hand-computed Hamilton allocation on the fixture") {
+    // token counts: en 3+3=6, de 4+4=8, fr 30+30=60; N=74, T=1,000,000
+    //   base = T·n div N:  en 81081 (rem 6), de 108108 (rem 8), fr 810810 (rem 60)
+    //   Σbase = 999,999 → leftover 1, largest remainder is fr → fr +1
+    val got = PipelineOps.qTokenBudget.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("de", 8L, 108108L, 108108L),
+      ("en", 6L, 81081L, 81081L),
+      ("fr", 60L, 810810L, 810811L)))
+  }
+
+  test("q_token_budget laws at sf0.001: sums to T, within 1 of every ideal share") {
+    val rows = PipelineOps.qTokenBudget.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val n = rows.map(_._2).sum
+    assert(rows.map(_._4).sum === PipelineOps.TokenBudgetT)
+    rows.foreach { case (_, nt, _, alloc) =>
+      val ideal = PipelineOps.TokenBudgetT.toDouble * nt / n
+      assert(math.abs(alloc - ideal) < 1.0, s"alloc $alloc vs ideal $ideal")
+    }
+  }
 }
