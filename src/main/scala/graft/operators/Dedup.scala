@@ -328,9 +328,12 @@ object Dedup {
     * MaxCcIterations bounds pathology; the oracle computes the same fixpoint
     * with a recursive CTE.
     */
-  val qDedupClusters = GraftQuery(
-    "q_dedup_clusters",
-    (spark, dir) => {
+  /** (doc_id, cluster) for EVERY document — the connected-component labels
+    * over the verified MinHash pairs, singletons labeling themselves.
+    * Shared by [[qDedupClusters]] (which just orders it) and
+    * [[qDedupKeepBest]] (which picks a quality-ranked keeper per label). */
+  private[graft] def clusterAssignment(
+      spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
       val pairs = minhashPairs(spark, dir).select($"ia", $"ib")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -379,10 +382,13 @@ object Dedup {
         .join(broadcast(labels.select($"id".as("doc_id"), $"label")),
           Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"label", $"doc_id").as("cluster"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""
-      WITH RECURSIVE pairs AS ($minhashPairsSql),
+  }
+
+  /** The component fixpoint as oracle CTE text (`cl(doc_id, cluster)`) —
+    * the recursive-CTE twin of [[clusterAssignment]], shared by the
+    * cluster and keep-best oracles. */
+  private def clusterCtes: String = s"""
+      pairs AS ($minhashPairsSql),
       edges AS (
         SELECT ia AS u, ib AS v FROM pairs
         UNION SELECT ib, ia FROM pairs),
@@ -392,10 +398,99 @@ object Dedup {
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
       comp AS (
         SELECT u AS doc_id, least(u, min(v)) AS cluster
-        FROM reach GROUP BY u)
-      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
-      FROM documents d LEFT JOIN comp c USING (doc_id)
-      ORDER BY d.doc_id""")
+        FROM reach GROUP BY u),
+      cl AS (
+        SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c USING (doc_id))"""
+
+  val qDedupClusters = GraftQuery(
+    "q_dedup_clusters",
+    (spark, dir) => clusterAssignment(spark, dir).orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE $clusterCtes
+      SELECT doc_id, cluster FROM cl ORDER BY doc_id""")
+  )
+
+  /** Keep-BEST-in-cluster: the actionable dedup decision when documents are
+    * not interchangeable — [[qDedupClusters]] keeps the minimum doc_id (the
+    * deterministic default), but a curation run keeps the highest-QUALITY
+    * member of each near-dup cluster (the C4/RefinedWeb practice: among
+    * mirrored copies keep the cleanest, not the first-crawled). Keeper =
+    * max quality, ties to the lower doc_id, using the engine's ONE quality
+    * definition (TextAnalytics.qualityCol — an inlined copy here could
+    * silently drift from q_quality_score on a weight change).
+    *
+    * Scale shape: quality is a map-side projection; labels join the corpus
+    * once (broadcast, subgraph-sized + singletons resolved by coalesce is
+    * already inside clusterAssignment); the keeper window shuffles on
+    * `cluster` — cardinality ≈ corpus (mostly singleton partitions), no
+    * skew beyond the largest near-dup cluster. */
+  val qDedupKeepBest = GraftQuery(
+    "q_dedup_keep_best",
+    (spark, dir) => {
+      import spark.implicits._
+      val quality = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", TextAnalytics.qualityCol.as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cluster").orderBy($"quality".desc, $"doc_id".asc)
+      clusterAssignment(spark, dir)
+        .join(quality, Seq("doc_id"))
+        .withColumn("keeper", first($"doc_id").over(w))
+        .select($"doc_id", $"cluster", $"quality", $"keeper",
+          ($"doc_id" === $"keeper").as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $clusterCtes,
+      q AS (
+        SELECT doc_id, ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM documents),
+      ranked AS (
+        SELECT cl.doc_id, cl.cluster, q.quality,
+          first_value(cl.doc_id) OVER (
+            PARTITION BY cl.cluster
+            ORDER BY q.quality DESC, cl.doc_id ASC) AS keeper
+        FROM cl JOIN q USING (doc_id))
+      SELECT doc_id, cluster, quality, keeper,
+        doc_id = keeper AS keep
+      FROM ranked ORDER BY doc_id""")
+  )
+
+  /** Source-pair near-duplication pressure map: the verified MinHash pairs
+    * rolled up to (source_a ≤ source_b) with pair counts and the exact
+    * decimal-mean jaccard — the provenance view that catches MIRROR sites
+    * (two sources whose pair count rivals their doc counts) and
+    * self-duplicating feeds (the diagonal), which doc-level pair lists are
+    * too granular to show. Scale shape: the rollup input is the verified
+    * pair relation (already bounded by banding), joined twice against the
+    * broadcast-size (doc_id, source) projection, then one tiny
+    * source-pair aggregate. */
+  val qNeardupSources = GraftQuery(
+    "q_neardup_sources",
+    (spark, dir) => {
+      import spark.implicits._
+      val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+      minhashPairs(spark, dir)
+        .join(src.select($"doc_id".as("ia"), $"source".as("sa")), Seq("ia"))
+        .join(src.select($"doc_id".as("ib"), $"source".as("sb")), Seq("ib"))
+        .select(least($"sa", $"sb").as("source_a"),
+          greatest($"sa", $"sb").as("source_b"), $"jaccard")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_pairs"), Det.davg($"jaccard").as("avg_jaccard"))
+        .orderBy($"source_a", $"source_b")
+    },
+    Some(s"""
+      WITH pairs AS ($minhashPairsSql),
+      lab AS (
+        SELECT least(da.source, db.source) AS source_a,
+          greatest(da.source, db.source) AS source_b, jaccard
+        FROM pairs
+        JOIN documents da ON pairs.ia = da.doc_id
+        JOIN documents db ON pairs.ib = db.doc_id)
+      SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+        ${Oracle.davg("jaccard")} AS avg_jaccard
+      FROM lab GROUP BY source_a, source_b
+      ORDER BY source_a, source_b""")
   )
 
   /** Declarative SimHash signature (explode → md5 → 32 conditional sums →
@@ -992,5 +1087,6 @@ object Dedup {
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
-    qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap)
+    qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
+    qDedupKeepBest, qNeardupSources)
 }

@@ -126,4 +126,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(fx === Set((2L, 3L, 1.0), (4L, 5L, 0.931034)))
   }
+
+  test("keep-best: quality-ranked keeper per cluster, identical docs tie to lower id") {
+    val rows = Dedup.qDedupKeepBest.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // clusters {2,3} (identical text → equal quality → tie to 2) and {4,5}
+    // (doc 4's text is one char longer → higher avg_token_len → higher
+    // quality → keeper 4); singletons keep themselves
+    assert(rows.map(r => (r._1, r._2, r._4, r._5)) === Seq(
+      (0L, 0L, 0L, true), (1L, 1L, 1L, true),
+      (2L, 2L, 2L, true), (3L, 2L, 2L, false),
+      (4L, 4L, 4L, true), (5L, 4L, 4L, false)))
+    // identical texts carry identical quality
+    assert(rows(2)._3 === rows(3)._3)
+    assert(rows(4)._3 > rows(5)._3)
+  }
+
+  test("near-dup source rollup: the two planted pairs land on their source pairs") {
+    val rows = Dedup.qNeardupSources.run(spark, fixtureDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // (2,3) = srcA×srcC with jaccard 1.0; (4,5) = srcB×srcC with 28/30
+    assert(rows === Seq(
+      ("srcA", "srcC", 1L, 1.0),
+      ("srcB", "srcC", 1L, 0.933333)))
+  }
 }
