@@ -1084,9 +1084,63 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
+  /** Sketch-calibration audit: per verified near-dup pair, the MinHash
+    * ESTIMATE of Jaccard (fraction of the K=MinHashK signature positions
+    * that agree — the unbiased estimator the LSH banding is built on, with
+    * stderr √(J(1−J)/K) ≈ 0.09 at K=12, J=0.9) next to the exact verified
+    * value. The audit that answers "is K big enough", the same way
+    * q_lsh_candidate_audit answers "are the bands right" and
+    * q_ivf_recall_audit answers "are the probes enough": a drifting
+    * |est − exact| distribution is the signal to raise K before trusting
+    * estimate-only screening at the next scale-up.
+    *
+    * Scale shape: signatures come from the SAME native one-pass expression
+    * as banding (minhash_bands with bandRows = 1 → the K raw minima);
+    * agreement counting is a relational join of two K-row-per-doc
+    * relations restricted to the VERIFIED pair list — bounded × K, never
+    * corpus-sized, no interpreted HOF. */
+  val qMinhashEstimate = GraftQuery(
+    "q_minhash_estimate",
+    (spark, dir) => {
+      import spark.implicits._
+      val sigs = docShingles(spark, dir, 2)
+        .select($"doc_id", posexplode(
+          call_function("minhash_bands", $"sh", lit(MinHashK), lit(1)))
+          .as(Seq("h", "mh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minhashPairs(spark, dir)
+        .join(sigs.select($"doc_id".as("ia"), $"h", $"mh".as("ma")), Seq("ia"))
+        .join(sigs.select($"doc_id".as("ib"), $"h", $"mh".as("mb")), Seq("ib", "h"))
+        .groupBy($"ia", $"ib", $"jaccard")
+        .agg(count(when($"ma" === $"mb", 1)).as("agree"))
+        .select($"ia", $"ib", $"jaccard", $"agree",
+          Det.qround($"agree" * lit(1.0) / MinHashK).as("est"),
+          Det.qround(abs($"agree" * lit(1.0) / MinHashK - $"jaccard")).as("abs_err"))
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH pairs AS ($minhashPairsSql),
+      sh2 AS (${shinglesSql(2)}),
+      hashed AS (
+        SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh
+        FROM sh2 CROSS JOIN (SELECT unnest(range($MinHashK)) AS h)
+        GROUP BY doc_id, h),
+      agr AS (
+        SELECT p.ia, p.ib, p.jaccard,
+          count(*) FILTER (WHERE a.mh = b.mh) AS agree
+        FROM pairs p
+        JOIN hashed a ON a.doc_id = p.ia
+        JOIN hashed b ON b.doc_id = p.ib AND b.h = a.h
+        GROUP BY p.ia, p.ib, p.jaccard)
+      SELECT ia, ib, jaccard, agree::BIGINT AS agree,
+        ${Oracle.qround(s"agree * 1.0 / $MinHashK")} AS est,
+        ${Oracle.qround(s"abs(agree * 1.0 / $MinHashK - jaccard)")} AS abs_err
+      FROM agr ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
-    qDedupKeepBest, qNeardupSources)
+    qDedupKeepBest, qNeardupSources, qMinhashEstimate)
 }

@@ -919,8 +919,78 @@ object Similarity {
     }
   )
 
+  /** Class-conditional embedding profile: per (label, dimension) mean and
+    * variance, plus the per-label exact-decimal mean vector norm — the
+    * drift-monitoring table an embedding pipeline diffs across ingestion
+    * batches (a dimension whose per-label mean moved is an encoder or
+    * preprocessing change; a norm shift is a normalization regression; the
+    * global twin [[qEmbedCovariance]] sees neither once classes move in
+    * opposite directions and cancel).
+    *
+    * Exactness: float→double widening is exact; first/second moments go
+    * through the scale-12 decimal cast (order-independent); the variance
+    * combination `(sxx − sx²/n)/n` is the covSql-precedent pinned IEEE
+    * sequence; norms are one sqrt of a decimal-summed dot each
+    * (map-side native dot_f32, the normsSql twin).
+    *
+    * Scale shape: ONE posexplode exchange keyed (label, dim) — d rows per
+    * vector, partial+final aggregated — plus a label-keyed rollup of the
+    * map-side norms; output is |labels|·d rows. */
+  val qEmbedLabelProfile = GraftQuery(
+    "q_embed_label_profile",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+      val moments = emb
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(count(lit(1)).as("n"),
+          sum($"v".cast(DoubleType).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sx"),
+          sum(($"v".cast(DoubleType) * $"v".cast(DoubleType))
+            .cast(DecimalType(38, 12))).cast(DoubleType).as("sxx"))
+      val norms = emb
+        .select($"label",
+          sqrt(call_function("dot_f32", $"embedding", $"embedding")).as("nrm"))
+        .groupBy($"label")
+        .agg(Det.davg($"nrm").as("avg_norm"))
+      moments
+        .join(broadcast(norms), Seq("label"))
+        .select($"label", $"dim".cast(LongType).as("dim"), $"n",
+          Det.qround($"sx" / $"n".cast(DoubleType)).as("mean"),
+          Det.qround(($"sxx" - $"sx" * $"sx" / $"n".cast(DoubleType))
+            / $"n".cast(DoubleType)).as("variance"),
+          $"avg_norm")
+        .orderBy($"label", $"dim")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT label, unnest(range(len(embedding))) AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      m AS (
+        SELECT label, dim, count(*) AS n,
+          sum(CAST(v AS DECIMAL(38,12)))::DOUBLE AS sx,
+          sum(CAST(v * v AS DECIMAL(38,12)))::DOUBLE AS sxx
+        FROM ex GROUP BY label, dim),
+      nr AS (
+        SELECT label,
+          sqrt(sum(CAST(vv.p AS DECIMAL(38,12)))::DOUBLE) AS nrm
+        FROM (SELECT vec_id, label,
+                unnest([x::DOUBLE * x::DOUBLE for x in embedding]) AS p
+              FROM embeddings) vv
+        GROUP BY label, vec_id),
+      an AS (SELECT label, ${Oracle.davg("nrm")} AS avg_norm FROM nr GROUP BY label)
+      SELECT m.label, dim::BIGINT AS dim, n::BIGINT AS n,
+        ${Oracle.qround("sx / n")} AS mean,
+        ${Oracle.qround("(sxx - sx * sx / n) / n")} AS variance,
+        an.avg_norm
+      FROM m JOIN an ON m.label = an.label
+      ORDER BY m.label, dim""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
-      qSemdedupCellAudit, qEmbedCovariance, qPcaPower)
+      qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile)
 }

@@ -142,6 +142,20 @@ class DedupSpec extends SparkSpec {
     assert(rows(4)._3 > rows(5)._3)
   }
 
+  test("minhash estimate audit: identical docs agree on every hash, near-dups stay consistent") {
+    val rows = Dedup.qMinhashEstimate.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // identical texts → identical signatures → perfect estimate
+    assert(rows((2L, 3L)) === ((1.0, 12L, 1.0, 0.0)))
+    // near-dup pair: estimate = agree/12 within [0,1], error consistent
+    val (j, agree, est, err) = rows((4L, 5L))
+    assert(j === 0.933333)
+    assert(agree >= 0L && agree <= 12L)
+    assert(est === math.floor(agree / 12.0 * 1e6 + 0.5) / 1e6)
+    assert(err === math.floor(math.abs(agree / 12.0 - j) * 1e6 + 0.5) / 1e6)
+  }
+
   test("near-dup source rollup: the two planted pairs land on their source pairs") {
     val rows = Dedup.qNeardupSources.run(spark, fixtureDir)
       .as[(String, String, Long, Double)].collect().toSeq

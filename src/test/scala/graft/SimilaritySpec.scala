@@ -144,4 +144,35 @@ class SimilaritySpec extends SparkSpec {
   private def dsumModel(vs: Seq[Double], dec12: Double => BigDecimal): Double =
     vs.map(dec12).sum.toDouble
 
+  test("q_embed_label_profile equals a plain-Scala dec12 model on the fixture") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val byLabel = Tables.embeddings(spark, fixtureDir)
+      .as[(Long, Array[Float], Int)].collect().toSeq
+      .groupBy(_._3)
+    val d = 8
+    val expected = (for {
+      (label, rows) <- byLabel.toSeq
+      vecs = rows.sortBy(_._1).map(_._2)
+      n = vecs.length.toDouble
+      normAvg = qround(vecs.map(v =>
+          math.sqrt(dsumModel(v.map(x => x.toDouble * x.toDouble).toSeq, dec12)))
+        .map(x => BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vecs.length)
+      dim <- 0 until d
+      sx = dsumModel(vecs.map(_(dim).toDouble).toSeq, dec12)
+      sxx = dsumModel(vecs.map(v => v(dim).toDouble * v(dim).toDouble).toSeq, dec12)
+    } yield (label, dim.toLong, vecs.length.toLong,
+      qround(sx / n), qround((sxx - sx * sx / n) / n), normAvg))
+      .sortBy(r => (r._1, r._2))
+    val got = Similarity.qEmbedLabelProfile.run(spark, fixtureDir)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === expected)
+    // spot-check hand values: label 0 = two copies of e1 → mean 1 at dim 0,
+    // zero variance everywhere, unit norms
+    val l0 = got.filter(_._1 == 0)
+    assert(l0.head === ((0, 0L, 2L, 1.0, 0.0, 1.0)))
+    assert(l0.forall(_._5 === 0.0))
+  }
 }
