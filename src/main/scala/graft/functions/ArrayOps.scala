@@ -594,6 +594,45 @@ object ArrayOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Content-defined chunking (the rolling-hash boundary scheme of LBFS /
+    * storage dedup, word-granular): a chunk boundary falls AFTER every token
+    * whose u32(md5(token)) ≡ 0 (mod divisor) — and after the final token —
+    * and each chunk's md5 hex is emitted in document order. Because
+    * boundaries depend only on LOCAL content, an insertion early in a
+    * document shifts at most the one chunk it lands in: the chunk stream
+    * RE-ALIGNS at the next boundary, which is what makes chunk-hash dedup
+    * robust to the prefix/suffix edits that break fixed-width
+    * `word_chunks`. Expected chunk length = divisor tokens. u32 is the
+    * engine-wide first-8-hex-chars-of-md5 hash (PipelineOps.u32Expr), so
+    * the oracle reproduces every boundary decision exactly. Chunks are NOT
+    * distinct and NOT sorted — positional repeats matter to dedup
+    * accounting, exactly like word_shingles_all. */
+  def cdcChunkHashes(text: UTF8String, divisor: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[AnyRef]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < toks.length) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(toks(i))
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (u32 % divisor == 0 || i == toks.length - 1) {
+        md.reset()
+        val ch = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hx = new java.lang.StringBuilder(32)
+        hex32(ch, hx)
+        out.add(UTF8String.fromString(hx.toString))
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `dot_f32(a, b)`: exact-decimal dot product of two array&lt;float&gt;. */
@@ -1088,5 +1127,33 @@ case class WinnowHashes(child: Expression, n: Int, w: Int) extends UnaryExpressi
     """)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
+/** `cdc_chunk_hashes(text, divisor)`: md5 of each content-defined chunk in
+  * document order — boundaries where u32(md5(token)) % divisor == 0 (see
+  * [[ArrayOps.cdcChunkHashes]]). */
+case class CdcChunkHashes(child: Expression, divisor: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType if divisor > 0 => TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        TypeCheckResult.TypeCheckFailure(s"cdc_chunk_hashes requires divisor > 0, got $divisor")
+      case _ => TypeCheckResult.TypeCheckFailure("cdc_chunk_hashes requires STRING")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayOps.cdcChunkHashes(input.asInstanceOf[UTF8String], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayOps.cdcChunkHashes($c, $divisor);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
     copy(child = newChild)
 }

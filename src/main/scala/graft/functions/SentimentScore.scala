@@ -178,6 +178,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg("winnow_hashes", "n", args, 1),
         intArg("winnow_hashes", "w", args, 2))))
     ext.injectFunction((
+      new FunctionIdentifier("cdc_chunk_hashes"),
+      new ExpressionInfo(classOf[CdcChunkHashes].getName, "cdc_chunk_hashes"),
+      (args: Seq[Expression]) => CdcChunkHashes(args.head,
+        intArg("cdc_chunk_hashes", "divisor", args, 1))))
+    ext.injectFunction((
       new FunctionIdentifier("q8_stats"),
       new ExpressionInfo(classOf[Q8Stats].getName, "q8_stats"),
       (args: Seq[Expression]) => Q8Stats(args.head)))

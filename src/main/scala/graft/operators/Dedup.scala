@@ -1138,9 +1138,74 @@ object Dedup {
       FROM agr ORDER BY ia, ib""")
   )
 
+  /** Expected content-defined chunk length in tokens (the boundary
+    * divisor): a token ends a chunk when u32(md5(token)) % CdcDivisor == 0. */
+  val CdcDivisor = 8
+
+  /** Content-defined chunk dedup accounting: per document, how many of its
+    * CDC chunks (variable boundaries from token-content hashes — see
+    * [[graft.functions.ArrayOps.cdcChunkHashes]]) also occur elsewhere in
+    * the corpus (or again in the same document). The property fixed-width
+    * chunking lacks: an insertion near the head of a copied document shifts
+    * every fixed window but only ONE content-defined chunk — the stream
+    * re-aligns at the next boundary, so copied tails keep deduplicating.
+    * Complements [[qSpanDedup]] (which counts token-level span coverage;
+    * this is the storage-dedup view: whole-chunk hash identity, the
+    * granularity a content-addressed store or training-shard cache
+    * actually deduplicates at).
+    *
+    * Scale shape: chunking is one native map-side projection (~1/divisor
+    * of the token stream emerges as chunk rows); the global chunk df is an
+    * in-place window over ONE chunk-hash exchange, then one doc_id rollup
+    * — the q_boilerplate_rate shape on a stream that is already
+    * divisor-times smaller than the token stream. */
+  val qCdcDedup = GraftQuery(
+    "q_cdc_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val chunks = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          explode(call_function("cdc_chunk_hashes", $"text", lit(CdcDivisor)))
+            .as("ch"))
+      val wdf = chunks.withColumn("cdf",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"ch")))
+      wdf.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when($"cdf" >= 2, 1)).as("n_shared"))
+        .select($"doc_id", $"n_chunks", $"n_shared",
+          Det.qround($"n_shared" * lit(1.0) / $"n_chunks").as("shared_frac"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      bf AS (
+        SELECT doc_id, ws,
+          [i for i in range(1, len(ws) + 1)
+           if CAST(('0x' || substr(md5(ws[i]), 1, 8)) AS BIGINT) % $CdcDivisor = 0
+              or i = len(ws)] AS bs
+        FROM base),
+      chunks AS (
+        SELECT doc_id,
+          unnest([md5(array_to_string(
+              ws[(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END):bs[k]], ' '))
+            for k in range(1, len(bs) + 1)]) AS ch
+        FROM bf),
+      w AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY ch) AS cdf
+        FROM chunks)
+      SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        count(*) FILTER (WHERE cdf >= 2)::BIGINT AS n_shared,
+        ${Oracle.qround(
+          "(count(*) FILTER (WHERE cdf >= 2)) * 1.0 / count(*)")} AS shared_frac
+      FROM w GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
-    qDedupKeepBest, qNeardupSources, qMinhashEstimate)
+    qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup)
 }
