@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming winnowing-overlap screen — the streaming twin of
+  * q_winnow_overlap, and the PASSAGE-level complement of [[StreamSimhash]]:
+  * where the SimHash screen suppresses whole-document near-duplicates, this
+  * suppresses documents sharing ≥ [[MinShared]] winnowing fingerprints
+  * (i.e. ≥ MinShared distinct local runs of ≥ n+w−1 tokens) with anything
+  * already kept — the ingest-time defense against boilerplate re-wraps of
+  * an already-kept passage, which whole-document signatures miss once
+  * enough novel framing is added around the copied core.
+  *
+  * Same `foreachBatch` + durable-index contract as StreamSimhash (the
+  * index is (fp, old_id) fingerprint postings shared with batch jobs;
+  * survivors-out BEFORE index-append keeps replay at-least-once;
+  * self-matches excluded by doc_id so a replayed document never suppresses
+  * itself). Per-batch cost: the probe joins the batch's fingerprints
+  * (~2/(w+1) of its gram stream) against the index on the fp hash —
+  * candidates only, never batch × corpus.
+  *
+  * Suppression is PAIRWISE (one prior document must share MinShared
+  * fingerprints), matching q_winnow_overlap's pair semantics — pooled
+  * cross-document counts would let MinShared coincidences with unrelated
+  * documents suppress a novel one.
+  */
+object StreamWinnow {
+
+  /** Same threshold as the batch overlap report. */
+  val MinShared: Int = Dedup.WinnowMinShared
+
+  private def fingerprints(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(call_function("winnow_hashes",
+      col("text"), lit(Dedup.WinnowN), lit(Dedup.WinnowW))).as("fp"))
+
+  /** doc_ids of `bf` (doc_id, fp) sharing ≥ MinShared fingerprints with one
+    * document of `index` (fp, old_id); self-pairs excluded (replay). */
+  private def matchedAgainst(bf: DataFrame, index: DataFrame): DataFrame =
+    bf.join(index, Seq("fp"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .groupBy(col("doc_id"), col("old_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinShared)
+      .select("doc_id").distinct()
+
+  /** Pure per-batch screen: survivors of `batch` (doc_id, text, …) against
+    * `index` (fp, old_id). Within the batch, keep-lowest: a document is
+    * suppressed when it shares ≥ MinShared fingerprints with a SMALLER
+    * doc_id in the same batch (deterministic, no iteration — the
+    * StreamSimhash representative rule). */
+  private[streaming] def screenBatch(batch: DataFrame, index: DataFrame): DataFrame = {
+    // the fingerprint projection feeds the index probe AND the intra-batch
+    // pair join — persist so the native winnowing pass runs once
+    val bf = fingerprints(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsIndex = matchedAgainst(bf, index)
+    // intra-batch keep-lowest: same pairing keyed on fp, with the order
+    // predicate INSIDE the join so only "earlier suppresses later" pairs
+    // ever reach the count
+    val intra = bf.join(
+        bf.select(col("fp"), col("doc_id").as("old_id")), Seq("fp"))
+      .filter(col("old_id") < col("doc_id"))
+      .groupBy(col("doc_id"), col("old_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinShared)
+      .select("doc_id").distinct()
+    batch.join(vsIndex.union(intra).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Start the screen on a stream with columns (doc_id: long, text: string):
+    * survivors append to `outDir` (doc_id, text), their fingerprint
+    * postings to `indexDir` (fp, old_id). An existing index (e.g. built by
+    * a batch job from winnow_hashes) is honored; a missing one starts
+    * empty. `compactEvery` as in StreamSimhash. */
+  def run(stream: DataFrame, indexDir: String, outDir: String,
+          checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(root)) spark.read.parquet(indexDir)
+          else spark.range(0).select(
+            col("id").cast("string").as("fp"), col("id").as("old_id"))
+        val kept = screenBatch(batch, index)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.select(col("doc_id"), col("text"))
+            .write.mode("append").parquet(outDir)
+          fingerprints(kept)
+            .select(col("fp"), col("doc_id").as("old_id"))
+            .write.mode("append").parquet(indexDir)
+        } finally kept.unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+          Compaction.compact(spark, indexDir)
+        ()
+      }
+      .start()
+}

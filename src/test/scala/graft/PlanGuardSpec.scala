@@ -151,6 +151,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_winnow_overlap: df-capped fp equi-join, no cartesian") {
+    val p = plan(Dedup.qWinnowOverlap)
+    // boilerplate fingerprints leave candidate GENERATION via the anti-join
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Cross joins are broadcast scalar relations (n_docs)
+    for (line <- p.linesIterator if line.contains("Cross,"))
+      assert(line.contains("BroadcastNestedLoopJoin"), line)
+  }
+
+  test("q_cdc_dedup: map-side chunking, in-place window, no joins") {
+    val p = plan(Dedup.qCdcDedup)
+    // chunk df comes from a window over the one chunk-hash exchange — a
+    // Join here means the df aggregation regressed to a second scan
+    assert(!p.contains("Join"), p)
+    assert(occurrences(p, "Window") === 1, p)
+  }
+
+  test("q_boilerplate_rate: one (source, shingle) exchange + doc rollup, no joins") {
+    val p = plan(graft.operators.CorpusQuality.qBoilerplateRate)
+    assert(!p.contains("Join"), p)
+    assert(occurrences(p, "Window") === 1, p)
+  }
+
+  test("q_heldout_xent: LM normalizers broadcast onto the cached tf relation") {
+    val p = plan(graft.operators.LexicalStats.qHeldoutXent)
+    // the per-lang stats relation joins the vocabulary as a broadcast; a
+    // SortMergeJoin means the (lang, term) relation shuffled AGAIN on lang
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both consumers (stats + probe) read the persisted tf exchange
+    assert(occurrences(p, "InMemoryTableScan") >= 1, p)
+  }
+
   test("q_pareto_front: skyline on the aggregate; frontier broadcast back") {
     val p = plan(graft.operators.PipelineOps.qParetoFront)
     // the prefix-max window runs on the (lang, n_tokens) AGGREGATE and the

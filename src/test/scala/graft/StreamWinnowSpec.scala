@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.StreamWinnow
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming winnowing-overlap screen end-to-end: passage-level suppression
+  * within and across batches against the persisted fingerprint index, the
+  * re-wrapped-passage case whole-document signatures miss, and the shared
+  * index layout with batch winnow_hashes jobs. */
+class StreamWinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 12-token passage (≫ n+w−1 = 6) and genuinely unrelated filler
+  private val passage =
+    "the quarterly compliance disclosure must be filed before the fiscal deadline"
+  private val tA = s"intro alpha $passage outro omega"
+  // the SAME passage re-wrapped in different framing — passage-level dup
+  private val tB = s"completely different framing here $passage with novel trailing words"
+  private val tC = "unrelated sentence about brown foxes jumping over lazy dogs today"
+  private val tD = "spark executors shuffle partitioned data across the cluster network fabric"
+
+  private def fps(text: String): Set[String] =
+    Seq(text).toDF("text")
+      .select(call_function("winnow_hashes", $"text",
+        lit(Dedup.WinnowN), lit(Dedup.WinnowW)).as("f"))
+      .collect().head.getSeq[String](0).toSet
+
+  test("precondition: re-wrap shares >= MinShared fingerprints, unrelated texts don't") {
+    assert((fps(tA) & fps(tB)).size >= StreamWinnow.MinShared,
+      "the shared passage must survive winnowing selection in both wraps")
+    for (t <- Seq(tC, tD)) {
+      assert((fps(tA) & fps(t)).size < StreamWinnow.MinShared)
+      assert((fps(tC) & fps(tD)).size < StreamWinnow.MinShared)
+    }
+  }
+
+  test("multi-batch replay: passage re-wraps suppressed within and across batches") {
+    val base = Files.createTempDirectory("graft-swin").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamWinnow.run(in.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt)
+    try {
+      // batch 1: doc 10 re-wraps doc 0's passage -> intra-batch keep-lowest
+      in.addData((0L, tA), (10L, tB), (1L, tC))
+      q.processAllAvailable()
+      // batch 2: doc 2 re-wraps the passage again -> suppressed by the index
+      in.addData((2L, tB), (3L, tD))
+      q.processAllAvailable()
+
+      val kept = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      assert(kept === Seq(0L, 1L, 3L))
+      // the index holds exactly the survivors' fingerprint postings
+      val idx = spark.read.parquet(indexDir)
+        .as[(String, Long)].collect()
+      assert(idx.map(_._2).toSet === Set(0L, 1L, 3L))
+      assert(idx.filter(_._2 == 0L).map(_._1).toSet === fps(tA))
+    } finally q.stop()
+  }
+
+  test("a batch-built fingerprint index suppresses stream documents (shared layout)") {
+    val base = Files.createTempDirectory("graft-swin-seed").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    // seed exactly like a batch job would: explode winnow_hashes postings
+    Seq((100L, tA)).toDF("old_id", "text")
+      .select(explode(call_function("winnow_hashes", $"text",
+        lit(Dedup.WinnowN), lit(Dedup.WinnowW))).as("fp"), $"old_id")
+      .write.parquet(indexDir)
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamWinnow.run(in.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt)
+    try {
+      in.addData((0L, tB), (1L, tD))  // 0 re-wraps the seeded passage
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      assert(kept === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("whole-document SimHash misses the re-wrap this screen catches") {
+    // the motivating gap: tA and tB share the passage but differ in enough
+    // framing that their 32-bit simhashes are far apart
+    val sigs = Seq(tA, tB).toDF("text")
+      .select(call_function("simhash32", $"text").as("s")).as[Long].collect()
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) >
+      graft.streaming.StreamSimhash.HammingMax)
+  }
+}
