@@ -1203,9 +1203,69 @@ object Dedup {
       FROM w GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Quality-decile × near-dup calibration: are low-quality documents also
+    * the duplicated ones? Each document gets its quality decile (ntile 10
+    * over the shared quality score, doc_id tie-break so the decile
+    * assignment is total) and a dup flag (its cluster has ≥ 2 members);
+    * the rollup reports per-decile doc counts, dup rate, and exact-decimal
+    * mean quality. A flat dup-rate curve says dedup and quality filtering
+    * remove DIFFERENT mass (both needed); a steep one says the quality
+    * filter already removes most duplicates — the interaction every
+    * curation pipeline needs before sequencing its filters, answered by
+    * composing the engine's own cluster fixpoint and quality score rather
+    * than new machinery.
+    *
+    * Scale shape: cluster sizes via one window over the label relation;
+    * the decile is a deliberate SinglePartition window (rank over a
+    * corpus-wide total order — the q_zipf_fit precedent, and the one
+    * stage that would become a range-partitioned rank at 100 TB); rollup
+    * is a 10-group aggregate. */
+  val qQualityDedupCalibration = GraftQuery(
+    "q_quality_dedup_calibration",
+    (spark, dir) => {
+      import spark.implicits._
+      val quality = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", TextAnalytics.qualityCol.as("quality"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy($"quality".asc, $"doc_id".asc)
+      clusterAssignment(spark, dir)
+        .withColumn("csize", count(lit(1)).over(wc))
+        .join(quality, Seq("doc_id"))
+        .withColumn("decile", ntile(10).over(wd))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"csize" >= 2, 1)).as("n_dups"),
+          Det.davg($"quality").as("avg_quality"))
+        .select($"decile".cast(LongType).as("decile"), $"n_docs", $"n_dups",
+          Det.qround($"n_dups" * lit(1.0) / $"n_docs").as("dup_rate"),
+          $"avg_quality")
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH RECURSIVE $clusterCtes,
+      cs AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY cluster) AS csize
+        FROM cl),
+      q AS (
+        SELECT doc_id, ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM documents),
+      dec AS (
+        SELECT cs.doc_id, cs.csize, q.quality,
+          ntile(10) OVER (ORDER BY q.quality ASC, cs.doc_id ASC) AS decile
+        FROM cs JOIN q USING (doc_id))
+      SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+        count(*) FILTER (WHERE csize >= 2)::BIGINT AS n_dups,
+        ${Oracle.qround(
+          "(count(*) FILTER (WHERE csize >= 2)) * 1.0 / count(*)")} AS dup_rate,
+        ${Oracle.davg("quality")} AS avg_quality
+      FROM dec GROUP BY decile ORDER BY decile""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
-    qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup)
+    qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
+    qQualityDedupCalibration)
 }

@@ -156,6 +156,22 @@ class DedupSpec extends SparkSpec {
     assert(err === math.floor(math.abs(agree / 12.0 - j) * 1e6 + 0.5) / 1e6)
   }
 
+  test("quality-dedup calibration: deciles partition the corpus, dup mass = the two clusters") {
+    val rows = Dedup.qQualityDedupCalibration.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // 6 docs over 10 deciles: ntile gives 6 non-empty buckets of 1
+    assert(rows.map(_._2).sum === 6L)
+    assert(rows.forall(_._2 === 1L))
+    // exactly 4 documents (clusters {2,3} and {4,5}) are dup-flagged
+    assert(rows.map(_._3).sum === 4L)
+    rows.foreach { case (_, n, d, rate, _) =>
+      assert(rate === math.floor(d * 1.0 / n * 1e6 + 0.5) / 1e6)
+    }
+    // avg_quality is non-decreasing across deciles (the ordering law)
+    val qs = rows.sortBy(_._1).map(_._5)
+    assert(qs === qs.sorted)
+  }
+
   test("near-dup source rollup: the two planted pairs land on their source pairs") {
     val rows = Dedup.qNeardupSources.run(spark, fixtureDir)
       .as[(String, String, Long, Double)].collect().toSeq
