@@ -848,33 +848,37 @@ object PipelineOps {
     * aggregate reduces the corpus to |langs| rows; the rank window and the
     * leftover scalar run on that tiny relation (the deliberate
     * SinglePartition window of the q_zipf_fit precedent). */
-  val qTokenBudget = GraftQuery(
-    "q_token_budget",
-    (spark, dir) => {
-      import spark.implicits._
-      val counts = Tables.spread(Tables.documents(spark, dir))
-        .select($"lang",
-          size(graft.functions.Text.tokens($"text")).cast(LongType).as("nt"))
-        .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
-      val tot = counts.agg(sum($"n_tokens").as("n_total"))
-      val shares = counts.crossJoin(broadcast(tot))
-        .select($"lang", $"n_tokens",
-          expr(s"$TokenBudgetT * n_tokens div n_total").as("base"),
-          expr(s"($TokenBudgetT * n_tokens) % n_total").as("rem"))
-      // |langs|-sized relation: the leftover count and the remainder rank
-      // both come from deliberate single-partition windows over it
-      val w = Window.orderBy($"rem".desc, $"lang".asc)
-      val wAll = Window.orderBy($"rem".desc, $"lang".asc)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      shares
-        .withColumn("rk", row_number().over(w))
-        .withColumn("leftover", lit(TokenBudgetT) - sum($"base").over(wAll))
-        .select($"lang", $"n_tokens", $"base",
-          ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
-        .orderBy($"lang")
-    },
-    Some(s"""
-      WITH counts AS (
+  /** (lang, n_tokens, base, alloc) — the Hamilton allocation relation,
+    * shared by [[qTokenBudget]] (which just orders it) and
+    * [[qBudgetSample]] (which realizes it as a document sample). */
+  private def tokenBudgetAlloc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val counts = Tables.spread(Tables.documents(spark, dir))
+      .select($"lang",
+        size(graft.functions.Text.tokens($"text")).cast(LongType).as("nt"))
+      .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
+    val tot = counts.agg(sum($"n_tokens").as("n_total"))
+    val shares = counts.crossJoin(broadcast(tot))
+      .select($"lang", $"n_tokens",
+        expr(s"$TokenBudgetT * n_tokens div n_total").as("base"),
+        expr(s"($TokenBudgetT * n_tokens) % n_total").as("rem"))
+    // |langs|-sized relation: the leftover count and the remainder rank
+    // both come from deliberate single-partition windows over it
+    val w = Window.orderBy($"rem".desc, $"lang".asc)
+    val wAll = Window.orderBy($"rem".desc, $"lang".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shares
+      .withColumn("rk", row_number().over(w))
+      .withColumn("leftover", lit(TokenBudgetT) - sum($"base").over(wAll))
+      .select($"lang", $"n_tokens", $"base",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** The allocation as oracle CTE text ending in
+    * `alloc_t(lang, n_tokens, base, alloc)`. */
+  private def tokenBudgetCtes: String = s"""
+      counts AS (
         SELECT lang,
           sum(len(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT
             AS n_tokens
@@ -889,15 +893,74 @@ object PipelineOps {
         SELECT lang, n_tokens, base,
           row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
           $TokenBudgetT - sum(base) OVER () AS leftover
-        FROM shares)
-      SELECT lang, n_tokens, base::BIGINT AS base,
-        (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
-      FROM ranked ORDER BY lang""")
+        FROM shares),
+      alloc_t AS (
+        SELECT lang, n_tokens, base::BIGINT AS base,
+          (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM ranked)"""
+
+  val qTokenBudget = GraftQuery(
+    "q_token_budget",
+    (spark, dir) => tokenBudgetAlloc(spark, dir).orderBy(col("lang")),
+    Some(s"""
+      WITH $tokenBudgetCtes
+      SELECT lang, n_tokens, base, alloc FROM alloc_t ORDER BY lang""")
+  )
+
+  /** Realize the token-budget allocation as an actual document sample: per
+    * language, documents enter in salted-hash order ('budget:' salt —
+    * decorrelated from every other sampling/split decision, the
+    * q_epoch_plan discipline) and the MAXIMAL PREFIX whose running token
+    * total fits the language's alloc is kept (cum is monotone, so the keep
+    * set is exactly one hash-order prefix — the deterministic dataloader
+    * contract: same corpus, same budget → the same document set). Bin-fill
+    * refinements (skipping an overshooting doc to admit smaller later
+    * ones) are deliberately out: they'd make membership depend on the
+    * whole prefix's composition instead of one running total, for at most
+    * one extra document per language.
+    *
+    * Scale shape: one lang-partitioned window (running sum over the hash
+    * order) and a broadcast join of the |langs| allocation — no
+    * corpus-sized shuffle beyond the one sort-within-lang. */
+  val qBudgetSample = GraftQuery(
+    "q_budget_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang", $"doc_id",
+          size(graft.functions.Text.tokens($"text")).cast(LongType).as("n_tokens"),
+          expr(u32Expr("concat('budget:', cast(doc_id as string))")).as("ord"))
+      val w = Window.partitionBy($"lang").orderBy($"ord".asc, $"doc_id".asc)
+      docs
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .join(broadcast(tokenBudgetAlloc(spark, dir).select($"lang", $"alloc")),
+          Seq("lang"))
+        .filter($"cum" <= $"alloc")
+        .select($"lang", $"doc_id", $"n_tokens", $"cum")
+        .orderBy($"lang", $"cum")
+    },
+    Some(s"""
+      WITH $tokenBudgetCtes,
+      docs AS (
+        SELECT lang, doc_id,
+          len(string_split_regex(lower(text), '[[:space:]]+'))::BIGINT AS n_tokens,
+          ${u32Sql("'budget:' || CAST(doc_id AS VARCHAR)")} AS ord
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord ASC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        FROM docs)
+      SELECT c.lang, doc_id, c.n_tokens, cum
+      FROM c JOIN alloc_t a ON c.lang = a.lang
+      WHERE cum <= a.alloc
+      ORDER BY c.lang, cum""")
   )
 
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
-      qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget)
+      qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget,
+      qBudgetSample)
 }

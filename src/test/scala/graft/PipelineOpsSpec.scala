@@ -192,6 +192,34 @@ class PipelineOpsSpec extends SparkSpec {
       ("fr", 60L, 810810L, 810811L)))
   }
 
+  test("q_budget_sample: maximal hash-order prefix within each language's alloc") {
+    def u32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val alloc = PipelineOps.qTokenBudget.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val expected = SparkSpec.fixtureDocs
+      .map { case (id, text, lang, _) =>
+        (lang, id, text.toLowerCase.split("\\s+", -1).length.toLong,
+          u32(s"budget:$id")) }
+      .groupBy(_._1)
+      .flatMap { case (lang, ds) =>
+        val ordered = ds.sortBy(d => (d._4, d._2))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).takeWhile(_._2 <= alloc(lang))
+          .map { case (d, c) => (lang, d._2, d._3, c) }
+      }.toSet
+    val got = PipelineOps.qBudgetSample.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // fixture allocs (en 81081, de 108108, fr 810811) exceed every
+    // language's total tokens, so the sample must be the whole corpus
+    assert(got.size === 6)
+  }
+
   test("q_token_budget laws at sf0.001: sums to T, within 1 of every ideal share") {
     val rows = PipelineOps.qTokenBudget.run(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long)].collect().toSeq

@@ -81,6 +81,36 @@ class SchemaDriftSpec extends SparkSpec {
       assert(ts == ref(id)._2, s"shape $s: event $id ts $ts != ${ref(id)._2} (ts_us=$us)")
   }
 
+  test("driver table contracts: every column the queries depend on is present") {
+    // the generalized round-7 lesson: a driver regeneration that renames or
+    // drops a column should fail ONE named test, not scatter failures over
+    // a whole query family. Column NAMES only — types may drift and the
+    // loaders adapt (events.ts being the precedent).
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val expected = Map(
+      "region" -> Set("r_regionkey", "r_name"),
+      "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Set("s_suppkey", "s_nationkey"),
+      "part" -> Set("p_partkey", "p_brand", "p_type"),
+      "orders" -> Set("o_orderkey", "o_custkey", "o_orderdate",
+        "o_orderpriority", "o_totalprice"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus"),
+      "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("vec_id", "embedding", "label"),
+      "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+        "props"))
+    for ((t, cols) <- expected) {
+      val have = Tables.table(spark, sfDir, t).schema.fieldNames.toSet
+      val missing = cols -- have
+      assert(missing.isEmpty,
+        s"table $t lost columns $missing (driver regeneration?) — have $have")
+    }
+  }
+
   test("driver testdata (if present) loads through the adaptive branch") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/events.parquet").exists())
