@@ -248,6 +248,58 @@ object BehaviorAnalytics {
       ORDER BY event_id""")
   )
 
+  /** Per-user inter-arrival profile: exact integer µs gaps between
+    * consecutive events (ordered by ts_us, event_id ties) rolled up to
+    * min/max/exact-decimal-mean per user — the burstiness/bot screen
+    * (human gaps are heavy-tailed with large means; scripted traffic shows
+    * tiny regular gaps) and the input any rate-limit or session-timeout
+    * tuning starts from. Single-event users surface with n_gaps = 0 and
+    * null gap stats, not silently dropped — their presence is the "new
+    * user" denominator.
+    *
+    * Scale shape: one user-keyed window (the lag) feeding one user-keyed
+    * rollup — the exchange is shared, no second shuffle; all arithmetic is
+    * exact int64 µs except the qround'ed mean. */
+  val qInterarrival = GraftQuery(
+    "q_interarrival",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(spark, dir)
+        .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count($"gap").as("n_gaps"),
+          min($"gap").as("min_gap_us"),
+          max($"gap").as("max_gap_us"),
+          // mean rounded to WHOLE µs, not qround: gaps run ~1e10 µs, and
+          // qround's ×1e6 would exceed the 53-bit double mantissa (the
+          // floor becomes engine-dependent garbage — caught by the sf0.001
+          // sweep); floor(x + 0.5) at 1e10 is exact, and sub-µs mean
+          // precision is physically meaningless anyway
+          when(count($"gap") > 0,
+            floor(sum($"gap".cast(DecimalType(38, Det.Scale))).cast(DoubleType)
+              / count($"gap") + lit(0.5)).cast(LongType)).as("avg_gap_us"))
+        .orderBy($"user_id")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT user_id,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap
+        FROM events)
+      SELECT user_id, count(*)::BIGINT AS n_events,
+        count(gap)::BIGINT AS n_gaps,
+        min(gap)::BIGINT AS min_gap_us,
+        max(gap)::BIGINT AS max_gap_us,
+        CASE WHEN count(gap) > 0 THEN
+          floor(sum(CAST(gap AS DECIMAL(38,9)))::DOUBLE / count(gap) + 0.5)::BIGINT
+        END AS avg_gap_us
+      FROM g GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad)
+    Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
+      qInterarrival)
 }

@@ -1262,10 +1262,65 @@ object Dedup {
       FROM dec GROUP BY decile ORDER BY decile""")
   )
 
+  /** Evidence rows for [[qPairEvidence]] per pair. */
+  val EvidenceTopK = 3
+
+  /** Near-dup pair EVIDENCE: for every verified MinHash pair, the
+    * [[EvidenceTopK]] rarest shared shingles (global df ascending, shingle
+    * tie-break) — the explainability row a human reviewer or an appeal
+    * process reads ("these documents were merged because they share THESE
+    * unusual phrases"). Rarest-first is the meaningful direction: shared
+    * stopword shingles explain nothing, a shared df-2 shingle is a
+    * fingerprint.
+    *
+    * Scale shape: shared-shingle rows exist only for VERIFIED pairs
+    * (bounded by banding) via the verify-join pattern; the global shingle
+    * df is one partial+final aggregate of the persisted shingle relation,
+    * joined on the shingle key; the top-k is a window over pair-sized
+    * groups. Nothing corpus×corpus. */
+  val qPairEvidence = GraftQuery(
+    "q_pair_evidence",
+    (spark, dir) => {
+      import spark.implicits._
+      val ex = docShingles(spark, dir, 2)
+        .select($"doc_id", explode($"sh").as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val shared = minhashPairs(spark, dir).select($"ia", $"ib")
+        .join(ex.select($"doc_id".as("ia"), $"shingle"), Seq("ia"))
+        .join(ex.select($"doc_id".as("ib"), $"shingle"), Seq("ib", "shingle"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"ia", $"ib").orderBy($"df".asc, $"shingle".asc)
+      shared
+        .join(df, Seq("shingle"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= EvidenceTopK)
+        .select($"ia", $"ib", $"rk".cast(LongType).as("rk"), $"shingle", $"df")
+        .orderBy($"ia", $"ib", $"rk")
+    },
+    Some(s"""
+      WITH pairs AS ($minhashPairsSql),
+      sh2 AS (${shinglesSql(2)}),
+      dfr AS (SELECT shingle, count(*)::BIGINT AS df FROM sh2 GROUP BY shingle),
+      shared AS (
+        SELECT p.ia, p.ib, sa.shingle
+        FROM pairs p
+        JOIN sh2 sa ON sa.doc_id = p.ia
+        JOIN sh2 sb ON sb.doc_id = p.ib AND sb.shingle = sa.shingle),
+      ranked AS (
+        SELECT ia, ib, shared.shingle, df,
+          row_number() OVER (PARTITION BY ia, ib
+            ORDER BY df ASC, shared.shingle ASC) AS rk
+        FROM shared JOIN dfr ON shared.shingle = dfr.shingle)
+      SELECT ia, ib, rk::BIGINT AS rk, shingle, df
+      FROM ranked WHERE rk <= $EvidenceTopK
+      ORDER BY ia, ib, rk""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
-    qQualityDedupCalibration)
+    qQualityDedupCalibration, qPairEvidence)
 }

@@ -80,4 +80,30 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       .run(spark, "/root/testdata/sf0.001").count()
     assert(z > 0 && rows.length > 0)
   }
+
+  test("q_interarrival hand-computed fixture gaps") {
+    // fixture: one event per 6h bucket b=0..5, user = b % 2 → each user has
+    // 3 events exactly 12h apart (gap = 2 × SixHoursUs)
+    val rows = BehaviorAnalytics.qInterarrival.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    val twelveH = 2 * SparkSpec.SixHoursUs
+    assert(rows === Seq(
+      (0L, 3L, 2L, Some(twelveH), Some(twelveH), Some(twelveH)),
+      (1L, 3L, 2L, Some(twelveH), Some(twelveH), Some(twelveH))))
+  }
+
+  test("q_interarrival on sf0.001: gaps positive, mean within min/max, counts consistent") {
+    val rows = BehaviorAnalytics.qInterarrival.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, g, mn, mx, avg) =>
+      assert(g === n - 1 || (n === 1L && g === 0L))
+      if (g > 0) {
+        assert(mn.get >= 0L && mn.get <= mx.get)
+        assert(avg.get >= mn.get && avg.get <= mx.get)
+      } else assert(mn.isEmpty && mx.isEmpty && avg.isEmpty)
+    }
+  }
 }

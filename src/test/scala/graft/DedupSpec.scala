@@ -172,6 +172,23 @@ class DedupSpec extends SparkSpec {
     assert(qs === qs.sorted)
   }
 
+  test("pair evidence: rarest shared shingles, rank-1 strictly rarest") {
+    val rows = Dedup.qPairEvidence.run(spark, fixtureDir)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    val byPair = rows.groupBy(r => (r._1, r._2))
+    // both verified pairs carry evidence, at most EvidenceTopK rows each
+    assert(byPair.keySet === Set((2L, 3L), (4L, 5L)))
+    byPair.values.foreach { ev =>
+      assert(ev.size <= Dedup.EvidenceTopK)
+      val sorted = ev.sortBy(_._3)
+      // df non-decreasing in rank; ties broken by shingle ascending
+      assert(sorted.map(_._5) === sorted.map(_._5).sorted)
+    }
+    // docs 2/3 are identical and unique in the corpus: every shared
+    // shingle has df = 2 (the pair itself)
+    assert(byPair((2L, 3L)).forall(_._5 === 2L))
+  }
+
   test("near-dup source rollup: the two planted pairs land on their source pairs") {
     val rows = Dedup.qNeardupSources.run(spark, fixtureDir)
       .as[(String, String, Long, Double)].collect().toSeq
