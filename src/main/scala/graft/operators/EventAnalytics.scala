@@ -1120,6 +1120,35 @@ object EventAnalytics {
       ORDER BY event_type, day""")
   )
 
+  /** Hour-of-day × event-type seasonality profile: counts and exact-decimal
+    * mean value per (UTC hour, type) — the diurnal baseline an anomaly
+    * monitor compares live traffic against (a spike is only a spike
+    * relative to its hour's norm). The hour derives from `ts_us` by pure
+    * integer arithmetic ((ts_us mod 86400e6) div 3600e6) rather than an
+    * engine datetime function, so the bucketing is bit-identical across
+    * engines and immune to calendar/timezone library differences.
+    *
+    * Scale shape: one (hour, type) aggregate, partial+final — 24×|types|
+    * output rows regardless of corpus size. */
+  val qHourlyProfile = GraftQuery(
+    "q_hourly_profile",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("hour", expr("(ts_us % 86400000000) div 3600000000"))
+        .groupBy($"hour", $"event_type")
+        .agg(count(lit(1)).as("n_events"), Det.davg($"value").as("avg_value"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some(s"""
+      SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        event_type, count(*)::BIGINT AS n_events,
+        ${Oracle.davg("value")} AS avg_value
+      FROM events
+      GROUP BY hour, event_type
+      ORDER BY hour, event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1128,5 +1157,5 @@ object EventAnalytics {
     qPivotDaily, qCubeActivity, qEventValueStats, qValueMoments,
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
-    qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg)
+    qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile)
 }

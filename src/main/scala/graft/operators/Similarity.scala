@@ -989,8 +989,68 @@ object Similarity {
       ORDER BY m.label, dim""")
   )
 
+  /** Pairwise label-centroid cosine matrix: how separated the embedding
+    * classes are — the drift companion to [[qEmbedLabelProfile]] (per-class
+    * moments say a class MOVED; this says whether classes are COLLAPSING
+    * toward each other, the failure mode that degrades every downstream
+    * classifier and IVF routing table). Centroids are 6-dp-rounded before
+    * the pairing (the covUpper discipline: both engines compute the
+    * pairwise math on bit-identical inputs).
+    *
+    * Scale shape: centroids via one (label, dim) exchange; the pairing is
+    * a |labels|·d × |labels|·d dim-keyed join of a MODEL-SIZED relation —
+    * never touches the corpus again. */
+  val qLabelCentroidDist = GraftQuery(
+    "q_label_centroid_dist",
+    (spark, dir) => {
+      import spark.implicits._
+      val cent = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(Det.qround(
+          sum($"v".cast(DoubleType).cast(DecimalType(38, 12))).cast(DoubleType)
+            / count(lit(1))).as("c"))
+      cent.as("a").join(cent.as("b"),
+          $"a.dim" === $"b.dim" && $"a.label" < $"b.label")
+        .groupBy($"a.label".as("label_a"), $"b.label".as("label_b"))
+        .agg(
+          sum(($"a.c" * $"b.c").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("dot"),
+          sum(($"a.c" * $"a.c").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("na"),
+          sum(($"b.c" * $"b.c").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("nb"))
+        .select($"label_a", $"label_b",
+          when($"na" > 0 && $"nb" > 0,
+            Det.qround($"dot" / (sqrt($"na") * sqrt($"nb")))).as("cosine"))
+        .orderBy($"label_a", $"label_b")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT label, unnest(range(len(embedding))) AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, dim,
+          ${Oracle.qround("sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*)")}
+            AS c
+        FROM ex GROUP BY label, dim),
+      p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+          sum(CAST(a.c * b.c AS DECIMAL(38,12)))::DOUBLE AS dot,
+          sum(CAST(a.c * a.c AS DECIMAL(38,12)))::DOUBLE AS na,
+          sum(CAST(b.c * b.c AS DECIMAL(38,12)))::DOUBLE AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY label_a, label_b)
+      SELECT label_a, label_b,
+        CASE WHEN na > 0 AND nb > 0
+          THEN ${Oracle.qround("dot / (sqrt(na) * sqrt(nb))")} END AS cosine
+      FROM p ORDER BY label_a, label_b""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
-      qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile)
+      qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile,
+      qLabelCentroidDist)
 }

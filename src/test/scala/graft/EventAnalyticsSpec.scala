@@ -173,4 +173,17 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(refreshed === direct)
   }
 
+  test("q_hourly_profile: hand-computed diurnal buckets on the fixture") {
+    // fixture events at t = b·6h, b = 0..5: hours 0, 6, 12, 18, 0 (24h
+    // wraps), 6 (30h); types cycle click/view/click/view/click/signup,
+    // value = b+1 → (0, click) holds b = 0 and 4 with mean (1+5)/2 = 3
+    val rows = EventAnalytics.qHourlyProfile.run(spark, fixtureDir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (0L, "click", 2L, 3.0),
+      (6L, "signup", 1L, 6.0),
+      (6L, "view", 1L, 2.0),
+      (12L, "click", 1L, 3.0),
+      (18L, "view", 1L, 4.0)))
+  }
 }

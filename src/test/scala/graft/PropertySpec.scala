@@ -164,4 +164,62 @@ class PropertySpec extends SparkSpec {
       .collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("winnowing laws on random texts: subset, bound, and shared-run guarantee") {
+    val texts = Seq.fill(150)(randText())
+    val rows = texts.toDF("text")
+      .select($"text",
+        call_function("winnow_hashes", $"text", lit(3), lit(4)).as("fps"),
+        call_function("word_shingles_all", $"text", lit(3)).as("grams"))
+      .select($"text", $"fps", transform($"grams", g => md5(g)).as("hs"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    for ((text, fps, hs) <- rows) {
+      // selected fingerprints are a subset of the gram hashes
+      assert(fps.toSet.subsetOf(hs.toSet), text)
+      // at most one selection per window; sorted distinct output
+      val windows = if (hs.isEmpty) 0 else math.max(hs.size - 4 + 1, 1)
+      assert(fps.size <= windows)
+      assert(fps == fps.distinct.sorted)
+      // a text with >= n+w-1 = 6 tokens always selects something
+      if (hs.size >= 4) assert(fps.nonEmpty)
+    }
+    // the guarantee, constructed: a text and its copy wrapped in novel
+    // framing share a >= 6-token run, so they must share a fingerprint
+    val donors = rows.filter(_._3.size >= 6).take(5)
+    val wrapped = donors.map(d => s"qq1 qq2 ${d._1} qq3 qq4").toSeq.toDF("text")
+      .select(call_function("winnow_hashes", $"text", lit(3), lit(4)).as("fps"))
+      .as[Seq[String]].collect()
+    for ((d, w) <- donors.zip(wrapped))
+      assert((d._2.toSet & w.toSet).nonEmpty, d._1)
+  }
+
+  test("CDC laws on random texts: chunk counts, boundary invariance under append") {
+    def chunks(t: String, d: Int): Seq[String] =
+      Seq(t).toDF("text")
+        .select(call_function("cdc_chunk_hashes", $"text", lit(d)))
+        .collect().head.getSeq[String](0)
+    val texts = Seq.fill(60)(randText())
+    val all = texts.toDF("text")
+      .select($"text",
+        call_function("cdc_chunk_hashes", $"text", lit(4)).as("c4"),
+        call_function("cdc_chunk_hashes", $"text", lit(1)).as("c1"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    for ((t, c4, c1) <- all) {
+      val n = t.toLowerCase.split("\\s+", -1).length
+      // divisor 1: every token a boundary → exactly one chunk per token
+      assert(c1.size == n, t)
+      // chunk count bounded by token count, and never zero
+      assert(c4.nonEmpty && c4.size <= n)
+    }
+    // append invariance: adding a suffix never changes the chunks BEFORE
+    // the original text's last interior boundary (the CDC re-alignment
+    // property, here exercised from the left side)
+    for (t <- texts.take(10)) {
+      val base = chunks(t, 4)
+      val extended = chunks(t + " extra trailing tokens here", 4)
+      // all but the final (possibly merged) chunk of the base survive
+      assert(base.dropRight(1).zip(extended).forall { case (a, b) => a == b },
+        s"prefix chunks changed for: $t")
+    }
+  }
 }

@@ -175,4 +175,20 @@ class SimilaritySpec extends SparkSpec {
     assert(l0.head === ((0, 0L, 2L, 1.0, 0.0, 1.0)))
     assert(l0.forall(_._5 === 0.0))
   }
+
+  test("q_label_centroid_dist: hand-computed fixture cosine") {
+    // centroid 0 = (1,0,...); centroid 1 = mean of e2 and (0.6,0.8,...)
+    // → (0.3, 0.9, 0, ...) at float-widened precision, qrounded.
+    // cos = 0.3 / sqrt(0.3² + 0.9²) = 0.3 / (1 · sqrt(0.9)) ≈ 0.316228
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val c0 = qround((0.6f.toDouble + 0.0) / 2)   // dim-0 of centroid 1
+    val c1 = qround((1.0 + 0.8f.toDouble) / 2)   // dim-1 of centroid 1
+    val expected = qround(c0 / (math.sqrt(1.0) * math.sqrt(
+      BigDecimal(c0 * c0).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + BigDecimal(c1 * c1).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val got = Similarity.qLabelCentroidDist.run(spark, fixtureDir)
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(got === Seq((0, 1, expected)))
+    assert(got.head._3 > 0.31 && got.head._3 < 0.32)
+  }
 }
