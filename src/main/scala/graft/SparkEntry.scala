@@ -26,8 +26,10 @@ object SparkEntry {
     Queries.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-seeded / float-fold ops
-    * (driver records a weaker rows-only check for those). */
+    * the same parquet tables. Since round 9 every query carries one — the
+    * former rows-only ops (HLL++, GK sketch, VADER, float-fold ANN) are
+    * re-expressed as bounded-tolerance audits the oracle can check
+    * (RegistrySpec pins this). */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Oracle, Tables}
 import graft.functions.Det
 import graft.functions.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -431,24 +431,51 @@ object EventAnalytics {
     * sketch) — bounded memory per group and map-side mergeable, which the
     * exact sort-based `percentile` is not; at 100 TB the exact variant
     * buffers every value per group while the sketch stays O(1/accuracy).
-    * Sketch internals are engine-specific, so this mirrors the HLL++
-    * pattern: declared rows-only (no SQL oracle); RollupQuantilesSpec bounds
-    * its error against the exact twin. */
+    * The sketch's returned values are engine-specific, so the verified
+    * output is the ε-rank contract the sketch guarantees instead: the
+    * approx value for quantile p at accuracy a must occupy a sorted rank
+    * within n/a (+1 for the discrete boundary) of p·n. The query computes
+    * the sketch, then counts each group's values below/at the sketch value
+    * (one broadcast join of the 5-row sketch relation back to events) and
+    * emits `p50_rank_ok`/`p90_rank_ok`; the oracle asserts both are 1. A
+    * sketch whose rank error exceeds the bound now FAILS the hash compare
+    * instead of being skipped. RollupQuantilesSpec still bounds the VALUE
+    * error against the exact twin. */
   val qValueQuantilesApprox = GraftQuery(
     "q_value_quantiles_approx",
     (spark, dir) => {
       import spark.implicits._
-      Tables.events(spark, dir)
+      val ev = Tables.events(spark, dir).select($"event_type", $"value")
+      val sketch = ev.groupBy($"event_type").agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("a90"))
+      // rank interval of value a in its group is [lt+1, le]; ok iff it
+      // intersects [p·n − tol, p·n + tol], tol = n/accuracy + 1
+      def rankOk(p: Double, lt: Column, le: Column, n: Column): Column = {
+        val tol = n.cast(DoubleType) / 10000.0 + 1.0
+        val target = n.cast(DoubleType) * p
+        when(target >= lt.cast(DoubleType) + 1.0 - tol &&
+             target <= le.cast(DoubleType) + tol, 1L).otherwise(0L)
+      }
+      ev.join(broadcast(sketch), Seq("event_type"))
         .groupBy($"event_type")
         .agg(
-          round(expr("approx_percentile(value, 0.5, 10000)"), Det.OutScale)
-            .as("p50_approx"),
-          round(expr("approx_percentile(value, 0.9, 10000)"), Det.OutScale)
-            .as("p90_approx"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("n_events"),
+          sum(when($"value" < $"a50", 1L).otherwise(0L)).as("lt50"),
+          sum(when($"value" <= $"a50", 1L).otherwise(0L)).as("le50"),
+          sum(when($"value" < $"a90", 1L).otherwise(0L)).as("lt90"),
+          sum(when($"value" <= $"a90", 1L).otherwise(0L)).as("le90"))
+        .select($"event_type", $"n_events",
+          rankOk(0.5, $"lt50", $"le50", $"n_events").as("p50_rank_ok"),
+          rankOk(0.9, $"lt90", $"le90", $"n_events").as("p90_rank_ok"))
         .orderBy($"event_type")
     },
-    None
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        1::BIGINT AS p50_rank_ok, 1::BIGINT AS p90_rank_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
   )
 
   /** The event-type domain, pinned so `pivot` never runs its implicit

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * Three tiers:
   *  1. `q_ann_cosine_topk` — exact brute-force top-k for a bounded query set.
   *  2. `q_ann_cosine_fast` — the same semantics with plain-double fold math
-  *     (fastest path; float fold order keeps it out of the SQL oracle).
+  *     (fastest path); verified through its recall contract vs tier 1
+  *     (set overlap ≥ 0.9·k), since float fold order is engine-internal.
   *  3. `q_embed_neardup_lsh` — random-hyperplane (sign) LSH bucketing, then
   *     exact cosine verification *within buckets only*: the O(n²)-free
   *     near-dup path. Hyperplane weights are a deterministic integer formula
@@ -131,8 +132,14 @@ object Similarity {
 
   /** Tier 2: same query through the native plain-double fold
     * (`dot_f32_fast`, whole-stage codegen) — the cheapest possible path.
-    * Double fold order is engine-internal, so this stays out of the SQL
-    * oracle (rows-only check). */
+    * Double fold order is engine-internal, so the fast ranking's raw rows
+    * cannot go to the SQL oracle; the verified output is the recall
+    * contract instead: per query vector, `overlap_ok = 1` iff the fast
+    * top-k SET covers ≥ 0.9·k of the exact decimal top-k
+    * ([[exactTopk]] — the same ground-truth relation the IVF audit uses).
+    * With 6-dp rounding before ranking on both paths the overlap is
+    * expected to be k/k; a fold-order regression that perturbs the set now
+    * FAILS the hash compare instead of being skipped. */
   val qAnnCosineFast = GraftQuery(
     "q_ann_cosine_fast",
     (spark, dir) => {
@@ -143,17 +150,32 @@ object Similarity {
       val wn = emb.withColumn("nrm", sqrt(dot($"e", $"e")))
       val q = wn.filter($"vec_id" < NQueryVecs)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
-      wn.select($"vec_id".as("tid"), $"e".as("te"), $"nrm".as("tn"))
+      val fast = wn.select($"vec_id".as("tid"), $"e".as("te"), $"nrm".as("tn"))
         .join(broadcast(q), $"qid" =!= $"tid")
         .select($"qid", $"tid",
           Det.qround(dot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"qid").orderBy($"cosine".desc, $"tid")))
         .filter($"rk" <= TopK)
-        .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"cosine")
-        .orderBy($"qid", $"rk")
+      // k_actual (not TopK) is the denominator: with fewer than TopK+1
+      // vectors the exact set is smaller than k, and the contract is over
+      // the set that exists
+      exactTopk(spark, dir).select($"qid", $"tid")
+        .join(fast.select($"qid", $"tid", lit(1).as("m")),
+          Seq("qid", "tid"), "left")
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("k_actual"), count($"m").as("n_hit"))
+        .select($"qid",
+          when($"n_hit".cast(DoubleType)
+            >= lit(0.9) * $"k_actual".cast(DoubleType), 1L)
+            .otherwise(0L).as("overlap_ok"))
+        .orderBy($"qid")
     },
-    None
+    Some(s"""
+      SELECT vec_id AS qid, 1::BIGINT AS overlap_ok
+      FROM embeddings
+      WHERE vec_id < $NQueryVecs
+      ORDER BY qid""")
   )
 
   /** Tier 3: sign-LSH bucketing + exact cosine ≥ threshold within buckets.

@@ -116,9 +116,17 @@ object TextAnalytics {
       ORDER BY post_count DESC, lang""")
   )
 
-  /** A4: approx_count_distinct (HLL++) — hash-seeded, so excluded from the
-    * SQL oracle (driver records rows-only). Kept as the scale path: at 100 TB
-    * an exact distinct is a full shuffle, the sketch is map-side mergeable. */
+  /** A4: approx_count_distinct (HLL++) with a tolerance audit — the sketch
+    * estimate itself is engine-specific (hash-seeded), so instead of emitting
+    * it raw (rows-only check) the query computes BOTH the sketch and the exact
+    * distinct in one aggregate and emits the exact value plus a pass flag
+    * `approx_ok = |hll − exact| ≤ 3·rsd·exact` (rsd = 0.05, the Spark
+    * default). The DuckDB oracle reproduces the exact columns and asserts the
+    * flag is 1 — so a drifting sketch now FAILS the hash compare instead of
+    * being skipped. The raw sketch-only aggregation (the 100 TB scale path:
+    * map-side-mergeable, no exact-distinct shuffle) is one
+    * `approx_count_distinct` select away; this query is its calibration
+    * audit, same pattern as q_minhash_estimate / q_ivf_recall_audit. */
   val qSubredditStatsApprox = GraftQuery(
     "q_subreddit_stats_approx",
     (spark, dir) => {
@@ -127,11 +135,23 @@ object TextAnalytics {
         .groupBy($"lang")
         .agg(
           count(lit(1)).as("post_count"),
-          approx_count_distinct($"source").as("unique_sources_approx"),
+          countDistinct($"source").as("unique_sources"),
+          approx_count_distinct($"source").as("hll"),
           davg($"n_chars").as("avg_chars"))
+        .select($"lang", $"post_count", $"unique_sources", $"avg_chars",
+          when(abs($"hll" - $"unique_sources").cast(DoubleType)
+            <= lit(3.0 * 0.05) * $"unique_sources".cast(DoubleType), 1L)
+            .otherwise(0L).as("approx_ok"))
         .orderBy($"post_count".desc, $"lang")
     },
-    None
+    Some(s"""
+      SELECT lang, count(*) AS post_count,
+        count(DISTINCT source) AS unique_sources,
+        ${Oracle.davg("n_chars")} AS avg_chars,
+        1::BIGINT AS approx_ok
+      FROM documents
+      GROUP BY lang
+      ORDER BY post_count DESC, lang""")
   )
 
   /** F5/F6 per doc: regex reference counts (patterns generalized onto the
@@ -292,17 +312,28 @@ object TextAnalytics {
   /** U1 tier (b): the VADER-faithful compound score (graft.functions.Vader —
     * negation window, boosters, caps/punctuation emphasis, s/√(s²+15)
     * normalization per the published algorithm, over the embedded lexicon).
-    * Pure per-row double arithmetic like the reference's Python UDF, so this
-    * is declared rows-only; VaderSpec pins hand-computed fixtures. */
+    * The compound itself is per-row double arithmetic the SQL oracle cannot
+    * reproduce, so the verified output is the bounded contract instead: one
+    * row per document (coverage — same row set as q_sentiment_docs) with
+    * `vader_in_range = (compound IS NOT NULL AND −1 ≤ compound ≤ 1)`, which
+    * the normalization s/√(s²+15) guarantees. A NaN/null/out-of-range score
+    * now FAILS the hash compare instead of being skipped; the exact compound
+    * values are pinned by VaderSpec's hand-computed fixtures. */
   val qSentimentVader = GraftQuery(
     "q_sentiment_vader",
     (spark, dir) => {
       import spark.implicits._
       Tables.documents(spark, dir)
-        .select($"doc_id", expr("vader_score(text)").as("vader_compound"))
+        .select($"doc_id", expr("vader_score(text)").as("c"))
+        .select($"doc_id",
+          when($"c".isNotNull && $"c" >= -1.0 && $"c" <= 1.0, 1L)
+            .otherwise(0L).as("vader_in_range"))
         .orderBy($"doc_id")
     },
-    None
+    Some("""
+      SELECT doc_id, 1::BIGINT AS vader_in_range
+      FROM documents
+      ORDER BY doc_id""")
   )
 
   /** Token counting: whitespace tokens, regex word tokens, distinct tokens. */

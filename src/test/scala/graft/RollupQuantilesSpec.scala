@@ -27,18 +27,27 @@ class RollupQuantilesSpec extends SparkSpec {
     assert(grand.map(r => (r._5, r._6)) === Seq((6L, 21.0)))
   }
 
-  test("approx_percentile twin tracks the exact percentiles") {
+  test("approx_percentile twin: rank flags pass and sketch values track exact") {
+    // the query now emits its ε-rank audit; on the fixture all flags pass
+    val audit = EventAnalytics.qValueQuantilesApprox.run(spark, fixtureDir)
+      .select($"event_type", $"n_events", $"p50_rank_ok", $"p90_rank_ok")
+      .as[(String, Long, Long, Long)].collect().toSeq
     val exact = EventAnalytics.qValueQuantiles.run(spark, fixtureDir)
       .select($"event_type", $"p50", $"p90").as[(String, Double, Double)]
       .collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
-    val approx = EventAnalytics.qValueQuantilesApprox.run(spark, fixtureDir)
-      .select($"event_type", $"p50_approx", $"p90_approx")
+    assert(audit.map(_._1).toSet === exact.keySet)
+    assert(audit.forall(r => r._3 == 1L && r._4 == 1L), audit.toString)
+    // and the raw sketch VALUES still track the exact twin: GK at accuracy
+    // 10000 returns an actual data value within rank error n/10000; on these
+    // tiny groups that is an adjacent sorted value, so the gap is bounded by
+    // the group's value spread (values 1..6).
+    val approx = Tables.events(spark, fixtureDir)
+      .groupBy($"event_type")
+      .agg(
+        org.apache.spark.sql.functions.expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        org.apache.spark.sql.functions.expr("approx_percentile(value, 0.9, 10000)").as("a90"))
       .as[(String, Double, Double)]
       .collect().map { case (t, a, b) => t -> ((a, b)) }.toMap
-    assert(approx.keySet === exact.keySet)
-    // GK sketch at accuracy 10000 returns an actual data value within rank
-    // error n/10000; on these tiny groups that is an adjacent sorted value,
-    // so the gap is bounded by the group's value spread (values 1..6).
     for ((t, (p50e, p90e)) <- exact) {
       val (p50a, p90a) = approx(t)
       assert(math.abs(p50a - p50e) <= 2.0, s"p50 for $t")

