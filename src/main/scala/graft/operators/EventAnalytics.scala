@@ -1151,9 +1151,15 @@ object EventAnalytics {
     * mean value per (UTC hour, type) — the diurnal baseline an anomaly
     * monitor compares live traffic against (a spike is only a spike
     * relative to its hour's norm). The hour derives from `ts_us` by pure
-    * integer arithmetic ((ts_us mod 86400e6) div 3600e6) rather than an
-    * engine datetime function, so the bucketing is bit-identical across
-    * engines and immune to calendar/timezone library differences.
+    * integer arithmetic (floor-mod: pmod(ts_us, 86400e6) div 3600e6)
+    * rather than an engine datetime function, so the bucketing is
+    * bit-identical across engines and immune to calendar/timezone library
+    * differences. Floor-mod, not `%`: Spark `%`/`div` truncate toward zero
+    * while DuckDB `//` floors, so a pre-epoch timestamp (a shape
+    * Tables.events supports — see SchemaDriftSpec's negative fixture)
+    * would bucket differently and could even land outside 0..23; pmod on
+    * the Spark side and an explicit double-mod on the oracle side keep
+    * every ts_us, negative included, in 0..23 identically.
     *
     * Scale shape: one (hour, type) aggregate, partial+final — 24×|types|
     * output rows regardless of corpus size. */
@@ -1162,13 +1168,14 @@ object EventAnalytics {
     (spark, dir) => {
       import spark.implicits._
       Tables.events(spark, dir)
-        .withColumn("hour", expr("(ts_us % 86400000000) div 3600000000"))
+        .withColumn("hour", expr("pmod(ts_us, 86400000000) div 3600000000"))
         .groupBy($"hour", $"event_type")
         .agg(count(lit(1)).as("n_events"), Det.davg($"value").as("avg_value"))
         .orderBy($"hour", $"event_type")
     },
     Some(s"""
-      SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+      SELECT (((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+          // 3600000000 AS hour,
         event_type, count(*)::BIGINT AS n_events,
         ${Oracle.davg("value")} AS avg_value
       FROM events

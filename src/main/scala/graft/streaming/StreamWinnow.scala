@@ -50,8 +50,14 @@ object StreamWinnow {
     * `index` (fp, old_id). Within the batch, keep-lowest: a document is
     * suppressed when it shares ≥ MinShared fingerprints with a SMALLER
     * doc_id in the same batch (deterministic, no iteration — the
-    * StreamSimhash representative rule). */
-  private[streaming] def screenBatch(batch: DataFrame, index: DataFrame): DataFrame = {
+    * StreamSimhash representative rule).
+    *
+    * Also returns the persisted per-batch fingerprint relation: it backs
+    * BOTH survivor-side joins lazily, so only the caller (after its sinks
+    * have materialized the survivors) can safely unpersist it — returning
+    * it is what lets run() release the cache per batch instead of leaking
+    * one relation per micro-batch for the ContextCleaner to find. */
+  private[streaming] def screenBatch(batch: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
     // the fingerprint projection feeds the index probe AND the intra-batch
     // pair join — persist so the native winnowing pass runs once
     val bf = fingerprints(batch)
@@ -67,7 +73,7 @@ object StreamWinnow {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= MinShared)
       .select("doc_id").distinct()
-    batch.join(vsIndex.union(intra).distinct(), Seq("doc_id"), "left_anti")
+    (batch.join(vsIndex.union(intra).distinct(), Seq("doc_id"), "left_anti"), bf)
   }
 
   /** Start the screen on a stream with columns (doc_id: long, text: string):
@@ -87,7 +93,8 @@ object StreamWinnow {
           if (fs.exists(root)) spark.read.parquet(indexDir)
           else spark.range(0).select(
             col("id").cast("string").as("fp"), col("id").as("old_id"))
-        val kept = screenBatch(batch, index)
+        val (survivors, bf) = screenBatch(batch, index)
+        val kept = survivors
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           kept.select(col("doc_id"), col("text"))
@@ -95,7 +102,7 @@ object StreamWinnow {
           fingerprints(kept)
             .select(col("fp"), col("doc_id").as("old_id"))
             .write.mode("append").parquet(indexDir)
-        } finally kept.unpersist()
+        } finally { kept.unpersist(); bf.unpersist() }
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
           Compaction.compact(spark, indexDir)
         ()

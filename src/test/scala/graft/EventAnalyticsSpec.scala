@@ -186,4 +186,22 @@ class EventAnalyticsSpec extends SparkSpec {
       (12L, "click", 1L, 3.0),
       (18L, "view", 1L, 4.0)))
   }
+
+  test("q_hourly_profile floor-mods pre-epoch timestamps into 0..23") {
+    // Spark div/% truncate toward zero, DuckDB // floors — pmod on the
+    // Spark side and the oracle's double-mod keep negative ts_us agreeing:
+    // ts_us = -1 (1 µs before epoch) is 23:59:59.999999 → hour 23, never
+    // the truncate-toward-zero 0 or a negative hour
+    val dir = java.nio.file.Files.createTempDirectory("hourneg").toString
+    Seq((-1000L, "click", 1.0), (-3600000001000L, "click", 3.0),
+        (5000L, "view", 2.0))  // ns: -1 µs → h23; -(1h + 1 µs) → h22; +5 µs → h0
+      .toDF("ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = EventAnalytics.qHourlyProfile.run(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (0L, "view", 1L, 2.0),
+      (22L, "click", 1L, 3.0),
+      (23L, "click", 1L, 1.0)))
+  }
 }
