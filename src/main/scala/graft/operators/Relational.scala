@@ -233,12 +233,13 @@ object Relational {
       ORDER BY lang, source""")
   )
 
-  /** Shared dialect-neutral SQL for [[qCorrelatedScalar]] — the one text
-    * runs unchanged in Spark (over the registered view) and DuckDB (over
-    * the parquet view), like [[qSqlSurface]]. The nation average is exact:
-    * decimal-cast-before-sum, double division once (identical IEEE in both
-    * engines), `1e6` spelled in e-notation so Spark parses a DOUBLE literal
-    * (a `1000000.0` literal is DECIMAL in Spark SQL text — NOTES.md). */
+  /** The correlated-scalar ORACLE text for [[qCorrelatedScalar]] (DuckDB
+    * side; dialect-neutral — it also runs unchanged in Spark, which is how
+    * the r8 double-aggregate wart was observed). The nation average is
+    * exact: decimal-cast-before-sum, double division once (identical IEEE
+    * in both engines), `1e6` spelled in e-notation so Spark parses a
+    * DOUBLE literal (a `1000000.0` literal is DECIMAL in Spark SQL text —
+    * NOTES.md). */
   private def correlatedSql(tbl: String) = s"""
       SELECT c_custkey, c_acctbal,
         floor(nav * 1e6 + 0.5) / 1e6 AS nation_avg
@@ -252,22 +253,35 @@ object Relational {
       ORDER BY c_custkey"""
 
   /** Correlated scalar subquery (customers above their nation's average
-    * balance) — the decorrelation surface of the optimizer: Catalyst
-    * rewrites the correlated aggregate into a grouped-aggregate broadcast
-    * join on the correlation key — never a per-row re-aggregation. The
-    * subquery is written ONCE and re-referenced through the outer
-    * filter/projection; observed plan wart (sf0.1, Spark 4.1): filter
-    * pushdown inlines the reference twice, so TWO instances of the
-    * per-nation aggregate plan — both nation-sized and broadcast, while
-    * the corpus-sized probe side stays single-pass, which is what matters
-    * at 100 TB. (ReuseExchange would dedupe them but misses: the
-    * inner-join instance gains an extra IsNotNull filter.) The
-    * subquery-heavy SQL a BI tool emits, priced at dim-side joins. */
+    * balance). The ORACLE keeps the subquery-heavy SQL a BI tool emits —
+    * the correlated aggregate written once, re-referenced through the
+    * outer filter/projection — so those semantics stay pinned. The Spark
+    * side runs the hand-decorrelated twin (per-nation aggregate CTE +
+    * broadcast equi-join on the correlation key): letting Catalyst
+    * decorrelate the same text works but plans the nation-sized aggregate
+    * TWICE (filter pushdown inlines the scalar reference into both the
+    * join and the projection, and ReuseExchange misses because the
+    * inner-join instance gains an extra IsNotNull — the r8 NOTES.md wart);
+    * the explicit CTE form plans exactly ONE aggregate over nation
+    * (PlanGuardSpec) and the hash match against the correlated oracle IS
+    * the decorrelation-equivalence proof. Probe side single-pass either
+    * way — that's what matters at 100 TB; this also drops the duplicate
+    * dim-side pass. */
   val qCorrelatedScalar = GraftQuery(
     "q_correlated_scalar",
     (spark, dir) => {
       Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
-      spark.sql(correlatedSql("customer_v"))
+      spark.sql("""
+        WITH nav AS (
+          SELECT c_nationkey,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+              AS nav
+          FROM customer_v GROUP BY c_nationkey)
+        SELECT c.c_custkey, c.c_acctbal,
+          floor(n.nav * 1e6 + 0.5) / 1e6 AS nation_avg
+        FROM customer_v c JOIN nav n ON c.c_nationkey = n.c_nationkey
+        WHERE c.c_acctbal > n.nav
+        ORDER BY c.c_custkey""")
     },
     Some(correlatedSql("customer"))
   )

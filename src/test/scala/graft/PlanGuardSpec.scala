@@ -185,6 +185,44 @@ class PlanGuardSpec extends SparkSpec {
     assert(occurrences(p, "InMemoryTableScan") >= 1, p)
   }
 
+  test("q_correlated_scalar: exactly one aggregate over nation, broadcast back") {
+    // the hand-decorrelated form must plan the per-nation average ONCE
+    // (Catalyst's own decorrelation of the oracle text plans it twice —
+    // the r8 wart this restructure removes) and return it to the customer
+    // probe as a broadcast join, never a shuffle of the probe side
+    val p = graft.operators.Relational.qCorrelatedScalar
+      .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(occurrences(p, "Exchange hashpartitioning(c_nationkey") === 1, p)
+    assert(occurrences(p, "partial_sum") === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_asof_join: one union + window pass, never a pair join") {
+    val p = plan(graft.operators.TemporalJoins.qAsofJoin)
+    // the AS-OF semantics come from tag-union-carry-forward: any Join node
+    // means the composition regressed to an event x purchase pairing
+    assert(!p.contains("Join"), p)
+    assert(occurrences(p, "Union") === 1, p)
+    // exactly two windows: the right-side (user, ts) dedup and the
+    // last(ignoreNulls) carry-forward — a third means an extra pass
+    assert(occurrences(p, "Window [") === 2, p)
+  }
+
+  test("q_range_join: bucket equi-join with in-join residual, no range nested loop") {
+    val p = plan(graft.operators.TemporalJoins.qRangeJoin)
+    // events meet campaigns on the bucket as a hash join, with the residual
+    // BETWEEN riding INSIDE the join condition (not a post-join filter)
+    val bhj = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(bhj.exists(l => l.contains("[bucket") && l.contains(">=")), p)
+    // the only nested-loop joins are Cross broadcasts of the 1-row bounds
+    // relation — an Inner BNLJ here means the BETWEEN predicate became the
+    // join itself (the unbounded pair enumeration this query exists to avoid)
+    for (line <- p.linesIterator if line.contains("BroadcastNestedLoopJoin"))
+      assert(line.contains("Cross"), line)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_pareto_front: skyline on the aggregate; frontier broadcast back") {
     val p = plan(graft.operators.PipelineOps.qParetoFront)
     // the prefix-max window runs on the (lang, n_tokens) AGGREGATE and the
