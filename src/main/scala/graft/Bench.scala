@@ -87,6 +87,18 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"detail","part":${i + 1},"of":${slices.size},"unit":"sec","sf":$sf,"queries":$qs}""")
     }
+    // Truncation insurance (BENCH_r08 forensics lost detail parts 1-4 of 8
+    // to the consumer's ~2000-char tail window): ONE ≤300-char per-family
+    // subtotal line between the details and the total, so even a hard cut
+    // that eats most detail parts preserves family-level numbers. Keys are
+    // the short family names of Queries.families, in registry order.
+    val famTimes = Queries.families.map { case (f, qs) =>
+      val names = qs.map(_.name).toSet
+      f -> results.collect { case (n, t) if names(n) && t >= 0 => t }.sum
+    }
+    val fams = famTimes.map { case (f, t) => "\"" + f + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"families","unit":"sec","sf":$sf,"t":$fams}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"n":${results.size},"failed":$failed}""")
     spark.stop()
   }

@@ -6,24 +6,34 @@ import graft.operators._
 /** Central registry of the verified query surface (SURVEY.md §2 coverage +
   * the training-data-pipeline extensions). */
 object Queries {
-  val all: Seq[GraftQuery] =
-    Relational.all ++
-      TextAnalytics.all ++
-      TfIdf.all ++
-      Retrieval.all ++
-      EventAnalytics.all ++
-      Dedup.all ++
-      Similarity.all ++
-      Profiling.all ++
-      Skew.all ++
-      TemporalJoins.all ++
-      PipelineOps.all ++
-      CorpusQuality.all ++
-      Clustering.all ++
-      LexicalStats.all ++
-      BehaviorAnalytics.all ++
-      Graph.all ++
-      Media.all
+  /** Queries grouped by contributing family (short keys — they ride in
+    * Bench's one-line family-subtotal summary, which must stay ≤300 chars
+    * so a hard tail truncation of the consumer's window still preserves
+    * family-level forensics). */
+  val families: Seq[(String, Seq[GraftQuery])] = Seq(
+    "rel" -> Relational.all,
+    "text" -> TextAnalytics.all,
+    "tfidf" -> TfIdf.all,
+    "retr" -> Retrieval.all,
+    "event" -> EventAnalytics.all,
+    "dedup" -> Dedup.all,
+    "sim" -> Similarity.all,
+    "prof" -> Profiling.all,
+    "skew" -> Skew.all,
+    "tjoin" -> TemporalJoins.all,
+    "pipe" -> PipelineOps.all,
+    "cq" -> CorpusQuality.all,
+    "clus" -> Clustering.all,
+    "lex" -> LexicalStats.all,
+    "behav" -> BehaviorAnalytics.all,
+    "graph" -> Graph.all,
+    "media" -> Media.all)
+
+  val all: Seq[GraftQuery] = families.flatMap(_._2)
+
+  /** query name -> family key (Bench subtotals). */
+  val familyOf: Map[String, String] =
+    families.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
   require(byName.size == all.size, "duplicate query names")

@@ -74,9 +74,20 @@ object Tables {
     * products) to one thread. A real multi-split table already provides
     * scan parallelism, and an unconditional `repartition()` there would be
     * a full shuffle of the fact data — the opposite of the 100 TB shape.
-    * Partition count comes from the planned file splits; no job runs. */
+    *
+    * The split count comes from the planned file scan's own RDD
+    * (FileSourceScanExec.inputRDD — split planning only, no job), not
+    * `df.rdd`: the latter builds a SECOND QueryExecution with a
+    * row-deserializer stage appended just to read a partition count.
+    * Callers pass bare table loads, so the leaves are file scans; anything
+    * else (no file leaf to read a split count from) conservatively keeps
+    * the frame as-is rather than guessing. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+    }
+    if (scans.isEmpty || scans.min >= target) df else df.repartition(target)
   }
 }

@@ -267,14 +267,230 @@ object SentimentLexicon {
     tier(-0.5)(
       "abysmal", "calamity", "deplorable", "despicable", "diabolical",
       "excruciating", "ghastly", "gruesome", "harrowing", "heinous",
-      "monstrous", "sickening", "unspeakable")
+      "monstrous", "sickening", "unspeakable") ++
+    // round-9 widening: same provenance and scaling rules as above (general
+    // English sentiment knowledge, intensities in eighths, no verbatim
+    // upstream list) — mostly inflected forms of families already present
+    // plus common sentiment vocabulary the earlier tiers missed
+    tier(0.625)(
+      "first-rate", "matchless", "peerless", "resplendent", "stupendous",
+      "top-notch", "unrivaled", "unsurpassed", "world-class") ++
+    tier(0.5)(
+      "adore", "adored", "adores", "captivating", "celebrated", "champion",
+      "charismatic", "effortless", "electrifying", "empowering",
+      "enthralling", "excellence", "exultant", "gleeful", "invincible",
+      "irresistible", "luminous", "mesmerizing", "miraculous", "paramount",
+      "priceless", "prodigy", "resounding", "riveting", "spellbinding",
+      "standout", "sterling", "transcendent", "unstoppable", "virtuoso",
+      "visionary") ++
+    tier(0.375)(
+      "acclaim", "acclaimed", "accolade", "accolades", "adept",
+      "admiration", "adventurous", "agreeable", "alluring", "altruistic",
+      "ambitious", "amiable", "amicable", "astute", "authentic",
+      "benevolent", "blossom", "blossoming", "bountiful", "breakthrough",
+      "brighten", "brightened", "brilliance", "buoyant", "caring",
+      "celebration", "charisma", "charm", "charmed", "chivalrous",
+      "comeback", "commendable", "competent", "compliment",
+      "complimentary", "complimented", "conquer", "conquered",
+      "creativity", "daring", "dazzle", "dazzled", "decisive", "dignified",
+      "dignity", "diplomatic", "distinguished", "dynamic", "ecstasy",
+      "eloquent", "embrace", "embraced", "empathetic", "empathy",
+      "encouragement", "endearing", "energized", "energizing", "engaging",
+      "enlighten", "enlightened", "enlightening", "enthused", "entertain",
+      "entertained", "entertaining", "esteem", "esteemed", "euphoria",
+      "exalted", "exceed", "exceeded", "exceeds", "exemplary", "exuberant",
+      "fascinate", "fascinated", "fascinating", "fearless", "fervent",
+      "festive", "finest", "flatter", "flattered", "flattering", "fluent",
+      "fondness", "forgiven", "forgiveness", "forgiving", "fortitude",
+      "friendship", "gallant", "glee", "glory", "gratify", "gratified",
+      "gratifying", "greatness", "gusto", "hail", "hailed", "handsome",
+      "heartening", "heartwarming", "honorable", "hooray", "hospitable",
+      "hug", "hugged", "hugs", "humane", "illustrious", "influential",
+      "ingenious", "innovate", "integrity", "invigorate", "invigorated",
+      "invigorating", "jolly", "jovial", "joyous", "kindhearted", "kudos",
+      "lively", "lovable", "lucid", "magical", "mastery", "merry",
+      "mighty", "nurture", "nurtured", "nurturing", "optimism", "ovation",
+      "paragon", "passion", "perfection", "perseverance", "persevere",
+      "persevered", "personable", "persuasive", "philanthropic",
+      "picturesque", "pinnacle", "pioneering", "poised", "positivity",
+      "powerful", "praiseworthy", "precious", "premier", "prestige",
+      "prestigious", "pride", "privileged", "prize", "prized",
+      "prodigious", "protective", "prowess", "punctual", "radiance",
+      "rapture", "reassuring", "redeem", "redeemed", "redeeming",
+      "rejoicing", "rejuvenate", "rejuvenated", "rejuvenating",
+      "reliability", "renown", "renowned", "resourceful", "respectable",
+      "respectful", "revere", "revered", "reverence", "revitalize",
+      "revitalized", "romantic", "salute", "saluted", "savor", "savored",
+      "seamless", "selfless", "serene", "serenity", "shine", "shining",
+      "soulful", "splendor", "stimulating", "strengthen", "strengthened",
+      "sturdy", "stylish", "suave", "sunny", "supreme", "surpass",
+      "surpassed", "sympathetic", "tactful", "tenacious", "tenacity",
+      "tribute", "trusting", "unity", "unwavering", "valiant", "valor",
+      "venerable", "vivacious", "vouch", "warmhearted", "welcoming",
+      "wellbeing", "whimsical", "wisdom", "zeal", "zest", "zestful") ++
+    tier(0.25)(
+      "accessible", "accommodate", "accommodated", "accommodating",
+      "accurate", "adaptable", "agile", "alright", "appropriate",
+      "approachable", "assist", "assistance", "assisted", "attain",
+      "attainable", "attained", "avid", "bearable", "benign", "coherent",
+      "cohesive", "compatible", "competence", "convinced", "cooperate",
+      "cooperated", "cooperation", "cooperative", "correct", "corrected",
+      "credibility", "cure", "cured", "deserved",
+      "deserving", "desirable", "durable", "eased", "economical",
+      "educated", "enhance", "enhanced", "enhancement", "equitable",
+      "expedite", "expedited", "facilitate", "facilitated", "fitting",
+      "fix", "fixed", "flexible", "focused", "forthcoming", "fulfill",
+      "functional", "harmless", "heartened", "justified", "legitimate",
+      "lenient", "likable", "likeable", "manageable", "meaningful",
+      "modest", "operational", "opportune", "opportunity", "orderly",
+      "organized", "painless", "permitted", "plausible", "plentiful",
+      "preferable", "preferred", "presentable", "preserved", "privilege",
+      "profitable", "prolific", "qualified", "ready", "realistic",
+      "reassurance", "receptive", "reconcile", "reconciled", "rectified",
+      "rectify", "remedied", "remedy", "renew", "renewed", "repair",
+      "repaired", "replenish", "replenished", "resilience", "resolute",
+      "responsive", "restful", "sane", "satisfactory", "saved", "savings",
+      "secured", "sensible", "simplified", "simplify", "sociable",
+      "soothed", "sophisticated", "spacious", "spotless", "streamline",
+      "streamlined", "succinct", "suitable", "thorough", "thrifty",
+      "transparent", "unharmed", "unscathed", "usable", "validate",
+      "verified", "vigilant", "warranted", "welcomed",
+      "workable") ++
+    tier(0.125)(
+      "acknowledge", "acknowledged", "alert", "aligned", "applicable",
+      "authorized", "available", "certainty", "civil",
+      "compliant", "concur", "concurred", "confirm", "confirmed",
+      "excusable", "intact", "moderate", "modern",
+      "noteworthy", "obtainable", "onward", "passable", "permissible",
+      "progressed", "prospect") ++
+    tier(-0.125)(
+      "ambiguous", "antiquated", "apathetic", "apprehension", "backlog",
+      "blemish", "boredom", "bottleneck", "bumpy", "burdensome", "chore",
+      "clunky", "coarse", "complication", "confine", "confined",
+      "congested", "congestion", "constrained", "constraint", "daunting",
+      "deadlock", "deficiency", "dilemma", "discrepancy", "disorganized",
+      "downturn", "drag", "dreary", "erode", "eroded", "erosion",
+      "exhaustion", "falter", "faltered", "faltering", "fickle", "flimsy",
+      "friction", "gripe", "gripes", "grumble", "grumbled", "halt",
+      "halted", "hamper", "hampered", "haphazard", "hiccup", "hiccups",
+      "hindrance", "hollow", "humdrum", "impasse", "imprecise",
+      "inaccurate", "inaction", "inactive", "inattentive", "incoherent",
+      "incompatible", "inconclusive", "indecisive", "indifferent",
+      "inefficient", "inflexible", "interruption", "irregular", "jitter",
+      "jittery", "lagged", "lapse", "lapsed", "letdown", "lethargic",
+      "lifeless", "listless", "loophole", "lull", "meager", "misaligned",
+      "miscommunication", "misconception", "mishap", "misplaced",
+      "misread", "misstep", "monotonous", "monotony", "muddle", "muddled",
+      "nag", "nagging", "nitpick", "nuisance", "obscure", "obsolete",
+      "oversight", "overcast", "overkill", "overrated", "pesky",
+      "pointless", "postpone", "postponed", "precarious", "problematic",
+      "procrastinate", "procrastination", "quibble", "redundant",
+      "regression", "restrict", "restricted", "restriction", "rigid",
+      "rocky", "rut", "shortcoming", "shortcomings", "shortfall",
+      "sidetracked", "slack", "slowdown", "snag", "spotty", "stagnant",
+      "stagnation", "standstill", "stiff", "stifle", "stifled", "subdued",
+      "substandard", "tiresome", "turbulence", "turbulent",
+      "underperform", "underperformed", "underwhelming", "unease",
+      "unimpressed", "uninspired", "uninspiring", "unmotivated",
+      "unorganized", "unpolished", "unprepared", "unproductive",
+      "unrefined", "unresolved", "unresponsive", "untidy", "weaken",
+      "weakened", "weakness", "wobbly", "worrisome") ++
+    tier(-0.25)(
+      "accusation", "accusations", "adverse", "adversity", "ailing",
+      "ailment", "alarming", "alienate", "alienated", "antagonize",
+      "antagonized", "backlash", "belittle", "belittled", "bemoan",
+      "berate", "berated", "bicker", "bickering", "bitterness", "bleak",
+      "botch", "botched", "brash", "brat", "bratty", "brood", "brooding",
+      "bungle", "bungled", "burnout", "clash", "clashed", "coerce",
+      "coerced", "coercion", "collapse", "collapsed", "condescending",
+      "contentious", "contradict", "contradicted", "contradiction",
+      "crumble", "crumbled", "crummy", "cynical", "cynicism", "damaging",
+      "deceptive", "defeat", "defeated", "deflate", "deflated", "demean",
+      "demeaned", "demeaning", "demoralize", "demoralized",
+      "demoralizing", "denounce", "denounced", "deplete", "depleted",
+      "deride", "derided", "derogatory", "desolate", "desperate",
+      "desperation", "deteriorate", "deteriorated", "deteriorating",
+      "detriment", "detrimental", "disadvantage", "disarray", "disbelief",
+      "discredit", "discredited", "disdain", "disgruntled", "dishearten",
+      "disheartened", "disheartening", "dishonor", "disillusioned",
+      "dismay", "dismayed", "dismissive", "displease", "displeased",
+      "displeasure", "disregard", "disregarded", "disrespect",
+      "disrespected", "disrespectful", "dissatisfaction", "dissatisfied",
+      "distrust", "distrustful", "dodgy", "downbeat", "downcast",
+      "downfall", "downgrade", "downgraded", "dubious", "dysfunction",
+      "dysfunctional", "embarrassment", "envious", "envy", "exasperate",
+      "exasperated", "exasperating", "exclude", "excluded", "exclusion",
+      "fearful", "feud", "fiasco", "flounder", "floundered", "forlorn",
+      "forsaken", "foul", "fracture", "fractured", "fret", "fretting",
+      "fright", "futile", "futility", "glum", "grimace", "grouchy",
+      "grueling", "heartache", "impair", "impaired", "impede", "impeded",
+      "inconsiderate", "indignant", "inept", "ineptitude", "insincere",
+      "instability", "intimidate", "intimidated", "intimidating",
+      "intolerant", "irk", "irked", "irksome", "irrational",
+      "irresponsible", "isolate", "isolated", "isolation", "jeer",
+      "jeered", "jinx", "joyless", "lament", "lamented", "languish",
+      "lousy", "malfunction", "malfunctioned", "manipulate",
+      "manipulated", "manipulative", "meddle", "meddling", "melancholy",
+      "miffed", "miscalculation", "misconduct", "miserly", "misfortune",
+      "misgiving", "misgivings", "mishandle", "mishandled", "mistreat",
+      "mistreated", "mistreatment", "mistrust", "moan", "moaned", "mope",
+      "moping", "morose", "negativity", "neglectful", "negligence",
+      "negligent", "nonsense", "objectionable", "obstruct", "obstructed",
+      "obstruction", "offend", "offended", "ominous", "ordeal", "outcry",
+      "overbearing", "overreact", "overreacted", "paranoia", "paranoid",
+      "peeved", "perturbed", "pessimism", "plight", "powerless",
+      "pretentious", "provocation", "punish", "punished", "punishment",
+      "rant", "ranted", "rattled", "rebuff", "rebuffed", "rebuke",
+      "rebuked", "regress", "regressed", "regretful", "regrets",
+      "regretted", "remorseful", "reprimand", "reprimanded", "resentful",
+      "resentment", "ridicule", "ridiculed", "ridiculous", "rift", "rile",
+      "riled", "rot", "sadden", "saddened", "saddening", "sadness",
+      "scarce", "scarcity", "scoff", "scoffed", "seethe", "seething",
+      "senseless", "shun", "shunned", "skepticism", "smear", "smeared",
+      "snub", "snubbed", "somber", "sore", "sorrow", "sorrowful", "sour",
+      "soured", "squabble", "squander", "squandered", "stern", "stigma",
+      "strife", "struggling", "stung", "sulk", "sulking", "taint",
+      "tainted", "tarnish", "tarnished", "taunt", "taunted", "tearful",
+      "temper", "thwart", "thwarted", "timid", "tiring", "toil",
+      "trepidation", "troublesome", "turmoil", "unappealing",
+      "unappreciated", "uncaring", "uncooperative", "underhanded",
+      "undesirable", "unfavorable", "unforgiving", "unfulfilled",
+      "unhelpful", "uninterested", "unjust", "unjustified", "unkind",
+      "unloved", "unmanageable", "unpopular", "unprofessional", "unrest",
+      "unruly", "unsatisfactory", "unsound", "unsuccessful",
+      "unsupported", "unsympathetic", "untrustworthy", "unusable",
+      "unworthy", "uproar", "volatile", "vulnerable", "weep", "weeping",
+      "wept", "wince", "withdrawn", "woeful", "wreck", "wrecked",
+      "wrongdoing", "wronged", "wrongful", "yell", "yelled", "yelling") ++
+    tier(-0.375)(
+      "abhor", "abhorred", "abhorrent", "abominable", "abomination",
+      "agonize", "agonized", "agonizing", "atrocity", "barbaric",
+      "bully", "bullied", "bullying", "contemptible", "contemptuous",
+      "crooked", "cruelty", "cursed", "debacle", "degrading", "detest",
+      "detestable", "detested", "devastate", "disgraced", "dreaded",
+      "egregious", "exploitation", "extortion", "filthy", "harass",
+      "harassed", "harassing", "harassment", "hateful", "hatred",
+      "horrid", "horrify", "horrifying", "inexcusable", "infamous",
+      "inhumane", "insidious", "insufferable", "intolerable", "irate",
+      "livid", "loathing", "loathsome", "merciless", "nasty", "nefarious",
+      "notorious", "oppress", "oppressed", "oppression", "oppressive",
+      "perilous", "pernicious", "poisonous", "predatory", "prejudice",
+      "prejudiced", "repugnant", "repulse", "repulsive", "rotten",
+      "ruinous", "sabotage", "sabotaged", "savage", "scorned",
+      "shameless", "sordid", "swindle", "swindled", "torment",
+      "tormented", "traitor", "trauma", "traumatic", "traumatized",
+      "tyranny", "tyrant", "vengeance", "vengeful", "venom", "venomous",
+      "vindictive", "vulgar") ++
+    tier(-0.5)(
+      "apocalyptic", "cataclysmic", "dire", "hellish", "nauseating",
+      "odious", "reprehensible")
 
   /** The full lexicon every scorer tier and oracle consumes: core + widened.
     * Core comes first and the two sets are disjoint (tested), so lookup
     * semantics are unambiguous. */
   val all: Seq[(String, Double)] = entries ++ extended
 
-  /** Lexicon as a DataFrame (term string, valence double). Small (~1050
+  /** Lexicon as a DataFrame (term string, valence double). Small (~2080
     * rows) — any join against it broadcasts. */
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._

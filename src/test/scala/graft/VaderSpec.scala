@@ -79,14 +79,26 @@ class VaderSpec extends SparkSpec {
     check("good but terrible", -0.0964)
   }
 
-  test("q_sentiment_vader scores every document, bounded in [-1, 1]") {
+  test("round-9 widened terms score through the standard rules") {
+    check("priceless", 0.128)          // s = 0.5
+    check("stupendous", 0.1593)        // s = 0.625 (strongest tier)
+    check("dire", -0.128)              // s = -0.5
+    check("bottleneck", -0.0323)       // s = -0.125; sqrt(15.015625) = 3.875
+    check("very sturdy", 0.17)         // s = 0.375 + 0.293 booster
+    check("not priceless", -0.0951)    // s = 0.5 * -0.74
+  }
+
+  test("q_sentiment_vader emits its in-range contract for every document") {
+    // the query output is the bounded check (doc_id, vader_in_range) since
+    // round 9 — all flags 1 on the fixture, one row per document
     val out = TextAnalytics.qSentimentVader.run(spark, fixtureDir)
-      .as[(Long, Double)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     assert(out.size === SparkSpec.fixtureDocs.size)
-    assert(out.values.forall(v => v >= -1.0 && v <= 1.0))
+    assert(out.values.forall(_ == 1L))
+    // the raw compounds stay pinned through the function itself:
     // doc 0 "fast fast slow": s = 0.75 + 0.75 - 0.75 = 0.75
-    assert(out(0L) === 0.1901)
+    assert(Vader.compound("fast fast slow") === 0.1901)
     // doc 2 "slow slow slow big": s = -0.75*3 + 0.25 = -2.0
-    assert(out(2L) === -0.4588)
+    assert(Vader.compound("slow slow slow big") === -0.4588)
   }
 }
