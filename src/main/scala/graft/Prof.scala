@@ -22,6 +22,16 @@ object Prof {
         println(q.run(spark, dir).queryExecution.executedPlan.toString)
       spark.stop(); return
     }
+    if (args.headOption.contains("-scale")) {
+      // 10x scale rehearsal for the pair-join dedup families; see
+      // ScaleRehearsal. Usage: Prof -scale [N] [baseDir]
+      val n = args.lift(1).map(_.toInt).getOrElse(10)
+      val base = args.lift(2).getOrElse(dir)
+      val scaled = s"/tmp/graft_scale_${n}x"
+      ScaleRehearsal.build(spark, base, scaled, n)
+      ScaleRehearsal.run(spark, base, scaled, n)
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Queries.all.map(_.name)
     // Same sink as Bench: noop consumes every output column; count() lets
     // Catalyst prune projections and under-measures map-heavy queries.

@@ -108,7 +108,7 @@ object Dedup {
     * multi-split table the scan provides this parallelism for free; the
     * driver's single small parquet file would otherwise pin the whole
     * projection to one thread. */
-  private[operators] def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  private[graft] def docShingles(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", call_function("word_shingles", $"text", lit(n)).as("sh"))
@@ -159,11 +159,20 @@ object Dedup {
     * boxed allocations, ~100x slower; semantics identical — see
     * ArrayOps.minhashBands). Shared by the Jaccard-verified near-dup
     * queries and the edit-distance audit. */
-  private[operators] def minhashCandidates(docsSh: DataFrame): DataFrame = {
+  /** Banded posting rows (doc_id, band, key) — the LSH candidate-GENERATION
+    * volume (rows entering the band join): grows linearly with the corpus,
+    * which is what makes banding the scale path (ScaleLawSpec pins the
+    * exponent on a salted replica blow-up; Prof -scale measures it). */
+  private[graft] def minhashPostings(docsSh: DataFrame): DataFrame = {
     import docsSh.sparkSession.implicits._
-    val banded = docsSh.select($"doc_id", posexplode(
-        call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
-        .as(Seq("band", "key")))
+    docsSh.select($"doc_id", posexplode(
+      call_function("minhash_bands", $"sh", lit(MinHashK), lit(BandRows)))
+      .as(Seq("band", "key")))
+  }
+
+  private[graft] def minhashCandidates(docsSh: DataFrame): DataFrame = {
+    import docsSh.sparkSession.implicits._
+    val banded = minhashPostings(docsSh)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
           $"a.doc_id" < $"b.doc_id")
@@ -660,45 +669,59 @@ object Dedup {
     * straight from a codegen'd count over that bounded join — no per-pair
     * array materialization anywhere.
     */
+  /** Df-capped 3-shingle posting rows (doc_id, shingle) — q_ngram_jaccard's
+    * candidate-generation input. Persisted twice by design: the exploded
+    * rows feed the df aggregation, the per-doc sizes, and both sides of the
+    * pair join — without the barriers the (interpreted-HOF) projection
+    * re-executes once per consumer. */
+  private[graft] def ngramPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = docShingles(spark, dir, 3)
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val hot = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" > greatest(lit(NgramDfCapFloor),
+        expr(s"n_docs div $NgramDfCapDivisor")))
+      .select($"shingle")
+    ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate pair groups (ia, ib, na, nb, inter) BEFORE the similarity
+    * threshold — the pair-join output whose growth rate is the scale risk
+    * (ScaleLawSpec pins it). Shared verbatim by q_ngram_jaccard. */
+  private[graft] def ngramCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pruned = ngramPostings(spark, dir)
+    val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).cast(LongType).as("ns"))
+    // PPJoin-style length filter on candidate GENERATION: J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so any retained pair needs
+    // min/max ≥ LengthFilterNum/LengthFilterDen (the rounded-threshold-
+    // inclusive bound — see the constant's comment). Kept in exact
+    // INTEGER form (a double 0.6·ns can round across the boundary) —
+    // provably prunes only pairs the verified filter would drop, so
+    // results (and the oracle, which has no filter) are unchanged; rows
+    // entering the count shuffle drop before grouping.
+    // NO broadcast hint: sizes is one row per document — corpus-sized —
+    // and must flow through a shuffle join at scale (AQE still broadcasts
+    // it locally when it is actually small)
+    val withNs = pruned.join(sizes, Seq("doc_id"))
+    withNs.as("a").join(withNs.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.ns" * lit(LengthFilterDen) >= $"b.ns" * lit(LengthFilterNum) &&
+          $"b.ns" * lit(LengthFilterDen) >= $"a.ns" * lit(LengthFilterNum))
+      .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        $"a.ns".as("na"), $"b.ns".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   val qNgramJaccard = GraftQuery(
     "q_ngram_jaccard",
     (spark, dir) => {
       import spark.implicits._
-      // persisted: the (interpreted-HOF) shingle rows feed the df
-      // aggregation, the per-doc sizes, and both sides of the pair join —
-      // without the barrier the projection re-executes once per consumer
-      val ex = docShingles(spark, dir, 3)
-        .select($"doc_id", explode($"sh").as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-      val hot = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .filter($"df" > greatest(lit(NgramDfCapFloor),
-          expr(s"n_docs div $NgramDfCapDivisor")))
-        .select($"shingle")
-      val pruned = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).cast(LongType).as("ns"))
-      // PPJoin-style length filter on candidate GENERATION: J(A,B) ≤
-      // min(|A|,|B|)/max(|A|,|B|), so any retained pair needs
-      // min/max ≥ LengthFilterNum/LengthFilterDen (the rounded-threshold-
-      // inclusive bound — see the constant's comment). Kept in exact
-      // INTEGER form (a double 0.6·ns can round across the boundary) —
-      // provably prunes only pairs the verified filter would drop, so
-      // results (and the oracle, which has no filter) are unchanged; rows
-      // entering the count shuffle drop before grouping.
-      // NO broadcast hint: sizes is one row per document — corpus-sized —
-      // and must flow through a shuffle join at scale (AQE still broadcasts
-      // it locally when it is actually small)
-      val withNs = pruned.join(sizes, Seq("doc_id"))
-      val inter = withNs.as("a").join(withNs.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.ns" * lit(LengthFilterDen) >= $"b.ns" * lit(LengthFilterNum) &&
-            $"b.ns" * lit(LengthFilterDen) >= $"a.ns" * lit(LengthFilterNum))
-        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-          $"a.ns".as("na"), $"b.ns".as("nb"))
-        .agg(count(lit(1)).as("inter"))
-      inter
+      ngramCandidates(spark, dir)
         .select($"ia", $"ib",
           graft.functions.Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
         .filter($"jaccard" >= JaccardThreshold)
@@ -882,30 +905,45 @@ object Dedup {
     * candidate pairs. No unbounded pair explosion anywhere; candidate
     * count shrinks as the corpus grows hotter, the opposite of the naive
     * join. */
+  /** Ranked prefix posting rows (doc_id, shingle, ns) under the global
+    * (df ASC, shingle ASC) order — the AllPairs/PPJoin candidate-generation
+    * input (each doc indexes only its first ns − ⌈t′·ns⌉ + 1 shingles). */
+  private[graft] def prefixPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted: feeds the df aggregate AND the ranked prefix projection
+    val ex = docShingles(spark, dir, 3)
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    ex.join(dfreq, Seq("shingle"))
+      .select($"doc_id", $"shingle",
+        row_number().over(wDoc.orderBy($"df", $"shingle")).as("rk"),
+        count(lit(1)).over(wDoc).as("ns"))
+      .filter($"rk" <=
+        $"ns" - expr(s"(ns * $PrefixNum + ${PrefixDen - 1}) div $PrefixDen")
+          + lit(1))
+      .select($"doc_id", $"shingle", $"ns")
+  }
+
+  /** Distinct candidate pairs (ia, ib) from the prefix-shingle equi-join
+    * with the symmetric in-join length filter — pre-verification. */
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prefix = prefixPostings(spark, dir)
+    prefix.as("a").join(prefix.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.ns" * lit(PrefixDen) >= $"b.ns" * lit(PrefixNum) &&
+          $"b.ns" * lit(PrefixDen) >= $"a.ns" * lit(PrefixNum))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib")).distinct()
+  }
+
   val qJaccardPrefix = GraftQuery(
     "q_jaccard_prefix",
     (spark, dir) => {
       import spark.implicits._
       val docsSh = docShingles(spark, dir, 3)
-      // persisted: feeds the df aggregate AND the ranked prefix projection
-      val ex = docsSh.select($"doc_id", explode($"sh").as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy($"doc_id")
-      val prefix = ex.join(dfreq, Seq("shingle"))
-        .select($"doc_id", $"shingle",
-          row_number().over(wDoc.orderBy($"df", $"shingle")).as("rk"),
-          count(lit(1)).over(wDoc).as("ns"))
-        .filter($"rk" <=
-          $"ns" - expr(s"(ns * $PrefixNum + ${PrefixDen - 1}) div $PrefixDen")
-            + lit(1))
-        .select($"doc_id", $"shingle", $"ns")
-      val cand = prefix.as("a").join(prefix.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.ns" * lit(PrefixDen) >= $"b.ns" * lit(PrefixNum) &&
-            $"b.ns" * lit(PrefixDen) >= $"a.ns" * lit(PrefixNum))
-        .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib")).distinct()
-      cand
+      prefixCandidates(spark, dir)
         .join(docsSh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
         .join(docsSh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
         .select($"ia", $"ib",
@@ -1016,35 +1054,51 @@ object Dedup {
     * with the [[qNgramJaccard]] df-cap discipline (boilerplate
     * fingerprints leave via a broadcast anti-join, per-key fan-out then
     * provably ≤ cap) — never an all-pairs comparison. */
+  /** Df-capped winnowing-fingerprint posting rows (doc_id, fp) — the
+    * overlap report's candidate-generation input. Persisted twice by
+    * design: the exploded rows feed the df cap, the per-doc sizes, and
+    * both sides of the pair join. */
+  private[graft] def winnowPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(call_function("winnow_hashes", $"text", lit(WinnowN), lit(WinnowW)))
+          .as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val hot = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter($"df" > greatest(lit(WinnowDfCapFloor),
+        expr(s"n_docs div $WinnowDfCapDivisor")))
+      .select($"fp")
+    fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate pairs (ia, ib, shared, na, nb) BEFORE the MinShared
+    * threshold — the pair-join output (Catalyst pushes the threshold
+    * filter below the size joins, so q_winnow_overlap's plan is unchanged
+    * by consuming this shared relation). */
+  private[graft] def winnowCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pruned = winnowPostings(spark, dir)
+    // corpus-sized; must flow through a shuffle join at scale (AQE still
+    // broadcasts it locally when it is actually small)
+    val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    pruned.as("a").join(pruned.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select($"doc_id".as("ia"), $"nf".as("na")), Seq("ia"))
+      .join(sizes.select($"doc_id".as("ib"), $"nf".as("nb")), Seq("ib"))
+  }
+
   val qWinnowOverlap = GraftQuery(
     "q_winnow_overlap",
     (spark, dir) => {
       import spark.implicits._
-      // persisted: the exploded fingerprint rows feed the df cap, the
-      // per-doc sizes, and both sides of the pair join
-      val fps = Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id",
-          explode(call_function("winnow_hashes", $"text", lit(WinnowN), lit(WinnowW)))
-            .as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-      val hot = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .filter($"df" > greatest(lit(WinnowDfCapFloor),
-          expr(s"n_docs div $WinnowDfCapDivisor")))
-        .select($"fp")
-      val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // corpus-sized; must flow through a shuffle join at scale (AQE still
-      // broadcasts it locally when it is actually small)
-      val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
-      pruned.as("a").join(pruned.as("b"),
-          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
-        .agg(count(lit(1)).as("shared"))
+      winnowCandidates(spark, dir)
         .filter($"shared" >= WinnowMinShared)
-        .join(sizes.select($"doc_id".as("ia"), $"nf".as("na")), Seq("ia"))
-        .join(sizes.select($"doc_id".as("ib"), $"nf".as("nb")), Seq("ib"))
         .select($"ia", $"ib", $"shared", $"na", $"nb",
           Det.qround($"shared" * lit(1.0) / least($"na", $"nb")).as("containment"))
         .orderBy($"ia", $"ib")
