@@ -1371,10 +1371,58 @@ object Dedup {
       ORDER BY ia, ib, rk""")
   )
 
+  /** Split-leakage audit — the dedup × split interaction check neither
+    * family can do alone: a verified near-dup pair whose members land in
+    * DIFFERENT splits of q_train_split's hash assignment is train→eval
+    * contamination that survives both passes (dedup found the pair but the
+    * split ignored it; per-document hash splitting is blind to content).
+    * Emits pair counts per (split_a, split_b) class with a `leaked` flag on
+    * the off-diagonal classes — the number that says whether dedup must run
+    * BEFORE splitting (cluster-then-split) for this corpus, and the audit
+    * an eval-integrity review reads. Uses the SAME pair relation as
+    * q_dedup_minhash and the SAME u32 split hash as q_train_split (one
+    * definition each — a retune of either cannot desync this audit).
+    *
+    * Scale shape: pairs are the LSH-verified bounded set; the split label
+    * is a map-only hash on each side; the rollup groups to ≤ 9 rows. */
+  val qSplitLeakage = GraftQuery(
+    "q_split_leakage",
+    (spark, dir) => {
+      import spark.implicits._
+      def bucket(c: String) = expr(
+        s"(${PipelineOps.u32Expr(s"concat('split:', cast($c as string))")}) % 10")
+      def label(b: Column) =
+        when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+      minhashPairs(spark, dir)
+        .select(label(bucket("ia")).as("split_a"), label(bucket("ib")).as("split_b"))
+        .groupBy($"split_a", $"split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select($"split_a", $"split_b", $"n_pairs",
+          when($"split_a" =!= $"split_b", 1L).otherwise(0L).as("leaked"))
+        .orderBy($"split_a", $"split_b")
+    },
+    Some(s"""
+      WITH pairs AS ($minhashPairsSql),
+      lab AS (
+        SELECT
+          CASE WHEN ba <= 7 THEN 'train' WHEN ba = 8 THEN 'val'
+               ELSE 'test' END AS split_a,
+          CASE WHEN bb <= 7 THEN 'train' WHEN bb = 8 THEN 'val'
+               ELSE 'test' END AS split_b
+        FROM (SELECT
+                ${PipelineOps.u32Sql("'split:' || CAST(ia AS VARCHAR)")} % 10 AS ba,
+                ${PipelineOps.u32Sql("'split:' || CAST(ib AS VARCHAR)")} % 10 AS bb
+              FROM pairs))
+      SELECT split_a, split_b, count(*) AS n_pairs,
+        (CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)::BIGINT AS leaked
+      FROM lab GROUP BY split_a, split_b
+      ORDER BY split_a, split_b""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
-    qQualityDedupCalibration, qPairEvidence)
+    qQualityDedupCalibration, qPairEvidence, qSplitLeakage)
 }

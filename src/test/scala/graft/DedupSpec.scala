@@ -197,4 +197,23 @@ class DedupSpec extends SparkSpec {
       ("srcA", "srcC", 1L, 1.0),
       ("srcB", "srcC", 1L, 0.933333)))
   }
+
+  test("split leakage: classes partition the verified pairs, flags mark off-diagonal") {
+    val nPairs = Dedup.qDedupMinhash.run(spark, fixtureDir).count()
+    val rows = Dedup.qSplitLeakage.run(spark, fixtureDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // every verified pair lands in exactly one (split_a, split_b) class
+    assert(rows.map(_._3).sum === nPairs)
+    // leaked flags exactly the cross-split classes
+    assert(rows.forall(r => (r._4 == 1L) == (r._1 != r._2)))
+    // split labels agree with q_train_split's assignment for the planted
+    // pair members (one shared hash definition — this pins the wiring)
+    val split = graft.operators.PipelineOps.qTrainSplit.run(spark, fixtureDir)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val expected = Seq((2L, 3L), (4L, 5L))
+      .map { case (a, b) => (split(a), split(b)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === expected)
+  }
 }
