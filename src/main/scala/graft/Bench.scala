@@ -11,6 +11,22 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is reported as -1 (and excluded from the total)
   * instead of recording its time-to-exception as a healthy number. */
 object Bench {
+  private def fmtSec(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The per-family subtotal line (truncation insurance — emitted between
+    * the detail parts and the total so a hard tail cut preserves
+    * family-level forensics). Kept as a function so BenchFormatSpec can
+    * pin the ≤300-char invariant with pessimistic values; no "unit" field
+    * (implied by the total line) — that headroom is what keeps the line
+    * under 300 even with every family at 999.999 s. */
+  def familiesLine(sf: String, times: Map[String, Double]): String = {
+    val fams = Queries.families
+      .map { case (f, _) => "\"" + f + "\":" + fmtSec(times.getOrElse(f, 0.0)) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"families","sf":$sf,"t":$fams}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -95,10 +111,8 @@ object Bench {
     val famTimes = Queries.families.map { case (f, qs) =>
       val names = qs.map(_.name).toSet
       f -> results.collect { case (n, t) if names(n) && t >= 0 => t }.sum
-    }
-    val fams = famTimes.map { case (f, t) => "\"" + f + "\":" + fmt(t) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"families","unit":"sec","sf":$sf,"t":$fams}""")
+    }.toMap
+    println(familiesLine(sf, famTimes))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"n":${results.size},"failed":$failed}""")
     spark.stop()
   }

@@ -24,9 +24,12 @@ object Prof {
     }
     if (args.headOption.contains("-scale")) {
       // 10x scale rehearsal for the pair-join dedup families; see
-      // ScaleRehearsal. Usage: Prof -scale [N] [baseDir]
-      val n = args.lift(1).map(_.toInt).getOrElse(10)
-      val base = args.lift(2).getOrElse(dir)
+      // ScaleRehearsal. Usage: Prof -scale [N] [baseDir] — both optional,
+      // so a lone dir argument works (non-numeric arg 1 is the dir)
+      val rest = args.drop(1)
+      val n = rest.headOption.flatMap(_.toIntOption).getOrElse(10)
+      val base = (if (rest.headOption.exists(_.toIntOption.isDefined))
+        rest.drop(1) else rest).headOption.getOrElse(dir)
       val scaled = s"/tmp/graft_scale_${n}x"
       ScaleRehearsal.build(spark, base, scaled, n)
       ScaleRehearsal.run(spark, base, scaled, n)

@@ -31,10 +31,6 @@ object Queries {
 
   val all: Seq[GraftQuery] = families.flatMap(_._2)
 
-  /** query name -> family key (Bench subtotals). */
-  val familyOf: Map[String, String] =
-    families.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
-
   val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
   require(byName.size == all.size, "duplicate query names")
 }

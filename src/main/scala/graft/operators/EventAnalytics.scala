@@ -449,25 +449,32 @@ object EventAnalytics {
       val sketch = ev.groupBy($"event_type").agg(
         expr("approx_percentile(value, 0.5, 10000)").as("a50"),
         expr("approx_percentile(value, 0.9, 10000)").as("a90"))
-      // rank interval of value a in its group is [lt+1, le]; ok iff it
-      // intersects [p·n − tol, p·n + tol], tol = n/accuracy + 1
-      def rankOk(p: Double, lt: Column, le: Column, n: Column): Column = {
-        val tol = n.cast(DoubleType) / 10000.0 + 1.0
-        val target = n.cast(DoubleType) * p
-        when(target >= lt.cast(DoubleType) + 1.0 - tol &&
-             target <= le.cast(DoubleType) + tol, 1L).otherwise(0L)
+      // rank interval of value a among the group's NON-NULL values is
+      // [lt+1, le]; ok iff it intersects [p·nn − tol, p·nn + tol],
+      // tol = nn/accuracy + 1. Ranks are over nn = count(value), NOT the
+      // row count: approx_percentile and the lt/le comparisons both skip
+      // NULLs, so using n_events would mis-center the target on any group
+      // with NULL values (and a fully-NULL group passes vacuously, like
+      // the oracle's hardcoded 1).
+      def rankOk(p: Double, lt: Column, le: Column, nn: Column): Column = {
+        val tol = nn.cast(DoubleType) / 10000.0 + 1.0
+        val target = nn.cast(DoubleType) * p
+        when(nn === 0L, 1L)
+          .when(target >= lt.cast(DoubleType) + 1.0 - tol &&
+            target <= le.cast(DoubleType) + tol, 1L).otherwise(0L)
       }
       ev.join(broadcast(sketch), Seq("event_type"))
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n_events"),
+          count($"value").as("nn"),
           sum(when($"value" < $"a50", 1L).otherwise(0L)).as("lt50"),
           sum(when($"value" <= $"a50", 1L).otherwise(0L)).as("le50"),
           sum(when($"value" < $"a90", 1L).otherwise(0L)).as("lt90"),
           sum(when($"value" <= $"a90", 1L).otherwise(0L)).as("le90"))
         .select($"event_type", $"n_events",
-          rankOk(0.5, $"lt50", $"le50", $"n_events").as("p50_rank_ok"),
-          rankOk(0.9, $"lt90", $"le90", $"n_events").as("p90_rank_ok"))
+          rankOk(0.5, $"lt50", $"le50", $"nn").as("p50_rank_ok"),
+          rankOk(0.9, $"lt90", $"le90", $"nn").as("p90_rank_ok"))
         .orderBy($"event_type")
     },
     Some("""

@@ -239,8 +239,11 @@ object Relational {
     * exact: decimal-cast-before-sum, double division once (identical IEEE
     * in both engines), `1e6` spelled in e-notation so Spark parses a
     * DOUBLE literal (a `1000000.0` literal is DECIMAL in Spark SQL text —
-    * NOTES.md). */
-  private def correlatedSql(tbl: String) = s"""
+    * NOTES.md). private[graft]: RelationalSpec also runs this text THROUGH
+    * SPARK and asserts it matches the decorrelated query, so Catalyst's
+    * decorrelation surface stays exercised even though the verified/benched
+    * query runs the manual CTE. */
+  private[graft] def correlatedSql(tbl: String) = s"""
       SELECT c_custkey, c_acctbal,
         floor(nav * 1e6 + 0.5) / 1e6 AS nation_avg
       FROM (

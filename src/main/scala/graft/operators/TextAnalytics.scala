@@ -139,8 +139,13 @@ object TextAnalytics {
           approx_count_distinct($"source").as("hll"),
           davg($"n_chars").as("avg_chars"))
         .select($"lang", $"post_count", $"unique_sources", $"avg_chars",
+          // tolerance floored at 1: for groups with ≤ 6 distinct sources
+          // 3·rsd·exact < 1, and a single-unit HLL deviation (possible on
+          // unlucky register collisions) would fail a bound that cannot
+          // even express it — the audit stays meaningful, never brittle
           when(abs($"hll" - $"unique_sources").cast(DoubleType)
-            <= lit(3.0 * 0.05) * $"unique_sources".cast(DoubleType), 1L)
+            <= greatest(lit(1.0),
+              lit(3.0 * 0.05) * $"unique_sources".cast(DoubleType)), 1L)
             .otherwise(0L).as("approx_ok"))
         .orderBy($"post_count".desc, $"lang")
     },

@@ -84,12 +84,20 @@ class RelationalSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
-  test("correlated scalar subquery decorrelates to one aggregate (no per-row re-agg)") {
-    val plan = Relational.qCorrelatedScalar.run(spark, dir)
-      .queryExecution.executedPlan.toString
-    // decorrelation rewrites both scalar subqueries into aggregate+join;
-    // no Subquery/ScalarSubquery node survives into the executed plan
+  test("Catalyst decorrelation of the BI text still works and matches the manual CTE") {
+    // the verified query runs the hand-decorrelated CTE (one nation
+    // aggregate — PlanGuardSpec); this test keeps the optimizer's OWN
+    // decorrelation surface exercised: the correlated oracle text must
+    // still plan without a surviving ScalarSubquery node and produce
+    // byte-identical rows to the manual form
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    val viaCatalyst = spark.sql(Relational.correlatedSql("customer_v"))
+    val plan = viaCatalyst.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalarSubquery"), s"subquery not decorrelated:\n$plan")
+    val manual = Relational.qCorrelatedScalar.run(spark, dir)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(viaCatalyst.as[(Long, Double, Double)].collect().toSeq === manual)
+    assert(manual.nonEmpty)
   }
 
 
