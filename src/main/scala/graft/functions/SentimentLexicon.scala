@@ -483,7 +483,61 @@ object SentimentLexicon {
       "vindictive", "vulgar") ++
     tier(-0.5)(
       "apocalyptic", "cataclysmic", "dire", "hellish", "nauseating",
-      "odious", "reprehensible")
+      "odious", "reprehensible") ++
+    // round-9b widening: derived forms of families already present
+    // (adverbs, -ness nouns, comparatives, plurals), interjections, and
+    // mild profanity — all standard sentiment-lexicon territory (VADER
+    // carries each class); same provenance and exact-eighths rules.
+    // Adverbs that appear in Vader.boosters (amazingly, incredibly,
+    // remarkably, fabulously, awfully, …) are deliberately ABSENT: the
+    // integrity test rejects modifier collisions.
+    tier(0.375)(
+      "applaud", "applauded", "applause", "beautifully", "bravo",
+      "cheerfully", "cherish", "cherishing", "elegantly", "gladly",
+      "gladness", "gloriously", "gracefully", "happily", "happiness",
+      "hurray", "huzzah", "joyfully", "lovingly", "magnificently",
+      "marvelously", "masterful", "masterfully", "merciful", "mercifully",
+      "merrily", "proudly", "splendidly", "superbly", "sweetness",
+      "tenderness", "wonderfully", "woohoo", "yay") ++
+    tier(0.25)(
+      "achieve", "achieved", "achieving", "calmly", "calmness",
+      "cleanliness", "comfortably", "confidently", "congratulate",
+      "congratulated", "courtesy", "decency", "dutiful", "eagerly",
+      "eagerness", "fairness", "faithful", "fortunately", "freshness",
+      "friendliness", "fruitful", "gently", "gratefully", "haha",
+      "helpfulness", "hospitality", "kindly", "lol", "lmao",
+      "luckily", "modesty", "neatly", "neatness", "nicely", "politely",
+      "politeness", "richness", "rofl", "safely", "sincerity", "smoothly",
+      "steadily", "succeeds", "tasteful", "tastefully", "thankfully",
+      "thoughtfulness", "usefulness", "warmly", "willingness") ++
+    tier(0.125)(
+      "brighter", "calmer", "cleaner", "easier", "friendlier", "happier",
+      "healthier", "hehe", "kinder", "nicer", "phew", "safer", "smoother",
+      "stronger", "warmer") ++
+    tier(-0.125)(
+      "darn", "glitchy", "laggy", "lukewarm", "meh", "messier", "noisier",
+      "riskier", "slower", "smh", "so-so", "underwhelmed", "weaker") ++
+    tier(-0.25)(
+      "alas", "badly", "bitterly", "boo", "buggy", "bummer", "bust",
+      "busted", "careless", "carelessly", "carelessness", "crap", "crash",
+      "crashed", "crashes", "dammit", "damn", "emptiness", "fearsome",
+      "flop", "flopped", "foolishly", "foolishness", "fruitless",
+      "fumble", "fumbled", "harshly", "janky", "laziness", "loneliness",
+      "loses", "meaningless", "mindless", "ouch", "poorly", "recklessly",
+      "rudely", "rudeness", "sadly", "selfishly", "selfishness", "shady",
+      "shit", "sickness", "sketchy", "spam", "spammy", "stressful",
+      "tactless", "tasteless", "thankless", "thoughtless", "ugh", "ugliness",
+      "unhappiness", "wtf", "yikes") ++
+    tier(-0.375)(
+      "angrily", "brutally", "bullshit", "crappy", "cruelly", "eww",
+      "fails", "failures", "grieve", "grieved", "grieving", "heartbreak",
+      "heartless", "horribly", "loser", "losers", "miserably",
+      "monstrosity", "nightmarish", "painfully", "pitiful", "savagely",
+      "shamefully", "shitty", "sinful", "soulless", "suck", "sucked",
+      "sucks", "suffers", "terribly", "tragically", "villainous",
+      "wickedness", "yuck") ++
+    tier(-0.5)(
+      "devastation")
 
   /** The full lexicon every scorer tier and oracle consumes: core + widened.
     * Core comes first and the two sets are disjoint (tested), so lookup

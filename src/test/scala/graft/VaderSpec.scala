@@ -86,6 +86,11 @@ class VaderSpec extends SparkSpec {
     check("bottleneck", -0.0323)       // s = -0.125; sqrt(15.015625) = 3.875
     check("very sturdy", 0.17)         // s = 0.375 + 0.293 booster
     check("not priceless", -0.0951)    // s = 0.5 * -0.74
+    // round-9b derived forms and interjections
+    check("happiness", 0.0964)         // s = 0.375 (noun of happy's family)
+    check("yay", 0.0964)               // s = 0.375 interjection
+    check("sucks", -0.0964)            // s = -0.375
+    check("not happiness", -0.0715)    // s = 0.375 * -0.74
   }
 
   test("q_sentiment_vader emits its in-range contract for every document") {
