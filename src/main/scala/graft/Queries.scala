@@ -13,21 +13,22 @@ object Queries {
   val families: Seq[(String, Seq[GraftQuery])] = Seq(
     "rel" -> Relational.all,
     "text" -> TextAnalytics.all,
-    "tfidf" -> TfIdf.all,
+    "tfi" -> TfIdf.all,
     "retr" -> Retrieval.all,
-    "event" -> EventAnalytics.all,
+    "evt" -> EventAnalytics.all,
     "dedup" -> Dedup.all,
     "sim" -> Similarity.all,
     "prof" -> Profiling.all,
     "skew" -> Skew.all,
-    "tjoin" -> TemporalJoins.all,
+    "tj" -> TemporalJoins.all,
     "pipe" -> PipelineOps.all,
     "cq" -> CorpusQuality.all,
     "clus" -> Clustering.all,
     "lex" -> LexicalStats.all,
-    "behav" -> BehaviorAnalytics.all,
+    "bhv" -> BehaviorAnalytics.all,
     "graph" -> Graph.all,
-    "media" -> Media.all)
+    "gov" -> Governance.all,
+    "med" -> Media.all)
 
   val all: Seq[GraftQuery] = families.flatMap(_._2)
 

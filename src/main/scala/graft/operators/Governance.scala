@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-governance operators a production training-data pipeline needs
+  * around the analytics the reference ships (reddit_consumer.py's per-batch
+  * stats are point-in-time; a 100 TB corpus additionally needs history
+  * tracking, privacy audits, declarative quality gates, drift monitoring and
+  * mergeable-sketch rollups to stay operable):
+  *
+  *  - SCD2 history build: collapse a CDC-style change log into type-2
+  *    dimension rows (valid_from / valid_to / is_current) — ONE shuffle on
+  *    the entity key; both window passes reuse the same partitioning.
+  *  - k-anonymity + l-diversity audit over quasi-identifier classes.
+  *  - Declarative data-quality rules (range / domain / cross-table /
+  *    referential) evaluated in ONE pass over the fact table.
+  *  - PSI (population stability index) drift between time halves.
+  *  - HLL sketch build → re-aggregation (the store-sketches-per-day,
+  *    union-at-query-time pattern — at 100 TB you never re-scan history to
+  *    answer "distinct users this month").
+  */
+object Governance {
+
+  /** Type-2 slowly-changing-dimension build from the events change log.
+    *
+    * `events` is read as a CDC stream: each row asserts its user's
+    * `event_type` state from `ts` on. No-op updates (same type as the
+    * previous row) are collapsed; each surviving change opens a version
+    * whose validity ends where the next change begins.
+    *
+    * Scale shape: one hash exchange on `user_id`; the change-detect lag and
+    * the valid_to lead run over the SAME (partition, order) so the second
+    * Window reuses the first's exchange and sort — the plan has exactly one
+    * shuffle however large the log.
+    */
+  val qScd2History = GraftQuery(
+    "q_scd2_history",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"event_type", $"ts_us".as("valid_from_us"),
+          $"event_id", $"valid_to_us", $"valid_to_us".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from_us", $"event_id")
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      chg AS (
+        SELECT user_id, event_type, ts_us, event_id FROM (
+          SELECT user_id, event_type, ts_us, event_id,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+          FROM src)
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, ts_us AS valid_from_us, event_id,
+        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+        (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL) AS is_current
+      FROM chg
+      ORDER BY user_id, valid_from_us, event_id""")
+  )
+
+  /** k-anonymity / l-diversity audit thresholds. */
+  val KAnon = 5
+  val LDiv = 2
+
+  /** Privacy audit over quasi-identifier equivalence classes.
+    *
+    * QID = (lang, n_chars div 100): every document in a class is
+    * indistinguishable on the quasi-identifiers; `source` is the sensitive
+    * attribute. A class is at risk if it is smaller than k (re-identifiable)
+    * OR its sensitive attribute has < l distinct values (attribute
+    * disclosure even without re-identification).
+    *
+    * One partial+final aggregate over a pruned 3-column scan. `div` is safe
+    * here: n_chars >= 0 by construction (truncate == floor for nonnegative
+    * operands, so the Spark and DuckDB buckets agree).
+    */
+  val qKAnonymity = GraftQuery(
+    "q_k_anonymity",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"lang", expr("n_chars div 100").as("chars_bucket"))
+        .agg(count(lit(1)).as("class_n"),
+          countDistinct($"source").as("l_diversity"))
+        .withColumn("at_risk",
+          $"class_n" < KAnon || $"l_diversity" < LDiv)
+        .orderBy($"lang", $"chars_bucket")
+    },
+    Some(s"""
+      SELECT lang, n_chars // 100 AS chars_bucket, count(*) AS class_n,
+        count(DISTINCT source) AS l_diversity,
+        (count(*) < $KAnon OR count(DISTINCT source) < $LDiv) AS at_risk
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY lang, chars_bucket""")
+  )
+
+  /** Declarative data-quality gate: six rules (value ranges, a domain check,
+    * a cross-table temporal constraint, referential integrity) evaluated in
+    * ONE pass over lineitem — each rule is a summed indicator inside a single
+    * aggregate, so adding a rule never adds a scan. The left join keeps
+    * orphaned facts (their violation IS rule fk_order_exists). `stack`
+    * unpivots the one-row aggregate into the per-rule report.
+    */
+  val qDqRules = GraftQuery(
+    "q_dq_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+      val flagged = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(!$"l_quantity".between(1, 50), 1L).otherwise(0L))
+            .as("v_quantity_range"),
+          sum(when(!$"l_discount".between(0.0, 0.1), 1L).otherwise(0L))
+            .as("v_discount_range"),
+          sum(when(!($"l_extendedprice" > 0), 1L).otherwise(0L))
+            .as("v_positive_price"),
+          sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
+            .as("v_returnflag_domain"),
+          sum(when($"o_orderdate".isNotNull && $"l_shipdate" < $"o_orderdate", 1L)
+            .otherwise(0L)).as("v_ship_after_order"),
+          sum(when($"o_orderdate".isNull, 1L).otherwise(0L))
+            .as("v_fk_order_exists"))
+      flagged
+        .select($"n_checked", expr(
+          """stack(6,
+            'quantity_range', v_quantity_range,
+            'discount_range', v_discount_range,
+            'positive_price', v_positive_price,
+            'returnflag_domain', v_returnflag_domain,
+            'ship_after_order', v_ship_after_order,
+            'fk_order_exists', v_fk_order_exists) AS (rule, n_violations)"""))
+        .select($"rule", $"n_checked", $"n_violations",
+          Det.qround($"n_violations".cast(DoubleType) /
+            $"n_checked".cast(DoubleType)).as("violation_rate"))
+        .orderBy($"rule")
+    },
+    Some(s"""
+      WITH j AS (
+        SELECT l.l_quantity, l.l_discount, l.l_extendedprice, l.l_returnflag,
+          l.l_shipdate, o.o_orderdate
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      a AS (
+        SELECT count(*)::BIGINT AS n_checked,
+          sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)::BIGINT AS v_quantity_range,
+          sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)::BIGINT AS v_discount_range,
+          sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)::BIGINT AS v_positive_price,
+          sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)::BIGINT AS v_returnflag_domain,
+          sum(CASE WHEN o_orderdate IS NOT NULL AND l_shipdate < o_orderdate THEN 1 ELSE 0 END)::BIGINT AS v_ship_after_order,
+          sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_fk_order_exists
+        FROM j)
+      SELECT * FROM (
+        SELECT 'quantity_range' AS rule, n_checked, v_quantity_range AS n_violations,
+          ${Oracle.qround("v_quantity_range::DOUBLE / n_checked::DOUBLE")} AS violation_rate FROM a
+        UNION ALL SELECT 'discount_range', n_checked, v_discount_range,
+          ${Oracle.qround("v_discount_range::DOUBLE / n_checked::DOUBLE")} FROM a
+        UNION ALL SELECT 'positive_price', n_checked, v_positive_price,
+          ${Oracle.qround("v_positive_price::DOUBLE / n_checked::DOUBLE")} FROM a
+        UNION ALL SELECT 'returnflag_domain', n_checked, v_returnflag_domain,
+          ${Oracle.qround("v_returnflag_domain::DOUBLE / n_checked::DOUBLE")} FROM a
+        UNION ALL SELECT 'ship_after_order', n_checked, v_ship_after_order,
+          ${Oracle.qround("v_ship_after_order::DOUBLE / n_checked::DOUBLE")} FROM a
+        UNION ALL SELECT 'fk_order_exists', n_checked, v_fk_order_exists,
+          ${Oracle.qround("v_fk_order_exists::DOUBLE / n_checked::DOUBLE")} FROM a)
+      ORDER BY rule""")
+  )
+
+  /** PSI bin count. */
+  val PsiBins = 10
+
+  /** Population-stability-index drift of `value` between the older and newer
+    * time half of the corpus.
+    *
+    * Equal-width bins over the global [min, max] (identical IEEE double ops
+    * in both engines, so bucketing is bit-identical); Laplace-smoothed
+    * proportions (n + 0.5) / (N + bins/2) so empty bins never divide by
+    * zero; psi_term = (p_new − p_old)·ln(p_new / p_old), always >= 0.
+    *
+    * Scale shape: one global bounds aggregate broadcast back, one
+    * partial+final aggregate on the 10-bin key; the unpartitioned windows
+    * computing half totals and psi_total run over the 10-row AUDIT relation,
+    * never corpus-sized data. Terms are summed through exact decimals so
+    * psi_total is order-independent.
+    */
+  val qPsiDrift = GraftQuery(
+    "q_psi_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).select($"ts_us", $"value")
+      val bounds = ev.agg(
+        min($"ts_us").as("tmin"), max($"ts_us").as("tmax"),
+        min($"value").as("vlo"), max($"value").as("vhi"))
+      val counts = ev.crossJoin(broadcast(bounds))
+        .withColumn("is_old", $"ts_us" <= expr("(tmin + tmax) div 2"))
+        .withColumn("width", ($"vhi" - $"vlo") / lit(PsiBins.toDouble))
+        .withColumn("bin",
+          when($"width" === 0.0, lit(0L))
+            .otherwise(least(lit((PsiBins - 1).toLong),
+              floor(($"value" - $"vlo") / $"width"))))
+        .groupBy($"bin")
+        .agg(sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
+          sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"))
+      val spine = spark.range(0, PsiBins).select($"id".as("bin"))
+      val w = Window.partitionBy()
+      spine.join(counts, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_old", "n_new"))
+        .withColumn("p_old", ($"n_old" + lit(0.5)) /
+          (sum($"n_old").over(w) + lit(PsiBins / 2.0)))
+        .withColumn("p_new", ($"n_new" + lit(0.5)) /
+          (sum($"n_new").over(w) + lit(PsiBins / 2.0)))
+        .withColumn("psi_term",
+          Det.qround(($"p_new" - $"p_old") * log($"p_new" / $"p_old")))
+        .withColumn("psi_total",
+          round(sum($"psi_term".cast(DecimalType(38, 9))).over(w), 6)
+            .cast(DoubleType))
+        .select($"bin", $"n_old", $"n_new", $"psi_term", $"psi_total")
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid,
+          min(value) AS vlo, (max(value) - min(value)) / ${PsiBins.toDouble} AS width
+        FROM events),
+      binned AS (
+        SELECT CASE WHEN b.width = 0 THEN 0
+                    ELSE least(${PsiBins - 1}, floor((e.value - b.vlo) / b.width)::BIGINT) END AS bin,
+          (epoch_us(e.ts) <= b.mid) AS is_old
+        FROM events e, b),
+      counts AS (
+        SELECT t.bin,
+          coalesce(sum(CASE WHEN bn.is_old THEN 1 ELSE 0 END), 0)::BIGINT AS n_old,
+          coalesce(sum(CASE WHEN NOT bn.is_old THEN 1 ELSE 0 END), 0)::BIGINT AS n_new
+        FROM range(0, $PsiBins) t(bin) LEFT JOIN binned bn ON bn.bin = t.bin
+        GROUP BY t.bin),
+      p AS (
+        SELECT bin, n_old, n_new,
+          (n_old + 0.5) / (sum(n_old) OVER () + ${PsiBins / 2.0}) AS p_old,
+          (n_new + 0.5) / (sum(n_new) OVER () + ${PsiBins / 2.0}) AS p_new
+        FROM counts),
+      terms AS (
+        SELECT bin, n_old, n_new,
+          ${Oracle.qround("(p_new - p_old) * ln(p_new / p_old)")} AS psi_term
+        FROM p)
+      SELECT bin, n_old, n_new, psi_term,
+        round(sum(CAST(psi_term AS DECIMAL(38,9))) OVER (), 6)::DOUBLE AS psi_total
+      FROM terms
+      ORDER BY bin""")
+  )
+
+  /** Mergeable distinct-count sketches: build a Datasketches HLL sketch of
+    * `user_id` per (event_type, day), then answer the per-type rollup by
+    * UNIONING the daily sketches — never re-touching the raw rows. This is
+    * the incremental pattern that makes distinct-counts tractable at 100 TB:
+    * the per-day sketch build is the only full scan ever paid; every later
+    * rollup (week, month, all-time, any type subset) is an hll_union_agg
+    * over kilobyte sketches.
+    *
+    * The audit joins the merged estimate against the exact distinct count
+    * (feasible at verify scale) and asserts it within the HLL error bound
+    * (3·rsd at lgK=12 ≈ 4.8%, floored at 1 like the other sketch audits);
+    * the oracle pins the exact counts and approx_ok = 1. `div`-truncation
+    * on pre-epoch timestamps only shifts WHICH daily sketch a row lands in,
+    * never the union — bucket boundaries don't affect distinct-union
+    * semantics.
+    */
+  val qHllSketchMerge = GraftQuery(
+    "q_hll_sketch_merge",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_type", expr("ts_us div 86400000000").as("day"), $"user_id")
+      val daily = ev.groupBy($"event_type", $"day")
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      val merged = daily.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      val exact = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users_exact"))
+      exact.join(broadcast(merged), Seq("event_type"))
+        .select($"event_type", $"n_events", $"n_users_exact",
+          when(abs($"est" - $"n_users_exact").cast(DoubleType)
+            <= greatest(lit(1.0), lit(0.048) * $"n_users_exact".cast(DoubleType)), 1L)
+            .otherwise(0L).as("approx_ok"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users_exact,
+        1::BIGINT AS approx_ok
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Governance
+import org.apache.spark.sql.functions._
+
+/** Governance family on the hand-computable fixture.
+  *
+  * Fixture events (ts = b·6h, b = 0..5): u0 gets click@0h, click@12h,
+  * click@24h; u1 gets view@6h, view@18h, signup@30h. Values b+1.
+  * Fixture documents: 6 docs, all n_chars < 100, 2 per lang, 2 sources each.
+  */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H6 = SparkSpec.SixHoursUs
+
+  test("q_scd2_history collapses no-op updates and versions real changes") {
+    val r = Governance.qScd2History.run(spark, fixtureDir)
+      .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us",
+        $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(r === Seq(
+      // u0: three clicks collapse into ONE open version
+      (0L, "click", 0L, None, true),
+      // u1: view opens at 6h, closes when signup arrives at 30h
+      (1L, "view", 1 * H6, Some(5 * H6), false),
+      (1L, "signup", 5 * H6, None, true)))
+  }
+
+  test("q_scd2_history plans exactly one shuffle for both window passes") {
+    val plan = Governance.qScd2History.run(spark, fixtureDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
+  test("q_k_anonymity flags small / low-diversity QID classes") {
+    val r = Governance.qKAnonymity.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // every lang has 2 docs (< k=5), each from 2 distinct sources (= l=2)
+    assert(r === Seq(
+      ("de", 0L, 2L, 2L, true),
+      ("en", 0L, 2L, 2L, true),
+      ("fr", 1L, 2L, 2L, true)))   // fr docs are 110 chars → bucket 1
+  }
+
+  test("q_dq_rules reports per-rule violations over the sf0.001 tables") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Governance.qDqRules.run(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val n = Tables.lineitem(spark, dir).count()
+    assert(r.map(_._1) === Seq("discount_range", "fk_order_exists",
+      "positive_price", "quantity_range", "returnflag_domain",
+      "ship_after_order"))
+    // single fact pass: every rule audited the full lineitem population
+    assert(r.forall(_._2 === n))
+    assert(r.forall { case (_, nc, v, rate) =>
+      v >= 0 && v <= nc && rate >= 0.0 && rate <= 1.0 })
+    // the synthetic tables are referentially intact
+    val fk = r.find(_._1 === "fk_order_exists").get
+    assert(fk._3 === 0L)
+  }
+
+  test("q_psi_drift: smoothed proportions, nonnegative terms, exact total") {
+    val r = Governance.qPsiDrift.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) === (0L to 9L))            // full bin spine
+    assert(r.map(_._2).sum === 3L)                // old half: values 1,2,3
+    assert(r.map(_._3).sum === 3L)                // new half: values 4,5,6
+    // old values 1,2,3 → bins 0,2,4; new 4,5,6 → bins 6,8,9 (width 0.5)
+    assert(r.filter(_._2 === 1L).map(_._1) === Seq(0L, 2L, 4L))
+    assert(r.filter(_._3 === 1L).map(_._1) === Seq(6L, 8L, 9L))
+    // PSI terms are (p−q)·ln(p/q) ≥ 0, total = sum of rounded terms
+    assert(r.forall(_._4 >= 0.0))
+    val total = r.head._5
+    assert(r.forall(_._5 === total))
+    assert(math.abs(r.map(_._4).sum - total) < 1e-6)
+    // complete disjoint shift must register strong drift (PSI > 0.25)
+    assert(total > 0.25)
+  }
+
+  test("q_hll_sketch_merge: merged daily sketches match exact distincts") {
+    val r = Governance.qHllSketchMerge.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(
+      ("click", 3L, 1L, 1L),
+      ("signup", 1L, 1L, 1L),
+      ("view", 2L, 1L, 1L)))
+  }
+
+  test("hll union over partial sketches equals the single-pass sketch") {
+    // the mergeability property the 100 TB pattern rests on: build per-day
+    // sketches, union them — same estimate as sketching the whole column
+    val ev = Tables.events(spark, fixtureDir)
+      .select($"user_id", expr("ts_us div 86400000000").as("day"))
+    val daily = ev.groupBy($"day").agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = daily.agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .as[Long].head()
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+      .as[Long].head()
+    assert(merged === direct)
+  }
+}
