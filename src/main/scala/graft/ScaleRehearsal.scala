@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   * this rehearsal exists to catch before a real 10× corpus does. */
 object ScaleRehearsal {
 
-  /** Replica id offset — far above any real doc_id/vec_id. */
-  val SaltStride: Long = 1L << 40
+  /** Replica id offset — far above any real doc_id/vec_id. A multiple of 3
+    * so id-derived modality (`kind = media_id % 3`, part of the media
+    * pHash family's bucket key) is replica-invariant: the growth laws
+    * assume candidate generation is invariant under replication, and kind
+    * is the one id-derived feature in any family's bucket key. */
+  val SaltStride: Long = 3L << 40
 
   /** Write the N×-replicated tables under `out` (same file layout the
     * Tables loaders read). */
@@ -48,8 +52,8 @@ object ScaleRehearsal {
       candidates: (SparkSession, String) => Long,
       query: GraftQuery)
 
-  /** The four pair-join families under rehearsal plus SemDeDup.
-    * LSH/ngram/prefix/winnow count their shared posting/candidate
+  /** The five text pair-join families under rehearsal plus SemDeDup.
+    * LSH/ngram/prefix/winnow/phash count their shared posting/candidate
     * relations (the SAME definitions the queries execute — no drift);
     * SemDeDup counts assignment rows and Σ C(cell,2) via the shared cell
     * audit. */
@@ -75,6 +79,12 @@ object ScaleRehearsal {
       (s, d) => Dedup.winnowPostings(s, d).select("doc_id").distinct().count(),
       (s, d) => Dedup.winnowCandidates(s, d).count(),
       Dedup.qWinnowOverlap),
+    Fam("phash",
+      (s, d) => graft.multimodal.Media.phashPostings(s, d).count(),
+      (s, d) => graft.multimodal.Media.phashPostings(s, d)
+        .select("media_id").distinct().count(),
+      (s, d) => graft.multimodal.Media.phashCandidates(s, d).count(),
+      graft.multimodal.Media.qMediaPhashDedup),
     Fam("semdedup",
       (s, d) => Tables.embeddings(s, d).count(),
       (s, d) => Tables.embeddings(s, d).count(),

@@ -286,27 +286,50 @@ object Media {
     * all-pairs product; the Hamming filter runs before the distinct so the
     * dedup shuffle carries only verified pairs (the q_dedup_simhash
     * discipline, one modality column added to the bucket key). */
+  /** Banded pHash posting rows (media_id, kind, ah, band, bkey) — the
+    * candidate-GENERATION volume of the media dedup family (4 rows per
+    * object, linear in the corpus). Shared by [[qMediaPhashDedup]] and the
+    * scale rehearsal (ScaleRehearsal / ScaleLawSpec measure the SAME
+    * relation the query executes — no drift). NOTE: the bucket key
+    * includes `kind` (= media_id % 3), so the rehearsal's salt stride must
+    * be a multiple of 3 for replicas to keep their modality. */
+  private[graft] def phashPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id".as("media_id"),
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        call_function("ahash16", $"text").as("ah"))
+      .select($"media_id", $"kind", $"ah",
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("(ah >> (band * 4)) & 15"))
+  }
+
+  /** Distinct candidate pairs from the banded bucket join, BEFORE the
+    * Hamming verify — the pair-join output the replica growth law bounds.
+    * The Hamming distance rides along so [[qMediaPhashDedup]] can filter
+    * it; Catalyst pushes that filter below the distinct (the predicate
+    * references only distinct keys), so the executed dedup shuffle still
+    * carries only verified pairs. */
+  private[graft] def phashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = phashPostings(spark, dir)
+    banded.as("a").join(banded.as("b"),
+        $"a.kind" === $"b.kind" && $"a.band" === $"b.band" &&
+          $"a.bkey" === $"b.bkey" && $"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("ia"), $"b.media_id".as("ib"),
+        $"a.kind".as("kind"),
+        expr("cast(bit_count(a.ah ^ b.ah) as bigint)").as("hamming"))
+      .distinct()
+  }
+
   val qMediaPhashDedup = GraftQuery(
     "q_media_phash_dedup",
     (spark, dir) => {
       import spark.implicits._
-      val banded = Tables.documents(spark, dir)
-        .select(
-          $"doc_id".as("media_id"),
-          element_at(lit(Array("image", "audio", "video")),
-            (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
-          call_function("ahash16", $"text").as("ah"))
-        .select($"media_id", $"kind", $"ah",
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bkey", expr("(ah >> (band * 4)) & 15"))
-      banded.as("a").join(banded.as("b"),
-          $"a.kind" === $"b.kind" && $"a.band" === $"b.band" &&
-            $"a.bkey" === $"b.bkey" && $"a.media_id" < $"b.media_id")
-        .select($"a.media_id".as("ia"), $"b.media_id".as("ib"),
-          $"a.kind".as("kind"),
-          expr("cast(bit_count(a.ah ^ b.ah) as bigint)").as("hamming"))
+      phashCandidates(spark, dir)
         .filter($"hamming" <= PhashHamming)
-        .distinct()
         .orderBy($"ia", $"ib")
     },
     // ahash16's relational twin: per-position code points via the

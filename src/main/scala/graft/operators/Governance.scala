@@ -202,6 +202,11 @@ object Governance {
         min($"ts_us").as("tmin"), max($"ts_us").as("tmax"),
         min($"value").as("vlo"), max($"value").as("vhi"))
       val counts = ev.crossJoin(broadcast(bounds))
+        // Pre-epoch safety: both engines truncate integer division toward
+        // zero — Spark `div` by definition, and DuckDB's `//` on BIGINT
+        // operands (measured: SELECT (-7)//2 → -3, not the floored -4) —
+        // so the midpoint is bit-identical even when tmin + tmax is
+        // negative and odd, and no boundary event can flip halves.
         .withColumn("is_old", $"ts_us" <= expr("(tmin + tmax) div 2"))
         .withColumn("width", ($"vhi" - $"vlo") / lit(PsiBins.toDouble))
         .withColumn("bin",

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   *
   * Fixture events (ts = b·6h, b = 0..5): u0 gets click@0h, click@12h,
   * click@24h; u1 gets view@6h, view@18h, signup@30h. Values b+1.
-  * Fixture documents: 6 docs, all n_chars < 100, 2 per lang, 2 sources each.
+  * Fixture documents: 6 docs, 2 per lang, 2 sources each; the en/de docs
+  * are < 100 chars (length bucket 0) while the fr docs are ~110 chars
+  * (bucket 1) — the k-anonymity test below relies on that split.
   */
 class GovernanceSpec extends SparkSpec {
   import spark.implicits._
