@@ -81,6 +81,44 @@ class GovernanceSpec extends SparkSpec {
     assert(total > 0.25)
   }
 
+  test("q_psi_drift plan: unpartitioned windows sit above the bin-audit relation") {
+    // the scale claim in Governance.qPsiDrift's doc: the two unpartitioned
+    // Windows (half totals + psi_total) run over the ≤PsiBins-row audit
+    // relation, never corpus-sized data. The physical plan prints top-down,
+    // so the guard is positional: both Windows print ABOVE the bin-keyed
+    // aggregate that collapses the corpus, and every corpus scan prints
+    // BELOW it — a Window added over the raw events would violate one side.
+    val lines = Governance.qPsiDrift.run(spark, fixtureDir)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window [") => i }
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate(keys=[bin"))
+    val scanIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("FileScan parquet") => i }
+    assert(winIdx.size === 2, lines.mkString("\n"))
+    assert(aggIdx >= 0, lines.mkString("\n"))
+    assert(winIdx.forall(_ < aggIdx), lines.mkString("\n"))
+    assert(scanIdx.nonEmpty && scanIdx.forall(_ > aggIdx), lines.mkString("\n"))
+  }
+
+  test("q_dq_rules plan: one lineitem scan, one aggregate pass, broadcast orders") {
+    // the doc claim: six rules in ONE pass — adding a rule never adds a
+    // scan. Exactly one lineitem scan, one global aggregate (partial +
+    // final = 2 prints, no keyed aggregates), the stack() unpivot above
+    // the 1-row aggregate, orders broadcast (never a fact shuffle).
+    val p = Governance.qDqRules.run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    def occ(n: String) =
+      p.split(java.util.regex.Pattern.quote(n), -1).length - 1
+    assert(occ("lineitem.parquet") === 1, p)
+    assert(occ("HashAggregate(keys=[]") === 2, p)
+    assert(occ("HashAggregate(keys=[") === 2, p)
+    assert(p.contains("Generate stack(6"), p)
+    assert(p.indexOf("Generate stack(6") < p.indexOf("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_hll_sketch_merge: merged daily sketches match exact distincts") {
     val r = Governance.qHllSketchMerge.run(spark, fixtureDir)
       .as[(String, Long, Long, Long)].collect().toSeq
