@@ -49,7 +49,14 @@ object Bench {
       try {
         q.run(spark, dir).write.format("noop").mode("overwrite").save(); true
       } catch { case _: Throwable => false }
+    // suite clock: each query records its wall-clock start offset so the
+    // detail parts can carry part-level "at" offsets — a query whose time
+    // inflates only when its part lands in a contention window (BENCH_r09's
+    // q_interarrival: 3.19 s driver vs 0.5 s clean on identical code) is
+    // then distinguishable from a real plan regression without a rerun
+    val suiteT0 = System.nanoTime()
     val results = Queries.all.filter(_.bench).map { q =>
+      val startOff = (System.nanoTime() - suiteT0) / 1e9
       if (warm) execute(q, warmDir)
       // min of 2 timed runs: the steady-state compute cost, robust to a GC
       // pause or noisy-neighbor blip landing inside one run
@@ -75,7 +82,7 @@ object Bench {
       // clear between queries so the suite doesn't accumulate dead cache
       // (kept ACROSS the two timed runs — same protocol as earlier rounds)
       spark.catalog.clearCache()
-      q.name -> (if (times.min == Double.MaxValue) -1.0 else times.min)
+      (q.name, if (times.min == Double.MaxValue) -1.0 else times.min, startOff)
     }
     // The consumer keeps only the last ~2000 chars of run output and parses
     // JSON from that window. At 112 queries a single combined detail line grew
@@ -89,6 +96,7 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    val suiteElapsed = (System.nanoTime() - suiteT0) / 1e9
     // "sf" as a bare number (sf0.1 -> 0.1) when the dir follows the testdata
     // naming. Bare emission ONLY for canonical JSON numbers — integer part
     // "0" or leading-nonzero ("sf01"/"sf0..1"/"sf1." would emit invalid
@@ -99,9 +107,13 @@ object Bench {
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val slices = results.grouped(math.max(1, math.ceil(results.size / 8.0).toInt)).toSeq
     slices.zipWithIndex.foreach { case (slice, i) =>
-      val qs = slice.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val qs = slice.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"detail","part":${i + 1},"of":${slices.size},"unit":"sec","sf":$sf,"queries":$qs}""")
+      // "at": wall-clock second (suite clock, includes warm-ups and retry
+      // runs) at which this part's FIRST query started — contention
+      // forensics across driver runs sharing the machine
+      val at = fmt(slice.head._3)
+      println(s"""{"metric":"detail","part":${i + 1},"of":${slices.size},"at":$at,"unit":"sec","sf":$sf,"queries":$qs}""")
     }
     // Truncation insurance (BENCH_r08 forensics lost detail parts 1-4 of 8
     // to the consumer's ~2000-char tail window): ONE ≤300-char per-family
@@ -110,10 +122,13 @@ object Bench {
     // the short family names of Queries.families, in registry order.
     val famTimes = Queries.families.map { case (f, qs) =>
       val names = qs.map(_.name).toSet
-      f -> results.collect { case (n, t) if names(n) && t >= 0 => t }.sum
+      f -> results.collect { case (n, t, _) if names(n) && t >= 0 => t }.sum
     }.toMap
     println(familiesLine(sf, famTimes))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"n":${results.size},"failed":$failed}""")
+    // "elapsed": suite wall-clock (timed runs + warm-ups + retries) — the
+    // gap between `value` (sum of per-query minima) and `elapsed` is the
+    // overhead/contention budget the "at" offsets slice up
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"n":${results.size},"failed":$failed,"elapsed":${fmt(suiteElapsed)}}""")
     spark.stop()
   }
 }
