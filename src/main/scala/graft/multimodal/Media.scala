@@ -272,20 +272,6 @@ object Media {
     * banded candidate generation has NO false negatives at this radius. */
   val PhashHamming = 3
 
-  /** Perceptual-hash near-dedup over the media payloads — the multimodal
-    * member of the dedup family (images that differ by re-encode/resize
-    * survive exact byte-hash dedup; a perceptual hash catches them): one
-    * map-side `ahash16` signature per object (16-block average hash, the
-    * classic aHash scheme over the decode stub's code-point stream — a real
-    * deployment feeds decoded pixel luma through the SAME 16-block
-    * relational shape), 4×4-bit banded LSH candidate generation scoped per
-    * modality, exact Hamming verify ≤ [[PhashHamming]].
-    *
-    * Scale shape: signatures are one map pass (native codegen, no explode);
-    * candidates come only from shared (kind, band, bkey) buckets — never an
-    * all-pairs product; the Hamming filter runs before the distinct so the
-    * dedup shuffle carries only verified pairs (the q_dedup_simhash
-    * discipline, one modality column added to the bucket key). */
   /** Banded pHash posting rows (media_id, kind, ah, band, bkey) — the
     * candidate-GENERATION volume of the media dedup family (4 rows per
     * object, linear in the corpus). Shared by [[qMediaPhashDedup]] and the
@@ -324,6 +310,22 @@ object Media {
       .distinct()
   }
 
+  /** Perceptual-hash near-dedup over the media payloads — the multimodal
+    * member of the dedup family (images that differ by re-encode/resize
+    * survive exact byte-hash dedup; a perceptual hash catches them): one
+    * map-side `ahash16` signature per object (16-block average hash, the
+    * classic aHash scheme over the decode stub's code-point stream — a real
+    * deployment feeds decoded pixel luma through the SAME 16-block
+    * relational shape), 4×4-bit banded LSH candidate generation scoped per
+    * modality ([[phashPostings]]), exact Hamming verify ≤ [[PhashHamming]]
+    * applied over [[phashCandidates]] (whose scaladoc explains why the
+    * verify still executes below the candidate distinct — the
+    * q_dedup_simhash discipline, one modality column added to the bucket
+    * key).
+    *
+    * Scale shape: signatures are one map pass (native codegen, no explode);
+    * candidates come only from shared (kind, band, bkey) buckets — never an
+    * all-pairs product. */
   val qMediaPhashDedup = GraftQuery(
     "q_media_phash_dedup",
     (spark, dir) => {

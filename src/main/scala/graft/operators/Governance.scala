@@ -25,30 +25,42 @@ import org.apache.spark.sql.types._
   */
 object Governance {
 
+  /** Type-2 SCD build over an arbitrary change log (user_id, event_type,
+    * ts_us, event_id) — the definition [[qScd2History]] executes AND the
+    * streaming twin's spec reconciles against
+    * (graft.streaming.StreamScd2), so the two surfaces can never drift.
+    *
+    * Scale shape: one hash exchange on `user_id`; the change-detect lag and
+    * the valid_to lead run over the SAME (partition, order) so the second
+    * Window reuses the first's exchange and sort — the plan has exactly one
+    * shuffle however large the log (GovernanceSpec plan-guards this). */
+  private[graft] def scd2(changeLog: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = changeLog.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    changeLog
+      .select($"user_id", $"event_type", $"ts_us", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+      .select($"user_id", $"event_type", $"ts_us".as("valid_from_us"),
+        $"event_id", $"valid_to_us", $"valid_to_us".isNull.as("is_current"))
+  }
+
   /** Type-2 slowly-changing-dimension build from the events change log.
     *
     * `events` is read as a CDC stream: each row asserts its user's
     * `event_type` state from `ts` on. No-op updates (same type as the
     * previous row) are collapsed; each surviving change opens a version
-    * whose validity ends where the next change begins.
-    *
-    * Scale shape: one hash exchange on `user_id`; the change-detect lag and
-    * the valid_to lead run over the SAME (partition, order) so the second
-    * Window reuses the first's exchange and sort — the plan has exactly one
-    * shuffle however large the log.
+    * whose validity ends where the next change begins. The build itself is
+    * the shared [[scd2]] relation.
     */
   val qScd2History = GraftQuery(
     "q_scd2_history",
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      Tables.events(spark, dir)
-        .select($"user_id", $"event_type", $"ts_us", $"event_id")
-        .withColumn("prev_type", lag($"event_type", 1).over(w))
-        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
-        .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
-        .select($"user_id", $"event_type", $"ts_us".as("valid_from_us"),
-          $"event_id", $"valid_to_us", $"valid_to_us".isNull.as("is_current"))
+      scd2(Tables.events(spark, dir))
         .orderBy($"user_id", $"valid_from_us", $"event_id")
     },
     Some("""
@@ -279,17 +291,39 @@ object Governance {
     * never the union — bucket boundaries don't affect distinct-union
     * semantics.
     */
+  /** (event_type, day, user_id) projection of an events relation — the
+    * sketch bucketing every HLL surface shares. */
+  private[graft] def eventDays(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.select(col("event_type"),
+      expr("ts_us div 86400000000").as("day"), col("user_id"))
+
+  /** Per-(event_type, day) HLL day-sketches — the only pass that ever
+    * touches raw rows. Shared by [[qHllSketchMerge]] AND the streaming
+    * incremental maintainer (graft.streaming.StreamSketch runs THIS
+    * definition per micro-batch), so batch and streamed sketches are
+    * byte-compatible by construction. */
+  private[graft] def dailySketches(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    eventDays(ev).groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Union stored day-sketches up to one estimate per event_type. HLL union
+    * is exact over sketches of the same lgK, so ANY partition of the input
+    * rows into sketch rows (per day, per batch-and-day, …) yields the same
+    * estimate — the property the streaming twin's equality spec pins. */
+  private[graft] def sketchRollup(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+
   val qHllSketchMerge = GraftQuery(
     "q_hll_sketch_merge",
     (spark, dir) => {
       import spark.implicits._
       val ev = Tables.events(spark, dir)
-        .select($"event_type", expr("ts_us div 86400000000").as("day"), $"user_id")
-      val daily = ev.groupBy($"event_type", $"day")
-        .agg(hll_sketch_agg($"user_id").as("sk"))
-      val merged = daily.groupBy($"event_type")
-        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
-      val exact = ev.groupBy($"event_type")
+      val merged = sketchRollup(dailySketches(ev))
+      val exact = eventDays(ev).groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
           countDistinct($"user_id").as("n_users_exact"))
       exact.join(broadcast(merged), Seq("event_type"))

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.operators.Governance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental HLL sketch maintenance — the streaming twin of
+  * q_hll_sketch_merge (Governance.qHllSketchMerge).
+  *
+  * The batch query's store-sketches-per-day / union-at-query pattern is
+  * exactly what a 100 TB incremental pipeline runs to avoid daily full
+  * scans: the raw rows are touched ONCE, when their micro-batch arrives;
+  * every later rollup (day, month, any type subset) unions kilobyte
+  * sketches. This module closes the loop end-to-end:
+  *
+  *   foreachBatch: batch rows → Governance.dailySketches (the SAME
+  *     definition the batch query executes) → append (event_type, day, sk)
+  *     rows to a parquet sketch log;
+  *   rollup: read the log → Governance.sketchRollup.
+  *
+  * Correctness rests on HLL union being exact over same-lgK sketches: a
+  * sketch log partitioned by (batch, day) unions to the SAME estimate as
+  * the batch build's per-day sketches — StreamSketchSpec pins that as an
+  * EQUALITY against the shared batch definitions on replayed data.
+  *
+  * Idempotent recovery: each batch's sketch rows land at a
+  * `sketch_b<batchId>.parquet` path behind a replace-my-batch sweep (the
+  * MicroBatchPipeline discipline), so a checkpoint-recovery REPLAY of a
+  * batch overwrites its own sketches instead of double-counting users whose
+  * rows it re-observes. (HLL union absorbs duplicate VALUES for free, but a
+  * replayed batch file would double its day-sketch ROWS — harmless to the
+  * estimate, yet the sweep keeps the log's row count meaningful as a
+  * batch-level audit surface too.)
+  *
+  * Scale shape: the per-batch aggregate shuffles only (event_type, day)
+  * keyed partial sketches — bytes per distinct (type, day), not per row;
+  * the log grows by O(active days × types) rows per batch; rollup reads
+  * ONLY the log, never raw history.
+  */
+object StreamSketch {
+
+  /** Delete this batch's sketch file from an earlier attempt (recovery
+    * replay), through the Hadoop FS API like MicroBatchPipeline's sweep. */
+  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(_.getPath.getName == s"sketch_b$batchId.parquet")
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** One micro-batch of events (event_type, ts_us, user_id) → day-sketch
+    * rows appended to the log at `sketchDir/log` (the checkpoint lives
+    * beside, not inside, the log). */
+  def processBatch(batch: DataFrame, batchId: Long, sketchDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    sweep(spark, s"$sketchDir/log", batchId)
+    Governance.dailySketches(batch)
+      .coalesce(1) // O(types × days) rows — one file per batch
+      .write.mode("overwrite")
+      .parquet(s"$sketchDir/log/sketch_b$batchId.parquet")
+  }
+
+  /** Wire a streaming events DataFrame (event_type, ts_us, user_id) into
+    * the incremental sketch maintainer. Checkpoint kept, like every graft
+    * stream. */
+  def run(events: DataFrame, sketchDir: String,
+          trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    events.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id, sketchDir))
+      .trigger(trigger)
+      .option("checkpointLocation", s"$sketchDir/checkpoint")
+      .start()
+
+  /** Distinct-user estimate per event_type from the sketch log alone —
+    * never re-touching raw rows. The query side of the incremental
+    * pattern. (recursiveFileLookup: each batch's sketches are a nested
+    * `sketch_b<id>.parquet` directory under the log root.) */
+  def rollup(spark: SparkSession, sketchDir: String): DataFrame =
+    Governance.sketchRollup(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$sketchDir/log"))
+}
