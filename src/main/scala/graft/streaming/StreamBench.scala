@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming throughput measurement for the parity pipeline (dev harness,
+  * like Prof): replays the sf documents table through the FULL
+  * MicroBatchPipeline — wire-format JSON lines, file source throttled to
+  * one file per trigger, foreachBatch with every metric sink and retention
+  * — at a fixed records/batch, and reports per-micro-batch wall time
+  * against the reference's 10 s ProcessingTime budget
+  * (reddit_consumer.py:34, 499).
+  *
+  * This turns the batch-derived "parity families sum ~4-5 s at sf0.1"
+  * claim into a DIRECTLY measured stream number: sustained records/s and
+  * p50/p95 batch seconds over the replay. Batch times come from the
+  * engine's own StreamingQueryProgress (triggerExecution duration), not
+  * an outer stopwatch, so queue/admission time between triggers is not
+  * miscounted as processing.
+  *
+  * Usage: runMain graft.streaming.StreamBench [recordsPerBatch] [replicate]
+  *   recordsPerBatch (default 500): wire lines per replay file = per batch.
+  *   replicate (default 1): replicate the corpus N× (distinct ids) to
+  *     extend the run — at sf0.1's 5,000 docs, replicate=10 with 5,000
+  *     records/batch exercises 10 batches of 10× the reference's volume.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val perBatch = args.headOption.flatMap(_.toIntOption).getOrElse(500)
+    val replicate = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(1)
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // wire-format lines, the q_parse_clean mapping (FIXTURES.md §3)
+    val docs = Tables.documents(spark, sfDir)
+    val lines = (0 until replicate).map { r =>
+      docs.select(to_json(struct(
+        lit("submission").as("type"),
+        $"lang".as("subreddit"),
+        ($"doc_id" + lit(r.toLong * (1L << 40))).cast(StringType).as("id"),
+        $"text",
+        (lit(1.7e9) + $"doc_id" * lit(1.5)).as("created_utc"),
+        $"source".as("author"))).as("value"))
+    }.reduce(_ unionByName _).as[String].collect() // sf0.1: 5k docs × N, driver-side fan-in is the replay HARNESS, not the pipeline
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sbench-out").toString
+    val files = lines.grouped(perBatch).zipWithIndex.toSeq
+    files.foreach { case (chunk, i) =>
+      java.nio.file.Files.write(srcDir.resolve(f"replay_$i%05d.txt"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+
+    // per-batch durations from the engine's own progress events
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0)
+          progress.add((p.batchId, p.numInputRows,
+            p.durationMs.getOrDefault("triggerExecution", 0L)))
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val t0 = System.nanoTime()
+    val q = MicroBatchPipeline.run(
+      MicroBatchPipeline.fileLines(spark, srcDir.toString, maxFilesPerTrigger = 1),
+      outDir, Trigger.AvailableNow())
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+
+    import scala.jdk.CollectionConverters._
+    val batches = progress.asScala.toSeq.sortBy(_._1)
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) 0.0
+      else xs(math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1))
+    val secs = batches.map(_._3 / 1000.0)
+    // batch 0 pays whole-pipeline codegen/JIT once per process, like the
+    // reference consumer's first batch; report it separately from the
+    // steady state. `rows` is the line count this harness WROTE — the
+    // engine's numInputRows re-counts each foreachBatch action over the
+    // source (isEmpty probe + raw write + processed materialize ≈ 3n+1).
+    val steady = secs.drop(1).sorted
+    val rows = lines.length.toLong
+    val busy = secs.sum
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"stream","recordsPerBatch":$perBatch,"batches":${batches.size},""" +
+      s""""rows":$rows,"recPerSec":${f(rows / busy)},""" +
+      s""""steadyRecPerSec":${f((rows - perBatch) / steady.sum)},""" +
+      s""""firstBatchSec":${f(secs.headOption.getOrElse(0.0))},""" +
+      s""""p50BatchSec":${f(pct(steady, 0.5))},"p95BatchSec":${f(pct(steady, 0.95))},""" +
+      s""""maxBatchSec":${f(pct(steady, 1.0))},"busySec":${f(busy)},"wallSec":${f(wall)},""" +
+      s""""triggerBudgetSec":10.0}""")
+    spark.stop()
+  }
+}
