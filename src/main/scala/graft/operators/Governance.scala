@@ -123,40 +123,60 @@ object Governance {
     * orphaned facts (their violation IS rule fk_order_exists). `stack`
     * unpivots the one-row aggregate into the per-rule report.
     */
+  /** The six DQ rules as ONE additive counter row (n_checked + per-rule
+    * violation sums) over a lineitem-shaped relation left-joined to the
+    * orders dim. Additivity is the point: counters over disjoint row
+    * slices SUM to the counters over the union, so the streaming gate
+    * (graft.streaming.StreamDq) runs THIS definition per micro-batch and
+    * merges by summing — the rules can never drift between the batch
+    * audit and the streamed gate. */
+  private[graft] def dqCounters(li: org.apache.spark.sql.DataFrame,
+      ord: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(!$"l_quantity".between(1, 50), 1L).otherwise(0L))
+          .as("v_quantity_range"),
+        sum(when(!$"l_discount".between(0.0, 0.1), 1L).otherwise(0L))
+          .as("v_discount_range"),
+        sum(when(!($"l_extendedprice" > 0), 1L).otherwise(0L))
+          .as("v_positive_price"),
+        sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("v_returnflag_domain"),
+        sum(when($"o_orderdate".isNotNull && $"l_shipdate" < $"o_orderdate", 1L)
+          .otherwise(0L)).as("v_ship_after_order"),
+        sum(when($"o_orderdate".isNull, 1L).otherwise(0L))
+          .as("v_fk_order_exists"))
+  }
+
+  /** Unpivot a one-row counter relation into the per-rule report. */
+  private[graft] def dqStack(counters: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    counters
+      .select($"n_checked", expr(
+        """stack(6,
+          'quantity_range', v_quantity_range,
+          'discount_range', v_discount_range,
+          'positive_price', v_positive_price,
+          'returnflag_domain', v_returnflag_domain,
+          'ship_after_order', v_ship_after_order,
+          'fk_order_exists', v_fk_order_exists) AS (rule, n_violations)"""))
+      .select($"rule", $"n_checked", $"n_violations",
+        Det.qround($"n_violations".cast(DoubleType) /
+          $"n_checked".cast(DoubleType)).as("violation_rate"))
+      .orderBy($"rule")
+  }
+
   val qDqRules = GraftQuery(
     "q_dq_rules",
     (spark, dir) => {
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir)
-      val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
-      val flagged = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
-        .agg(
-          count(lit(1)).as("n_checked"),
-          sum(when(!$"l_quantity".between(1, 50), 1L).otherwise(0L))
-            .as("v_quantity_range"),
-          sum(when(!$"l_discount".between(0.0, 0.1), 1L).otherwise(0L))
-            .as("v_discount_range"),
-          sum(when(!($"l_extendedprice" > 0), 1L).otherwise(0L))
-            .as("v_positive_price"),
-          sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
-            .as("v_returnflag_domain"),
-          sum(when($"o_orderdate".isNotNull && $"l_shipdate" < $"o_orderdate", 1L)
-            .otherwise(0L)).as("v_ship_after_order"),
-          sum(when($"o_orderdate".isNull, 1L).otherwise(0L))
-            .as("v_fk_order_exists"))
-      flagged
-        .select($"n_checked", expr(
-          """stack(6,
-            'quantity_range', v_quantity_range,
-            'discount_range', v_discount_range,
-            'positive_price', v_positive_price,
-            'returnflag_domain', v_returnflag_domain,
-            'ship_after_order', v_ship_after_order,
-            'fk_order_exists', v_fk_order_exists) AS (rule, n_violations)"""))
-        .select($"rule", $"n_checked", $"n_violations",
-          Det.qround($"n_violations".cast(DoubleType) /
-            $"n_checked".cast(DoubleType)).as("violation_rate"))
-        .orderBy($"rule")
+      dqStack(dqCounters(Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")))
     },
     Some(s"""
       WITH j AS (

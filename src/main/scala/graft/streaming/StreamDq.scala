@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.Governance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming data-quality gate — the incremental twin of q_dq_rules
+  * (Governance.qDqRules).
+  *
+  * Each micro-batch of lineitem-shaped facts is audited by
+  * Governance.dqCounters — the SAME six-rule additive aggregate the batch
+  * query executes — against a broadcast static orders dim (the classic
+  * stream-static dimension join), and the resulting ONE counter row is
+  * appended to a parquet counter log. Because every counter is a sum over
+  * rows, counters over disjoint batches SUM to the counters over the whole
+  * history: [[report]] folds the log with one column-wise sum and unpivots
+  * through Governance.dqStack, yielding the batch report EXACTLY — no
+  * re-scan of fact history, ever. StreamDqSpec pins streamed == batch as
+  * an equality on replayed slices.
+  *
+  * This is the operational shape of a DQ gate at 100 TB: per-batch cost is
+  * one pass over the batch plus a broadcast probe; the log grows one row
+  * per batch; the all-time report reads only the log. A per-batch alert
+  * ("this batch violated rule X n times") is the same counter row before
+  * the fold.
+  *
+  * Idempotent recovery: per-batch counter files land at
+  * `counters_b<id>.parquet` behind the replace-my-batch sweep, so a
+  * checkpoint-recovery replay overwrites its own counters instead of
+  * double-counting the batch (counters, unlike HLL sketches, are NOT
+  * duplicate-insensitive — the sweep is correctness here, not hygiene).
+  */
+object StreamDq {
+
+  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(_.getPath.getName == s"counters_b$batchId.parquet")
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Audit one micro-batch of lineitem-shaped rows against the static
+    * orders dim; append its counter row to the log. */
+  def processBatch(liBatch: DataFrame, orders: DataFrame, batchId: Long,
+      logDir: String): Unit = {
+    val spark = liBatch.sparkSession
+    if (liBatch.isEmpty) return
+    sweep(spark, s"$logDir/log", batchId)
+    Governance.dqCounters(liBatch, broadcast(orders))
+      .coalesce(1) // one counter row
+      .write.mode("overwrite")
+      .parquet(s"$logDir/log/counters_b$batchId.parquet")
+  }
+
+  /** Wire a streaming lineitem DataFrame into the gate. `orders` is the
+    * static dimension (broadcast per batch — stream-static join). */
+  def run(liStream: DataFrame, orders: DataFrame, logDir: String,
+          trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    liStream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        processBatch(df, orders, id, logDir))
+      .trigger(trigger)
+      .option("checkpointLocation", s"$logDir/checkpoint")
+      .start()
+
+  /** The all-time per-rule report from the counter log alone: one
+    * column-wise sum over O(batches) rows, then the shared unpivot. */
+  def report(spark: SparkSession, logDir: String): DataFrame = {
+    val log = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$logDir/log")
+    Governance.dqStack(log.agg(
+      sum(col("n_checked")).as("n_checked"),
+      sum(col("v_quantity_range")).as("v_quantity_range"),
+      sum(col("v_discount_range")).as("v_discount_range"),
+      sum(col("v_positive_price")).as("v_positive_price"),
+      sum(col("v_returnflag_domain")).as("v_returnflag_domain"),
+      sum(col("v_ship_after_order")).as("v_ship_after_order"),
+      sum(col("v_fk_order_exists")).as("v_fk_order_exists")))
+  }
+}
