@@ -225,6 +225,45 @@ object Governance {
     * never corpus-sized data. Terms are summed through exact decimals so
     * psi_total is order-independent.
     */
+  /** The equal-width PSI bin of `value` given (vlo, width) columns —
+    * when width == 0 everything lands in bin 0; otherwise
+    * least(bins−1, floor((v − vlo)/width)). Shared by [[qPsiDrift]] AND
+    * the streaming drift monitor (graft.streaming.StreamPsi bins each
+    * micro-batch against FIXED reference bounds with THIS definition), so
+    * bucketing can never drift between the two surfaces. */
+  private[graft] def psiBinCol(value: org.apache.spark.sql.Column,
+      vlo: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(width === 0.0, lit(0L))
+      .otherwise(least(lit((PsiBins - 1).toLong), floor((value - vlo) / width)))
+
+  /** Smoothing + PSI terms over a (bin, n_old, n_new) counts relation
+    * (partial is fine — missing bins are spine-filled with 0): Laplace
+    * (n + 0.5)/(N + bins/2) proportions, psi_term = (p_new − p_old)·
+    * ln(p_new/p_old), exact-decimal order-independent total. The
+    * unpartitioned windows run over the ≤[[PsiBins]]-row audit relation
+    * only (GovernanceSpec plan-guards this for the batch query). */
+  private[graft] def psiOfCounts(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val spine = spark.range(0, PsiBins).select($"id".as("bin"))
+    val w = Window.partitionBy()
+    spine.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .withColumn("p_old", ($"n_old" + lit(0.5)) /
+        (sum($"n_old").over(w) + lit(PsiBins / 2.0)))
+      .withColumn("p_new", ($"n_new" + lit(0.5)) /
+        (sum($"n_new").over(w) + lit(PsiBins / 2.0)))
+      .withColumn("psi_term",
+        Det.qround(($"p_new" - $"p_old") * log($"p_new" / $"p_old")))
+      .withColumn("psi_total",
+        round(sum($"psi_term".cast(DecimalType(38, 9))).over(w), 6)
+          .cast(DoubleType))
+      .select($"bin", $"n_old", $"n_new", $"psi_term", $"psi_total")
+      .orderBy($"bin")
+  }
+
   val qPsiDrift = GraftQuery(
     "q_psi_drift",
     (spark, dir) => {
@@ -241,28 +280,11 @@ object Governance {
         // negative and odd, and no boundary event can flip halves.
         .withColumn("is_old", $"ts_us" <= expr("(tmin + tmax) div 2"))
         .withColumn("width", ($"vhi" - $"vlo") / lit(PsiBins.toDouble))
-        .withColumn("bin",
-          when($"width" === 0.0, lit(0L))
-            .otherwise(least(lit((PsiBins - 1).toLong),
-              floor(($"value" - $"vlo") / $"width"))))
+        .withColumn("bin", psiBinCol($"value", $"vlo", $"width"))
         .groupBy($"bin")
         .agg(sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
           sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"))
-      val spine = spark.range(0, PsiBins).select($"id".as("bin"))
-      val w = Window.partitionBy()
-      spine.join(counts, Seq("bin"), "left")
-        .na.fill(0L, Seq("n_old", "n_new"))
-        .withColumn("p_old", ($"n_old" + lit(0.5)) /
-          (sum($"n_old").over(w) + lit(PsiBins / 2.0)))
-        .withColumn("p_new", ($"n_new" + lit(0.5)) /
-          (sum($"n_new").over(w) + lit(PsiBins / 2.0)))
-        .withColumn("psi_term",
-          Det.qround(($"p_new" - $"p_old") * log($"p_new" / $"p_old")))
-        .withColumn("psi_total",
-          round(sum($"psi_term".cast(DecimalType(38, 9))).over(w), 6)
-            .cast(DoubleType))
-        .select($"bin", $"n_old", $"n_new", $"psi_term", $"psi_total")
-        .orderBy($"bin")
+      psiOfCounts(counts)
     },
     Some(s"""
       WITH b AS (
