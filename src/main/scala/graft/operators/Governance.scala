@@ -95,17 +95,31 @@ object Governance {
     * here: n_chars >= 0 by construction (truncate == floor for nonnegative
     * operands, so the Spark and DuckDB buckets agree).
     */
+  /** (lang, chars_bucket, source) QID projection of a documents relation —
+    * the class key every k-anonymity surface shares (batch audit and the
+    * streaming maintainer graft.streaming.StreamKanon). */
+  private[graft] def kanonClasses(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("lang"), expr("n_chars div 100").as("chars_bucket"),
+      col("source"))
+
+  /** Risk flags over a per-class (lang, chars_bucket, class_n, l_diversity)
+    * relation — shared by [[qKAnonymity]] and the streaming report. */
+  private[graft] def kanonReport(perClass: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perClass
+      .withColumn("at_risk",
+        col("class_n") < KAnon || col("l_diversity") < LDiv)
+      .orderBy(col("lang"), col("chars_bucket"))
+
   val qKAnonymity = GraftQuery(
     "q_k_anonymity",
     (spark, dir) => {
       import spark.implicits._
-      Tables.documents(spark, dir)
-        .groupBy($"lang", expr("n_chars div 100").as("chars_bucket"))
+      kanonReport(kanonClasses(Tables.documents(spark, dir))
+        .groupBy($"lang", $"chars_bucket")
         .agg(count(lit(1)).as("class_n"),
-          countDistinct($"source").as("l_diversity"))
-        .withColumn("at_risk",
-          $"class_n" < KAnon || $"l_diversity" < LDiv)
-        .orderBy($"lang", $"chars_bucket")
+          countDistinct($"source").as("l_diversity")))
     },
     Some(s"""
       SELECT lang, n_chars // 100 AS chars_bucket, count(*) AS class_n,
