@@ -398,6 +398,129 @@ object Governance {
       ORDER BY event_type""")
   )
 
+  /** Histogram bin count for [[qHistQuantiles]] (finer than PSI's 10 —
+    * bin width IS the quantile error bound). */
+  val HistBins = 64
+
+  /** Mergeable-histogram quantiles — the quantile companion of
+    * [[qHllSketchMerge]]'s store-per-day / merge-at-query pattern: build a
+    * fixed-bin histogram of `value` per day (the ONLY pass over raw rows;
+    * bucketing via [[psiBinCol]]'s expression family, identical IEEE double
+    * ops in both engines), answer quantiles by SUMMING the day histograms —
+    * at 100 TB the rollup reads O(days × bins) count rows, never history.
+    *
+    * For each p ∈ {0.25, 0.5, 0.75, 0.9}: approx = right edge of the first
+    * bin whose merged cumulative count reaches ceil(p·n). The exact
+    * p-quantile (rank-based, no interpolation — both engines agree
+    * bit-exactly) lies inside that bin, so |approx − exact| ≤ width by
+    * construction; the audit joins the exact value (feasible at verify
+    * scale, like the HLL audit's exact distinct) and emits the bound as
+    * approx_ok — computed identically in both engines, not pinned.
+    *
+    * Scale shape: one partial+final aggregate on (day, bin); the merge and
+    * the ≤[[HistBins]]-row cumulative window touch audit-sized relations
+    * only; the exact-rank side is the verify-scale audit, not the
+    * production path.
+    */
+  /** The merged global histogram with cumulative counts and the bounds
+    * columns riding along — the PRODUCTION relation of the pattern: the
+    * bounds pass + the per-day histogram build are its only raw-row scans
+    * (the PSI two-scan shape); output is ≤[[HistBins]] rows.
+    * GovernanceSpec plan-guards the two-scan claim on THIS relation;
+    * [[qHistQuantiles]] persists it so every downstream consumer (targets,
+    * quantile lookups) reads the cached audit-sized relation, never the
+    * corpus. */
+  private[graft] def histCum(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day"), $"value")
+    val bounds = ev.agg(min($"value").as("vlo"),
+      ((max($"value") - min($"value")) / lit(HistBins.toDouble)).as("width"),
+      count(lit(1)).as("n"))
+    val daily = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when($"width" === 0.0, lit(0L))
+          .otherwise(least(lit((HistBins - 1).toLong),
+            floor(($"value" - $"vlo") / $"width"))))
+      .groupBy($"day", $"bin").agg(count(lit(1)).as("cnt"),
+        first($"vlo").as("vlo"), first($"width").as("width"),
+        first($"n").as("n"))
+    daily.groupBy($"bin")
+      .agg(sum($"cnt").as("cnt"), first($"vlo").as("vlo"),
+        first($"width").as("width"), first($"n").as("n"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"bin")))
+  }
+
+  val qHistQuantiles = GraftQuery(
+    "q_hist_quantiles",
+    (spark, dir) => {
+      import spark.implicits._
+      val cum = histCum(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val targets = Quantiles.toDF("p")
+        .crossJoin(broadcast(cum.select($"vlo", $"width", $"n").limit(1)))
+        .withColumn("trn", ceil($"p" * $"n"))
+      val approx = targets.join(broadcast(cum.select($"bin", $"cum")),
+          $"cum" >= $"trn")
+        .groupBy($"p", $"n", $"vlo", $"width", $"trn")
+        .agg(min($"bin").as("bin"))
+      val ranked = Tables.events(spark, dir).select($"value")
+        .withColumn("rn", row_number().over(Window.orderBy($"value")))
+      val exact = targets.select($"p", $"trn")
+        .join(ranked, $"rn" === $"trn")
+        .select($"p", $"value".as("exact_q"))
+      approx.join(broadcast(exact), Seq("p"))
+        .select($"p", $"n".as("n_total"), $"bin",
+          when($"width" === 0.0, $"vlo")
+            .otherwise($"vlo" + ($"bin" + lit(1L)) * $"width").as("approx_q"),
+          $"exact_q",
+          when(abs((when($"width" === 0.0, $"vlo")
+              .otherwise($"vlo" + ($"bin" + lit(1L)) * $"width")) - $"exact_q")
+            <= $"width", 1L).otherwise(0L).as("approx_ok"))
+        .orderBy($"p")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT min(value) AS vlo,
+          (max(value) - min(value)) / ${HistBins.toDouble} AS width,
+          count(*)::BIGINT AS n
+        FROM events),
+      binned AS (
+        SELECT CASE WHEN b.width = 0 THEN 0
+                    ELSE least(${HistBins - 1}, floor((e.value - b.vlo) / b.width)::BIGINT)
+               END AS bin
+        FROM events e, b),
+      hist AS (SELECT bin, count(*)::BIGINT AS cnt FROM binned GROUP BY bin),
+      cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+      ranked AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events),
+      tgt AS (
+        SELECT p, ceil(p * b.n)::BIGINT AS trn, b.n, b.vlo, b.width
+        FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS p), b),
+      ap AS (
+        SELECT t.p, t.n, t.vlo, t.width, min(c.bin) AS bin
+        FROM tgt t JOIN cum c ON c.cum >= t.trn
+        GROUP BY t.p, t.n, t.vlo, t.width),
+      ex AS (
+        SELECT t.p, r.value AS exact_q
+        FROM tgt t JOIN ranked r ON r.rn = t.trn)
+      SELECT a.p, a.n AS n_total, a.bin,
+        CASE WHEN a.width = 0 THEN a.vlo
+             ELSE a.vlo + (a.bin + 1) * a.width END AS approx_q,
+        e.exact_q,
+        CASE WHEN abs((CASE WHEN a.width = 0 THEN a.vlo
+                            ELSE a.vlo + (a.bin + 1) * a.width END) - e.exact_q)
+               <= a.width
+             THEN 1 ELSE 0 END::BIGINT AS approx_ok
+      FROM ap a JOIN ex e ON a.p = e.p
+      ORDER BY a.p""")
+  )
+
+  /** Audit quantile targets for [[qHistQuantiles]]. */
+  val Quantiles = Seq(0.25, 0.5, 0.75, 0.9)
+
   val all: Seq[GraftQuery] =
-    Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge)
+    Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
+      qHistQuantiles)
 }

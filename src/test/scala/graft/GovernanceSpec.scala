@@ -119,6 +119,48 @@ class GovernanceSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_hist_quantiles: merged day-histograms bound every quantile by one bin width") {
+    // fixture events: values 1..6, vlo = 1, width = 5/64 = 0.078125.
+    // value v lands in bin floor((v-1)/width): 1->0, 2->12, 3->25, 4->38,
+    // 5->51, 6->63(least-capped); cumulative 1,2,3,4,5,6.
+    //   p=0.25: trn=2 -> bin 12, approx 1+13w=2.015625, exact 2
+    //   p=0.50: trn=3 -> bin 25, approx 1+26w=3.03125,  exact 3
+    //   p=0.75: trn=5 -> bin 51, approx 1+52w=5.0625,   exact 5
+    //   p=0.90: trn=6 -> bin 63, approx 1+64w=6.0,      exact 6
+    val r = Governance.qHistQuantiles.run(spark, fixtureDir)
+      .as[(Double, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(r === Seq(
+      (0.25, 6L, 12L, 2.015625, 2.0, 1L),
+      (0.5, 6L, 25L, 3.03125, 3.0, 1L),
+      (0.75, 6L, 51L, 5.0625, 5.0, 1L),
+      (0.9, 6L, 63L, 6.0, 6.0, 1L)))
+    // the error bound is structural: approx is the right edge of the bin
+    // holding the exact rank value
+    assert(r.forall { case (_, _, _, a, e, ok) =>
+      ok === 1L && math.abs(a - e) <= 5.0 / 64.0 })
+  }
+
+  test("q_hist_quantiles plan: two-scan production relation, cached for every consumer") {
+    // the PRODUCTION path (histCum) pays exactly two raw scans — the
+    // bounds pass + the per-day histogram build, the PSI shape — and its
+    // cumulative window runs over the <= HistBins-row merged relation
+    // (Window above the bin aggregate, corpus scans below)
+    val prod = Governance.histCum(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    def occ(s: String, n: String) =
+      s.split(java.util.regex.Pattern.quote(n), -1).length - 1
+    assert(occ(prod, "events.parquet") === 2, prod)
+    assert(prod.indexOf("Window") < prod.indexOf("events.parquet"), prod)
+    // the full query persists that relation: downstream consumers read the
+    // cache (InMemoryTableScan), and the only scan OUTSIDE it is the
+    // verify-scale exact-rank audit
+    spark.catalog.clearCache()
+    val full = Governance.qHistQuantiles.run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(occ(full, "InMemoryTableScan") >= 2, full)
+    assert(!full.contains("SortMergeJoin"), full)
+  }
+
   test("q_hll_sketch_merge: merged daily sketches match exact distincts") {
     val r = Governance.qHllSketchMerge.run(spark, fixtureDir)
       .as[(String, Long, Long, Long)].collect().toSeq
