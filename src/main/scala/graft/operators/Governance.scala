@@ -247,9 +247,10 @@ object Governance {
     * bucketing can never drift between the two surfaces. */
   private[graft] def psiBinCol(value: org.apache.spark.sql.Column,
       vlo: org.apache.spark.sql.Column,
-      width: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      width: org.apache.spark.sql.Column,
+      bins: Int = PsiBins): org.apache.spark.sql.Column =
     when(width === 0.0, lit(0L))
-      .otherwise(least(lit((PsiBins - 1).toLong), floor((value - vlo) / width)))
+      .otherwise(least(lit((bins - 1).toLong), floor((value - vlo) / width)))
 
   /** Smoothing + PSI terms over a (bin, n_old, n_new) counts relation
     * (partial is fine — missing bins are spine-filled with 0): Laplace
@@ -439,10 +440,7 @@ object Governance {
       ((max($"value") - min($"value")) / lit(HistBins.toDouble)).as("width"),
       count(lit(1)).as("n"))
     val daily = ev.crossJoin(broadcast(bounds))
-      .withColumn("bin",
-        when($"width" === 0.0, lit(0L))
-          .otherwise(least(lit((HistBins - 1).toLong),
-            floor(($"value" - $"vlo") / $"width"))))
+      .withColumn("bin", psiBinCol($"value", $"vlo", $"width", HistBins))
       .groupBy($"day", $"bin").agg(count(lit(1)).as("cnt"),
         first($"vlo").as("vlo"), first($"width").as("width"),
         first($"n").as("n"))
@@ -452,32 +450,42 @@ object Governance {
       .withColumn("cum", sum($"cnt").over(Window.orderBy($"bin")))
   }
 
+  /** Quantile lookup over a merged-histogram relation (bin, vlo, width, n,
+    * cum): for each audit p, the first bin whose cumulative count reaches
+    * ceil(p·n), with approx_q as that bin's right edge. Shared by
+    * [[qHistQuantiles]] AND the streaming maintainer
+    * (graft.streaming.StreamHist folds its bin log into the same shape and
+    * runs THIS lookup), so the two surfaces cannot drift. */
+  private[graft] def histQuantileLookup(cum: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cum.sparkSession
+    import spark.implicits._
+    val targets = Quantiles.toDF("p")
+      .crossJoin(broadcast(cum.select($"vlo", $"width", $"n").limit(1)))
+      .withColumn("trn", ceil($"p" * $"n"))
+    targets.join(broadcast(cum.select($"bin", $"cum")), $"cum" >= $"trn")
+      .groupBy($"p", $"n", $"vlo", $"width", $"trn")
+      .agg(min($"bin").as("bin"))
+      .withColumn("approx_q", when($"width" === 0.0, $"vlo")
+        .otherwise($"vlo" + ($"bin" + lit(1L)) * $"width"))
+  }
+
   val qHistQuantiles = GraftQuery(
     "q_hist_quantiles",
     (spark, dir) => {
       import spark.implicits._
       val cum = histCum(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val targets = Quantiles.toDF("p")
-        .crossJoin(broadcast(cum.select($"vlo", $"width", $"n").limit(1)))
-        .withColumn("trn", ceil($"p" * $"n"))
-      val approx = targets.join(broadcast(cum.select($"bin", $"cum")),
-          $"cum" >= $"trn")
-        .groupBy($"p", $"n", $"vlo", $"width", $"trn")
-        .agg(min($"bin").as("bin"))
+      val approx = histQuantileLookup(cum)
       val ranked = Tables.events(spark, dir).select($"value")
         .withColumn("rn", row_number().over(Window.orderBy($"value")))
-      val exact = targets.select($"p", $"trn")
+      val exact = approx.select($"p", $"trn")
         .join(ranked, $"rn" === $"trn")
         .select($"p", $"value".as("exact_q"))
       approx.join(broadcast(exact), Seq("p"))
-        .select($"p", $"n".as("n_total"), $"bin",
-          when($"width" === 0.0, $"vlo")
-            .otherwise($"vlo" + ($"bin" + lit(1L)) * $"width").as("approx_q"),
-          $"exact_q",
-          when(abs((when($"width" === 0.0, $"vlo")
-              .otherwise($"vlo" + ($"bin" + lit(1L)) * $"width")) - $"exact_q")
-            <= $"width", 1L).otherwise(0L).as("approx_ok"))
+        .select($"p", $"n".as("n_total"), $"bin", $"approx_q", $"exact_q",
+          when(abs($"approx_q" - $"exact_q") <= $"width", 1L)
+            .otherwise(0L).as("approx_ok"))
         .orderBy($"p")
     },
     Some(s"""

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.operators.Governance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming mergeable-histogram quantiles — the incremental twin of
+  * q_hist_quantiles (Governance.qHistQuantiles), and the quantile member
+  * of the sketch-log family (StreamSketch: HLL; StreamPsi: drift bins;
+  * StreamDq: rule counters; this: value distribution).
+  *
+  * Bounds (vlo, width) are frozen at reference time (a quantile monitor,
+  * like a drift monitor, needs FIXED bins to stay mergeable and
+  * comparable across evaluations); each micro-batch is binned with
+  * Governance.psiBinCol at [[Governance.HistBins]] resolution — the same
+  * expression family the batch query executes — and its ≤HistBins count
+  * rows appended to the log behind the replace-my-batch sweep (bin counts
+  * are additive, so the sweep is correctness on recovery replay).
+  * [[report]] folds the log into the batch query's merged-histogram shape
+  * and runs the SHARED Governance.histQuantileLookup, so streamed approx
+  * quantiles cannot drift from the batch rollup's. The rank-exact audit
+  * stays batch-side (it needs a corpus sort — the verify-scale check, not
+  * the production path).
+  *
+  * Scale shape: per batch one (bin)-keyed aggregate of ≤HistBins rows;
+  * the log grows ≤HistBins rows per batch; the report reads only the log.
+  */
+object StreamHist {
+
+  /** Freeze (vlo, width) from a calibration values relation. */
+  def writeReference(values: DataFrame, refDir: String): Unit =
+    values.agg(min(col("value")).as("vlo"),
+      ((max(col("value")) - min(col("value"))) /
+        lit(Governance.HistBins.toDouble)).as("width"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(refDir)
+
+  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(_.getPath.getName == s"hist_b$batchId.parquet")
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Bin one micro-batch of (value) rows against the frozen bounds;
+    * append its ≤HistBins count rows to the log. */
+  def processBatch(batch: DataFrame, refDir: String, batchId: Long,
+      logDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    sweep(spark, s"$logDir/log", batchId)
+    val ref = spark.read.parquet(refDir).limit(1)
+    batch.crossJoin(broadcast(ref))
+      .withColumn("bin", Governance.psiBinCol(col("value"), col("vlo"),
+        col("width"), Governance.HistBins))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$logDir/log/hist_b$batchId.parquet")
+  }
+
+  /** Wire a streaming (value) DataFrame into the maintainer. */
+  def run(values: DataFrame, refDir: String, logDir: String,
+          trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    values.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        processBatch(df, refDir, id, logDir))
+      .trigger(trigger)
+      .option("checkpointLocation", s"$logDir/checkpoint")
+      .start()
+
+  /** Approx quantiles of the accumulated stream from the bin log alone:
+    * fold, rebuild the merged-histogram shape, shared lookup. */
+  def report(spark: SparkSession, refDir: String, logDir: String): DataFrame = {
+    val ref = spark.read.parquet(refDir).limit(1)
+    val folded = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$logDir/log")
+      .groupBy(col("bin")).agg(sum(col("n")).as("cnt"))
+      .crossJoin(broadcast(ref))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    Governance.histQuantileLookup(folded)
+      .select(col("p"), col("n").as("n_total"), col("bin"), col("approx_q"))
+      .orderBy(col("p"))
+  }
+}

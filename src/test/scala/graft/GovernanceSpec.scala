@@ -145,6 +145,8 @@ class GovernanceSpec extends SparkSpec {
     // bounds pass + the per-day histogram build, the PSI shape — and its
     // cumulative window runs over the <= HistBins-row merged relation
     // (Window above the bin aggregate, corpus scans below)
+    spark.catalog.clearCache() // a cached cum from an earlier test would
+    // swap the fresh scan plan for an InMemoryTableScan print
     val prod = Governance.histCum(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     def occ(s: String, n: String) =
