@@ -230,5 +230,111 @@ object Retrieval {
       ORDER BY rrf DESC, doc_id""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qBm25Scores, qRrfFusion)
+  /** Dirichlet prior for [[qQlScores]] (Zhai & Lafferty 2001's standard
+    * setting; exact as a double). */
+  val DirichletMu = 2000.0
+
+  /** Query-likelihood ranking with Dirichlet smoothing — the language-model
+    * retrieval family beside Okapi BM25 (public formulation, Zhai &
+    * Lafferty 2001):
+    *
+    *   score(q, d) = Σ_t ln((tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ))
+    *
+    * Every query term contributes to every CANDIDATE document (a doc
+    * matching ≥1 term), including tf = 0 terms through the collection
+    * model — that cross-document smoothing mass is what distinguishes QL
+    * from tf-only scorers. Query terms absent from the whole corpus
+    * (cf = 0) are dropped before the sum: their ln 0 term would poison
+    * every candidate equally, so ranking is unchanged and the scores stay
+    * finite (the standard inverted-index shortcut).
+    *
+    * Scale shape: matched postings are one filtered pass; the smoothing
+    * grid is |candidates| × |q| rows — query-bounded, never corpus²; the
+    * collection stats are a 1-row broadcast. Ranking happens over the
+    * limited ≤[[FuseDepth]]-row relation like BM25.
+    */
+  private[graft] def qlRanked(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val matched = docs
+      .select($"doc_id", Text.withoutStopwords(Text.tokens($"text")).as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
+      .filter($"term".isInCollection(terms))
+    val tf = matched.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    // collection stats: |C| in one map-only pass; per-term cf from the
+    // matched postings (cf of an unmatched term is by definition 0)
+    val coll = Tables.documents(spark, dir)
+      .select(size(Text.withoutStopwords(Text.tokens($"text"))).as("dl0"))
+      .agg(sum($"dl0").as("c_len"))
+    val cf = matched.groupBy($"term").agg(count(lit(1)).as("cf"))
+    val cands = tf.groupBy($"doc_id")
+      .agg(max($"dl").as("dl"), count(lit(1)).as("n_match"))
+    val grid = cands
+      .crossJoin(broadcast(terms.toDF("term")))
+      .join(broadcast(cf), Seq("term")) // inner: cf = 0 terms drop (see doc)
+      .join(tf.select($"doc_id", $"term", $"tf"), Seq("doc_id", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .crossJoin(broadcast(coll))
+      .select($"doc_id", $"n_match",
+        log(($"tf" + lit(DirichletMu) * ($"cf" / $"c_len")) /
+          ($"dl" + lit(DirichletMu))).as("ts"))
+    val top = grid.groupBy($"doc_id")
+      .agg(max($"n_match").as("n_match"), Det.dsum($"ts").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(FuseDepth)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .select($"rank".cast(LongType).as("rank"), $"doc_id", $"n_match",
+        $"score")
+  }
+
+  val qQlScores = GraftQuery(
+    "q_ql_scores",
+    (spark, dir) => qlRanked(spark, dir).orderBy("rank"),
+    Some(s"""
+      WITH qtoks AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[[:space:]]+'),
+            w -> w NOT IN ${Text.stopwordsSqlList}) AS toks
+          FROM documents)),
+      qmatched AS (
+        SELECT doc_id, dl, term FROM qtoks
+        WHERE term IN $queryTermsSqlList),
+      qtf AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM qmatched
+        GROUP BY doc_id, term),
+      qcoll AS (
+        SELECT sum(dl0) AS c_len FROM (
+          SELECT len(list_filter(
+            string_split_regex(lower(text), '[[:space:]]+'),
+            w -> w NOT IN ${Text.stopwordsSqlList})) AS dl0
+          FROM documents)),
+      qcf AS (SELECT term, count(*) AS cf FROM qmatched GROUP BY term),
+      qcands AS (
+        SELECT doc_id, max(dl) AS dl, count(*) AS n_match FROM qtf
+        GROUP BY doc_id),
+      qgrid AS (
+        SELECT c.doc_id, c.n_match,
+          ln((coalesce(t.tf, 0) + ${DirichletMu}e0 * (f.cf / l.c_len)) /
+             (c.dl + ${DirichletMu}e0)) AS ts
+        FROM qcands c
+        CROSS JOIN (SELECT unnest([${QueryTerms.map(t => s"'$t'").mkString(", ")}]) AS term) qt
+        JOIN qcf f ON f.term = qt.term
+        LEFT JOIN qtf t ON t.doc_id = c.doc_id AND t.term = qt.term
+        CROSS JOIN qcoll l),
+      qdoc AS (
+        SELECT doc_id, max(n_match) AS n_match, ${Oracle.dsum("ts")} AS score
+        FROM qgrid GROUP BY doc_id),
+      qtop AS (
+        SELECT doc_id, n_match, score FROM qdoc
+        ORDER BY score DESC, doc_id LIMIT $FuseDepth)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        doc_id, n_match, score
+      FROM qtop
+      ORDER BY rank""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qBm25Scores, qRrfFusion, qQlScores)
 }

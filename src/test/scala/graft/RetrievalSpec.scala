@@ -52,4 +52,26 @@ class RetrievalSpec extends SparkSpec {
       (2L, 1L, 0.015873)  // 1/63
     ))
   }
+
+  /** Dirichlet QL on the fixture, worked by hand (μ=2000, |C|=73,
+    * cf: fast 3, slow 7, big 3):
+    * d0 (dl 3): ln(84.19/2003)+ln(192.78/2003)+ln(82.19/2003) ≈ −8.70356
+    * d2/d3 (dl 4): ≈ −8.70680 (identical texts tie exactly)
+    * d1 (dl 2): ≈ −8.70735
+    * The zero-tf smoothing term is what puts d0 above d2/d3 — a tf-only
+    * scorer has no cross-term mass to distinguish them this way. */
+  test("ql: Dirichlet smoothing ranks d0 > d2=d3 > d1, ties to lower id") {
+    val r = Retrieval.qlRanked(spark, fixtureDir, FixtureTerms)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r.map(_._2) === Seq(0L, 2L, 3L, 1L))
+    assert(r.forall(_._3 == 2L)) // each candidate matches exactly 2 terms
+    val score = r.map(t => t._2 -> t._4).toMap
+    assert(score(2L) === score(3L)) // identical text -> identical score
+    assert(score(0L) > score(2L) && score(2L) > score(1L))
+  }
+
+  test("q_ql_scores degrades to empty when no pinned term occurs") {
+    assert(Retrieval.qQlScores.run(spark, fixtureDir).count() === 0L)
+  }
 }
