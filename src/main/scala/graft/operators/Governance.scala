@@ -528,7 +528,120 @@ object Governance {
   /** Audit quantile targets for [[qHistQuantiles]]. */
   val Quantiles = Seq(0.25, 0.5, 0.75, 0.9)
 
+  /** CUSUM slack and alarm multiples (Page 1954 standard setting:
+    * k = σ/2 detects ~1σ shifts fastest; h = 4σ the usual ARL trade). */
+  val CusumSlackSigmas = 0.5
+  val CusumAlarmSigmas = 4.0
+
+  /** CUSUM changepoint detection of `value` per event_type — the
+    * SEQUENTIAL drift monitor beside [[qPsiDrift]]'s distributional one
+    * (PSI sees a shifted histogram; CUSUM sees WHEN the mean moved, and
+    * fires on small persistent shifts long before they dent a histogram):
+    *
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t − μ₀ − k)),  alarm when S⁺ > h
+    *   S⁻_t = max(0, S⁻_{t-1} + (μ₀ − k − x_t)),  alarm when S⁻ > h
+    *
+    * with μ₀/σ from the older time half (the reference period, PSI's
+    * split) and k = σ/2, h = 4σ. The max(0,·) reset recursion is not a
+    * window aggregate, but the classic prefix identity
+    *   S_t = P_t − min(0, min_{j≤t} P_j),   P = running Σ of deviations
+    * turns it into TWO stacked windows over the SAME (event_type;
+    * ts, event_id) partitioning — one exchange, one sort, however long
+    * the series. Deviations are summed as DECIMAL(38,9) (exact,
+    * order-independent), so the recursion is bit-identical in both
+    * engines; μ₀/σ/k/h are identical IEEE ops over decimal-exact sums
+    * (sqrt is correctly rounded in both engines — the q_mixture_weights
+    * precedent). Event types first seen in the monitoring half have no
+    * reference and drop (inner join), the monitor's standard cold-start
+    * rule.
+    */
+  val qCusumDrift = GraftQuery(
+    "q_cusum_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_type", $"ts_us", $"event_id", $"value")
+      val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+      val halves = ev.crossJoin(broadcast(mid))
+      // reference stats per type from the older half: decimal-exact raw
+      // sums -> identical-IEEE mean/variance/sigma
+      val ref = halves.filter($"ts_us" <= $"mid")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum($"value".cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("s1"),
+          sum(($"value" * $"value").cast(DecimalType(38, Det.Scale)))
+            .cast(DoubleType).as("s2"))
+        .select($"event_type", ($"s1" / $"n0").as("mu0"),
+          sqrt(greatest($"s2" / $"n0" - ($"s1" / $"n0") * ($"s1" / $"n0"),
+            lit(0.0))).as("sigma"))
+        .select($"event_type", $"mu0",
+          (lit(CusumSlackSigmas) * $"sigma").as("k"),
+          (lit(CusumAlarmSigmas) * $"sigma").as("h"))
+      val w = Window.partitionBy($"event_type").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      halves.filter($"ts_us" > $"mid")
+        .join(broadcast(ref), Seq("event_type"))
+        // qround BEFORE the decimal cast: a raw double->DECIMAL(38,9)
+        // cast can differ by 1 ulp at digit 9 between engines, and a
+        // RUNNING sum surfaces every such addend (unlike dsum, which
+        // rounds once at the end); a 6-dp-prerounded double casts to the
+        // same exact decimal in both
+        .withColumn("p_pos", sum(Det.qround($"value" - $"mu0" - $"k")
+          .cast(DecimalType(38, Det.Scale))).over(w))
+        .withColumn("p_neg", sum(Det.qround($"mu0" - $"k" - $"value")
+          .cast(DecimalType(38, Det.Scale))).over(w))
+        .withColumn("s_pos_d", $"p_pos" - least(min($"p_pos").over(w), lit(0)))
+        .withColumn("s_neg_d", $"p_neg" - least(min($"p_neg").over(w), lit(0)))
+        .select($"event_type", $"ts_us", $"event_id", $"value",
+          round($"s_pos_d", 6).cast(DoubleType).as("s_pos"),
+          round($"s_neg_d", 6).cast(DoubleType).as("s_neg"),
+          ($"s_pos_d".cast(DoubleType) > $"h" ||
+            $"s_neg_d".cast(DoubleType) > $"h").as("alarm"))
+        .orderBy($"event_type", $"ts_us", $"event_id")
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events),
+      b AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM src),
+      ref AS (
+        SELECT event_type,
+          (sum(CAST(value AS DECIMAL(38,9)))::DOUBLE / count(*)) AS mu0,
+          sqrt(greatest(
+            sum(CAST(value * value AS DECIMAL(38,9)))::DOUBLE / count(*)
+              - (sum(CAST(value AS DECIMAL(38,9)))::DOUBLE / count(*))
+                * (sum(CAST(value AS DECIMAL(38,9)))::DOUBLE / count(*)),
+            0e0)) AS sigma
+        FROM src, b WHERE ts_us <= b.mid
+        GROUP BY event_type),
+      mon AS (
+        SELECT s.event_type, s.ts_us, s.event_id, s.value,
+          r.mu0, $CusumSlackSigmas * r.sigma AS k,
+          $CusumAlarmSigmas * r.sigma AS h
+        FROM src s JOIN ref r ON s.event_type = r.event_type, b
+        WHERE s.ts_us > b.mid),
+      pre AS (
+        SELECT event_type, ts_us, event_id, value, h,
+          sum(CAST(${Oracle.qround("value - mu0 - k")} AS DECIMAL(38,9))) OVER wf AS p_pos,
+          sum(CAST(${Oracle.qround("mu0 - k - value")} AS DECIMAL(38,9))) OVER wf AS p_neg
+        FROM mon
+        WINDOW wf AS (PARTITION BY event_type ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cus AS (
+        SELECT event_type, ts_us, event_id, value, h,
+          p_pos - least(min(p_pos) OVER wf, 0) AS s_pos_d,
+          p_neg - least(min(p_neg) OVER wf, 0) AS s_neg_d
+        FROM pre
+        WINDOW wf AS (PARTITION BY event_type ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, ts_us, event_id, value,
+        round(s_pos_d, 6)::DOUBLE AS s_pos,
+        round(s_neg_d, 6)::DOUBLE AS s_neg,
+        (s_pos_d::DOUBLE > h OR s_neg_d::DOUBLE > h) AS alarm
+      FROM cus
+      ORDER BY event_type, ts_us, event_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
-      qHistQuantiles)
+      qHistQuantiles, qCusumDrift)
 }

@@ -163,6 +163,19 @@ class GovernanceSpec extends SparkSpec {
     assert(!full.contains("SortMergeJoin"), full)
   }
 
+  test("q_cusum_drift: reset-cumsum recursion and reference-half alarms, by hand") {
+    // fixture: old half = events 0-2 (click v1,v3; view v2), new half =
+    // view v4, click v5, signup v6 (no reference -> dropped).
+    //  click ref: mu0=2, sigma=1, k=0.5, h=4 -> v5: S+ = 2.5, S- = 0, no alarm
+    //  view ref:  mu0=2, sigma=0, k=0,   h=0 -> v4: S+ = 2 > 0 -> ALARM
+    val r = Governance.qCusumDrift.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(r === Seq(
+      ("click", 4 * SparkSpec.SixHoursUs, 4L, 5.0, 2.5, 0.0, false),
+      ("view", 3 * SparkSpec.SixHoursUs, 3L, 4.0, 2.0, 0.0, true)))
+  }
+
   test("q_hll_sketch_merge: merged daily sketches match exact distincts") {
     val r = Governance.qHllSketchMerge.run(spark, fixtureDir)
       .as[(String, Long, Long, Long)].collect().toSeq
