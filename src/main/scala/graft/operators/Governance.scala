@@ -555,6 +555,29 @@ object Governance {
     * reference and drop (inner join), the monitor's standard cold-start
     * rule.
     */
+  /** CUSUM reference parameters (mu0, k, h) per event_type from a
+    * calibration relation (event_type, value) — decimal-exact raw sums,
+    * identical-IEEE mean/variance/sigma. Shared by [[qCusumDrift]] (older
+    * time half) AND the streaming monitor (graft.streaming.StreamCusum
+    * freezes THIS relation's output), so the two surfaces parameterize
+    * identically. */
+  private[graft] def cusumRef(calib: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = calib.sparkSession
+    import spark.implicits._
+    calib.groupBy($"event_type")
+      .agg(count(lit(1)).as("n0"),
+        sum($"value".cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("s1"),
+        sum(($"value" * $"value").cast(DecimalType(38, Det.Scale)))
+          .cast(DoubleType).as("s2"))
+      .select($"event_type", ($"s1" / $"n0").as("mu0"),
+        sqrt(greatest($"s2" / $"n0" - ($"s1" / $"n0") * ($"s1" / $"n0"),
+          lit(0.0))).as("sigma"))
+      .select($"event_type", $"mu0",
+        (lit(CusumSlackSigmas) * $"sigma").as("k"),
+        (lit(CusumAlarmSigmas) * $"sigma").as("h"))
+  }
+
   val qCusumDrift = GraftQuery(
     "q_cusum_drift",
     (spark, dir) => {
@@ -563,20 +586,7 @@ object Governance {
         .select($"event_type", $"ts_us", $"event_id", $"value")
       val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
       val halves = ev.crossJoin(broadcast(mid))
-      // reference stats per type from the older half: decimal-exact raw
-      // sums -> identical-IEEE mean/variance/sigma
-      val ref = halves.filter($"ts_us" <= $"mid")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n0"),
-          sum($"value".cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("s1"),
-          sum(($"value" * $"value").cast(DecimalType(38, Det.Scale)))
-            .cast(DoubleType).as("s2"))
-        .select($"event_type", ($"s1" / $"n0").as("mu0"),
-          sqrt(greatest($"s2" / $"n0" - ($"s1" / $"n0") * ($"s1" / $"n0"),
-            lit(0.0))).as("sigma"))
-        .select($"event_type", $"mu0",
-          (lit(CusumSlackSigmas) * $"sigma").as("k"),
-          (lit(CusumAlarmSigmas) * $"sigma").as("h"))
+      val ref = cusumRef(halves.filter($"ts_us" <= $"mid"))
       val w = Window.partitionBy($"event_type").orderBy($"ts_us", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       halves.filter($"ts_us" > $"mid")
