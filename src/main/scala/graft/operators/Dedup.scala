@@ -751,6 +751,74 @@ object Dedup {
       ORDER BY ia, ib""")
   )
 
+  /** Containment threshold for [[qContainmentDedup]]. */
+  val ContainThreshold = 0.9
+
+  /** Containment (asymmetric Jaccard) near-dedup: C = |A∩B| / min(|A|,|B|)
+    * — the subset-duplication signal symmetric Jaccard is BLIND to. A short
+    * document wholly embedded in a long one (a quoted post, a concatenated
+    * dump, a boilerplate-wrapped article) has C ≈ 1 but Jaccard ≈
+    * |small|/|large|, far below any dedup threshold — and q_ngram_jaccard's
+    * PPJoin length filter deliberately never even PAIRS such documents.
+    * This query therefore runs on the SAME df-capped shingle postings
+    * (ngramPostings — shared relation, no drift) but WITHOUT the length
+    * filter: the widened candidate space is precisely the price of
+    * catching subset duplication, and the df-cap still bounds every
+    * shingle's join multiplicity, so the pair join stays
+    * Σ O(df_capped²), never all-pairs. `jaccard_blind` marks the pairs
+    * q_ngram_jaccard's threshold would never report — the actionable
+    * output for a dedup pipeline that already ran the symmetric pass.
+    */
+  val qContainmentDedup = GraftQuery(
+    "q_containment_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val pruned = ngramPostings(spark, dir)
+      val sizes = pruned.groupBy($"doc_id")
+        .agg(count(lit(1)).cast(LongType).as("ns"))
+      val withNs = pruned.join(sizes, Seq("doc_id"))
+      withNs.as("a").join(withNs.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+          $"a.ns".as("na"), $"b.ns".as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select($"ia", $"ib",
+          graft.functions.Det.qround($"inter" / least($"na", $"nb"))
+            .as("containment"),
+          graft.functions.Det.qround($"inter" / ($"na" + $"nb" - $"inter"))
+            .as("jaccard"))
+        .filter($"containment" >= ContainThreshold)
+        .withColumn("jaccard_blind", $"jaccard" < JaccardThreshold)
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH sh AS (${shinglesSql(3)}),
+      hot AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > greatest($NgramDfCapFloor,
+          (SELECT count(*) FROM documents) // $NgramDfCapDivisor)),
+      pruned AS (
+        SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      sizes AS (SELECT doc_id, count(*) AS ns FROM pruned GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM pruned a JOIN pruned b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY ia, ib),
+      scored AS (
+        SELECT ia, ib,
+          ${graft.Oracle.qround("inter * 1.0 / least(na.ns, nb.ns)")} AS containment,
+          ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS jaccard
+        FROM inter
+        JOIN sizes na ON ia = na.doc_id
+        JOIN sizes nb ON ib = nb.doc_id)
+      SELECT ia, ib, containment, jaccard,
+        (jaccard < $JaccardThreshold) AS jaccard_blind
+      FROM scored
+      WHERE containment >= $ContainThreshold
+      ORDER BY ia, ib""")
+  )
+
   /** Character budget for the edit-distance audit: distances are computed
     * on the first EditPrefix characters of each document, bounding the
     * O(len²) DP at EditPrefix² per pair regardless of document length
@@ -1424,5 +1492,6 @@ object Dedup {
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
-    qQualityDedupCalibration, qPairEvidence, qSplitLeakage)
+    qQualityDedupCalibration, qPairEvidence, qSplitLeakage,
+    qContainmentDedup)
 }

@@ -216,4 +216,29 @@ class DedupSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap === expected)
   }
+
+  test("containment dedup catches subset pairs symmetric Jaccard is blind to") {
+    // d0 (10 tokens) is the PREFIX of d1 (34 tokens): every d0 shingle is
+    // a d1 shingle -> containment 1.0, while Jaccard = 8/32 = 0.25 is far
+    // below the 0.6 dedup threshold AND q_ngram_jaccard's length filter
+    // (min/max = 8/32 < 0.6) never even pairs them. d2 is unrelated.
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val short = (1 to 10).map(i => s"t$i").mkString(" ")
+    val long = ((1 to 10).map(i => s"t$i") ++ (1 to 24).map(i => s"u$i"))
+      .mkString(" ")
+    Seq((0L, short, "en", "srcA", short.length.toLong),
+        (1L, long, "en", "srcB", long.length.toLong),
+        (2L, "x1 x2 x3 x4 x5", "en", "srcC", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val r = graft.operators.Dedup.qContainmentDedup.run(spark, dir)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(r === Seq((0L, 1L, 1.0, 0.25, true)))
+
+    // and the symmetric pass indeed misses the pair entirely
+    val jac = graft.operators.Dedup.qNgramJaccard.run(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(!jac.exists(p => p._1 == 0L && p._2 == 1L))
+  }
 }
