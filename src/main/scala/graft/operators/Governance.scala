@@ -365,10 +365,15 @@ object Governance {
     eventDays(ev).groupBy(col("event_type"), col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
 
-  /** Union stored day-sketches up to one estimate per event_type. HLL union
-    * is exact over sketches of the same lgK, so ANY partition of the input
-    * rows into sketch rows (per day, per batch-and-day, …) yields the same
-    * estimate — the property the streaming twin's equality spec pins. */
+  /** Union stored day-sketches up to one estimate per event_type. Below
+    * the coupon->dense promotion (~512 distinct per sketch at lgK=12) HLL
+    * sketches are exact coupon lists and ANY partition of the input rows
+    * into sketch rows (per day, per batch-and-day, …) unions to the
+    * IDENTICAL estimate — the regime the streaming twin's equality spec
+    * pins. In the promotion band the two paths can disagree by a few
+    * units (PropertySpec probes the boundary); both stay within the
+    * 3·rsd error the production audit ([[qHllSketchMerge]]'s approx_ok)
+    * actually enforces. */
   private[graft] def sketchRollup(daily: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     daily.groupBy(col("event_type"))

@@ -18,10 +18,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     rows to a parquet sketch log;
   *   rollup: read the log → Governance.sketchRollup.
   *
-  * Correctness rests on HLL union being exact over same-lgK sketches: a
-  * sketch log partitioned by (batch, day) unions to the SAME estimate as
-  * the batch build's per-day sketches — StreamSketchSpec pins that as an
-  * EQUALITY against the shared batch definitions on replayed data.
+  * Correctness: below the coupon->dense promotion (~512 distinct per
+  * sketch at lgK=12) HLL sketches are exact coupon lists, so a log
+  * partitioned by (batch, day) unions to the SAME estimate as the batch
+  * build's per-day sketches — StreamSketchSpec pins that as an EQUALITY
+  * against the shared batch definitions on replayed data. Past the
+  * promotion the two paths can disagree by a few units (PropertySpec
+  * probes the band) while both remain inside the 3·rsd bound the
+  * production audit enforces — the guarantee that actually matters at
+  * 100 TB cardinalities.
   *
   * Idempotent recovery: each batch's sketch rows land at a
   * `sketch_b<batchId>.parquet` path behind a replace-my-batch sweep (the

@@ -222,4 +222,84 @@ class PropertySpec extends SparkSpec {
         s"prefix chunks changed for: $t")
     }
   }
+
+  test("CUSUM prefix identity equals the direct reset recursion on random series") {
+    // S_t = P_t - min(0, min_{j<=t} P_j) is the window form q_cusum_drift
+    // executes; the direct recursion S_t = max(0, S_{t-1} + d_t) is the
+    // textbook definition (and StreamCusum's state form). They must agree
+    // on any series, including long negative runs and sign flips.
+    for (_ <- 1 to 20) {
+      val ds = Seq.fill(300)(rnd.nextDouble() * 4 - 2)
+      val direct = ds.scanLeft(0.0)((s, d) => math.max(0.0, s + d)).tail
+      val prefix = ds.scanLeft(0.0)(_ + _).tail
+      val mins = prefix.scanLeft(0.0)(math.min).tail
+      val viaIdentity = prefix.zip(mins).map { case (p, m) => p - math.min(m, 0.0) }
+      direct.zip(viaIdentity).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"identity diverged: $a vs $b") }
+    }
+  }
+
+  test("HLL union partition-invariance: exact in coupon mode, sketch-error-bounded in the promotion band") {
+    // the property StreamSketch's equality rests on — with its TRUE
+    // contract (probed empirically this round): below the coupon->dense
+    // promotion (~512 coupons at lgK=12) every partitioning of the same
+    // rows unions to the IDENTICAL estimate (coupon lists are exact);
+    // inside the promotion band (~700 distinct) the single-pass sketch
+    // and the union can promote at different points and disagree by a
+    // few units — both still within the sketch's own 3*rsd error of the
+    // exact count, which is the bound the production audit
+    // (q_hll_sketch_merge's approx_ok) actually enforces.
+    def est(distinct: Int, groups: Int): Double = {
+      val df = (0 until 3000).map(i => (i % groups, (i % distinct).toLong))
+        .toDF("g", "user_id")
+      df.groupBy($"g").agg(hll_sketch_agg($"user_id").as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .as[Double].head()
+    }
+    for (g <- Seq(7, 64)) // coupon regime: bit-exact under any grouping
+      assert(est(300, g) === est(300, 1))
+    for (n <- Seq(700, 1000, 3000); g <- Seq(7, 64)) { // promotion band +
+      val (s, u) = (est(n, 1), est(n, g))              // dense regime
+      assert(math.abs(u - s) <= 3 * 0.0262 * n,
+        s"n=$n g=$g single=$s union=$u")
+      assert(math.abs(u - n) <= 3 * 0.0262 * n)
+    }
+  }
+
+  test("containment dominates Jaccard; subsets have containment 1") {
+    // random set pairs through the q_containment_dedup formulas
+    for (_ <- 1 to 50) {
+      val a = Seq.fill(5 + rnd.nextInt(30))(rnd.nextInt(60)).toSet
+      val b = Seq.fill(5 + rnd.nextInt(30))(rnd.nextInt(60)).toSet
+      val inter = (a & b).size.toDouble
+      if (inter > 0) {
+        val c = inter / math.min(a.size, b.size)
+        val j = inter / (a.size + b.size - inter)
+        assert(c >= j - 1e-12)
+      }
+      val sub = a.take(1 + rnd.nextInt(a.size)) // subset of a
+      val cSub = (sub & a).size.toDouble / math.min(sub.size, a.size)
+      assert(cSub === 1.0)
+    }
+  }
+
+  test("histogram quantile error bound holds on random data (q_hist_quantiles law)") {
+    val bins = operators.Governance.HistBins
+    for (_ <- 1 to 10) {
+      val xs = Seq.fill(500)(rnd.nextDouble() * 100 - 50).sorted
+      val (lo, hi) = (xs.head, xs.last)
+      val width = (hi - lo) / bins
+      for (p <- operators.Governance.Quantiles) {
+        val trn = math.ceil(p * xs.size).toInt
+        val exact = xs(trn - 1)
+        val bin = math.min(bins - 1L,
+          math.floor((exact - lo) / width).toLong)
+        // cumulative count of the exact value's bin reaches its rank, so
+        // the lookup picks a bin at or below it; the right edge of the
+        // exact value's bin bounds the error by one width
+        val approx = lo + (bin + 1) * width
+        assert(approx >= exact - 1e-9 && approx - exact <= width + 1e-9)
+      }
+    }
+  }
 }
