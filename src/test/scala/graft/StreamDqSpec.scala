@@ -63,4 +63,33 @@ class StreamDqSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("checkpoint restart resumes the gate where it left off (no double-count)") {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate")
+    val logDir = Files.createTempDirectory("graft-dq-restart-log").toString
+    val srcDir = Files.createTempDirectory("graft-dq-restart-src").toString
+
+    def start() = StreamDq.run(
+      spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      ord, logDir, Trigger.AvailableNow())
+
+    // run 1: one slice, then the query terminates (AvailableNow)
+    li.filter($"l_orderkey" % 3 === 0).write.parquet(s"$srcDir/slice_0.parquet")
+    val q1 = start(); q1.awaitTermination(120000)
+
+    // run 2 against the SAME checkpoint: only the new slices are consumed
+    // (re-consuming slice 0 would double its additive counters)
+    li.filter($"l_orderkey" % 3 === 1).write.parquet(s"$srcDir/slice_1.parquet")
+    li.filter($"l_orderkey" % 3 === 2).write.parquet(s"$srcDir/slice_2.parquet")
+    val q2 = start(); q2.awaitTermination(120000)
+
+    val streamed = StreamDq.report(spark, logDir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val batch = Governance.qDqRules.run(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(streamed === batch)
+  }
 }
