@@ -376,7 +376,64 @@ object CorpusQuality {
       FROM w GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Memorization-audit parameters: span length in tokens, the minimum
+    * corpus-wide occurrence count that makes a span a memorization risk,
+    * and the report cap. */
+  val MemorizationN = 5
+  val MemorizationMin = 3
+  val MemorizationTopK = 50
+
+  /** Memorization-risk audit: the most-repeated [[MemorizationN]]-token
+    * spans corpus-wide — the sequences a model is most likely to emit
+    * verbatim (the public dedup/memorization result: a sequence's
+    * memorization probability grows with its training-set repetition
+    * count, so the curve of top repeated n-grams is the pre-training
+    * audit that says whether remove-repeated-substrings must run).
+    * Counts include INTRA-document repeats (word_shingles_all's
+    * positional stream, not the distinct shingle set) — a boilerplate
+    * footer pasted 40× in one document is the same risk as one pasted
+    * once in 40 documents; `n_docs` rides along to distinguish the two.
+    *
+    * Scale shape: one map-side codegen projection, one partial+final
+    * aggregate on the span key, TakeOrderedAndProject for the capped
+    * report — never a pair join (q_span_dedup covers the pairwise
+    * question; this is the frequency curve).
+    */
+  val qMemorizationNgrams = GraftQuery(
+    "q_memorization_ngrams",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          explode(call_function("word_shingles_all", $"text",
+            lit(MemorizationN))).as("ngram"))
+        .groupBy($"ngram")
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct($"doc_id").as("n_docs"))
+        .filter($"occurrences" >= MemorizationMin)
+        .orderBy($"occurrences".desc, $"ngram")
+        .limit(MemorizationTopK)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      spans AS (
+        SELECT doc_id,
+          unnest([array_to_string(ws[i:i+${MemorizationN - 1}], ' ')
+                  for i in range(1, greatest(len(ws) - ${MemorizationN - 2}, 1))]) AS ngram
+        FROM toks)
+      SELECT ngram, count(*) AS occurrences,
+        count(DISTINCT doc_id) AS n_docs
+      FROM spans
+      GROUP BY ngram
+      HAVING count(*) >= $MemorizationMin
+      ORDER BY occurrences DESC, ngram
+      LIMIT $MemorizationTopK""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
-      qLengthHistogram, qSourceOverlap, qBoilerplateRate)
+      qLengthHistogram, qSourceOverlap, qBoilerplateRate,
+      qMemorizationNgrams)
 }

@@ -171,4 +171,29 @@ class CorpusQualitySpec extends SparkSpec {
         (a, b, c, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       })
   }
+
+  test("memorization audit counts intra-doc repeats and distinguishes them by n_docs") {
+    // one doc pastes a 5-token footer 3x; three docs share another footer
+    // once each -> same occurrence count, different n_docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    val footerA = "call now to subscribe today"
+    val footerB = "all rights reserved by us"
+    Seq(
+      (0L, s"alpha beta $footerA gamma $footerA delta $footerA", "en", "s0"),
+      (1L, s"one two $footerB three", "en", "s1"),
+      (2L, s"four five $footerB six", "en", "s2"),
+      (3L, s"seven eight $footerB nine", "en", "s3"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val r = graft.operators.CorpusQuality.qMemorizationNgrams
+      .run(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    val byNgram = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byNgram(footerA) === ((3L, 1L)))   // 3 occurrences, ONE doc
+    assert(byNgram(footerB) === ((3L, 3L)))   // 3 occurrences, three docs
+    // nothing else in this corpus repeats >= 3 times
+    assert(r.map(_._1).toSet.subsetOf(Set(footerA, footerB)))
+  }
 }
