@@ -52,7 +52,8 @@ object ScaleRehearsal {
       candidates: (SparkSession, String) => Long,
       query: GraftQuery)
 
-  /** The five text pair-join families under rehearsal plus SemDeDup.
+  /** The text pair-join families under rehearsal (incl. the unfiltered
+    * containment variant) plus the media pHash family and SemDeDup.
     * LSH/ngram/prefix/winnow/phash count their shared posting/candidate
     * relations (the SAME definitions the queries execute — no drift);
     * SemDeDup counts assignment rows and Σ C(cell,2) via the shared cell
@@ -85,6 +86,11 @@ object ScaleRehearsal {
         .select("media_id").distinct().count(),
       (s, d) => graft.multimodal.Media.phashCandidates(s, d).count(),
       graft.multimodal.Media.qMediaPhashDedup),
+    Fam("contain",
+      (s, d) => Dedup.ngramPostings(s, d).count(),
+      (s, d) => Dedup.ngramPostings(s, d).select("doc_id").distinct().count(),
+      (s, d) => Dedup.containmentCandidates(s, d).count(),
+      Dedup.qContainmentDedup),
     Fam("semdedup",
       (s, d) => Tables.embeddings(s, d).count(),
       (s, d) => Tables.embeddings(s, d).count(),

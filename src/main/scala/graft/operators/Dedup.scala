@@ -769,19 +769,31 @@ object Dedup {
     * q_ngram_jaccard's threshold would never report — the actionable
     * output for a dedup pipeline that already ran the symmetric pass.
     */
+  /** Containment candidate pairs (ia, ib, na, nb, inter) — the unfiltered
+    * (no length filter) counterpart of [[ngramCandidates]] on the SAME
+    * df-capped postings. Shared by [[qContainmentDedup]] and the scale
+    * rehearsal (the replica growth law holds here too: sizes are
+    * replica-invariant, so a pair shares shingles at N× iff its originals
+    * did at 1×). */
+  private[graft] def containmentCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val pruned = ngramPostings(spark, dir)
+    val sizes = pruned.groupBy($"doc_id")
+      .agg(count(lit(1)).cast(LongType).as("ns"))
+    val withNs = pruned.join(sizes, Seq("doc_id"))
+    withNs.as("a").join(withNs.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        $"a.ns".as("na"), $"b.ns".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   val qContainmentDedup = GraftQuery(
     "q_containment_dedup",
     (spark, dir) => {
       import spark.implicits._
-      val pruned = ngramPostings(spark, dir)
-      val sizes = pruned.groupBy($"doc_id")
-        .agg(count(lit(1)).cast(LongType).as("ns"))
-      val withNs = pruned.join(sizes, Seq("doc_id"))
-      withNs.as("a").join(withNs.as("b"),
-          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-          $"a.ns".as("na"), $"b.ns".as("nb"))
-        .agg(count(lit(1)).as("inter"))
+      containmentCandidates(spark, dir)
         .select($"ia", $"ib",
           graft.functions.Det.qround($"inter" / least($"na", $"nb"))
             .as("containment"),
