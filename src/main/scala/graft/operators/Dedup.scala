@@ -769,24 +769,63 @@ object Dedup {
     * q_ngram_jaccard's threshold would never report — the actionable
     * output for a dedup pipeline that already ran the symmetric pass.
     */
-  /** Containment candidate pairs (ia, ib, na, nb, inter) — the unfiltered
-    * (no length filter) counterpart of [[ngramCandidates]] on the SAME
-    * df-capped postings. Shared by [[qContainmentDedup]] and the scale
-    * rehearsal (the replica growth law holds here too: sizes are
-    * replica-invariant, so a pair shares shingles at N× iff its originals
-    * did at 1×). */
+  /** Exact-rational widened containment threshold, the LengthFilterNum
+    * convention: the verified filter keeps qROUNDED containment ≥ 0.9,
+    * which admits raw inter/min as low as 1799999/2000000 — the required
+    * overlap α(X) = ⌈ns·1799999/2000000⌉ must use the widened bound or the
+    * prefix could prune a pair the rounded filter keeps. */
+  val ContainNum = 1799999L
+  val ContainDen = 2000000L
+
+  /** Containment candidate pairs (ia, ib, na, nb, inter) on the SAME
+    * df-capped postings as [[ngramCandidates]] — generated by the
+    * asymmetric overlap PREFIX filter (the containment-join adaptation of
+    * AllPairs): each doc indexes only its ns − α + 1 rarest-first shingles
+    * (α = the widened ⌈t·ns⌉ above); a pair with |A∩B| ≥ α(smaller) MUST
+    * share a shingle between the SMALLER side's prefix and the larger
+    * side's FULL posting list (if the whole prefix misses B, at most
+    * α − 1 of A's remaining shingles can hit), so probing small-prefix ×
+    * large-full has NO false negatives at the verified threshold — unlike
+    * the symmetric Jaccard prefix join, the large side cannot be
+    * prefix-truncated because α depends on the SMALLER partner. Verify =
+    * exact intersection of the carried capped shingle sets (the
+    * qJaccardPrefix discipline). Shared by [[qContainmentDedup]] and the
+    * scale rehearsal: the (df, shingle) canonical order is
+    * replica-invariant (all dfs scale uniformly), so the replica growth
+    * law holds as an equality here too. */
   private[graft] def containmentCandidates(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
     val pruned = ngramPostings(spark, dir)
-    val sizes = pruned.groupBy($"doc_id")
-      .agg(count(lit(1)).cast(LongType).as("ns"))
-    val withNs = pruned.join(sizes, Seq("doc_id"))
-    withNs.as("a").join(withNs.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
-        $"a.ns".as("na"), $"b.ns".as("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val dfreq = pruned.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val ranked = pruned.join(dfreq, Seq("shingle"))
+      .select($"doc_id", $"shingle",
+        row_number().over(wDoc.orderBy($"df", $"shingle")).as("rk"),
+        count(lit(1)).over(wDoc).cast(LongType).as("ns"))
+    val prefix = ranked
+      .filter($"rk" <=
+        $"ns" - expr(s"(ns * $ContainNum + ${ContainDen - 1}) div $ContainDen")
+          + lit(1))
+      .select($"doc_id", $"shingle", $"ns")
+    val full = ranked.select($"doc_id", $"shingle", $"ns")
+    val cand = prefix.as("a").join(full.as("b"),
+        $"a.shingle" === $"b.shingle" &&
+          ($"a.ns" < $"b.ns" ||
+            ($"a.ns" === $"b.ns" && $"a.doc_id" =!= $"b.doc_id")))
+      .select(least($"a.doc_id", $"b.doc_id").as("ia"),
+        greatest($"a.doc_id", $"b.doc_id").as("ib"))
+      .distinct()
+    val sets = pruned.groupBy($"doc_id")
+      .agg(collect_list($"shingle").as("sh"),
+        count(lit(1)).cast(LongType).as("ns"))
+    cand
+      .join(sets.select($"doc_id".as("ia"), $"sh".as("sha"), $"ns".as("na")),
+        Seq("ia"))
+      .join(sets.select($"doc_id".as("ib"), $"sh".as("shb"), $"ns".as("nb")),
+        Seq("ib"))
+      .select($"ia", $"ib", $"na", $"nb",
+        size(array_intersect($"sha", $"shb")).cast(LongType).as("inter"))
   }
 
   val qContainmentDedup = GraftQuery(
