@@ -244,13 +244,20 @@ object Governance {
     * least(bins−1, floor((v − vlo)/width)). Shared by [[qPsiDrift]] AND
     * the streaming drift monitor (graft.streaming.StreamPsi bins each
     * micro-batch against FIXED reference bounds with THIS definition), so
-    * bucketing can never drift between the two surfaces. */
+    * bucketing can never drift between the two surfaces. BOTH ends clamp:
+    * the batch query's corpus-derived bounds make the low clamp a no-op
+    * (value ≥ vlo by construction — the oracles need no greatest()), but
+    * a STREAM monitored against frozen bounds can drift BELOW vlo, and
+    * without the clamp that mass landed in negative bins the report's
+    * bin spine silently discarded — a drift monitor blind to downward
+    * drift (round-11 review catch; StreamPsiSpec pins the alarm now). */
   private[graft] def psiBinCol(value: org.apache.spark.sql.Column,
       vlo: org.apache.spark.sql.Column,
       width: org.apache.spark.sql.Column,
       bins: Int = PsiBins): org.apache.spark.sql.Column =
     when(width === 0.0, lit(0L))
-      .otherwise(least(lit((bins - 1).toLong), floor((value - vlo) / width)))
+      .otherwise(greatest(lit(0L),
+        least(lit((bins - 1).toLong), floor((value - vlo) / width))))
 
   /** Smoothing + PSI terms over a (bin, n_old, n_new) counts relation
     * (partial is fine — missing bins are spine-filled with 0): Laplace

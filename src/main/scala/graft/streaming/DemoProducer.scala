@@ -50,7 +50,13 @@ object DemoProducer {
                   out.println(s"""{"type": "keepalive", "timestamp": ${System.currentTimeMillis() / 1000.0}}""")
                   Thread.sleep(1000)
                 }
-              } catch { case _: Throwable => () }
+              } catch { case _: Throwable => ()
+              } finally {
+                // close the socket when the handler exits (disconnect or
+                // shutdown) — each connect/disconnect cycle otherwise
+                // leaks one fd until Server.close()
+                try client.close() catch { case _: Throwable => () }
+              }
           })
         }
     })

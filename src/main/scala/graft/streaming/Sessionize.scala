@@ -10,14 +10,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * session.
   *
   * Semantics are the streaming twin of the batch `q_sessionize` query
-  * (graft.operators.EventAnalytics): a session emitted with closedBy="gap"
-  * here has exactly the (user_id, start_us, end_us, n_events) of a batch
-  * session that is followed by another session of the same user; the
-  * still-open trailing session lives in state and is flushed by event-time
-  * timeout ("timeout") once the watermark passes end_us + gapUs.
+  * (graft.operators.EventAnalytics), with the emission rule that makes the
+  * parity REAL under late arrivals: a session is emitted only once the
+  * WATERMARK has passed its end + gap — before that, a late-but-in-
+  * watermark event could still extend it or merge into it, and emitting
+  * early would split one batch session into several streamed ones
+  * (round-11 review catch: the earlier version emitted gap-closed sessions
+  * immediately, so a late event adjacent to an already-emitted session
+  * produced sessions the batch query never reports). State therefore holds
+  * ALL not-yet-final sessions of a user (the open one plus any pending
+  * earlier ones), and the event-time timer is armed at the EARLIEST
+  * pending end + gap. `closed_by` reports "gap" when a later session of
+  * the same user exists at emission time (the batch query's
+  * followed-by-another case) and "timeout" for a trailing session flushed
+  * with no successor.
   *
-  * State is per-user and O(1) (start, last, count) — at 100 TB this scales
-  * with |active users|, not |events|; the shuffle is the single
+  * State is per-user and O(pending sessions) — pending sessions are
+  * bounded by the watermark delay over the gap (a session older than the
+  * delay is final by definition), so at 100 TB state scales with |active
+  * users| × ⌈delay/gap⌉, not |events|; the shuffle is the single
   * groupByKey(user_id) exchange any keyed-state operator needs.
   */
 object Sessionize {
@@ -33,20 +44,43 @@ object Sessionize {
   def update(gapUs: Long)(
       userId: Long,
       events: Iterator[Ev],
-      state: GroupState[SessionState]): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      return Iterator.single(Session(userId, s.startUs, s.lastUs, s.n, "timeout"))
+      state: GroupState[Seq[SessionState]]): Iterator[Session] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    // a session is FINAL once the watermark passed its end + gap: no
+    // in-watermark event can extend or merge it any more
+    def split(ss: Seq[SessionState]): (Seq[Session], Seq[SessionState]) = {
+      val (fin, rest) = ss.partition(_.lastUs + gapUs <= wmUs)
+      val out = fin.sortBy(_.startUs).map { s =>
+        val followed = ss.exists(_.startUs > s.lastUs)
+        Session(userId, s.startUs, s.lastUs, s.n,
+          if (followed) "gap" else "timeout")
+      }
+      (out, rest.sortBy(s => (s.startUs, s.lastUs)))
     }
+    // re-arm at the EARLIEST pending flush point; ceiling division
+    // (micros → millis) so the timer can never fire early, and a timer
+    // must sit strictly beyond the current watermark
+    def arm(rest: Seq[SessionState]): Unit =
+      state.setTimeoutTimestamp(
+        math.max((rest.map(_.lastUs).min + gapUs + 999) / 1000,
+          state.getCurrentWatermarkMs() + 1))
+    def emit(ss: Seq[SessionState]): Iterator[Session] = {
+      val (out, rest) = split(ss)
+      if (rest.isEmpty) state.remove()
+      else { state.update(rest); arm(rest) }
+      out.iterator
+    }
+
+    if (state.hasTimedOut)
+      return emit(state.getOption.getOrElse(Seq.empty))
+
     // Split THIS batch's (sorted) events into gap-sessions with the exact
-    // batch rule, then merge the open state session into that timeline at
-    // its sorted position — adjacent sessions within the gap coalesce
-    // (min start / max last / summed counts). This keeps batch parity for
-    // any IN-WATERMARK reordering across micro-batches: a late event can
-    // extend the open session backwards, sit inside it, or form its own
-    // earlier gap-closed session — a naive "ts - last <= gap ⇒ last := ts"
-    // update instead REGRESSES lastUs and emits inverted sessions.
+    // batch rule, then merge the pending state sessions into that timeline
+    // at their sorted positions — adjacent sessions within the gap
+    // coalesce (min start / max last / summed counts). This keeps batch
+    // parity for any IN-WATERMARK reordering across micro-batches: a late
+    // event can extend a pending session backwards, sit inside it, or
+    // form its own earlier session.
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
     val batchSessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
       acc match {
@@ -55,7 +89,7 @@ object Sessionize {
         case _ => SessionState(e.ts_us, e.ts_us, 1) :: acc
       }
     }.reverse
-    val timeline = (state.getOption.toList ++ batchSessions)
+    val timeline = (state.getOption.getOrElse(Seq.empty) ++ batchSessions)
       .sortBy(s => (s.startUs, s.lastUs))
     val merged = timeline.foldLeft(List.empty[SessionState]) { (acc, s) =>
       acc match {
@@ -65,16 +99,7 @@ object Sessionize {
       }
     }.reverse
     if (merged.isEmpty) return Iterator.empty
-    val open = merged.last
-    state.update(open)
-    // flush the open session once the watermark passes last + gap; ceiling
-    // division (micros → millis) so the timeout can never fire early, and
-    // a timeout must sit strictly beyond the current watermark
-    state.setTimeoutTimestamp(
-      math.max((open.lastUs + gapUs + 999) / 1000,
-        state.getCurrentWatermarkMs() + 1))
-    merged.init.map(s => Session(userId, s.startUs, s.lastUs, s.n, "gap"))
-      .iterator
+    emit(merged)
   }
 
   /** Wire a streaming events DataFrame (ts TimestampType, user_id, event_id)

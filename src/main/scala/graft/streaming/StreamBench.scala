@@ -3,8 +3,6 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQueryListener
-import org.apache.spark.sql.streaming.StreamingQueryListener._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -67,31 +65,25 @@ object StreamBench {
         chunk.mkString("\n").getBytes("UTF-8"))
     }
 
-    // per-batch durations from the engine's own progress events
-    val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        if (p.numInputRows > 0)
-          progress.add((p.batchId, p.numInputRows,
-            p.durationMs.getOrDefault("triggerExecution", 0L)))
-      }
-    }
-    spark.streams.addListener(listener)
-
     val t0 = System.nanoTime()
     val q = MicroBatchPipeline.run(
       MicroBatchPipeline.fileLines(spark, srcDir.toString, maxFilesPerTrigger = 1),
       outDir, Trigger.AvailableNow())
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    spark.streams.removeListener(listener)
 
-    import scala.jdk.CollectionConverters._
-    val batches = progress.asScala.toSeq.sortBy(_._1)
+    // per-batch durations from the query's own recentProgress ring
+    // (synchronous — a StreamingQueryListener delivers through the async
+    // listener bus and can still be missing the LAST batches when
+    // awaitTermination returns, nondeterministically skewing the stats;
+    // round-11 review catch). The ring holds the last
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) entries —
+    // far above any replay size this harness drives.
+    val batches = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.numInputRows,
+        p.durationMs.getOrDefault("triggerExecution", 0L)))
+      .sortBy(_._1)
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0
       else xs(math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1))
@@ -101,13 +93,18 @@ object StreamBench {
     // steady state. `rows` is the line count this harness WROTE — the
     // engine's numInputRows re-counts each foreachBatch action over the
     // source (isEmpty probe + raw write + processed materialize ≈ 3n+1).
-    val steady = secs.drop(1).sorted
+    // single-batch runs have no steady state: fall back to the full set so
+    // the line never carries NaN/-Infinity (review catch — (rows-perBatch)/0
+    // with an empty steady set is not JSON)
+    val steady = if (secs.size > 1) secs.drop(1).sorted else secs.sorted
+    val steadyRows = if (secs.size > 1) lines.length.toLong - perBatch
+                     else lines.length.toLong
     val rows = lines.length.toLong
     val busy = secs.sum
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"stream","recordsPerBatch":$perBatch,"batches":${batches.size},""" +
       s""""rows":$rows,"recPerSec":${f(rows / busy)},""" +
-      s""""steadyRecPerSec":${f((rows - perBatch) / steady.sum)},""" +
+      s""""steadyRecPerSec":${f(steadyRows / steady.sum)},""" +
       s""""firstBatchSec":${f(secs.headOption.getOrElse(0.0))},""" +
       s""""p50BatchSec":${f(pct(steady, 0.5))},"p95BatchSec":${f(pct(steady, 0.95))},""" +
       s""""maxBatchSec":${f(pct(steady, 1.0))},"busySec":${f(busy)},"wallSec":${f(wall)},""" +

@@ -25,22 +25,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ("this batch violated rule X n times") is the same counter row before
   * the fold.
   *
-  * Idempotent recovery: per-batch counter files land at
-  * `counters_b<id>.parquet` behind the replace-my-batch sweep, so a
-  * checkpoint-recovery replay overwrites its own counters instead of
+  * Idempotent recovery: per-batch counter files land at a FIXED
+  * `counters_b<id>.parquet` path in overwrite mode, so a
+  * checkpoint-recovery replay replaces its own counters instead of
   * double-counting the batch (counters, unlike HLL sketches, are NOT
-  * duplicate-insensitive — the sweep is correctness here, not hygiene).
+  * duplicate-insensitive — the fixed-path overwrite is correctness here,
+  * not hygiene; the path being a pure function of the batch id is what
+  * makes `overwrite` the whole idempotency story).
   */
 object StreamDq {
 
-  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName == s"counters_b$batchId.parquet")
-        .foreach(st => fs.delete(st.getPath, true))
-  }
 
   /** Audit one micro-batch of lineitem-shaped rows against the static
     * orders dim; append its counter row to the log. */
@@ -48,7 +42,6 @@ object StreamDq {
       logDir: String): Unit = {
     val spark = liBatch.sparkSession
     if (liBatch.isEmpty) return
-    sweep(spark, s"$logDir/log", batchId)
     Governance.dqCounters(liBatch, broadcast(orders))
       .coalesce(1) // one counter row
       .write.mode("overwrite")

@@ -16,8 +16,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * comparable across evaluations); each micro-batch is binned with
   * Governance.psiBinCol at [[Governance.HistBins]] resolution — the same
   * expression family the batch query executes — and its ≤HistBins count
-  * rows appended to the log behind the replace-my-batch sweep (bin counts
-  * are additive, so the sweep is correctness on recovery replay).
+  * rows appended to the log at a fixed per-batch path in overwrite mode
+  * (bin counts are additive, so replay-replaces-itself is correctness —
+  * and fixed path + overwrite provides it without a separate sweep).
   * [[report]] folds the log into the batch query's merged-histogram shape
   * and runs the SHARED Governance.histQuantileLookup, so streamed approx
   * quantiles cannot drift from the batch rollup's. The rank-exact audit
@@ -37,14 +38,6 @@ object StreamHist {
       .coalesce(1)
       .write.mode("overwrite").parquet(refDir)
 
-  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName == s"hist_b$batchId.parquet")
-        .foreach(st => fs.delete(st.getPath, true))
-  }
 
   /** Bin one micro-batch of (value) rows against the frozen bounds;
     * append its ≤HistBins count rows to the log. */
@@ -52,7 +45,6 @@ object StreamHist {
       logDir: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    sweep(spark, s"$logDir/log", batchId)
     val ref = spark.read.parquet(refDir).limit(1)
     batch.crossJoin(broadcast(ref))
       .withColumn("bin", Governance.psiBinCol(col("value"), col("vlo"),

@@ -28,27 +28,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale shape: the per-batch aggregate shuffles one (class) keyed row of
   * bytes per observed class; the log grows O(classes) rows per batch; the
-  * report reads only the log. The replace-my-batch sweep is correctness
-  * for the additive count half (the sketch half would absorb replays for
-  * free, but the count would double).
+  * report reads only the log. The fixed per-batch path + overwrite mode
+  * is correctness for the additive count half (a recovery replay replaces
+  * its own file; the sketch half would absorb replays for free, but the
+  * count would double).
   */
 object StreamKanon {
 
-  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName == s"classes_b$batchId.parquet")
-        .foreach(st => fs.delete(st.getPath, true))
-  }
 
   /** Audit one micro-batch of documents rows: per-class count + source
     * sketch appended to the class log. */
   def processBatch(docsBatch: DataFrame, batchId: Long, logDir: String): Unit = {
     val spark = docsBatch.sparkSession
     if (docsBatch.isEmpty) return
-    sweep(spark, s"$logDir/log", batchId)
     Governance.kanonClasses(docsBatch)
       .groupBy(col("lang"), col("chars_bucket"))
       .agg(count(lit(1)).as("n"), hll_sketch_agg(col("source")).as("sk"))

@@ -13,8 +13,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Per batch: bin incoming values with Governance.psiBinCol against the
   * frozen (vlo, width) — the SAME bucketing expression the batch query
   * executes — aggregate to ≤PsiBins count rows, append to a parquet bin
-  * log behind the replace-my-batch sweep (bin counts, like DQ counters,
-  * are additive NOT duplicate-insensitive, so the sweep is correctness).
+  * log at a fixed per-batch path in overwrite mode (bin counts, like DQ
+  * counters, are additive NOT duplicate-insensitive, so the
+  * replay-replaces-itself property is correctness, and fixed path +
+  * overwrite provides it without a separate sweep).
   * [[report]] folds the log by bin, joins the frozen reference counts,
   * and runs Governance.psiOfCounts — smoothing, terms, and the
   * exact-decimal total are shared with the batch query, so the two
@@ -47,14 +49,6 @@ object StreamPsi {
       .coalesce(1)
       .write.mode("overwrite").parquet(refDir)
 
-  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName == s"bins_b$batchId.parquet")
-        .foreach(st => fs.delete(st.getPath, true))
-  }
 
   /** Bin one micro-batch of (value) rows against the frozen reference
     * bounds; append its ≤PsiBins count rows to the log. */
@@ -62,7 +56,6 @@ object StreamPsi {
       logDir: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    sweep(spark, s"$logDir/log", batchId)
     val refBounds = spark.read.parquet(refDir)
       .select(col("vlo"), col("width")).limit(1)
     batch.crossJoin(broadcast(refBounds))

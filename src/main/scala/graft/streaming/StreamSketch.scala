@@ -28,14 +28,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * production audit enforces — the guarantee that actually matters at
   * 100 TB cardinalities.
   *
-  * Idempotent recovery: each batch's sketch rows land at a
-  * `sketch_b<batchId>.parquet` path behind a replace-my-batch sweep (the
-  * MicroBatchPipeline discipline), so a checkpoint-recovery REPLAY of a
-  * batch overwrites its own sketches instead of double-counting users whose
-  * rows it re-observes. (HLL union absorbs duplicate VALUES for free, but a
-  * replayed batch file would double its day-sketch ROWS — harmless to the
-  * estimate, yet the sweep keeps the log's row count meaningful as a
-  * batch-level audit surface too.)
+  * Idempotent recovery: each batch's sketch rows land at a FIXED
+  * `sketch_b<batchId>.parquet` path in overwrite mode, so a
+  * checkpoint-recovery REPLAY of a batch replaces its own file instead of
+  * double-counting users whose rows it re-observes — no sweep step needed:
+  * unlike MicroBatchPipeline's timestamped names, the path is a pure
+  * function of the batch id, and `overwrite` to the same path IS the
+  * replacement. (HLL union absorbs duplicate VALUES for free, but a
+  * duplicated batch file would double its day-sketch ROWS — harmless to
+  * the estimate, yet fixed-path overwrite keeps the log's row count
+  * meaningful as a batch-level audit surface too.)
   *
   * Scale shape: the per-batch aggregate shuffles only (event_type, day)
   * keyed partial sketches — bytes per distinct (type, day), not per row;
@@ -46,14 +48,6 @@ object StreamSketch {
 
   /** Delete this batch's sketch file from an earlier attempt (recovery
     * replay), through the Hadoop FS API like MicroBatchPipeline's sweep. */
-  private def sweep(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName == s"sketch_b$batchId.parquet")
-        .foreach(st => fs.delete(st.getPath, true))
-  }
 
   /** One micro-batch of events (event_type, ts_us, user_id) → day-sketch
     * rows appended to the log at `sketchDir/log` (the checkpoint lives
@@ -61,7 +55,6 @@ object StreamSketch {
   def processBatch(batch: DataFrame, batchId: Long, sketchDir: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    sweep(spark, s"$sketchDir/log", batchId)
     Governance.dailySketches(batch)
       .coalesce(1) // O(types × days) rows — one file per batch
       .write.mode("overwrite")

@@ -36,15 +36,40 @@ object StreamWinnow {
     df.select(col("doc_id"), explode(call_function("winnow_hashes",
       col("text"), lit(Dedup.WinnowN), lit(Dedup.WinnowW))).as("fp"))
 
-  /** doc_ids of `bf` (doc_id, fp) sharing ≥ MinShared fingerprints with one
-    * document of `index` (fp, old_id); self-pairs excluded (replay). */
+  /** doc_ids of `bf` (doc_id, fp) sharing ≥ MinShared DISTINCT fingerprints
+    * with one document of `index` (fp, old_id); self-pairs excluded
+    * (replay). countDistinct, not count: a checkpoint-recovery replay can
+    * duplicate (fp, old_id) index rows, and raw row counts would double
+    * every shared tally and falsely suppress future documents (round-11
+    * review catch — the 'duplicate index rows are harmless' contract holds
+    * for SimHash's exists-semantics, not for a count threshold). */
   private def matchedAgainst(bf: DataFrame, index: DataFrame): DataFrame =
     bf.join(index, Seq("fp"))
       .filter(col("doc_id") =!= col("old_id"))
       .groupBy(col("doc_id"), col("old_id"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(countDistinct(col("fp")).as("shared"))
       .filter(col("shared") >= MinShared)
       .select("doc_id").distinct()
+
+  /** Boilerplate fingerprints of the CURRENT corpus (index docs + batch
+    * docs), by the batch query's own df-cap rule (df > max(floor,
+    * n_docs/divisor)) — q_winnow_overlap drops them before pairing
+    * ("boilerplate, not evidence of pairwise copying"), and the screen
+    * must too, or two unrelated documents sharing a common header/footer
+    * suppress each other at ingest (review catch). Distinct doc counts
+    * throughout, so replay-duplicated index rows do not shift the cap. */
+  private def hotFingerprints(bf: DataFrame, index: DataFrame): DataFrame = {
+    val postings = index.select(col("fp"), col("old_id"))
+      .union(bf.select(col("fp"), col("doc_id").as("old_id")))
+    val nDocs = postings.select(col("old_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    postings.groupBy(col("fp"))
+      .agg(countDistinct(col("old_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(Dedup.WinnowDfCapFloor.toLong),
+        expr(s"n_docs div ${Dedup.WinnowDfCapDivisor}")))
+      .select("fp")
+  }
 
   /** Pure per-batch screen: survivors of `batch` (doc_id, text, …) against
     * `index` (fp, old_id). Within the batch, keep-lowest: a document is
@@ -60,9 +85,15 @@ object StreamWinnow {
   private[streaming] def screenBatch(batch: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
     // the fingerprint projection feeds the index probe AND the intra-batch
     // pair join — persist so the native winnowing pass runs once
-    val bf = fingerprints(batch)
+    val bfRaw = fingerprints(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vsIndex = matchedAgainst(bf, index)
+    // the df-cap applies to SCREENING only: survivors still index their
+    // full fingerprint sets (a fingerprint can become hot later; the cap
+    // is re-derived per batch from current distinct-doc frequencies)
+    val hot = hotFingerprints(bfRaw, index)
+    val bf = bfRaw.join(hot, Seq("fp"), "left_anti")
+    val cappedIndex = index.join(hot, Seq("fp"), "left_anti")
+    val vsIndex = matchedAgainst(bf, cappedIndex)
     // intra-batch keep-lowest: same pairing keyed on fp, with the order
     // predicate INSIDE the join so only "earlier suppresses later" pairs
     // ever reach the count
@@ -70,10 +101,11 @@ object StreamWinnow {
         bf.select(col("fp"), col("doc_id").as("old_id")), Seq("fp"))
       .filter(col("old_id") < col("doc_id"))
       .groupBy(col("doc_id"), col("old_id"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(countDistinct(col("fp")).as("shared"))
       .filter(col("shared") >= MinShared)
       .select("doc_id").distinct()
-    (batch.join(vsIndex.union(intra).distinct(), Seq("doc_id"), "left_anti"), bf)
+    (batch.join(vsIndex.union(intra).distinct(), Seq("doc_id"), "left_anti"),
+      bfRaw)
   }
 
   /** Start the screen on a stream with columns (doc_id: long, text: string):

@@ -88,4 +88,25 @@ class StreamPsiSpec extends SparkSpec {
     assert(shifted > 0.5, s"shifted-population PSI should alarm, got $shifted")
     assert(shifted > same * 10)
   }
+
+  test("downward drift below the frozen reference minimum lands in bin 0 and alarms") {
+    // review catch: without the low clamp, below-vlo values binned
+    // negative and the spine join silently dropped them — the monitor
+    // was blind to downward drift
+    val refDir = Files.createTempDirectory("graft-psi-ref4").toString + "/ref"
+    val logDir = Files.createTempDirectory("graft-psi-log4").toString
+    val base = (1 to 500).map(i => 10.0 + i % 10).toDF("value") // [10, 19]
+    StreamPsi.writeReference(base, StreamPsi.bounds(base), refDir)
+
+    // drifted population entirely BELOW the reference range
+    StreamPsi.processBatch((1 to 500).map(i => i % 5 * 1.0).toDF("value"),
+      refDir, 0L, logDir)
+    val r = StreamPsi.report(spark, refDir, logDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // every streamed row is accounted for (bin 0), none dropped
+    assert(r.map(_._3).sum === 500L)
+    assert(r.find(_._1 === 0L).get._3 === 500L)
+    // and the monitor alarms hard
+    assert(r.head._5 > 0.5, s"downward drift must alarm, got ${r.head._5}")
+  }
 }

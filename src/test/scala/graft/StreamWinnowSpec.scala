@@ -89,4 +89,28 @@ class StreamWinnowSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) >
       graft.streaming.StreamSimhash.HammingMax)
   }
+
+  test("replay-duplicated index postings do not inflate shared counts (countDistinct)") {
+    // simulate a crash-replay that appended the same (fp, old_id) posting
+    // twice: a new doc sharing exactly ONE distinct fingerprint with the
+    // old doc must SURVIVE (1 < MinShared=2) — a raw row count would see
+    // 2 and falsely suppress it
+    val base = Files.createTempDirectory("graft-swin-replay").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val oneFp = fps(tC).head
+    Seq((oneFp, 99L), (oneFp, 99L)).toDF("fp", "old_id")
+      .write.parquet(indexDir)
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamWinnow.run(in.toDF().toDF("doc_id", "text"),
+      indexDir, outDir, ckpt)
+    try {
+      in.addData((1L, tC))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(kept === Seq(1L),
+        "a single distinct shared fingerprint (replay-doubled) must not suppress")
+    } finally q.stop()
+  }
 }

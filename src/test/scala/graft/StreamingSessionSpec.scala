@@ -21,11 +21,13 @@ class StreamingSessionSpec extends SparkSpec {
     s"""{"user_id": $user, "event_id": $id, "ts": "2024-01-01T${"%02d".format(minute / 60)}:${"%02d".format(minute % 60)}:00.000Z"}"""
 
   private def eventStream(srcDir: String) =
-    spark.readStream.format("text").load(srcDir)
+    spark.readStream.format("text")
+      .option("maxFilesPerTrigger", "1")
+      .load(srcDir)
       .select(from_json($"value", eventSchema).as("e"))
       .select($"e.user_id", $"e.event_id", $"e.ts")
 
-  test("flatMapGroupsWithState sessionization closes on gap, keeps open session in state") {
+  test("flatMapGroupsWithState sessionization emits watermark-final sessions, keeps the open one in state") {
     val srcDir = Files.createTempDirectory("graft-sess-src").toString
     // user 1: events at 0,10,20 min (one session), then 120 min (gap => close)
     // user 2: single event at 0 min (stays open in state)
@@ -45,10 +47,14 @@ class StreamingSessionSpec extends SparkSpec {
     val base = 1704067200000000L  // 2024-01-01T00:00:00Z in epoch micros
     val got = spark.table("sessions")
       .as[Sessionize.Session].collect().toSet
-    // the gap-closed session is emitted; open sessions stay in state
+    // the followed session emits as "gap" once the watermark passes its
+    // end + gap (the engine runs a timer batch after the data batch);
+    // user 2's trailing session flushes by timer with no successor
     assert(got.contains(Sessionize.Session(1L, base, base + 20L * 60 * 1000000, 3L, "gap")))
-    assert(!got.exists(s => s.user_id == 1L && s.n_events == 1L && s.closed_by == "gap"))
-    assert(!got.exists(s => s.user_id == 2L && s.closed_by == "gap"))
+    assert(got.contains(Sessionize.Session(2L, base, base, 1L, "timeout")))
+    // user 1's open [120min] session (flush at 150min > watermark 110min)
+    // stays in state — never emitted in this run
+    assert(!got.exists(s => s.user_id == 1L && s.n_events == 1L))
   }
 
   test("watermarked tumbling-window streaming aggregate (complete mode)") {
