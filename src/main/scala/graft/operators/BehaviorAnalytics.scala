@@ -299,7 +299,58 @@ object BehaviorAnalytics {
       FROM g GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** First-order Markov transition matrix over per-user event journeys —
+    * the sequence-model summary behind next-action prediction, journey
+    * anomaly screens, and curriculum ordering of interaction logs (which
+    * (state → state) moves dominate, which never happen).
+    *
+    * Each user's events are ordered by (ts, event_id); consecutive pairs
+    * (prev → next) are counted and row-normalized into transition
+    * probabilities p = n / Σ_next n.
+    *
+    * Scale shape: ONE hash exchange on user_id feeds the lag window (the
+    * q_interarrival/SCD2 exchange); the pair stream then collapses through
+    * a partial+final aggregate on (prev, next) — at most |types|² rows
+    * cross that exchange, and the row-normalizing window runs over that
+    * |types|²-row relation, never over corpus-sized input. Determinism:
+    * ties inside a timestamp are broken by event_id (the house order);
+    * p is a long/long → double division, [[Det.qround]]ed on output. */
+  val qMarkovTransitions = GraftQuery(
+    "q_markov_transitions",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val counts = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts_us", $"event_id")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("row_n", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"prev_type")))
+        .select($"prev_type", $"event_type".as("next_type"), $"n",
+          Det.qround($"n" / $"row_n").as("p"))
+        .orderBy($"prev_type", $"next_type")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_type
+        FROM events),
+      c AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        ${Oracle.qround("n / ((sum(n) OVER (PARTITION BY prev_type))::BIGINT)")} AS p
+      FROM c
+      ORDER BY prev_type, next_type""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
-      qInterarrival)
+      qInterarrival, qMarkovTransitions)
 }

@@ -663,7 +663,123 @@ object Governance {
       ORDER BY event_type, ts_us, event_id""")
   )
 
+  /** t-closeness threshold (Li, Li & Venkatasubramanian 2007): a class
+    * whose sensitive-attribute distribution sits farther than t from the
+    * global distribution leaks attribute information even when k-anonymity
+    * and l-diversity hold (the "skewness attack" — a k-large, l-diverse
+    * class that is 90% one source still discloses). */
+  val TClose = 0.25
+
+  /** t-closeness audit over the same quasi-identifier frame as
+    * [[qKAnonymity]] (QID = (lang, n_chars div 100), sensitive = source),
+    * completing the privacy-audit ladder: k-anonymity (class size) →
+    * l-diversity (distinct sensitive values) → t-closeness (distributional
+    * distance). Two distances per class, both from the paper:
+    *
+    *  - `vd`  — variational distance ½·Σ_v |P_v − Q_v| (the unordered-
+    *    categorical EMD with equal ground distance);
+    *  - `emd` — ordered EMD Σ_{i<m} |CumP_i − CumQ_i| / (m−1) with the
+    *    sensitive values in lexical order (stand-in for a real ordinal
+    *    domain — income bands, age buckets).
+    *
+    * Exactness: the cumulative distributions are built from INTEGER
+    * running counts (windowed sum of longs — exact, order-independent, so
+    * DuckDB's segment-tree window and Spark's running frame cannot
+    * diverge the way a float prefix sum can — the q_cusum_drift lesson);
+    * every P/Q is a long/long→double division (identical IEEE tree in
+    * both engines); the per-class |·| sums go through [[Det.dsum]].
+    *
+    * Scale shape: ONE corpus scan → (class, value) counts; the global
+    * distribution and the class sizes are RE-aggregations of that
+    * relation (two-level re-agg, no second scan). The scored grid is
+    * #classes × m rows — class-level, never corpus-level — with the
+    * m-row-per-class window running over it. */
+  val qTCloseness = GraftQuery(
+    "q_t_closeness",
+    (spark, dir) => {
+      import spark.implicits._
+      val cv = kanonClasses(Tables.documents(spark, dir))
+        .groupBy($"lang", $"chars_bucket", $"source")
+        .agg(count(lit(1)).as("cnt"))
+      val glob = cv.groupBy($"source").agg(sum($"cnt").as("g_cnt"))
+      val tot = glob.agg(sum($"g_cnt").as("n_total"),
+        count(lit(1)).as("m"))
+      val classes = cv.groupBy($"lang", $"chars_bucket")
+        .agg(sum($"cnt").as("class_n"))
+      val grid = classes
+        .crossJoin(broadcast(glob))
+        .join(cv, Seq("lang", "chars_bucket", "source"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .crossJoin(broadcast(tot))
+      val wOrd = Window.partitionBy($"lang", $"chars_bucket")
+        .orderBy($"source")
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = grid
+        .withColumn("cumcnt", sum($"cnt").over(wCum))
+        .withColumn("cumg", sum($"g_cnt").over(wCum))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("diff",
+          $"cnt" / $"class_n" - $"g_cnt" / $"n_total")
+        .withColumn("cdiff",
+          $"cumcnt" / $"class_n" - $"cumg" / $"n_total")
+        .groupBy($"lang", $"chars_bucket", $"class_n", $"m")
+        .agg(Det.dsum(abs($"diff")).as("sad"),
+          Det.dsum(when($"rn" < $"m", abs($"cdiff")).otherwise(lit(0.0)))
+            .as("scum"))
+      scored
+        .withColumn("vd", Det.qround($"sad" * lit(0.5)))
+        .select($"lang", $"chars_bucket", $"class_n", $"vd",
+          when($"m" > 1, Det.qround($"scum" / ($"m" - 1)))
+            .otherwise(lit(0.0)).as("emd"),
+          ($"vd" > TClose).as("t_violation"))
+        .orderBy($"lang", $"chars_bucket")
+    },
+    Some(s"""
+      WITH cv AS (
+        SELECT lang, n_chars // 100 AS chars_bucket, source, count(*) AS cnt
+        FROM documents GROUP BY 1, 2, 3),
+      gdist AS (
+        SELECT source, sum(cnt)::BIGINT AS g_cnt FROM cv GROUP BY 1),
+      tot AS (
+        SELECT sum(g_cnt)::BIGINT AS n_total, count(*)::BIGINT AS m
+        FROM gdist),
+      classes AS (
+        SELECT lang, chars_bucket, sum(cnt)::BIGINT AS class_n
+        FROM cv GROUP BY 1, 2),
+      grid AS (
+        SELECT c.lang, c.chars_bucket, c.class_n, g.source, g.g_cnt,
+          coalesce(v.cnt, 0)::BIGINT AS cnt, t.n_total, t.m
+        FROM classes c
+        CROSS JOIN gdist g
+        LEFT JOIN cv v ON v.lang = c.lang AND v.chars_bucket = c.chars_bucket
+          AND v.source = g.source
+        CROSS JOIN tot t),
+      cum AS (
+        SELECT *,
+          (sum(cnt) OVER w)::BIGINT AS cumcnt,
+          (sum(g_cnt) OVER w)::BIGINT AS cumg,
+          row_number() OVER (PARTITION BY lang, chars_bucket
+            ORDER BY source) AS rn
+        FROM grid
+        WINDOW w AS (PARTITION BY lang, chars_bucket ORDER BY source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      scored AS (
+        SELECT lang, chars_bucket, class_n, m,
+          ${Oracle.dsum("abs(cnt / class_n - g_cnt / n_total)")} AS sad,
+          ${Oracle.dsum(
+            "CASE WHEN rn < m THEN abs(cumcnt / class_n - cumg / n_total) ELSE 0e0 END")}
+            AS scum
+        FROM cum GROUP BY 1, 2, 3, 4)
+      SELECT lang, chars_bucket, class_n,
+        ${Oracle.qround("sad * 0.5e0")} AS vd,
+        CASE WHEN m > 1 THEN ${Oracle.qround("scum / (m - 1)")}
+          ELSE 0e0 END AS emd,
+        (${Oracle.qround("sad * 0.5e0")} > $TClose) AS t_violation
+      FROM scored
+      ORDER BY lang, chars_bucket""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
-      qHistQuantiles, qCusumDrift)
+      qHistQuantiles, qCusumDrift, qTCloseness)
 }

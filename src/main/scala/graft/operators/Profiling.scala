@@ -262,6 +262,84 @@ object Profiling {
     }
   )
 
+  /** Count-Min sketch depth (hash rows) and width (buckets per row). The
+    * width is deliberately ≈ the driver vocabulary (31 distinct tokens) so
+    * collisions — and therefore nonzero `overcount` rows — actually occur
+    * and the soundness audit is exercised, not vacuous. */
+  val CmsD = 3
+  val CmsW = 32
+
+  /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005)
+    * with its one-sided-error audit — the third mergeable sketch of the
+    * suite beside HLL (distinct counts, q_hll_sketch_merge) and the
+    * mergeable histogram (quantiles, q_hist_quantiles): CMS answers point
+    * frequency queries from O(d·w) counters however large the stream.
+    *
+    * Build: each token occurrence increments one bucket per hash row
+    * (bucket = u32(md5(row:term)) mod w — the portable md5 derivation
+    * every sampling op shares, so the oracle replays the exact hashes);
+    * estimate(term) = min over rows of its bucket counts. The audit pins
+    * CMS's DETERMINISTIC guarantee — `sound` (est ≥ true count) must hold
+    * for every term regardless of hash luck; `overcount` exposes the
+    * collision error the (ε, δ) analysis bounds probabilistically.
+    *
+    * Scale shape: the sketch is a partial+final aggregate collapsing to
+    * ≤ d·w rows per partition before the exchange — the partial-combine IS
+    * the sketch-merge, which is why the same relation maintains
+    * incrementally per micro-batch at ingest. The estimate side joins the
+    * vocabulary against the BROADCAST d·w-cell sketch; the exact recount
+    * (feasible on the bounded driver vocabulary) exists only to score the
+    * audit. */
+  val qCmsHeavy = GraftQuery(
+    "q_cms_heavy",
+    (spark, dir) => {
+      import spark.implicits._
+      def toks = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(graft.functions.Text.tokens($"text")).as("term"))
+      val bucket =
+        s"${PipelineOps.u32Expr("concat(cast(r as string), ':', term)")} % $CmsW"
+      val cells = toks
+        .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
+        .withColumn("bucket", expr(bucket))
+        .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+      toks.groupBy($"term").agg(count(lit(1)).as("true_n"))
+        .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
+        .withColumn("bucket", expr(bucket))
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy($"term", $"true_n")
+        .agg(min($"c").as("cms_est"))
+        .select($"term", $"true_n", $"cms_est",
+          ($"cms_est" - $"true_n").as("overcount"),
+          ($"cms_est" >= $"true_n").as("sound"))
+        .orderBy($"true_n".desc, $"term")
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+          AS term FROM documents),
+      rows_ AS (SELECT unnest(range($CmsD)) AS r),
+      cells AS (
+        SELECT r, ${PipelineOps.u32Sql("r::VARCHAR || ':' || term")} % $CmsW
+            AS bucket, count(*) AS c
+        FROM toks CROSS JOIN rows_
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT term, count(*) AS true_n FROM toks GROUP BY 1),
+      est AS (
+        SELECT t.term, t.true_n, min(c.c)::BIGINT AS cms_est
+        FROM (SELECT term, true_n, r FROM truth CROSS JOIN rows_) t
+        JOIN cells c ON c.r = t.r
+          AND c.bucket = ${PipelineOps.u32Sql("t.r::VARCHAR || ':' || t.term")} % $CmsW
+        GROUP BY 1, 2)
+      SELECT term, true_n, cms_est, cms_est - true_n AS overcount,
+        cms_est >= true_n AS sound
+      FROM est
+      ORDER BY true_n DESC, term
+      LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qProfileTable, qMixtureWeights, qFeatureCorr, qTableChecksum)
+    Seq(qProfileTable, qMixtureWeights, qFeatureCorr, qTableChecksum,
+      qCmsHeavy)
 }

@@ -289,11 +289,11 @@ object Retrieval {
         $"score")
   }
 
-  val qQlScores = GraftQuery(
-    "q_ql_scores",
-    (spark, dir) => qlRanked(spark, dir).orderBy("rank"),
-    Some(s"""
-      WITH qtoks AS (
+  /** Oracle CTE block for [[qlRanked]] — self-contained, exposes
+    * `ql_ranked(rank, doc_id, n_match, score)` (the [[bm25Ctes]] pattern,
+    * extracted so [[qRankEval]] can score both rankers in one oracle). */
+  private def qlCtes: String = s"""
+      qtoks AS (
         SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM (
           SELECT doc_id, list_filter(
             string_split_regex(lower(text), '[[:space:]]+'),
@@ -329,12 +329,121 @@ object Retrieval {
         FROM qgrid GROUP BY doc_id),
       qtop AS (
         SELECT doc_id, n_match, score FROM qdoc
-        ORDER BY score DESC, doc_id LIMIT $FuseDepth)
-      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-        doc_id, n_match, score
-      FROM qtop
-      ORDER BY rank""")
+        ORDER BY score DESC, doc_id LIMIT $FuseDepth),
+      ql_ranked AS (
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+          doc_id, n_match, score
+        FROM qtop)"""
+
+  val qQlScores = GraftQuery(
+    "q_ql_scores",
+    (spark, dir) => qlRanked(spark, dir).orderBy("rank"),
+    Some(s"""
+      WITH $qlCtes
+      SELECT rank, doc_id, n_match, score FROM ql_ranked ORDER BY rank""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qBm25Scores, qRrfFusion, qQlScores)
+  /** Evaluation cut-off for [[qRankEval]]. */
+  val EvalK = 10
+
+  /** Graded relevance labels for the pinned query: rel(d) = number of
+    * DISTINCT query terms d contains (0..|q|) — a deterministic stand-in
+    * for editorial judgments, computable identically by the oracle. Only
+    * docs with rel ≥ 1 appear (the term-match posting lists bound it). */
+  private[graft] def relLabels(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id",
+        explode(Text.withoutStopwords(Text.tokens($"text"))).as("term"))
+      .filter($"term".isInCollection(terms))
+      .groupBy($"doc_id").agg(countDistinct($"term").as("rel"))
+  }
+
+  /** The [[qRankEval]] composition with the term set as a parameter (the
+    * [[bm25Ranked]] convention — fixture specs replay it on their own
+    * vocabulary; the verified query pins [[QueryTerms]]). */
+  private[graft] def rankEval(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    val rels = relLabels(spark, dir, terms)
+    val gain = expr("shiftleft(1, cast(rel as int)) - 1")
+    val disc = log(col("i") + 1) / log(lit(2.0))
+    val ideal = rels.orderBy($"rel".desc, $"doc_id").limit(EvalK)
+      .withColumn("i", row_number().over(
+        Window.orderBy($"rel".desc, $"doc_id")))
+    val idcg = ideal.agg(Det.dsum(gain / disc).as("idcg"))
+    def dcgOf(ranked: DataFrame, name: String): DataFrame =
+      ranked.filter($"rank" <= EvalK)
+        .join(rels, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("rel"))
+        .agg(count(when($"rel" > 0, 1)).as("n_rel"),
+          Det.dsum(gain / (log($"rank" + 1) / log(lit(2.0)))).as("dcg"))
+        .select(lit(name).as("ranker"), $"n_rel", $"dcg")
+    dcgOf(bm25Ranked(spark, dir, terms), "bm25")
+      .unionByName(dcgOf(qlRanked(spark, dir, terms), "ql"))
+      .crossJoin(broadcast(idcg))
+      .select($"ranker", $"n_rel", $"dcg", $"idcg",
+        when($"idcg" > 0, Det.qround($"dcg" / $"idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy($"ranker")
+  }
+
+  /** Ranking-quality evaluation — nDCG@[[EvalK]] of the BM25 and
+    * query-likelihood rankers against the deterministic graded labels of
+    * [[relLabels]]: the offline-eval loop every retrieval stack runs when
+    * retuning (swap a ranker, re-score the eval set, compare nDCG).
+    * Exponential gain 2^rel − 1 (integer bit-shift in both engines),
+    * discount 1/log2(rank+1) written as the ln quotient so both engines
+    * evaluate the identical IEEE tree; per-ranker DCG and the shared
+    * ideal-DCG go through [[Det.dsum]].
+    *
+    * Scale shape: labels are bounded by the query-term posting lists (the
+    * [[bm25Ranked]] argument); each DCG joins a ≤[[EvalK]]-row ranking
+    * against them; the ideal ranking is a top-K over the label relation
+    * (TakeOrderedAndProject). Nothing corpus-sized moves — the eval cost
+    * is the two rankers' own cost, which is the point: at 100 TB you can
+    * afford to re-run this after every index or parameter change. */
+  val qRankEval = GraftQuery(
+    "q_rank_eval",
+    (spark, dir) => rankEval(spark, dir),
+    Some(s"""
+      WITH $bm25Ctes, $qlCtes,
+      rels AS (
+        SELECT doc_id, count(DISTINCT term) AS rel
+        FROM btoks WHERE term IN $queryTermsSqlList
+        GROUP BY doc_id),
+      ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+        FROM (SELECT doc_id, rel FROM rels
+              ORDER BY rel DESC, doc_id LIMIT $EvalK)),
+      idcg AS (
+        SELECT ${Oracle.dsum("((1 << rel) - 1) / (ln(i + 1) / ln(2e0))")}
+          AS idcg FROM ideal),
+      dcg_bm AS (
+        SELECT 'bm25' AS ranker,
+          count(CASE WHEN coalesce(r.rel, 0) > 0 THEN 1 END)::BIGINT AS n_rel,
+          ${Oracle.dsum(
+            "((1 << coalesce(r.rel, 0)) - 1) / (ln(b.rank + 1) / ln(2e0))")}
+            AS dcg
+        FROM bm25_ranked b LEFT JOIN rels r USING (doc_id)
+        WHERE b.rank <= $EvalK),
+      dcg_ql AS (
+        SELECT 'ql' AS ranker,
+          count(CASE WHEN coalesce(r.rel, 0) > 0 THEN 1 END)::BIGINT AS n_rel,
+          ${Oracle.dsum(
+            "((1 << coalesce(r.rel, 0)) - 1) / (ln(q.rank + 1) / ln(2e0))")}
+            AS dcg
+        FROM ql_ranked q LEFT JOIN rels r USING (doc_id)
+        WHERE q.rank <= $EvalK)
+      SELECT ranker, n_rel, dcg, idcg,
+        CASE WHEN idcg > 0 THEN ${Oracle.qround("dcg / idcg")}
+          ELSE 0e0 END AS ndcg
+      FROM (SELECT * FROM dcg_bm UNION ALL SELECT * FROM dcg_ql) u
+      CROSS JOIN idcg
+      ORDER BY ranker""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval)
 }

@@ -128,5 +128,80 @@ object TemporalJoins {
       ORDER BY campaign_id""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qAsofJoin, qRangeJoin)
+  /** Microseconds per day — the session-interval grain below. */
+  private val DayUs = 86400000000L
+
+  /** INTERVAL-OVERLAP join — the third temporal-join shape (AS-OF: latest
+    * row at-or-before; RANGE: point-in-interval; here: interval×interval).
+    * Per-user daily activity spans `[min ts, max ts + 1)` are matched to
+    * the synthetic campaign windows of [[qRangeJoin]]; output per campaign
+    * = overlapping-session count + total overlap microseconds.
+    *
+    * Scale shape — grid bucketing with CANONICAL-CELL attribution: both
+    * interval sets explode to the `bw`-wide grid cells they cover and
+    * equi-join on the cell, but a pair is emitted ONLY at the cell
+    * containing `greatest(s, start)` (the overlap's first instant — always
+    * covered by both sides). Every overlapping pair therefore appears
+    * EXACTLY once with no `.distinct()` de-duplication shuffle — the trick
+    * that makes a large×large interval join one equi-join at 100 TB (here
+    * Catalyst broadcasts the 20-campaign side; the logical shape is the
+    * one that survives when both sides are big). Overlap arithmetic is
+    * all-integer (half-open µs bounds), so the oracle is exact by
+    * construction. Zero-width campaigns (degenerate time span) are
+    * filtered on BOTH sides — a half-open empty interval overlaps
+    * nothing. */
+  val qIntervalJoin = GraftQuery(
+    "q_interval_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val bounds = ev.agg(min($"ts_us").as("t0"), max($"ts_us").as("t1"))
+        .select($"t0", expr(s"(t1 - t0) div $NCampaigns").as("delta"))
+        .withColumn("bw", greatest(expr("delta div 2"), lit(1L)))
+      val campaigns = spark.range(NCampaigns).toDF("campaign_id")
+        .crossJoin(broadcast(bounds))
+        .select($"campaign_id", $"bw",
+          ($"t0" + $"campaign_id" * $"delta").as("start"),
+          ($"t0" + $"campaign_id" * $"delta" + expr("delta div 2")).as("end"))
+        .filter($"end" > $"start")
+        .withColumn("cell",
+          explode(sequence(expr("start div bw"), expr("(end - 1) div bw"))))
+      val sess = ev
+        .groupBy($"user_id", expr(s"ts_us div $DayUs").as("day"))
+        .agg(min($"ts_us").as("s"), (max($"ts_us") + lit(1L)).as("e"))
+        .crossJoin(broadcast(bounds.select($"bw".as("sbw"))))
+        .withColumn("cell",
+          explode(sequence(expr("s div sbw"), expr("(e - 1) div sbw"))))
+        .drop("sbw")
+      sess.join(campaigns, Seq("cell"))
+        .filter($"s" < $"end" && $"start" < $"e" &&
+          $"cell" === expr("greatest(s, start) div bw"))
+        .groupBy($"campaign_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(least($"e", $"end") - greatest($"s", $"start"))
+            .as("overlap_us"))
+        .orderBy($"campaign_id")
+    },
+    Some(s"""
+      WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS t0,
+          (max(epoch_us(ts)) - min(epoch_us(ts))) // $NCampaigns AS delta
+        FROM events),
+      camp AS (
+        SELECT k AS campaign_id, t0 + k * delta AS start,
+          t0 + k * delta + delta // 2 AS "end"
+        FROM bounds CROSS JOIN (SELECT unnest(range($NCampaigns)) AS k)),
+      sess AS (
+        SELECT user_id, epoch_us(ts) // $DayUs AS day,
+          min(epoch_us(ts)) AS s, max(epoch_us(ts)) + 1 AS e
+        FROM events GROUP BY 1, 2)
+      SELECT campaign_id, count(*) AS n_sessions,
+        sum(least(e, "end") - greatest(s, start))::BIGINT AS overlap_us
+      FROM sess JOIN camp
+        ON s < "end" AND start < e AND "end" > start
+      GROUP BY campaign_id
+      ORDER BY campaign_id""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qAsofJoin, qRangeJoin, qIntervalJoin)
 }

@@ -106,4 +106,15 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       } else assert(mn.isEmpty && mx.isEmpty && avg.isEmpty)
     }
   }
+
+  test("markov transitions: fixture journeys row-normalize per prev state") {
+    // user 0: click->click->click (2 click->click pairs);
+    // user 1: view->view->signup (view->view, view->signup)
+    val rows = BehaviorAnalytics.qMarkovTransitions.run(spark, fixtureDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("click", "click", 2L, 1.0),
+      ("view", "signup", 1L, 0.5),
+      ("view", "view", 1L, 0.5)))
+  }
 }

@@ -197,4 +197,28 @@ class GovernanceSpec extends SparkSpec {
       .as[Long].head()
     assert(merged === direct)
   }
+
+  test("t-closeness: fixture classes sit 1/3 from the uniform global dist") {
+    // global source dist: srcA/srcB/srcC = 2/2/2 -> Q = 1/3 each; every
+    // class holds 2 docs over 2 distinct sources -> P = (1/2, 1/2, 0) in
+    // some arrangement => vd = 1/2 * (1/6 + 1/6 + 1/3) = 1/3 > t = 0.25.
+    // Ordered EMD depends on WHICH sources: (en,0)=srcA,srcB -> cums
+    // (1/6, 1/3) -> 0.25; (de,0)=srcA,srcC -> (1/6, 1/6) -> 1/6;
+    // (fr,1)=srcB,srcC -> (1/3, 1/6) -> 0.25.
+    val rows = Governance.qTCloseness.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) ===
+      Seq(("de", 0L, 2L), ("en", 0L, 2L), ("fr", 1L, 2L)))
+    rows.foreach { case (_, _, _, vd, _, viol) =>
+      assert(math.abs(vd - 1.0 / 3) < 1e-5)
+      assert(viol) // 1/3 > 0.25
+    }
+    val emd = rows.map(r => r._1 -> r._5).toMap
+    assert(math.abs(emd("en") - 0.25) < 1e-5)
+    assert(math.abs(emd("fr") - 0.25) < 1e-5)
+    assert(math.abs(emd("de") - 1.0 / 6) < 1e-5)
+    // the ordered EMD can only be finer-grained than the unordered bound:
+    // emd <= vd * (m-1)/(m-1) scaling aside, here strictly <= vd
+    rows.foreach { case (_, _, _, vd, e, _) => assert(e <= vd + 1e-9) }
+  }
 }

@@ -129,4 +129,18 @@ class ProfilingSpec extends SparkSpec {
     assert(got.find(_._1 == "the").isEmpty)
     assert(got.size <= TfIdf.IndexTopK)
   }
+
+  test("cms: estimate never undercounts, top term exact on the fixture") {
+    // fixture term frequencies: slow 7, big 3, fast 3, the 1, w1..w29 x2,
+    // w30 1, zz 1 (35 distinct > 32 buckets -> collisions are plausible,
+    // soundness must hold regardless)
+    val rows = graft.operators.Profiling.qCmsHeavy.run(spark, fixtureDir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.size === 20)
+    assert(rows.head._1 === "slow" && rows.head._2 === 7L)
+    rows.foreach { case (term, trueN, est, over, sound) =>
+      assert(sound, s"CMS undercounted $term")
+      assert(est >= trueN && over === est - trueN)
+    }
+  }
 }

@@ -74,4 +74,30 @@ class RetrievalSpec extends SparkSpec {
   test("q_ql_scores degrades to empty when no pinned term occurs") {
     assert(Retrieval.qQlScores.run(spark, fixtureDir).count() === 0L)
   }
+
+  test("rank eval: all-rel-2 candidates give both rankers a perfect nDCG") {
+    // rels with (fast, slow, big): d0..d3 all rel 2 (each matches 2 terms),
+    // d4/d5 rel 0. Ideal = any order of d0..d3 => idcg =
+    // 3*(1 + 1/log2(3) + 1/2 + 1/log2(5)) = 7.684819 (6dp), and both
+    // rankers retrieve exactly {d0..d3} => dcg == idcg, ndcg == 1.0.
+    val rows = Retrieval.rankEval(spark, fixtureDir, FixtureTerms)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq("bm25", "ql"))
+    rows.foreach { case (_, nRel, dcg, idcg, ndcg) =>
+      assert(nRel === 4L)
+      assert(idcg === 7.684819)
+      assert(dcg === idcg)
+      assert(ndcg === 1.0)
+    }
+  }
+
+  test("rank eval: no matching term -> zero-filled, not a crash") {
+    val rows = Retrieval.rankEval(spark, fixtureDir, Seq("absent"))
+      .as[(String, Long, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(rows.map(_._1) === Seq("bm25", "ql"))
+    rows.foreach { case (_, nRel, _, _, ndcg) =>
+      assert(nRel === 0L && ndcg === 0.0)
+    }
+  }
 }

@@ -42,4 +42,21 @@ class TemporalJoinsSpec extends SparkSpec {
     val n = Tables.events(spark, "/root/testdata/sf0.001").count()
     assert(TemporalJoins.qAsofJoin.run(spark, "/root/testdata/sf0.001").count() === n)
   }
+
+  test("interval join: daily sessions overlap campaigns exactly once each") {
+    // sessions (user, day): u0d0 [0, 12h+1), u1d0 [6h, 18h+1),
+    // u0d1 [24h, 24h+1), u1d1 [30h, 30h+1);
+    // campaigns k = [1.5h*k, 1.5h*k + 0.75h), k = 0..19
+    val H = 3600L * 1000000
+    val rows = TemporalJoins.qIntervalJoin.run(spark, fixtureDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected =
+      (0L to 3L).map(k => (k, 1L, (3 * H) / 4)) ++       // u0d0 fully covers
+      (4L to 7L).map(k => (k, 2L, 2 * ((3 * H) / 4))) ++ // both day-0 sessions
+      Seq((8L, 2L, (3 * H) / 4 + 1)) ++                  // u0d0 grazes 1us
+      (9L to 11L).map(k => (k, 1L, (3 * H) / 4)) ++      // u1d0 only
+      Seq((12L, 1L, 1L),                                 // u1d0 grazes 1us
+          (16L, 1L, 1L))                                 // u0d1 point session
+    assert(rows === expected)
+  }
 }
