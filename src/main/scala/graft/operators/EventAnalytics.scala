@@ -1190,6 +1190,94 @@ object EventAnalytics {
       ORDER BY hour, event_type""")
   )
 
+  /** Maximum autocorrelation lag (days) for [[qAutocorr]]. */
+  val MaxLag = 7
+
+  /** Sample autocorrelation function of the daily value series per event
+    * type, lags 1..[[MaxLag]] — the seasonality/persistence diagnostic run
+    * before forecasting or anomaly thresholds are fit (a weekly cycle
+    * shows as an acf(7) spike; q_value_trend fits the trend, this
+    * measures what the trend leaves behind):
+    *
+    *   acf(k) = Σ_t (v_t − m)(v_{t−k} − m) / Σ_t (v_t − m)²
+    *
+    * Scale shape: the corpus collapses to the (type, day) daily aggregate
+    * first (partial+final); everything after is day-domain-sized — ONE
+    * type-partitioned Window computes all seven lag columns (the
+    * q_ewma_metric discipline: one sort, seven frames), an unpivot fans
+    * them to (type, k) rows, and the numerator/denominator aggregates run
+    * over days × 7. Means and denominators are broadcast back. Exactness:
+    * v and m are 6-dp via dsum/qround, deviation products go through
+    * [[Det.dsum]]; a constant series (den = 0) yields NULL acf in both
+    * engines instead of a NaN hash mismatch. */
+  val qAutocorr = GraftQuery(
+    "q_autocorr",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"event_type", $"day")
+        .agg(dsum($"value").as("v"))
+      val means = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), dsum($"v").as("sv"))
+        .select($"event_type", Det.qround($"sv" / $"n_days").as("m"))
+      val dev = daily.join(broadcast(means), Seq("event_type"))
+        .withColumn("dd", $"v" - $"m")
+      val den = dev.groupBy($"event_type")
+        .agg(dsum($"dd" * $"dd").as("den"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val lagged = (1 to MaxLag).foldLeft(
+          dev.select($"event_type", $"day", $"dd")) {
+        case (df, k) => df.withColumn(s"d$k", lag($"dd", k).over(w))
+      }
+      val stackArgs = (1 to MaxLag).map(k => s"$k, d$k").mkString(", ")
+      val num = lagged
+        .selectExpr("event_type", "dd",
+          s"stack($MaxLag, $stackArgs) as (k, dlag)")
+        .filter($"dlag".isNotNull)
+        .groupBy($"event_type", $"k")
+        .agg(count(lit(1)).as("n_pairs"), dsum($"dd" * $"dlag").as("num"))
+      num.join(broadcast(den), Seq("event_type"))
+        .select($"event_type", $"k".cast(LongType).as("k"), $"n_pairs",
+          when($"den" > 0, Det.qround($"num" / $"den"))
+            .otherwise(lit(null).cast(DoubleType)).as("acf"))
+        .orderBy($"event_type", $"k")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("value")} AS v
+        FROM events GROUP BY 1, 2),
+      means AS (
+        SELECT event_type,
+          ${Oracle.qround(s"${Oracle.dsum("v")} / count(*)")} AS m
+        FROM daily GROUP BY event_type),
+      dev AS (
+        SELECT d.event_type, d.day, d.v - m.m AS dd
+        FROM daily d JOIN means m USING (event_type)),
+      den AS (
+        SELECT event_type, ${Oracle.dsum("dd * dd")} AS den
+        FROM dev GROUP BY 1),
+      lagged AS (
+        SELECT event_type, dd,
+          ${(1 to 7).map(k => s"lag(dd, $k) OVER w AS d$k").mkString(", ")}
+        FROM dev
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      stacked AS (
+        SELECT event_type, k, dd,
+          CASE k ${(1 to 7).map(k => s"WHEN $k THEN d$k").mkString(" ")}
+          END AS dlag
+        FROM lagged CROSS JOIN (SELECT unnest(range(1, 8)) AS k)),
+      num AS (
+        SELECT event_type, k, count(*) AS n_pairs,
+          ${Oracle.dsum("dd * dlag")} AS num
+        FROM stacked WHERE dlag IS NOT NULL GROUP BY 1, 2)
+      SELECT n.event_type, n.k, n.n_pairs,
+        CASE WHEN den > 0 THEN ${Oracle.qround("num / den")} END AS acf
+      FROM num n JOIN den USING (event_type)
+      ORDER BY event_type, k""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1198,5 +1286,6 @@ object EventAnalytics {
     qPivotDaily, qCubeActivity, qEventValueStats, qValueMoments,
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
-    qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile)
+    qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
+    qAutocorr)
 }

@@ -698,9 +698,15 @@ object Governance {
     "q_t_closeness",
     (spark, dir) => {
       import spark.implicits._
+      // persist the (class, value) counts: FOUR consumers derive from this
+      // relation (class sizes, global dist, the grid's left side, totals) —
+      // without the cache each one re-plans its own corpus scan (the
+      // q_contamination lesson); with it the corpus is read ONCE and the
+      // cached relation is class-level-sized
       val cv = kanonClasses(Tables.documents(spark, dir))
         .groupBy($"lang", $"chars_bucket", $"source")
         .agg(count(lit(1)).as("cnt"))
+        .persist()
       val glob = cv.groupBy($"source").agg(sum($"cnt").as("g_cnt"))
       val tot = glob.agg(sum($"g_cnt").as("n_total"),
         count(lit(1)).as("m"))

@@ -835,8 +835,100 @@ object LexicalStats {
       ORDER BY lang""")
   )
 
+  /** Minimum co-occurrence support for [[qCooccurPmi]] — PMI's known
+    * rare-pair instability (Church & Hanks 1990) is screened by support,
+    * the standard practice. */
+  val MinPairN = 5
+
+  /** Document-level co-occurrence PMI — word-association mining: for term
+    * pairs sharing documents, pmi = ln(P(a,b) / (P(a)·P(b))) over the
+    * DOC-MEMBERSHIP distribution. The complementary statistic to
+    * [[qBigramLift]]: lift scores ADJACENT token bigrams (phrase
+    * detection); PMI here scores bag-of-document association at any
+    * distance (topic affinity, embedding-eval word pairs).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (doc, term)
+    * relation once; the pair stream is a doc_id self-equi-join of that
+    * relation AFTER a frequency cap: terms in the UPPER HALF of the
+    * document-frequency distribution leave (df > median df — the
+    * deterministic cousin of Mikolov-style frequent-word subsampling).
+    * The cap is distribution-adaptive on purpose: an absolute "df ≤ N/2"
+    * rule is degenerate on corpora where nearly every term is ubiquitous
+    * (the driver corpus: 30 of 31 terms sit in ~77% of docs), while the
+    * median rule always retains the less-frequent half of the
+    * vocabulary. Ubiquitous terms dominate pair volume quadratically and
+    * carry no association signal — exactly the ones pruned. Per-doc pair
+    * fanout is bounded by the capped per-doc vocabulary, never all-pairs
+    * across docs; the df relation is vocabulary-sized (aggregate +
+    * broadcast, the median via exact percentile over it — Spark
+    * `percentile` ≡ DuckDB `quantile_cont` bit-identical, the
+    * q_winsorized_stats precedent). */
+  /** The scored pair relation BEFORE the support floor — shared by
+    * [[qCooccurPmi]] and the fixture spec (which hand-checks the PMI
+    * arithmetic on pairs the support rule would hide). */
+  private[graft] def cooccurScored(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val dt = docs
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .distinct()
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val dfr = dt.groupBy($"term").agg(count(lit(1)).as("df"))
+    val med = dfr.agg(expr("percentile(df, 0.5)").as("med"))
+    val kept = dt
+      .join(broadcast(dfr.crossJoin(broadcast(med)).filter($"df" <= $"med")),
+        Seq("term"))
+    kept.as("a")
+      .join(kept.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.term" < $"b.term")
+      .groupBy($"a.term".as("term_a"), $"b.term".as("term_b"))
+      .agg(max($"a.df").as("df_a"), max($"b.df").as("df_b"),
+        count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(nd))
+      .select($"term_a", $"term_b", $"n_ab",
+        Det.qround(log(($"n_ab" * $"n_docs").cast(DoubleType) /
+          ($"df_a" * $"df_b"))).as("pmi"))
+  }
+
+  val qCooccurPmi = GraftQuery(
+    "q_cooccur_pmi",
+    (spark, dir) => {
+      import spark.implicits._
+      cooccurScored(spark, dir)
+        .filter($"n_ab" >= MinPairN)
+        .orderBy($"pmi".desc, $"term_a", $"term_b")
+        .limit(20)
+    },
+    Some(s"""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+          FROM documents)),
+      nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      dfr AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+      med AS (SELECT quantile_cont(df, 0.5e0) AS med FROM dfr),
+      kept AS (
+        SELECT dt.doc_id, dt.term, dfr.df
+        FROM dt JOIN dfr USING (term) CROSS JOIN med
+        WHERE df <= med),
+      pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+          max(a.df) AS df_a, max(b.df) AS df_b, count(*) AS n_ab
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+        HAVING count(*) >= $MinPairN)
+      SELECT term_a, term_b, n_ab,
+        ${Oracle.qround("ln((n_ab * n_docs)::DOUBLE / (df_a * df_b))")} AS pmi
+      FROM pairs CROSS JOIN nd
+      ORDER BY pmi DESC, term_a, term_b
+      LIMIT 20""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
-      qTokenFertility, qZipfFit, qHeldoutXent)
+      qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi)
 }

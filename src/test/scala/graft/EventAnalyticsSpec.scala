@@ -204,4 +204,12 @@ class EventAnalyticsSpec extends SparkSpec {
       (22L, "click", 1L, 3.0),
       (23L, "click", 1L, 1.0)))
   }
+
+  test("autocorr: two-day click series gives acf(1) = -0.5, singletons drop") {
+    // daily sums: click d0=1+3=4, d1=5 (m=4.5, dd=-0.5/+0.5, den=0.5,
+    // num(1)=-0.25); view and signup have single-day series -> no pairs
+    val rows = EventAnalytics.qAutocorr.run(spark, fixtureDir)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(rows === Seq(("click", 1L, 1L, Some(-0.5))))
+  }
 }

@@ -342,4 +342,27 @@ class LexicalStatsSpec extends SparkSpec {
       assert(xent > 0.0 && xent <= math.log((nTrain + vocab + 1).toDouble))
     }
   }
+
+  test("cooccur pmi: median-df cap keeps the rare half, pairs score ln3") {
+    // fixture dfs: slow 3, big 3, fast 2, w1..w29 2, the/w30/zz 1 over
+    // N=6 docs; median df = 2 -> slow and big leave. Kept doc-term sets:
+    // d0{fast}, d1{fast,the}, d4{w1..w30}, d5{w1..w29,zz}. Every pair's
+    // n_ab*N/(df_a*df_b) collapses to exactly 3 (e.g. w-pairs: 2*6/4),
+    // so pmi = qround(ln 3) = 1.098612 for ALL 465 pairs.
+    val pairs = graft.operators.LexicalStats.cooccurScored(spark, fixtureDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // (fast,the) + C(29,2) w-pairs + 29 (w,w30) + 29 (w,zz) = 465
+    assert(pairs.size === 465)
+    assert(pairs.forall(_._4 === 1.098612))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair(("w1", "w2")) === 2L)   // co-occur in d4 AND d5
+    assert(byPair(("w1", "w30")) === 1L)  // d4 only
+    assert(byPair(("w1", "zz")) === 1L)   // d5 only
+    assert(byPair(("fast", "the")) === 1L)
+    assert(!byPair.keySet.exists(p => p._1 == "slow" || p._2 == "slow"))
+    // the support floor then empties the fixture (max n_ab = 2 < 5) --
+    // the verified query's nonempty path is pinned by the sf oracles
+    assert(graft.operators.LexicalStats.qCooccurPmi
+      .run(spark, fixtureDir).count() === 0L)
+  }
 }
