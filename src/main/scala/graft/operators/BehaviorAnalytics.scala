@@ -315,25 +315,42 @@ object BehaviorAnalytics {
     * |types|²-row relation, never over corpus-sized input. Determinism:
     * ties inside a timestamp are broken by event_id (the house order);
     * p is a long/long → double division, [[Det.qround]]ed on output. */
+  /** (prev_type, next_type, n) transition counts from a batch event
+    * relation — the lag-window half of the Markov build, shared with the
+    * streaming maintainer's spec reconciliation. */
+  private[graft] def markovCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events
+      .select($"user_id", $"event_type", $"ts_us", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Row-normalize a (prev_type, next_type, n) count relation into the
+    * transition-probability report — shared by [[qMarkovTransitions]] and
+    * graft.streaming.StreamMarkov's fold-at-query report, so the two
+    * surfaces can never drift. */
+  private[graft] def markovReport(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .withColumn("row_n", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"prev_type")))
+      .select($"prev_type", $"next_type", $"n",
+        Det.qround($"n" / $"row_n").as("p"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   val qMarkovTransitions = GraftQuery(
     "q_markov_transitions",
-    (spark, dir) => {
-      import spark.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      val counts = Tables.events(spark, dir)
-        .select($"user_id", $"event_type", $"ts_us", $"event_id")
-        .withColumn("prev_type", lag($"event_type", 1).over(w))
-        .filter($"prev_type".isNotNull)
-        .groupBy($"prev_type", $"event_type")
-        .agg(count(lit(1)).as("n"))
-      counts
-        .withColumn("row_n", sum($"n").over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"prev_type")))
-        .select($"prev_type", $"event_type".as("next_type"), $"n",
-          Det.qround($"n" / $"row_n").as("p"))
-        .orderBy($"prev_type", $"next_type")
-    },
+    (spark, dir) => markovReport(markovCounts(Tables.events(spark, dir))),
     Some(s"""
       WITH pairs AS (
         SELECT event_type,

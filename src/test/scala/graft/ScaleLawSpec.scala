@@ -16,6 +16,8 @@ package graft
   * executable form, and `Prof -scale` measures the same relations at
   * sf0.1/10× for the NOTES.md table. */
 class ScaleLawSpec extends SparkSpec {
+  import spark.implicits._
+
 
   private val N = 3
   private val base = "/root/testdata/sf0.01"
@@ -31,6 +33,30 @@ class ScaleLawSpec extends SparkSpec {
       // and the pair join is live at both scales (a zero would make the
       // equalities vacuous)
       assert(r.cand1 > 0, s"${r.fam}: no candidates at 1x")
+    }
+  }
+
+  test(s"cooccur-pmi is replica-INVARIANT at x$N: counts scale, scores don't") {
+    // The PMI pair join pairs only WITHIN a document, so exact replication
+    // obeys a stricter law than the cross-doc bucket families: no
+    // cross-replica pairs exist at all. Per (term_a, term_b):
+    //   n_ab(Nx) == N * n_ab(1x)    [linear, not quadratic]
+    //   pmi(Nx)  == pmi(1x)         [N cancels: (N*n_ab*N*nd)/(N*df)^2]
+    // df, n_docs and the median-df cap all scale by N, so the kept
+    // vocabulary -- and therefore the pair SET -- is identical.
+    val scaled = java.nio.file.Files.createTempDirectory("scalelaw-pmi").toString
+    ScaleRehearsal.build(spark, base, scaled, N)
+    def scores(d: String) = graft.operators.LexicalStats
+      .cooccurScored(spark, d)
+      .select("term_a", "term_b", "n_ab", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val one = scores(base)
+    val n = scores(scaled)
+    assert(one.nonEmpty && n.keySet === one.keySet)
+    for ((pair, (nAb, pmi)) <- one) {
+      assert(n(pair)._1 === N * nAb, s"$pair: pair count not linear")
+      assert(n(pair)._2 === pmi, s"$pair: pmi drifted under replication")
     }
   }
 }
