@@ -79,9 +79,15 @@ object Similarity {
     * against the full table; each pair's dot product is one codegen'd
     * array fold; ranking happens over the ROUNDED cosine (ties to the
     * lower tid), matching the oracle exactly. */
-  private def exactTopk(spark: SparkSession, dir: String): DataFrame = {
+  private def exactTopk(spark: SparkSession, dir: String): DataFrame =
+    topkOf(withNorm(spark, dir))
+
+  /** The exact-cosine top-k pipeline over any (vec_id, embedding, nrm)
+    * relation — shared by [[exactTopk]] (full vectors) and the MRL
+    * truncation audit (prefix vectors). */
+  private def topkOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = withNorm(spark, dir)
     val q = emb.filter($"vec_id" < NQueryVecs)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"))
     emb.select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"))
@@ -1070,9 +1076,87 @@ object Similarity {
       FROM p ORDER BY label_a, label_b""")
   )
 
+
+  /** Retained prefix dimensions for the MRL truncation audit (64 → 32). */
+  val MrlDims = 32
+
+  /** Matryoshka-truncation recall audit (Kusupati et al. 2022): rank with
+    * only the first [[MrlDims]] of 64 dimensions and measure how much of
+    * the full-precision top-k survives — the evaluation a deployment runs
+    * before shipping prefix-truncated embeddings (2× memory/bandwidth cut
+    * on every ANN tier). The third recall audit beside IVF (probe loss)
+    * and PQ (quantization loss); this one measures DIMENSION loss, and
+    * like them it is the retuning surface: a recall drop at 100 TB says
+    * "keep more dims", measured on the same relation the index serves.
+    *
+    * Exactness: the truncated ranking reuses the exact-decimal cosine
+    * pipeline ([[topkOf]]) over `slice(embedding, 1, 32)`, so both
+    * rankings are bit-identical cross-engine and the overlap count is an
+    * integer — no float enters the audit row beyond the recall ratio.
+    * On the driver's RANDOM embeddings recall reads 0–0.2: random vectors
+    * have no Matryoshka structure (information is uniform across dims,
+    * not front-loaded by MRL training), so halving dims genuinely
+    * destroys the ranking — the audit reporting that is it working.
+    * Scale shape: identical to the exact tier (broadcast query side, one
+    * codegen'd fold per pair, per-qid top-k window over the bounded
+    * candidate relation). */
+  val qMrlRecall = GraftQuery(
+    "q_mrl_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      val trunc = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", slice($"embedding", 1, MrlDims).as("embedding"))
+        .select($"vec_id", $"embedding",
+          sqrt(decDot($"embedding", $"embedding")).as("nrm"))
+      exactTopk(spark, dir).select($"qid", $"tid")
+        .join(topkOf(trunc).select($"qid", $"tid", lit(1).as("m")),
+          Seq("qid", "tid"), "left")
+        .groupBy($"qid").agg(count($"m").as("n_hit"))
+        .select($"qid", $"n_hit",
+          Det.qround($"n_hit" / lit(TopK)).as("recall"))
+        .orderBy($"qid")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      $exactTopkCtes,
+      tex AS (SELECT vec_id, pos, v FROM ex WHERE pos < $MrlDims),
+      tnrm AS (
+        SELECT vec_id, sqrt(sum(CAST(v * v AS DECIMAL(38,12)))::DOUBLE) AS nrm
+        FROM tex GROUP BY vec_id),
+      tdots AS (
+        SELECT q.vec_id AS qid, t.vec_id AS tid,
+          sum(CAST(q.v * t.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM tex q JOIN tex t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+        WHERE q.vec_id < $NQueryVecs
+        GROUP BY q.vec_id, t.vec_id),
+      tcos AS (
+        SELECT qid, tid,
+          ${Oracle.qround("dot / (qn.nrm * tn.nrm)")} AS cosine
+        FROM tdots
+        JOIN tnrm qn ON qid = qn.vec_id
+        JOIN tnrm tn ON tid = tn.vec_id),
+      trunc_topk AS (
+        SELECT qid, tid FROM (
+          SELECT qid, tid,
+            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, tid)
+              AS rk
+          FROM tcos)
+        WHERE rk <= $TopK),
+      hits AS (
+        SELECT e.qid, count(t.tid) AS n_hit
+        FROM exact_topk e
+        LEFT JOIN trunc_topk t ON e.qid = t.qid AND e.tid = t.tid
+        GROUP BY e.qid)
+      SELECT qid, n_hit,
+        ${Oracle.qround(s"n_hit * 1.0 / $TopK")} AS recall
+      FROM hits
+      ORDER BY qid""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
       qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile,
-      qLabelCentroidDist)
+      qLabelCentroidDist, qMrlRecall)
 }

@@ -196,4 +196,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((0, 1, expected)))
     assert(got.head._3 > 0.31 && got.head._3 < 0.32)
   }
+
+  test("mrl recall: truncation beyond the vector length is a no-op audit") {
+    // fixture embeddings are 8-dim < MrlDims=32, so slice() keeps the
+    // whole vector: the truncated ranking MUST equal the full ranking and
+    // recall must read n_hit = all (n-1)=3 neighbors for every query
+    val rows = Similarity.qMrlRecall.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    rows.foreach { case (_, nHit, recall) =>
+      assert(nHit === 3L)
+      assert(recall === 0.6) // 3 of TopK=5 possible neighbors exist
+    }
+  }
+
+  test("mrl recall at sf0.001: one audit row per query vector, bounded") {
+    val rows = Similarity.qMrlRecall.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.size === Similarity.NQueryVecs)
+    rows.foreach { case (_, nHit, recall) =>
+      assert(nHit >= 0L && nHit <= Similarity.TopK)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
 }
