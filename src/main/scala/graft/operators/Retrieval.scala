@@ -61,21 +61,38 @@ object Retrieval {
     * doc_id) so both engines rank identical values. The term set is a
     * parameter only so the fixture spec can exercise the math on its own
     * vocabulary; the verified queries pin [[QueryTerms]]. */
-  private[graft] def bm25Ranked(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+  /** (doc_id, dl, term) matched-token postings for a term set — one row
+    * per matching token occurrence, dl carried from the array. The shared
+    * input of BM25, query-likelihood AND the relevance labels;
+    * [[rankEval]] persists it so its three consumers tokenize the corpus
+    * ONCE (the tokenize HOF is the expensive part — CodegenFallback). */
+  private[graft] def matchedToks(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-    // one row per (matching token occurrence), dl carried from the array
-    val toks = docs
+    Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", Text.withoutStopwords(Text.tokens($"text")).as("toks"))
       .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
       .filter($"term".isInCollection(terms))
-    val tf = toks.groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-    // corpus length stats: one map-only pass, 1-row broadcast
-    val stats = Tables.documents(spark, dir)
+  }
+
+  /** 1-row corpus length stats (n_docs, sum_dl) — one map-only pass,
+    * broadcast into every ranker. */
+  private[graft] def corpusDl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
       .select(size(Text.withoutStopwords(Text.tokens($"text"))).as("dl0"))
       .agg(count(lit(1)).as("n_docs"), sum($"dl0").as("sum_dl"))
+  }
+
+  private[graft] def bm25Ranked(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame =
+    bm25RankedFrom(matchedToks(spark, dir, terms), corpusDl(spark, dir))
+
+  private def bm25RankedFrom(toks: DataFrame, stats: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val tf = toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
     val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val perTerm = tf.join(broadcast(dfr), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -254,20 +271,18 @@ object Retrieval {
     * limited ≤[[FuseDepth]]-row relation like BM25.
     */
   private[graft] def qlRanked(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      terms: Seq[String] = QueryTerms): DataFrame =
+    qlRankedFrom(matchedToks(spark, dir, terms), corpusDl(spark, dir), terms)
+
+  private def qlRankedFrom(matched: DataFrame, stats: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val spark = matched.sparkSession
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-    val matched = docs
-      .select($"doc_id", Text.withoutStopwords(Text.tokens($"text")).as("toks"))
-      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
-      .filter($"term".isInCollection(terms))
     val tf = matched.groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-    // collection stats: |C| in one map-only pass; per-term cf from the
-    // matched postings (cf of an unmatched term is by definition 0)
-    val coll = Tables.documents(spark, dir)
-      .select(size(Text.withoutStopwords(Text.tokens($"text"))).as("dl0"))
-      .agg(sum($"dl0").as("c_len"))
+    // collection stats: |C| from the shared 1-row corpus pass; per-term cf
+    // from the matched postings (cf of an unmatched term is by definition 0)
+    val coll = stats.select($"sum_dl".as("c_len"))
     val cf = matched.groupBy($"term").agg(count(lit(1)).as("cf"))
     val cands = tf.groupBy($"doc_id")
       .agg(max($"dl").as("dl"), count(lit(1)).as("n_match"))
@@ -351,13 +366,13 @@ object Retrieval {
     * for editorial judgments, computable identically by the oracle. Only
     * docs with rel ≥ 1 appear (the term-match posting lists bound it). */
   private[graft] def relLabels(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      terms: Seq[String] = QueryTerms): DataFrame =
+    relsFrom(matchedToks(spark, dir, terms))
+
+  private def relsFrom(matched: DataFrame): DataFrame = {
+    val spark = matched.sparkSession
     import spark.implicits._
-    Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id",
-        explode(Text.withoutStopwords(Text.tokens($"text"))).as("term"))
-      .filter($"term".isInCollection(terms))
-      .groupBy($"doc_id").agg(countDistinct($"term").as("rel"))
+    matched.groupBy($"doc_id").agg(countDistinct($"term").as("rel"))
   }
 
   /** The [[qRankEval]] composition with the term set as a parameter (the
@@ -366,7 +381,15 @@ object Retrieval {
   private[graft] def rankEval(spark: SparkSession, dir: String,
       terms: Seq[String] = QueryTerms): DataFrame = {
     import spark.implicits._
-    val rels = relLabels(spark, dir, terms)
+    // ONE tokenize pass feeds both rankers and the labels (5 corpus HOF
+    // passes → 2 with the shared 1-row length stats; measured 2.9 s →
+    // see NOTES round 12); the persisted relation is posting-list-sized
+    val toks = matchedToks(spark, dir, terms).persist()
+    // the 1-row stats relation is consumed through two DIFFERENT
+    // projections (bm25's crossJoin, QL's c_len select), so ReuseExchange
+    // can't dedup them — persist() can
+    val stats = corpusDl(spark, dir).persist()
+    val rels = relsFrom(toks)
     val gain = expr("shiftleft(1, cast(rel as int)) - 1")
     val disc = log(col("i") + 1) / log(lit(2.0))
     val ideal = rels.orderBy($"rel".desc, $"doc_id").limit(EvalK)
@@ -380,8 +403,8 @@ object Retrieval {
         .agg(count(when($"rel" > 0, 1)).as("n_rel"),
           Det.dsum(gain / (log($"rank" + 1) / log(lit(2.0)))).as("dcg"))
         .select(lit(name).as("ranker"), $"n_rel", $"dcg")
-    dcgOf(bm25Ranked(spark, dir, terms), "bm25")
-      .unionByName(dcgOf(qlRanked(spark, dir, terms), "ql"))
+    dcgOf(bm25RankedFrom(toks, stats), "bm25")
+      .unionByName(dcgOf(qlRankedFrom(toks, stats, terms), "ql"))
       .crossJoin(broadcast(idcg))
       .select($"ranker", $"n_rel", $"dcg", $"idcg",
         when($"idcg" > 0, Det.qround($"dcg" / $"idcg"))
