@@ -694,52 +694,66 @@ object Governance {
     * relation (two-level re-agg, no second scan). The scored grid is
     * #classes × m rows — class-level, never corpus-level — with the
     * m-row-per-class window running over it. */
+  /** (lang, chars_bucket, source, cnt) class-value counts from a documents
+    * relation — the ADDITIVE base of the t-closeness audit (counts over
+    * disjoint row slices sum to counts over the union), shared by
+    * [[qTCloseness]] and the streaming maintainer
+    * graft.streaming.StreamTclose. */
+  private[graft] def tcloseClassCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    kanonClasses(docs)
+      .groupBy(col("lang"), col("chars_bucket"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score a (lang, chars_bucket, source, cnt) count relation into the
+    * t-closeness report — shared by batch and stream so the two surfaces
+    * can never drift. Callers should persist `cv`: FOUR consumers derive
+    * from it (class sizes, global dist, the grid's left side, totals) —
+    * without the cache each one re-plans its own upstream scan (the
+    * q_contamination lesson). */
+  private[graft] def tcloseReport(cv: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cv.sparkSession
+    import spark.implicits._
+    val glob = cv.groupBy($"source").agg(sum($"cnt").as("g_cnt"))
+    val tot = glob.agg(sum($"g_cnt").as("n_total"),
+      count(lit(1)).as("m"))
+    val classes = cv.groupBy($"lang", $"chars_bucket")
+      .agg(sum($"cnt").as("class_n"))
+    val grid = classes
+      .crossJoin(broadcast(glob))
+      .join(cv, Seq("lang", "chars_bucket", "source"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+    val wOrd = Window.partitionBy($"lang", $"chars_bucket")
+      .orderBy($"source")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = grid
+      .withColumn("cumcnt", sum($"cnt").over(wCum))
+      .withColumn("cumg", sum($"g_cnt").over(wCum))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("diff",
+        $"cnt" / $"class_n" - $"g_cnt" / $"n_total")
+      .withColumn("cdiff",
+        $"cumcnt" / $"class_n" - $"cumg" / $"n_total")
+      .groupBy($"lang", $"chars_bucket", $"class_n", $"m")
+      .agg(Det.dsum(abs($"diff")).as("sad"),
+        Det.dsum(when($"rn" < $"m", abs($"cdiff")).otherwise(lit(0.0)))
+          .as("scum"))
+    scored
+      .withColumn("vd", Det.qround($"sad" * lit(0.5)))
+      .select($"lang", $"chars_bucket", $"class_n", $"vd",
+        when($"m" > 1, Det.qround($"scum" / ($"m" - 1)))
+          .otherwise(lit(0.0)).as("emd"),
+        ($"vd" > TClose).as("t_violation"))
+      .orderBy($"lang", $"chars_bucket")
+  }
+
   val qTCloseness = GraftQuery(
     "q_t_closeness",
-    (spark, dir) => {
-      import spark.implicits._
-      // persist the (class, value) counts: FOUR consumers derive from this
-      // relation (class sizes, global dist, the grid's left side, totals) —
-      // without the cache each one re-plans its own corpus scan (the
-      // q_contamination lesson); with it the corpus is read ONCE and the
-      // cached relation is class-level-sized
-      val cv = kanonClasses(Tables.documents(spark, dir))
-        .groupBy($"lang", $"chars_bucket", $"source")
-        .agg(count(lit(1)).as("cnt"))
-        .persist()
-      val glob = cv.groupBy($"source").agg(sum($"cnt").as("g_cnt"))
-      val tot = glob.agg(sum($"g_cnt").as("n_total"),
-        count(lit(1)).as("m"))
-      val classes = cv.groupBy($"lang", $"chars_bucket")
-        .agg(sum($"cnt").as("class_n"))
-      val grid = classes
-        .crossJoin(broadcast(glob))
-        .join(cv, Seq("lang", "chars_bucket", "source"), "left")
-        .na.fill(0L, Seq("cnt"))
-        .crossJoin(broadcast(tot))
-      val wOrd = Window.partitionBy($"lang", $"chars_bucket")
-        .orderBy($"source")
-      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val scored = grid
-        .withColumn("cumcnt", sum($"cnt").over(wCum))
-        .withColumn("cumg", sum($"g_cnt").over(wCum))
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("diff",
-          $"cnt" / $"class_n" - $"g_cnt" / $"n_total")
-        .withColumn("cdiff",
-          $"cumcnt" / $"class_n" - $"cumg" / $"n_total")
-        .groupBy($"lang", $"chars_bucket", $"class_n", $"m")
-        .agg(Det.dsum(abs($"diff")).as("sad"),
-          Det.dsum(when($"rn" < $"m", abs($"cdiff")).otherwise(lit(0.0)))
-            .as("scum"))
-      scored
-        .withColumn("vd", Det.qround($"sad" * lit(0.5)))
-        .select($"lang", $"chars_bucket", $"class_n", $"vd",
-          when($"m" > 1, Det.qround($"scum" / ($"m" - 1)))
-            .otherwise(lit(0.0)).as("emd"),
-          ($"vd" > TClose).as("t_violation"))
-        .orderBy($"lang", $"chars_bucket")
-    },
+    (spark, dir) =>
+      tcloseReport(
+        tcloseClassCounts(Tables.documents(spark, dir)).persist()),
     Some(s"""
       WITH cv AS (
         SELECT lang, n_chars // 100 AS chars_bucket, source, count(*) AS cnt

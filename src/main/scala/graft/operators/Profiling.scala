@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Oracle, Tables}
 import graft.functions.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -290,27 +291,56 @@ object Profiling {
     * vocabulary against the BROADCAST d·w-cell sketch; the exact recount
     * (feasible on the bounded driver vocabulary) exists only to score the
     * audit. */
+  /** The CMS bucket derivation — shared text so build and probe can never
+    * disagree (and the streaming maintainer hashes identically). */
+  private def cmsBucket: String =
+    s"${PipelineOps.u32Expr("concat(cast(r as string), ':', term)")} % $CmsW"
+
+  /** The corpus token stream the CMS counts (the q_heavy_hitters stream). */
+  private[graft] def cmsTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select(explode(graft.functions.Text.tokens($"text")).as("term"))
+  }
+
+  /** Build the d×w sketch cells (r, bucket, c) from any (term) relation —
+    * ADDITIVE: cells over disjoint row slices sum to the cells over the
+    * union, which is both why the partial aggregate IS the merge and why
+    * graft.streaming.StreamCms can maintain this exact relation per
+    * micro-batch. */
+  private[graft] def cmsCells(terms: DataFrame): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    terms
+      .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
+      .withColumn("bucket", expr(cmsBucket))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Probe a cell relation with a (term, true_n) vocabulary: est = min
+    * over rows, plus the one-sided-error audit columns. */
+  private[graft] def cmsEstimates(cells: DataFrame, truth: DataFrame)
+      : DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    truth
+      .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
+      .withColumn("bucket", expr(cmsBucket))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy($"term", $"true_n")
+      .agg(min($"c").as("cms_est"))
+      .select($"term", $"true_n", $"cms_est",
+        ($"cms_est" - $"true_n").as("overcount"),
+        ($"cms_est" >= $"true_n").as("sound"))
+  }
+
   val qCmsHeavy = GraftQuery(
     "q_cms_heavy",
     (spark, dir) => {
       import spark.implicits._
-      def toks = Tables.spread(Tables.documents(spark, dir))
-        .select(explode(graft.functions.Text.tokens($"text")).as("term"))
-      val bucket =
-        s"${PipelineOps.u32Expr("concat(cast(r as string), ':', term)")} % $CmsW"
-      val cells = toks
-        .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
-        .withColumn("bucket", expr(bucket))
-        .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
-      toks.groupBy($"term").agg(count(lit(1)).as("true_n"))
-        .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
-        .withColumn("bucket", expr(bucket))
-        .join(broadcast(cells), Seq("r", "bucket"))
-        .groupBy($"term", $"true_n")
-        .agg(min($"c").as("cms_est"))
-        .select($"term", $"true_n", $"cms_est",
-          ($"cms_est" - $"true_n").as("overcount"),
-          ($"cms_est" >= $"true_n").as("sound"))
+      def toks = cmsTokens(spark, dir)
+      val truth = toks.groupBy($"term").agg(count(lit(1)).as("true_n"))
+      cmsEstimates(cmsCells(toks), truth)
         .orderBy($"true_n".desc, $"term")
         .limit(20)
     },
