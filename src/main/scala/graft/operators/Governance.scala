@@ -799,7 +799,83 @@ object Governance {
       ORDER BY lang, chars_bucket""")
   )
 
+  /** Metadata-association bias audit: is `source` confounded with `lang`?
+    * A training corpus whose provenance predicts language (or any other
+    * stratum) smuggles spurious correlations into everything sampled from
+    * it — the contingency-table independence test is the standard screen.
+    * One row: Pearson χ² with dof, mutual information (nats), and
+    * Cramér's V effect size over the (lang, source) contingency table.
+    *
+    * Exactness: expected counts e = row·col/N are double expressions over
+    * exact integer margins (identical IEEE trees); zero cells contribute
+    * (0−e)²/e = e to χ² (the FULL margin grid is materialized — it is
+    * |langs|×|sources|, class-level) and 0 to MI by the 0·ln 0 = 0
+    * convention (explicit CASE, not NaN); the cell sums run through
+    * [[Det.dsum]]. Scale shape: ONE corpus aggregate to the contingency
+    * table; margins, totals and the grid are re-aggregations of it
+    * (broadcast, class-level). */
+  val qChi2Bias = GraftQuery(
+    "q_chi2_bias",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.documents(spark, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+        .persist()
+      val rl = o.groupBy($"lang").agg(sum($"o").as("rl"))
+      val cs = o.groupBy($"source").agg(sum($"o").as("cs"))
+      val tot = o.agg(sum($"o").as("n"))
+      val dims = rl.agg(count(lit(1)).as("n_lang"))
+        .crossJoin(cs.agg(count(lit(1)).as("n_source")))
+      val grid = rl.crossJoin(broadcast(cs))
+        .join(o, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", $"rl" * $"cs" / $"n")
+      val sums = grid.agg(
+        Det.dsum(($"o" - $"e") * ($"o" - $"e") / $"e").as("chi2"),
+        Det.dsum(when($"o" > 0,
+          ($"o" / $"n") * log($"o" * $"n" / ($"rl" * $"cs")))
+          .otherwise(lit(0.0))).as("mi"))
+      sums.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+        .select($"n", $"n_lang", $"n_source",
+          (($"n_lang" - 1) * ($"n_source" - 1)).as("dof"),
+          $"chi2", $"mi",
+          when(($"n_lang" > 1) && ($"n_source" > 1),
+            Det.qround(sqrt($"chi2" /
+              ($"n" * least($"n_lang" - 1, $"n_source" - 1)))))
+            .otherwise(lit(0.0)).as("cramers_v"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      rl AS (SELECT lang, sum(o)::BIGINT AS rl FROM o GROUP BY 1),
+      cs AS (SELECT source, sum(o)::BIGINT AS cs FROM o GROUP BY 1),
+      tot AS (SELECT sum(o)::BIGINT AS n FROM o),
+      dims AS (
+        SELECT (SELECT count(*) FROM rl)::BIGINT AS n_lang,
+               (SELECT count(*) FROM cs)::BIGINT AS n_source),
+      grid AS (
+        SELECT r.rl, c.cs, coalesce(o.o, 0)::BIGINT AS o, t.n,
+          r.rl * c.cs / t.n AS e
+        FROM rl r CROSS JOIN cs c
+        LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+        CROSS JOIN tot t),
+      sums AS (
+        SELECT
+          ${Oracle.dsum("(o - e) * (o - e) / e")} AS chi2,
+          ${Oracle.dsum(
+            "CASE WHEN o > 0 THEN (o / n) * ln(o * n / (rl * cs)) ELSE 0e0 END")}
+            AS mi
+        FROM grid)
+      SELECT n, n_lang, n_source,
+        (n_lang - 1) * (n_source - 1) AS dof, chi2, mi,
+        CASE WHEN n_lang > 1 AND n_source > 1 THEN
+          ${Oracle.qround("sqrt(chi2 / (n * least(n_lang - 1, n_source - 1)))")}
+        ELSE 0e0 END AS cramers_v
+      FROM sums CROSS JOIN tot CROSS JOIN dims""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
-      qHistQuantiles, qCusumDrift, qTCloseness)
+      qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias)
 }

@@ -927,8 +927,112 @@ object LexicalStats {
       LIMIT 20""")
   )
 
+  /** Number of corpus-prefix checkpoints for the Heaps-law fit. */
+  val HeapsCheckpoints = 10
+
+  /** Heaps/Herdan vocabulary-growth law fit — the companion of
+    * [[qZipfFit]] (Zipf: frequency vs rank; Heaps: vocabulary vs corpus
+    * size, V = k·Nᵝ) and the 100 TB planning tool it implies: fit β on
+    * today's corpus, extrapolate tokenizer/embedding-table vocabulary at
+    * 10× data before paying for the scan.
+    *
+    * The naive build (distinct-count per corpus prefix) re-scans the
+    * corpus once per checkpoint; the relational trick is FIRST-OCCURRENCE
+    * REDUCTION: V(prefix ≤ c) = |{terms: min doc_id ≤ c}|, so ONE
+    * (term → min doc_id) aggregate answers every checkpoint, and the
+    * checkpoint grid is a conditional count over the vocabulary-sized
+    * firsts relation. Checkpoints are exact doc_id deciles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, bit-identical); the OLS fit
+    * of ln V on ln N runs over ≤10 points through the q_zipf_fit decimal
+    * moment machinery. Output: the growth curve (decile, n_docs, vocab)
+    * with the fitted (beta, ln_k) alongside. */
+  val qHeapsFit = GraftQuery(
+    "q_heaps_fit",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val pcts = (1 to HeapsCheckpoints)
+        .map(i => (i / 10.0).toString + "D").mkString(", ")
+      val cps = docs.agg(expr(s"percentile(doc_id, array($pcts))").as("cps"))
+        .select(posexplode($"cps").as(Seq("i", "cp")))
+        .select(($"i" + 1).cast(LongType).as("decile"), $"cp")
+      val firsts = Tables.spread(docs)
+        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"term").agg(min($"doc_id").as("first_doc"))
+      val nd = docs.select($"doc_id").crossJoin(broadcast(cps))
+        .groupBy($"decile", $"cp")
+        .agg(count(when($"doc_id" <= $"cp", 1)).as("n_docs"))
+      val vb = firsts.crossJoin(broadcast(cps))
+        .groupBy($"decile")
+        .agg(count(when($"first_doc" <= $"cp", 1)).as("vocab"))
+      val pts = nd.join(vb, Seq("decile"))
+      val fit = pts.filter($"n_docs" > 0 && $"vocab" > 0)
+        .select(log($"n_docs".cast(DoubleType)).as("x"),
+          log($"vocab".cast(DoubleType)).as("y"))
+        .agg(
+          count(lit(1)).as("np"),
+          sum($"x".cast(DecimalType(38, 12))).cast(DoubleType).as("sx"),
+          sum($"y".cast(DecimalType(38, 12))).cast(DoubleType).as("sy"),
+          sum(($"x" * $"y").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sxy"),
+          sum(($"x" * $"x").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sxx"))
+        .select(
+          Det.qround(($"np" * $"sxy" - $"sx" * $"sy") /
+            ($"np" * $"sxx" - $"sx" * $"sx")).as("beta"),
+          Det.qround(($"sy" * $"sxx" - $"sx" * $"sxy") /
+            ($"np" * $"sxx" - $"sx" * $"sx")).as("ln_k"))
+      pts.crossJoin(broadcast(fit))
+        .select($"decile", $"n_docs", $"vocab", $"beta", $"ln_k")
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH cps AS (
+        SELECT unnest(range(1, ${HeapsCheckpoints + 1})) AS decile,
+          unnest(q) AS cp
+        FROM (SELECT quantile_cont(doc_id,
+          [${(1 to HeapsCheckpoints).map(i => s"${i / 10.0}e0").mkString(", ")}])
+          AS q FROM documents)),
+      firsts AS (
+        SELECT term, min(doc_id) AS first_doc FROM (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+          FROM documents)
+        GROUP BY term),
+      nd AS (
+        SELECT decile, cp,
+          count(CASE WHEN doc_id <= cp THEN 1 END) AS n_docs
+        FROM documents CROSS JOIN cps GROUP BY 1, 2),
+      vb AS (
+        SELECT decile, count(CASE WHEN first_doc <= cp THEN 1 END) AS vocab
+        FROM firsts CROSS JOIN cps GROUP BY 1),
+      pts AS (
+        SELECT nd.decile, nd.n_docs, vb.vocab
+        FROM nd JOIN vb USING (decile)),
+      xy AS (
+        SELECT ln(n_docs::DOUBLE) AS x, ln(vocab::DOUBLE) AS y
+        FROM pts WHERE n_docs > 0 AND vocab > 0),
+      m AS (
+        SELECT count(*) AS np,
+          sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+          sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+          sum(CAST(x * y AS DECIMAL(38,12)))::DOUBLE AS sxy,
+          sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx
+        FROM xy),
+      fit AS (
+        SELECT
+          ${Oracle.qround("(np * sxy - sx * sy) / (np * sxx - sx * sx)")}
+            AS beta,
+          ${Oracle.qround("(sy * sxx - sx * sxy) / (np * sxx - sx * sx)")}
+            AS ln_k
+        FROM m)
+      SELECT decile, n_docs, vocab, beta, ln_k
+      FROM pts CROSS JOIN fit
+      ORDER BY decile""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
-      qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi)
+      qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit)
 }

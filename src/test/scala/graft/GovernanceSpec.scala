@@ -221,4 +221,18 @@ class GovernanceSpec extends SparkSpec {
     // emd <= vd * (m-1)/(m-1) scaling aside, here strictly <= vd
     rows.foreach { case (_, _, _, vd, e, _) => assert(e <= vd + 1e-9) }
   }
+
+  test("chi2 bias: balanced fixture contingency gives chi2=3, V=0.5") {
+    // (lang, source) table: 6 observed cells of 1, 3 empty; all margins 2,
+    // N=6 -> e = 2/3 everywhere. chi2 = 6*(1/6) + 3*(2/3) = 3.0 exactly;
+    // MI = ln 1.5 = 0.405465; V = sqrt(3/(6*min(2,2))) = 0.5 exactly.
+    val rows = Governance.qChi2Bias.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.size === 1)
+    val (n, nl, ns, dof, chi2, mi, v) = rows.head
+    assert((n, nl, ns, dof) === ((6L, 3L, 3L, 4L)))
+    assert(chi2 === 3.0)
+    assert(mi === 0.405465)
+    assert(v === 0.5)
+  }
 }

@@ -365,4 +365,20 @@ class LexicalStatsSpec extends SparkSpec {
     assert(graft.operators.LexicalStats.qCooccurPmi
       .run(spark, fixtureDir).count() === 0L)
   }
+
+  test("heaps fit: first-occurrence reduction reproduces the growth curve") {
+    // doc_id deciles of 0..5 are [0.5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4.5, 5];
+    // vocabulary first-occurrences: d0 brings {fast,slow}, d1 {the,big},
+    // d2/d3 nothing new, d4 {w1..w30}, d5 {zz}
+    val rows = graft.operators.LexicalStats.qHeapsFit.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) === Seq(
+      (1L, 1L, 2L), (2L, 2L, 4L), (3L, 2L, 4L), (4L, 3L, 4L), (5L, 3L, 4L),
+      (6L, 4L, 4L), (7L, 4L, 4L), (8L, 5L, 34L), (9L, 5L, 34L),
+      (10L, 6L, 35L)))
+    // one global fit rides on every row; growth is positive
+    assert(rows.map(_._4).distinct.size === 1)
+    assert(rows.map(_._5).distinct.size === 1)
+    assert(rows.head._4 > 0.0)
+  }
 }
