@@ -1278,6 +1278,88 @@ object EventAnalytics {
       ORDER BY event_type, k""")
   )
 
+  /** Cross-correlation function of the click and purchase daily value
+    * series at lags −7..+7 — the leading-indicator diagnostic beside
+    * [[qAutocorr]] (does click volume LEAD purchase volume, and by how
+    * many days?):
+    *
+    *   ccf(k) = Σ_t (x_t − m_x)(y_{t+k} − m_y) / √(Σ(x−m_x)² · Σ(y−m_y)²)
+    *
+    * The day grid is the corpus's activity days; a day with no events of
+    * one type contributes 0 to that type's series (zero-fill inside the
+    * SAME daily aggregate — no pivot, no second scan). Scale shape: one
+    * corpus pass to the daily pair series; the lag alignment is a
+    * day-domain self-join against the broadcast 15-row lag list —
+    * everything past the daily aggregate is day-domain-sized. Means,
+    * deviations and the denominator follow the q_autocorr determinism
+    * recipe (dsum/qround); denominator zero (a constant series) yields
+    * NULL ccf in both engines. */
+  val qCrossCorr = GraftQuery(
+    "q_cross_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"day")
+        .agg(
+          dsum(when($"event_type" === "click", $"value").otherwise(lit(0.0)))
+            .as("x"),
+          dsum(when($"event_type" === "purchase", $"value").otherwise(lit(0.0)))
+            .as("y"))
+      val means = daily
+        .agg(count(lit(1)).as("n"), dsum($"x").as("sx"), dsum($"y").as("sy"))
+        .select(Det.qround($"sx" / $"n").as("mx"),
+          Det.qround($"sy" / $"n").as("my"))
+      val dev = daily.crossJoin(broadcast(means))
+        .select($"day", ($"x" - $"mx").as("dx"), ($"y" - $"my").as("dy"))
+      val den = dev.agg(dsum($"dx" * $"dx").as("sxx"),
+        dsum($"dy" * $"dy").as("syy"))
+      val lags = spark.range(-7, 8).toDF("k")
+      val pairs = dev.as("a")
+        .crossJoin(broadcast(lags))
+        .join(dev.as("b"), $"b.day" === $"a.day" + $"k")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_pairs"), dsum($"a.dx" * $"b.dy").as("num"))
+      pairs.crossJoin(broadcast(den))
+        .select($"k", $"n_pairs",
+          when($"sxx" * $"syy" > 0,
+            Det.qround($"num" / sqrt($"sxx" * $"syy")))
+            .otherwise(lit(null).cast(DoubleType)).as("ccf"))
+        .orderBy($"k")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("CASE WHEN event_type = 'click' THEN value ELSE 0e0 END")}
+            AS x,
+          ${Oracle.dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0e0 END")}
+            AS y
+        FROM events GROUP BY 1),
+      means AS (
+        SELECT ${Oracle.qround(s"${Oracle.dsum("x")} / count(*)")} AS mx,
+          ${Oracle.qround(s"${Oracle.dsum("y")} / count(*)")} AS my
+        FROM daily),
+      dev AS (
+        SELECT day, x - mx AS dx, y - my AS dy
+        FROM daily CROSS JOIN means),
+      den AS (
+        SELECT ${Oracle.dsum("dx * dx")} AS sxx,
+          ${Oracle.dsum("dy * dy")} AS syy
+        FROM dev),
+      lags AS (SELECT unnest(range(-7, 8)) AS k),
+      pairs AS (
+        SELECT l.k, count(*) AS n_pairs,
+          ${Oracle.dsum("a.dx * b.dy")} AS num
+        FROM dev a CROSS JOIN lags l JOIN dev b ON b.day = a.day + l.k
+        GROUP BY l.k)
+      SELECT k, n_pairs,
+        CASE WHEN sxx * syy > 0 THEN
+          ${Oracle.qround("num / sqrt(sxx * syy)")}
+        END AS ccf
+      FROM pairs CROSS JOIN den
+      ORDER BY k""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1287,5 +1369,5 @@ object EventAnalytics {
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
-    qAutocorr)
+    qAutocorr, qCrossCorr)
 }

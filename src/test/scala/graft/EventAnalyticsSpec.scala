@@ -212,4 +212,23 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Double])].collect().toSeq
     assert(rows === Seq(("click", 1L, 1L, Some(-0.5))))
   }
+
+  test("cross corr: fixture has no purchases -> NULL ccf, pair counts exact") {
+    // y-series is all zeros (no purchase events): syy = 0 -> the NULL
+    // guard must fire for every lag; activity days are {0, 1} so only
+    // lags -1/0/1 produce aligned pairs
+    val rows = EventAnalytics.qCrossCorr.run(spark, fixtureDir)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(rows === Seq((-1L, 1L, None), (0L, 2L, None), (1L, 1L, None)))
+  }
+
+  test("cross corr at sf0.001: all 15 lags aligned, ccf bounded") {
+    val rows = EventAnalytics.qCrossCorr.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(rows.map(_._1) === (-7L to 7L))
+    rows.foreach { case (_, nPairs, ccf) =>
+      assert(nPairs > 0L)
+      assert(ccf.exists(c => c >= -1.0 && c <= 1.0))
+    }
+  }
 }
