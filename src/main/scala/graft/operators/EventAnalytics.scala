@@ -1360,6 +1360,85 @@ object EventAnalytics {
       ORDER BY k""")
   )
 
+  /** Classical seasonal decomposition (moving-average flavor, the STL
+    * ancestor) of the per-type daily value series: v = trend + seasonal +
+    * residual, with trend = centered 7-day moving average (defined only
+    * where the full window exists), seasonal = the mean detrended value of
+    * the day-of-week slot, residual = what's left — the decomposition a
+    * metrics pipeline runs before alerting on "weekday dip or real drop?".
+    *
+    * Determinism: a FLOAT windowed average is a cross-engine hazard
+    * (Spark's running frame vs DuckDB's segment tree can disagree in the
+    * last ulp — the q_t_closeness lesson), so the trend window sums
+    * DECIMAL-cast addends (exact, order-free) and divides once; seasonal
+    * means go through dsum/qround. Scale shape: one corpus pass to the
+    * (type, day) aggregate; the trend window and the 7-row-per-type
+    * seasonal relation are day-domain-sized, partitioned by type. */
+  val qStlDecompose = GraftQuery(
+    "q_stl_decompose",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"event_type", $"day")
+        .agg(dsum($"value").as("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("trend",
+          when($"win_n" === 7, Det.qround(
+            sum($"v".cast(DecimalType(38, Det.Scale))).over(w)
+              .cast(DoubleType) / lit(7.0))))
+        .withColumn("detr", $"v" - $"trend")
+      val seasonal = trended.filter($"trend".isNotNull)
+        .groupBy($"event_type", ($"day" % 7).as("dow"))
+        .agg(count(lit(1)).as("ns"), dsum($"detr").as("sd"))
+        .select($"event_type", $"dow",
+          Det.qround($"sd" / $"ns").as("seasonal"))
+      trended.as("t")
+        .join(broadcast(seasonal.select($"event_type".as("s_type"),
+            $"dow", $"seasonal")),
+          $"t.event_type" === $"s_type" && ($"t.day" % 7) === $"dow",
+          "left")
+        .select($"t.event_type".as("event_type"), $"t.day".as("day"),
+          $"t.v".as("v"), $"t.trend".as("trend"),
+          when($"t.trend".isNotNull, $"seasonal").as("seasonal"),
+          when($"t.trend".isNotNull,
+            Det.qround($"t.v" - $"t.trend" - $"seasonal")).as("residual"))
+        .orderBy($"event_type", $"day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("value")} AS v
+        FROM events GROUP BY 1, 2),
+      trended AS (
+        SELECT event_type, day, v,
+          CASE WHEN count(*) OVER w = 7 THEN
+            ${Oracle.qround(
+              "(sum(CAST(v AS DECIMAL(38,9))) OVER w)::DOUBLE / 7e0")}
+          END AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      seasonal AS (
+        SELECT event_type, day % 7 AS dow,
+          ${Oracle.qround(s"${Oracle.dsum("v - trend")} / count(*)")}
+            AS seasonal
+        FROM trended WHERE trend IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT t.event_type, t.day, t.v, t.trend,
+        CASE WHEN t.trend IS NOT NULL THEN s.seasonal END AS seasonal,
+        CASE WHEN t.trend IS NOT NULL THEN
+          ${Oracle.qround("t.v - t.trend - s.seasonal")}
+        END AS residual
+      FROM trended t
+      LEFT JOIN seasonal s
+        ON s.event_type = t.event_type AND s.dow = t.day % 7
+      ORDER BY t.event_type, t.day""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1369,5 +1448,5 @@ object EventAnalytics {
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
-    qAutocorr, qCrossCorr)
+    qAutocorr, qCrossCorr, qStlDecompose)
 }

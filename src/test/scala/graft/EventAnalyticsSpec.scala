@@ -231,4 +231,33 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(ccf.exists(c => c >= -1.0 && c <= 1.0))
     }
   }
+
+  test("stl decompose: short fixture series never earns a trend window") {
+    // 7-day centered MA needs 7 days; the fixture spans 2 -> the
+    // decomposition columns must be NULL everywhere, values intact
+    val rows = EventAnalytics.qStlDecompose.run(spark, fixtureDir)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) === Seq(
+      ("click", 0L, 4.0), ("click", 1L, 5.0),
+      ("signup", 1L, 6.0), ("view", 0L, 6.0)))
+    rows.foreach { case (_, _, _, t, se, re) =>
+      assert(t.isEmpty && se.isEmpty && re.isEmpty)
+    }
+  }
+
+  test("stl decompose at sf0.001: reconstruction v = trend+seasonal+resid") {
+    val rows = EventAnalytics.qStlDecompose.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    val full = rows.filter(_._4.isDefined)
+    assert(full.nonEmpty) // the sf corpus spans enough days
+    full.foreach { case (_, _, v, Some(t), se, re) =>
+      assert(se.isDefined && re.isDefined)
+      assert(math.abs(v - t - se.get - re.get) < 1e-6)
+    case r => fail(r.toString)
+    }
+    // interior days have trend; the 3-day edges of each series don't
+    assert(rows.exists(_._4.isEmpty))
+  }
 }
