@@ -367,7 +367,77 @@ object BehaviorAnalytics {
       ORDER BY prev_type, next_type""")
   )
 
+  /** Welch's two-sample t-test between the click and purchase value
+    * distributions — the A/B experimentation primitive (unequal
+    * variances, unequal sizes; the test a metrics platform runs on every
+    * experiment readout). One row: per-group (n, mean, var), the t
+    * statistic and the Welch–Satterthwaite degrees of freedom.
+    *
+    * Exactness: means and the Σx² moments are decimal-exact
+    * ([[Det.dsum]] over x and x²); sample variance is computed from the
+    * exact moments as (Σx² − n·m²)/(n−1) — one IEEE expression tree over
+    * 6-dp-stable inputs, identical in both engines; t and df are pure
+    * double arithmetic over those, [[Det.qround]]ed on output. Scale
+    * shape: ONE partial+final aggregate over a 2-column scan with the
+    * group filter pushed to it; everything downstream is a 2-row
+    * relation. */
+  val qAbWelch = GraftQuery(
+    "q_ab_welch",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sx"),
+          Det.dsum($"value" * $"value").as("sxx"))
+        .select($"event_type", $"n",
+          Det.qround($"sx" / $"n").as("mean"),
+          when($"n" > 1, Det.qround(
+            ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("variance"))
+      val a = g.filter($"event_type" === "click")
+        .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
+      val b = g.filter($"event_type" === "purchase")
+        .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
+      a.crossJoin(broadcast(b))
+        .withColumn("se1", $"v1" / $"n1")
+        .withColumn("se2", $"v2" / $"n2")
+        .select($"n1", $"m1", $"v1", $"n2", $"m2", $"v2",
+          Det.qround(($"m1" - $"m2") / sqrt($"se1" + $"se2")).as("t_stat"),
+          Det.qround(
+            ($"se1" + $"se2") * ($"se1" + $"se2") /
+              ($"se1" * $"se1" / ($"n1" - 1) +
+                $"se2" * $"se2" / ($"n2" - 1))).as("df"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+          ${Oracle.dsum("value")} AS sx,
+          ${Oracle.dsum("value * value")} AS sxx
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      m AS (
+        SELECT event_type, n,
+          ${Oracle.qround("sx / n")} AS mean,
+          CASE WHEN n > 1 THEN
+            ${Oracle.qround("(sxx - sx * sx / n) / (n - 1)")}
+          END AS variance
+        FROM g),
+      a AS (SELECT n AS n1, mean AS m1, variance AS v1 FROM m
+            WHERE event_type = 'click'),
+      b AS (SELECT n AS n2, mean AS m2, variance AS v2 FROM m
+            WHERE event_type = 'purchase'),
+      j AS (
+        SELECT *, v1 / n1 AS se1, v2 / n2 AS se2
+        FROM a CROSS JOIN b)
+      SELECT n1, m1, v1, n2, m2, v2,
+        ${Oracle.qround("(m1 - m2) / sqrt(se1 + se2)")} AS t_stat,
+        ${Oracle.qround(
+          """(se1 + se2) * (se1 + se2) /
+             (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))""")} AS df
+      FROM j""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
-      qInterarrival, qMarkovTransitions)
+      qInterarrival, qMarkovTransitions, qAbWelch)
 }

@@ -117,4 +117,39 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       ("view", "signup", 1L, 0.5),
       ("view", "view", 1L, 0.5)))
   }
+
+  test("ab welch: fixture has no purchase arm -> empty readout, no crash") {
+    assert(BehaviorAnalytics.qAbWelch.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("ab welch at sf0.001: independent plain-Scala replica of t and df") {
+    def decSum(xs: Seq[Double]): Double = {
+      val s = xs.map(BigDecimal.valueOf(_)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      (BigDecimal(math.floor((s * 1000000).toDouble + 0.5)) / 1000000).toDouble
+    }
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def arm(t: String) = {
+      val xs = ev.filter(_._1 == t).map(_._2).toSeq
+      val n = xs.size.toDouble
+      val sx = decSum(xs); val sxx = decSum(xs.map(x => x * x))
+      (n, qr(sx / n), qr((sxx - sx * sx / n) / (n - 1)))
+    }
+    val (n1, m1, v1) = arm("click"); val (n2, m2, v2) = arm("purchase")
+    val (se1, se2) = (v1 / n1, v2 / n2)
+    val expT = qr((m1 - m2) / math.sqrt(se1 + se2))
+    val expDf = qr((se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)))
+    val rows = BehaviorAnalytics.qAbWelch.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Double, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.size === 1)
+    val r = rows.head
+    assert((r._1.toDouble, r._2, r._3) === ((n1, m1, v1)))
+    assert((r._4.toDouble, r._5, r._6) === ((n2, m2, v2)))
+    assert(r._7 === expT)
+    assert(r._8 === expDf)
+  }
 }
