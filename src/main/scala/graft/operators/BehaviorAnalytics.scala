@@ -434,7 +434,8 @@ object BehaviorAnalytics {
         ${Oracle.qround(
           """(se1 + se2) * (se1 + se2) /
              (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))""")} AS df
-      FROM j""")
+      FROM j
+      ORDER BY n1""")
   )
 
   val all: Seq[GraftQuery] =

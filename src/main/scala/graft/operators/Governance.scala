@@ -872,7 +872,8 @@ object Governance {
         CASE WHEN n_lang > 1 AND n_source > 1 THEN
           ${Oracle.qround("sqrt(chi2 / (n * least(n_lang - 1, n_source - 1)))")}
         ELSE 0e0 END AS cramers_v
-      FROM sums CROSS JOIN tot CROSS JOIN dims""")
+      FROM sums CROSS JOIN tot CROSS JOIN dims
+      ORDER BY n""")
   )
 
   val all: Seq[GraftQuery] =
