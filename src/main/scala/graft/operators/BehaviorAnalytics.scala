@@ -438,7 +438,200 @@ object BehaviorAnalytics {
       ORDER BY n1""")
   )
 
+  /** Per-distinct-value counts of the two experiment arms — the shared
+    * input of [[qKsTest]] and [[qMwuTest]]. ONE partial+final aggregate
+    * over a 2-column scan collapses the corpus to the distinct-value
+    * domain (the driver's `value` is a 2-dp grid, so the domain is bounded
+    * by range·100 rows, not by the corpus); every rank/ECDF computation
+    * downstream is value-domain-sized. */
+  private[graft] def armValueCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter($"event_type".isin(ArmA, ArmB))
+      .groupBy($"value")
+      .agg(sum(when($"event_type" === ArmA, 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === ArmB, 1L).otherwise(0L)).as("c2"))
+  }
+
+  private val ArmA = "click"
+  private val ArmB = "purchase"
+
+  /** Oracle-side twin of [[armValueCounts]] plus the arm totals. */
+  private val ArmCountsSql = s"""
+      c AS (
+        SELECT value,
+          sum(CASE WHEN event_type = '$ArmA' THEN 1 ELSE 0 END)::BIGINT AS c1,
+          sum(CASE WHEN event_type = '$ArmB' THEN 1 ELSE 0 END)::BIGINT AS c2
+        FROM events WHERE event_type IN ('$ArmA', '$ArmB')
+        GROUP BY 1),
+      tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM c)"""
+
+  /** Two-sample Kolmogorov–Smirnov test between the click and purchase
+    * value distributions — the NONPARAMETRIC companion of [[qAbWelch]]
+    * (does the whole distribution differ, not just the mean?). One row:
+    * arm sizes, the KS D statistic, the scaled statistic
+    * λ = √(n₁n₂/(n₁+n₂))·D and the one-term asymptotic p ≈ 2·e^(−2λ²).
+    *
+    * Exactness: the ECDF difference at every distinct value is the exact
+    * INTEGER |cum1·n₂ − cum2·n₁| (cumulative counts are windowed integer
+    * sums — the q_t_closeness lesson: never float prefix sums across
+    * engines), so the max is order-free and D is a single exact-integer
+    * division, [[Det.qround]]ed; λ and p are short IEEE trees over
+    * 6-dp-stable inputs. Products ride DECIMAL(38,0) so a 10⁹-row arm
+    * cannot silently wrap a BIGINT (Spark wraps, DuckDB raises — the
+    * decimal lane removes the asymmetry).
+    *
+    * Scale shape: ONE corpus aggregate (partial+final) to the value
+    * domain; the unpartitioned cum window runs above that bounded
+    * aggregate (the q_psi_drift discipline — at an unbounded domain you
+    * would swap in the two-phase range-partitioned prefix sum). An arm
+    * with zero rows yields an empty readout (no cross-engine 0/0). */
+  val qKsTest = GraftQuery(
+    "q_ks_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(38, 0)
+      val counts = armValueCounts(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+        .filter($"n1" > 0 && $"n2" > 0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = counts.select(
+        sum($"c1").over(w).as("cum1"), sum($"c2").over(w).as("cum2"))
+      val dnum = cum.crossJoin(broadcast(tot))
+        .agg(max(abs($"cum1".cast(dec) * $"n2" - $"cum2".cast(dec) * $"n1"))
+          .as("dnum"))
+      dnum.crossJoin(broadcast(tot))
+        .select($"n1", $"n2",
+          Det.qround($"dnum".cast(DoubleType) /
+            ($"n1".cast(dec) * $"n2").cast(DoubleType)).as("d_stat"))
+        .withColumn("ks_lambda", Det.qround(
+          sqrt(($"n1".cast(DoubleType) * $"n2".cast(DoubleType)) /
+            ($"n1".cast(DoubleType) + $"n2".cast(DoubleType))) * $"d_stat"))
+        .select($"n1", $"n2", $"d_stat", $"ks_lambda",
+          Det.qround(lit(2.0) *
+            exp(lit(-2.0) * $"ks_lambda" * $"ks_lambda")).as("p_approx"))
+    },
+    Some(s"""
+      WITH $ArmCountsSql,
+      cum AS (
+        SELECT (sum(c1) OVER w)::BIGINT AS cum1,
+               (sum(c2) OVER w)::BIGINT AS cum2
+        FROM c
+        WINDOW w AS (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      m AS (
+        SELECT max(abs(cum1::DECIMAL(38,0) * n2 - cum2::DECIMAL(38,0) * n1))
+          AS dnum
+        FROM cum CROSS JOIN tot),
+      d AS (
+        SELECT n1, n2,
+          ${Oracle.qround(
+            "(dnum::DOUBLE) / ((n1::DECIMAL(38,0) * n2)::DOUBLE)")} AS d_stat
+        FROM m CROSS JOIN tot WHERE n1 > 0 AND n2 > 0),
+      l AS (
+        SELECT n1, n2, d_stat,
+          ${Oracle.qround(
+            """sqrt((n1::DOUBLE * n2::DOUBLE) /
+               (n1::DOUBLE + n2::DOUBLE)) * d_stat""")} AS ks_lambda
+        FROM d)
+      SELECT n1, n2, d_stat, ks_lambda,
+        ${Oracle.qround("2.0 * exp(-2.0 * ks_lambda * ks_lambda)")} AS p_approx
+      FROM l
+      ORDER BY n1""")
+  )
+
+  /** Mann–Whitney U test (Wilcoxon rank-sum) between the same two arms —
+    * the rank-based location test that, unlike [[qAbWelch]], is robust to
+    * the heavy right tail a revenue-like `value` column always has. One
+    * row: arm sizes, U₁, the tie-corrected normal approximation
+    * (μ_U, σ_U) and z.
+    *
+    * Exactness: tied observations take their average rank, and with
+    * per-value counts that average is the exact HALF-INTEGER
+    * (2·cum_before + c + 1)/2 — so 2·R₁ = Σ c₁·(2·cum_before + c + 1) and
+    * 2·U₁ stay exact integers end-to-end (no float rank arithmetic at
+    * all); the tie-correction term Σ(t³−t) is likewise integer. Only the
+    * final μ/σ/z are doubles over those exact integers, [[Det.qround]]ed.
+    * Products ride DECIMAL(38,0) (same wrap-vs-raise rationale as
+    * [[qKsTest]]).
+    *
+    * Scale shape: identical to [[qKsTest]] — one corpus aggregate, then
+    * value-domain-sized windows and a broadcast totals row. */
+  val qMwuTest = GraftQuery(
+    "q_mwu_test",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(38, 0)
+      val counts = armValueCounts(Tables.events(spark, dir))
+        .withColumn("cnt", $"c1" + $"c2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+        .filter($"n1" > 0 && $"n2" > 0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val sums = counts
+        .withColumn("cb", sum($"cnt").over(w) - $"cnt")
+        .agg(
+          sum($"c1".cast(dec) * (lit(2) * $"cb" + $"cnt" + 1)).as("r1x2"),
+          sum(($"cnt".cast(dec) * $"cnt" * $"cnt" - $"cnt")).as("tie_sum"))
+      sums.crossJoin(broadcast(tot))
+        .withColumn("u1x2",
+          lit(2) * $"n1".cast(dec) * $"n2" + $"n1".cast(dec) * ($"n1" + 1)
+            - $"r1x2")
+        .withColumn("nn", ($"n1" + $"n2").cast(DoubleType))
+        .withColumn("mu",
+          ($"n1".cast(DoubleType) * $"n2".cast(DoubleType)) / lit(2.0))
+        .withColumn("sigma", Det.qround(sqrt(
+          ($"n1".cast(DoubleType) * $"n2".cast(DoubleType)) / lit(12.0) *
+            (($"nn" + lit(1.0)) -
+              $"tie_sum".cast(DoubleType) / ($"nn" * ($"nn" - lit(1.0)))))))
+        .select($"n1", $"n2",
+          ($"u1x2".cast(DoubleType) / lit(2.0)).as("u_stat"),
+          $"tie_sum".cast(LongType).as("tie_sum"),
+          $"mu", $"sigma",
+          Det.qround(($"u1x2".cast(DoubleType) / lit(2.0) - $"mu") / $"sigma")
+            .as("z_score"))
+    },
+    Some(s"""
+      WITH $ArmCountsSql,
+      cum AS (
+        SELECT c1, c1 + c2 AS cnt,
+          (sum(c1 + c2) OVER w)::BIGINT - (c1 + c2) AS cb
+        FROM c
+        WINDOW w AS (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sums AS (
+        SELECT
+          sum(c1::DECIMAL(38,0) * (2 * cb + cnt + 1)) AS r1x2,
+          sum(cnt::DECIMAL(38,0) * cnt * cnt - cnt) AS tie_sum
+        FROM cum),
+      j AS (
+        SELECT n1, n2, r1x2, tie_sum,
+          2 * n1::DECIMAL(38,0) * n2 + n1::DECIMAL(38,0) * (n1 + 1) - r1x2
+            AS u1x2,
+          (n1 + n2)::DOUBLE AS nn,
+          (n1::DOUBLE * n2::DOUBLE) / 2.0 AS mu
+        FROM sums CROSS JOIN tot WHERE n1 > 0 AND n2 > 0),
+      s AS (
+        SELECT *,
+          ${Oracle.qround(
+            """sqrt((n1::DOUBLE * n2::DOUBLE) / 12.0 *
+               ((nn + 1.0) - tie_sum::DOUBLE / (nn * (nn - 1.0))))""")}
+            AS sigma
+        FROM j)
+      SELECT n1, n2, u1x2::DOUBLE / 2.0 AS u_stat, tie_sum::BIGINT AS tie_sum,
+        mu, sigma,
+        ${Oracle.qround("(u1x2::DOUBLE / 2.0 - mu) / sigma")} AS z_score
+      FROM s
+      ORDER BY n1""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
-      qInterarrival, qMarkovTransitions, qAbWelch)
+      qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest)
 }

@@ -152,4 +152,57 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(r._7 === expT)
     assert(r._8 === expDf)
   }
+
+  test("ks/mwu: fixture has no purchase arm -> empty readout, no crash") {
+    assert(BehaviorAnalytics.qKsTest.run(spark, fixtureDir).count() === 0L)
+    assert(BehaviorAnalytics.qMwuTest.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("ks test at sf0.001: independent plain-Scala replica of D/lambda/p") {
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    // exact-integer ECDF difference at every distinct observed value
+    val dnum = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * n2 - b.count(_ <= v).toLong * n1)
+    }.max
+    val d = qr(dnum.toDouble / (n1 * n2).toDouble)
+    val lam = qr(math.sqrt(n1.toDouble * n2.toDouble /
+      (n1.toDouble + n2.toDouble)) * d)
+    val p = qr(2.0 * math.exp(-2.0 * lam * lam))
+    val r = BehaviorAnalytics.qKsTest.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r === Seq((n1, n2, d, lam, p)))
+  }
+
+  test("mwu test at sf0.001: independent plain-Scala replica of U/sigma/z") {
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "purchase").map(_._2)
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val all = (a ++ b).sorted
+    // average rank per distinct value, as the exact doubled integer
+    val groups = all.groupBy(identity).map { case (v, g) =>
+      val cb = all.count(_ < v).toLong
+      (v, 2 * cb + g.length + 1) // = 2 * average 1-based rank
+    }
+    val r1x2 = a.map(v => groups(v)).sum
+    val u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2
+    val tieSum = all.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val nn = (n1 + n2).toDouble
+    val mu = n1.toDouble * n2.toDouble / 2.0
+    val sigma = qr(math.sqrt(n1.toDouble * n2.toDouble / 12.0 *
+      ((nn + 1.0) - tieSum.toDouble / (nn * (nn - 1.0)))))
+    val z = qr((u1x2.toDouble / 2.0 - mu) / sigma)
+    val r = BehaviorAnalytics.qMwuTest.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(r === Seq((n1, n2, u1x2.toDouble / 2.0, tieSum, mu, sigma, z)))
+  }
 }
