@@ -631,7 +631,84 @@ object BehaviorAnalytics {
       ORDER BY n1""")
   )
 
+  /** One-way ANOVA F test of `value` across ALL event arms — the k-sample
+    * completion of the two-sample ladder ([[qAbWelch]] location, [[qKsTest]]
+    * distribution, [[qMwuTest]] rank): does ANY arm's mean value differ?
+    * One row: k, N, SS_between, SS_within, F, and η² (effect size —
+    * the fraction of value variance explained by the arm).
+    *
+    * Exactness: per-arm (n, Σx, Σx²) are decimal-exact ([[Det.dsum]]);
+    * the cross-arm reductions are where order-dependence would creep back
+    * in (Spark folds the k arm rows in partition order), so every cross-arm
+    * addend is [[Det.qround]]ed to a 6-dp-stable double FIRST and then
+    * decimal-summed again — Σ_g sx_g²/n_g and Σ_g (sxx_g − sx_g²/n_g) are
+    * order-free in both engines. SSB = Σ sx_g²/n_g − (Σsx)²/N by the
+    * moment identity (no per-row grand-mean residuals — the corpus is
+    * touched ONCE). F and η² are short IEEE trees over 6-dp-stable inputs.
+    *
+    * Scale shape: ONE partial+final aggregate over a 2-column scan reduces
+    * the corpus to k rows; everything downstream is k-row arithmetic. The
+    * guards (k ≥ 2, N > k, SSW > 0) yield NULL statistics, not NaN, in
+    * both engines. */
+  val qAnovaF = GraftQuery(
+    "q_anova_f",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sx"),
+          Det.dsum($"value" * $"value").as("sxx"))
+        .select($"n", $"sx", $"sxx",
+          Det.qround($"sx" * $"sx" / $"n").as("t_g"))
+      g.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+          Det.dsum($"sx").as("sx_all"),
+          Det.dsum($"t_g").as("s1"),
+          Det.dsum(Det.qround($"sxx" - $"sx" * $"sx" / $"n")).as("ssw"))
+        .filter($"k" >= 2 && $"n_total" > $"k")
+        .withColumn("ssb",
+          Det.qround($"s1" - $"sx_all" * $"sx_all" / $"n_total"))
+        .select($"k", $"n_total",
+          $"ssb".as("ss_between"), $"ssw".as("ss_within"),
+          when($"ssw" > 0, Det.qround(
+            ($"ssb" / ($"k" - 1)) / ($"ssw" / ($"n_total" - $"k"))))
+            .as("f_stat"),
+          when($"ssb" + $"ssw" > 0,
+            Det.qround($"ssb" / ($"ssb" + $"ssw"))).as("eta_sq"))
+        .orderBy($"k")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+          ${Oracle.dsum("value")} AS sx,
+          ${Oracle.dsum("value * value")} AS sxx
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT n, sx, sxx,
+          ${Oracle.qround("sx * sx / n")} AS t_g
+        FROM g),
+      red AS (
+        SELECT count(*) AS k, sum(n)::BIGINT AS n_total,
+          ${Oracle.dsum("sx")} AS sx_all,
+          ${Oracle.dsum("t_g")} AS s1,
+          ${Oracle.dsum(Oracle.qround("sxx - sx * sx / n"))} AS ssw
+        FROM t),
+      s AS (
+        SELECT k, n_total, ssw,
+          ${Oracle.qround("s1 - sx_all * sx_all / n_total")} AS ssb
+        FROM red WHERE k >= 2 AND n_total > k)
+      SELECT k, n_total, ssb AS ss_between, ssw AS ss_within,
+        CASE WHEN ssw > 0 THEN
+          ${Oracle.qround("(ssb / (k - 1)) / (ssw / (n_total - k))")}
+        END AS f_stat,
+        CASE WHEN ssb + ssw > 0 THEN
+          ${Oracle.qround("ssb / (ssb + ssw)")}
+        END AS eta_sq
+      FROM s
+      ORDER BY k""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
-      qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest)
+      qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
+      qAnovaF)
 }

@@ -153,6 +153,43 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(r._8 === expDf)
   }
 
+  test("anova f: hand-computed fixture readout (3 arms)") {
+    // arms: click {1,3,5}, view {2,4}, signup {6} -> k=3, N=6
+    // SSB = (27+18+36) - 21^2/6 = 7.5; SSW = 8+2+0 = 10
+    // F = (7.5/2)/(10/3) = 1.125; eta^2 = 7.5/17.5 = 0.428571 (6dp)
+    val rows = BehaviorAnalytics.qAnovaF.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows === Seq((3L, 6L, 7.5, 10.0, Some(1.125), Some(0.428571))))
+  }
+
+  test("anova f at sf0.001: independent plain-Scala replica of F/eta2") {
+    def decSum(xs: Seq[Double]): Double = {
+      val s = xs.map(BigDecimal.valueOf(_)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      (BigDecimal(math.floor((s * 1000000).toDouble + 0.5)) / 1000000).toDouble
+    }
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val arms = ev.groupBy(_._1).values.map { g =>
+      val xs = g.map(_._2).toSeq
+      val n = xs.size; val sx = decSum(xs); val sxx = decSum(xs.map(x => x * x))
+      (n, sx, sxx, qr(sx * sx / n), qr(sxx - sx * sx / n))
+    }.toSeq
+    val k = arms.size; val n = arms.map(_._1).sum
+    val sxAll = decSum(arms.map(_._2))
+    val s1 = decSum(arms.map(_._4)); val ssw = decSum(arms.map(_._5))
+    val ssb = qr(s1 - sxAll * sxAll / n)
+    val expF = qr((ssb / (k - 1)) / (ssw / (n - k)))
+    val expEta = qr(ssb / (ssb + ssw))
+    val rows = BehaviorAnalytics.qAnovaF.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows === Seq(
+      (k.toLong, n.toLong, ssb, ssw, Some(expF), Some(expEta))))
+  }
+
   test("ks/mwu: fixture has no purchase arm -> empty readout, no crash") {
     assert(BehaviorAnalytics.qKsTest.run(spark, fixtureDir).count() === 0L)
     assert(BehaviorAnalytics.qMwuTest.run(spark, fixtureDir).count() === 0L)
