@@ -876,7 +876,110 @@ object Governance {
       ORDER BY n""")
   )
 
+  /** Benford first-significant-digit expectations, log10(1 + 1/d), as
+    * 6-dp literals (they sum to exactly 1.000000) — hardcoded rather than
+    * computed so both engines use byte-identical constants. */
+  private[graft] val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** Per-first-digit counts of the positive event values — the additive
+    * core of [[qBenford]], shared with the streaming maintenance twin
+    * (graft.streaming.StreamBenford) so the two surfaces cannot drift.
+    *
+    * Digit extraction is exact integer arithmetic: `value` is a positive
+    * 2-dp grid, so floor(v·100 + 0.5) is the exact integer cents and the
+    * first character of that integer's decimal representation IS the first
+    * significant digit of v (integer→string formatting is unambiguous in
+    * both engines — no float log10, no locale). */
+  private[graft] def benfordCounts(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.filter($"value" > 0)
+      .select(substring(floor($"value" * 100 + lit(0.5)).cast(LongType)
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+  }
+
+  /** Full-spine Benford report over a (digit, n) count relation — also the
+    * streaming twin's fold-at-query readout. */
+  private[graft] def benfordReport(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val spine = BenfordExpected.toDF("digit", "exp_p")
+    val w = Window.partitionBy()
+    spine.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("tot", sum($"n").over(w))
+      .filter($"tot" > 0)
+      .withColumn("obs_p", Det.qround($"n" / $"tot"))
+      .withColumn("abs_dev", Det.qround(abs($"n" / $"tot" - $"exp_p")))
+      .withColumn("chi2_term", Det.qround($"tot" *
+        ($"n" / $"tot" - $"exp_p") * ($"n" / $"tot" - $"exp_p") / $"exp_p"))
+      .withColumn("chi2", round(sum($"chi2_term".cast(DecimalType(38, 9)))
+        .over(w), 6).cast(DoubleType))
+      .withColumn("mad", Det.qround(
+        sum($"abs_dev".cast(DecimalType(38, 9))).over(w)
+          .cast(DoubleType) / 9))
+      .select($"digit", $"n", $"exp_p", $"obs_p", $"abs_dev", $"chi2", $"mad")
+      .orderBy($"digit")
+  }
+
+  /** Benford's-law first-digit audit of the event values — the forensic
+    * data-quality screen a financial/transactional pipeline runs to catch
+    * fabricated or truncated value columns (Nigrini's digit-analysis
+    * practice): observed first-significant-digit shares vs log10(1+1/d),
+    * with the χ² statistic (dof 8) and the mean absolute deviation
+    * (Nigrini's MAD conformity measure) on every row of the 9-digit spine.
+    * On the driver's near-uniform synthetic values the audit HONESTLY
+    * reports non-conformity (huge χ²) — that is the audit working, exactly
+    * like q_mrl_recall's near-zero recall on random embeddings.
+    *
+    * Exactness: digit buckets are exact integer arithmetic (see
+    * [[benfordCounts]]); expected shares are byte-identical 6-dp literals;
+    * the cross-digit χ²/MAD reductions pre-round each addend and sum in
+    * decimal (the q_anova_f discipline). Scale shape: ONE partial+final
+    * aggregate collapses the corpus to ≤9 rows; the unpartitioned windows
+    * run above that bounded aggregate (the q_psi_drift discipline). */
+  val qBenford = GraftQuery(
+    "q_benford",
+    (spark, dir) => benfordReport(benfordCounts(Tables.events(spark, dir))),
+    Some(s"""
+      WITH c AS (
+        SELECT substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+            AS VARCHAR), 1, 1)::INTEGER AS digit,
+          count(*) AS n
+        FROM events WHERE value > 0
+        GROUP BY 1),
+      spine(digit, exp_p) AS (VALUES ${BenfordExpected
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")}),
+      j AS (
+        SELECT s.digit, s.exp_p::DOUBLE AS exp_p, coalesce(c.n, 0)::BIGINT AS n
+        FROM spine s LEFT JOIN c USING (digit)),
+      t AS (
+        SELECT *, (sum(n) OVER ())::BIGINT AS tot FROM j),
+      terms AS (
+        SELECT digit, n, exp_p, tot,
+          ${Oracle.qround("n / tot")} AS obs_p,
+          ${Oracle.qround("abs(n / tot - exp_p)")} AS abs_dev,
+          ${Oracle.qround(
+            "tot * (n / tot - exp_p) * (n / tot - exp_p) / exp_p")}
+            AS chi2_term
+        FROM t WHERE tot > 0)
+      SELECT digit, n, exp_p, obs_p, abs_dev,
+        round(sum(CAST(chi2_term AS DECIMAL(38,9))) OVER (), 6)::DOUBLE
+          AS chi2,
+        ${Oracle.qround(
+          "(sum(CAST(abs_dev AS DECIMAL(38,9))) OVER ())::DOUBLE / 9")}
+          AS mad
+      FROM terms
+      ORDER BY digit""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
-      qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias)
+      qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias, qBenford)
 }

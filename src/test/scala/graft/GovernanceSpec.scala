@@ -235,4 +235,22 @@ class GovernanceSpec extends SparkSpec {
     assert(mi === 0.405465)
     assert(v === 0.5)
   }
+
+  test("benford: fixture values 1..6 put one hit on digits 1-6, none above") {
+    val rows = Governance.qBenford.run(spark, fixtureDir)
+      .as[(Int, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.map(_._1) === (1 to 9))
+    assert(rows.map(_._2) === Seq(1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L, 0L))
+    val exp = Governance.BenfordExpected.map(_._2)
+    assert(rows.map(_._3) === exp)
+    // obs share: 1/6 -> 0.166667 for hit digits, 0 for the empty ones
+    assert(rows.take(6).forall(_._4 === 0.166667))
+    assert(rows.drop(6).forall(_._4 === 0.0))
+    // an empty digit's |obs - exp| is exactly its expected share
+    rows.drop(6).zip(exp.drop(6)).foreach { case (r, e) => assert(r._5 === e) }
+    // chi2 and mad repeat identically on every spine row and are positive
+    assert(rows.map(_._6).distinct.size === 1 && rows.head._6 > 0)
+    assert(rows.map(_._7).distinct.size === 1 && rows.head._7 > 0)
+  }
 }
