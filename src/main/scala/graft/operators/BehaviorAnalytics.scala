@@ -707,8 +707,138 @@ object BehaviorAnalytics {
       ORDER BY k""")
   )
 
+  /** Fixed per-subject observation window for [[qKaplanMeier]], in hours:
+    * each user is observed for at most this long after their first event
+    * (administrative right-censoring). */
+  val KmObsHours = 48L
+
+  private val HourUs = 3600L * 1000000
+
+  /** Kaplan–Meier survival curve of time-to-first-purchase — the
+    * time-to-conversion readout (the estimator every conversion-latency
+    * dashboard draws): duration = whole hours from a user's first event to
+    * their first `purchase`, administratively RIGHT-CENSORED at
+    * [[KmObsHours]] (every subject is observed for a fixed window; a user
+    * who has not purchased by then — or never purchases — is censored, not
+    * a failure; dropping them instead is the classic conversion-latency
+    * bias KM exists to fix). The censoring design is deliberate: on this
+    * corpus every user purchases EVENTUALLY at every SF, so corpus-end
+    * censoring would make the censored branch vacuous (the q_cooccur_pmi
+    * lesson — a parameter choice that verifies green on 0 rows is not
+    * verified); the fixed window keeps both branches exercised at all
+    * three SFs (48 h ⇒ roughly a ⅔ / ⅓ event/censored split). One row per
+    * distinct conversion hour t: the at-risk count n_t, conversion count
+    * d_t, censored-at-t count, and Ŝ(t) = Π_{t_i ≤ t} (1 − d_i/n_i) with
+    * the standard deaths-before-censorings tie convention (censored at t
+    * are at risk AT t).
+    *
+    * Exactness: durations and the at-risk suffix counts are exact integer
+    * arithmetic (windowed INTEGER sums — the q_t_closeness discipline);
+    * the survival product rides ln-space as a RUNNING decimal sum of
+    * 6-dp-prerounded ln(1 − d/n) addends (the q_cusum_drift discipline:
+    * prerounding makes the running sum bit-identical cross-engine), one
+    * exp at the end. A zero factor (everyone at risk converts — only
+    * possible at the last conversion time) short-circuits to Ŝ = 0
+    * instead of entering ln.
+    *
+    * Scale shape: ONE partial+final user aggregate collapses the corpus
+    * to |users| rows (the purchase-side min folds into the same pass), a
+    * second to the ≤[[KmObsHours]]-row duration domain; the unpartitioned
+    * windows run above that bounded aggregate (the q_psi_drift
+    * discipline). */
+  val qKaplanMeier = GraftQuery(
+    "q_kaplan_meier",
+    (spark, dir) => {
+      import spark.implicits._
+      val perUser = Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(min($"ts_us").as("first_us"),
+          min(when($"event_type" === "purchase", $"ts_us")).as("purch_us"))
+      val durs = perUser
+        .withColumn("lat_h",
+          floor(($"purch_us" - $"first_us").cast(DoubleType) /
+            lit(HourUs.toDouble)).cast(LongType))
+        .withColumn("converted",
+          $"lat_h".isNotNull && $"lat_h" < KmObsHours)
+        .select(
+          when($"converted", $"lat_h").otherwise(lit(KmObsHours))
+            .as("dur_hours"),
+          $"converted")
+        .groupBy($"dur_hours")
+        .agg(sum(when($"converted", 1L).otherwise(0L)).as("d_t"),
+          sum(when($"converted", 0L).otherwise(1L)).as("c_t"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wRisk = W.orderBy($"dur_hours".desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wSurv = W.orderBy($"dur_hours".asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      durs
+        .withColumn("n_risk", sum($"d_t" + $"c_t").over(wRisk))
+        .withColumn("ln_term",
+          when($"d_t" < $"n_risk", Det.qround(
+            log(($"n_risk" - $"d_t").cast(DoubleType) /
+              $"n_risk".cast(DoubleType)))))
+        .withColumn("zeroed",
+          max(when($"d_t" === $"n_risk", 1).otherwise(0)).over(wSurv))
+        .withColumn("survival",
+          when($"zeroed" === 1, lit(0.0)).otherwise(Det.qround(exp(
+            sum(when($"d_t" > 0, $"ln_term").otherwise(lit(0.0))
+              .cast(DecimalType(38, 9))).over(wSurv).cast(DoubleType)))))
+        .filter($"d_t" > 0)
+        .select($"dur_hours", $"n_risk", $"d_t".as("n_events"),
+          $"c_t".as("n_censored"), $"survival")
+        .orderBy($"dur_hours")
+    },
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_us,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            AS purch_us
+        FROM events GROUP BY 1),
+      lat AS (
+        SELECT CAST(floor((purch_us - first_us)::DOUBLE / ${HourUs}.0)
+          AS BIGINT) AS lat_h
+        FROM pu),
+      durs AS (
+        SELECT
+          CASE WHEN lat_h IS NOT NULL AND lat_h < $KmObsHours
+            THEN lat_h ELSE $KmObsHours END AS dur_hours,
+          (lat_h IS NOT NULL AND lat_h < $KmObsHours) AS converted
+        FROM lat),
+      g AS (
+        SELECT dur_hours,
+          sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS d_t,
+          sum(CASE WHEN converted THEN 0 ELSE 1 END)::BIGINT AS c_t
+        FROM durs GROUP BY 1),
+      r AS (
+        SELECT *,
+          (sum(d_t + c_t) OVER (ORDER BY dur_hours DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS n_risk
+        FROM g),
+      lt AS (
+        SELECT *,
+          CASE WHEN d_t < n_risk THEN
+            ${Oracle.qround("ln((n_risk - d_t)::DOUBLE / n_risk::DOUBLE)")}
+          END AS ln_term
+        FROM r),
+      s AS (
+        SELECT *,
+          max(CASE WHEN d_t = n_risk THEN 1 ELSE 0 END) OVER w AS zeroed,
+          (sum(CAST(CASE WHEN d_t > 0 THEN ln_term ELSE 0e0 END
+            AS DECIMAL(38,9))) OVER w)::DOUBLE AS ln_sum
+        FROM lt
+        WINDOW w AS (ORDER BY dur_hours ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT dur_hours, n_risk, d_t AS n_events, c_t AS n_censored,
+        CASE WHEN zeroed = 1 THEN 0e0
+          ELSE ${Oracle.qround("exp(ln_sum)")} END AS survival
+      FROM s WHERE d_t > 0
+      ORDER BY dur_hours""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
-      qAnovaF)
+      qAnovaF, qKaplanMeier)
 }

@@ -190,6 +190,63 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       (k.toLong, n.toLong, ssb, ssw, Some(expF), Some(expEta))))
   }
 
+  test("kaplan-meier: fixture has no purchase -> one all-censored row at " +
+      "the observation horizon, empty curve") {
+    // both fixture users never purchase: censored at 48h, d_t = 0
+    // everywhere -> no conversion-time rows survive the d_t > 0 filter
+    assert(BehaviorAnalytics.qKaplanMeier.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("kaplan-meier at sf0.001: independent plain-Scala replica") {
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val hourUs = 3600L * 1000000
+    val obsH = BehaviorAnalytics.KmObsHours
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts_us", $"event_type")
+      .as[(Long, Long, String)].collect()
+    val durs = ev.groupBy(_._1).values.map { g =>
+      val first = g.map(_._2).min
+      val purch = g.filter(_._3 == "purchase").map(_._2)
+      val latH = if (purch.isEmpty) None
+        else Some(math.floor((purch.min - first).toDouble / hourUs).toLong)
+      latH match {
+        case Some(h) if h < obsH => (h, true)
+        case _ => (obsH, false)
+      }
+    }.toSeq
+    val byDur = durs.groupBy(_._1).map { case (d, g) =>
+      (d, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    // suffix at-risk counts, then the ln-space survival recursion
+    val total = byDur.map(r => r._2 + r._3).sum
+    var before = 0L
+    var lnSum = BigDecimal(0)
+    val expected = byDur.flatMap { case (d, dT, cT) =>
+      val nRisk = total - before
+      before += dT + cT
+      if (dT > 0) {
+        if (dT < nRisk)
+          lnSum += BigDecimal.valueOf(
+            qr(math.log((nRisk - dT).toDouble / nRisk.toDouble)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        val surv = if (dT == nRisk) 0.0 else qr(math.exp(lnSum.toDouble))
+        Some((d, nRisk, dT, cT, surv))
+      } else None
+    }
+    val rows = BehaviorAnalytics.qKaplanMeier
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows === expected)
+    assert(rows.nonEmpty)
+    // the censoring design is non-vacuous on this corpus: some users are
+    // administratively censored AND some convert inside the window
+    assert(durs.exists(!_._2) && durs.exists(_._2))
+    // the curve is a survival function: monotone non-increasing from <=1
+    assert(rows.map(_._5).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true })
+    assert(rows.head._5 <= 1.0 && rows.last._5 >= 0.0)
+  }
+
   test("ks/mwu: fixture has no purchase arm -> empty readout, no crash") {
     assert(BehaviorAnalytics.qKsTest.run(spark, fixtureDir).count() === 0L)
     assert(BehaviorAnalytics.qMwuTest.run(spark, fixtureDir).count() === 0L)
