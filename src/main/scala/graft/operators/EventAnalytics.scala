@@ -1439,6 +1439,125 @@ object EventAnalytics {
       ORDER BY t.event_type, t.day""")
   )
 
+  /** Backtest horizon (days) for [[qSeasonalForecast]] — the final H days
+    * of the corpus are the holdout; also the seasonal period (weekly). */
+  val ForecastHorizon = 7
+
+  /** Seasonal-naive forecast backtest with MASE — the forecasting readout
+    * that closes the time-series ladder (q_value_trend fits the trend,
+    * [[qAutocorr]] finds the weekly cycle, [[qStlDecompose]] splits it
+    * out; this MEASURES whether the cycle actually predicts): hold out
+    * the final [[ForecastHorizon]] days of each type's daily value
+    * series, forecast each holdout day with the seasonal-naive rule
+    * ŷ(t) = v(t − 7), and score with MAE/RMSE plus MASE — the
+    * scale-free standard (Hyndman & Koehler 2006) whose denominator is
+    * the TRAIN-side mean absolute one-step naive error, so MASE < 1
+    * means "beats naive one-step"; it is the only error measure here
+    * that is comparable across types of different volume.
+    *
+    * The series is the ZERO-FILLED (type × full day grid) — a day
+    * without events is a zero-valued observation, not a missing row (the
+    * q_cross_corr convention; a row-lag over observed days only would
+    * silently compare across gaps). Exactness: daily v via dsum (6-dp);
+    * lag alignment is exact integer day arithmetic on the complete grid
+    * (row-lag ≡ day-lag by construction); |error| aggregates are
+    * decimal-summed with [[Det.qround]]ed outputs; RMSE's per-day
+    * squared error is prerounded before the decimal sum (the q_anova_f
+    * discipline). A zero train scale (constant train series) yields NULL
+    * mase, not NaN.
+    *
+    * Scale shape: ONE corpus pass to the (type, day) aggregate; the grid
+    * completion is a broadcast day-spine cross join against the bounded
+    * type dimension; the lag window and both reductions are
+    * day-domain-sized, partitioned by type. */
+  val qSeasonalForecast = GraftQuery(
+    "q_seasonal_forecast",
+    (spark, dir) => {
+      import spark.implicits._
+      val H = ForecastHorizon
+      val daily = Tables.events(spark, dir)
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy($"event_type", $"day")
+        .agg(dsum($"value").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
+      val types = daily.select($"event_type").distinct()
+      val grid = types.crossJoin(broadcast(spine))
+        .join(daily, Seq("event_type", "day"), "left")
+        .na.fill(0.0, Seq("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val lagged = grid
+        .withColumn("v_lag7", lag($"v", H).over(w))
+        .withColumn("v_lag1", lag($"v", 1).over(w))
+        .crossJoin(broadcast(bounds))
+        .withColumn("is_test", $"day" > $"d1" - H)
+      val test = lagged.filter($"is_test" && $"v_lag7".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_test"),
+          Det.dsum(abs($"v" - $"v_lag7")).as("sae"),
+          Det.dsum(Det.qround(($"v" - $"v_lag7") * ($"v" - $"v_lag7")))
+            .as("sse"))
+        .select($"event_type", $"n_test",
+          Det.qround($"sae" / $"n_test").as("mae"),
+          Det.qround(sqrt($"sse" / $"n_test")).as("rmse"))
+      val scale = lagged.filter(!$"is_test" && $"v_lag1".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_train"),
+          Det.dsum(abs($"v" - $"v_lag1")).as("snae"))
+        .select($"event_type", $"n_train",
+          Det.qround($"snae" / $"n_train").as("naive_mae"))
+      test.join(scale, Seq("event_type"))
+        .select($"event_type", $"n_train", $"n_test", $"mae", $"rmse",
+          $"naive_mae",
+          when($"naive_mae" > 0, Det.qround($"mae" / $"naive_mae"))
+            .as("mase"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("value")} AS v
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      spine AS (
+        SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds),
+      grid AS (
+        SELECT t.event_type, s.day, coalesce(d.v, 0e0) AS v
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN spine s
+        LEFT JOIN daily d USING (event_type, day)),
+      lagged AS (
+        SELECT g.*, b.d1,
+          lag(v, $ForecastHorizon) OVER w AS v_lag7,
+          lag(v, 1) OVER w AS v_lag1
+        FROM grid g CROSS JOIN bounds b
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      test AS (
+        SELECT event_type, count(*) AS n_test,
+          ${Oracle.qround(s"${Oracle.dsum("abs(v - v_lag7)")} / count(*)")}
+            AS mae,
+          ${Oracle.qround(s"sqrt(${Oracle.dsum(
+            Oracle.qround("(v - v_lag7) * (v - v_lag7)"))} / count(*))")}
+            AS rmse
+        FROM lagged
+        WHERE day > d1 - $ForecastHorizon AND v_lag7 IS NOT NULL
+        GROUP BY 1),
+      scl AS (
+        SELECT event_type, count(*) AS n_train,
+          ${Oracle.qround(s"${Oracle.dsum("abs(v - v_lag1)")} / count(*)")}
+            AS naive_mae
+        FROM lagged
+        WHERE day <= d1 - $ForecastHorizon AND v_lag1 IS NOT NULL
+        GROUP BY 1)
+      SELECT event_type, n_train::BIGINT AS n_train, n_test::BIGINT AS n_test,
+        mae, rmse, naive_mae,
+        CASE WHEN naive_mae > 0 THEN ${Oracle.qround("mae / naive_mae")}
+        END AS mase
+      FROM test JOIN scl USING (event_type)
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1448,5 +1567,5 @@ object EventAnalytics {
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
-    qAutocorr, qCrossCorr, qStlDecompose)
+    qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast)
 }

@@ -260,4 +260,53 @@ class EventAnalyticsSpec extends SparkSpec {
     // interior days have trend; the 3-day edges of each series don't
     assert(rows.exists(_._4.isEmpty))
   }
+
+  test("seasonal forecast: 2-day fixture has no lag-7 holdout -> empty") {
+    assert(EventAnalytics.qSeasonalForecast.run(spark, fixtureDir)
+      .count() === 0L)
+  }
+
+  test("seasonal forecast at sf0.001: independent plain-Scala replica") {
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def decSum(xs: Seq[Double]): Double = {
+      val s = xs.map(BigDecimal.valueOf(_)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      (BigDecimal(math.floor((s * 1000000).toDouble + 0.5)) / 1000000).toDouble
+    }
+    val dayUs = 24L * 3600 * 1000000
+    val H = EventAnalytics.ForecastHorizon
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"ts_us", $"value")
+      .as[(String, Long, Double)].collect()
+    val daily = ev.groupBy(e => (e._1, e._2 / dayUs)).map { case (k, g) =>
+      k -> decSum(g.map(_._3).toSeq)
+    }
+    val d0 = daily.keys.map(_._2).min; val d1 = daily.keys.map(_._2).max
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    val expected = types.flatMap { t =>
+      val series = (d0 to d1).map(d => daily.getOrElse((t, d), 0.0))
+      val n = series.size
+      val test = (H until n).filter(i => (d0 + i) > d1 - H)
+        .map(i => (series(i), series(i - H)))
+      val train = (1 until n).filter(i => (d0 + i) <= d1 - H)
+        .map(i => (series(i), series(i - 1)))
+      if (test.isEmpty || train.isEmpty) None else {
+        val mae = qr(decSum(test.map { case (v, f) => math.abs(v - f) }) /
+          test.size)
+        val rmse = qr(math.sqrt(
+          decSum(test.map { case (v, f) => qr((v - f) * (v - f)) }) /
+            test.size))
+        val nm = qr(decSum(train.map { case (v, f) => math.abs(v - f) }) /
+          train.size)
+        val mase = if (nm > 0) Some(qr(mae / nm)) else None
+        Some((t, train.size.toLong, test.size.toLong, mae, rmse, nm, mase))
+      }
+    }
+    val rows = EventAnalytics.qSeasonalForecast
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(rows === expected)
+    assert(rows.nonEmpty && rows.forall(_._3 === H.toLong))
+  }
 }
