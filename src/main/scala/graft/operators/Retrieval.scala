@@ -69,10 +69,18 @@ object Retrieval {
   private[graft] def matchedToks(spark: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
+    corpusToks(spark, dir).filter($"term".isInCollection(terms))
+  }
+
+  /** (doc_id, dl, term) postings for the WHOLE vocabulary — the feedback
+    * side of [[qPrfExpansion]] needs unfiltered postings (expansion terms
+    * are mined from the data, not known at plan time). */
+  private[graft] def corpusToks(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
     Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", Text.withoutStopwords(Text.tokens($"text")).as("toks"))
       .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("term"))
-      .filter($"term".isInCollection(terms))
   }
 
   /** 1-row corpus length stats (n_docs, sum_dl) — one map-only pass,
@@ -88,6 +96,25 @@ object Retrieval {
       terms: Seq[String] = QueryTerms): DataFrame =
     bm25RankedFrom(matchedToks(spark, dir, terms), corpusDl(spark, dir))
 
+  /** The per-(doc, term) Okapi BM25 factor as a column expression over
+    * `tf, df, dl, n_docs, sum_dl` — ONE definition shared by the base
+    * ranking and [[qPrfExpansion]]'s weighted second pass (an inlined copy
+    * could silently drift on a k1/b change). */
+  private def bm25Factor: org.apache.spark.sql.Column =
+    log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+      lit(1.0)) *
+      ((col("tf") * lit(K1 + 1.0)) /
+        (col("tf") + lit(K1) *
+          (lit(1.0) - lit(B) + lit(B) *
+            (col("dl") / (col("sum_dl") / col("n_docs"))))))
+
+  /** Its oracle-side twin (same spelling as [[bm25Ctes]]' `bsc`). */
+  private def bm25FactorSql: String =
+    s"""(ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0) *
+            ((tf * ${K1 + 1.0}e0) /
+              (tf + ${K1}e0 *
+                (1e0 - ${B}e0 + ${B}e0 * (dl / (sum_dl / n_docs))))))"""
+
   private def bm25RankedFrom(toks: DataFrame, stats: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
@@ -96,12 +123,7 @@ object Retrieval {
     val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val perTerm = tf.join(broadcast(dfr), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select($"doc_id",
-        (log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
-          (($"tf" * lit(K1 + 1.0)) /
-            ($"tf" + lit(K1) *
-              (lit(1.0) - lit(B) + lit(B) * ($"dl" / ($"sum_dl" / $"n_docs"))))))
-          .as("ts"))
+      .select($"doc_id", bm25Factor.as("ts"))
     val top = perTerm.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), Det.dsum($"ts").as("score"))
       .orderBy($"score".desc, $"doc_id").limit(FuseDepth)
@@ -467,6 +489,150 @@ object Retrieval {
       ORDER BY ranker""")
   )
 
+  /** RM3 feedback parameters: number of feedback documents, number of
+    * expansion terms, and the original-query interpolation weight (an
+    * exact binary fraction — Anserini's defaults). */
+  val FbDocs = 10
+  val FbTerms = 10
+  val FbAlpha = 0.5
+
+  /** The [[qPrfExpansion]] composition with the term set as a parameter
+    * (the [[bm25Ranked]] convention). */
+  private[graft] def prfExpanded(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    // the unfiltered posting relation feeds BOTH passes (feedback-doc term
+    // mining + expanded scoring) — persist so the tokenize HOF runs once
+    val toks = corpusToks(spark, dir).persist()
+    val stats = corpusDl(spark, dir).persist()
+    val base = bm25RankedFrom(
+      toks.filter($"term".isInCollection(terms)), stats).persist()
+    // RM1 relevance model over the top-FbDocs feedback set: p(w|R) =
+    // Σ_d p(w|d) · w_d with w_d = the doc's share of the feedback scores
+    val fb = base.filter($"rank" <= FbDocs).select($"doc_id", $"score")
+    val fbTot = fb.agg(Det.dsum($"score").as("stot"))
+    val fbw = fb.crossJoin(broadcast(fbTot)).filter($"stot" > 0)
+      .select($"doc_id", Det.qround($"score" / $"stot").as("wd"))
+    val ptf = toks.join(broadcast(fbw), Seq("doc_id"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"), max($"wd").as("wd"))
+    val rm1 = ptf
+      .select($"term",
+        Det.qround(($"tf".cast(DoubleType) / $"dl") * $"wd").as("c"))
+      .groupBy($"term").agg(Det.dsum($"c").as("rm1"))
+    val sel = rm1.orderBy($"rm1".desc, $"term").limit(FbTerms)
+    val selTot = sel.agg(Det.dsum($"rm1").as("tot"))
+    val seln = sel.crossJoin(broadcast(selTot)).filter($"tot" > 0)
+      .select($"term",
+        Det.qround(lit(1.0 - FbAlpha) * ($"rm1" / $"tot")).as("p"))
+    // RM3 = α·uniform-original + (1−α)·renormalized RM1 (union-sum keeps
+    // a term that is both original and mined on one row)
+    val qw = terms.toDF("term")
+      .select($"term", lit(FbAlpha / terms.size).as("p"))
+    val rm3 = seln.unionByName(qw).groupBy($"term")
+      .agg(Det.dsum($"p").as("wt"))
+    // weighted second pass: same Okapi factor, term-weighted, over the
+    // expanded term set's corpus-wide postings
+    val etf = toks.join(broadcast(rm3), Seq("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"), max($"wt").as("wt"))
+    val edf = etf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val esc = etf.join(broadcast(edf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", Det.qround($"wt" * bm25Factor).as("ts"))
+    val top = esc.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), Det.dsum($"ts").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(FuseDepth)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .join(base.select($"doc_id", $"rank".as("prev_rank")),
+        Seq("doc_id"), "left")
+      .select($"rank".cast(LongType).as("rank"), $"doc_id", $"n_terms",
+        $"score", $"prev_rank")
+      .orderBy($"rank")
+  }
+
+  /** RM3 pseudo-relevance feedback — the query-EXPANSION side of the
+    * retrieval stack (Lavrenko & Croft's relevance model, interpolated
+    * RM3 flavor as popularized by Anserini): run the base BM25 ranking,
+    * treat its top [[FbDocs]] documents as pseudo-relevant, mine the
+    * [[FbTerms]] highest-weight terms of the relevance model
+    * p(w|R) = Σ_d p(w|d)·w_d, interpolate with the original query
+    * (α = [[FbAlpha]]), and re-score the corpus with the term-weighted
+    * Okapi factor. Emits the re-ranked top [[FuseDepth]] with each doc's
+    * base-ranking position (`prev_rank`, NULL = surfaced only by
+    * expansion — the recall the technique exists to buy).
+    *
+    * Exactness: feedback weights, RM1 addends, interpolation masses and
+    * weighted term scores are 6-dp-prerounded then decimal-summed (the
+    * q_anova_f discipline); both top-N cuts order by (value DESC, key)
+    * so ties are pinned. Scale shape: ONE tokenize pass feeds both
+    * passes (persisted posting relation, the q_rank_eval lesson);
+    * feedback mining touches only the ≤[[FbDocs]] docs' postings
+    * (broadcast weight join); the second pass filters the posting
+    * relation through the broadcast ≤14-term RM3 relation BEFORE any
+    * shuffle, so its cost is the expansion terms' posting lists — never
+    * a corpus-wide re-score. */
+  val qPrfExpansion = GraftQuery(
+    "q_prf_expansion",
+    (spark, dir) => prfExpanded(spark, dir),
+    Some(s"""
+      WITH $bm25Ctes,
+      fb AS (
+        SELECT doc_id, score FROM bm25_ranked WHERE rank <= $FbDocs),
+      fbt AS (SELECT ${Oracle.dsum("score")} AS stot FROM fb),
+      fbw AS (
+        SELECT doc_id, ${Oracle.qround("score / stot")} AS wd
+        FROM fb CROSS JOIN fbt WHERE stot > 0),
+      ptf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf, max(t.dl) AS dl,
+          max(w.wd) AS wd
+        FROM btoks t JOIN fbw w ON w.doc_id = t.doc_id
+        GROUP BY 1, 2),
+      rm1 AS (
+        SELECT term,
+          ${Oracle.dsum(Oracle.qround("(tf::DOUBLE / dl) * wd"))} AS rm1
+        FROM ptf GROUP BY term),
+      sel AS (
+        SELECT term, rm1 FROM rm1 ORDER BY rm1 DESC, term LIMIT $FbTerms),
+      selt AS (SELECT ${Oracle.dsum("rm1")} AS tot FROM sel),
+      seln AS (
+        SELECT term,
+          ${Oracle.qround(s"${1.0 - FbAlpha}e0 * (rm1 / tot)")} AS p
+        FROM sel CROSS JOIN selt WHERE tot > 0),
+      qw AS (
+        SELECT unnest([${QueryTerms.map(t => s"'$t'").mkString(", ")}])
+          AS term, ${FbAlpha / QueryTerms.size}e0 AS p),
+      rm3 AS (
+        SELECT term, ${Oracle.dsum("p")} AS wt
+        FROM (SELECT * FROM seln UNION ALL SELECT * FROM qw) u
+        GROUP BY term),
+      etf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf, max(t.dl) AS dl,
+          max(r.wt) AS wt
+        FROM btoks t JOIN rm3 r ON r.term = t.term
+        GROUP BY 1, 2),
+      edf AS (SELECT term, count(*) AS df FROM etf GROUP BY term),
+      esc AS (
+        SELECT doc_id,
+          ${Oracle.qround(s"wt * $bm25FactorSql")} AS ts
+        FROM etf JOIN edf USING (term), bstats),
+      edoc AS (
+        SELECT doc_id, count(*) AS n_terms, ${Oracle.dsum("ts")} AS score
+        FROM esc GROUP BY doc_id),
+      etop AS (
+        SELECT doc_id, n_terms, score FROM edoc
+        ORDER BY score DESC, doc_id LIMIT $FuseDepth),
+      er AS (
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+          doc_id, n_terms, score
+        FROM etop)
+      SELECT er.rank, er.doc_id, er.n_terms, er.score,
+        b.rank AS prev_rank
+      FROM er LEFT JOIN bm25_ranked b USING (doc_id)
+      ORDER BY er.rank""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval)
+    Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval, qPrfExpansion)
 }

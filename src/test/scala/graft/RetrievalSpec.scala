@@ -100,4 +100,26 @@ class RetrievalSpec extends SparkSpec {
       assert(nRel === 0L && ndcg === 0.0)
     }
   }
+
+  test("prf expansion: feedback terms surface docs the query never matched") {
+    // query {fast}: base ranking = docs 0,1 only. Feedback mines their
+    // co-occurring vocabulary (slow, the, big), so the expanded pass must
+    // surface at least one slow/big doc (2 or 3) with prev_rank NULL —
+    // the recall PRF exists to buy
+    val rows = Retrieval.prfExpanded(spark, fixtureDir, Seq("fast"))
+      .as[(Long, Long, Long, Double, Option[Long])].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) === (1L to rows.size))
+    // scores non-increasing down the ranking
+    assert(rows.map(_._4).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true })
+    // the original matches keep a prev_rank; expansion-only docs have none
+    val byDoc = rows.map(r => r._2 -> r._5).toMap
+    assert(byDoc(0L).isDefined && byDoc(1L).isDefined)
+    assert(Seq(2L, 3L).exists(d => byDoc.get(d).exists(_.isEmpty)))
+  }
+
+  test("prf expansion degrades to empty when no pinned term occurs") {
+    assert(Retrieval.qPrfExpansion.run(spark, fixtureDir).count() === 0L)
+  }
 }
