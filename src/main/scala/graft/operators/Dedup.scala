@@ -1538,11 +1538,110 @@ object Dedup {
       ORDER BY split_a, split_b""")
   )
 
+  /** Sorted-neighborhood window: candidate pairs are documents within this
+    * rank distance in normalized-text sort order. */
+  val SnmWindow = 5
+
+  /** Bucket prefix length for the two-phase global ranking (deepen on a
+    * larger key space — it only has to keep per-bucket partitions
+    * executor-sized). */
+  val SnmPrefixLen = 2
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995) — the CLASSIC
+    * blocking alternative to LSH banding: sort documents by a normalized
+    * key (whitespace-squeezed lowercase text), pair every two documents
+    * within [[SnmWindow]] ranks, verify with exact shingle Jaccard. It
+    * catches what sort order puts together — shared-prefix near-dups —
+    * for ONE sort instead of K hash passes, and misses what it spreads
+    * apart; running it beside MinHash/SimHash/winnowing is how a real
+    * curation pipeline covers the union.
+    *
+    * Scale shape: the global rank is NOT a corpus-sized unpartitioned
+    * window — it is the two-phase range ranking (the q_psi_drift
+    * escape hatch made real): bucket = [[SnmPrefixLen]]-char key prefix
+    * (monotone in the key, so per-bucket row_numbers + bucket offsets ≡
+    * the global row_number — the oracle computes it flat and hashes
+    * identical), per-bucket windows are executor-sized, and the bucket
+    * offset table is a bounded ≤|charset|² relation under an
+    * unpartitioned window. Windowed pairing is the q_interval_join
+    * canonical-cell join (cell = rank div W; a pair's b-side cell is
+    * deterministically a.cell or a.cell+1, so each pair is emitted
+    * EXACTLY once — no dedup shuffle). Verification joins the bounded
+    * candidate list back to the shingle arrays (the MinHash verify
+    * path). */
+  val qSnmDedup = GraftQuery(
+    "q_snm_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      // docs below the shingle width can never verify (empty 3-gram set —
+      // and a 0/0 Jaccard is a cross-engine NaN hazard): exclude them from
+      // the sort identically in both engines
+      val keyed = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", Text.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", concat_ws(" ", $"toks").as("key"))
+        .withColumn("bucket", substring($"key", 1, SnmPrefixLen))
+      val boff = keyed.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(
+          sum($"bn").over(W.orderBy($"bucket")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select($"bucket", $"off")
+      val ranked = keyed.join(broadcast(boff), Seq("bucket"))
+        .withColumn("r", $"off" + row_number().over(
+          W.partitionBy($"bucket").orderBy($"key", $"doc_id")))
+        .select($"doc_id", $"r", ($"r" - ($"r" % SnmWindow)).as("cell"))
+      // canonical-cell pairing: a probes its own cell and the next one;
+      // b's cell is determined by its rank, so each (ra < rb < ra+W)
+      // pair matches exactly one probe row
+      val probes = ranked.select($"doc_id", $"r",
+        explode(array($"cell", $"cell" + SnmWindow)).as("pcell"))
+      val cand = probes.as("a").join(ranked.as("b"),
+          $"a.pcell" === $"b.cell" && $"b.r" > $"a.r" &&
+            $"b.r" - $"a.r" < SnmWindow)
+        .select(least($"a.doc_id", $"b.doc_id").as("ia"),
+          greatest($"a.doc_id", $"b.doc_id").as("ib"))
+      verifyJaccard(cand, docShingles(spark, dir, 3))
+    },
+    Some(s"""
+      WITH keyed AS (
+        SELECT doc_id, array_to_string(ws, ' ') AS key
+        FROM (SELECT doc_id,
+            string_split_regex(lower(text), '[[:space:]]+') AS ws
+          FROM documents)
+        WHERE len(ws) >= 3),
+      ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS r
+        FROM keyed),
+      cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS ia,
+          greatest(a.doc_id, b.doc_id) AS ib
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r - a.r < $SnmWindow),
+      sh AS (${shinglesSql(3)}),
+      ssz AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT c.ia, c.ib, count(*) AS inter
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.ia
+        JOIN sh s2 ON s2.doc_id = c.ib AND s2.shingle = s1.shingle
+        GROUP BY c.ia, c.ib),
+      j AS (
+        SELECT m.ia, m.ib,
+          ${Oracle.qround("inter / (za.ns + zb.ns - inter)")} AS jaccard
+        FROM common m
+        JOIN ssz za ON za.doc_id = m.ia
+        JOIN ssz zb ON zb.doc_id = m.ib)
+      SELECT ia, ib, jaccard FROM j
+      WHERE jaccard >= $JaccardThreshold
+      ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
     qQualityDedupCalibration, qPairEvidence, qSplitLeakage,
-    qContainmentDedup)
+    qContainmentDedup, qSnmDedup)
 }

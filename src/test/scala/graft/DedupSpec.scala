@@ -241,4 +241,14 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(!jac.exists(p => p._1 == 0L && p._2 == 1L))
   }
+
+  test("snm dedup: sort adjacency pairs the exact and near duplicates") {
+    // fixture sort order (docs with >= 3 tokens): 0 < 1 < 2 = 3 < 4 < 5 —
+    // all six land within one 5-rank window of their duplicates. Verified
+    // pairs: (2,3) identical -> 1.0; (4,5) share 27 of 29 3-gram shingles
+    // -> 27/29 = 0.931034; every cross pair is below the 0.6 threshold
+    val rows = graft.operators.Dedup.qSnmDedup.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows === Seq((2L, 3L, 1.0), (4L, 5L, 0.931034)))
+  }
 }
