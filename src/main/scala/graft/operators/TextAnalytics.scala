@@ -655,9 +655,72 @@ object TextAnalytics {
       LIMIT 20""")
   )
 
+  /** Per-language readability profile — FORCAST grade level (Caylor et
+    * al. 1973) plus its syllable-census components. FORCAST is chosen
+    * DELIBERATELY over Flesch/Flesch–Kincaid: it is the one classic
+    * readability formula with no sentence-length leg (built for
+    * non-narrative text — forms, listings), and this corpus has no
+    * sentence punctuation at all, so a Flesch here would just be a
+    * constant minus 1.015·(words per doc) — a dead input leg dressed as
+    * a measurement (the q_kaplan_meier vacuity lesson). Syllables use
+    * the standard vowel-group heuristic (runs of [aeiouy], minimum 1 per
+    * word); grade = 20 − N/10 with N = monosyllables per 150 words,
+    * algebraically 20 − 15·mono_frac.
+    *
+    * Exactness: the censuses are pure integer counts (regex vowel-group
+    * extraction is byte-identical in both engines — the F5 precedent);
+    * the ratios are single [[Det.qround]]ed quotients of exact integers.
+    * Scale shape: explode → per-doc partial aggregate → per-lang
+    * re-aggregate (the A6 two-level shape); everything after the first
+    * aggregate is |docs|-sized, then |langs|-sized. */
+  val qReadability = GraftQuery(
+    "q_readability",
+    (spark, dir) => {
+      import spark.implicits._
+      val perDoc = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
+        .select($"doc_id", $"lang",
+          greatest(size(regexp_extract_all($"term", lit("[aeiouy]+"), lit(0))),
+            lit(1)).as("syl"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("words"), sum($"syl").as("syls"),
+          sum(when($"syl" === 1, 1L).otherwise(0L)).as("monos"))
+      perDoc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"words").as("n_words"),
+          sum($"syls").as("n_syls"), sum($"monos").as("n_monos"))
+        .select($"lang", $"n_docs", $"n_words",
+          Det.qround($"n_syls" / $"n_words").as("syl_per_word"),
+          Det.qround($"n_monos" / $"n_words").as("mono_frac"),
+          Det.qround(lit(20.0) - lit(15.0) * ($"n_monos" / $"n_words"))
+            .as("forcast_grade"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      syl AS (
+        SELECT doc_id, lang,
+          greatest(len(regexp_extract_all(term, '[aeiouy]+')), 1) AS syl
+        FROM toks),
+      per_doc AS (
+        SELECT doc_id, lang, count(*) AS words, sum(syl) AS syls,
+          sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS monos
+        FROM syl GROUP BY 1, 2)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+        sum(words)::BIGINT AS n_words,
+        ${Oracle.qround("sum(syls) / sum(words)")} AS syl_per_word,
+        ${Oracle.qround("sum(monos) / sum(words)")} AS mono_frac,
+        ${Oracle.qround("20e0 - 15e0 * (sum(monos) / sum(words))")}
+          AS forcast_grade
+      FROM per_doc GROUP BY lang
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
-    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs)
+    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qReadability)
 }

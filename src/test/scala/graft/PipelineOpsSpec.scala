@@ -230,4 +230,32 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(alloc - ideal) < 1.0, s"alloc $alloc vs ideal $ideal")
     }
   }
+
+  test("readability: every fixture token is one vowel group or vowel-less " +
+      "-> all-monosyllable census, FORCAST floor grade 5") {
+    // en: fast/the/big/slow all single vowel-group; fr: w1..w30/zz have no
+    // vowels (clamped to 1 syllable); de likewise -> mono_frac 1 everywhere
+    val rows = graft.operators.TextAnalytics.qReadability
+      .run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows === Seq(
+      ("de", 2L, 8L, 1.0, 1.0, 5.0),
+      ("en", 2L, 6L, 1.0, 1.0, 5.0),
+      ("fr", 2L, 60L, 1.0, 1.0, 5.0)))
+  }
+
+  test("readability at sf0.001: multi-syllable vocabulary discriminates") {
+    val rows = graft.operators.TextAnalytics.qReadability
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nd, nw, spw, mf, g) =>
+      assert(nd > 0 && nw > 0)
+      assert(spw >= 1.0)           // >= one syllable per word by clamp
+      assert(mf > 0.0 && mf < 1.0) // real corpus mixes mono/poly words
+      // g is rounded from the RAW quotient; mf from the same quotient —
+      // compare within the 6-dp rounding slack
+      assert(math.abs(g - (20.0 - 15.0 * mf)) < 2e-5)
+    }
+  }
 }
