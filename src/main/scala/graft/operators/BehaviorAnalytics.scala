@@ -746,34 +746,51 @@ object BehaviorAnalytics {
     * second to the ≤[[KmObsHours]]-row duration domain; the unpartitioned
     * windows run above that bounded aggregate (the q_psi_drift
     * discipline). */
-  val qKaplanMeier = GraftQuery(
-    "q_kaplan_meier",
-    (spark, dir) => {
-      import spark.implicits._
-      val perUser = Tables.events(spark, dir)
-        .groupBy($"user_id")
-        .agg(min($"ts_us").as("first_us"),
-          min(when($"event_type" === "purchase", $"ts_us")).as("purch_us"))
-      val durs = perUser
-        .withColumn("lat_h",
-          floor(($"purch_us" - $"first_us").cast(DoubleType) /
-            lit(HourUs.toDouble)).cast(LongType))
-        .withColumn("converted",
-          $"lat_h".isNotNull && $"lat_h" < KmObsHours)
-        .select(
-          when($"converted", $"lat_h").otherwise(lit(KmObsHours))
-            .as("dur_hours"),
-          $"converted")
-        .groupBy($"dur_hours")
-        .agg(sum(when($"converted", 1L).otherwise(0L)).as("d_t"),
-          sum(when($"converted", 0L).otherwise(1L)).as("c_t"))
-      val W = org.apache.spark.sql.expressions.Window
-      val wRisk = W.orderBy($"dur_hours".desc)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val wSurv = W.orderBy($"dur_hours".asc)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      durs
-        .withColumn("n_risk", sum($"d_t" + $"c_t").over(wRisk))
+  /** The per-user (first event, first purchase) duration bucketing of
+    * [[qKaplanMeier]] — pure function of the two per-user minima, shared
+    * with graft.streaming.StreamKm whose ValueState holds exactly those
+    * minima (min is commutative, so the streamed buckets are
+    * arrival-order-free by construction). */
+  private[graft] def kmBucket(first: org.apache.spark.sql.Column,
+      purch: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val latH = floor((purch - first).cast(DoubleType) /
+      lit(HourUs.toDouble)).cast(LongType)
+    val converted = latH.isNotNull && latH < KmObsHours
+    (when(converted, latH).otherwise(lit(KmObsHours)), converted)
+  }
+
+  /** (dur_hours, d_t, c_t) duration-bucket counters over an events
+    * relation — the additive core the streaming twin folds to. */
+  private[graft] def kmDurations(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val perUser = ev
+      .groupBy($"user_id")
+      .agg(min($"ts_us").as("first_us"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("purch_us"))
+    val (bucket, converted) = kmBucket($"first_us", $"purch_us")
+    perUser
+      .select(bucket.as("dur_hours"), converted.as("converted"))
+      .groupBy($"dur_hours")
+      .agg(sum(when($"converted", 1L).otherwise(0L)).as("d_t"),
+        sum(when($"converted", 0L).otherwise(1L)).as("c_t"))
+  }
+
+  /** The KM estimator over a (dur_hours, d_t, c_t) relation — shared by
+    * [[qKaplanMeier]] and the streaming twin's fold-at-query report. */
+  private[graft] def kmReport(durs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = durs.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wRisk = W.orderBy($"dur_hours".desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wSurv = W.orderBy($"dur_hours".asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    durs
+      .withColumn("n_risk", sum($"d_t" + $"c_t").over(wRisk))
         .withColumn("ln_term",
           when($"d_t" < $"n_risk", Det.qround(
             log(($"n_risk" - $"d_t").cast(DoubleType) /
@@ -788,7 +805,11 @@ object BehaviorAnalytics {
         .select($"dur_hours", $"n_risk", $"d_t".as("n_events"),
           $"c_t".as("n_censored"), $"survival")
         .orderBy($"dur_hours")
-    },
+  }
+
+  val qKaplanMeier = GraftQuery(
+    "q_kaplan_meier",
+    (spark, dir) => kmReport(kmDurations(Tables.events(spark, dir))),
     Some(s"""
       WITH pu AS (
         SELECT user_id, min(epoch_us(ts)) AS first_us,
