@@ -369,7 +369,74 @@ object Profiling {
       LIMIT 20""")
   )
 
+  /** Source-concentration audit — the three standard concentration
+    * indices of the per-source token mass (Gini, Herfindahl–Hirschman,
+    * top-source share), one row. [[qMixtureWeights]] PRESCRIBES a
+    * mixture; this MEASURES how concentrated the raw corpus actually is —
+    * the number a data-governance review reads before deciding whether
+    * reweighting is needed at all (a Gini near 0 = balanced sources;
+    * near 1 = one crawl dominates the corpus).
+    *
+    * Exactness: token masses are exact integers; the rank-weighted Gini
+    * numerator Σ i·x_(i) rides DECIMAL(38,0) (the q_ks_test wrap-guard),
+    * so G = 2·Σi·x/(n·Σx) − (n+1)/n is one IEEE tree over exact
+    * integers; HHI addends (share²) are 6-dp-prerounded then
+    * decimal-summed (the q_anova_f discipline). Scale shape: ONE corpus
+    * pass to the |sources|-row mass relation; the rank window and both
+    * reductions run above that bounded aggregate (the q_psi_drift
+    * discipline). */
+  val qGiniSource = GraftQuery(
+    "q_gini_source",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec0 = DecimalType(38, 0)
+      val per = Tables.spread(Tables.documents(spark, dir))
+        .select($"source",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+        .groupBy($"source").agg(sum($"n_toks").as("x"))
+      val W = org.apache.spark.sql.expressions.Window
+      val ranked = per.withColumn("i",
+        row_number().over(W.orderBy($"x".asc, $"source")))
+      ranked.agg(count(lit(1)).as("n"), sum($"x").as("tot"),
+          sum($"i".cast(dec0) * $"x").as("iwx"),
+          max($"x").as("xmax"),
+          Det.dsum(Det.qround($"x".cast(DoubleType) * $"x".cast(DoubleType))).as("sumsq"))
+        .filter($"n" > 0 && $"tot" > 0)
+        .select($"n", $"tot".as("total_tokens"),
+          Det.qround(
+            lit(2.0) * $"iwx".cast(DoubleType) /
+              ($"n".cast(DoubleType) * $"tot".cast(DoubleType)) -
+              ($"n" + lit(1.0)) / $"n").as("gini"),
+          Det.qround($"sumsq" /
+            ($"tot".cast(DoubleType) * $"tot".cast(DoubleType))).as("hhi"),
+          Det.qround($"xmax" / $"tot").as("top_share"))
+        .orderBy($"n")
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT source,
+          sum(len(string_split_regex(lower(text), '[[:space:]]+')))::BIGINT
+            AS x
+        FROM documents GROUP BY source),
+      ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x ASC, source) AS i FROM per),
+      agg AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tot,
+          sum(i::DECIMAL(38,0) * x) AS iwx,
+          max(x) AS xmax,
+          ${Oracle.dsum(Oracle.qround("x::DOUBLE * x::DOUBLE"))} AS sumsq
+        FROM ranked)
+      SELECT n, tot AS total_tokens,
+        ${Oracle.qround(
+          "2e0 * iwx::DOUBLE / (n::DOUBLE * tot::DOUBLE) - (n + 1e0) / n")}
+          AS gini,
+        ${Oracle.qround("sumsq / (tot::DOUBLE * tot::DOUBLE)")} AS hhi,
+        ${Oracle.qround("xmax / tot")} AS top_share
+      FROM agg WHERE n > 0 AND tot > 0
+      ORDER BY n""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qProfileTable, qMixtureWeights, qFeatureCorr, qTableChecksum,
-      qCmsHeavy)
+      qCmsHeavy, qGiniSource)
 }

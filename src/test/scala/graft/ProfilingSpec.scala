@@ -143,4 +143,26 @@ class ProfilingSpec extends SparkSpec {
       assert(est >= trueN && over === est - trueN)
     }
   }
+
+  test("gini source: fixture masses 7/33/34 hand-compute to G=0.243243") {
+    // srcA 7 toks, srcB 33, srcC 34 -> iwx = 1*7+2*33+3*34 = 175, tot 74
+    // G = 2*175/(3*74) - 4/3 = 0.243243; HHI = 2294/5476 = 0.418919;
+    // top share = 34/74 = 0.459459
+    val rows = graft.operators.Profiling.qGiniSource.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows === Seq((3L, 74L, 0.243243, 0.418919, 0.459459)))
+  }
+
+  test("gini source at sf0.001: indices sit in their defined ranges") {
+    val rows = graft.operators.Profiling.qGiniSource
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.size === 1)
+    val (n, tot, g, hhi, top) = rows.head
+    assert(n > 0 && tot > 0)
+    assert(g >= 0.0 && g < 1.0)
+    // HHI is bounded below by the uniform case 1/n and above by top share
+    assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0)
+    assert(top >= 1.0 / n - 1e-6 && top <= 1.0 && hhi <= top + 1e-6)
+  }
 }
