@@ -1210,14 +1210,26 @@ object EventAnalytics {
     * v and m are 6-dp via dsum/qround, deviation products go through
     * [[Det.dsum]]; a constant series (den = 0) yields NULL acf in both
     * engines instead of a NaN hash mismatch. */
-  val qAutocorr = GraftQuery(
-    "q_autocorr",
-    (spark, dir) => {
-      import spark.implicits._
-      val daily = Tables.events(spark, dir)
-        .withColumn("day", expr(s"ts_us div $DayUs"))
-        .groupBy($"event_type", $"day")
-        .agg(dsum($"value").as("v"))
+  /** The (event_type, day, v) daily value series — the shared input of the
+    * whole time-series family ([[qAutocorr]], [[qStlDecompose]],
+    * [[qSeasonalForecast]]) and the fold target of the streaming
+    * maintainer (graft.streaming.StreamDaily), so the four surfaces can
+    * never drift. */
+  private[graft] def dailyByType(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.withColumn("day", expr(s"ts_us div $DayUs"))
+      .groupBy($"event_type", $"day")
+      .agg(dsum($"value").as("v"))
+  }
+
+  /** The ACF readout over a daily series — see [[qAutocorr]]. */
+  private[graft] def autocorrReport(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    {
       val means = daily.groupBy($"event_type")
         .agg(count(lit(1)).as("n_days"), dsum($"v").as("sv"))
         .select($"event_type", Det.qround($"sv" / $"n_days").as("m"))
@@ -1242,7 +1254,12 @@ object EventAnalytics {
           when($"den" > 0, Det.qround($"num" / $"den"))
             .otherwise(lit(null).cast(DoubleType)).as("acf"))
         .orderBy($"event_type", $"k")
-    },
+    }
+  }
+
+  val qAutocorr = GraftQuery(
+    "q_autocorr",
+    (spark, dir) => autocorrReport(dailyByType(Tables.events(spark, dir))),
     Some(s"""
       WITH daily AS (
         SELECT event_type, epoch_us(ts) // $DayUs AS day,
@@ -1374,14 +1391,13 @@ object EventAnalytics {
     * means go through dsum/qround. Scale shape: one corpus pass to the
     * (type, day) aggregate; the trend window and the 7-row-per-type
     * seasonal relation are day-domain-sized, partitioned by type. */
-  val qStlDecompose = GraftQuery(
-    "q_stl_decompose",
-    (spark, dir) => {
-      import spark.implicits._
-      val daily = Tables.events(spark, dir)
-        .withColumn("day", expr(s"ts_us div $DayUs"))
-        .groupBy($"event_type", $"day")
-        .agg(dsum($"value").as("v"))
+  /** The decomposition readout over a daily series — see
+    * [[qStlDecompose]]. */
+  private[graft] def stlReport(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    {
       val w = Window.partitionBy($"event_type").orderBy($"day")
         .rowsBetween(-3, 3)
       val trended = daily
@@ -1407,7 +1423,12 @@ object EventAnalytics {
           when($"t.trend".isNotNull,
             Det.qround($"t.v" - $"t.trend" - $"seasonal")).as("residual"))
         .orderBy($"event_type", $"day")
-    },
+    }
+  }
+
+  val qStlDecompose = GraftQuery(
+    "q_stl_decompose",
+    (spark, dir) => stlReport(dailyByType(Tables.events(spark, dir))),
     Some(s"""
       WITH daily AS (
         SELECT event_type, epoch_us(ts) // $DayUs AS day,
@@ -1470,15 +1491,15 @@ object EventAnalytics {
     * completion is a broadcast day-spine cross join against the bounded
     * type dimension; the lag window and both reductions are
     * day-domain-sized, partitioned by type. */
-  val qSeasonalForecast = GraftQuery(
-    "q_seasonal_forecast",
-    (spark, dir) => {
-      import spark.implicits._
+  /** The backtest readout over a daily series — see
+    * [[qSeasonalForecast]]. */
+  private[graft] def forecastReport(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dailyIn.sparkSession
+    import spark.implicits._
+    {
       val H = ForecastHorizon
-      val daily = Tables.events(spark, dir)
-        .withColumn("day", expr(s"ts_us div $DayUs"))
-        .groupBy($"event_type", $"day")
-        .agg(dsum($"value").as("v"))
+      val daily = dailyIn
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
       val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
@@ -1513,7 +1534,12 @@ object EventAnalytics {
           when($"naive_mae" > 0, Det.qround($"mae" / $"naive_mae"))
             .as("mase"))
         .orderBy($"event_type")
-    },
+    }
+  }
+
+  val qSeasonalForecast = GraftQuery(
+    "q_seasonal_forecast",
+    (spark, dir) => forecastReport(dailyByType(Tables.events(spark, dir))),
     Some(s"""
       WITH daily AS (
         SELECT event_type, epoch_us(ts) // $DayUs AS day,
