@@ -1587,10 +1587,13 @@ object Dedup {
           sum($"bn").over(W.orderBy($"bucket")
             .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
         .select($"bucket", $"off")
+      // consumed twice (probe side + build side of the cell join): persist
+      // so the tokenize + bucket-sort pass runs once
       val ranked = keyed.join(broadcast(boff), Seq("bucket"))
         .withColumn("r", $"off" + row_number().over(
           W.partitionBy($"bucket").orderBy($"key", $"doc_id")))
         .select($"doc_id", $"r", ($"r" - ($"r" % SnmWindow)).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // canonical-cell pairing: a probes its own cell and the next one;
       // b's cell is determined by its rank, so each (ra < rb < ra+W)
       // pair matches exactly one probe row
