@@ -1569,10 +1569,16 @@ object Dedup {
     * EXACTLY once — no dedup shuffle). Verification joins the bounded
     * candidate list back to the shingle arrays (the MinHash verify
     * path). */
-  val qSnmDedup = GraftQuery(
-    "q_snm_dedup",
-    (spark, dir) => {
-      import spark.implicits._
+  /** SNM candidate pairs (ia, ib) BEFORE verification — exactly
+    * (W−1)·n − W·(W−1)/2 rows for n ranked documents (every rank pairs
+    * with its ≤W−1 successors): candidate volume is LINEAR in the corpus
+    * BY CONSTRUCTION, the property that distinguishes sort-based blocking
+    * from data-dependent LSH bucket volumes (DedupSpec pins the exact
+    * formula). Shared by [[qSnmDedup]] and [[qBlockingRecall]]. */
+  private[graft] def snmCandidates(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    {
       val W = org.apache.spark.sql.expressions.Window
       // docs below the shingle width can never verify (empty 3-gram set —
       // and a 0/0 Jaccard is a cross-engine NaN hazard): exclude them from
@@ -1599,15 +1605,24 @@ object Dedup {
       // pair matches exactly one probe row
       val probes = ranked.select($"doc_id", $"r",
         explode(array($"cell", $"cell" + SnmWindow)).as("pcell"))
-      val cand = probes.as("a").join(ranked.as("b"),
+      probes.as("a").join(ranked.as("b"),
           $"a.pcell" === $"b.cell" && $"b.r" > $"a.r" &&
             $"b.r" - $"a.r" < SnmWindow)
         .select(least($"a.doc_id", $"b.doc_id").as("ia"),
           greatest($"a.doc_id", $"b.doc_id").as("ib"))
-      verifyJaccard(cand, docShingles(spark, dir, 3))
-    },
-    Some(s"""
-      WITH keyed AS (
+    }
+  }
+
+  /** The verified SNM pair relation — shared by [[qSnmDedup]] (which just
+    * is it) and [[qBlockingRecall]]. */
+  private[graft] def snmPairs(spark: SparkSession, dir: String): DataFrame =
+    verifyJaccard(snmCandidates(spark, dir), docShingles(spark, dir, 3))
+
+  /** Oracle CTE block for [[snmPairs]] — exposes
+    * `snm_pairs(ia, ib, jaccard)`; shared by the SNM query and the
+    * blocking-recall audit. */
+  private def snmPairsCtes: String = s"""
+      keyed AS (
         SELECT doc_id, array_to_string(ws, ' ') AS key
         FROM (SELECT doc_id,
             string_split_regex(lower(text), '[[:space:]]+') AS ws
@@ -1616,28 +1631,92 @@ object Dedup {
       ranked AS (
         SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS r
         FROM keyed),
-      cand AS (
+      scand AS (
         SELECT least(a.doc_id, b.doc_id) AS ia,
           greatest(a.doc_id, b.doc_id) AS ib
         FROM ranked a JOIN ranked b
           ON b.r > a.r AND b.r - a.r < $SnmWindow),
-      sh AS (${shinglesSql(3)}),
-      ssz AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-      common AS (
+      ssh AS (${shinglesSql(3)}),
+      sssz AS (SELECT doc_id, count(*) AS ns FROM ssh GROUP BY doc_id),
+      scommon AS (
         SELECT c.ia, c.ib, count(*) AS inter
-        FROM cand c
-        JOIN sh s1 ON s1.doc_id = c.ia
-        JOIN sh s2 ON s2.doc_id = c.ib AND s2.shingle = s1.shingle
+        FROM scand c
+        JOIN ssh s1 ON s1.doc_id = c.ia
+        JOIN ssh s2 ON s2.doc_id = c.ib AND s2.shingle = s1.shingle
         GROUP BY c.ia, c.ib),
-      j AS (
+      sj AS (
         SELECT m.ia, m.ib,
           ${Oracle.qround("inter / (za.ns + zb.ns - inter)")} AS jaccard
-        FROM common m
-        JOIN ssz za ON za.doc_id = m.ia
-        JOIN ssz zb ON zb.doc_id = m.ib)
-      SELECT ia, ib, jaccard FROM j
-      WHERE jaccard >= $JaccardThreshold
+        FROM scommon m
+        JOIN sssz za ON za.doc_id = m.ia
+        JOIN sssz zb ON zb.doc_id = m.ib),
+      snm_pairs AS (
+        SELECT ia, ib, jaccard FROM sj
+        WHERE jaccard >= $JaccardThreshold)"""
+
+  val qSnmDedup = GraftQuery(
+    "q_snm_dedup",
+    (spark, dir) => snmPairs(spark, dir),
+    Some(s"""
+      WITH $snmPairsCtes
+      SELECT ia, ib, jaccard FROM snm_pairs
       ORDER BY ia, ib""")
+  )
+
+  /** Blocking-strategy recall audit — quantifies the "cover the union"
+    * claim the dedup family's scaladocs make: run BOTH candidate
+    * generators (MinHash-LSH banding and sorted-neighborhood) through the
+    * SAME shingle-Jaccard verification and report each strategy's
+    * verified-pair coverage of the union (pairs found by both / LSH only /
+    * SNM only). One row. A curation run reads this before deciding
+    * whether the second blocking pass pays for itself on its corpus.
+    *
+    * Scale shape: both pair relations are the bounded verified outputs
+    * the standalone queries already produce; the overlap is a full outer
+    * join on (ia, ib) of two pair-list-sized relations followed by a
+    * global count — nothing corpus-sized beyond the generators
+    * themselves. */
+  val qBlockingRecall = GraftQuery(
+    "q_blocking_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      val lsh = minhashPairs(spark, dir)
+        .select($"ia", $"ib", lit(1).as("in_lsh"))
+      val snm = snmPairs(spark, dir)
+        .select($"ia", $"ib", lit(1).as("in_snm"))
+      lsh.join(snm, Seq("ia", "ib"), "full_outer")
+        .agg(
+          sum(coalesce($"in_lsh", lit(0))).cast(LongType).as("n_lsh"),
+          sum(coalesce($"in_snm", lit(0))).cast(LongType).as("n_snm"),
+          sum(when($"in_lsh".isNotNull && $"in_snm".isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when($"in_lsh".isNotNull && $"in_snm".isNull, 1L)
+            .otherwise(0L)).as("lsh_only"),
+          sum(when($"in_lsh".isNull && $"in_snm".isNotNull, 1L)
+            .otherwise(0L)).as("snm_only"),
+          count(lit(1)).as("n_union"))
+        .filter($"n_union" >= 0)
+        .orderBy($"n_union")
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS ($minhashPairsSql),
+      $snmPairsCtes,
+      u AS (
+        SELECT coalesce(l.ia, s.ia) AS ia, coalesce(l.ib, s.ib) AS ib,
+          (l.ia IS NOT NULL) AS in_lsh, (s.ia IS NOT NULL) AS in_snm
+        FROM pairs l FULL OUTER JOIN snm_pairs s
+          ON l.ia = s.ia AND l.ib = s.ib)
+      SELECT
+        sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)::BIGINT AS n_lsh,
+        sum(CASE WHEN in_snm THEN 1 ELSE 0 END)::BIGINT AS n_snm,
+        sum(CASE WHEN in_lsh AND in_snm THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        sum(CASE WHEN in_lsh AND NOT in_snm THEN 1 ELSE 0 END)::BIGINT
+          AS lsh_only,
+        sum(CASE WHEN in_snm AND NOT in_lsh THEN 1 ELSE 0 END)::BIGINT
+          AS snm_only,
+        count(*)::BIGINT AS n_union
+      FROM u
+      ORDER BY n_union""")
   )
 
   val all: Seq[GraftQuery] = Seq(
@@ -1646,5 +1725,5 @@ object Dedup {
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
     qQualityDedupCalibration, qPairEvidence, qSplitLeakage,
-    qContainmentDedup, qSnmDedup)
+    qContainmentDedup, qSnmDedup, qBlockingRecall)
 }

@@ -251,4 +251,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(rows === Seq((2L, 3L, 1.0), (4L, 5L, 0.931034)))
   }
+
+  test("snm candidate volume is exactly (W-1)n - W(W-1)/2 — linear by " +
+      "construction") {
+    val w = graft.operators.Dedup.SnmWindow
+    for (dir <- Seq(fixtureDir, "/root/testdata/sf0.001")) {
+      val n = Tables.documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.size(
+          graft.functions.Text.tokens($"text")) >= 3).count()
+      val cands = graft.operators.Dedup.snmCandidates(spark, dir).count()
+      assert(cands === (w - 1) * n - w.toLong * (w - 1) / 2,
+        s"dir=$dir n=$n")
+    }
+  }
+
+  test("blocking recall: on the fixture both strategies find both pairs") {
+    val rows = graft.operators.Dedup.qBlockingRecall.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq((2L, 2L, 2L, 0L, 0L, 2L)))
+  }
 }
