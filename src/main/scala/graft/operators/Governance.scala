@@ -979,7 +979,73 @@ object Governance {
       ORDER BY digit""")
   )
 
+  /** HLL set-INTERSECTION estimate via inclusion–exclusion — the audience-
+    * overlap readout ("how many users both click AND purchase?") that
+    * sketch stores answer without a second scan: HLLs union natively but
+    * do not intersect, so the standard practice is
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), whose error compounds all three
+    * sketches' errors — exactly why this ships as a bounded-tolerance
+    * audit (the q_subreddit_stats_approx discipline): the output carries
+    * the EXACT overlap numbers plus an `approx_ok` flag the oracle pins
+    * to 1, with bound = max(3, 3·rsd·(A + B + U)) over the exact values
+    * (rsd ≈ 1.04/√2¹² for the datasketches default) — a drifting sketch
+    * FAILS the hash check instead of being skipped.
+    *
+    * Scale shape: ONE aggregate builds all three sketches (filtered
+    * hll_sketch_agg inputs — nulls are skipped); the exact side is one
+    * per-user partial+final aggregate plus a 1-row reduction. At 100 TB
+    * the sketches come from the stored per-day sketch table
+    * (q_hll_sketch_merge / StreamSketch) instead of a scan — this query
+    * pins the estimator the readers of that table use. */
+  val qHllIntersect = GraftQuery(
+    "q_hll_intersect",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val est = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(
+          when($"event_type" === "click", $"user_id"))).as("est_a"),
+        hll_sketch_estimate(hll_sketch_agg(
+          when($"event_type" === "purchase", $"user_id"))).as("est_b"),
+        hll_sketch_estimate(hll_sketch_agg(
+          when($"event_type".isin("click", "purchase"), $"user_id")))
+          .as("est_u"))
+      val exact = ev
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "click", 1L).otherwise(0L)).as("c"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+        .agg(sum($"c").as("exact_a"), sum($"p").as("exact_b"),
+          sum($"c" * $"p").as("exact_inter"),
+          sum(greatest($"c", $"p")).as("exact_union"))
+        .na.fill(0L)
+      exact.crossJoin(broadcast(est))
+        .select($"exact_a", $"exact_b", $"exact_union", $"exact_inter",
+          when(
+            abs($"est_a" + $"est_b" - $"est_u"
+              - $"exact_inter".cast(DoubleType))
+              <= greatest(lit(3.0), lit(3.0 * 1.04 / 64.0) *
+                ($"exact_a" + $"exact_b" + $"exact_union")
+                  .cast(DoubleType)), 1L)
+            .otherwise(0L).as("approx_ok"))
+        .orderBy($"exact_a")
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY 1)
+      SELECT coalesce(sum(c), 0)::BIGINT AS exact_a,
+        coalesce(sum(p), 0)::BIGINT AS exact_b,
+        coalesce(sum(greatest(c, p)), 0)::BIGINT AS exact_union,
+        coalesce(sum(c * p), 0)::BIGINT AS exact_inter,
+        1::BIGINT AS approx_ok
+      FROM per
+      ORDER BY exact_a""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
-      qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias, qBenford)
+      qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias, qBenford,
+      qHllIntersect)
 }

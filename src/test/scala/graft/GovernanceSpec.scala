@@ -253,4 +253,23 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.map(_._6).distinct.size === 1 && rows.head._6 > 0)
     assert(rows.map(_._7).distinct.size === 1 && rows.head._7 > 0)
   }
+
+  test("hll intersect: fixture has clicks but no purchases -> empty overlap") {
+    // every fixture click belongs to user 0; nobody purchases:
+    // A = {0}, B = {} -> inter 0, union 1; sketches exact at this size
+    val rows = Governance.qHllIntersect.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq((1L, 0L, 1L, 0L, 1L)))
+  }
+
+  test("hll intersect at sf0.001: inclusion-exclusion inside the bound " +
+      "and consistent set algebra") {
+    val rows = Governance.qHllIntersect.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size === 1)
+    val (a, b, u, i, ok) = rows.head
+    assert(a + b - u === i)          // exact inclusion-exclusion identity
+    assert(i > 0 && u >= math.max(a, b))
+    assert(ok === 1L)
+  }
 }
