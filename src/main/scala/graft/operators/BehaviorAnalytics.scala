@@ -858,8 +858,104 @@ object BehaviorAnalytics {
       ORDER BY dur_hours""")
   )
 
+  /** Bootstrap replica count for [[qBootstrapCi]]; CI ranks are the
+    * standard ceil(q·B) order statistics (2.5% → 3rd, 97.5% → 98th). */
+  val BootReplicas = 100
+
+  /** Poisson(1) CDF thresholds in u32 units — floor(P(X ≤ k)·2³²) for
+    * k = 0..8, hardcoded as INTEGER literals so the resampling weights are
+    * exact integer comparisons in both engines (no float CDF inversion
+    * at query time; mass beyond k = 8 — ~1.1e−6 — draws weight 9). */
+  val PoissonU32: Seq[Long] = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L,
+    4294962463L)
+
+  /** Distributed bootstrap CI of the mean event value — the Poisson
+    * bootstrap (Chamandy et al. / Kleiner et al. lineage): classic
+    * resampling draws n rows WITH replacement per replica, which cannot be
+    * done in one distributed pass; drawing each row's multiplicity
+    * Poisson(1) per replica is the standard large-scale approximation and
+    * needs only a map-side weight per (row, replica). Every weight is
+    * DETERMINISTIC — u32(md5("boot:" || event_id || ":" || b)) compared
+    * against the hardcoded integer CDF thresholds [[PoissonU32]] — so the
+    * whole resampling replays bit-identically in DuckDB and the CI is
+    * hash-checked EXACTLY (no tolerance band needed, unlike the sketch
+    * audits). One row: n, point mean, replica count, and the 95%
+    * percentile-bootstrap interval.
+    *
+    * Scale shape: the ×[[BootReplicas]] explode collapses map-side
+    * (partial aggregate per replica id) — ≤ B rows per partition cross
+    * the one exchange; the CI is an ordered rank selection over the
+    * B-row replica relation (the bounded-window discipline). Replica
+    * means are qround(decimal sum / integer weight-count). */
+  val qBootstrapCi = GraftQuery(
+    "q_bootstrap_ci",
+    (spark, dir) => {
+      import spark.implicits._
+      val B = BootReplicas
+      val ladder = PoissonU32.zipWithIndex.foldRight(
+          lit(PoissonU32.size): org.apache.spark.sql.Column) {
+        case ((t, k), alt) => when($"u" < t, lit(k)).otherwise(alt)
+      }
+      val weights = Tables.events(spark, dir)
+        .select($"event_id", $"value",
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("u", expr(PipelineOps.u32Expr(
+          "concat('boot:', cast(event_id as string), ':', cast(b as string))")))
+        .withColumn("w", ladder)
+      val reps = weights.groupBy($"b")
+        .agg(Det.dsum($"w" * $"value").as("ws"), sum($"w").as("wn"))
+        .filter($"wn" > 0)
+        .select($"b", Det.qround($"ws" / $"wn").as("m"))
+      val W = org.apache.spark.sql.expressions.Window
+      val ordered = reps.withColumn("rk",
+        row_number().over(W.orderBy($"m".asc, $"b".asc)))
+      val ci = ordered.agg(
+        count(lit(1)).as("n_replicas"),
+        max(when($"rk" === 3, $"m")).as("ci_lo"),
+        max(when($"rk" === 98, $"m")).as("ci_hi"))
+      val point = Tables.events(spark, dir)
+        .agg(count(lit(1)).as("n"), Det.davg($"value").as("point_mean"))
+        .filter($"n" > 0)
+      point.crossJoin(broadcast(ci))
+        .select($"n", $"point_mean", $"n_replicas", $"ci_lo", $"ci_hi")
+        .orderBy($"n")
+    },
+    Some(s"""
+      WITH reps AS (
+        SELECT b,
+          ${Oracle.qround(s"${Oracle.dsum("w * value")} / sum(w)")} AS m
+        FROM (
+          SELECT value, b,
+            CASE ${PoissonU32.zipWithIndex
+              .map { case (t, k) => s"WHEN u < $t THEN $k" }
+              .mkString(" ")} ELSE ${PoissonU32.size} END AS w
+          FROM (
+            SELECT value, b,
+              ${PipelineOps.u32Sql(
+                "'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+                AS u
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0, $BootReplicas)) AS b)))
+        GROUP BY b HAVING sum(w) > 0),
+      ordered AS (
+        SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rk
+        FROM reps),
+      ci AS (
+        SELECT count(*)::BIGINT AS n_replicas,
+          max(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+          max(CASE WHEN rk = 98 THEN m END) AS ci_hi
+        FROM ordered),
+      pt AS (
+        SELECT count(*)::BIGINT AS n, ${Oracle.davg("value")} AS point_mean
+        FROM events HAVING count(*) > 0)
+      SELECT n, point_mean, n_replicas, ci_lo, ci_hi
+      FROM pt CROSS JOIN ci
+      ORDER BY n""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
-      qAnovaF, qKaplanMeier)
+      qAnovaF, qKaplanMeier, qBootstrapCi)
 }

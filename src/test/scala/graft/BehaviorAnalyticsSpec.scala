@@ -247,6 +247,26 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(rows.head._5 <= 1.0 && rows.last._5 >= 0.0)
   }
 
+  test("bootstrap ci: fixture interval brackets the point mean") {
+    val rows = BehaviorAnalytics.qBootstrapCi.run(spark, fixtureDir)
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    assert(rows.size === 1)
+    val (n, mean, b, lo, hi) = rows.head
+    assert(n === 6L && mean === 3.5)
+    assert(b === BehaviorAnalytics.BootReplicas.toLong)
+    assert(lo <= mean && mean <= hi && lo < hi)
+  }
+
+  test("bootstrap ci at sf0.001 vs sf0.01: interval shrinks with n") {
+    def run(sf: String) = BehaviorAnalytics.qBootstrapCi
+      .run(spark, s"/root/testdata/sf$sf")
+      .as[(Long, Double, Long, Double, Double)].collect().head
+    val small = run("0.001"); val big = run("0.01")
+    assert(small._4 <= small._2 && small._2 <= small._5)
+    assert(big._4 <= big._2 && big._2 <= big._5)
+    assert(big._5 - big._4 < small._5 - small._4)
+  }
+
   test("ks/mwu: fixture has no purchase arm -> empty readout, no crash") {
     assert(BehaviorAnalytics.qKsTest.run(spark, fixtureDir).count() === 0L)
     assert(BehaviorAnalytics.qMwuTest.run(spark, fixtureDir).count() === 0L)
