@@ -888,38 +888,56 @@ object BehaviorAnalytics {
     * the one exchange; the CI is an ordered rank selection over the
     * B-row replica relation (the bounded-window discipline). Replica
     * means are qround(decimal sum / integer weight-count). */
+  /** (value, b, w) Poisson resampling weights for an events relation —
+    * the map-side core shared with graft.streaming.StreamBoot (weights
+    * are a pure hash of (event_id, b), so the streamed and batch weights
+    * are identical by construction). */
+  private[graft] def bootWeights(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val ladder = PoissonU32.zipWithIndex.foldRight(
+        lit(PoissonU32.size): org.apache.spark.sql.Column) {
+      case ((t, k), alt) => when($"u" < t, lit(k)).otherwise(alt)
+    }
+    ev.select($"event_id", $"value",
+        explode(sequence(lit(0), lit(BootReplicas - 1))).as("b"))
+      .withColumn("u", expr(PipelineOps.u32Expr(
+        "concat('boot:', cast(event_id as string), ':', cast(b as string))")))
+      .withColumn("w", ladder)
+  }
+
+  /** CI readout over a (b, ws, wn) replica relation and a 1-row
+    * (n, point_mean) relation — shared with the streaming twin's
+    * fold-at-query report. */
+  private[graft] def bootReport(reps0: org.apache.spark.sql.DataFrame,
+      point: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = reps0.sparkSession
+    import spark.implicits._
+    val reps = reps0.filter($"wn" > 0)
+      .select($"b", Det.qround($"ws" / $"wn").as("m"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = reps.withColumn("rk",
+      row_number().over(W.orderBy($"m".asc, $"b".asc)))
+    val ci = ordered.agg(
+      count(lit(1)).as("n_replicas"),
+      max(when($"rk" === 3, $"m")).as("ci_lo"),
+      max(when($"rk" === 98, $"m")).as("ci_hi"))
+    point.filter($"n" > 0).crossJoin(broadcast(ci))
+      .select($"n", $"point_mean", $"n_replicas", $"ci_lo", $"ci_hi")
+      .orderBy($"n")
+  }
+
   val qBootstrapCi = GraftQuery(
     "q_bootstrap_ci",
     (spark, dir) => {
       import spark.implicits._
-      val B = BootReplicas
-      val ladder = PoissonU32.zipWithIndex.foldRight(
-          lit(PoissonU32.size): org.apache.spark.sql.Column) {
-        case ((t, k), alt) => when($"u" < t, lit(k)).otherwise(alt)
-      }
-      val weights = Tables.events(spark, dir)
-        .select($"event_id", $"value",
-          explode(sequence(lit(0), lit(B - 1))).as("b"))
-        .withColumn("u", expr(PipelineOps.u32Expr(
-          "concat('boot:', cast(event_id as string), ':', cast(b as string))")))
-        .withColumn("w", ladder)
-      val reps = weights.groupBy($"b")
+      val reps = bootWeights(Tables.events(spark, dir)).groupBy($"b")
         .agg(Det.dsum($"w" * $"value").as("ws"), sum($"w").as("wn"))
-        .filter($"wn" > 0)
-        .select($"b", Det.qround($"ws" / $"wn").as("m"))
-      val W = org.apache.spark.sql.expressions.Window
-      val ordered = reps.withColumn("rk",
-        row_number().over(W.orderBy($"m".asc, $"b".asc)))
-      val ci = ordered.agg(
-        count(lit(1)).as("n_replicas"),
-        max(when($"rk" === 3, $"m")).as("ci_lo"),
-        max(when($"rk" === 98, $"m")).as("ci_hi"))
       val point = Tables.events(spark, dir)
         .agg(count(lit(1)).as("n"), Det.davg($"value").as("point_mean"))
-        .filter($"n" > 0)
-      point.crossJoin(broadcast(ci))
-        .select($"n", $"point_mean", $"n_replicas", $"ci_lo", $"ci_hi")
-        .orderBy($"n")
+      bootReport(reps, point)
     },
     Some(s"""
       WITH reps AS (
