@@ -1584,6 +1584,105 @@ object EventAnalytics {
       ORDER BY event_type""")
   )
 
+  /** Theil–Sen robust trend of the per-type daily series — the
+    * breakdown-resistant counterpart of q_value_trend's OLS (one wild day
+    * drags a least-squares slope arbitrarily; the median of pairwise
+    * slopes shrugs off up to ~29% contamination — the estimator a
+    * metrics pipeline wants under exactly the outliers q_outlier_events
+    * exists to find). Slope = median over all day pairs of
+    * (v_j − v_i)/(x_j − x_i); intercept = median of (v_i − slope·x_i).
+    *
+    * Exactness: pairwise slopes are single IEEE divisions of 6-dp-stable
+    * numerators by exact integer day gaps, [[Det.qround]]ed BEFORE
+    * ranking so both engines rank identical values (ties pinned by the
+    * pair key); the even-count median is the qround'ed mean of the two
+    * middle order statistics. Scale shape: the corpus collapses to the
+    * (type, day) aggregate first; the pair self-join, both median
+    * windows and the residual pass are all day-domain-sized (≤ C(days,2)
+    * rows per type — bounded by the calendar, not the corpus). */
+  val qTheilSen = GraftQuery(
+    "q_theil_sen",
+    (spark, dir) => {
+      import spark.implicits._
+      val lo0 = dailyByType(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lo = lo0.agg(min($"day").as("lo"))
+      val daily = lo0.crossJoin(broadcast(lo))
+        .select($"event_type", ($"day" - $"lo").as("x"), $"v")
+      val W = org.apache.spark.sql.expressions.Window
+      def medianOf(df: org.apache.spark.sql.DataFrame, c: String,
+          tieCols: Seq[String], out: String) = {
+        val w = W.partitionBy($"event_type")
+          .orderBy(col(c) +: tieCols.map(col): _*)
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(W.partitionBy($"event_type")))
+          // integer div, NOT Column./ (which is double division): the two
+          // middle order statistics, coinciding when m is odd
+          .filter(expr("rn = (m + 1) div 2 OR rn = m div 2 + 1"))
+          .groupBy($"event_type")
+          .agg(max($"m").as(s"n_$out"), Det.qround(avg(col(c))).as(out))
+      }
+      val slopes = daily.as("a").join(daily.as("b"),
+          $"a.event_type" === $"b.event_type" && $"b.x" > $"a.x")
+        .select($"a.event_type".as("event_type"), $"a.x".as("xa"),
+          $"b.x".as("xb"),
+          Det.qround(($"b.v" - $"a.v") /
+            ($"b.x" - $"a.x").cast(DoubleType)).as("s"))
+      val slope = medianOf(slopes, "s", Seq("xa", "xb"), "pairs")
+        .select($"event_type", $"n_pairs", $"pairs".as("ts_slope"))
+      val resid = daily.join(broadcast(slope), Seq("event_type"))
+        .select($"event_type", $"n_pairs", $"ts_slope", $"x",
+          Det.qround($"v" - $"ts_slope" * $"x").as("r"))
+      medianOf(resid, "r", Seq("x"), "days")
+        .select($"event_type", $"n_days", $"days".as("ts_intercept"))
+        .join(slope, Seq("event_type"))
+        .select($"event_type", $"n_days", $"n_pairs", $"ts_slope",
+          $"ts_intercept")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily0 AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("value")} AS v
+        FROM events GROUP BY 1, 2),
+      lo AS (SELECT min(day) AS lo FROM daily0),
+      daily AS (
+        SELECT event_type, day - lo AS x, v FROM daily0 CROSS JOIN lo),
+      slopes AS (
+        SELECT a.event_type, a.x AS xa, b.x AS xb,
+          ${Oracle.qround("(b.v - a.v) / (b.x - a.x)::DOUBLE")} AS s
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.x > a.x),
+      sr AS (
+        SELECT event_type, s,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY s, xa, xb) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS m
+        FROM slopes),
+      slope AS (
+        SELECT event_type, max(m)::BIGINT AS n_pairs,
+          ${Oracle.qround("avg(s)")} AS ts_slope
+        FROM sr WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY event_type),
+      resid AS (
+        SELECT d.event_type,
+          ${Oracle.qround("v - ts_slope * x")} AS r, d.x
+        FROM daily d JOIN slope USING (event_type)),
+      rr AS (
+        SELECT event_type, r,
+          row_number() OVER (PARTITION BY event_type ORDER BY r, x) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS m
+        FROM resid),
+      icept AS (
+        SELECT event_type, max(m)::BIGINT AS n_days,
+          ${Oracle.qround("avg(r)")} AS ts_intercept
+        FROM rr WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY event_type)
+      SELECT event_type, n_days, n_pairs, ts_slope, ts_intercept
+      FROM icept JOIN slope USING (event_type)
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qRollupActivity, qValueQuantiles, qValueQuantilesApprox,
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
@@ -1593,5 +1692,5 @@ object EventAnalytics {
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
-    qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast)
+    qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast, qTheilSen)
 }
