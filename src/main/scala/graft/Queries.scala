@@ -28,6 +28,7 @@ object Queries {
     "bhv" -> BehaviorAnalytics.all,
     "graph" -> Graph.all,
     "gov" -> Governance.all,
+    "ml" -> MlEval.all,
     "med" -> Media.all)
 
   val all: Seq[GraftQuery] = families.flatMap(_._2)

@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.{GraftQuery, Oracle, Tables}
+import graft.functions.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Model-fitting and classifier-evaluation primitives — the readouts a
+  * training-data pipeline runs on top of its curated corpus: a distributed
+  * closed-form regression (the "does feature X explain metric Y" audit), a
+  * ranking-quality readout (ROC/AUC) and a probability-calibration audit
+  * (reliability bins + ECE). The reference pipeline stops at descriptive
+  * per-batch stats (reddit_consumer.py:356-384); these are the inferential
+  * companions a platform adds the day someone asks "is this signal real,
+  * and is the score calibrated?".
+  *
+  * Scale design shared by all three: ONE partial+final aggregate collapses
+  * the corpus to a bounded relation (a single moment row, the distinct
+  * score domain, ten calibration bins); every formula below that point
+  * runs on model-scale data. Nothing here ever shuffles corpus-sized rows
+  * twice.
+  */
+object MlEval {
+
+  // ---------------------------------------------------------------- OLS —
+
+  /** Cramer expansions for the 3×3 normal equations [[qOlsFit]] solves.
+    * The SAME strings are `expr()`ed Spark-side and interpolated into the
+    * DuckDB oracle, so both engines evaluate the identical IEEE tree over
+    * the identical decimal-exact moments (the q_ab_welch discipline,
+    * extended from scalars to a linear solve). */
+  private val DetM = "nd*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd)"
+  private val Det0 = "sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy)"
+  private val Det1 = "nd*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd)"
+  private val Det2 = "nd*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd)"
+  private val Sse = "syy - (det0/det)*sy - (det1/det)*sqy - (det2/det)*sdy"
+  private val Sst = "syy - sy*sy/nd"
+
+  /** UNROUNDED decimal moment partials of the regression
+    * y = l_extendedprice on (1, l_quantity, l_discount): n plus the ten
+    * sums the normal equations need. Decimal addition is exact, so the
+    * partials are ADDITIVE — this is the relation
+    * [[graft.streaming.StreamOls]] maintains per micro-batch and folds at
+    * query time (one terminal round, algebraically the batch reduction). */
+  private[graft] def olsMomentsDec(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    def d(c: Column) = sum(c.cast(DecimalType(38, 9)))
+    li.agg(
+      count(lit(1)).as("n"),
+      d($"l_quantity").as("sq_d"), d($"l_discount").as("sd_d"),
+      d($"l_extendedprice").as("sy_d"),
+      d($"l_quantity" * $"l_quantity").as("sqq_d"),
+      d($"l_quantity" * $"l_discount").as("sqd_d"),
+      d($"l_discount" * $"l_discount").as("sdd_d"),
+      d($"l_quantity" * $"l_extendedprice").as("sqy_d"),
+      d($"l_discount" * $"l_extendedprice").as("sdy_d"),
+      d($"l_extendedprice" * $"l_extendedprice").as("syy_d"))
+  }
+
+  /** Round each decimal moment ONCE (6 dp, on the exact decimal) and cast
+    * to double — the [[Det.dsum]] output shape, applied at the end of
+    * whatever reduction (single batch or streamed fold) produced the
+    * decimals. */
+  private[graft] def olsFinish(dec: DataFrame): DataFrame = {
+    import dec.sparkSession.implicits._
+    def f(name: String) = round(col(name + "_d"), 6).cast(DoubleType)
+    dec.select($"n", $"n".cast(DoubleType).as("nd"),
+      f("sq").as("sq"), f("sd").as("sd"), f("sy").as("sy"),
+      f("sqq").as("sqq"), f("sqd").as("sqd"), f("sdd").as("sdd"),
+      f("sqy").as("sqy"), f("sdy").as("sdy"), f("syy").as("syy"))
+  }
+
+  /** Closed-form solve + fit quality from the finished moment row. */
+  private[graft] def olsSolve(m: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
+    m.withColumn("det", expr(DetM))
+      .withColumn("det0", expr(Det0))
+      .withColumn("det1", expr(Det1))
+      .withColumn("det2", expr(Det2))
+      .withColumn("sse", expr(Sse))
+      .withColumn("sst", expr(Sst))
+      .select($"n",
+        Det.qround(expr("det0/det")).as("b0"),
+        Det.qround(expr("det1/det")).as("b1"),
+        Det.qround(expr("det2/det")).as("b2"),
+        Det.qround(expr("1 - sse/sst")).as("r2"),
+        Det.qround(expr("sqrt(sse/nd)")).as("rmse"))
+      .orderBy($"n")
+  }
+
+  /** Distributed ordinary least squares by NORMAL EQUATIONS — the only OLS
+    * that works in one pass at 100 TB: the corpus collapses to a d(d+1)/2
+    * Gramian + X'y moment row (here d = 3: intercept, l_quantity,
+    * l_discount → 10 sums) in ONE partial+final aggregate; the 3×3 solve
+    * (Cramer), R² and RMSE are driver-scale arithmetic over that single
+    * row. Complements q_theil_sen (robust, pair-sampled) with the exact
+    * closed-form fit, and q_embed_covariance (which builds the Gramian for
+    * PCA) with the regression use of the same shape.
+    *
+    * Exactness: moments are exact decimal sums (order-independent) rounded
+    * once; the solve is one fixed IEEE expression tree shared TEXTUALLY
+    * with the oracle ([[DetM]]..[[Sst]] are `expr()`ed here and
+    * interpolated there), so both engines compute bit-identical
+    * coefficients. Verified against numpy lstsq to all printed digits. */
+  val qOlsFit = GraftQuery(
+    "q_ols_fit",
+    (spark, dir) =>
+      olsSolve(olsFinish(olsMomentsDec(Tables.lineitem(spark, dir)))),
+    Some(s"""
+      WITH m AS (
+        SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd,
+          ${Oracle.dsum("l_quantity")} AS sq,
+          ${Oracle.dsum("l_discount")} AS sd,
+          ${Oracle.dsum("l_extendedprice")} AS sy,
+          ${Oracle.dsum("l_quantity*l_quantity")} AS sqq,
+          ${Oracle.dsum("l_quantity*l_discount")} AS sqd,
+          ${Oracle.dsum("l_discount*l_discount")} AS sdd,
+          ${Oracle.dsum("l_quantity*l_extendedprice")} AS sqy,
+          ${Oracle.dsum("l_discount*l_extendedprice")} AS sdy,
+          ${Oracle.dsum("l_extendedprice*l_extendedprice")} AS syy
+        FROM lineitem),
+      c AS (SELECT *, $DetM AS det, $Det0 AS det0, $Det1 AS det1,
+              $Det2 AS det2 FROM m),
+      e AS (SELECT *, $Sse AS sse, $Sst AS sst FROM c)
+      SELECT n, ${Oracle.qround("det0/det")} AS b0,
+        ${Oracle.qround("det1/det")} AS b1,
+        ${Oracle.qround("det2/det")} AS b2,
+        ${Oracle.qround("1 - sse/sst")} AS r2,
+        ${Oracle.qround("sqrt(sse/nd)")} AS rmse
+      FROM e ORDER BY n""")
+  )
+
+  // ------------------------------------------------------------ ROC/AUC —
+
+  private val PosType = "purchase"
+
+  /** ROC/AUC readout of a scored binary classifier — here the
+    * deterministic score `value` predicting `event_type = 'purchase'`
+    * (AUC ≈ 0.5 on the synthetic corpus BY DESIGN: value is drawn
+    * independently of type, and the readout proves it). Single row:
+    * class sizes, midrank AUC, Gini (2·AUC−1) and the KS separation
+    * (max ECDF gap — the q_ks_test statistic re-emerging as the
+    * classifier's score-separation summary).
+    *
+    * The corpus collapses to the DISTINCT SCORE DOMAIN first (one
+    * partial+final aggregate; the driver's `value` is a 2-dp grid, so the
+    * domain is range·100 rows, not corpus rows — the q_mwu_test
+    * discipline); ranks never materialize per event. Midranks are handled
+    * in INTEGER arithmetic: AUC·2·n⁺·n⁻ = Σ_v p_v·(2·cf_v + f_v) (each
+    * positive beats every lower-scored negative, ties count half), so the
+    * only float op is the final division, [[Det.qround]]ed. The
+    * unpartitioned cumulative windows run on the bounded value-domain
+    * relation, never the corpus. */
+  val qRocAuc = GraftQuery(
+    "q_roc_auc",
+    (spark, dir) => {
+      import spark.implicits._
+      val vc = Tables.events(spark, dir)
+        .groupBy($"value".as("v"))
+        .agg(sum(when($"event_type" === PosType, 1L).otherwise(0L)).as("p"),
+          sum(when($"event_type" === PosType, 0L).otherwise(1L)).as("f"))
+      val before = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // persisted: BOTH reductions below (rank numerator + KS max) consume
+      // this bounded value-domain relation — without the persist each one
+      // would re-run the corpus collapse, doubling the events scan
+      val w = vc.select($"p", $"f",
+        coalesce(sum($"p").over(before), lit(0L)).as("cp"),
+        coalesce(sum($"f").over(before), lit(0L)).as("cf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t = w.agg(sum($"p").as("n_pos"), sum($"f").as("n_neg"),
+        sum($"p" * (lit(2L) * $"cf" + $"f")).as("num2"))
+      val k = w.crossJoin(broadcast(t))
+        .agg(max(abs(($"cp" + $"p") * $"n_neg" - ($"cf" + $"f") * $"n_pos"))
+          .as("maxd"))
+      t.crossJoin(broadcast(k))
+        .select($"n_pos", $"n_neg",
+          Det.qround(expr("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)"))
+            .as("auc"),
+          Det.qround(expr("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1"))
+            .as("gini"),
+          Det.qround(expr("CAST(maxd AS DOUBLE) / (n_pos * n_neg)"))
+            .as("ks_sep"))
+        .orderBy($"n_pos")
+    },
+    Some(s"""
+      WITH vc AS (
+        SELECT value AS v,
+          sum(CASE WHEN event_type = '$PosType' THEN 1 ELSE 0 END)::BIGINT AS p,
+          sum(CASE WHEN event_type = '$PosType' THEN 0 ELSE 1 END)::BIGINT AS f
+        FROM events GROUP BY value),
+      w AS (
+        SELECT p, f,
+          (coalesce(sum(p) OVER (ORDER BY v ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS cp,
+          (coalesce(sum(f) OVER (ORDER BY v ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS cf
+        FROM vc),
+      t AS (
+        SELECT sum(p)::BIGINT AS n_pos, sum(f)::BIGINT AS n_neg,
+          sum(p * (2*cf + f))::BIGINT AS num2 FROM w),
+      k AS (
+        SELECT max(abs((cp + p) * t.n_neg - (cf + f) * t.n_pos))::BIGINT AS maxd
+        FROM w CROSS JOIN t)
+      SELECT n_pos, n_neg,
+        ${Oracle.qround("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)")} AS auc,
+        ${Oracle.qround("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1")} AS gini,
+        ${Oracle.qround("CAST(maxd AS DOUBLE) / (n_pos * n_neg)")} AS ks_sep
+      FROM t CROSS JOIN k ORDER BY n_pos""")
+  )
+
+  // -------------------------------------------------------- calibration —
+
+  /** Probability-calibration audit (reliability diagram + ECE) of the
+    * normalized score pred = clamp(value, 0, 500)/500 against the
+    * purchase label: ten equal-width bins, per-bin mean predicted
+    * probability vs empirical positive rate, and the expected calibration
+    * error Σ_b n_b·|mean_pred_b − rate_b| / N — the audit that catches a
+    * quality/toxicity scorer whose thresholds silently drifted.
+    *
+    * Exactness trick: n_b·|mean_pred − rate| = |Σpred − n_pos| per bin, so
+    * ECE = Σ_b |sp_b − n_pos_b| / N needs NO per-bin division — sp stays
+    * an exact DECIMAL through the bin aggregate AND the ten-row ECE
+    * window (decimal windowed sums are order-independent; a float window
+    * here could diverge cross-engine — the q_t_closeness segment-tree
+    * lesson). One corpus aggregate → ≤10 rows; the ECE window is
+    * SinglePartition over those ten rows only. */
+  val qCalibrationBins = GraftQuery(
+    "q_calibration_bins",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = Tables.events(spark, dir).select(
+        expr("least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9)").as("bin"),
+        when($"event_type" === PosType, 1L).otherwise(0L).as("pos"),
+        expr("CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9))").as("pred"))
+      val g = b.groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+          sum($"pred").as("sp"))
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      g.withColumn("ad", abs($"sp" - $"n_pos"))
+        .withColumn("sad", sum($"ad").over(all))
+        .withColumn("tot", sum($"n").over(all))
+        .select($"bin", $"n", $"n_pos",
+          Det.qround(expr("CAST(sp AS DOUBLE) / n")).as("mean_pred"),
+          Det.qround(expr("CAST(n_pos AS DOUBLE) / n")).as("pos_rate"),
+          Det.qround(expr("CAST(ad AS DOUBLE) / n")).as("gap"),
+          Det.qround(expr("CAST(sad AS DOUBLE) / tot")).as("ece"))
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9) AS bin,
+          CASE WHEN event_type = '$PosType' THEN 1 ELSE 0 END AS pos,
+          CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9)) AS pred
+        FROM events),
+      g AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+          sum(pred) AS sp
+        FROM b GROUP BY bin),
+      w AS (
+        SELECT *, abs(sp - n_pos) AS ad,
+          sum(abs(sp - n_pos)) OVER () AS sad,
+          sum(n) OVER ()::BIGINT AS tot
+        FROM g)
+      SELECT bin, n, n_pos,
+        ${Oracle.qround("CAST(sp AS DOUBLE) / n")} AS mean_pred,
+        ${Oracle.qround("CAST(n_pos AS DOUBLE) / n")} AS pos_rate,
+        ${Oracle.qround("CAST(ad AS DOUBLE) / n")} AS gap,
+        ${Oracle.qround("CAST(sad AS DOUBLE) / tot")} AS ece
+      FROM w ORDER BY bin""")
+  )
+
+  val all: Seq[GraftQuery] = Seq(qOlsFit, qRocAuc, qCalibrationBins)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.MlEval
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the ML-eval family: the OLS solver on a constructed
+  * dataset with a KNOWN exact solution, the AUC midrank formula on planted
+  * separable/random scores, and plan guards for the collapse-first shape. */
+class MlEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("OLS recovers planted coefficients exactly on orthogonal residuals") {
+    // y = 2 + 3q + 5d + e over the 4×4 (q, d) grid, each cell twice with
+    // e = ±1: residuals are orthogonal to (1, q, d), so the OLS optimum IS
+    // (2, 3, 5); every moment is a small exact integer, so the Cramer
+    // ratios and rmse = sqrt(Σe²/n) = 1 come out bit-exact.
+    val rows = for {
+      q <- 1 to 4; d <- 1 to 4; e <- Seq(1, -1)
+    } yield (q.toDouble, d.toDouble, 2.0 + 3 * q + 5 * d + e)
+    val df = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val out = MlEval.olsSolve(MlEval.olsFinish(MlEval.olsMomentsDec(df)))
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSeq
+    val (n, b0, b1, b2, r2, rmse) = out.head
+    assert(n === 32L && b0 === 2.0 && b1 === 3.0 && b2 === 5.0)
+    assert(rmse === 1.0)
+    assert(r2 > 0.95 && r2 < 1.0) // sse = 32 > 0, sst >> sse
+  }
+
+  test("AUC is 1 on separable scores, 0.5 with fully tied scores") {
+    def auc(rows: Seq[(Long, String, Double)]): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ml").toString
+      rows.toDF("event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros($"event_id" * 1000000L))
+        .withColumn("user_id", $"event_id")
+        .withColumn("props", lit("{}"))
+        .write.parquet(s"$dir/events.parquet")
+      Queries.byName("q_roc_auc").run(spark, dir)
+        .select($"auc").as[Double].collect().head
+    }
+    // every purchase scored above every non-purchase → AUC = 1
+    val sep = (1L to 20L).map(i =>
+      (i, if (i <= 10) "view" else "purchase", i.toDouble))
+    assert(auc(sep) === 1.0)
+    // one fully tied score → midrank AUC = 0.5 exactly
+    val tied = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "purchase" else "view", 7.0))
+    assert(auc(tied) === 0.5)
+  }
+
+  test("calibration: ece equals the n-weighted mean per-bin gap") {
+    val out = Queries.byName("q_calibration_bins")
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"n", $"gap", $"ece").as[(Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val eces = out.map(_._3).distinct
+    assert(eces.length === 1) // one global ECE repeated per bin
+    // reconstruction from the 6-dp-rounded per-bin gaps agrees to 6 dp of
+    // rounding slack per bin
+    val n = out.map(_._1).sum
+    val approx = out.map(r => r._1 * r._2).sum / n
+    assert(math.abs(approx - eces.head) < 1e-5)
+  }
+
+  test("plan guard: each query collapses the corpus in ONE aggregate pass") {
+    // q_ols_fit: a single scan of lineitem feeding one partial+final
+    // aggregate — no join, no window, no second corpus scan
+    val ols = MlEval.qOlsFit.run(spark, "/root/testdata/sf0.001")
+    val plan = ols.queryExecution.executedPlan.toString
+    assert(plan.split("FileScan parquet").length - 1 === 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // q_calibration_bins: the unpartitioned ECE window is allowed ONLY
+    // above the ten-row bin collapse, never over the corpus scan —
+    // top-down plan order must be Window THEN the collapsing aggregate
+    val p = Queries.byName("q_calibration_bins")
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"window must sit above the collapsing aggregate\n$p")
+    assert(p.split("FileScan parquet").length - 1 === 1, p)
+    // q_roc_auc: the persisted value-domain relation serves both
+    // reductions — every consumer reads the cache (InMemoryTableScan
+    // present; the scan-count heuristic is useless here because AQE
+    // reprints the cached child plan inline), and the class-total join is
+    // a broadcast, never a SortMergeJoin
+    val roc = Queries.byName("q_roc_auc").run(spark, "/root/testdata/sf0.001")
+    roc.collect() // materialize the persist so the reuse is in effect
+    val rp = roc.queryExecution.executedPlan.toString
+    assert(rp.contains("InMemoryTableScan"), rp)
+    assert(!rp.contains("SortMergeJoin"), rp)
+  }
+}
