@@ -972,8 +972,80 @@ object BehaviorAnalytics {
       ORDER BY n""")
   )
 
+  /** Association rules (market-basket) over per-(user, day) event-type
+    * baskets — the co-occurrence miner behind "users who error also
+    * purchase": directional rules a→b with support, confidence and lift.
+    * Baskets are (user_id, UTC day) because the per-USER basket is
+    * degenerate on this corpus (every user emits every type across a
+    * month; within a day the mean basket holds ~2 of 5 types).
+    *
+    * The A-priori shape that scales: the corpus collapses FIRST to the
+    * distinct (user, day, type) relation (persisted — four consumers:
+    * basket count, item counts, both sides of the pair join); the
+    * within-basket self-join is keyed on the full basket id, so its
+    * output is bounded by Σ_baskets k² with k ≤ |event types| — never a
+    * corpus×corpus product. The support threshold is CORPUS-RELATIVE
+    * (n_both·100 ≥ n_baskets, i.e. ≥1% support) so the rule set stays
+    * non-degenerate at every SF instead of pinning an absolute count.
+    * All ratios are single integer divisions, [[Det.qround]]ed. */
+  val qAssocRules = GraftQuery(
+    "q_assoc_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = Tables.events(spark, dir)
+        .select($"user_id", expr("ts_us div 86400000000").as("d"),
+          $"event_type")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nb = b.select($"user_id", $"d").distinct()
+        .agg(count(lit(1)).as("nb"))
+      val items = b.groupBy($"event_type").agg(count(lit(1)).as("ni"))
+      val p = b.as("a").join(b.as("c"),
+          $"a.user_id" === $"c.user_id" && $"a.d" === $"c.d" &&
+            $"a.event_type" < $"c.event_type")
+        .groupBy($"a.event_type".as("x"), $"c.event_type".as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val r = p.select($"x".as("ante"), $"y".as("cons"), $"nxy")
+        .unionByName(p.select($"y".as("ante"), $"x".as("cons"), $"nxy"))
+      r.join(broadcast(items.select($"event_type".as("ante"),
+          $"ni".as("n_ante"))), Seq("ante"))
+        .join(broadcast(items.select($"event_type".as("cons"),
+          $"ni".as("n_cons"))), Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .filter($"nxy" * 100 >= $"nb")
+        .select($"ante", $"cons", $"nxy".as("n_both"), $"n_ante", $"n_cons",
+          Det.qround(expr("CAST(nxy AS DOUBLE) / nb")).as("support"),
+          Det.qround(expr("CAST(nxy AS DOUBLE) / n_ante")).as("confidence"),
+          Det.qround(expr("CAST(nxy AS DOUBLE) * nb / (n_ante * n_cons)"))
+            .as("lift"))
+        .orderBy($"ante", $"cons")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d, event_type
+        FROM events),
+      u AS (SELECT count(*)::BIGINT AS nb
+            FROM (SELECT DISTINCT user_id, d FROM b)),
+      i AS (SELECT event_type, count(*)::BIGINT AS ni FROM b GROUP BY 1),
+      p AS (
+        SELECT a.event_type AS x, c.event_type AS y, count(*)::BIGINT AS nxy
+        FROM b a JOIN b c ON a.user_id = c.user_id AND a.d = c.d
+          AND a.event_type < c.event_type
+        GROUP BY 1, 2),
+      r AS (SELECT x AS ante, y AS cons, nxy FROM p
+            UNION ALL SELECT y, x, nxy FROM p)
+      SELECT r.ante, r.cons, r.nxy AS n_both, ia.ni AS n_ante, ic.ni AS n_cons,
+        ${Oracle.qround("CAST(r.nxy AS DOUBLE) / u.nb")} AS support,
+        ${Oracle.qround("CAST(r.nxy AS DOUBLE) / ia.ni")} AS confidence,
+        ${Oracle.qround("CAST(r.nxy AS DOUBLE) * u.nb / (ia.ni * ic.ni)")} AS lift
+      FROM r JOIN i ia ON r.ante = ia.event_type
+        JOIN i ic ON r.cons = ic.event_type CROSS JOIN u
+      WHERE r.nxy * 100 >= u.nb
+      ORDER BY ante, cons""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
-      qAnovaF, qKaplanMeier, qBootstrapCi)
+      qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules)
 }

@@ -1031,8 +1031,138 @@ object LexicalStats {
       ORDER BY decile""")
   )
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    * 1999 — THE pre-neural n-gram smoothing, and still the standard
+    * data-quality LM a corpus pipeline fits for filtering/perplexity
+    * triage) evaluated as held-out cross-entropy — the bigram upgrade of
+    * [[qHeldoutXent]]'s add-one unigram. Same salted-md5 split (buckets
+    * ≤ 7 train, = 8 val). For a val bigram (w1, w2):
+    *
+    *   p = (max(c(w1,w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1)  if c(w1) > 0
+    *   p = Pcont(w2) = N1+(·w2) / N1+(··)                          otherwise
+    *
+    * with D = 0.75 (a DYADIC discount — exactly representable, so the
+    * formula tree stays bit-identical cross-engine). Val bigrams whose w2
+    * never ends a train bigram (Pcont = 0) are reported as n_oov and
+    * excluded from scoring — the model assigns them no mass, exactly like
+    * the unigram query's OOV accounting; backoff_rate reports how much
+    * val mass was scored purely through the continuation term (c = 0).
+    *
+    * Exactness: all five model relations are integer counts off ONE
+    * (w1, w2) exchange; p is a fixed double tree over exact integers +
+    * the dyadic D; each addend vb·(−ln p) goes through the scale-9
+    * decimal cast ([[qHeldoutXent]] precedent).
+    *
+    * Scale shape: the corpus collapses once to the bigram-type relation
+    * (persisted — context totals, continuation counts, type total, and
+    * the scored val side all read it); everything downstream is
+    * vocabulary/bigram-type-scale, never corpus-scale. */
+  val qKneserNey = GraftQuery(
+    "q_kneser_ney",
+    (spark, dir) => {
+      import spark.implicits._
+      val bucketed = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket",
+          expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
+        .filter($"bucket" <= 8)
+      val bc = bucketed
+        .select($"bucket",
+          explode(call_function("word_shingles_all", $"text", lit(2))).as("bg"))
+        .select($"bucket",
+          element_at(split($"bg", " "), 1).as("w1"),
+          element_at(split($"bg", " "), 2).as("w2"))
+        .groupBy($"w1", $"w2")
+        .agg(count(when($"bucket" <= 7, 1)).as("cb"),
+          count(when($"bucket" === 8, 1)).as("vb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = bc.groupBy($"w1")
+        .agg(sum($"cb").as("c1"), count(when($"cb" > 0, 1)).as("n1p"))
+      val cont = bc.groupBy($"w2")
+        .agg(count(when($"cb" > 0, 1)).as("r1p"))
+      val tot = bc.agg(count(when($"cb" > 0, 1)).as("tt"),
+        coalesce(sum($"cb"), lit(0L)).as("ntb"))
+      bc.filter($"vb" > 0)
+        .join(ctx, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("p", expr(
+          """CASE WHEN r1p = 0 THEN CAST(NULL AS DOUBLE)
+               WHEN c1 > 0 THEN
+                 (greatest(cb - 0.75, 0.0)
+                   + 0.75 * n1p * (CAST(r1p AS DOUBLE) / tt)) / c1
+               ELSE CAST(r1p AS DOUBLE) / tt END"""))
+        .agg(max($"ntb").as("n_train_bigrams"),
+          max($"tt").as("n_bigram_types"),
+          sum($"vb").as("n_val_bigrams"),
+          coalesce(sum(when($"r1p" === 0, $"vb")), lit(0L)).as("n_oov"),
+          coalesce(sum(when($"r1p" > 0 && $"cb" === 0, $"vb")), lit(0L))
+            .as("nbk"),
+          sum(when($"r1p" > 0, $"vb")).as("nsc"),
+          sum(when($"r1p" > 0,
+            expr("CAST(CAST(vb AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9))")))
+            .cast(DoubleType).as("xsum"))
+        .select($"n_train_bigrams", $"n_bigram_types", $"n_val_bigrams",
+          $"n_oov",
+          Det.qround(expr("CAST(nbk AS DOUBLE) / nsc")).as("backoff_rate"),
+          Det.qround(expr("xsum / nsc")).as("xent_nats"))
+        .orderBy($"n_bigram_types")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+        FROM documents),
+      bgs AS (
+        SELECT bucket, string_split(bg, ' ')[1] AS w1,
+          string_split(bg, ' ')[2] AS w2
+        FROM (
+          SELECT bucket,
+            unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+          FROM (
+            SELECT bucket,
+              string_split_regex(lower(text), '[[:space:]]+') AS ws
+            FROM split WHERE bucket <= 8))),
+      bc AS (
+        SELECT w1, w2,
+          count(*) FILTER (WHERE bucket <= 7) AS cb,
+          count(*) FILTER (WHERE bucket = 8) AS vb
+        FROM bgs GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(cb)::BIGINT AS c1,
+                count(*) FILTER (WHERE cb > 0) AS n1p
+              FROM bc GROUP BY 1),
+      cont AS (SELECT w2, count(*) FILTER (WHERE cb > 0) AS r1p
+               FROM bc GROUP BY 1),
+      tot AS (SELECT count(*) FILTER (WHERE cb > 0)::BIGINT AS tt,
+                coalesce(sum(cb), 0)::BIGINT AS ntb
+              FROM bc),
+      sc AS (
+        SELECT bc.cb, bc.vb, ctx.c1, ctx.n1p, cont.r1p, tot.tt, tot.ntb,
+          CASE WHEN cont.r1p = 0 THEN NULL
+            WHEN ctx.c1 > 0 THEN
+              (greatest(cb - 0.75, 0.0)
+                + 0.75 * n1p * (CAST(r1p AS DOUBLE) / tt)) / c1
+            ELSE CAST(r1p AS DOUBLE) / tt END AS p
+        FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+        WHERE vb > 0),
+      g AS (
+        SELECT max(ntb)::BIGINT AS n_train_bigrams,
+          max(tt)::BIGINT AS n_bigram_types,
+          sum(vb)::BIGINT AS n_val_bigrams,
+          coalesce(sum(vb) FILTER (WHERE r1p = 0), 0)::BIGINT AS n_oov,
+          coalesce(sum(vb) FILTER (WHERE r1p > 0 AND cb = 0), 0)::BIGINT AS nbk,
+          (sum(vb) FILTER (WHERE r1p > 0))::BIGINT AS nsc,
+          (sum(CAST(CAST(vb AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9)))
+            FILTER (WHERE r1p > 0))::DOUBLE AS xsum
+        FROM sc)
+      SELECT n_train_bigrams, n_bigram_types, n_val_bigrams, n_oov,
+        ${Oracle.qround("CAST(nbk AS DOUBLE) / nsc")} AS backoff_rate,
+        ${Oracle.qround("xsum / nsc")} AS xent_nats
+      FROM g ORDER BY n_bigram_types""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
-      qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit)
+      qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
+      qKneserNey)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.BehaviorAnalytics
+import org.apache.spark.sql.functions.{lit, timestamp_micros}
 
 /** Behavior analytics: funnel / cohort / outlier expectations hand-computed
   * on the 6-event fixture (users 0,1 alternate; the one signup is user 1's
@@ -318,5 +319,28 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Double, Long, Double, Double, Double)]
       .collect().toSeq
     assert(r === Seq((n1, n2, u1x2.toDouble / 2.0, tieSum, mu, sigma, z)))
+  }
+
+  test("assoc rules: planted baskets give exact support/confidence/lift") {
+    // 10 (user, day-0) baskets: click in 1-6, purchase in 1-3 and 7,
+    // view in 8-10. Only the click/purchase pair co-occurs (3 baskets):
+    //   supp = 3/10, conf(click->purchase) = 3/6, conf(purchase->click)
+    //   = 3/4, lift = 3*10/(6*4) = 1.25 both ways.
+    val rows =
+      (1 to 6).map(u => (u.toLong * 100 + 1, u.toLong, "click")) ++
+      Seq(1L, 2L, 3L, 7L).map(u => (u * 100 + 2, u, "purchase")) ++
+      Seq(8L, 9L, 10L).map(u => (u * 100 + 3, u, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-assoc").toString
+    rows.toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros($"event_id" * 1000L))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = BehaviorAnalytics.qAssocRules.run(spark, dir)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("click", "purchase", 3L, 6L, 4L, 0.3, 0.5, 1.25),
+      ("purchase", "click", 3L, 4L, 6L, 0.3, 0.75, 1.25)))
   }
 }

@@ -381,4 +381,30 @@ class LexicalStatsSpec extends SparkSpec {
     assert(rows.map(_._5).distinct.size === 1)
     assert(rows.head._4 > 0.0)
   }
+
+  test("kneser-ney: planted split reproduces the hand-computed model") {
+    // ids 0,2,3 hash to train buckets, 14,23,45 to the val bucket (the
+    // q_heldout_xent fixture discipline). Train bigrams: (a,b) x2, (a,c);
+    // so c(a)=3, N1+(a.)=2, Pcont(b)=Pcont(c)=1/2, T=2.
+    //   val "a b": p = (max(2-.75,0) + .75*2*(1/2)) / 3 = 2/3
+    //   val "c c": context c unseen -> pure continuation p = 1/2 (backoff)
+    //   val "b d": d never continues a train bigram -> OOV, excluded
+    val docs = Seq(
+      (0L, "a b"), (2L, "a b"), (3L, "a c"),
+      (14L, "a b"), (23L, "c c"), (45L, "b d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    docs.map { case (id, t) => (id, t, "en", "srcX", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def dec9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def qround(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val p1 = (math.max(2 - 0.75, 0.0) + 0.75 * 2 * (1.0 / 2)) / 3
+    val p2 = 1.0 / 2
+    val xsum = (dec9(1.0 * -math.log(p1)) + dec9(1.0 * -math.log(p2))).toDouble
+    val got = LexicalStats.qKneserNey.run(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((3L, 2L, 3L, 1L, 0.5, qround(xsum / 2))))
+    assert(qround(xsum / 2) === 0.549306)
+  }
 }
