@@ -153,38 +153,50 @@ object MlEval {
     * only float op is the final division, [[Det.qround]]ed. The
     * unpartitioned cumulative windows run on the bounded value-domain
     * relation, never the corpus. */
+  /** Per-distinct-score class counts (v, p, f) — the ADDITIVE collapse of
+    * the corpus the whole ROC readout derives from (counts merge by plain
+    * sum, which is why [[graft.streaming.StreamRoc]] can maintain this
+    * relation per micro-batch and fold at query time). */
+  private[graft] def rocValueCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"value".as("v"))
+      .agg(sum(when($"event_type" === PosType, 1L).otherwise(0L)).as("p"),
+        sum(when($"event_type" === PosType, 0L).otherwise(1L)).as("f"))
+  }
+
+  /** The full readout from a (v, p, f) value-domain relation — shared by
+    * [[qRocAuc]] and the streaming maintainer's fold so the two surfaces
+    * can never drift. */
+  private[graft] def rocReport(vc: DataFrame): DataFrame = {
+    import vc.sparkSession.implicits._
+    val before = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // persisted: BOTH reductions below (rank numerator + KS max) consume
+    // this bounded value-domain relation — without the persist each one
+    // would re-run the corpus collapse, doubling the events scan
+    val w = vc.select($"p", $"f",
+      coalesce(sum($"p").over(before), lit(0L)).as("cp"),
+      coalesce(sum($"f").over(before), lit(0L)).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = w.agg(sum($"p").as("n_pos"), sum($"f").as("n_neg"),
+      sum($"p" * (lit(2L) * $"cf" + $"f")).as("num2"))
+    val k = w.crossJoin(broadcast(t))
+      .agg(max(abs(($"cp" + $"p") * $"n_neg" - ($"cf" + $"f") * $"n_pos"))
+        .as("maxd"))
+    t.crossJoin(broadcast(k))
+      .select($"n_pos", $"n_neg",
+        Det.qround(expr("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)"))
+          .as("auc"),
+        Det.qround(expr("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1"))
+          .as("gini"),
+        Det.qround(expr("CAST(maxd AS DOUBLE) / (n_pos * n_neg)"))
+          .as("ks_sep"))
+      .orderBy($"n_pos")
+  }
+
   val qRocAuc = GraftQuery(
     "q_roc_auc",
-    (spark, dir) => {
-      import spark.implicits._
-      val vc = Tables.events(spark, dir)
-        .groupBy($"value".as("v"))
-        .agg(sum(when($"event_type" === PosType, 1L).otherwise(0L)).as("p"),
-          sum(when($"event_type" === PosType, 0L).otherwise(1L)).as("f"))
-      val before = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // persisted: BOTH reductions below (rank numerator + KS max) consume
-      // this bounded value-domain relation — without the persist each one
-      // would re-run the corpus collapse, doubling the events scan
-      val w = vc.select($"p", $"f",
-        coalesce(sum($"p").over(before), lit(0L)).as("cp"),
-        coalesce(sum($"f").over(before), lit(0L)).as("cf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val t = w.agg(sum($"p").as("n_pos"), sum($"f").as("n_neg"),
-        sum($"p" * (lit(2L) * $"cf" + $"f")).as("num2"))
-      val k = w.crossJoin(broadcast(t))
-        .agg(max(abs(($"cp" + $"p") * $"n_neg" - ($"cf" + $"f") * $"n_pos"))
-          .as("maxd"))
-      t.crossJoin(broadcast(k))
-        .select($"n_pos", $"n_neg",
-          Det.qround(expr("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)"))
-            .as("auc"),
-          Det.qround(expr("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1"))
-            .as("gini"),
-          Det.qround(expr("CAST(maxd AS DOUBLE) / (n_pos * n_neg)"))
-            .as("ks_sep"))
-        .orderBy($"n_pos")
-    },
+    (spark, dir) => rocReport(rocValueCounts(Tables.events(spark, dir))),
     Some(s"""
       WITH vc AS (
         SELECT value AS v,
@@ -273,5 +285,94 @@ object MlEval {
       FROM w ORDER BY bin""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qOlsFit, qRocAuc, qCalibrationBins)
+  // ------------------------------------------------------- mutual info —
+
+  /** Mutual information between event type and UTC hour-of-day — the
+    * information-theoretic feature-relevance readout ("does the hour carry
+    * signal about what users do?"), complementing q_chi2_bias /
+    * Cramér's V (which score the same kind of contingency table through
+    * the χ² lens; MI is the lens feature selectors and tokenizer/vocab
+    * pipelines actually rank by). One row: MI in nats, both marginal
+    * entropies, and NMI = MI/√(H_x·H_y).
+    *
+    * Exactness: the corpus collapses to the |types|×24 contingency table
+    * in ONE partial+final aggregate; every addend is
+    * n_ij·ln((n·n_ij)/(n_i·n_j)) — one ln of a double quotient of exact
+    * integers — cast to scale-9 decimal before the (≤120-row) sum, the
+    * q_heldout_xent discipline. The entropy sums reuse the margins
+    * relation; NMI divides the UNROUNDED sums (÷n cancels) in a fixed
+    * tree. Scale shape: margins and totals are broadcast back onto the
+    * cell relation; nothing after the first exchange is corpus-sized. */
+  val qMutualInfo = GraftQuery(
+    "q_mutual_info",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .select($"event_type".as("x"),
+          expr("(ts_us div 3600000000) % 24").as("y"))
+        .groupBy($"x", $"y").agg(count(lit(1)).as("nij"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mx = cells.groupBy($"x").agg(sum($"nij").as("ni"))
+      val my = cells.groupBy($"y").agg(sum($"nij").as("nj"))
+      val tot = cells.agg(coalesce(sum($"nij"), lit(0L)).as("n"))
+      val misum = cells.join(broadcast(mx), Seq("x"))
+        .join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .agg(max($"n").as("n"),
+          sum(expr("""CAST(CAST(nij AS DOUBLE) *
+              ln((CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)) /
+                 (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+              AS DECIMAL(38,9))""")).cast(DoubleType).as("mis"))
+      val hx = mx.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_x"),
+          sum(expr("CAST(CAST(ni AS DOUBLE) * ln(CAST(n AS DOUBLE) / ni) AS DECIMAL(38,9))"))
+            .cast(DoubleType).as("hxs"))
+      val hy = my.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_y"),
+          sum(expr("CAST(CAST(nj AS DOUBLE) * ln(CAST(n AS DOUBLE) / nj) AS DECIMAL(38,9))"))
+            .cast(DoubleType).as("hys"))
+      misum.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select($"n", $"n_x", $"n_y",
+          Det.qround(expr("mis / n")).as("mi_nats"),
+          Det.qround(expr("hxs / n")).as("h_x"),
+          Det.qround(expr("hys / n")).as("h_y"),
+          Det.qround(expr("mis / sqrt(hxs * hys)")).as("nmi"))
+        .orderBy($"n")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type AS x, (epoch_us(ts) // 3600000000) % 24 AS y,
+          count(*)::BIGINT AS nij
+        FROM events GROUP BY 1, 2),
+      mx AS (SELECT x, sum(nij)::BIGINT AS ni FROM cells GROUP BY 1),
+      my AS (SELECT y, sum(nij)::BIGINT AS nj FROM cells GROUP BY 1),
+      tot AS (SELECT coalesce(sum(nij), 0)::BIGINT AS n FROM cells),
+      mi AS (
+        SELECT max(n)::BIGINT AS n,
+          (sum(CAST(CAST(nij AS DOUBLE) *
+            ln((CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)) /
+               (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+            AS DECIMAL(38,9))))::DOUBLE AS mis
+        FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+      hx AS (
+        SELECT count(*)::BIGINT AS n_x,
+          (sum(CAST(CAST(ni AS DOUBLE) * ln(CAST(n AS DOUBLE) / ni)
+            AS DECIMAL(38,9))))::DOUBLE AS hxs
+        FROM mx CROSS JOIN tot),
+      hy AS (
+        SELECT count(*)::BIGINT AS n_y,
+          (sum(CAST(CAST(nj AS DOUBLE) * ln(CAST(n AS DOUBLE) / nj)
+            AS DECIMAL(38,9))))::DOUBLE AS hys
+        FROM my CROSS JOIN tot)
+      SELECT n, n_x, n_y,
+        ${Oracle.qround("mis / n")} AS mi_nats,
+        ${Oracle.qround("hxs / n")} AS h_x,
+        ${Oracle.qround("hys / n")} AS h_y,
+        ${Oracle.qround("mis / sqrt(hxs * hys)")} AS nmi
+      FROM mi CROSS JOIN hx CROSS JOIN hy
+      ORDER BY n""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo)
 }
