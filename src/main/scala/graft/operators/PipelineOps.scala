@@ -957,10 +957,69 @@ object PipelineOps {
       ORDER BY c.lang, cum""")
   )
 
+  /** Hash-bucket count for [[qFeatureHash]]. 16 buckets against the
+    * fixture's 31-term vocabulary GUARANTEES collisions (pigeonhole), so
+    * the collision accounting below is non-vacuous at every SF; a real
+    * deployment sets 2^18..2^22 against a multi-million-term vocabulary
+    * and reads the same report. */
+  val HashBuckets = 16
+
+  /** Feature-hashing (hashing-trick) audit — the featurizer behind
+    * fastText/VW-style linear models and the n-gram side of quality
+    * classifiers: every corpus term is hashed into [[HashBuckets]] slots
+    * (the same portable u32(md5) both engines share), and the report
+    * quantifies what the trick costs on THIS corpus: how many buckets
+    * load, the worst bucket's term count, how much of the vocabulary and
+    * — the number that matters — how much of the TOKEN MASS collides
+    * (shares a slot with a different term and so becomes inseparable to
+    * a downstream linear model).
+    *
+    * Scale shape: one (term) exchange builds the tf relation, the bucket
+    * assignment is map-side arithmetic on it, and the ≤B-row bucket
+    * relation feeds one global aggregate — the corpus never shuffles
+    * twice; at 100 TB the only state is vocabulary-sized. */
+  val qFeatureHash = GraftQuery(
+    "q_feature_hash",
+    (spark, dir) => {
+      import spark.implicits._
+      val tf = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(graft.functions.Text.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", expr(u32Expr("term") + s" % $HashBuckets"))
+      val bs = tf.groupBy($"bucket")
+        .agg(count(lit(1)).as("k"), sum($"tf").as("mass"))
+      bs.agg(sum($"k").as("vocab"), count(lit(1)).as("buckets_used"),
+          max($"k").as("max_bucket_terms"),
+          coalesce(sum(when($"k" > 1, $"k")), lit(0L)).as("collided_vocab"),
+          coalesce(sum(when($"k" > 1, $"mass")), lit(0L)).as("cm"),
+          sum($"mass").as("tm"))
+        .select(lit(HashBuckets.toLong).as("b"), $"vocab", $"buckets_used",
+          $"max_bucket_terms", $"collided_vocab",
+          graft.functions.Det.qround(expr("CAST(cm AS DOUBLE) / tm"))
+            .as("collided_mass_rate"))
+        .orderBy($"vocab")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      tf AS (SELECT term, count(*)::BIGINT AS tf FROM toks GROUP BY 1),
+      bt AS (SELECT ${u32Sql("term")} % $HashBuckets AS bucket, tf FROM tf),
+      bs AS (SELECT bucket, count(*)::BIGINT AS k, sum(tf)::BIGINT AS mass
+             FROM bt GROUP BY 1)
+      SELECT $HashBuckets::BIGINT AS b, sum(k)::BIGINT AS vocab,
+        count(*)::BIGINT AS buckets_used, max(k)::BIGINT AS max_bucket_terms,
+        coalesce(sum(k) FILTER (WHERE k > 1), 0)::BIGINT AS collided_vocab,
+        ${graft.Oracle.qround(
+          "coalesce(sum(mass) FILTER (WHERE k > 1), 0)::DOUBLE / sum(mass)")}
+          AS collided_mass_rate
+      FROM bs ORDER BY vocab""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
       qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget,
-      qBudgetSample)
+      qBudgetSample, qFeatureHash)
 }

@@ -258,4 +258,17 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(g - (20.0 - 15.0 * mf)) < 2e-5)
     }
   }
+
+  test("feature hash: pigeonhole collisions and mass accounting hold") {
+    val r = operators.PipelineOps.qFeatureHash.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    val (b, vocab, used, maxK, collided, massRate) = r
+    assert(b === operators.PipelineOps.HashBuckets.toLong)
+    assert(used <= b && used > 0)
+    // pigeonhole: with vocab > b, at least vocab - b terms MUST collide
+    assert(vocab > b)
+    assert(collided >= vocab - b)
+    assert(maxK >= (vocab + b - 1) / b) // ceil(vocab/b) lower-bounds the max
+    assert(massRate > 0.0 && massRate <= 1.0)
+  }
 }
