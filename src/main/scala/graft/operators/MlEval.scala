@@ -303,42 +303,55 @@ object MlEval {
     * relation; NMI divides the UNROUNDED sums (÷n cancels) in a fixed
     * tree. Scale shape: margins and totals are broadcast back onto the
     * cell relation; nothing after the first exchange is corpus-sized. */
+  /** (event_type, UTC hour) contingency cells — the ADDITIVE collapse the
+    * MI readout derives from (cells merge by plain sum, so
+    * [[graft.streaming.StreamMi]] maintains this relation per micro-batch
+    * and folds at query time). */
+  private[graft] def miCells(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select($"event_type".as("x"),
+        expr("(ts_us div 3600000000) % 24").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("nij"))
+  }
+
+  /** The full MI readout from an (x, y, nij) cell relation — shared by
+    * [[qMutualInfo]] and the streaming maintainer's fold. */
+  private[graft] def miReport(cellsIn: DataFrame): DataFrame = {
+    val spark = cellsIn.sparkSession
+    import spark.implicits._
+    val cells = cellsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = cells.groupBy($"x").agg(sum($"nij").as("ni"))
+    val my = cells.groupBy($"y").agg(sum($"nij").as("nj"))
+    val tot = cells.agg(coalesce(sum($"nij"), lit(0L)).as("n"))
+    val misum = cells.join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(max($"n").as("n"),
+        sum(expr("""CAST(CAST(nij AS DOUBLE) *
+            ln((CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)) /
+               (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+            AS DECIMAL(38,9))""")).cast(DoubleType).as("mis"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_x"),
+        sum(expr("CAST(CAST(ni AS DOUBLE) * ln(CAST(n AS DOUBLE) / ni) AS DECIMAL(38,9))"))
+          .cast(DoubleType).as("hxs"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_y"),
+        sum(expr("CAST(CAST(nj AS DOUBLE) * ln(CAST(n AS DOUBLE) / nj) AS DECIMAL(38,9))"))
+          .cast(DoubleType).as("hys"))
+    misum.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select($"n", $"n_x", $"n_y",
+        Det.qround(expr("mis / n")).as("mi_nats"),
+        Det.qround(expr("hxs / n")).as("h_x"),
+        Det.qround(expr("hys / n")).as("h_y"),
+        Det.qround(expr("mis / sqrt(hxs * hys)")).as("nmi"))
+      .orderBy($"n")
+  }
+
   val qMutualInfo = GraftQuery(
     "q_mutual_info",
-    (spark, dir) => {
-      import spark.implicits._
-      val cells = Tables.events(spark, dir)
-        .select($"event_type".as("x"),
-          expr("(ts_us div 3600000000) % 24").as("y"))
-        .groupBy($"x", $"y").agg(count(lit(1)).as("nij"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mx = cells.groupBy($"x").agg(sum($"nij").as("ni"))
-      val my = cells.groupBy($"y").agg(sum($"nij").as("nj"))
-      val tot = cells.agg(coalesce(sum($"nij"), lit(0L)).as("n"))
-      val misum = cells.join(broadcast(mx), Seq("x"))
-        .join(broadcast(my), Seq("y"))
-        .crossJoin(broadcast(tot))
-        .agg(max($"n").as("n"),
-          sum(expr("""CAST(CAST(nij AS DOUBLE) *
-              ln((CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)) /
-                 (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
-              AS DECIMAL(38,9))""")).cast(DoubleType).as("mis"))
-      val hx = mx.crossJoin(broadcast(tot))
-        .agg(count(lit(1)).as("n_x"),
-          sum(expr("CAST(CAST(ni AS DOUBLE) * ln(CAST(n AS DOUBLE) / ni) AS DECIMAL(38,9))"))
-            .cast(DoubleType).as("hxs"))
-      val hy = my.crossJoin(broadcast(tot))
-        .agg(count(lit(1)).as("n_y"),
-          sum(expr("CAST(CAST(nj AS DOUBLE) * ln(CAST(n AS DOUBLE) / nj) AS DECIMAL(38,9))"))
-            .cast(DoubleType).as("hys"))
-      misum.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
-        .select($"n", $"n_x", $"n_y",
-          Det.qround(expr("mis / n")).as("mi_nats"),
-          Det.qround(expr("hxs / n")).as("h_x"),
-          Det.qround(expr("hys / n")).as("h_y"),
-          Det.qround(expr("mis / sqrt(hxs * hys)")).as("nmi"))
-        .orderBy($"n")
-    },
+    (spark, dir) => miReport(miCells(Tables.events(spark, dir))),
     Some(s"""
       WITH cells AS (
         SELECT event_type AS x, (epoch_us(ts) // 3600000000) % 24 AS y,
