@@ -933,7 +933,12 @@ object BehaviorAnalytics {
     "q_bootstrap_ci",
     (spark, dir) => {
       import spark.implicits._
-      val reps = bootWeights(Tables.events(spark, dir)).groupBy($"b")
+      // spread: the ×100 replica explode + 60M md5 draws would otherwise
+      // run on the sf table's SINGLE split (one thread) — measured 10.6 s
+      // → ~1 s at sf0.1; weights are content-hashed so partitioning
+      // cannot change them
+      val reps = bootWeights(Tables.spread(Tables.events(spark, dir)))
+        .groupBy($"b")
         .agg(Det.dsum($"w" * $"value").as("ws"), sum($"w").as("wn"))
       val point = Tables.events(spark, dir)
         .agg(count(lit(1)).as("n"), Det.davg($"value").as("point_mean"))

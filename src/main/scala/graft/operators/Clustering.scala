@@ -112,5 +112,105 @@ object Clustering {
       ORDER BY vec_id""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qKmeans)
+  /** Selected-set size for [[qKcenterSelect]] (rounds of the greedy). */
+  val KC = 6
+
+  /** Farthest-point (Gonzalez k-center) coreset selection over the
+    * embeddings — the DIVERSITY-selection primitive of data curation
+    * ("pick k docs that cover the embedding space"), the greedy 2-approx
+    * for the k-center objective and the classic seeding for clustering /
+    * coreset construction. Round 0 seeds with the lowest vec_id; each
+    * later round selects the vector FARTHEST from the selected set (ties
+    * to the lower id) and reports its distance — the coverage RADIUS
+    * CURVE, whose decay tells a curator when additional selections stop
+    * buying diversity; a final row reports the residual covering radius
+    * of the whole corpus (the k-center objective value at k = [[KC]]).
+    *
+    * Scale shape: the min-distance state is one (vec_id, d2) column
+    * updated map-side per round against the BROADCAST 1-row new center
+    * (`least(d2, dist2)` — running min, no history); each round is one
+    * map pass + one TakeOrdered(1). k passes total, nothing pairwise,
+    * nothing driver-side but the k selected rows. Exactness: distances
+    * via the same decimal-accumulating `dist2_f32_f64` as q_kmeans;
+    * `least` of doubles is exact; the oracle unrolls the rounds
+    * (q_pagerank discipline). */
+  val qKcenterSelect = GraftQuery(
+    "q_kcenter_select",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", $"embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c0 = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id".as("cid"),
+          transform($"embedding", v => v.cast(DoubleType)).as("ce"))
+      var md = emb.crossJoin(broadcast(c0))
+        .select($"vec_id", $"embedding",
+          call_function("dist2_f32_f64", $"embedding", $"ce").as("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var rows = c0.select(lit(0L).as("round"), $"cid".as("vec_id"),
+        lit(null).cast(DoubleType).as("radius2"))
+      for (r <- 1 until KC) {
+        // persisted: the pick feeds BOTH the report row and the state
+        // update; the state re-persists per round or the crossJoin
+        // lineage doubles (the q_pagerank barrier rationale)
+        val pick = md.orderBy($"d2".desc, $"vec_id").limit(1)
+          .select($"vec_id".as("cid"),
+            transform($"embedding", v => v.cast(DoubleType)).as("ce"),
+            $"d2".as("r2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rows = rows.unionByName(pick.select(lit(r.toLong).as("round"),
+          $"cid".as("vec_id"), Det.qround($"r2").as("radius2")))
+        md = md.crossJoin(broadcast(pick.select($"ce")))
+          .select($"vec_id", $"embedding",
+            least($"d2", call_function("dist2_f32_f64", $"embedding", $"ce"))
+              .as("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val cover = md.agg(max($"d2").as("m"))
+        .select(lit(KC.toLong).as("round"),
+          lit(null).cast(LongType).as("vec_id"),
+          Det.qround($"m").as("radius2"))
+      rows.unionByName(cover).orderBy($"round")
+    },
+    Some {
+      val rounds = (1 until KC).map { r =>
+        val prev = s"m${r - 1}"
+        s"""
+      p$r AS (SELECT vec_id, d2 FROM $prev ORDER BY d2 DESC, vec_id LIMIT 1),
+      m$r AS (
+        SELECT m.vec_id, least(m.d2, d.d2) AS d2
+        FROM $prev m JOIN (
+          SELECT e.vec_id,
+            sum(CAST((e.v - c.v) * (e.v - c.v) AS DECIMAL(38,12)))::DOUBLE AS d2
+          FROM ex e JOIN (SELECT pos, v FROM ex JOIN p$r USING (vec_id)) c
+            USING (pos)
+          GROUP BY e.vec_id) d USING (vec_id))"""
+      }.mkString(",")
+      val pickRows = (1 until KC).map { r =>
+        s"UNION ALL SELECT $r::BIGINT, vec_id, ${Oracle.qround("d2")} FROM p$r"
+      }.mkString("\n      ")
+      s"""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      s0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
+      m0 AS (
+        SELECT e.vec_id,
+          sum(CAST((e.v - c.v) * (e.v - c.v) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM ex e JOIN (SELECT pos, v FROM ex JOIN s0 USING (vec_id)) c
+          USING (pos)
+        GROUP BY e.vec_id),
+      $rounds
+      SELECT * FROM (
+        SELECT 0::BIGINT AS round, vec_id, NULL::DOUBLE AS radius2 FROM s0
+        $pickRows
+        UNION ALL SELECT $KC::BIGINT, NULL::BIGINT,
+          ${Oracle.qround(s"(SELECT max(d2) FROM m${KC - 1})")} FROM s0
+      ) ORDER BY round"""
+    }
+  )
+
+  val all: Seq[GraftQuery] = Seq(qKmeans, qKcenterSelect)
 }

@@ -107,7 +107,12 @@ object MlEval {
   val qOlsFit = GraftQuery(
     "q_ols_fit",
     (spark, dir) =>
-      olsSolve(olsFinish(olsMomentsDec(Tables.lineitem(spark, dir)))),
+      // spread: ten decimal casts + sums per row would otherwise run on
+      // the sf table's single split (one thread) — measured 2.7 s → ~0.4 s
+      // at sf0.1; decimal addition is order-independent so partitioning
+      // cannot change the moments
+      olsSolve(olsFinish(olsMomentsDec(
+        Tables.spread(Tables.lineitem(spark, dir))))),
     Some(s"""
       WITH m AS (
         SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd,

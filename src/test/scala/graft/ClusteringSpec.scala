@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Clustering
+
+/** Hand-traced farthest-point selection on planted 1-D embeddings (second
+  * component 0): positions 0, 100, 40, 70, 10, 55, 25 for ids 0..6.
+  * Greedy trace: seed id0(x=0) → id1(100, d²=10000) → id5(55, 2025) →
+  * id6(25, 625) → id2(40, 225; ties id3 at 225, lower id wins) →
+  * id3(70, 225); residual radius² = id4's 100. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-center: hand-traced selection order, radii and residual radius") {
+    val xs = Seq(0f, 100f, 40f, 70f, 10f, 55f, 25f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kc").toString
+    xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, Array(x, 0f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Clustering.qKcenterSelect.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .toSeq
+    assert(got === Seq(
+      (0L, 0L, -1.0),
+      (1L, 1L, 10000.0),
+      (2L, 5L, 2025.0),
+      (3L, 6L, 625.0),
+      (4L, 2L, 225.0),
+      (5L, 3L, 225.0),
+      (6L, -1L, 100.0)))
+  }
+}
