@@ -391,6 +391,79 @@ object MlEval {
       ORDER BY n""")
   )
 
+  // ------------------------------------------------------ conformal —
+
+  /** Split-conformal prediction intervals (Vovk; Lei et al. 2018) for a
+    * per-type mean predictor — the distribution-free uncertainty wrapper a
+    * pipeline puts around ANY point model: train (salted-md5 buckets ≤ 7)
+    * fits the per-type mean, calibration (bucket 8) takes the 90th
+    * percentile of absolute residuals as the band half-width q̂, and the
+    * held-out test split (bucket 9) measures EMPIRICAL COVERAGE of
+    * μ_type ± q̂ — the audit that catches a drifting score distribution
+    * as "coverage fell below 1−α", per group (conditional conformal).
+    *
+    * Exactness: μ is [[Det.davg]] (6-dp-stable); residuals are one fixed
+    * |v − μ| tree; q̂ uses Spark `percentile` ≡ DuckDB `quantile_cont`
+    * (linear interpolation over the sorted multiset — the
+    * q_value_quantiles parity precedent); coverage is an integer count
+    * ratio. Scale shape: pass 1 collapses train to the |types|-row μ
+    * relation; pass 2 computes residuals for buckets 8–9 once (persisted
+    * — the calibration aggregate AND the coverage join both read it);
+    * everything else is |types|-sized and broadcast. */
+  val qConformalInterval = GraftQuery(
+    "q_conformal_interval",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .withColumn("bucket",
+          expr(PipelineOps.u32Expr(
+            "concat('split:', cast(event_id as string))") + " % 10"))
+      val mu = ev.filter($"bucket" <= 7)
+        .groupBy($"event_type")
+        .agg(Det.davg($"value").as("mu"))
+      val resid = ev.filter($"bucket" >= 8)
+        .join(broadcast(mu), Seq("event_type"))
+        .select($"event_type", $"bucket", abs($"value" - $"mu").as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cal = resid.filter($"bucket" === 8)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_cal"),
+          Det.qround(expr("percentile(r, 0.9)")).as("qhat"))
+      resid.filter($"bucket" === 9)
+        .join(broadcast(cal), Seq("event_type"))
+        .groupBy($"event_type", $"n_cal", $"qhat")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when($"r" <= $"qhat", 1L).otherwise(0L)).as("nc"))
+        .select($"event_type", $"n_cal", $"qhat", $"n_test",
+          Det.qround(expr("CAST(nc AS DOUBLE) / n_test")).as("coverage"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT event_type, value,
+          ${PipelineOps.u32Sql("'split:' || CAST(event_id AS VARCHAR)")} % 10
+            AS bucket
+        FROM events),
+      mu AS (
+        SELECT event_type, ${Oracle.davg("value")} AS mu
+        FROM ev WHERE bucket <= 7 GROUP BY 1),
+      resid AS (
+        SELECT ev.event_type, bucket, abs(value - mu) AS r
+        FROM ev JOIN mu USING (event_type) WHERE bucket >= 8),
+      cal AS (
+        SELECT event_type, count(*)::BIGINT AS n_cal,
+          ${Oracle.qround("quantile_cont(r, 0.9)")} AS qhat
+        FROM resid WHERE bucket = 8 GROUP BY 1)
+      SELECT r.event_type, c.n_cal, c.qhat, count(*)::BIGINT AS n_test,
+        ${Oracle.qround(
+          "CAST(sum(CASE WHEN r.r <= c.qhat THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / count(*)")} AS coverage
+      FROM resid r JOIN cal c USING (event_type)
+      WHERE r.bucket = 9
+      GROUP BY r.event_type, c.n_cal, c.qhat
+      ORDER BY r.event_type""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo)
+    Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval)
 }

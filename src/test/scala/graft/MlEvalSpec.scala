@@ -90,4 +90,14 @@ class MlEvalSpec extends SparkSpec {
     assert(rp.contains("InMemoryTableScan"), rp)
     assert(!rp.contains("SortMergeJoin"), rp)
   }
+
+  test("conformal: per-type coverage lands near 1 - alpha at sf0.01") {
+    val rows = Queries.byName("q_conformal_interval")
+      .run(spark, "/root/testdata/sf0.01")
+      .select($"qhat", $"coverage").as[(Double, Double)].collect()
+    assert(rows.length === 5)
+    // split-conformal promise: coverage concentrates around 0.9; the
+    // per-arm calibration sets are ~200 rows, so allow sampling slack
+    assert(rows.forall { case (q, c) => q > 0 && c > 0.8 && c < 0.98 })
+  }
 }
