@@ -410,6 +410,21 @@ object MlEval {
     * relation; pass 2 computes residuals for buckets 8–9 once (persisted
     * — the calibration aggregate AND the coverage join both read it);
     * everything else is |types|-sized and broadcast. */
+  /** (event_type, split bucket, value) counts — the ADDITIVE relation
+    * [[graft.streaming.StreamConformal]] maintains per micro-batch: the
+    * conformal readout itself is not additive (the calibration quantile
+    * depends on the moving train mean), but this value-domain-bounded
+    * collapse is, and everything re-derives from its fold. */
+  private[graft] def conformalCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("bucket",
+        expr(PipelineOps.u32Expr(
+          "concat('split:', cast(event_id as string))") + " % 10"))
+      .groupBy($"event_type", $"bucket", $"value".as("v"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val qConformalInterval = GraftQuery(
     "q_conformal_interval",
     (spark, dir) => {
