@@ -1719,11 +1719,131 @@ object Dedup {
       ORDER BY n_union""")
   )
 
+  /** Fellegi–Sunter m/u parameters for [[qRecordLinkage]]: P(field agrees |
+    * same entity) / P(field agrees | different entities). Fixed
+    * design-time literals (in production these come from EM estimation —
+    * a fixed-iteration EM would follow the q_kmeans loop shape); u for
+    * lang reflects the 5-language corpus (~1/5 chance agreement), source
+    * likewise, the 50-char length bucket ~1/4, and a shingle-Jaccard ≥
+    * 0.5 match is rare by chance (u = 0.02). Agreement/disagreement
+    * weights ln(m/u) and ln((1−m)/(1−u)) are precomputed HERE and
+    * interpolated into BOTH engines as decimal literals (Double.toString
+    * round-trips, so both parse to the identical double — no cross-engine
+    * ln-of-literal evaluation at query time at all). */
+  val RlParams: Seq[(String, Double, Double)] = Seq(
+    ("lang", 0.95, 0.20), ("source", 0.90, 0.10),
+    ("lenb", 0.80, 0.25), ("jac", 0.90, 0.02))
+  val RlUpper = 4.0
+  val RlLower = 0.0
+
+  private def rlWeights: Seq[(String, Double, Double)] =
+    RlParams.map { case (f, m, u) =>
+      (f, math.log(m / u), math.log((1 - m) / (1 - u))) }
+
+  /** SQL score expression (shared text): Σ over fields of
+    * CASE WHEN a_f THEN w_agree ELSE w_disagree END, in fixed field
+    * order — one identical IEEE tree in both engines. */
+  private def rlScoreSql: String =
+    rlWeights.map { case (f, wa, wd) =>
+      s"(CASE WHEN a_$f THEN CAST($wa AS DOUBLE) ELSE CAST($wd AS DOUBLE) END)"
+    }.mkString(" + ")
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969)
+    * — the SCORING model of entity resolution, completing the ER ladder
+    * the dedup family already climbs (blocking ×2: LSH banding and
+    * sorted-neighborhood; verification: exact Jaccard; clustering:
+    * connected components). Each SNM candidate pair gets an agreement
+    * vector over (lang, source, 50-char length bucket, shingle-Jaccard ≥
+    * 0.5); the match score is the sum of per-field log-likelihood-ratio
+    * weights, and the decision is the classic three-way
+    * match / possible / non_match threshold rule.
+    *
+    * Null semantics: field agreement is NULL-SAFE equality (`<=>` /
+    * `IS NOT DISTINCT FROM`) — two missing values agree, missing-vs-
+    * present disagrees (real linkage corpora are full of holes; the
+    * nulls robustness suite exercises this path). Candidates with ZERO
+    * shared shingles stay in the relation with jaccard 0 (LEFT join —
+    * they are exactly the pairs the score should classify as
+    * non-matches, dropping them would bias the readout).
+    *
+    * Scale shape: pair volume is the SNM linear bound; the two attribute
+    * joins and the shingle verify are pair-list-sized; the score is one
+    * map-side expression. */
+  val qRecordLinkage = GraftQuery(
+    "q_record_linkage",
+    (spark, dir) => {
+      import spark.implicits._
+      val cand = snmCandidates(spark, dir)
+      val sh = docShingles(spark, dir, 3)
+      val jac = cand
+        .join(sh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
+        .join(sh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
+        .select($"ia", $"ib",
+          size(array_intersect($"sha", $"shb")).as("inter"),
+          size($"sha").as("na"), size($"shb").as("nb"))
+        .select($"ia", $"ib",
+          Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      val attrs = Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", $"source",
+          expr("n_chars div 50").as("lenb"))
+      jac
+        .join(attrs.select($"doc_id".as("ia"), $"lang".as("la"),
+          $"source".as("sa"), $"lenb".as("ba")), Seq("ia"))
+        .join(attrs.select($"doc_id".as("ib"), $"lang".as("lb"),
+          $"source".as("sb"), $"lenb".as("bb")), Seq("ib"))
+        .select($"ia", $"ib",
+          ($"la" <=> $"lb").as("a_lang"),
+          ($"sa" <=> $"sb").as("a_source"),
+          ($"ba" <=> $"bb").as("a_lenb"),
+          ($"jaccard" >= 0.5).as("a_jac"))
+        .withColumn("score", Det.qround(expr(rlScoreSql)))
+        .select($"ia", $"ib",
+          $"a_lang".cast(IntegerType).as("a_lang"),
+          $"a_source".cast(IntegerType).as("a_source"),
+          $"a_lenb".cast(IntegerType).as("a_lenb"),
+          $"a_jac".cast(IntegerType).as("a_jac"),
+          $"score",
+          when($"score" >= RlUpper, "match")
+            .when($"score" <= RlLower, "non_match")
+            .otherwise("possible").as("decision"))
+        .orderBy($"ia", $"ib")
+    },
+    Some(s"""
+      WITH $snmPairsCtes,
+      rl_jac AS (
+        SELECT c.ia, c.ib,
+          ${Oracle.qround(
+            "coalesce(m.inter, 0) / (za.ns + zb.ns - coalesce(m.inter, 0))")}
+            AS jaccard
+        FROM scand c
+        LEFT JOIN scommon m ON m.ia = c.ia AND m.ib = c.ib
+        JOIN sssz za ON za.doc_id = c.ia
+        JOIN sssz zb ON zb.doc_id = c.ib),
+      attrs AS (
+        SELECT doc_id, lang, source, n_chars // 50 AS lenb FROM documents),
+      ag AS (
+        SELECT j.ia, j.ib,
+          (a.lang IS NOT DISTINCT FROM b.lang) AS a_lang,
+          (a.source IS NOT DISTINCT FROM b.source) AS a_source,
+          (a.lenb IS NOT DISTINCT FROM b.lenb) AS a_lenb,
+          (j.jaccard >= 0.5) AS a_jac
+        FROM rl_jac j
+        JOIN attrs a ON a.doc_id = j.ia
+        JOIN attrs b ON b.doc_id = j.ib),
+      sc AS (SELECT *, ${Oracle.qround(rlScoreSql)} AS score FROM ag)
+      SELECT ia, ib, a_lang::INT AS a_lang, a_source::INT AS a_source,
+        a_lenb::INT AS a_lenb, a_jac::INT AS a_jac, score,
+        CASE WHEN score >= $RlUpper THEN 'match'
+          WHEN score <= $RlLower THEN 'non_match'
+          ELSE 'possible' END AS decision
+      FROM sc ORDER BY ia, ib""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
     qQualityDedupCalibration, qPairEvidence, qSplitLeakage,
-    qContainmentDedup, qSnmDedup, qBlockingRecall)
+    qContainmentDedup, qSnmDedup, qBlockingRecall, qRecordLinkage)
 }

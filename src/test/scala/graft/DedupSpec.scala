@@ -270,4 +270,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(rows === Seq((2L, 2L, 2L, 0L, 0L, 2L)))
   }
+
+  test("record linkage: planted agree/disagree pairs score and classify") {
+    // A,B: same lang/source/length-bucket + jaccard 2/3 -> all four fields
+    // agree -> score = sum of agreement weights -> match.
+    // C,D: jaccard 1/3, different lang and source, same length bucket ->
+    // only lenb agrees -> deep negative score -> non_match.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s1"),
+      (1L, "alpha beta gamma delta epsilon", "en", "s1"),
+      (2L, "zebra zulu zoo xray", "fr", "s2"),
+      (3L, "zebra zulu zoo xylophone", "de", "s3"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-rl").toString
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def qr(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val allAgree = qr(math.log(0.95 / 0.20) + math.log(0.90 / 0.10) +
+      math.log(0.80 / 0.25) + math.log(0.90 / 0.02))
+    val rows = Dedup.qRecordLinkage.run(spark, dir)
+      .as[(Long, Long, Int, Int, Int, Int, Double, String)]
+      .collect().toSeq.map(r => (r._1, r._2) -> r).toMap
+    val ab = rows((0L, 1L))
+    assert((ab._3, ab._4, ab._5, ab._6) === ((1, 1, 1, 1)))
+    assert(ab._7 === allAgree && ab._8 === "match")
+    val cd = rows((2L, 3L))
+    assert((cd._3, cd._4, cd._5, cd._6) === ((0, 0, 1, 0)))
+    assert(cd._8 === "non_match" && cd._7 < 0.0)
+  }
 }
