@@ -1692,5 +1692,70 @@ object EventAnalytics {
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
-    qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast, qTheilSen)
+    qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast, qTheilSen,
+    qSnapshotDiff)
+
+  /** Snapshot diff — the read-side companion of [[qUpsertMerge]]'s MERGE:
+    * given two versions of a keyed table, report what changed (the audit a
+    * pipeline runs between ingest versions before promoting one). The two
+    * versions are derived DETERMINISTICALLY from `orders` with disjoint
+    * salted-hash carve-outs: 'old' misses h%20 = 0 keys (they read as
+    * ADDED), 'new' misses h%23 = 0 keys (REMOVED) and perturbs h%17 = 0
+    * prices by +1.00 (CHANGED); everything else is UNCHANGED. Per status:
+    * row count and the total absolute price drift (decimal-exact).
+    *
+    * Scale shape: one full-outer join on the key — the unavoidable diff
+    * shuffle (bucketed/co-partitioned snapshots would make it
+    * exchange-free, the BucketingSpec layout); the status/delta logic is
+    * map-side on the joined row. */
+  lazy val qSnapshotDiff = GraftQuery(
+    "q_snapshot_diff",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey".as("k"), $"o_totalprice",
+          expr(PipelineOps.u32Expr(
+            "concat('v:', cast(o_orderkey as string))")).as("h"))
+      val old = o.filter($"h" % 20 =!= 0)
+        .select($"k", $"o_totalprice".as("po"))
+      val neu = o.filter($"h" % 23 =!= 0)
+        .select($"k",
+          when($"h" % 17 === 0, $"o_totalprice" + lit(1.0))
+            .otherwise($"o_totalprice").as("pn"))
+      old.join(neu, Seq("k"), "full_outer")
+        .select(
+          when($"po".isNull, "added")
+            .when($"pn".isNull, "removed")
+            .when($"pn" =!= $"po", "changed")
+            .otherwise("unchanged").as("status"),
+          when($"po".isNotNull && $"pn".isNotNull, abs($"pn" - $"po"))
+            .otherwise(lit(0.0)).as("dp"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsum($"dp").as("abs_price_delta"))
+        .orderBy($"status")
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey AS k, o_totalprice,
+          ${PipelineOps.u32Sql("'v:' || CAST(o_orderkey AS VARCHAR)")} AS h
+        FROM orders),
+      old AS (SELECT k, o_totalprice AS po FROM o WHERE h % 20 != 0),
+      nw AS (SELECT k,
+          CASE WHEN h % 17 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS pn
+        FROM o WHERE h % 23 != 0),
+      d AS (
+        SELECT
+          CASE WHEN po IS NULL THEN 'added'
+            WHEN pn IS NULL THEN 'removed'
+            WHEN pn != po THEN 'changed'
+            ELSE 'unchanged' END AS status,
+          CASE WHEN po IS NOT NULL AND pn IS NOT NULL THEN abs(pn - po)
+            ELSE 0.0 END AS dp
+        FROM old FULL OUTER JOIN nw USING (k))
+      SELECT status, count(*)::BIGINT AS n,
+        ${graft.Oracle.dsum("dp")} AS abs_price_delta
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
 }

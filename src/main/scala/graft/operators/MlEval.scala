@@ -479,6 +479,78 @@ object MlEval {
       ORDER BY r.event_type""")
   )
 
+  // ------------------------------------------------------- lift curve —
+
+  /** Decile lift / cumulative-gains table — the campaign-targeting readout
+    * of the same scored classifier q_roc_auc summarizes in one number:
+    * rank by score descending, cut into ten population deciles, and per
+    * decile report response rate, lift over the base rate, and cumulative
+    * gain (share of all positives captured so far). Flat ≈ 1.0 lift on
+    * this corpus BY DESIGN (score ⊥ label — the readout agrees with the
+    * AUC ≈ 0.5).
+    *
+    * Scale shape: the corpus collapses to the distinct-score domain (the
+    * q_roc_auc collapse), the decile is integer arithmetic on the
+    * DESC-cumulative count (`(cum_before · 10) div N` — rows sharing a
+    * score share a decile assignment deterministically), and both windows
+    * (value-domain cumulative, ≤10-row cumulative gain) run above the
+    * collapse. All ratios are integer-derived, [[Det.qround]]ed. */
+  val qLiftCurve = GraftQuery(
+    "q_lift_curve",
+    (spark, dir) => {
+      import spark.implicits._
+      val vc = rocValueCounts(Tables.events(spark, dir))
+        .withColumn("n", $"p" + $"f")
+      val tot = vc.agg(coalesce(sum($"n"), lit(0L)).as("nn"),
+        coalesce(sum($"p"), lit(0L)).as("pp"))
+      val before = Window.orderBy($"v".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = vc
+        .withColumn("cb", coalesce(sum($"n").over(before), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cb * 10) div nn"))
+        .groupBy($"decile", $"nn", $"pp")
+        .agg(sum($"n").as("n"), sum($"p").as("n_pos"))
+      val cum = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("cum_pos", sum($"n_pos").over(cum))
+        .select($"decile", $"n", $"n_pos",
+          Det.qround(expr("CAST(n_pos AS DOUBLE) / n")).as("resp_rate"),
+          Det.qround(expr("CAST(n_pos AS DOUBLE) * nn / (n * pp)"))
+            .as("lift"),
+          Det.qround(expr("CAST(cum_pos AS DOUBLE) / pp")).as("cum_gain"))
+        .orderBy($"decile")
+    },
+    Some(s"""
+      WITH vc AS (
+        SELECT value AS v,
+          sum(CASE WHEN event_type = '$PosType' THEN 1 ELSE 0 END)::BIGINT AS p,
+          count(*)::BIGINT AS n
+        FROM events GROUP BY value),
+      tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS nn,
+                coalesce(sum(p), 0)::BIGINT AS pp FROM vc),
+      w AS (
+        SELECT p, n,
+          (coalesce(sum(n) OVER (ORDER BY v DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+            AS cb
+        FROM vc),
+      dec AS (
+        SELECT (cb * 10) // nn AS decile, nn, pp,
+          sum(n)::BIGINT AS n, sum(p)::BIGINT AS n_pos
+        FROM w CROSS JOIN tot
+        GROUP BY 1, 2, 3)
+      SELECT decile, n, n_pos,
+        ${Oracle.qround("CAST(n_pos AS DOUBLE) / n")} AS resp_rate,
+        ${Oracle.qround("CAST(n_pos AS DOUBLE) * nn / (n * pp)")} AS lift,
+        ${Oracle.qround(
+          "CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+            "PRECEDING AND CURRENT ROW) AS DOUBLE) / pp")} AS cum_gain
+      FROM dec ORDER BY decile""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval)
+    Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
+      qLiftCurve)
 }
