@@ -14,19 +14,19 @@ object Queries {
     "rel" -> Relational.all,
     "text" -> TextAnalytics.all,
     "tfi" -> TfIdf.all,
-    "retr" -> Retrieval.all,
+    "rt" -> Retrieval.all,
     "evt" -> EventAnalytics.all,
-    "dedup" -> Dedup.all,
+    "dd" -> Dedup.all,
     "sim" -> Similarity.all,
     "prof" -> Profiling.all,
     "skew" -> Skew.all,
     "tj" -> TemporalJoins.all,
     "pipe" -> PipelineOps.all,
     "cq" -> CorpusQuality.all,
-    "clus" -> Clustering.all,
+    "cl" -> Clustering.all,
     "lex" -> LexicalStats.all,
     "bhv" -> BehaviorAnalytics.all,
-    "graph" -> Graph.all,
+    "gr" -> Graph.all,
     "gov" -> Governance.all,
     "ml" -> MlEval.all,
     "med" -> Media.all)

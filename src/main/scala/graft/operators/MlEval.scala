@@ -495,12 +495,13 @@ object MlEval {
     * score share a decile assignment deterministically), and both windows
     * (value-domain cumulative, ≤10-row cumulative gain) run above the
     * collapse. All ratios are integer-derived, [[Det.qround]]ed. */
-  val qLiftCurve = GraftQuery(
-    "q_lift_curve",
-    (spark, dir) => {
+  /** The gains table from a (v, p, f) value-domain relation — shared by
+    * [[qLiftCurve]] and [[graft.streaming.StreamRoc]]'s lift readout: the
+    * SAME maintained state serves both the AUC and the gains report. */
+  private[graft] def liftReport(vcIn: DataFrame): DataFrame = {
+      val spark = vcIn.sparkSession
       import spark.implicits._
-      val vc = rocValueCounts(Tables.events(spark, dir))
-        .withColumn("n", $"p" + $"f")
+      val vc = vcIn.withColumn("n", $"p" + $"f")
       val tot = vc.agg(coalesce(sum($"n"), lit(0L)).as("nn"),
         coalesce(sum($"p"), lit(0L)).as("pp"))
       val before = Window.orderBy($"v".desc)
@@ -521,7 +522,11 @@ object MlEval {
             .as("lift"),
           Det.qround(expr("CAST(cum_pos AS DOUBLE) / pp")).as("cum_gain"))
         .orderBy($"decile")
-    },
+  }
+
+  val qLiftCurve = GraftQuery(
+    "q_lift_curve",
+    (spark, dir) => liftReport(rocValueCounts(Tables.events(spark, dir))),
     Some(s"""
       WITH vc AS (
         SELECT value AS v,

@@ -44,13 +44,20 @@ object StreamRoc {
       .option("checkpointLocation", s"$logDir/checkpoint")
       .start()
 
-  /** The live readout from the delta log alone: integer fold by score
-    * value, then the shared rank/KS report. */
-  def report(spark: SparkSession, logDir: String): DataFrame = {
-    val vc = spark.read.option("recursiveFileLookup", "true")
+  private def folded(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$logDir/log")
       .groupBy(col("v"))
       .agg(sum(col("p")).as("p"), sum(col("f")).as("f"))
-    MlEval.rocReport(vc)
-  }
+
+  /** The live readout from the delta log alone: integer fold by score
+    * value, then the shared rank/KS report. */
+  def report(spark: SparkSession, logDir: String): DataFrame =
+    MlEval.rocReport(folded(spark, logDir))
+
+  /** The live decile gains table from the SAME delta log — one maintained
+    * state, two readouts (AUC and lift), both bit-equal to their batch
+    * queries. */
+  def liftReport(spark: SparkSession, logDir: String): DataFrame =
+    MlEval.liftReport(folded(spark, logDir))
 }

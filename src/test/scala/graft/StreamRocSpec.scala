@@ -42,6 +42,13 @@ class StreamRocSpec extends SparkSpec {
       .count(_.getName.startsWith("vc_b"))
     assert(parts === 3)
 
+    // the SAME maintained log serves the gains table, bit-equal too
+    val streamedLift = StreamRoc.liftReport(spark, logDir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val batchLift = MlEval.qLiftCurve.run(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(streamedLift === batchLift && batchLift.nonEmpty)
+
     // recovery replay of batch 1: fixed-path overwrite is correctness
     StreamRoc.processBatch(
       ev.filter($"event_id" % 3 === 1)
