@@ -1773,29 +1773,7 @@ object Dedup {
     "q_record_linkage",
     (spark, dir) => {
       import spark.implicits._
-      val cand = snmCandidates(spark, dir)
-      val sh = docShingles(spark, dir, 3)
-      val jac = cand
-        .join(sh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
-        .join(sh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
-        .select($"ia", $"ib",
-          size(array_intersect($"sha", $"shb")).as("inter"),
-          size($"sha").as("na"), size($"shb").as("nb"))
-        .select($"ia", $"ib",
-          Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
-      val attrs = Tables.documents(spark, dir)
-        .select($"doc_id", $"lang", $"source",
-          expr("n_chars div 50").as("lenb"))
-      jac
-        .join(attrs.select($"doc_id".as("ia"), $"lang".as("la"),
-          $"source".as("sa"), $"lenb".as("ba")), Seq("ia"))
-        .join(attrs.select($"doc_id".as("ib"), $"lang".as("lb"),
-          $"source".as("sb"), $"lenb".as("bb")), Seq("ib"))
-        .select($"ia", $"ib",
-          ($"la" <=> $"lb").as("a_lang"),
-          ($"sa" <=> $"sb").as("a_source"),
-          ($"ba" <=> $"bb").as("a_lenb"),
-          ($"jaccard" >= 0.5).as("a_jac"))
+      rlAgreements(spark, dir)
         .withColumn("score", Det.qround(expr(rlScoreSql)))
         .select($"ia", $"ib",
           $"a_lang".cast(IntegerType).as("a_lang"),
@@ -1839,11 +1817,196 @@ object Dedup {
       FROM sc ORDER BY ia, ib""")
   )
 
+  /** Pair-level agreement vectors over the SNM candidates — shared by
+    * [[qRecordLinkage]] (which scores every pair) and [[qLinkageEm]]
+    * (which collapses them to pattern counts). */
+  private[graft] def rlAgreements(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val cand = snmCandidates(spark, dir)
+    val sh = docShingles(spark, dir, 3)
+    val jac = cand
+      .join(sh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
+      .join(sh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
+      .select($"ia", $"ib",
+        size(array_intersect($"sha", $"shb")).as("inter"),
+        size($"sha").as("na"), size($"shb").as("nb"))
+      .select($"ia", $"ib",
+        Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
+    val attrs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        expr("n_chars div 50").as("lenb"))
+    jac
+      .join(attrs.select($"doc_id".as("ia"), $"lang".as("la"),
+        $"source".as("sa"), $"lenb".as("ba")), Seq("ia"))
+      .join(attrs.select($"doc_id".as("ib"), $"lang".as("lb"),
+        $"source".as("sb"), $"lenb".as("bb")), Seq("ib"))
+      .select($"ia", $"ib",
+        ($"la" <=> $"lb").as("a_lang"),
+        ($"sa" <=> $"sb").as("a_source"),
+        ($"ba" <=> $"bb").as("a_lenb"),
+        ($"jaccard" >= 0.5).as("a_jac"))
+  }
+
+  /** The ≤2⁴ agreement-pattern counts — the sufficient statistic of the
+    * Fellegi–Sunter model (EM never needs the pairs again). */
+  private[graft] def rlPatterns(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    rlAgreements(spark, dir)
+      .select($"a_lang".cast(IntegerType).as("a1"),
+        $"a_source".cast(IntegerType).as("a2"),
+        $"a_lenb".cast(IntegerType).as("a3"),
+        $"a_jac".cast(IntegerType).as("a4"))
+      .groupBy($"a1", $"a2", $"a3", $"a4")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** SQL CTE body computing the same pattern relation (expects the
+    * [[snmPairsCtes]] CTEs in scope); exposes `pat(a1, a2, a3, a4, cnt)`. */
+  private def rlPatternsSql: String = s"""
+      rl_jac AS (
+        SELECT c.ia, c.ib,
+          ${Oracle.qround(
+            "coalesce(m.inter, 0) / (za.ns + zb.ns - coalesce(m.inter, 0))")}
+            AS jaccard
+        FROM scand c
+        LEFT JOIN scommon m ON m.ia = c.ia AND m.ib = c.ib
+        JOIN sssz za ON za.doc_id = c.ia
+        JOIN sssz zb ON zb.doc_id = c.ib),
+      attrs AS (
+        SELECT doc_id, lang, source, n_chars // 50 AS lenb FROM documents),
+      pat AS (
+        SELECT (a.lang IS NOT DISTINCT FROM b.lang)::INT AS a1,
+          (a.source IS NOT DISTINCT FROM b.source)::INT AS a2,
+          (a.lenb IS NOT DISTINCT FROM b.lenb)::INT AS a3,
+          (j.jaccard >= 0.5)::INT AS a4,
+          count(*)::BIGINT AS cnt
+        FROM rl_jac j
+        JOIN attrs a ON a.doc_id = j.ia
+        JOIN attrs b ON b.doc_id = j.ib
+        GROUP BY 1, 2, 3, 4)"""
+
+  /** One EM E+M step as shared SQL text over a 1-row params relation
+    * (p, m1..m4, u1..u4) crossed with `pat`. Every cross-pattern sum
+    * decimal-casts its addends (the ≤16-row reduction must be order-free
+    * — the q_anova_f discipline); each updated parameter is
+    * 6-dp-prerounded so the NEXT iteration's inputs are cross-engine
+    * stable. */
+  private def emGSql: String = {
+    def prod(pre: String) = (1 to 4).map(i =>
+      s"(CASE WHEN a$i = 1 THEN $pre$i ELSE 1.0 - $pre$i END)")
+      .mkString(" * ")
+    s"(p * ${prod("m")}) / (p * ${prod("m")} + (1.0 - p) * ${prod("u")})"
+  }
+
+  /** EM-estimated Fellegi–Sunter parameters — the production counterpart
+    * of [[qRecordLinkage]]'s fixed design-time m/u: two unrolled EM
+    * iterations (Winkler's standard estimation) over the ≤16-row
+    * agreement-PATTERN relation, which is the model's sufficient
+    * statistic — the pair list collapses once and EM never revisits it,
+    * so estimation cost is independent of corpus size. Init p = 0.05,
+    * m = 0.9, u = 0.1 for every field; output per field: m̂, û, the
+    * fitted agreement weight ln(m̂/û) and the fitted match prevalence.
+    *
+    * Exactness: the E-step posterior is one fixed rational tree in
+    * 6-dp-stable params; every M-step sum decimal-casts g·cnt addends;
+    * every updated parameter is qround-prerounded before the next
+    * iteration reads it. */
+  val qLinkageEm = GraftQuery(
+    "q_linkage_em",
+    (spark, dir) => {
+      import spark.implicits._
+      val pat = rlPatterns(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val init = spark.range(1).select(
+        lit(0.05).as("p"),
+        lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
+        lit(0.9).as("m4"),
+        lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"),
+        lit(0.1).as("u4"))
+      def step(params: DataFrame): DataFrame = {
+        val g = pat.crossJoin(broadcast(params))
+          .withColumn("g", expr(emGSql))
+        def dsum(e: String) =
+          sum(expr(s"CAST($e AS DECIMAL(38,9))"))
+        val aggCols: Seq[org.apache.spark.sql.Column] =
+          dsum("g * cnt").as("sg") +: dsum("(1.0 - g) * cnt").as("s1g") +:
+            sum($"cnt").as("sc") +:
+            ((1 to 4).map(i => dsum(s"g * cnt * a$i").as(s"sga$i")) ++
+             (1 to 4).map(i => dsum(s"(1.0 - g) * cnt * a$i").as(s"s1ga$i")))
+        val outCols: Seq[org.apache.spark.sql.Column] =
+          Det.qround(expr("CAST(sg AS DOUBLE) / sc")).as("p") +:
+            ((1 to 4).map(i => Det.qround(
+              expr(s"CAST(sga$i AS DOUBLE) / CAST(sg AS DOUBLE)")).as(s"m$i")) ++
+             (1 to 4).map(i => Det.qround(
+              expr(s"CAST(s1ga$i AS DOUBLE) / CAST(s1g AS DOUBLE)")).as(s"u$i")))
+        g.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
+      }
+      val fitted = step(step(init))
+      val fields = Seq("lang", "source", "lenb", "jac")
+      fields.zipWithIndex.map { case (f, i0) =>
+        val i = i0 + 1
+        fitted.select(lit(f).as("field"),
+          col(s"m$i").as("m_hat"), col(s"u$i").as("u_hat"),
+          Det.qround(expr(s"ln(m$i / u$i)")).as("w_agree"),
+          $"p".as("p_hat"))
+      }.reduce(_.unionByName(_)).orderBy($"field")
+    },
+    Some {
+      def stepSql(prev: String, out: String): String = {
+        val dsums =
+          (s"sum(CAST(g * cnt AS DECIMAL(38,9))) AS sg, " +
+            s"sum(CAST((1.0 - g) * cnt AS DECIMAL(38,9))) AS s1g, " +
+            s"sum(cnt)::BIGINT AS sc, ") +
+          (1 to 4).map(i =>
+            s"sum(CAST(g * cnt * a$i AS DECIMAL(38,9))) AS sga$i")
+            .mkString(", ") + ", " +
+          (1 to 4).map(i =>
+            s"sum(CAST((1.0 - g) * cnt * a$i AS DECIMAL(38,9))) AS s1ga$i")
+            .mkString(", ")
+        val params =
+          s"${Oracle.qround("CAST(sg AS DOUBLE) / sc")} AS p, " +
+          (1 to 4).map(i => s"${Oracle.qround(
+            s"CAST(sga$i AS DOUBLE) / CAST(sg AS DOUBLE)")} AS m$i")
+            .mkString(", ") + ", " +
+          (1 to 4).map(i => s"${Oracle.qround(
+            s"CAST(s1ga$i AS DOUBLE) / CAST(s1g AS DOUBLE)")} AS u$i")
+            .mkString(", ")
+        s"""
+      ${out}_g AS (
+        SELECT pat.*, $emGSql AS g FROM pat CROSS JOIN $prev),
+      ${out}_s AS (SELECT $dsums FROM ${out}_g),
+      $out AS (SELECT $params FROM ${out}_s)"""
+      }
+      val fieldRows = Seq("lang" -> 1, "source" -> 2, "lenb" -> 3,
+        "jac" -> 4).map { case (f, i) =>
+        s"""SELECT '$f' AS field, m$i AS m_hat, u$i AS u_hat,
+          ${Oracle.qround(s"ln(m$i / u$i)")} AS w_agree, p AS p_hat
+        FROM e2"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $snmPairsCtes,
+      $rlPatternsSql,
+      e0 AS (SELECT 0.05::DOUBLE AS p,
+        0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2, 0.9::DOUBLE AS m3,
+        0.9::DOUBLE AS m4,
+        0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3,
+        0.1::DOUBLE AS u4),
+      ${stepSql("e0", "e1")},
+      ${stepSql("e1", "e2")}
+      SELECT * FROM (
+        $fieldRows
+      ) ORDER BY field"""
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
     qQualityDedupCalibration, qPairEvidence, qSplitLeakage,
-    qContainmentDedup, qSnmDedup, qBlockingRecall, qRecordLinkage)
+    qContainmentDedup, qSnmDedup, qBlockingRecall, qRecordLinkage,
+    qLinkageEm)
 }

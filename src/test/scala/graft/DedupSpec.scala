@@ -298,4 +298,18 @@ class DedupSpec extends SparkSpec {
     assert((cd._3, cd._4, cd._5, cd._6) === ((0, 0, 1, 0)))
     assert(cd._8 === "non_match" && cd._7 < 0.0)
   }
+
+  test("linkage EM: fitted parameters are probabilities and jac discriminates") {
+    val rows = Dedup.qLinkageEm.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("lang", "source", "lenb", "jac"))
+    rows.values.foreach { case (_, m, u, _, p) =>
+      assert(m > 0 && m < 1 && u > 0 && u < 1 && p > 0 && p < 1)
+    }
+    // the verified-similarity field must separate the classes: EM should
+    // assign it a strongly positive agreement weight
+    val jac = rows("jac")
+    assert(jac._2 > jac._3 && jac._4 > 1.0)
+  }
 }
