@@ -212,5 +212,143 @@ object Clustering {
     }
   )
 
-  val all: Seq[GraftQuery] = Seq(qKmeans, qKcenterSelect)
+  /** Shared E-step SQL: the component-1 responsibility of a distinct
+    * value `v` under 1-row params (w1, w2, mu1, mu2, s1, s2). The 1/√2π
+    * constant cancels in the ratio and is omitted. */
+  private def gmmGSql: String = {
+    def phi(k: Int) =
+      s"(exp(0.0 - (v - mu$k) * (v - mu$k) / (2.0 * s$k * s$k)) / s$k)"
+    s"(w1 * ${phi(1)}) / (w1 * ${phi(1)} + w2 * ${phi(2)})"
+  }
+
+  /** Full-pdf SQL for the final log-likelihood readout. */
+  private def gmmPdfSql: String = {
+    def pdf(k: Int) =
+      s"(0.3989422804014327 * exp(0.0 - (v - mu$k) * (v - mu$k) / " +
+        s"(2.0 * s$k * s$k)) / s$k)"
+    s"ln(w1 * ${pdf(1)} + w2 * ${pdf(2)})"
+  }
+
+  /** Two-component 1-D Gaussian mixture fit by EM over event values — the
+    * continuous companion of [[graft.operators.Dedup.qLinkageEm]]'s
+    * discrete EM and the model-based alternative to q_length_buckets'
+    * hard thresholds ("is the value distribution one population or
+    * two?"). Two unrolled EM iterations from fixed literal inits
+    * (μ = 50/250, σ = 100, π = ½); output per component: fitted weight,
+    * mean, sigma, and the shared final average log-likelihood.
+    *
+    * Scale design: the corpus collapses ONCE to the distinct-value
+    * domain with counts (the q_roc_auc collapse — bounded by the 2-dp
+    * grid, not the corpus); every E-step is a map expression over that
+    * bounded relation against the broadcast 1-row params, every M-step a
+    * decimal-cast weighted aggregate (σ via the moment identity
+    * Σγcv²/n − μ² — no second pass); iteration cost is independent of
+    * corpus size. Exactness: exp/ln on identical doubles (the q_ks_test
+    * / q_kaplan_meier parity precedent), params 6-dp-prerounded between
+    * iterations, all cross-row sums decimal-cast. */
+  val qGmmEm = GraftQuery(
+    "q_gmm_em",
+    (spark, dir) => {
+      import spark.implicits._
+      val vc = Tables.events(spark, dir)
+        .groupBy($"value".as("v")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val init = spark.range(1).select(
+        lit(0.5).as("w1"), lit(0.5).as("w2"),
+        lit(50.0).as("mu1"), lit(250.0).as("mu2"),
+        lit(100.0).as("s1"), lit(100.0).as("s2"))
+      def step(params: DataFrame): DataFrame = {
+        val g = vc.crossJoin(broadcast(params))
+          .withColumn("g", expr(gmmGSql))
+        def d(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,9))"))
+        val s = g.agg(
+          d("g * c").as("n1"), d("(1.0 - g) * c").as("n2"),
+          d("g * c * v").as("sv1"), d("(1.0 - g) * c * v").as("sv2"),
+          d("g * c * v * v").as("sq1"), d("(1.0 - g) * c * v * v").as("sq2"))
+        val mu = s.select(
+          Det.qround(expr(
+            "CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"))
+            .as("w1"),
+          Det.qround(expr(
+            "CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"))
+            .as("w2"),
+          Det.qround(expr("CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+            .as("mu1"),
+          Det.qround(expr("CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+            .as("mu2"),
+          expr("CAST(sq1 AS DOUBLE) / CAST(n1 AS DOUBLE)").as("q1"),
+          expr("CAST(sq2 AS DOUBLE) / CAST(n2 AS DOUBLE)").as("q2"))
+        mu.select($"w1", $"w2", $"mu1", $"mu2",
+          Det.qround(expr("sqrt(greatest(q1 - mu1 * mu1, 0.000001))"))
+            .as("s1"),
+          Det.qround(expr("sqrt(greatest(q2 - mu2 * mu2, 0.000001))"))
+            .as("s2"))
+      }
+      val fitted = step(step(init))
+      val ll = vc.crossJoin(broadcast(fitted))
+        .agg(
+          sum(expr(s"CAST(c * ($gmmPdfSql) AS DECIMAL(38,9))"))
+            .cast(DoubleType).as("lls"),
+          sum($"c").as("n"))
+        .select(Det.qround(expr("lls / n")).as("avg_ll"))
+      val rows = Seq(1, 2).map { k =>
+        fitted.select(lit(k.toLong).as("component"),
+          col(s"w$k").as("weight"), col(s"mu$k").as("mu"),
+          col(s"s$k").as("sigma"))
+      }.reduce(_.unionByName(_))
+      rows.crossJoin(broadcast(ll)).orderBy($"component")
+    },
+    Some {
+      def stepSql(prev: String, out: String): String = s"""
+      ${out}_g AS (
+        SELECT vc.*, $gmmGSql AS g FROM vc CROSS JOIN $prev),
+      ${out}_s AS (
+        SELECT sum(CAST(g * c AS DECIMAL(38,9))) AS n1,
+          sum(CAST((1.0 - g) * c AS DECIMAL(38,9))) AS n2,
+          sum(CAST(g * c * v AS DECIMAL(38,9))) AS sv1,
+          sum(CAST((1.0 - g) * c * v AS DECIMAL(38,9))) AS sv2,
+          sum(CAST(g * c * v * v AS DECIMAL(38,9))) AS sq1,
+          sum(CAST((1.0 - g) * c * v * v AS DECIMAL(38,9))) AS sq2
+        FROM ${out}_g),
+      ${out}_m AS (
+        SELECT
+          ${Oracle.qround(
+            "CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))")}
+            AS w1,
+          ${Oracle.qround(
+            "CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))")}
+            AS w2,
+          ${Oracle.qround("CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE)")} AS mu1,
+          ${Oracle.qround("CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE)")} AS mu2,
+          CAST(sq1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS q1,
+          CAST(sq2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS q2
+        FROM ${out}_s),
+      $out AS (
+        SELECT w1, w2, mu1, mu2,
+          ${Oracle.qround("sqrt(greatest(q1 - mu1 * mu1, 0.000001))")} AS s1,
+          ${Oracle.qround("sqrt(greatest(q2 - mu2 * mu2, 0.000001))")} AS s2
+        FROM ${out}_m)"""
+      s"""
+      WITH vc AS (
+        SELECT value AS v, count(*)::BIGINT AS c FROM events GROUP BY value),
+      e0 AS (SELECT 0.5::DOUBLE AS w1, 0.5::DOUBLE AS w2,
+        50.0::DOUBLE AS mu1, 250.0::DOUBLE AS mu2,
+        100.0::DOUBLE AS s1, 100.0::DOUBLE AS s2),
+      ${stepSql("e0", "e1")},
+      ${stepSql("e1", "e2")},
+      ll AS (
+        SELECT ${Oracle.qround(
+          s"(sum(CAST(c * ($gmmPdfSql) AS DECIMAL(38,9))))::DOUBLE / sum(c)")}
+          AS avg_ll
+        FROM vc CROSS JOIN e2)
+      SELECT * FROM (
+        SELECT 1::BIGINT AS component, w1 AS weight, mu1 AS mu, s1 AS sigma,
+          avg_ll FROM e2 CROSS JOIN ll
+        UNION ALL
+        SELECT 2::BIGINT, w2, mu2, s2, avg_ll FROM e2 CROSS JOIN ll
+      ) ORDER BY component"""
+    }
+  )
+
+  val all: Seq[GraftQuery] = Seq(qKmeans, qKcenterSelect, qGmmEm)
 }

@@ -32,4 +32,18 @@ class ClusteringSpec extends SparkSpec {
       (5L, 3L, 225.0),
       (6L, -1L, 100.0)))
   }
+
+  test("gmm: fitted mixture is a valid two-component decomposition") {
+    val rows = Clustering.qGmmEm.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    val Array(c1, c2) = rows
+    // weights form a distribution (6-dp rounding slack), components are
+    // ordered and non-degenerate, one shared fit quality
+    assert(math.abs(c1._2 + c2._2 - 1.0) < 2e-6)
+    assert(c1._2 > 0 && c2._2 > 0)
+    assert(c1._3 < c2._3) // init separation survives: bulk below tail
+    assert(c1._4 > 0 && c2._4 > 0)
+    assert(c1._5 === c2._5 && c1._5 < 0)
+  }
 }
