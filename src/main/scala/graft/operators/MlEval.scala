@@ -44,10 +44,11 @@ object MlEval {
     * partials are ADDITIVE — this is the relation
     * [[graft.streaming.StreamOls]] maintains per micro-batch and folds at
     * query time (one terminal round, algebraically the batch reduction). */
-  private[graft] def olsMomentsDec(li: DataFrame): DataFrame = {
+  private[graft] def olsMomentsDec(li: DataFrame,
+      by: Seq[Column] = Nil): DataFrame = {
     import li.sparkSession.implicits._
     def d(c: Column) = sum(c.cast(DecimalType(38, 9)))
-    li.agg(
+    li.groupBy(by: _*).agg(
       count(lit(1)).as("n"),
       d($"l_quantity").as("sq_d"), d($"l_discount").as("sd_d"),
       d($"l_extendedprice").as("sy_d"),
@@ -555,7 +556,228 @@ object MlEval {
       FROM dec ORDER BY decile""")
   )
 
+  // ------------------------------------------------- cross-validation —
+
+  val CvFolds = 5
+
+  /** K-fold cross-validated OLS — model VALIDATION at 100 TB scale, made
+    * one-pass by moment additivity: fold moments come from ONE grouped
+    * aggregate, and every fold's TRAINING moments are `total − fold`
+    * (decimal subtraction is exact), so five models train without
+    * revisiting a single row; the only second pass scores each row
+    * against its own fold's broadcast coefficients for the out-of-fold
+    * RMSE. Per fold: sizes, coefficients, OOF RMSE; plus the pooled CV
+    * RMSE (the number a model selector reads) repeated per row.
+    *
+    * Exactness: the fold split is the salted-md5 hash of the
+    * (l_orderkey, l_linenumber) row key; train moments finish through
+    * the same round-once path as q_ols_fit; coefficients are 6-dp-stable
+    * before the scoring pass, whose squared residuals are decimal-cast
+    * (order-free); the ≤5-row pooled reduction is a decimal window. */
+  val qCrossvalOls = GraftQuery(
+    "q_crossval_ols",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.spread(Tables.lineitem(spark, dir))
+        .withColumn("fold", expr(PipelineOps.u32Expr(
+          "concat('fold:', cast(l_orderkey as string), ':', " +
+            "cast(l_linenumber as string))") + s" % $CvFolds"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mfold = olsMomentsDec(li, Seq($"fold"))
+      val names = Seq("n") ++
+        Seq("sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy", "syy")
+          .map(_ + "_d")
+      val tot = mfold.agg(
+        sum(col(names.head)).as("t_n"),
+        names.tail.map(c => sum(col(c)).as("t_" + c)): _*)
+      // train moments = total − fold (exact decimal), finished like the
+      // global fit: round once, cast, solve
+      val train = mfold.crossJoin(broadcast(tot))
+        .select(($"fold" +: $"n".as("n_test") +:
+          (col("t_n") - $"n").as("n") +:
+          names.tail.map(c =>
+            round(col("t_" + c) - col(c), 6).cast(DoubleType)
+              .as(c.stripSuffix("_d")))): _*)
+        .withColumn("nd", $"n".cast(DoubleType))
+      val coefs = train
+        .withColumn("det", expr(DetM))
+        .withColumn("det0", expr(Det0))
+        .withColumn("det1", expr(Det1))
+        .withColumn("det2", expr(Det2))
+        .select($"fold", $"n".as("n_train"), $"n_test",
+          Det.qround(expr("det0/det")).as("b0"),
+          Det.qround(expr("det1/det")).as("b1"),
+          Det.qround(expr("det2/det")).as("b2"))
+      val sse = li.join(broadcast(coefs), Seq("fold"))
+        .select($"fold", expr(
+          """CAST(
+               (l_extendedprice - b0 - b1 * l_quantity - b2 * l_discount) *
+               (l_extendedprice - b0 - b1 * l_quantity - b2 * l_discount)
+             AS DECIMAL(38,9))""").as("e2"))
+        .groupBy($"fold").agg(sum($"e2").as("sse"))
+      val all5 = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      coefs.join(sse, Seq("fold"))
+        .withColumn("psse", sum($"sse").over(all5))
+        .withColumn("pn", sum($"n_test").over(all5))
+        .select($"fold", $"n_train", $"n_test", $"b0", $"b1", $"b2",
+          Det.qround(expr(
+            "sqrt(CAST(sse AS DOUBLE) / n_test)")).as("oof_rmse"),
+          Det.qround(expr(
+            "sqrt(CAST(psse AS DOUBLE) / pn)")).as("cv_rmse"))
+        .orderBy($"fold")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_quantity AS q, l_discount AS d, l_extendedprice AS y,
+          ${PipelineOps.u32Sql(
+            "'fold:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+              "CAST(l_linenumber AS VARCHAR)")} % $CvFolds AS fold
+        FROM lineitem),
+      mf AS (
+        SELECT fold, count(*)::BIGINT AS n,
+          sum(CAST(q AS DECIMAL(38,9))) AS sq_d,
+          sum(CAST(d AS DECIMAL(38,9))) AS sd_d,
+          sum(CAST(y AS DECIMAL(38,9))) AS sy_d,
+          sum(CAST(q*q AS DECIMAL(38,9))) AS sqq_d,
+          sum(CAST(q*d AS DECIMAL(38,9))) AS sqd_d,
+          sum(CAST(d*d AS DECIMAL(38,9))) AS sdd_d,
+          sum(CAST(q*y AS DECIMAL(38,9))) AS sqy_d,
+          sum(CAST(d*y AS DECIMAL(38,9))) AS sdy_d,
+          sum(CAST(y*y AS DECIMAL(38,9))) AS syy_d
+        FROM li GROUP BY fold),
+      tt AS (
+        SELECT sum(n)::BIGINT AS t_n, sum(sq_d) AS t_sq, sum(sd_d) AS t_sd,
+          sum(sy_d) AS t_sy, sum(sqq_d) AS t_sqq, sum(sqd_d) AS t_sqd,
+          sum(sdd_d) AS t_sdd, sum(sqy_d) AS t_sqy, sum(sdy_d) AS t_sdy,
+          sum(syy_d) AS t_syy
+        FROM mf),
+      tr AS (
+        SELECT fold, n AS n_test, (t_n - n)::BIGINT AS n,
+          (t_n - n)::DOUBLE AS nd,
+          round(t_sq - sq_d, 6)::DOUBLE AS sq,
+          round(t_sd - sd_d, 6)::DOUBLE AS sd,
+          round(t_sy - sy_d, 6)::DOUBLE AS sy,
+          round(t_sqq - sqq_d, 6)::DOUBLE AS sqq,
+          round(t_sqd - sqd_d, 6)::DOUBLE AS sqd,
+          round(t_sdd - sdd_d, 6)::DOUBLE AS sdd,
+          round(t_sqy - sqy_d, 6)::DOUBLE AS sqy,
+          round(t_sdy - sdy_d, 6)::DOUBLE AS sdy,
+          round(t_syy - syy_d, 6)::DOUBLE AS syy
+        FROM mf CROSS JOIN tt),
+      cf AS (
+        SELECT fold, n AS n_train, n_test,
+          ${Oracle.qround("(@DET0@) / (@DETM@)")} AS b0,
+          ${Oracle.qround("(@DET1@) / (@DETM@)")} AS b1,
+          ${Oracle.qround("(@DET2@) / (@DETM@)")} AS b2
+        FROM tr),
+      er AS (
+        SELECT li.fold,
+          sum(CAST((y - b0 - b1 * q - b2 * d) * (y - b0 - b1 * q - b2 * d)
+            AS DECIMAL(38,9))) AS sse
+        FROM li JOIN cf ON li.fold = cf.fold
+        GROUP BY li.fold),
+      j AS (
+        SELECT cf.fold, n_train, n_test, b0, b1, b2, sse,
+          sum(sse) OVER () AS psse, sum(n_test) OVER ()::BIGINT AS pn
+        FROM cf JOIN er ON cf.fold = er.fold)
+      SELECT fold, n_train, n_test, b0, b1, b2,
+        ${Oracle.qround("sqrt(CAST(sse AS DOUBLE) / n_test)")} AS oof_rmse,
+        ${Oracle.qround("sqrt(CAST(psse AS DOUBLE) / pn)")} AS cv_rmse
+      FROM j ORDER BY fold"""
+      .replace("@DETM@", DetM).replace("@DET0@", Det0)
+      .replace("@DET1@", Det1).replace("@DET2@", Det2))
+  )
+
+  // --------------------------------------------- feature importance —
+
+  /** Closed-form OLS feature importance — ΔR² of dropping each regressor,
+    * computed from the SAME ten moments as the full fit with ZERO extra
+    * passes (each 2-variable submodel is a simple-regression formula over
+    * the moment row): the "which feature carries the fit" readout, and
+    * the moment-reuse pattern at its purest — one corpus collapse answers
+    * the full model, both submodels and all the deltas.
+    *
+    * importance(f) = R²(full) − R²(all-but-f); near-zero on this corpus
+    * BY DESIGN (the synthetic price is ~independent of both regressors —
+    * consistent with q_ols_fit's R² ≈ 0.00005). */
+  val qFeatureImportance = GraftQuery(
+    "q_feature_importance",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = olsFinish(olsMomentsDec(
+        Tables.spread(Tables.lineitem(spark, dir))))
+        .withColumn("det", expr(DetM))
+        .withColumn("det0", expr(Det0))
+        .withColumn("det1", expr(Det1))
+        .withColumn("det2", expr(Det2))
+        .withColumn("sst", expr(Sst))
+        .withColumn("r2_full", expr(s"1 - ($Sse) / sst"))
+        // submodel y ~ 1 + q (drops discount)
+        .withColumn("bq", expr("(nd*sqy - sq*sy) / (nd*sqq - sq*sq)"))
+        .withColumn("aq", expr("(sy - bq*sq) / nd"))
+        .withColumn("r2_q", expr("1 - (syy - aq*sy - bq*sqy) / sst"))
+        // submodel y ~ 1 + d (drops quantity)
+        .withColumn("bd", expr("(nd*sdy - sd*sy) / (nd*sdd - sd*sd)"))
+        .withColumn("ad", expr("(sy - bd*sd) / nd"))
+        .withColumn("r2_d", expr("1 - (syy - ad*sy - bd*sdy) / sst"))
+      val q = m.select(lit("l_quantity").as("feature"),
+        Det.qround(expr("det1/det")).as("beta_full"),
+        Det.qround($"r2_full").as("r2_full"),
+        Det.qround($"r2_d").as("r2_without"),
+        Det.qround(expr("r2_full - r2_d")).as("importance"))
+      val d = m.select(lit("l_discount").as("feature"),
+        Det.qround(expr("det2/det")).as("beta_full"),
+        Det.qround($"r2_full").as("r2_full"),
+        Det.qround($"r2_q").as("r2_without"),
+        Det.qround(expr("r2_full - r2_q")).as("importance"))
+      q.unionByName(d).orderBy($"feature")
+    },
+    Some(s"""
+      WITH m0 AS (
+        SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd,
+          ${Oracle.dsum("l_quantity")} AS sq,
+          ${Oracle.dsum("l_discount")} AS sd,
+          ${Oracle.dsum("l_extendedprice")} AS sy,
+          ${Oracle.dsum("l_quantity*l_quantity")} AS sqq,
+          ${Oracle.dsum("l_quantity*l_discount")} AS sqd,
+          ${Oracle.dsum("l_discount*l_discount")} AS sdd,
+          ${Oracle.dsum("l_quantity*l_extendedprice")} AS sqy,
+          ${Oracle.dsum("l_discount*l_extendedprice")} AS sdy,
+          ${Oracle.dsum("l_extendedprice*l_extendedprice")} AS syy
+        FROM lineitem),
+      c AS (SELECT *, $DetM AS det, $Det0 AS det0, $Det1 AS det1,
+              $Det2 AS det2, $Sst AS sst FROM m0),
+      e AS (
+        SELECT *, 1 - ($Sse) / sst AS r2_full,
+          (nd*sqy - sq*sy) / (nd*sqq - sq*sq) AS bq,
+          (nd*sdy - sd*sy) / (nd*sdd - sd*sd) AS bd
+        FROM c),
+      f AS (
+        SELECT *, (sy - bq*sq) / nd AS aq, (sy - bd*sd) / nd AS ad
+        FROM e),
+      g AS (
+        SELECT *, 1 - (syy - aq*sy - bq*sqy) / sst AS r2_q,
+          1 - (syy - ad*sy - bd*sdy) / sst AS r2_d
+        FROM f)
+      SELECT * FROM (
+        SELECT 'l_quantity' AS feature,
+          ${Oracle.qround("det1/det")} AS beta_full,
+          ${Oracle.qround("r2_full")} AS r2_full,
+          ${Oracle.qround("r2_d")} AS r2_without,
+          ${Oracle.qround("r2_full - r2_d")} AS importance
+        FROM g
+        UNION ALL
+        SELECT 'l_discount',
+          ${Oracle.qround("det2/det")},
+          ${Oracle.qround("r2_full")},
+          ${Oracle.qround("r2_q")},
+          ${Oracle.qround("r2_full - r2_q")}
+        FROM g
+      ) ORDER BY feature""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
-      qLiftCurve)
+      qLiftCurve, qCrossvalOls, qFeatureImportance)
 }

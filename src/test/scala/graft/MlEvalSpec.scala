@@ -100,4 +100,28 @@ class MlEvalSpec extends SparkSpec {
     // per-arm calibration sets are ~200 rows, so allow sampling slack
     assert(rows.forall { case (q, c) => q > 0 && c > 0.8 && c < 0.98 })
   }
+
+  test("crossval: folds partition the corpus and share one pooled rmse") {
+    val rows = Queries.byName("q_crossval_ols")
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L until 5L))
+    val total = rows.head._2 + rows.head._3 // n_train + n_test = corpus
+    assert(rows.forall(r => r._2 + r._3 === total))
+    assert(rows.map(_._3).sum === total) // test folds partition the corpus
+    assert(rows.map(_._8).distinct.length === 1) // one pooled cv_rmse
+    assert(rows.forall(r => r._7 > 0 && r._8 > 0))
+  }
+
+  test("feature importance: r2 decomposes as without + importance") {
+    val rows = Queries.byName("q_feature_importance")
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq === Seq("l_discount", "l_quantity"))
+    rows.foreach { case (_, _, full, without, imp) =>
+      assert(math.abs(full - (without + imp)) < 2e-6)
+      assert(full >= without)
+    }
+  }
 }
