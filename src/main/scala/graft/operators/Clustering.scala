@@ -246,12 +246,15 @@ object Clustering {
     * corpus size. Exactness: exp/ln on identical doubles (the q_ks_test
     * / q_kaplan_meier parity precedent), params 6-dp-prerounded between
     * iterations, all cross-row sums decimal-cast. */
-  val qGmmEm = GraftQuery(
-    "q_gmm_em",
-    (spark, dir) => {
+  /** The full mixture fit from a (v, c) value-domain count relation —
+    * shared by [[qGmmEm]] and [[graft.streaming.StreamGmm]]'s fold (the
+    * counts are additive, so the maintained twin re-runs the SAME EM over
+    * the folded log: a maintained model REFIT, not just maintained
+    * statistics). */
+  private[graft] def gmmReport(vcIn: DataFrame): DataFrame = {
+      val spark = vcIn.sparkSession
       import spark.implicits._
-      val vc = Tables.events(spark, dir)
-        .groupBy($"value".as("v")).agg(count(lit(1)).as("c"))
+      val vc = vcIn
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val init = spark.range(1).select(
         lit(0.5).as("w1"), lit(0.5).as("w2"),
@@ -297,7 +300,18 @@ object Clustering {
           col(s"s$k").as("sigma"))
       }.reduce(_.unionByName(_))
       rows.crossJoin(broadcast(ll)).orderBy($"component")
-    },
+  }
+
+  /** The (v, c) value-domain collapse [[gmmReport]] consumes. */
+  private[graft] def gmmValueCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"value".as("v")).agg(count(lit(1)).as("c"))
+  }
+
+  val qGmmEm = GraftQuery(
+    "q_gmm_em",
+    (spark, dir) =>
+      gmmReport(gmmValueCounts(Tables.events(spark, dir))),
     Some {
       def stepSql(prev: String, out: String): String = s"""
       ${out}_g AS (
