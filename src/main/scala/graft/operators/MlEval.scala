@@ -777,7 +777,142 @@ object MlEval {
       ) ORDER BY feature""")
   )
 
+  // ---------------------------------------------------- logistic IRLS —
+
+  /** Shared per-row IRLS working quantities under 1-row params
+    * (b0, b1, b2): linear predictor, sigmoid, weight, working response. */
+  private val IrlsEta = "b0 + b1 * l_quantity + b2 * l_discount"
+  private val IrlsP = s"(1.0 / (1.0 + exp(0.0 - ($IrlsEta))))"
+
+  /** Distributed logistic regression by IRLS (Fisher scoring) — the
+    * classifier-TRAINING counterpart of q_ols_fit: predict
+    * `l_returnflag = 'R'` from (1, l_quantity, l_discount). Each IRLS
+    * round is ONE partial+final aggregate computing the weighted Gramian
+    * X'WX + X'Wz (nine decimal sums), then the SAME 3×3 Cramer solve as
+    * OLS — the weighted moments are simply ALIASED onto the OLS moment
+    * names so [[DetM]]..[[Det2]] apply verbatim. Two unrolled rounds from
+    * β = 0 (where the first round is exactly weighted least squares at
+    * w = ¼), then one scoring pass for the mean log-loss.
+    *
+    * On this corpus the label is ~independent of both regressors, so the
+    * fit converges to β ≈ (ln(1/2), 0, 0) — the base-rate-⅓ intercept —
+    * and log-loss ≈ H(⅓) = 0.6365: the readout AGREES with q_ols_fit's
+    * R² ≈ 0 and q_roc_auc's AUC ≈ ½ from the classification side.
+    *
+    * Exactness: β 6-dp-prerounded between rounds; every cross-row sum
+    * decimal-cast; sigmoid/log-loss exp/ln parity per the q_ks_test
+    * precedent. Scale: two Gramian passes + one scoring pass, nothing
+    * else — the one logistic trainer that works at 100 TB without a
+    * parameter server. */
+  val qLogisticIrls = GraftQuery(
+    "q_logistic_irls",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.spread(Tables.lineitem(spark, dir))
+        .select($"l_quantity", $"l_discount",
+          when($"l_returnflag" === "R", 1.0).otherwise(0.0).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val init = spark.range(1).select(
+        lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+      def round(params: DataFrame): DataFrame = {
+        val g = li.crossJoin(broadcast(params))
+          .withColumn("eta", expr(IrlsEta))
+          .withColumn("p", expr(IrlsP))
+          .withColumn("w", expr("p * (1.0 - p)"))
+          .withColumn("z", expr("eta + (y - p) / w"))
+        def d(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,9))"))
+        // weighted moments aliased onto the OLS moment names: the Cramer
+        // strings solve X'WX β = X'Wz unchanged
+        g.agg(
+          d("w").as("ndd"), d("w * l_quantity").as("sqd"),
+          d("w * l_discount").as("sdd_"), d("w * z").as("syd"),
+          d("w * l_quantity * l_quantity").as("sqqd"),
+          d("w * l_quantity * l_discount").as("sqdd"),
+          d("w * l_discount * l_discount").as("sddd"),
+          d("w * l_quantity * z").as("sqyd"),
+          d("w * l_discount * z").as("sdyd"))
+          .select(
+            expr("CAST(ndd AS DOUBLE)").as("nd"),
+            expr("CAST(sqd AS DOUBLE)").as("sq"),
+            expr("CAST(sdd_ AS DOUBLE)").as("sd"),
+            expr("CAST(syd AS DOUBLE)").as("sy"),
+            expr("CAST(sqqd AS DOUBLE)").as("sqq"),
+            expr("CAST(sqdd AS DOUBLE)").as("sqd"),
+            expr("CAST(sddd AS DOUBLE)").as("sdd"),
+            expr("CAST(sqyd AS DOUBLE)").as("sqy"),
+            expr("CAST(sdyd AS DOUBLE)").as("sdy"))
+          .withColumn("det", expr(DetM))
+          .withColumn("det0", expr(Det0))
+          .withColumn("det1", expr(Det1))
+          .withColumn("det2", expr(Det2))
+          .select(Det.qround(expr("det0/det")).as("b0"),
+            Det.qround(expr("det1/det")).as("b1"),
+            Det.qround(expr("det2/det")).as("b2"))
+      }
+      val fitted = round(round(init))
+      li.crossJoin(broadcast(fitted))
+        .withColumn("p", expr(IrlsP))
+        .agg(count(lit(1)).as("n"), sum(expr("CAST(y AS BIGINT)")).as("n_pos"),
+          max($"b0").as("b0"), max($"b1").as("b1"), max($"b2").as("b2"),
+          sum(expr(
+            "CAST(0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p)) " +
+              "AS DECIMAL(38,9))")).cast(DoubleType).as("lls"))
+        .select($"n", $"n_pos", $"b0", $"b1", $"b2",
+          Det.qround(expr("lls / n")).as("log_loss"))
+        .orderBy($"n")
+    },
+    Some {
+      def roundSql(prev: String, out: String): String = s"""
+      ${out}_g AS (
+        SELECT y, l_quantity, l_discount, eta, p, p * (1.0 - p) AS w,
+          eta + (y - p) / (p * (1.0 - p)) AS z
+        FROM (
+          SELECT *, $IrlsP AS p FROM (
+            SELECT li.*, b0, b1, b2, $IrlsEta AS eta
+            FROM li CROSS JOIN $prev))),
+      ${out}_s AS (
+        SELECT
+          (sum(CAST(w AS DECIMAL(38,9))))::DOUBLE AS nd,
+          (sum(CAST(w * l_quantity AS DECIMAL(38,9))))::DOUBLE AS sq,
+          (sum(CAST(w * l_discount AS DECIMAL(38,9))))::DOUBLE AS sd,
+          (sum(CAST(w * z AS DECIMAL(38,9))))::DOUBLE AS sy,
+          (sum(CAST(w * l_quantity * l_quantity AS DECIMAL(38,9))))::DOUBLE AS sqq,
+          (sum(CAST(w * l_quantity * l_discount AS DECIMAL(38,9))))::DOUBLE AS sqd,
+          (sum(CAST(w * l_discount * l_discount AS DECIMAL(38,9))))::DOUBLE AS sdd,
+          (sum(CAST(w * l_quantity * z AS DECIMAL(38,9))))::DOUBLE AS sqy,
+          (sum(CAST(w * l_discount * z AS DECIMAL(38,9))))::DOUBLE AS sdy
+        FROM ${out}_g),
+      ${out}_c AS (SELECT *, @DETM@ AS det, @DET0@ AS det0,
+        @DET1@ AS det1, @DET2@ AS det2 FROM ${out}_s),
+      $out AS (
+        SELECT ${Oracle.qround("det0/det")} AS b0,
+          ${Oracle.qround("det1/det")} AS b1,
+          ${Oracle.qround("det2/det")} AS b2
+        FROM ${out}_c)"""
+      s"""
+      WITH li AS (
+        SELECT l_quantity, l_discount,
+          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+      i0 AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2),
+      ${roundSql("i0", "i1")},
+      ${roundSql("i1", "i2")},
+      sc AS (
+        SELECT y, $IrlsP AS p
+        FROM li CROSS JOIN i2)
+      SELECT count(*)::BIGINT AS n, sum(CAST(y AS BIGINT))::BIGINT AS n_pos,
+        (SELECT b0 FROM i2) AS b0, (SELECT b1 FROM i2) AS b1,
+        (SELECT b2 FROM i2) AS b2,
+        ${Oracle.qround(
+          "(sum(CAST(0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p)) " +
+            "AS DECIMAL(38,9))))::DOUBLE / count(*)")} AS log_loss
+      FROM sc ORDER BY n"""
+        .replace("@DETM@", DetM).replace("@DET0@", Det0)
+        .replace("@DET1@", Det1).replace("@DET2@", Det2)
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
-      qLiftCurve, qCrossvalOls, qFeatureImportance)
+      qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls)
 }

@@ -124,4 +124,19 @@ class MlEvalSpec extends SparkSpec {
       assert(full >= without)
     }
   }
+
+  test("logistic IRLS converges to the base-rate model on independent labels") {
+    val r = Queries.byName("q_logistic_irls")
+      .run(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    val (n, nPos, b0, b1, b2, ll) = r
+    val rate = nPos.toDouble / n
+    val h = -(rate * math.log(rate) + (1 - rate) * math.log(1 - rate))
+    // label ~ independent of regressors: intercept near logit(rate),
+    // slopes near zero, log-loss near the base-rate entropy (in-sample it
+    // may dip a few 1e-6 below H — the 3 fitted params buy exactly that)
+    assert(math.abs(b0 - math.log(rate / (1 - rate))) < 0.05)
+    assert(math.abs(b1) < 0.01 && math.abs(b2) < 0.5)
+    assert(ll >= h - 1e-3 && ll < h + 0.01)
+  }
 }
