@@ -232,4 +232,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("iterative ml/EM queries: broadcast-model shape, no SMJ, no cartesian") {
+    // every round of the iterative fits (IRLS Gramian, EM steps, k-center
+    // distance updates, CV fold scoring) must reach the corpus as a
+    // BROADCAST of model-sized state - a SortMergeJoin or a real
+    // CartesianProduct means a refactor turned a model broadcast into a
+    // data-sized shuffle
+    val names = Seq("q_logistic_irls", "q_crossval_ols", "q_gmm_em",
+      "q_linkage_em", "q_kcenter_select")
+    for (n <- names) {
+      val df = Queries.byName(n).run(spark, "/root/testdata/sf0.001")
+      df.collect() // materialize persists so the executed shape is real
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      for (line <- p.linesIterator if line.contains("Cross,"))
+        assert(line.contains("BroadcastNestedLoopJoin"), s"$n: $line")
+    }
+  }
 }
