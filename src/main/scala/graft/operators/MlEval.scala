@@ -804,25 +804,38 @@ object MlEval {
     * precedent. Scale: two Gramian passes + one scoring pass, nothing
     * else — the one logistic trainer that works at 100 TB without a
     * parameter server. */
-  val qLogisticIrls = GraftQuery(
-    "q_logistic_irls",
-    (spark, dir) => {
+  /** (l_quantity, l_discount, y) cell counts — the ADDITIVE sufficient
+    * input of the IRLS fit (every Gramian sum is Σ_cells cnt·f(cell)):
+    * bounded by the feature grid (1,100 cells on this corpus), so both
+    * batch rounds and [[graft.streaming.StreamIrls]]'s maintained fold
+    * iterate over cells, never rows — the one corpus pass is this
+    * collapse. */
+  private[graft] def irlsCells(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    li.select($"l_quantity", $"l_discount",
+        when($"l_returnflag" === "R", 1.0).otherwise(0.0).as("y"))
+      .groupBy($"l_quantity", $"l_discount", $"y")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The fitted model + log-loss from the cell relation — shared by
+    * [[qLogisticIrls]] and the streaming maintainer's fold. */
+  private[graft] def irlsReport(cellsIn: DataFrame): DataFrame = {
+      val spark = cellsIn.sparkSession
       import spark.implicits._
-      val li = Tables.spread(Tables.lineitem(spark, dir))
-        .select($"l_quantity", $"l_discount",
-          when($"l_returnflag" === "R", 1.0).otherwise(0.0).as("y"))
+      val cells = cellsIn
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val init = spark.range(1).select(
         lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
       def round(params: DataFrame): DataFrame = {
-        val g = li.crossJoin(broadcast(params))
+        val g = cells.crossJoin(broadcast(params))
           .withColumn("eta", expr(IrlsEta))
           .withColumn("p", expr(IrlsP))
           .withColumn("w", expr("p * (1.0 - p)"))
           .withColumn("z", expr("eta + (y - p) / w"))
-        def d(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,9))"))
-        // weighted moments aliased onto the OLS moment names: the Cramer
-        // strings solve X'WX β = X'Wz unchanged
+        def d(e: String) = sum(expr(s"CAST(($e) * cnt AS DECIMAL(38,9))"))
+        // cell-weighted moments aliased onto the OLS moment names: the
+        // Cramer strings solve X'WX β = X'Wz unchanged
         g.agg(
           d("w").as("ndd"), d("w * l_quantity").as("sqd"),
           d("w * l_discount").as("sdd_"), d("w * z").as("syd"),
@@ -850,37 +863,43 @@ object MlEval {
             Det.qround(expr("det2/det")).as("b2"))
       }
       val fitted = round(round(init))
-      li.crossJoin(broadcast(fitted))
+      cells.crossJoin(broadcast(fitted))
         .withColumn("p", expr(IrlsP))
-        .agg(count(lit(1)).as("n"), sum(expr("CAST(y AS BIGINT)")).as("n_pos"),
+        .agg(sum($"cnt").as("n"),
+          sum(expr("CAST(y AS BIGINT) * cnt")).as("n_pos"),
           max($"b0").as("b0"), max($"b1").as("b1"), max($"b2").as("b2"),
           sum(expr(
-            "CAST(0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p)) " +
+            "CAST((0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p))) * cnt " +
               "AS DECIMAL(38,9))")).cast(DoubleType).as("lls"))
         .select($"n", $"n_pos", $"b0", $"b1", $"b2",
           Det.qround(expr("lls / n")).as("log_loss"))
         .orderBy($"n")
-    },
+  }
+
+  val qLogisticIrls = GraftQuery(
+    "q_logistic_irls",
+    (spark, dir) =>
+      irlsReport(irlsCells(Tables.spread(Tables.lineitem(spark, dir)))),
     Some {
       def roundSql(prev: String, out: String): String = s"""
       ${out}_g AS (
-        SELECT y, l_quantity, l_discount, eta, p, p * (1.0 - p) AS w,
+        SELECT y, l_quantity, l_discount, cnt, eta, p, p * (1.0 - p) AS w,
           eta + (y - p) / (p * (1.0 - p)) AS z
         FROM (
           SELECT *, $IrlsP AS p FROM (
-            SELECT li.*, b0, b1, b2, $IrlsEta AS eta
-            FROM li CROSS JOIN $prev))),
+            SELECT cells.*, b0, b1, b2, $IrlsEta AS eta
+            FROM cells CROSS JOIN $prev))),
       ${out}_s AS (
         SELECT
-          (sum(CAST(w AS DECIMAL(38,9))))::DOUBLE AS nd,
-          (sum(CAST(w * l_quantity AS DECIMAL(38,9))))::DOUBLE AS sq,
-          (sum(CAST(w * l_discount AS DECIMAL(38,9))))::DOUBLE AS sd,
-          (sum(CAST(w * z AS DECIMAL(38,9))))::DOUBLE AS sy,
-          (sum(CAST(w * l_quantity * l_quantity AS DECIMAL(38,9))))::DOUBLE AS sqq,
-          (sum(CAST(w * l_quantity * l_discount AS DECIMAL(38,9))))::DOUBLE AS sqd,
-          (sum(CAST(w * l_discount * l_discount AS DECIMAL(38,9))))::DOUBLE AS sdd,
-          (sum(CAST(w * l_quantity * z AS DECIMAL(38,9))))::DOUBLE AS sqy,
-          (sum(CAST(w * l_discount * z AS DECIMAL(38,9))))::DOUBLE AS sdy
+          (sum(CAST((w) * cnt AS DECIMAL(38,9))))::DOUBLE AS nd,
+          (sum(CAST((w * l_quantity) * cnt AS DECIMAL(38,9))))::DOUBLE AS sq,
+          (sum(CAST((w * l_discount) * cnt AS DECIMAL(38,9))))::DOUBLE AS sd,
+          (sum(CAST((w * z) * cnt AS DECIMAL(38,9))))::DOUBLE AS sy,
+          (sum(CAST((w * l_quantity * l_quantity) * cnt AS DECIMAL(38,9))))::DOUBLE AS sqq,
+          (sum(CAST((w * l_quantity * l_discount) * cnt AS DECIMAL(38,9))))::DOUBLE AS sqd,
+          (sum(CAST((w * l_discount * l_discount) * cnt AS DECIMAL(38,9))))::DOUBLE AS sdd,
+          (sum(CAST((w * l_quantity * z) * cnt AS DECIMAL(38,9))))::DOUBLE AS sqy,
+          (sum(CAST((w * l_discount * z) * cnt AS DECIMAL(38,9))))::DOUBLE AS sdy
         FROM ${out}_g),
       ${out}_c AS (SELECT *, @DETM@ AS det, @DET0@ AS det0,
         @DET1@ AS det1, @DET2@ AS det2 FROM ${out}_s),
@@ -890,22 +909,24 @@ object MlEval {
           ${Oracle.qround("det2/det")} AS b2
         FROM ${out}_c)"""
       s"""
-      WITH li AS (
+      WITH cells AS (
         SELECT l_quantity, l_discount,
-          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
-        FROM lineitem),
+          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+          count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1, 2, 3),
       i0 AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2),
       ${roundSql("i0", "i1")},
       ${roundSql("i1", "i2")},
       sc AS (
-        SELECT y, $IrlsP AS p
-        FROM li CROSS JOIN i2)
-      SELECT count(*)::BIGINT AS n, sum(CAST(y AS BIGINT))::BIGINT AS n_pos,
+        SELECT y, cnt, $IrlsP AS p
+        FROM cells CROSS JOIN i2)
+      SELECT sum(cnt)::BIGINT AS n,
+        sum(CAST(y AS BIGINT) * cnt)::BIGINT AS n_pos,
         (SELECT b0 FROM i2) AS b0, (SELECT b1 FROM i2) AS b1,
         (SELECT b2 FROM i2) AS b2,
         ${Oracle.qround(
-          "(sum(CAST(0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p)) " +
-            "AS DECIMAL(38,9))))::DOUBLE / count(*)")} AS log_loss
+          "(sum(CAST((0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p))) * cnt " +
+            "AS DECIMAL(38,9))))::DOUBLE / sum(cnt)")} AS log_loss
       FROM sc ORDER BY n"""
         .replace("@DETM@", DetM).replace("@DET0@", Det0)
         .replace("@DET1@", Det1).replace("@DET2@", Det2)
