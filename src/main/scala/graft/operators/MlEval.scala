@@ -933,7 +933,93 @@ object MlEval {
     }
   )
 
+  // ---------------------------------------------------------- ridge —
+
+  /** Per-sample ridge strengths for [[qRidgePath]]: λ = α·n, so the
+    * shrinkage is CORPUS-RELATIVE (an absolute λ would be a no-op at 10×
+    * the data — the df-cap lesson applied to regularization). */
+  val RidgeAlphas: Seq[Double] = Seq(0.0, 10.0, 1000.0)
+
+  /** Ridge Cramer strings: the SAME minors with the two slope diagonal
+    * entries shifted (intercept unpenalized). Every sqq/sdd occurrence in
+    * the shared formulas is a MATRIX entry (the rhs names are sy/sqy/sdy),
+    * so the token substitution is exactly the +λI shift. */
+  private def ridge(sql: String): String =
+    sql.replace("sqq", "sqqr").replace("sdd", "sddr")
+
+  private val RidgeSse =
+    "syy - 2.0*(b0*sy + b1*sqy + b2*sdy) + (b0*b0*nd + b1*b1*sqq + " +
+      "b2*b2*sdd + 2.0*b0*b1*sq + 2.0*b0*b2*sd + 2.0*b1*b2*sqd)"
+
+  /** Ridge regularization path — three models at λ = α·n solved from the
+    * SAME ten moments as q_ols_fit with ZERO extra passes (the
+    * moment-reuse pattern as a hyperparameter sweep: one corpus collapse,
+    * the whole path driver-scale). Slopes shrink monotonically toward 0
+    * as α grows while train RMSE rises — the bias-variance readout a
+    * model selector reads next to q_crossval_ols.
+    *
+    * Exactness: the path is the shared Cramer strings with the two slope
+    * diagonal entries token-shifted (+λ), identical text in both engines;
+    * train SSE from the quadratic moment identity over the 6-dp-stable
+    * coefficients. */
+  val qRidgePath = GraftQuery(
+    "q_ridge_path",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = olsFinish(olsMomentsDec(
+        Tables.spread(Tables.lineitem(spark, dir))))
+      val alphas = RidgeAlphas.toDF("alpha")
+      m.crossJoin(broadcast(alphas))
+        .withColumn("sqqr", expr("sqq + alpha * nd"))
+        .withColumn("sddr", expr("sdd + alpha * nd"))
+        .withColumn("det", expr(ridge(DetM)))
+        .withColumn("det0", expr(ridge(Det0)))
+        .withColumn("det1", expr(ridge(Det1)))
+        .withColumn("det2", expr(ridge(Det2)))
+        .withColumn("b0", Det.qround(expr("det0/det")))
+        .withColumn("b1", Det.qround(expr("det1/det")))
+        .withColumn("b2", Det.qround(expr("det2/det")))
+        .select($"alpha", $"b0", $"b1", $"b2",
+          Det.qround(expr(s"sqrt(greatest($RidgeSse, 0.0) / nd)"))
+            .as("train_rmse"))
+        .orderBy($"alpha")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd,
+          ${Oracle.dsum("l_quantity")} AS sq,
+          ${Oracle.dsum("l_discount")} AS sd,
+          ${Oracle.dsum("l_extendedprice")} AS sy,
+          ${Oracle.dsum("l_quantity*l_quantity")} AS sqq,
+          ${Oracle.dsum("l_quantity*l_discount")} AS sqd,
+          ${Oracle.dsum("l_discount*l_discount")} AS sdd,
+          ${Oracle.dsum("l_quantity*l_extendedprice")} AS sqy,
+          ${Oracle.dsum("l_discount*l_extendedprice")} AS sdy,
+          ${Oracle.dsum("l_extendedprice*l_extendedprice")} AS syy
+        FROM lineitem),
+      a AS (SELECT * FROM (VALUES ${RidgeAlphas.map(a => s"(${a}::DOUBLE)")
+        .mkString(", ")}) AS t(alpha)),
+      r AS (
+        SELECT m.*, a.alpha, sqq + alpha * nd AS sqqr,
+          sdd + alpha * nd AS sddr
+        FROM m CROSS JOIN a),
+      c AS (
+        SELECT *, ${ridge(DetM)} AS det, ${ridge(Det0)} AS det0,
+          ${ridge(Det1)} AS det1, ${ridge(Det2)} AS det2
+        FROM r),
+      b AS (
+        SELECT *, ${Oracle.qround("det0/det")} AS b0,
+          ${Oracle.qround("det1/det")} AS b1,
+          ${Oracle.qround("det2/det")} AS b2
+        FROM c)
+      SELECT alpha, b0, b1, b2,
+        ${Oracle.qround(s"sqrt(greatest($RidgeSse, 0.0) / nd)")}
+          AS train_rmse
+      FROM b ORDER BY alpha""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
-      qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls)
+      qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
+      qRidgePath)
 }

@@ -139,4 +139,21 @@ class MlEvalSpec extends SparkSpec {
     assert(math.abs(b1) < 0.01 && math.abs(b2) < 0.5)
     assert(ll >= h - 1e-3 && ll < h + 0.01)
   }
+
+  test("ridge path: alpha 0 is exactly OLS; slopes shrink, rmse rises") {
+    val path = Queries.byName("q_ridge_path")
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Double, Double, Double, Double, Double)].collect().sortBy(_._1)
+    val ols = Queries.byName("q_ols_fit").run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    assert((path.head._2, path.head._3, path.head._4) ===
+      ((ols._2, ols._3, ols._4)))
+    assert(math.abs(path.head._5 - ols._6) < 1e-6)
+    // |slopes| weakly decrease along the path, train rmse weakly rises
+    path.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(b._3) <= math.abs(a._3) + 1e-9)
+      assert(math.abs(b._4) <= math.abs(a._4) + 1e-9)
+      assert(b._5 >= a._5 - 1e-9)
+    }
+  }
 }
