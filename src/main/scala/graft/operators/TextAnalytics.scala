@@ -491,9 +491,11 @@ object TextAnalytics {
     * explode→join→groupBy→window formulation shuffled every matched token
     * occurrence — at 100 TB that shuffle IS the job; this one never
     * materializes it. */
-  val qLangId = GraftQuery(
-    "q_lang_id",
-    (spark, dir) => {
+  /** Per-document language predictions — shared by [[qLangId]] (which IS
+    * this relation ordered) and [[qLangConfusion]] (which aggregates it
+    * into the classifier-eval readout). */
+  private[graft] def langPredictions(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import spark.implicits._
       val docs = Tables.spread(Tables.documents(spark, dir))
       val profiles = docs
@@ -514,10 +516,21 @@ object TextAnalytics {
           .as("pred_lang"))
         .select($"doc_id", $"pred_lang", $"lang".as("actual_lang"),
           ($"pred_lang" === $"lang").as("correct"))
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH toks AS (
+  }
+
+  val qLangId = GraftQuery(
+    "q_lang_id",
+    (spark, dir) => langPredictions(spark, dir).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $langPredCtes
+      SELECT doc_id, pred_lang, actual_lang, correct
+      FROM preds
+      ORDER BY doc_id""")
+  )
+
+  /** Oracle CTE block exposing `preds(doc_id, pred_lang, actual_lang,
+    * correct)` — shared by [[qLangId]] and [[qLangConfusion]]. */
+  private def langPredCtes: String = """toks AS (
         SELECT doc_id, lang, unnest(list_distinct(string_split_regex(lower(text), '[[:space:]]+'))) AS term
         FROM documents),
       profiles AS (
@@ -530,15 +543,14 @@ object TextAnalytics {
       overlap AS (
         SELECT t.doc_id, t.lang, p.plang, count(*) AS overlap
         FROM toks t JOIN profiles p ON t.term = p.term
-        GROUP BY t.doc_id, t.lang, p.plang)
-      SELECT doc_id, plang AS pred_lang, lang AS actual_lang,
-        (plang = lang) AS correct
-      FROM (SELECT *, row_number() OVER (
-              PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
-            FROM overlap)
-      WHERE rn = 1
-      ORDER BY doc_id""")
-  )
+        GROUP BY t.doc_id, t.lang, p.plang),
+      preds AS (
+        SELECT doc_id, plang AS pred_lang, lang AS actual_lang,
+          (plang = lang) AS correct
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+              FROM overlap)
+        WHERE rn = 1)"""
 
   /** Document fingerprinting: full-text digest + min-shingle digest (the
     * rolling-hash fingerprint family, realized with md5 so Spark and the
@@ -722,5 +734,90 @@ object TextAnalytics {
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
-    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qReadability)
+    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qReadability,
+    qLangConfusion)
+
+  /** Language-ID classifier evaluation — confusion counts and per-class
+    * precision/recall/F1 plus macro-F1 over [[langPredictions]] (the
+    * same per-doc relation q_lang_id emits): the eval readout that turns
+    * "the classifier runs" into "the classifier is this good, per class".
+    * The corpus collapses once to the ≤|langs|² confusion cells
+    * (persisted — actual margins, predicted margins and the diagonal all
+    * read it); every metric below is |langs|-sized. P/R divide integers
+    * and are 6-dp-prerounded before F1 (fixed trees both engines);
+    * macro-F1 sums decimal-cast F1 addends over the ≤|langs|-row window
+    * (the q_anova_f cross-group discipline). */
+  lazy val qLangConfusion = GraftQuery(
+    "q_lang_confusion",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = langPredictions(spark, dir)
+        .groupBy($"actual_lang", $"pred_lang").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = cells.groupBy($"actual_lang".as("lang"))
+        .agg(sum($"n").as("n_actual"))
+      val pr = cells.groupBy($"pred_lang".as("lang"))
+        .agg(sum($"n").as("n_pred"))
+      val tp = cells.filter($"actual_lang" === $"pred_lang")
+        .select($"actual_lang".as("lang"), $"n".as("tp"))
+      val allW = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      a.join(pr, Seq("lang"), "full_outer")
+        .join(tp, Seq("lang"), "left_outer")
+        .select($"lang", coalesce($"n_actual", lit(0L)).as("n_actual"),
+          coalesce($"n_pred", lit(0L)).as("n_pred"),
+          coalesce($"tp", lit(0L)).as("tp"))
+        // Det.qround (Column form, double literals) — an inline
+        // `floor(...)/1000000.0` in expr() text would parse the literal
+        // as DECIMAL and silently run the whole F1 tree in decimal
+        // arithmetic (found by the sf0.001 sweep: a half-way F1 diverged)
+        .withColumn("precision", when($"n_pred" > 0,
+          Det.qround($"tp".cast(DoubleType) / $"n_pred")).otherwise(0.0))
+        .withColumn("recall", when($"n_actual" > 0,
+          Det.qround($"tp".cast(DoubleType) / $"n_actual")).otherwise(0.0))
+        .withColumn("f1", when($"precision" + $"recall" > 0,
+          Det.qround(lit(2.0) * $"precision" * $"recall" /
+            ($"precision" + $"recall"))).otherwise(0.0))
+        .withColumn("macro_f1", Det.qround(
+          sum(expr("CAST(f1 AS DECIMAL(38,9))")).over(allW)
+            .cast(DoubleType) / count(lit(1)).over(allW)))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH $langPredCtes,
+      cells AS (
+        SELECT actual_lang, pred_lang, count(*)::BIGINT AS n
+        FROM preds GROUP BY 1, 2),
+      a AS (SELECT actual_lang AS lang, sum(n)::BIGINT AS n_actual
+            FROM cells GROUP BY 1),
+      p AS (SELECT pred_lang AS lang, sum(n)::BIGINT AS n_pred
+            FROM cells GROUP BY 1),
+      t AS (SELECT actual_lang AS lang, n AS tp FROM cells
+            WHERE actual_lang = pred_lang),
+      j AS (
+        SELECT lang, coalesce(n_actual, 0)::BIGINT AS n_actual,
+          coalesce(n_pred, 0)::BIGINT AS n_pred,
+          coalesce(tp, 0)::BIGINT AS tp
+        FROM a FULL OUTER JOIN p USING (lang) LEFT JOIN t USING (lang)),
+      f AS (
+        SELECT *,
+          CASE WHEN n_pred > 0 THEN
+            floor(CAST(tp AS DOUBLE) / n_pred * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS precision,
+          CASE WHEN n_actual > 0 THEN
+            floor(CAST(tp AS DOUBLE) / n_actual * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS recall
+        FROM j),
+      g AS (
+        SELECT *,
+          CASE WHEN precision + recall > 0 THEN
+            floor(2.0 * precision * recall / (precision + recall)
+              * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS f1
+        FROM f)
+      SELECT lang, n_actual, n_pred, tp, precision, recall, f1,
+        ${graft.Oracle.qround(
+          "(sum(CAST(f1 AS DECIMAL(38,9))) OVER ())::DOUBLE / " +
+            "count(*) OVER ()")} AS macro_f1
+      FROM g ORDER BY lang""")
+  )
 }

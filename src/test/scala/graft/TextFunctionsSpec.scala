@@ -105,4 +105,14 @@ class TextFunctionsSpec extends SparkSpec {
       (10 to 18).map(d => d.toString -> 2L)
     assert(got === expected)
   }
+
+  test("lang confusion: diagonal mass equals q_lang_id accuracy") {
+    val conf = Queries.byName("q_lang_confusion")
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"n_actual", $"tp").as[(Long, Long)].collect()
+    val preds = Queries.byName("q_lang_id").run(spark, "/root/testdata/sf0.001")
+      .select($"correct").as[Boolean].collect()
+    assert(conf.map(_._1).sum === preds.length.toLong)
+    assert(conf.map(_._2).sum === preds.count(identity).toLong)
+  }
 }
