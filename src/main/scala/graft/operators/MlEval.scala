@@ -980,7 +980,11 @@ object MlEval {
         .withColumn("b1", Det.qround(expr("det1/det")))
         .withColumn("b2", Det.qround(expr("det2/det")))
         .select($"alpha", $"b0", $"b1", $"b2",
-          Det.qround(expr(s"sqrt(greatest($RidgeSse, 0.0) / nd)"))
+          // nd > 0 guard: on a zero-row corpus the greatest(...) numerator
+          // is a NON-null 0.0, and ANSI mode makes 0.0/0.0 an error
+          // rather than NaN
+          when($"nd" > 0, Det.qround(
+            expr(s"sqrt(greatest($RidgeSse, 0.0) / nd)")))
             .as("train_rmse"))
         .orderBy($"alpha")
     },
@@ -1013,8 +1017,9 @@ object MlEval {
           ${Oracle.qround("det2/det")} AS b2
         FROM c)
       SELECT alpha, b0, b1, b2,
-        ${Oracle.qround(s"sqrt(greatest($RidgeSse, 0.0) / nd)")}
-          AS train_rmse
+        CASE WHEN nd > 0 THEN
+          ${Oracle.qround(s"sqrt(greatest($RidgeSse, 0.0) / nd)")}
+        END AS train_rmse
       FROM b ORDER BY alpha""")
   )
 
