@@ -138,7 +138,13 @@ object Clustering {
     "q_kcenter_select",
     (spark, dir) => {
       import spark.implicits._
-      val emb = Tables.spread(Tables.embeddings(spark, dir))
+      // NOT spread: per-row work is one 64-float distance (light) and the
+      // greedy is STAGE-COUNT-bound on this corpus (6 rounds × TakeOrdered
+      // ≈ 14 sequential stages of codegen + scheduling dominate 2k rows —
+      // measured ~6 s warm at sf0.1 regardless of partitioning); at real
+      // scale the same plan is data-bound and a multi-split corpus
+      // parallelizes the scan without help
+      val emb = Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c0 = emb.orderBy($"vec_id").limit(1)
