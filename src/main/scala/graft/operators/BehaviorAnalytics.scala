@@ -1049,8 +1049,144 @@ object BehaviorAnalytics {
       ORDER BY ante, cons""")
   )
 
+  /** Per-type overdispersion diagnostics of per-user event counts — the
+    * count-model selection readout (Poisson assumes var = mean; real user
+    * activity rarely obliges): dispersion index var/mean and the
+    * method-of-moments negative-binomial size r = m²/(v − m) where
+    * overdispersed. The corpus collapses to (user, type) counts in one
+    * exchange; everything downstream is |types|-sized decimal-exact
+    * moments (the q_ab_welch shapes per group). */
+  val qOverdispersion = GraftQuery(
+    "q_overdispersion",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"),
+          Det.dsum($"c").as("sx"), Det.dsum($"c" * $"c").as("sxx"))
+        .filter($"n_users" > 1)
+        .select($"event_type", $"n_users",
+          Det.qround(expr("sx / n_users")).as("mean_count"),
+          Det.qround(expr("(sxx - sx * sx / n_users) / (n_users - 1)"))
+            .as("var_count"),
+          Det.qround(expr(
+            "((sxx - sx * sx / n_users) / (n_users - 1)) / (sx / n_users)"))
+            .as("dispersion"),
+          expr("""CASE WHEN (sxx - sx * sx / n_users) / (n_users - 1)
+                > sx / n_users THEN
+              CAST(floor((sx / n_users) * (sx / n_users) /
+                ((sxx - sx * sx / n_users) / (n_users - 1) - sx / n_users)
+                * 1000000.0 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+            END""").as("nb_size"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH pc AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT event_type, count(*)::BIGINT AS n_users,
+          ${Oracle.dsum("c")} AS sx, ${Oracle.dsum("c * c")} AS sxx
+        FROM pc GROUP BY 1)
+      SELECT event_type, n_users,
+        ${Oracle.qround("sx / n_users")} AS mean_count,
+        ${Oracle.qround("(sxx - sx * sx / n_users) / (n_users - 1)")}
+          AS var_count,
+        ${Oracle.qround(
+          "((sxx - sx * sx / n_users) / (n_users - 1)) / (sx / n_users)")}
+          AS dispersion,
+        CASE WHEN (sxx - sx * sx / n_users) / (n_users - 1)
+            > sx / n_users THEN
+          CAST(floor((sx / n_users) * (sx / n_users) /
+            ((sxx - sx * sx / n_users) / (n_users - 1) - sx / n_users)
+            * 1000000.0 + 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        END AS nb_size
+      FROM g WHERE n_users > 1
+      ORDER BY event_type""")
+  )
+
+  /** z_{α/2} + z_{β} for two-sided α = 0.05, power = 0.80 — the classic
+    * 1.959964 + 0.841621; the SQUARED sum is precomputed here and
+    * interpolated into both engines as one round-tripping literal. */
+  private val ZSum2: Double = {
+    val z = 1.959964 + 0.841621
+    z * z
+  }
+
+  /** Experiment power analysis from the observed arm moments — the
+    * design readout next to q_ab_welch's significance readout: given the
+    * click/purchase arms' pooled variance and observed effect, the
+    * per-arm sample size a FUTURE experiment needs to detect that effect
+    * at α = 0.05 / power = 0.80, and the minimal detectable effect at
+    * the CURRENT size. One corpus aggregate (the Welch moments), then
+    * one-row arithmetic; the z-quantile constant is a precomputed
+    * literal so no inverse-CDF is evaluated at query time. */
+  val qAbPower = GraftQuery(
+    "q_ab_power",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sx"),
+          Det.dsum($"value" * $"value").as("sxx"))
+        .select($"event_type", $"n",
+          Det.qround(expr("sx / n")).as("mean"),
+          Det.qround(expr("(sxx - sx * sx / n) / (n - 1)")).as("variance"))
+      val a = g.filter($"event_type" === "click")
+        .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
+      val b = g.filter($"event_type" === "purchase")
+        .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
+      a.crossJoin(broadcast(b))
+        .withColumn("s2p", expr(
+          "(v1 * (n1 - 1) + v2 * (n2 - 1)) / (n1 + n2 - 2)"))
+        .withColumn("delta", expr("m1 - m2"))
+        .select($"n1", $"n2", Det.qround($"delta").as("delta"),
+          Det.qround($"s2p").as("s2_pooled"),
+          expr(s"""CASE WHEN delta <> 0.0 THEN
+              CAST(ceil(2.0 * s2p * $ZSum2 / (delta * delta)) AS BIGINT)
+            END""").as("n_per_arm_required"),
+          Det.qround(expr(
+            s"sqrt(2.0 * s2p * $ZSum2 / CAST(least(n1, n2) AS DOUBLE))"))
+            .as("mde_at_current_n"))
+        .orderBy($"n1")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+          ${Oracle.dsum("value")} AS sx,
+          ${Oracle.dsum("value * value")} AS sxx
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      m AS (
+        SELECT event_type, n,
+          ${Oracle.qround("sx / n")} AS mean,
+          ${Oracle.qround("(sxx - sx * sx / n) / (n - 1)")} AS variance
+        FROM g),
+      a AS (SELECT n AS n1, mean AS m1, variance AS v1 FROM m
+            WHERE event_type = 'click'),
+      b AS (SELECT n AS n2, mean AS m2, variance AS v2 FROM m
+            WHERE event_type = 'purchase'),
+      j AS (
+        SELECT *, (v1 * (n1 - 1) + v2 * (n2 - 1)) / (n1 + n2 - 2) AS s2p,
+          m1 - m2 AS delta
+        FROM a CROSS JOIN b)
+      SELECT n1, n2, ${Oracle.qround("delta")} AS delta,
+        ${Oracle.qround("s2p")} AS s2_pooled,
+        CASE WHEN delta <> 0.0 THEN
+          CAST(ceil(2.0 * s2p * $ZSum2 / (delta * delta)) AS BIGINT)
+        END AS n_per_arm_required,
+        ${Oracle.qround(
+          s"sqrt(2.0 * s2p * $ZSum2 / CAST(least(n1, n2) AS DOUBLE))")}
+          AS mde_at_current_n
+      FROM j ORDER BY n1""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
-      qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules)
+      qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
+      qAbPower)
 }

@@ -343,4 +343,36 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       ("click", "purchase", 3L, 6L, 4L, 0.3, 0.5, 1.25),
       ("purchase", "click", 3L, 4L, 6L, 0.3, 0.75, 1.25)))
   }
+
+  test("overdispersion: dispersion = var/mean and nb only when var > mean") {
+    val rows = BehaviorAnalytics.qOverdispersion
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"mean_count", $"var_count", $"dispersion", $"nb_size")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, v, d) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(m > 0 && v >= 0)
+      assert(math.abs(d - v / m) < 1e-5) // 6-dp rounding slack
+      if (v <= m) assert(r.isNullAt(3)) else assert(r.getDouble(3) > 0)
+    }
+  }
+
+  test("ab power: detecting a smaller effect needs more samples") {
+    val r = BehaviorAnalytics.qAbPower.run(spark, "/root/testdata/sf0.01")
+      .select($"n1", $"delta", $"s2_pooled", $"n_per_arm_required",
+        $"mde_at_current_n")
+      .collect().head
+    val (n1, delta, s2p, req, mde) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))
+    assert(s2p > 0 && mde > 0)
+    // consistency: an experiment sized at n_required can detect ~|delta|
+    // (mde shrinks like 1/sqrt(n)); at the current n the observed delta
+    // is below the detectable threshold exactly when req > n1
+    val zsum2 = { val z = 1.959964 + 0.841621; z * z }
+    val mdeAtReq = math.sqrt(2.0 * s2p * zsum2 / req)
+    assert(mdeAtReq <= math.abs(delta) * 1.01)
+    assert((req > n1) === (mde > math.abs(delta)))
+  }
 }
