@@ -381,33 +381,61 @@ object BehaviorAnalytics {
     * shape: ONE partial+final aggregate over a 2-column scan with the
     * group filter pushed to it; everything downstream is a 2-row
     * relation. */
+  /** UNROUNDED per-arm decimal moments (n, Σx, Σx²) of the click/purchase
+    * experiment arms — ADDITIVE, so graft.streaming.StreamWelch maintains
+    * this relation per micro-batch; the fold rounds once through
+    * [[armFinish]] and serves BOTH the significance readout (q_ab_welch)
+    * and the design readout (q_ab_power). */
+  private[graft] def armMomentsDec(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(38, 9))).as("sx_d"),
+        sum(($"value" * $"value").cast(DecimalType(38, 9))).as("sxx_d"))
+  }
+
+  /** Round each decimal moment once (the Det.dsum output shape). */
+  private[graft] def armFinish(dec: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dec.sparkSession
+    import spark.implicits._
+    dec.select($"event_type", $"n",
+      round($"sx_d", 6).cast(DoubleType).as("sx"),
+      round($"sxx_d", 6).cast(DoubleType).as("sxx"))
+  }
+
+  /** Welch t/df from the finished arm moments. */
+  private[graft] def welchReport(g0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = g0.sparkSession
+    import spark.implicits._
+    val g = g0.select($"event_type", $"n",
+      Det.qround($"sx" / $"n").as("mean"),
+      when($"n" > 1, Det.qround(
+        ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("variance"))
+    val a = g.filter($"event_type" === "click")
+      .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
+    val b = g.filter($"event_type" === "purchase")
+      .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se1", $"v1" / $"n1")
+      .withColumn("se2", $"v2" / $"n2")
+      .select($"n1", $"m1", $"v1", $"n2", $"m2", $"v2",
+        Det.qround(($"m1" - $"m2") / sqrt($"se1" + $"se2")).as("t_stat"),
+        Det.qround(
+          ($"se1" + $"se2") * ($"se1" + $"se2") /
+            ($"se1" * $"se1" / ($"n1" - 1) +
+              $"se2" * $"se2" / ($"n2" - 1))).as("df"))
+      .orderBy($"n1")
+  }
+
   val qAbWelch = GraftQuery(
     "q_ab_welch",
-    (spark, dir) => {
-      import spark.implicits._
-      val g = Tables.events(spark, dir)
-        .filter($"event_type".isin("click", "purchase"))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sx"),
-          Det.dsum($"value" * $"value").as("sxx"))
-        .select($"event_type", $"n",
-          Det.qround($"sx" / $"n").as("mean"),
-          when($"n" > 1, Det.qround(
-            ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("variance"))
-      val a = g.filter($"event_type" === "click")
-        .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
-      val b = g.filter($"event_type" === "purchase")
-        .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
-      a.crossJoin(broadcast(b))
-        .withColumn("se1", $"v1" / $"n1")
-        .withColumn("se2", $"v2" / $"n2")
-        .select($"n1", $"m1", $"v1", $"n2", $"m2", $"v2",
-          Det.qround(($"m1" - $"m2") / sqrt($"se1" + $"se2")).as("t_stat"),
-          Det.qround(
-            ($"se1" + $"se2") * ($"se1" + $"se2") /
-              ($"se1" * $"se1" / ($"n1" - 1) +
-                $"se2" * $"se2" / ($"n2" - 1))).as("df"))
-    },
+    (spark, dir) =>
+      welchReport(armFinish(armMomentsDec(Tables.events(spark, dir)))),
     Some(s"""
       WITH g AS (
         SELECT event_type, count(*) AS n,
@@ -1123,36 +1151,37 @@ object BehaviorAnalytics {
     * the CURRENT size. One corpus aggregate (the Welch moments), then
     * one-row arithmetic; the z-quantile constant is a precomputed
     * literal so no inverse-CDF is evaluated at query time. */
+  /** Power/MDE design readout from the finished arm moments. */
+  private[graft] def powerReport(g0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = g0.sparkSession
+    import spark.implicits._
+    val g = g0.select($"event_type", $"n",
+      Det.qround(expr("sx / n")).as("mean"),
+      Det.qround(expr("(sxx - sx * sx / n) / (n - 1)")).as("variance"))
+    val a = g.filter($"event_type" === "click")
+      .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
+    val b = g.filter($"event_type" === "purchase")
+      .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("s2p", expr(
+        "(v1 * (n1 - 1) + v2 * (n2 - 1)) / (n1 + n2 - 2)"))
+      .withColumn("delta", expr("m1 - m2"))
+      .select($"n1", $"n2", Det.qround($"delta").as("delta"),
+        Det.qround($"s2p").as("s2_pooled"),
+        expr(s"""CASE WHEN delta <> 0.0 THEN
+            CAST(ceil(2.0 * s2p * $ZSum2 / (delta * delta)) AS BIGINT)
+          END""").as("n_per_arm_required"),
+        Det.qround(expr(
+          s"sqrt(2.0 * s2p * $ZSum2 / CAST(least(n1, n2) AS DOUBLE))"))
+          .as("mde_at_current_n"))
+      .orderBy($"n1")
+  }
+
   val qAbPower = GraftQuery(
     "q_ab_power",
-    (spark, dir) => {
-      import spark.implicits._
-      val g = Tables.events(spark, dir)
-        .filter($"event_type".isin("click", "purchase"))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sx"),
-          Det.dsum($"value" * $"value").as("sxx"))
-        .select($"event_type", $"n",
-          Det.qround(expr("sx / n")).as("mean"),
-          Det.qround(expr("(sxx - sx * sx / n) / (n - 1)")).as("variance"))
-      val a = g.filter($"event_type" === "click")
-        .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
-      val b = g.filter($"event_type" === "purchase")
-        .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
-      a.crossJoin(broadcast(b))
-        .withColumn("s2p", expr(
-          "(v1 * (n1 - 1) + v2 * (n2 - 1)) / (n1 + n2 - 2)"))
-        .withColumn("delta", expr("m1 - m2"))
-        .select($"n1", $"n2", Det.qround($"delta").as("delta"),
-          Det.qround($"s2p").as("s2_pooled"),
-          expr(s"""CASE WHEN delta <> 0.0 THEN
-              CAST(ceil(2.0 * s2p * $ZSum2 / (delta * delta)) AS BIGINT)
-            END""").as("n_per_arm_required"),
-          Det.qround(expr(
-            s"sqrt(2.0 * s2p * $ZSum2 / CAST(least(n1, n2) AS DOUBLE))"))
-            .as("mde_at_current_n"))
-        .orderBy($"n1")
-    },
+    (spark, dir) =>
+      powerReport(armFinish(armMomentsDec(Tables.events(spark, dir)))),
     Some(s"""
       WITH g AS (
         SELECT event_type, count(*) AS n,
