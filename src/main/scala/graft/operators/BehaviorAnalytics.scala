@@ -1213,9 +1213,103 @@ object BehaviorAnalytics {
       FROM j ORDER BY n1""")
   )
 
+  /** CUPED variance reduction (Deng et al. 2013 — the industry-standard
+    * experiment-sensitivity booster): per user, the mean event value in
+    * the PRE window (days 0–14) becomes the covariate x for the POST
+    * window metric y (days 15+); θ = cov(x,y)/var(x) and the adjusted
+    * metric y − θ·x has variance var(y)·(1 − ρ²). The readout reports θ
+    * and the achieved variance-reduction fraction — on this corpus ≈ 0
+    * BY DESIGN (user values are i.i.d. across days, so pre behavior
+    * predicts nothing: the audit proves the independence the generator
+    * promises, the same honest-null pattern as q_roc_auc).
+    *
+    * Scale shape: one user-keyed exchange builds the per-user (x, y)
+    * relation (conditional decimal sums for both windows in ONE pass);
+    * the covariance moments are decimal-cast sums over that users-sized
+    * relation; everything after is 1-row arithmetic. */
+  /** Pre/post window boundary for [[qCuped]]: epoch day of 2024-01-16
+    * UTC — the corpus spans 2024-01-01..01-30, so days 1–15 are the
+    * pre-experiment covariate window and 16+ the experiment window. */
+  val CupedCutoffDay = 19738L
+
+  val qCuped = GraftQuery(
+    "q_cuped",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = Tables.events(spark, dir)
+        .select($"user_id", expr(s"ts_us div $DayUs").as("day"), $"value")
+        .groupBy($"user_id")
+        .agg(
+          count(when($"day" < CupedCutoffDay, 1)).as("np"),
+          count(when($"day" >= CupedCutoffDay, 1)).as("nq"),
+          sum(when($"day" < CupedCutoffDay, $"value").otherwise(lit(0.0))
+            .cast(DecimalType(38, 9))).as("sxp"),
+          sum(when($"day" >= CupedCutoffDay, $"value").otherwise(lit(0.0))
+            .cast(DecimalType(38, 9))).as("syp"))
+        .filter($"np" > 0 && $"nq" > 0)
+        .select(
+          (expr("CAST(sxp AS DOUBLE)") / $"np").as("x"),
+          (expr("CAST(syp AS DOUBLE)") / $"nq").as("y"))
+      def d(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,9))"))
+      u.agg(count(lit(1)).as("n"), d("x").as("sx"), d("y").as("sy"),
+          d("x * y").as("sxy"), d("x * x").as("sxx"), d("y * y").as("syy"))
+        .select($"n",
+          expr("CAST(sx AS DOUBLE)").as("sxd"),
+          expr("CAST(sy AS DOUBLE)").as("syd"),
+          expr("CAST(sxy AS DOUBLE)").as("sxyd"),
+          expr("CAST(sxx AS DOUBLE)").as("sxxd"),
+          expr("CAST(syy AS DOUBLE)").as("syyd"))
+        .withColumn("covxy", expr("(sxyd - sxd * syd / n) / (n - 1)"))
+        .withColumn("varx", expr("(sxxd - sxd * sxd / n) / (n - 1)"))
+        .withColumn("vary", expr("(syyd - syd * syd / n) / (n - 1)"))
+        .withColumn("theta", expr("covxy / varx"))
+        .select($"n".as("n_users"),
+          Det.qround($"theta").as("theta"),
+          Det.qround($"vary").as("var_y"),
+          Det.qround(expr("vary - covxy * covxy / varx")).as("var_adjusted"),
+          Det.qround(expr("(covxy * covxy / varx) / vary"))
+            .as("variance_reduction"))
+        .orderBy($"n_users")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // $DayUs AS day, value FROM events),
+      u AS (
+        SELECT
+          CAST(sum(CASE WHEN day < $CupedCutoffDay
+              THEN CAST(value AS DECIMAL(38,9)) ELSE 0.0 END) AS DOUBLE)
+            / count(*) FILTER (WHERE day < $CupedCutoffDay) AS x,
+          CAST(sum(CASE WHEN day >= $CupedCutoffDay
+              THEN CAST(value AS DECIMAL(38,9)) ELSE 0.0 END) AS DOUBLE)
+            / count(*) FILTER (WHERE day >= $CupedCutoffDay) AS y
+        FROM ev GROUP BY user_id
+        HAVING count(*) FILTER (WHERE day < $CupedCutoffDay) > 0
+          AND count(*) FILTER (WHERE day >= $CupedCutoffDay) > 0),
+      m AS (
+        SELECT count(*)::BIGINT AS n,
+          (sum(CAST(x AS DECIMAL(38,9))))::DOUBLE AS sxd,
+          (sum(CAST(y AS DECIMAL(38,9))))::DOUBLE AS syd,
+          (sum(CAST(x * y AS DECIMAL(38,9))))::DOUBLE AS sxyd,
+          (sum(CAST(x * x AS DECIMAL(38,9))))::DOUBLE AS sxxd,
+          (sum(CAST(y * y AS DECIMAL(38,9))))::DOUBLE AS syyd
+        FROM u),
+      c AS (
+        SELECT *, (sxyd - sxd * syd / n) / (n - 1) AS covxy,
+          (sxxd - sxd * sxd / n) / (n - 1) AS varx,
+          (syyd - syd * syd / n) / (n - 1) AS vary
+        FROM m)
+      SELECT n AS n_users,
+        ${Oracle.qround("covxy / varx")} AS theta,
+        ${Oracle.qround("vary")} AS var_y,
+        ${Oracle.qround("vary - covxy * covxy / varx")} AS var_adjusted,
+        ${Oracle.qround("(covxy * covxy / varx) / vary")}
+          AS variance_reduction
+      FROM c ORDER BY n_users""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
-      qAbPower)
+      qAbPower, qCuped)
 }

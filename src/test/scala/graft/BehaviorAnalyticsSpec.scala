@@ -375,4 +375,15 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(mdeAtReq <= math.abs(delta) * 1.01)
     assert((req > n1) === (mde > math.abs(delta)))
   }
+
+  test("cuped: identity var_adjusted = var_y*(1 - reduction); honest null") {
+    val r = BehaviorAnalytics.qCuped.run(spark, "/root/testdata/sf0.01")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    val (n, theta, vy, vadj, red) = r
+    assert(n > 0 && vy > 0 && vadj > 0 && vadj <= vy)
+    assert(math.abs(vadj - vy * (1 - red)) < 1e-3) // 6-dp rounding slack
+    // the generator draws values i.i.d. across days: pre behavior must
+    // predict ~nothing (the honest-null pattern, like AUC ~ 0.5)
+    assert(math.abs(theta) < 0.2 && red < 0.05)
+  }
 }
