@@ -1307,9 +1307,72 @@ object BehaviorAnalytics {
       FROM c ORDER BY n_users""")
   )
 
+  /** Entropy rate of the user-journey Markov chain — the predictability
+    * readout over the SAME transition counts as q_markov_transitions:
+    * conditional entropy H(next | prev), marginal H(next), and the
+    * information the previous event carries (their difference, ≈ 0 nats
+    * on this corpus — journeys are memoryless BY DESIGN, agreeing with
+    * the flat transition matrix). Every addend is one ln of an exact
+    * integer ratio, decimal-cast before the \|types\|²-row sums; margins
+    * broadcast back onto the bounded cell relation (the q_mutual_info
+    * shape on the lagged pairs). */
+  val qMarkovEntropy = GraftQuery(
+    "q_markov_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = markovCounts(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = c.groupBy($"prev_type").agg(sum($"n").as("rn"))
+      val cols = c.groupBy($"next_type").agg(sum($"n").as("cn"))
+      val hcond = c.join(broadcast(rows), Seq("prev_type"))
+        .agg(coalesce(sum($"n"), lit(0L)).as("n_transitions"),
+          sum(expr(
+            "CAST(CAST(n AS DOUBLE) * ln(CAST(rn AS DOUBLE) / n) AS DECIMAL(38,9))"))
+            .cast(DoubleType).as("hcs"))
+      val tot = c.agg(coalesce(sum($"n"), lit(0L)).as("nt"))
+      val hmarg = cols.crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          "CAST(CAST(cn AS DOUBLE) * ln(CAST(nt AS DOUBLE) / cn) AS DECIMAL(38,9))"))
+          .cast(DoubleType).as("hms"))
+      hcond.crossJoin(broadcast(hmarg))
+        .select($"n_transitions",
+          Det.qround(expr("hcs / n_transitions")).as("h_cond"),
+          Det.qround(expr("hms / n_transitions")).as("h_marg"),
+          Det.qround(expr("(hms - hcs) / n_transitions")).as("info_gain"))
+        .orderBy($"n_transitions")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_type
+        FROM events),
+      c AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+      r AS (SELECT prev_type, sum(n)::BIGINT AS rn FROM c GROUP BY 1),
+      k AS (SELECT next_type, sum(n)::BIGINT AS cn FROM c GROUP BY 1),
+      tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS nt FROM c),
+      hc AS (
+        SELECT coalesce(sum(n), 0)::BIGINT AS n_transitions,
+          (sum(CAST(CAST(n AS DOUBLE) * ln(CAST(rn AS DOUBLE) / n)
+            AS DECIMAL(38,9))))::DOUBLE AS hcs
+        FROM c JOIN r USING (prev_type)),
+      hm AS (
+        SELECT (sum(CAST(CAST(cn AS DOUBLE) * ln(CAST(nt AS DOUBLE) / cn)
+          AS DECIMAL(38,9))))::DOUBLE AS hms
+        FROM k CROSS JOIN tot)
+      SELECT n_transitions,
+        ${Oracle.qround("hcs / n_transitions")} AS h_cond,
+        ${Oracle.qround("hms / n_transitions")} AS h_marg,
+        ${Oracle.qround("(hms - hcs) / n_transitions")} AS info_gain
+      FROM hc CROSS JOIN hm ORDER BY n_transitions""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
-      qAbPower, qCuped)
+      qAbPower, qCuped, qMarkovEntropy)
 }

@@ -386,4 +386,24 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     // predict ~nothing (the honest-null pattern, like AUC ~ 0.5)
     assert(math.abs(theta) < 0.2 && red < 0.05)
   }
+
+  test("markov entropy: hand-computed fixture entropies") {
+    // fixture transitions: click->click x2, view->view, view->signup (N=4)
+    // H_cond = [2 ln(2/2) + ln(2/1) + ln(2/1)] / 4
+    // H_marg over next counts {click:2, view:1, signup:1}
+    //        = [2 ln(4/2) + ln(4/1) + ln(4/1)] / 4
+    def dec9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def qr(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val hcs = (dec9(2.0 * math.log(2.0 / 2)) + dec9(1.0 * math.log(2.0 / 1)) +
+      dec9(1.0 * math.log(2.0 / 1))).toDouble
+    val hms = (dec9(2.0 * math.log(4.0 / 2)) + dec9(1.0 * math.log(4.0 / 1)) +
+      dec9(1.0 * math.log(4.0 / 1))).toDouble
+    val got = BehaviorAnalytics.qMarkovEntropy.run(spark, fixtureDir)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq((4L, qr(hcs / 4), qr(hms / 4), qr((hms - hcs) / 4))))
+    // [2 ln2 + ln4 + ln4] / 4 = 3 ln2 · 4/4 /... = 1.039721 — all three
+    // addends are 1.386294: 2·ln(4/2) = ln4
+    assert(qr(hcs / 4) === 0.346574 && qr(hms / 4) === 1.039721)
+  }
 }
