@@ -1154,9 +1154,82 @@ object Similarity {
       ORDER BY qid""")
   )
 
+  /** Embedding-space health audit — norm statistics and ANISOTROPY, the
+    * "is this embedding space collapsing" signals (Arora et al.'s partition
+    *-function view; Ethayarajh 2019): mean norm and its coefficient of
+    * variation (norm concentration), and ‖mean vector‖² / E[‖v‖²] — 0 for
+    * a perfectly isotropic cloud, → 1 as all vectors collapse onto one
+    * direction. The metric every retrieval/semantic-dedup stack should
+    * read before trusting cosine distances.
+    *
+    * Scale shape: TWO bounded collapses of one persisted scan — per-vector
+    * ‖v‖² via the exact-decimal `dot_f32` (map-side) into a 1-row moment
+    * aggregate, and the per-dimension mean vector via the q_kmeans
+    * (pos)-keyed decimal aggregate (d rows cross the exchange per
+    * partition); everything downstream is d-sized. Norm variance needs NO
+    * extra moment: Var‖v‖ = E[‖v‖²] − E[‖v‖]². */
+  val qEmbedIsotropy = GraftQuery(
+    "q_embed_isotropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", $"embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ns = emb
+        .select(call_function("dot_f32", $"embedding", $"embedding").as("n2"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(sqrt(n2) AS DECIMAL(38,9))"))
+            .cast(DoubleType).as("sn"),
+          sum(expr("CAST(n2 AS DECIMAL(38,9))"))
+            .cast(DoubleType).as("sn2"))
+      val md = emb.select(posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"pos")
+        .agg((sum($"v".cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+      val mm = md.agg(count(lit(1)).as("dims"),
+        sum(expr("CAST(m * m AS DECIMAL(38,9))")).cast(DoubleType).as("m2"))
+      ns.crossJoin(broadcast(mm))
+        .select($"n".as("n_vecs"), $"dims",
+          Det.qround(expr("sn / n")).as("mean_norm"),
+          Det.qround(expr(
+            "sqrt(greatest(sn2 / n - (sn / n) * (sn / n), 0.0)) / (sn / n)"))
+            .as("norm_cv"),
+          Det.qround(expr("m2 / (sn2 / n)")).as("anisotropy"))
+        .orderBy($"n_vecs")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      n2 AS (
+        SELECT vec_id,
+          (sum(CAST(v * v AS DECIMAL(38,12))))::DOUBLE AS n2
+        FROM ex GROUP BY 1),
+      ns AS (
+        SELECT count(*)::BIGINT AS n,
+          (sum(CAST(sqrt(n2) AS DECIMAL(38,9))))::DOUBLE AS sn,
+          (sum(CAST(n2 AS DECIMAL(38,9))))::DOUBLE AS sn2
+        FROM n2),
+      md AS (
+        SELECT pos, (sum(CAST(v AS DECIMAL(38,12))))::DOUBLE / count(*) AS m
+        FROM ex GROUP BY pos),
+      mm AS (
+        SELECT count(*)::BIGINT AS dims,
+          (sum(CAST(m * m AS DECIMAL(38,9))))::DOUBLE AS m2
+        FROM md)
+      SELECT n AS n_vecs, dims,
+        ${Oracle.qround("sn / n")} AS mean_norm,
+        ${Oracle.qround(
+          "sqrt(greatest(sn2 / n - (sn / n) * (sn / n), 0.0)) / (sn / n)")}
+          AS norm_cv,
+        ${Oracle.qround("m2 / (sn2 / n)")} AS anisotropy
+      FROM ns CROSS JOIN mm ORDER BY n_vecs""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
       qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile,
-      qLabelCentroidDist, qMrlRecall)
+      qLabelCentroidDist, qMrlRecall, qEmbedIsotropy)
 }

@@ -219,4 +219,24 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.0 && recall <= 1.0)
     }
   }
+
+  test("isotropy: collapsed cloud reads 1, orthonormal basis reads 1/d") {
+    def run(vecs: Seq[Array[Float]]): (Double, Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-iso").toString
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 2) }
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val r = graft.operators.Similarity.qEmbedIsotropy.run(spark, dir)
+        .select($"mean_norm", $"norm_cv", $"anisotropy").collect().head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    // five copies of one unit vector: total collapse
+    val one = Array.tabulate(4)(i => if (i == 0) 1f else 0f)
+    val (mn1, cv1, an1) = run(Seq.fill(5)(one))
+    assert(mn1 === 1.0 && cv1 === 0.0 && an1 === 1.0)
+    // the 4 orthonormal basis vectors: anisotropy = 1/d = 0.25
+    val basis = (0 until 4).map(i => Array.tabulate(4)(j => if (i == j) 1f else 0f))
+    val (mn2, cv2, an2) = run(basis)
+    assert(mn2 === 1.0 && cv2 === 0.0 && an2 === 0.25)
+  }
 }
