@@ -1168,6 +1168,49 @@ object Similarity {
     * (pos)-keyed decimal aggregate (d rows cross the exchange per
     * partition); everything downstream is d-sized. Norm variance needs NO
     * extra moment: Var‖v‖ = E[‖v‖²] − E[‖v‖]². */
+  /** UNROUNDED norm-moment partials (n, Σ‖v‖, Σ‖v‖² as exact decimals) —
+    * ADDITIVE, maintained per batch by graft.streaming.StreamIso. */
+  private[graft] def isoNormsDec(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select(call_function("dot_f32", $"embedding", $"embedding").as("n2"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(sqrt(n2) AS DECIMAL(38,9))")).as("sn_d"),
+        sum(expr("CAST(n2 AS DECIMAL(38,9))")).as("sn2_d"))
+  }
+
+  /** UNROUNDED per-dimension sum partials (pos, cnt, Σv as decimal) —
+    * additive likewise. */
+  private[graft] def isoPosDec(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select(posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"v".cast(DecimalType(38, 12))).as("sv_d"))
+  }
+
+  /** The isotropy readout from the two partial relations — shared by
+    * [[qEmbedIsotropy]] and the streaming maintainer's fold. */
+  private[graft] def isoReport(normsDec: DataFrame,
+      posDec: DataFrame): DataFrame = {
+    val spark = normsDec.sparkSession
+    import spark.implicits._
+    val ns = normsDec.select($"n",
+      $"sn_d".cast(DoubleType).as("sn"),
+      $"sn2_d".cast(DoubleType).as("sn2"))
+    val md = posDec.select($"pos",
+      ($"sv_d".cast(DoubleType) / $"cnt").as("m"))
+    val mm = md.agg(count(lit(1)).as("dims"),
+      sum(expr("CAST(m * m AS DECIMAL(38,9))")).cast(DoubleType).as("m2"))
+    ns.crossJoin(broadcast(mm))
+      .select($"n".as("n_vecs"), $"dims",
+        Det.qround(expr("sn / n")).as("mean_norm"),
+        Det.qround(expr(
+          "sqrt(greatest(sn2 / n - (sn / n) * (sn / n), 0.0)) / (sn / n)"))
+          .as("norm_cv"),
+        Det.qround(expr("m2 / (sn2 / n)")).as("anisotropy"))
+      .orderBy($"n_vecs")
+  }
+
   val qEmbedIsotropy = GraftQuery(
     "q_embed_isotropy",
     (spark, dir) => {
@@ -1175,27 +1218,7 @@ object Similarity {
       val emb = Tables.spread(Tables.embeddings(spark, dir))
         .select($"vec_id", $"embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ns = emb
-        .select(call_function("dot_f32", $"embedding", $"embedding").as("n2"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(sqrt(n2) AS DECIMAL(38,9))"))
-            .cast(DoubleType).as("sn"),
-          sum(expr("CAST(n2 AS DECIMAL(38,9))"))
-            .cast(DoubleType).as("sn2"))
-      val md = emb.select(posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"pos")
-        .agg((sum($"v".cast(DecimalType(38, 12))).cast(DoubleType) /
-          count(lit(1))).as("m"))
-      val mm = md.agg(count(lit(1)).as("dims"),
-        sum(expr("CAST(m * m AS DECIMAL(38,9))")).cast(DoubleType).as("m2"))
-      ns.crossJoin(broadcast(mm))
-        .select($"n".as("n_vecs"), $"dims",
-          Det.qround(expr("sn / n")).as("mean_norm"),
-          Det.qround(expr(
-            "sqrt(greatest(sn2 / n - (sn / n) * (sn / n), 0.0)) / (sn / n)"))
-            .as("norm_cv"),
-          Det.qround(expr("m2 / (sn2 / n)")).as("anisotropy"))
-        .orderBy($"n_vecs")
+      isoReport(isoNormsDec(emb), isoPosDec(emb))
     },
     Some(s"""
       WITH ex AS (
