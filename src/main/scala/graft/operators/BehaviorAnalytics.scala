@@ -1158,7 +1158,8 @@ object BehaviorAnalytics {
     import spark.implicits._
     val g = g0.select($"event_type", $"n",
       Det.qround(expr("sx / n")).as("mean"),
-      Det.qround(expr("(sxx - sx * sx / n) / (n - 1)")).as("variance"))
+      when($"n" > 1, Det.qround(
+        expr("(sxx - sx * sx / n) / (n - 1)"))).as("variance"))
     val a = g.filter($"event_type" === "click")
       .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
     val b = g.filter($"event_type" === "purchase")
@@ -1192,7 +1193,9 @@ object BehaviorAnalytics {
       m AS (
         SELECT event_type, n,
           ${Oracle.qround("sx / n")} AS mean,
-          ${Oracle.qround("(sxx - sx * sx / n) / (n - 1)")} AS variance
+          CASE WHEN n > 1 THEN
+            ${Oracle.qround("(sxx - sx * sx / n) / (n - 1)")}
+          END AS variance
         FROM g),
       a AS (SELECT n AS n1, mean AS m1, variance AS v1 FROM m
             WHERE event_type = 'click'),

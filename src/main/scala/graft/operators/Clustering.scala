@@ -167,11 +167,18 @@ object Clustering {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         rows = rows.unionByName(pick.select(lit(r.toLong).as("round"),
           $"cid".as("vec_id"), Det.qround($"r2").as("radius2")))
-        md = md.crossJoin(broadcast(pick.select($"ce")))
+        val mdNext = md.crossJoin(broadcast(pick.select($"ce")))
           .select($"vec_id", $"embedding",
             least($"d2", call_function("dist2_f32_f64", $"embedding", $"ce"))
               .as("d2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the new state (also fills pick's cache via the
+        // broadcast), then drop the superseded corpus-sized cache — the
+        // greedy must hold ONE (vec_id, embedding, d2) relation in
+        // memory at a time, not k of them, at the 100 TB design point
+        mdNext.count()
+        md.unpersist()
+        md = mdNext
       }
       val cover = md.agg(max($"d2").as("m"))
         .select(lit(KC.toLong).as("round"),

@@ -189,14 +189,17 @@ object MlEval {
     val k = w.crossJoin(broadcast(t))
       .agg(max(abs(($"cp" + $"p") * $"n_neg" - ($"cf" + $"f") * $"n_pos"))
         .as("maxd"))
+    // n_pos/n_neg > 0 guards: a delta log that so far holds only one
+    // class (plausible early in a live StreamRoc run) must degrade to a
+    // null readout, not a division-by-zero error
     t.crossJoin(broadcast(k))
       .select($"n_pos", $"n_neg",
-        Det.qround(expr("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)"))
-          .as("auc"),
-        Det.qround(expr("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1"))
-          .as("gini"),
-        Det.qround(expr("CAST(maxd AS DOUBLE) / (n_pos * n_neg)"))
-          .as("ks_sep"))
+        when($"n_pos" > 0 && $"n_neg" > 0, Det.qround(
+          expr("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)"))).as("auc"),
+        when($"n_pos" > 0 && $"n_neg" > 0, Det.qround(
+          expr("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1"))).as("gini"),
+        when($"n_pos" > 0 && $"n_neg" > 0, Det.qround(
+          expr("CAST(maxd AS DOUBLE) / (n_pos * n_neg)"))).as("ks_sep"))
       .orderBy($"n_pos")
   }
 
@@ -223,9 +226,15 @@ object MlEval {
         SELECT max(abs((cp + p) * t.n_neg - (cf + f) * t.n_pos))::BIGINT AS maxd
         FROM w CROSS JOIN t)
       SELECT n_pos, n_neg,
-        ${Oracle.qround("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)")} AS auc,
-        ${Oracle.qround("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1")} AS gini,
-        ${Oracle.qround("CAST(maxd AS DOUBLE) / (n_pos * n_neg)")} AS ks_sep
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          ${Oracle.qround("CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg)")}
+        END AS auc,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          ${Oracle.qround("CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1")}
+        END AS gini,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          ${Oracle.qround("CAST(maxd AS DOUBLE) / (n_pos * n_neg)")}
+        END AS ks_sep
       FROM t CROSS JOIN k ORDER BY n_pos""")
   )
 
@@ -515,13 +524,17 @@ object MlEval {
         .agg(sum($"n").as("n"), sum($"p").as("n_pos"))
       val cum = Window.orderBy($"decile")
         .rowsBetween(Window.unboundedPreceding, 0)
+      // pp > 0 guards: a delta log with zero positives so far (plausible
+      // early in a live StreamRoc run) must yield null lift/gain rows,
+      // not a division-by-zero error
       dec
         .withColumn("cum_pos", sum($"n_pos").over(cum))
         .select($"decile", $"n", $"n_pos",
           Det.qround(expr("CAST(n_pos AS DOUBLE) / n")).as("resp_rate"),
-          Det.qround(expr("CAST(n_pos AS DOUBLE) * nn / (n * pp)"))
-            .as("lift"),
-          Det.qround(expr("CAST(cum_pos AS DOUBLE) / pp")).as("cum_gain"))
+          when($"pp" > 0, Det.qround(
+            expr("CAST(n_pos AS DOUBLE) * nn / (n * pp)"))).as("lift"),
+          when($"pp" > 0, Det.qround(
+            expr("CAST(cum_pos AS DOUBLE) / pp"))).as("cum_gain"))
         .orderBy($"decile")
   }
 
@@ -549,10 +562,14 @@ object MlEval {
         GROUP BY 1, 2, 3)
       SELECT decile, n, n_pos,
         ${Oracle.qround("CAST(n_pos AS DOUBLE) / n")} AS resp_rate,
-        ${Oracle.qround("CAST(n_pos AS DOUBLE) * nn / (n * pp)")} AS lift,
-        ${Oracle.qround(
-          "CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
-            "PRECEDING AND CURRENT ROW) AS DOUBLE) / pp")} AS cum_gain
+        CASE WHEN pp > 0 THEN
+          ${Oracle.qround("CAST(n_pos AS DOUBLE) * nn / (n * pp)")}
+        END AS lift,
+        CASE WHEN pp > 0 THEN
+          ${Oracle.qround(
+            "CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+              "PRECEDING AND CURRENT ROW) AS DOUBLE) / pp")}
+        END AS cum_gain
       FROM dec ORDER BY decile""")
   )
 
