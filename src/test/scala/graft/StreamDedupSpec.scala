@@ -54,4 +54,38 @@ class StreamDedupSpec extends SparkSpec {
     assert(texts.sorted === Seq("other text", "same text"))
     assert(spark.table("dedup_fp").columns.toSeq.sorted === Seq("doc_id", "text", "ts"))
   }
+
+  test("checkpoint restart: dedup state survives the kill — a post-restart retry is dropped") {
+    // the engine-managed dropDuplicatesWithinWatermark state lives in the
+    // checkpoint's state store: kill the query with the retry delivery
+    // pending, restart from the SAME checkpoint, and the retry must be
+    // dropped against the RESTORED key state (a reset would re-emit doc 1
+    // — exactly the double-ingest a 100 TB at-least-once feed cannot
+    // absorb). Final output equals the batch dedup of the full replay.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def tstamp(minute: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-01T00:$minute%02d:00Z"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val ckpt = Files.createTempDirectory("graft-sdedup-restart").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = StreamDedup.byKey(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", "10 minutes", Seq("doc_id"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("doc_id").as[Long].collect().foreach(emitted.add); ()
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try { in.addData((1L, "alpha", tstamp(0)), (2L, "beta", tstamp(1))); q1.processAllAvailable() }
+    finally q1.stop()   // kill...
+
+    // ...retry of doc 1 (within the watermark horizon) + a novel doc pending
+    in.addData((1L, "alpha", tstamp(2)), (3L, "gamma", tstamp(3)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq.sorted === Seq(1L, 2L, 3L))
+  }
 }

@@ -94,4 +94,42 @@ class StreamJoinSpec extends SparkSpec {
     // imp 2's window [0, 10min] is far behind the flushed watermark (~110min)
     assert(got.contains((2L, None)))
   }
+
+  test("checkpoint restart: buffered impression state survives the kill and still matches") {
+    // the stream-stream join buffers each side in the checkpoint's state
+    // store until the watermark evicts it: deliver an impression, kill the
+    // query BEFORE its click arrives, restart from the SAME checkpoint,
+    // then deliver the click — the attribution must come from the RESTORED
+    // impression state (a reset would silently lose the billable match)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def tstamp(minute: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-01T00:$minute%02d:00Z"))
+    val impIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val clkIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val ckpt = Files.createTempDirectory("graft-ssj-restart").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = StreamJoin.attribution(
+        impIn.toDF().toDF("imp_id", "user_id", "imp_ts"),
+        clkIn.toDF().toDF("click_id", "user_id", "click_ts"),
+        window = "10 minutes", joinType = "inner")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("imp_id", "click_id").as[(Long, Long)]
+          .collect().foreach(emitted.add); ()
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try { impIn.addData((1L, 7L, tstamp(0)), (2L, 8L, tstamp(1))); q1.processAllAvailable() }
+    finally q1.stop()   // kill with the impressions buffered, no clicks yet
+
+    // in-window click for user 7 + an unmatched-user click, pending across
+    // the restart
+    clkIn.addData((11L, 7L, tstamp(5)), (12L, 99L, tstamp(6)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet === Set((1L, 11L)))
+  }
 }

@@ -60,4 +60,64 @@ class StreamPhashSpec extends SparkSpec {
       assert(idx(5L) === (("video", sig(pA))))
     } finally q.stop()
   }
+
+  test("checkpoint restart: the signature index survives the kill, modality scoping intact") {
+    // kill between micro-batches with the next delivery pending, restart
+    // from the SAME checkpoint: batch 1's survivors must not re-emit, and
+    // the restarted screen must suppress a same-kind near-dup from the
+    // PERSISTED index while still keeping the same payload in a different
+    // modality (the scoping contract must survive recovery too)
+    val base = Files.createTempDirectory("graft-sphash-restart").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val in = MemoryStream[(Long, String, String)](spark)
+    def start() = StreamPhash.run(in.toDF().toDF("media_id", "kind", "text"),
+      indexDir, outDir, ckpt)
+
+    val q1 = start()
+    try { in.addData((0L, "image", pA), (1L, "image", pB)); q1.processAllAvailable() }
+    finally q1.stop()   // kill...
+
+    // ...pending across the restart: 2 = same-kind near-dup (suppress from
+    // restored index), 3 = same payload as audio (modality scoping keeps it)
+    in.addData((2L, "image", pA), (3L, "audio", pA))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val kept = spark.read.parquet(outDir)
+      .select($"media_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(0L, 1L, 3L))
+    val idx = spark.read.parquet(indexDir)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(idx === Map(0L -> "image", 1L -> "image", 3L -> "audio"))
+  }
+
+  test("crash-window replay re-emits survivors, never self-suppresses") {
+    // lost-commit recovery: a fresh checkpoint replays the memory source
+    // from offset 0 against an index already holding the batch's own
+    // signatures — replayed objects must RE-EMIT (self-matches excluded by
+    // media_id), and the duplicated index rows must neither suppress novel
+    // media nor weaken suppression of true same-kind near-dups
+    val base = Files.createTempDirectory("graft-sphash-crash").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val in = MemoryStream[(Long, String, String)](spark)
+    def start(ckpt: String) = StreamPhash.run(
+      in.toDF().toDF("media_id", "kind", "text"), indexDir, outDir, s"$base/$ckpt")
+
+    val q1 = start("ckpt1")
+    try { in.addData((0L, "image", pA), (1L, "audio", pB)); q1.processAllAvailable() }
+    finally q1.stop()
+
+    val q2 = start("ckpt2")
+    try {
+      q2.processAllAvailable()             // replay of the committed delivery
+      in.addData((5L, "video", pC))        // novel object after the replay
+      q2.processAllAvailable()
+      in.addData((6L, "image", pA))        // true near-dup, twice-indexed kind
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val emitted = spark.read.parquet(outDir)
+      .select($"media_id").as[Long].collect().toSeq.sorted
+    assert(emitted === Seq(0L, 0L, 1L, 1L, 5L))
+  }
 }

@@ -43,6 +43,64 @@ class StreamSemDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: the sign-LSH index survives the kill, no double-emission") {
+    // kill the query between micro-batches with the next delivery already
+    // pending, restart from the SAME checkpoint: batch 1's survivors must
+    // not re-emit (offsets committed), and batch 2's exact duplicate must
+    // be suppressed by the PERSISTED index — the durable state a 100 TB
+    // ingest cannot afford to reset on restart. Chain-free fixture, so the
+    // final survivor set equals the single-pass batch screen on all rows.
+    val base = Files.createTempDirectory("graft-ssem-restart").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    def start() = StreamSemDedup.run(in.toDF().toDF("vec_id", "embedding"),
+      indexDir, outDir, ckpt)
+
+    val q1 = start()
+    try { in.addData((0L, unit(0)), (1L, unit(1))); q1.processAllAvailable() }
+    finally q1.stop()   // kill...
+
+    in.addData((2L, unit(0)), (3L, unit(2)))   // ...batch 2 pending across it
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val kept = spark.read.parquet(outDir)
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(0L, 1L, 3L))
+    assert(spark.read.parquet(indexDir)
+      .select($"old_id").as[Long].collect().toSeq.sorted === Seq(0L, 1L, 3L))
+  }
+
+  test("crash-window replay re-emits survivors, never self-suppresses") {
+    // the lost-commit recovery path: a fresh checkpoint replays the memory
+    // source from offset 0, re-running the committed batch against an index
+    // that already holds its own rows — the replayed vectors must RE-EMIT
+    // (self-matches excluded by vec_id; index-first ordering would swallow
+    // them), and the duplicated index rows must not suppress novel vectors
+    val base = Files.createTempDirectory("graft-ssem-crash").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    def start(ckpt: String) = StreamSemDedup.run(
+      in.toDF().toDF("vec_id", "embedding"), indexDir, outDir, s"$base/$ckpt")
+
+    val q1 = start("ckpt1")
+    try { in.addData((0L, unit(0)), (1L, unit(1))); q1.processAllAvailable() }
+    finally q1.stop()
+
+    val q2 = start("ckpt2")
+    try {
+      q2.processAllAvailable()           // replay of the committed delivery
+      in.addData((5L, unit(2)))          // novel vector after the replay
+      q2.processAllAvailable()
+      in.addData((6L, unit(0)))          // true dup of the twice-indexed vec
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val emitted = spark.read.parquet(outDir)
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    assert(emitted === Seq(0L, 0L, 1L, 1L, 5L))
+  }
+
   test("below-threshold vectors in the same bucket survive the exact-cosine gate") {
     val base = Files.createTempDirectory("graft-ssem-thr").toString
     val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")

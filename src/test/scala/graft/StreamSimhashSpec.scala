@@ -121,6 +121,78 @@ class StreamSimhashSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: suppression state survives the kill, no double-emission") {
+    // the round-11 twins' recovery discipline applied to the durable-index
+    // screen: kill the query between micro-batches (with the next batch's
+    // data already pending), restart from the SAME checkpoint, and the
+    // restarted query must (a) not re-emit batch 1's survivors (offsets
+    // committed) and (b) suppress batch 2's near-dups from the PERSISTED
+    // index, not a reset one. The fixture is chain-free, so the final
+    // survivor set equals the single-pass batch screen on the full input.
+    val base = Files.createTempDirectory("graft-ssim-restart").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val in = MemoryStream[(Long, String)](spark)
+    def start() =
+      StreamSimhash.run(in.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt)
+
+    val q1 = start()
+    try { in.addData((0L, tA), (1L, tB)); q1.processAllAvailable() }
+    finally q1.stop()   // kill mid-stream...
+
+    in.addData((2L, tA), (3L, tC))   // ...with batch 2 already pending
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    // doc 2 suppressed by doc 0's RESTORED index entry; 0/1 emitted once
+    val kept = spark.read.parquet(outDir)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(0L, 1L, 3L))
+    val idx = spark.read.parquet(indexDir)
+      .as[(Long, Long)].collect().toMap
+    assert(idx.keySet === Set(0L, 1L, 3L))
+  }
+
+  test("crash-window replay re-emits survivors, never self-suppresses") {
+    // the documented crash window: survivors + signatures written, but the
+    // checkpoint commit lost — on recovery the batch re-runs through
+    // foreachBatch against an index that ALREADY holds its own rows.
+    // Simulated by re-delivering the committed batch through a fresh
+    // checkpoint (the metadata log refuses hand-deleted commit files as
+    // concurrent use, so the replay is driven at the delivery layer — the
+    // foreachBatch body cannot tell the difference). The contract: the
+    // replayed docs RE-EMIT (at-least-once; self-matches excluded by
+    // doc_id — index-first ordering would swallow them silently), and the
+    // replay-duplicated index rows neither suppress novel documents nor
+    // weaken suppression of true near-dups
+    val base = Files.createTempDirectory("graft-ssim-crash").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val in = MemoryStream[(Long, String)](spark)
+    def start(ckpt: String) =
+      StreamSimhash.run(in.toDF().toDF("doc_id", "text"), indexDir, outDir,
+        s"$base/$ckpt")
+
+    val q1 = start("ckpt1")
+    try { in.addData((0L, tA), (1L, tB)); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // recovery replay: a fresh checkpoint makes the memory source replay
+    // from offset 0, re-running the already-committed delivery
+    val q2 = start("ckpt2")
+    try {
+      q2.processAllAvailable()
+      in.addData((5L, tC))       // novel doc after the replay
+      q2.processAllAvailable()
+      in.addData((6L, tA))       // true near-dup of the twice-indexed doc
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val emitted = spark.read.parquet(outDir)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    // at-least-once: 0 and 1 appear TWICE (replayed), never zero times;
+    // the novel doc survives; the near-dup (6) is still suppressed
+    assert(emitted === Seq(0L, 0L, 1L, 1L, 5L))
+  }
+
   test("a pre-existing batch-built index suppresses stream documents (shared layout)") {
     val base = Files.createTempDirectory("graft-ssim-seed").toString
     val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")

@@ -81,6 +81,62 @@ class StreamWinnowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: the fingerprint index survives the kill, no double-emission") {
+    // kill between micro-batches with the next delivery pending, restart
+    // from the SAME checkpoint: batch 1's survivors must not re-emit
+    // (offsets committed), and the restarted screen must suppress a
+    // passage re-wrap from the PERSISTED posting index, not a reset one
+    val base = Files.createTempDirectory("graft-swin-restart").toString
+    val (indexDir, outDir, ckpt) = (s"$base/index", s"$base/out", s"$base/ckpt")
+    val in = MemoryStream[(Long, String)](spark)
+    def start() = StreamWinnow.run(in.toDF().toDF("doc_id", "text"),
+      indexDir, outDir, ckpt)
+
+    val q1 = start()
+    try { in.addData((0L, tA), (1L, tC)); q1.processAllAvailable() }
+    finally q1.stop()   // kill...
+
+    in.addData((2L, tB), (3L, tD))   // ...re-wrap + novel doc pending across it
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val kept = spark.read.parquet(outDir)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(0L, 1L, 3L))
+    assert(spark.read.parquet(indexDir)
+      .select($"old_id").as[Long].collect().toSet === Set(0L, 1L, 3L))
+  }
+
+  test("crash-window replay re-emits survivors, never self-suppresses") {
+    // lost-commit recovery: a fresh checkpoint replays the memory source
+    // from offset 0 against an index already holding the batch's own
+    // postings — the replayed docs must RE-EMIT (self-pairs excluded by
+    // doc_id), the duplicated postings must not suppress novel docs (the
+    // countDistinct discipline), and a true re-wrap must still suppress
+    val base = Files.createTempDirectory("graft-swin-crash").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val in = MemoryStream[(Long, String)](spark)
+    def start(ckpt: String) = StreamWinnow.run(
+      in.toDF().toDF("doc_id", "text"), indexDir, outDir, s"$base/$ckpt")
+
+    val q1 = start("ckpt1")
+    try { in.addData((0L, tA), (1L, tC)); q1.processAllAvailable() }
+    finally q1.stop()
+
+    val q2 = start("ckpt2")
+    try {
+      q2.processAllAvailable()     // replay of the committed delivery
+      in.addData((5L, tD))         // novel doc after the replay
+      q2.processAllAvailable()
+      in.addData((6L, tB))         // re-wrap of the twice-indexed passage
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val emitted = spark.read.parquet(outDir)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(emitted === Seq(0L, 0L, 1L, 1L, 5L))
+  }
+
   test("whole-document SimHash misses the re-wrap this screen catches") {
     // the motivating gap: tA and tB share the passage but differ in enough
     // framing that their 32-bit simhashes are far apart

@@ -57,6 +57,56 @@ class StreamingSessionSpec extends SparkSpec {
     assert(!got.exists(s => s.user_id == 1L && s.n_events == 1L))
   }
 
+  test("checkpoint restart: an open session's state survives the kill and closes correctly") {
+    // the flatMapGroupsWithState session state lives in the checkpoint's
+    // state store: open a session, kill the query, restart from the SAME
+    // checkpoint, extend the session, then advance the watermark past its
+    // flush point — the emitted session must START at the pre-kill first
+    // event (proving the restored state merged with the post-restart
+    // event; a reset would emit a 1-event session starting at min 20).
+    // The emitted row equals the batch q_sessionize twin's session for the
+    // same concatenated event log.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def tstamp(minute: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.parse(
+        f"2024-01-01T${minute / 60}%02d:${minute % 60}%02d:00Z"))
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val ckpt = Files.createTempDirectory("graft-sess-restart").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Sessionize.Session]()
+    def start() = Sessionize.sessions(
+        in.toDF().toDF("user_id", "event_id", "ts"), gapUs = 30L * 60 * 1000000)
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Sessionize.Session],
+          _: Long) =>
+        ds.collect().foreach(emitted.add); ()
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try { in.addData((1L, 1L, tstamp(0)), (1L, 2L, tstamp(10))); q1.processAllAvailable() }
+    finally q1.stop()   // kill with user 1's session open in state
+
+    val q2 = start()
+    try {
+      // extend the restored session; the far event pushes the watermark to
+      // ~110 min, past the session's flush point (end 20 + gap 30 = 50 min)
+      in.addData((1L, 3L, tstamp(20)), (99L, 4L, tstamp(120)))
+      q2.processAllAvailable()
+      // one more batch so the armed event-time timer actually fires
+      in.addData((99L, 5L, tstamp(121)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val base = 1704067200000000L  // 2024-01-01T00:00:00Z in epoch micros
+    val got = emitted.asScala.toSet
+    assert(got.contains(Sessionize.Session(
+      1L, base, base + 20L * 60 * 1000000, 3L, "timeout")),
+      s"expected the restored-and-extended 3-event session, got $got")
+    // user 99's trailing session stays open in state — never emitted here
+    assert(!got.exists(_.user_id == 99L))
+  }
+
   test("watermarked tumbling-window streaming aggregate (complete mode)") {
     val srcDir = Files.createTempDirectory("graft-win-src").toString
     Files.write(Paths.get(srcDir, "b0.txt"), Seq(
