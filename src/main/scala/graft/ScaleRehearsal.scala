@@ -33,7 +33,10 @@ object ScaleRehearsal {
   val SaltStride: Long = 3L << 40
 
   /** Write the N×-replicated tables under `out` (same file layout the
-    * Tables loaders read). */
+    * Tables loaders read). `events` salts user_id (not event_id): the
+    * basket-join family keys on (user, day), so user-salted replication
+    * multiplies BASKETS by N — the growth a real user-base scale-up
+    * produces — while timestamps/types stay untouched. */
   def build(spark: SparkSession, base: String, out: String, n: Int): Unit = {
     def replicate(name: String, idCol: String): Unit = {
       val t = spark.read.parquet(s"$base/$name.parquet")
@@ -43,14 +46,25 @@ object ScaleRehearsal {
     }
     replicate("documents", "doc_id")
     replicate("embeddings", "vec_id")
+    replicate("events", "user_id")
   }
+
+  /** The banded pair-join law: replicas pair across replica pairs (N²·
+    * cand) plus each posting-bearing doc's replicas pair among themselves
+    * (C(N,2)·docs⁺). Default for the LSH-shaped families. */
+  val quadraticLaw: (Int, Long, Long) => Long = (n, cand1, docsPlus) =>
+    n.toLong * n * cand1 + n.toLong * (n - 1) / 2 * docsPlus
 
   final case class Fam(
       name: String,
       postings: (SparkSession, String) => Long,
       docsWithPostings: (SparkSession, String) => Long,
       candidates: (SparkSession, String) => Long,
-      query: GraftQuery)
+      query: GraftQuery,
+      /** Expected candN from (n, cand1, docsPlus) — quadratic for banded
+        * bucket joins; the round-11 families (SNM window, within-basket,
+        * within-doc) are LINEAR by construction and override this. */
+      lawAtN: (Int, Long, Long) => Long = quadraticLaw)
 
   /** The text pair-join families under rehearsal (incl. the unfiltered
     * containment variant) plus the media pHash family and SemDeDup.
@@ -96,7 +110,53 @@ object ScaleRehearsal {
       (s, d) => Tables.embeddings(s, d).count(),
       (s, d) => Similarity.qSemdedupCellAudit.run(s, d)
         .select("cell_pairs").head().getLong(0),
-      Similarity.qSemanticDedup))
+      Similarity.qSemanticDedup),
+    // ---- round-11 join families: candidate volume LINEAR by construction
+    // (sorted-window / within-basket / within-doc pairing never crosses
+    // the replica boundary the way a shared bucket does) — the rehearsal
+    // verifies the measured 10× volume AND wall time sit on those laws
+    Fam("snm",
+      // postings = ranked documents entering the sorted-neighborhood pass
+      (s, d) => Dedup.snmRanked(s, d).count(),
+      (s, d) => Dedup.snmRanked(s, d).count(),
+      (s, d) => Dedup.snmCandidates(s, d).count(),
+      Dedup.qSnmDedup,
+      // every rank pairs with its ≤W−1 successors over m = N·docs⁺ ranks
+      (n, _, docsPlus) => (Dedup.SnmWindow - 1).toLong * n * docsPlus -
+        Dedup.SnmWindow.toLong * (Dedup.SnmWindow - 1) / 2),
+    Fam("linkage",
+      // Fellegi–Sunter rides the SAME SNM candidate relation; what this
+      // row adds is the WALL TIME of the scoring tail (attribute joins +
+      // shingle verify + EM-free scoring) at 10× pair volume
+      (s, d) => Dedup.snmRanked(s, d).count(),
+      (s, d) => Dedup.snmRanked(s, d).count(),
+      (s, d) => Dedup.snmCandidates(s, d).count(),
+      Dedup.qRecordLinkage,
+      (n, _, docsPlus) => (Dedup.SnmWindow - 1).toLong * n * docsPlus -
+        Dedup.SnmWindow.toLong * (Dedup.SnmWindow - 1) / 2),
+    Fam("assoc",
+      // postings = distinct (user, day, type) memberships; docs⁺ stands
+      // in for baskets; candidates = within-basket pair stream — all
+      // linear in baskets under user-salted replication
+      (s, d) => graft.operators.BehaviorAnalytics
+        .assocBaskets(Tables.events(s, d)).count(),
+      (s, d) => graft.operators.BehaviorAnalytics
+        .assocBaskets(Tables.events(s, d))
+        .select("user_id", "d").distinct().count(),
+      (s, d) => graft.operators.BehaviorAnalytics.assocPairRows(
+        graft.operators.BehaviorAnalytics.assocBaskets(Tables.events(s, d)))
+        .count(),
+      graft.operators.BehaviorAnalytics.qAssocRules,
+      (n, cand1, _) => n.toLong * cand1),
+    Fam("pmi",
+      // postings/candidates from the shared df-capped pair stream; the
+      // median df-cap is replication-invariant (all dfs scale ×N, so the
+      // kept vocabulary half is identical), hence exact linearity
+      (s, d) => graft.operators.LexicalStats.cooccurKept(s, d).count(),
+      (s, d) => Tables.documents(s, d).count(),
+      (s, d) => graft.operators.LexicalStats.cooccurPairRows(s, d).count(),
+      graft.operators.LexicalStats.qCooccurPmi,
+      (n, cand1, _) => n.toLong * cand1))
 
   private def timed(f: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -116,7 +176,7 @@ object ScaleRehearsal {
       val docsPlus = fresh(fam.docsWithPostings(spark, base))
       val cand1 = fresh(fam.candidates(spark, base))
       val candN = fresh(fam.candidates(spark, scaled))
-      val law = n.toLong * n * cand1 + n.toLong * (n - 1) / 2 * docsPlus
+      val law = fam.lawAtN(n, cand1, docsPlus)
       val t1 = if (withTimes) fresh(timed(
         fam.query.run(spark, base).write.format("noop").mode("overwrite").save()))
       else 0.0

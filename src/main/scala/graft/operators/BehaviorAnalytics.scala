@@ -1021,21 +1021,38 @@ object BehaviorAnalytics {
     * (n_both·100 ≥ n_baskets, i.e. ≥1% support) so the rule set stays
     * non-degenerate at every SF instead of pinning an absolute count.
     * All ratios are single integer divisions, [[Det.qround]]ed. */
+  /** Distinct (user, day, type) basket-membership relation — the A-priori
+    * collapse [[qAssocRules]] runs on; shared with the scale rehearsal so
+    * the measured relation IS the executed one. */
+  private[graft] def assocBaskets(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import events.sparkSession.implicits._
+    events.select($"user_id", expr("ts_us div 86400000000").as("d"),
+      $"event_type").distinct()
+  }
+
+  /** The within-basket pair stream BEFORE aggregation (one row per
+    * (basket, type<type) pair — Σ_baskets C(k,2) rows, k ≤ |event
+    * types|): the candidate volume of the rule miner, linear in basket
+    * count by construction. Shared by [[qAssocRules]] and the rehearsal. */
+  private[graft] def assocPairRows(b: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import b.sparkSession.implicits._
+    b.as("a").join(b.as("c"),
+      $"a.user_id" === $"c.user_id" && $"a.d" === $"c.d" &&
+        $"a.event_type" < $"c.event_type")
+  }
+
   val qAssocRules = GraftQuery(
     "q_assoc_rules",
     (spark, dir) => {
       import spark.implicits._
-      val b = Tables.events(spark, dir)
-        .select($"user_id", expr("ts_us div 86400000000").as("d"),
-          $"event_type")
-        .distinct()
+      val b = assocBaskets(Tables.events(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = b.select($"user_id", $"d").distinct()
         .agg(count(lit(1)).as("nb"))
       val items = b.groupBy($"event_type").agg(count(lit(1)).as("ni"))
-      val p = b.as("a").join(b.as("c"),
-          $"a.user_id" === $"c.user_id" && $"a.d" === $"c.d" &&
-            $"a.event_type" < $"c.event_type")
+      val p = assocPairRows(b)
         .groupBy($"a.event_type".as("x"), $"c.event_type".as("y"))
         .agg(count(lit(1)).as("nxy"))
       val r = p.select($"x".as("ante"), $"y".as("cons"), $"nxy")

@@ -1575,31 +1575,38 @@ object Dedup {
     * BY CONSTRUCTION, the property that distinguishes sort-based blocking
     * from data-dependent LSH bucket volumes (DedupSpec pins the exact
     * formula). Shared by [[qSnmDedup]] and [[qBlockingRecall]]. */
+  /** The two-phase-ranked (doc_id, r, cell) relation the windowed pairing
+    * runs on — factored out so the scale rehearsal counts the SAME ranked
+    * relation the query executes. Persisted: consumed twice (probe side +
+    * build side of the cell join). */
+  private[graft] def snmRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    // docs below the shingle width can never verify (empty 3-gram set —
+    // and a 0/0 Jaccard is a cross-engine NaN hazard): exclude them from
+    // the sort identically in both engines
+    val keyed = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", concat_ws(" ", $"toks").as("key"))
+      .withColumn("bucket", substring($"key", 1, SnmPrefixLen))
+    val boff = keyed.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum($"bn").over(W.orderBy($"bucket")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"off")
+    keyed.join(broadcast(boff), Seq("bucket"))
+      .withColumn("r", $"off" + row_number().over(
+        W.partitionBy($"bucket").orderBy($"key", $"doc_id")))
+      .select($"doc_id", $"r", ($"r" - ($"r" % SnmWindow)).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   private[graft] def snmCandidates(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
     {
-      val W = org.apache.spark.sql.expressions.Window
-      // docs below the shingle width can never verify (empty 3-gram set —
-      // and a 0/0 Jaccard is a cross-engine NaN hazard): exclude them from
-      // the sort identically in both engines
-      val keyed = Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id", Text.tokens($"text").as("toks"))
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", concat_ws(" ", $"toks").as("key"))
-        .withColumn("bucket", substring($"key", 1, SnmPrefixLen))
-      val boff = keyed.groupBy($"bucket").agg(count(lit(1)).as("bn"))
-        .withColumn("off", coalesce(
-          sum($"bn").over(W.orderBy($"bucket")
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select($"bucket", $"off")
-      // consumed twice (probe side + build side of the cell join): persist
-      // so the tokenize + bucket-sort pass runs once
-      val ranked = keyed.join(broadcast(boff), Seq("bucket"))
-        .withColumn("r", $"off" + row_number().over(
-          W.partitionBy($"bucket").orderBy($"key", $"doc_id")))
-        .select($"doc_id", $"r", ($"r" - ($"r" % SnmWindow)).as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = snmRanked(spark, dir)
       // canonical-cell pairing: a probes its own cell and the next one;
       // b's cell is determined by its rank, so each (ra < rb < ra+W)
       // pair matches exactly one probe row

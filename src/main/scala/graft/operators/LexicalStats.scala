@@ -866,22 +866,41 @@ object LexicalStats {
   /** The scored pair relation BEFORE the support floor — shared by
     * [[qCooccurPmi]] and the fixture spec (which hand-checks the PMI
     * arithmetic on pairs the support rule would hide). */
-  private[graft] def cooccurScored(spark: org.apache.spark.sql.SparkSession,
+  /** The df-capped within-doc pair stream BEFORE aggregation (one row per
+    * (doc, term<term) pair over the kept half of the vocabulary —
+    * Σ_docs C(k_kept,2) rows, linear in corpus size since pairs never
+    * cross documents): the candidate volume of the PMI miner. Shared by
+    * [[cooccurScored]] and the scale rehearsal so the measured relation
+    * IS the executed one. */
+  /** The df-capped (doc, term, df) membership relation entering the pair
+    * join — the PMI miner's "postings". */
+  private[graft] def cooccurKept(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
     val dt = docs
       .select($"doc_id", explode(Text.tokens($"text")).as("term"))
       .distinct()
-    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val dfr = dt.groupBy($"term").agg(count(lit(1)).as("df"))
     val med = dfr.agg(expr("percentile(df, 0.5)").as("med"))
-    val kept = dt
-      .join(broadcast(dfr.crossJoin(broadcast(med)).filter($"df" <= $"med")),
-        Seq("term"))
+    dt.join(broadcast(dfr.crossJoin(broadcast(med)).filter($"df" <= $"med")),
+      Seq("term"))
+  }
+
+  private[graft] def cooccurPairRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val kept = cooccurKept(spark, dir)
     kept.as("a")
       .join(kept.as("b"),
         $"a.doc_id" === $"b.doc_id" && $"a.term" < $"b.term")
+  }
+
+  private[graft] def cooccurScored(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    cooccurPairRows(spark, dir)
       .groupBy($"a.term".as("term_a"), $"b.term".as("term_b"))
       .agg(max($"a.df").as("df_a"), max($"b.df").as("df_b"),
         count(lit(1)).as("n_ab"))
@@ -1160,9 +1179,142 @@ object LexicalStats {
       FROM g ORDER BY n_bigram_types""")
   )
 
+  /** Per-document Kneser–Ney surprisal — the CCNet-style LM quality
+    * signal at the DOCUMENT level (Wenzek et al. 2020 rank documents by
+    * LM perplexity and keep/weight by bucket): score every document's
+    * bigrams under the SAME interpolated-KN bigram model [[qKneserNey]]
+    * fits on the train split (salted-md5 buckets ≤ 7), and roll up to a
+    * per-doc mean bigram surprisal. Low = the model finds the text
+    * predictable (boilerplate-ish); high = rare constructions
+    * (specialist text or garbage) — the ranking a curation pipeline
+    * thresholds or stratifies on. Val-split docs get genuinely held-out
+    * scores; train-split docs are scored in-sample, exactly like CCNet
+    * scoring the very corpus its LM came from.
+    *
+    * Model identity: the five model relations (bigram counts, context
+    * totals, continuation counts, type total) are built from train
+    * bigrams only — numerically IDENTICAL to [[qKneserNey]]'s (its bc
+    * relation carries val-only rows with cb = 0, which contribute
+    * nothing to any model statistic). Bigrams whose w2 never ends a
+    * train bigram (Pcont = 0) are the per-doc n_oov, excluded from the
+    * mean — the corpus-level query's OOV accounting, per document.
+    *
+    * Exactness: p is the same fixed double tree over exact integers and
+    * the dyadic D = 0.75; each addend n·(−ln p) goes through the
+    * scale-9 decimal cast so within-doc order cannot perturb the sum;
+    * docs with no scorable bigram report NULL (guarded division).
+    *
+    * Scale shape: ONE (doc, w1, w2) exchange feeds both the model build
+    * and the scoring probe (persisted); model relations are
+    * bigram-type/vocabulary-scale — they broadcast when they fit and
+    * AQE shuffle-joins on (w1, w2)/(w1)/(w2) otherwise; the per-doc
+    * rollup is one partial+final aggregate on doc_id. Nothing after the
+    * first exchange is corpus-token-scale. */
+  val qKnDocSurprisal = GraftQuery(
+    "q_kn_doc_surprisal",
+    (spark, dir) => {
+      import spark.implicits._
+      // per-(doc, bigram) counts with the split bucket riding along —
+      // persisted: the model build and the scoring probe both read it
+      val db = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket",
+          expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
+        .select($"doc_id", $"bucket",
+          explode(call_function("word_shingles_all", $"text", lit(2))).as("bg"))
+        .select($"doc_id", $"bucket",
+          element_at(split($"bg", " "), 1).as("w1"),
+          element_at(split($"bg", " "), 2).as("w2"))
+        .groupBy($"doc_id", $"bucket", $"w1", $"w2")
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // train-split model — numerically identical to qKneserNey's
+      val bc = db.filter($"bucket" <= 7)
+        .groupBy($"w1", $"w2").agg(sum($"n").as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = bc.groupBy($"w1")
+        .agg(sum($"cb").as("c1"), count(lit(1)).as("n1p"))
+      val cont = bc.groupBy($"w2").agg(count(lit(1)).as("r1p"))
+      val tot = bc.agg(count(lit(1)).as("tt"))
+      db.join(bc, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(cont, Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id", $"n",
+          coalesce($"cb", lit(0L)).as("cb"),
+          coalesce($"c1", lit(0L)).as("c1"),
+          coalesce($"n1p", lit(0L)).as("n1p"),
+          coalesce($"r1p", lit(0L)).as("r1p"), $"tt")
+        .withColumn("p", expr(
+          """CASE WHEN r1p = 0 THEN CAST(NULL AS DOUBLE)
+               WHEN c1 > 0 THEN
+                 (greatest(cb - 0.75, 0.0)
+                   + 0.75 * n1p * (CAST(r1p AS DOUBLE) / tt)) / c1
+               ELSE CAST(r1p AS DOUBLE) / tt END"""))
+        .groupBy($"doc_id")
+        .agg(sum($"n").as("n_bigrams"),
+          coalesce(sum(when($"r1p" === 0, $"n")), lit(0L)).as("n_oov"),
+          coalesce(sum(when($"r1p" > 0, $"n")), lit(0L)).as("nsc"),
+          sum(when($"r1p" > 0,
+            expr("CAST(CAST(n AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9))")))
+            .cast(DoubleType).as("xsum"))
+        .select($"doc_id", $"n_bigrams", $"n_oov",
+          when($"nsc" > 0, Det.qround($"xsum" / $"nsc"))
+            .as("surprisal_nats"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT doc_id, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+        FROM documents),
+      bgs AS (
+        SELECT doc_id, bucket, string_split(bg, ' ')[1] AS w1,
+          string_split(bg, ' ')[2] AS w2
+        FROM (
+          SELECT doc_id, bucket,
+            unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+          FROM (
+            SELECT doc_id, bucket,
+              string_split_regex(lower(text), '[[:space:]]+') AS ws
+            FROM split))),
+      db AS (
+        SELECT doc_id, bucket, w1, w2, count(*)::BIGINT AS n
+        FROM bgs GROUP BY 1, 2, 3, 4),
+      bc AS (
+        SELECT w1, w2, sum(n)::BIGINT AS cb
+        FROM db WHERE bucket <= 7 GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(cb)::BIGINT AS c1, count(*)::BIGINT AS n1p
+              FROM bc GROUP BY 1),
+      cont AS (SELECT w2, count(*)::BIGINT AS r1p FROM bc GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS tt FROM bc),
+      sc AS (
+        SELECT db.doc_id, db.n,
+          coalesce(bc.cb, 0) AS cb, coalesce(ctx.c1, 0) AS c1,
+          coalesce(ctx.n1p, 0) AS n1p, coalesce(cont.r1p, 0) AS r1p, tot.tt,
+          CASE WHEN coalesce(cont.r1p, 0) = 0 THEN NULL
+            WHEN coalesce(ctx.c1, 0) > 0 THEN
+              (greatest(coalesce(bc.cb, 0) - 0.75, 0.0)
+                + 0.75 * ctx.n1p * (CAST(cont.r1p AS DOUBLE) / tot.tt))
+                / ctx.c1
+            ELSE CAST(cont.r1p AS DOUBLE) / tot.tt END AS p
+        FROM db LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2) CROSS JOIN tot),
+      g AS (
+        SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+          coalesce(sum(n) FILTER (WHERE r1p = 0), 0)::BIGINT AS n_oov,
+          coalesce(sum(n) FILTER (WHERE r1p > 0), 0)::BIGINT AS nsc,
+          (sum(CAST(CAST(n AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9)))
+            FILTER (WHERE r1p > 0))::DOUBLE AS xsum
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, n_oov,
+        CASE WHEN nsc > 0 THEN ${Oracle.qround("xsum / nsc")}
+        END AS surprisal_nats
+      FROM g ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
-      qKneserNey)
+      qKneserNey, qKnDocSurprisal)
 }

@@ -26,23 +26,20 @@ import org.apache.spark.sql.types._
   *   replicate (default 1): replicate the corpus N× (distinct ids) to
   *     extend the run — at sf0.1's 5,000 docs, replicate=10 with 5,000
   *     records/batch exercises 10 batches of 10× the reference's volume.
+  *
+  * With NO arguments it runs BOTH standard envelopes — 500 rec/batch ×1
+  * (the reference consumer's configured volume, reddit_consumer.py:497)
+  * and 5,000 rec/batch ×10 (10× volume) — and, in addition to printing
+  * each run's JSON line, writes the combined artifact to
+  * `SPARK_GRAFT_STREAMBENCH_OUT` (default `STREAMBENCH.json` in the
+  * working directory) so the per-round envelope is machine-readable and
+  * trendable beside BENCH_r{N}.json rather than living in NOTES prose.
   */
 object StreamBench {
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val perBatch = args.headOption.flatMap(_.toIntOption).getOrElse(500)
-    val replicate = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(1)
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** One replay at the given volume; returns the result as a JSON line. */
+  def runOnce(spark: SparkSession, sfDir: String, perBatch: Int,
+      replicate: Int): String = {
     import spark.implicits._
 
     // wire-format lines, the q_parse_clean mapping (FIXTURES.md §3)
@@ -102,13 +99,45 @@ object StreamBench {
     val rows = lines.length.toLong
     val busy = secs.sum
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"stream","recordsPerBatch":$perBatch,"batches":${batches.size},""" +
+    s"""{"metric":"stream","recordsPerBatch":$perBatch,"batches":${batches.size},""" +
       s""""rows":$rows,"recPerSec":${f(rows / busy)},""" +
       s""""steadyRecPerSec":${f(steadyRows / steady.sum)},""" +
       s""""firstBatchSec":${f(secs.headOption.getOrElse(0.0))},""" +
       s""""p50BatchSec":${f(pct(steady, 0.5))},"p95BatchSec":${f(pct(steady, 0.95))},""" +
       s""""maxBatchSec":${f(pct(steady, 1.0))},"busySec":${f(busy)},"wallSec":${f(wall)},""" +
-      s""""triggerBudgetSec":10.0}""")
+      s""""triggerBudgetSec":10.0}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (args.nonEmpty) {
+      // dev mode: one run at the requested volume, line to stdout only
+      val perBatch = args.headOption.flatMap(_.toIntOption).getOrElse(500)
+      val replicate = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(1)
+      println(runOnce(spark, sfDir, perBatch, replicate))
+    } else {
+      // artifact mode: both standard envelopes, combined JSON to disk
+      val ref = runOnce(spark, sfDir, 500, 1)
+      println(ref)
+      val x10 = runOnce(spark, sfDir, 5000, 10)
+      println(x10)
+      val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        s"""{"metric":"streambench","sfDir":"$sfDir","reference":$ref,"x10":$x10}\n"""
+          .getBytes("UTF-8"))
+      println(s"wrote $out")
+    }
     spark.stop()
   }
 }

@@ -407,4 +407,32 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got === Seq((3L, 2L, 3L, 1L, 0.5, qround(xsum / 2))))
     assert(qround(xsum / 2) === 0.549306)
   }
+
+  test("kn doc surprisal: per-doc scores hand-computed under the planted model") {
+    // same planted split as the kneser-ney fixture — train docs 0,2,3 give
+    // bc (a,b)=2, (a,c)=1; ctx a: c1=3, N1+=2; cont b=1, c=1; T=2. Every
+    // doc carries exactly one bigram:
+    //   "a b": p = (max(2-.75,0) + .75*2*(1/2)) / 3 = 2/3 -> -ln = 0.405465
+    //   "a c": p = (max(1-.75,0) + .75*2*(1/2)) / 3 = 1/3 -> ln 3 = 1.098612
+    //   "c c": context c unseen -> pure continuation p = 1/2 -> ln 2 = 0.693147
+    //   "b d": d never continues a train bigram -> OOV, null score
+    // train docs score IN-SAMPLE under the same model the val docs score
+    // held-out under — the CCNet whole-corpus ranking semantics
+    val docs = Seq(
+      (0L, "a b"), (2L, "a b"), (3L, "a c"),
+      (14L, "a b"), (23L, "c c"), (45L, "b d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kndoc").toString
+    docs.map { case (id, t) => (id, t, "en", "srcX", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = LexicalStats.qKnDocSurprisal.run(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 0L, Some(0.405465)),
+      (2L, 1L, 0L, Some(0.405465)),
+      (3L, 1L, 0L, Some(1.098612)),
+      (14L, 1L, 0L, Some(0.405465)),
+      (23L, 1L, 0L, Some(0.693147)),
+      (45L, 1L, 1L, None)))
+  }
 }
