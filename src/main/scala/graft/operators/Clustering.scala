@@ -138,53 +138,70 @@ object Clustering {
     "q_kcenter_select",
     (spark, dir) => {
       import spark.implicits._
-      // NOT spread: per-row work is one 64-float distance (light) and the
-      // greedy is STAGE-COUNT-bound on this corpus (6 rounds × TakeOrdered
-      // ≈ 14 sequential stages of codegen + scheduling dominate 2k rows —
-      // measured ~6 s warm at sf0.1 regardless of partitioning); at real
-      // scale the same plan is data-bound and a multi-split corpus
-      // parallelizes the scan without help
+      // NOT spread: per-row work is one 64-float distance (light); the
+      // greedy is STAGE-COUNT-bound on this corpus, so the r12 profiling
+      // pass (NOTES) collapsed each round to EXACTLY ONE job: the 1-row
+      // pick is collected to the driver (the k selected rows are the one
+      // thing this operator is ALLOWED to hold driver-side — the scaladoc
+      // contract above) and re-enters the plan as a LITERAL center, which
+      // removes the per-round broadcast exchange, the 1-row pick persist,
+      // and the eager-materialize job the first unpersist fix paid for.
+      // Measured at sf0.1: 5.2 s (r11 broadcast-subquery shape) → 3.4 s,
+      // hash unchanged. The next round's TakeOrdered action materializes
+      // the new state's cache, after which the state two rounds back
+      // unpersists — at most TWO corpus-sized (vec_id, embedding, d2)
+      // relations are ever resident (the ADVICE k-cache fix), and at real
+      // scale each round is still one map pass + one TakeOrdered(1).
       val emb = Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c0 = emb.orderBy($"vec_id").limit(1)
-        .select($"vec_id".as("cid"),
+      val first = emb.orderBy($"vec_id").limit(1)
+        .select($"vec_id",
           transform($"embedding", v => v.cast(DoubleType)).as("ce"))
-      var md = emb.crossJoin(broadcast(c0))
-        .select($"vec_id", $"embedding",
-          call_function("dist2_f32_f64", $"embedding", $"ce").as("d2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var rows = c0.select(lit(0L).as("round"), $"cid".as("vec_id"),
-        lit(null).cast(DoubleType).as("radius2"))
-      for (r <- 1 until KC) {
-        // persisted: the pick feeds BOTH the report row and the state
-        // update; the state re-persists per round or the crossJoin
-        // lineage doubles (the q_pagerank barrier rationale)
-        val pick = md.orderBy($"d2".desc, $"vec_id").limit(1)
-          .select($"vec_id".as("cid"),
-            transform($"embedding", v => v.cast(DoubleType)).as("ce"),
-            $"d2".as("r2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        rows = rows.unionByName(pick.select(lit(r.toLong).as("round"),
-          $"cid".as("vec_id"), Det.qround($"r2").as("radius2")))
-        val mdNext = md.crossJoin(broadcast(pick.select($"ce")))
-          .select($"vec_id", $"embedding",
-            least($"d2", call_function("dist2_f32_f64", $"embedding", $"ce"))
-              .as("d2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // materialize the new state (also fills pick's cache via the
-        // broadcast), then drop the superseded corpus-sized cache — the
-        // greedy must hold ONE (vec_id, embedding, d2) relation in
-        // memory at a time, not k of them, at the 100 TB design point
-        mdNext.count()
-        md.unpersist()
-        md = mdNext
+        .as[(Long, Array[Double])].collect().headOption
+      first match {
+        case None =>
+          // zero-row corpus: only the covering-radius row, all-null —
+          // the same single row the pre-refactor plan produced
+          Seq(KC.toLong).toDF("round")
+            .select($"round", lit(null).cast(LongType).as("vec_id"),
+              lit(null).cast(DoubleType).as("radius2"))
+        case Some((cid0, ce0)) =>
+          var md = emb.select($"vec_id", $"embedding",
+              call_function("dist2_f32_f64", $"embedding", typedLit(ce0))
+                .as("d2"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          var prev: Option[DataFrame] = None
+          val picks = scala.collection.mutable.ListBuffer(
+            (0L, cid0, Option.empty[Double]))
+          for (r <- 1 until KC) {
+            // ONE job: TakeOrdered(1) over md — this action also fills
+            // md's cache, so the state from round r−2 is now safe to drop
+            val (pid, pce, pd2) = md.orderBy($"d2".desc, $"vec_id").limit(1)
+              .select($"vec_id",
+                transform($"embedding", v => v.cast(DoubleType)).as("ce"),
+                $"d2")
+              .as[(Long, Array[Double], Double)].head()
+            picks += ((r.toLong, pid, Some(pd2)))
+            prev.foreach(_.unpersist())
+            prev = Some(md)
+            md = md.select($"vec_id", $"embedding",
+                least($"d2",
+                  call_function("dist2_f32_f64", $"embedding", typedLit(pce)))
+                  .as("d2"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          }
+          // the collected doubles re-enter EXACTLY as the executors
+          // produced them; rounding stays in the plan (Det.qround), so
+          // the output is bit-identical to the broadcast-subquery shape
+          val rows = picks.toSeq.toDF("round", "vec_id", "r2")
+            .select($"round", $"vec_id", Det.qround($"r2").as("radius2"))
+          val cover = md.agg(max($"d2").as("m"))
+            .select(lit(KC.toLong).as("round"),
+              lit(null).cast(LongType).as("vec_id"),
+              Det.qround($"m").as("radius2"))
+          rows.unionByName(cover).orderBy($"round")
       }
-      val cover = md.agg(max($"d2").as("m"))
-        .select(lit(KC.toLong).as("round"),
-          lit(null).cast(LongType).as("vec_id"),
-          Det.qround($"m").as("radius2"))
-      rows.unionByName(cover).orderBy($"round")
     },
     Some {
       val rounds = (1 until KC).map { r =>
