@@ -1210,57 +1210,88 @@ object LexicalStats {
     * AQE shuffle-joins on (w1, w2)/(w1)/(w2) otherwise; the per-doc
     * rollup is one partial+final aggregate on doc_id. Nothing after the
     * first exchange is corpus-token-scale. */
+  /** Per-(doc, bucket, bigram) counts — the shared collapse the KN
+    * document scorer and its streaming maintainer
+    * ([[graft.streaming.StreamKn]]) both start from: one row per distinct
+    * (doc, w1, w2) with its in-doc multiplicity and the salted-md5 split
+    * bucket riding along. */
+  private[graft] def knDocBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("bucket",
+        expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
+      .select($"doc_id", $"bucket",
+        explode(call_function("word_shingles_all", $"text", lit(2))).as("bg"))
+      .select($"doc_id", $"bucket",
+        element_at(split($"bg", " "), 1).as("w1"),
+        element_at(split($"bg", " "), 2).as("w2"))
+      .groupBy($"doc_id", $"bucket", $"w1", $"w2")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Train-split bigram counts (w1, w2, cb) from a [[knDocBigrams]]
+    * relation — ADDITIVE integer counters, which is what lets
+    * [[graft.streaming.StreamKn]] maintain the model as a per-batch delta
+    * log whose fold equals this batch build exactly. */
+  private[graft] def knTrainCounts(db: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import db.sparkSession.implicits._
+    db.filter($"bucket" <= 7)
+      .groupBy($"w1", $"w2").agg(sum($"n").as("cb"))
+  }
+
+  /** Score a [[knDocBigrams]] relation against a (w1, w2, cb) model —
+    * the full interpolated-KN per-doc readout shared by
+    * [[qKnDocSurprisal]] and the streaming maintainer's reader, so the
+    * two surfaces can never drift. The caller persists `bc` (consumed by
+    * the probe join and the three derived model relations). */
+  private[graft] def knScoreDocs(db: org.apache.spark.sql.DataFrame,
+      bc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import db.sparkSession.implicits._
+    val ctx = bc.groupBy($"w1")
+      .agg(sum($"cb").as("c1"), count(lit(1)).as("n1p"))
+    val cont = bc.groupBy($"w2").agg(count(lit(1)).as("r1p"))
+    val tot = bc.agg(count(lit(1)).as("tt"))
+    db.join(bc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"n",
+        coalesce($"cb", lit(0L)).as("cb"),
+        coalesce($"c1", lit(0L)).as("c1"),
+        coalesce($"n1p", lit(0L)).as("n1p"),
+        coalesce($"r1p", lit(0L)).as("r1p"), $"tt")
+      .withColumn("p", expr(
+        """CASE WHEN r1p = 0 THEN CAST(NULL AS DOUBLE)
+             WHEN c1 > 0 THEN
+               (greatest(cb - 0.75, 0.0)
+                 + 0.75 * n1p * (CAST(r1p AS DOUBLE) / tt)) / c1
+             ELSE CAST(r1p AS DOUBLE) / tt END"""))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_bigrams"),
+        coalesce(sum(when($"r1p" === 0, $"n")), lit(0L)).as("n_oov"),
+        coalesce(sum(when($"r1p" > 0, $"n")), lit(0L)).as("nsc"),
+        sum(when($"r1p" > 0,
+          expr("CAST(CAST(n AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9))")))
+          .cast(DoubleType).as("xsum"))
+      .select($"doc_id", $"n_bigrams", $"n_oov",
+        when($"nsc" > 0, Det.qround($"xsum" / $"nsc"))
+          .as("surprisal_nats"))
+      .orderBy($"doc_id")
+  }
+
   val qKnDocSurprisal = GraftQuery(
     "q_kn_doc_surprisal",
     (spark, dir) => {
-      import spark.implicits._
-      // per-(doc, bigram) counts with the split bucket riding along —
-      // persisted: the model build and the scoring probe both read it
-      val db = Tables.spread(Tables.documents(spark, dir))
-        .withColumn("bucket",
-          expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
-        .select($"doc_id", $"bucket",
-          explode(call_function("word_shingles_all", $"text", lit(2))).as("bg"))
-        .select($"doc_id", $"bucket",
-          element_at(split($"bg", " "), 1).as("w1"),
-          element_at(split($"bg", " "), 2).as("w2"))
-        .groupBy($"doc_id", $"bucket", $"w1", $"w2")
-        .agg(count(lit(1)).as("n"))
+      // per-(doc, bigram) counts — persisted: the model build and the
+      // scoring probe both read it
+      val db = knDocBigrams(Tables.spread(Tables.documents(spark, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // train-split model — numerically identical to qKneserNey's
-      val bc = db.filter($"bucket" <= 7)
-        .groupBy($"w1", $"w2").agg(sum($"n").as("cb"))
+      val bc = knTrainCounts(db)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ctx = bc.groupBy($"w1")
-        .agg(sum($"cb").as("c1"), count(lit(1)).as("n1p"))
-      val cont = bc.groupBy($"w2").agg(count(lit(1)).as("r1p"))
-      val tot = bc.agg(count(lit(1)).as("tt"))
-      db.join(bc, Seq("w1", "w2"), "left")
-        .join(ctx, Seq("w1"), "left")
-        .join(cont, Seq("w2"), "left")
-        .crossJoin(broadcast(tot))
-        .select($"doc_id", $"n",
-          coalesce($"cb", lit(0L)).as("cb"),
-          coalesce($"c1", lit(0L)).as("c1"),
-          coalesce($"n1p", lit(0L)).as("n1p"),
-          coalesce($"r1p", lit(0L)).as("r1p"), $"tt")
-        .withColumn("p", expr(
-          """CASE WHEN r1p = 0 THEN CAST(NULL AS DOUBLE)
-               WHEN c1 > 0 THEN
-                 (greatest(cb - 0.75, 0.0)
-                   + 0.75 * n1p * (CAST(r1p AS DOUBLE) / tt)) / c1
-               ELSE CAST(r1p AS DOUBLE) / tt END"""))
-        .groupBy($"doc_id")
-        .agg(sum($"n").as("n_bigrams"),
-          coalesce(sum(when($"r1p" === 0, $"n")), lit(0L)).as("n_oov"),
-          coalesce(sum(when($"r1p" > 0, $"n")), lit(0L)).as("nsc"),
-          sum(when($"r1p" > 0,
-            expr("CAST(CAST(n AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9))")))
-            .cast(DoubleType).as("xsum"))
-        .select($"doc_id", $"n_bigrams", $"n_oov",
-          when($"nsc" > 0, Det.qround($"xsum" / $"nsc"))
-            .as("surprisal_nats"))
-        .orderBy($"doc_id")
+      knScoreDocs(db, bc)
     },
     Some(s"""
       WITH split AS (
@@ -1312,9 +1343,149 @@ object LexicalStats {
       FROM g ORDER BY doc_id""")
   )
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: rank
+    * documents by LM perplexity, cut the distribution into head / middle
+    * / tail thirds, and treat the bucket as the quality stratum a
+    * curation recipe keeps, downsamples, or drops): the per-doc KN
+    * surprisal scores ([[qKnDocSurprisal]]'s exact relation) are cut at
+    * the exact 1/3 and 2/3 quantiles, and each bucket reports its
+    * document count, bigram token mass, and mean surprisal — the
+    * stratification table a mixing recipe reads. Docs whose every bigram
+    * is OOV under the train-split model land in a fourth `oov` bucket
+    * (no score to rank on — the bucket a real pipeline routes to
+    * language-ID re-check).
+    *
+    * Exactness: bucket thresholds are EXACT ORDER STATISTICS — the
+    * smallest score whose cumulative count reaches ⌈n/3⌉ resp. ⌈2n/3⌉,
+    * computed in integer arithmetic over the 6-dp score VALUE DOMAIN.
+    * Interpolated quantiles are deliberately avoided here: at a tied
+    * boundary Spark's `a + g·(b−a)` and DuckDB's `(1−g)·a + g·b`
+    * disagree in the last ulp even when a = b (measured at sf0.1:
+    * 3.4060440000000001 vs …39999999996), silently flipping boundary
+    * docs across engines. Data-valued thresholds compare exactly;
+    * reported thresholds and means go through
+    * [[graft.functions.Det.qround]]; the mean sums already-rounded
+    * per-doc scores through the decimal cast (order-free).
+    *
+    * Scale shape: everything after the [[knScoreDocs]] pass collapses to
+    * the bounded 6-dp score value domain (the q_mwu_test discipline) —
+    * the cumulative window runs on that domain, never the docs; the two
+    * thresholds return as a broadcast 1-row relation and the rollup is
+    * one 4-row aggregate. */
+  val qCcnetBuckets = GraftQuery(
+    "q_ccnet_buckets",
+    (spark, dir) => {
+      import spark.implicits._
+      val db = knDocBigrams(Tables.spread(Tables.documents(spark, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bc = knTrainCounts(db)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scored docs feed the threshold aggregate AND the bucket rollup
+      val scored = knScoreDocs(db, bc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vd = scored.filter($"surprisal_nats".isNotNull)
+        .groupBy($"surprisal_nats".as("v")).agg(count(lit(1)).as("f"))
+      val cumW = org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val thr = vd
+        .select($"v", sum($"f").over(cumW).as("cf"))
+        .crossJoin(broadcast(vd.agg(coalesce(sum($"f"), lit(0L)).as("nn"))))
+        .agg(min(when($"cf" * 3 >= $"nn", $"v")).as("q33"),
+          min(when($"cf" * 3 >= $"nn" * 2, $"v")).as("q66"))
+      scored.crossJoin(broadcast(thr))
+        .select($"n_bigrams", $"surprisal_nats", $"q33", $"q66",
+          when($"surprisal_nats".isNull, "oov")
+            .when($"surprisal_nats" <= $"q33", "head")
+            .when($"surprisal_nats" <= $"q66", "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_bigrams").as("n_bigrams"),
+          Det.qround(
+            sum($"surprisal_nats".cast(DecimalType(38, Det.Scale)))
+              .cast(DoubleType) / count($"surprisal_nats"))
+            .as("mean_surprisal"),
+          Det.qround(max($"q33")).as("q33"),
+          Det.qround(max($"q66")).as("q66"))
+        .orderBy($"bucket")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT doc_id, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+        FROM documents),
+      bgs AS (
+        SELECT doc_id, bucket, string_split(bg, ' ')[1] AS w1,
+          string_split(bg, ' ')[2] AS w2
+        FROM (
+          SELECT doc_id, bucket,
+            unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+          FROM (
+            SELECT doc_id, bucket,
+              string_split_regex(lower(text), '[[:space:]]+') AS ws
+            FROM split))),
+      db AS (
+        SELECT doc_id, bucket, w1, w2, count(*)::BIGINT AS n
+        FROM bgs GROUP BY 1, 2, 3, 4),
+      bcm AS (
+        SELECT w1, w2, sum(n)::BIGINT AS cb
+        FROM db WHERE bucket <= 7 GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(cb)::BIGINT AS c1, count(*)::BIGINT AS n1p
+              FROM bcm GROUP BY 1),
+      cont AS (SELECT w2, count(*)::BIGINT AS r1p FROM bcm GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS tt FROM bcm),
+      sc AS (
+        SELECT db.doc_id, db.n, coalesce(cont.r1p, 0) AS r1p,
+          CASE WHEN coalesce(cont.r1p, 0) = 0 THEN NULL
+            WHEN coalesce(ctx.c1, 0) > 0 THEN
+              (greatest(coalesce(bcm.cb, 0) - 0.75, 0.0)
+                + 0.75 * ctx.n1p * (CAST(cont.r1p AS DOUBLE) / tot.tt))
+                / ctx.c1
+            ELSE CAST(cont.r1p AS DOUBLE) / tot.tt END AS p
+        FROM db LEFT JOIN bcm USING (w1, w2) LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2) CROSS JOIN tot),
+      g AS (
+        SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+          coalesce(sum(n) FILTER (WHERE r1p > 0), 0)::BIGINT AS nsc,
+          (sum(CAST(CAST(n AS DOUBLE) * (0 - ln(p)) AS DECIMAL(38,9)))
+            FILTER (WHERE r1p > 0))::DOUBLE AS xsum
+        FROM sc GROUP BY doc_id),
+      scored AS (
+        SELECT doc_id, n_bigrams,
+          CASE WHEN nsc > 0 THEN ${Oracle.qround("xsum / nsc")}
+          END AS s
+        FROM g),
+      vd AS (
+        SELECT s AS v, count(*)::BIGINT AS f
+        FROM scored WHERE s IS NOT NULL GROUP BY 1),
+      cum AS (
+        SELECT v, (sum(f) OVER (ORDER BY v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cf
+        FROM vd),
+      nn AS (SELECT coalesce(sum(f), 0)::BIGINT AS nn FROM vd),
+      thr AS (
+        SELECT min(CASE WHEN cf * 3 >= nn THEN v END) AS q33,
+          min(CASE WHEN cf * 3 >= nn * 2 THEN v END) AS q66
+        FROM cum CROSS JOIN nn)
+      SELECT
+        CASE WHEN s IS NULL THEN 'oov'
+          WHEN s <= q33 THEN 'head'
+          WHEN s <= q66 THEN 'middle'
+          ELSE 'tail' END AS bucket,
+        count(*)::BIGINT AS n_docs,
+        sum(n_bigrams)::BIGINT AS n_bigrams,
+        ${Oracle.qround(
+          "sum(CAST(s AS DECIMAL(38,9)))::DOUBLE / count(s)")}
+          AS mean_surprisal,
+        ${Oracle.qround("max(q33)")} AS q33,
+        ${Oracle.qround("max(q66)")} AS q66
+      FROM scored CROSS JOIN thr
+      GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
-      qKneserNey, qKnDocSurprisal)
+      qKneserNey, qKnDocSurprisal, qCcnetBuckets)
 }
