@@ -667,6 +667,109 @@ object TextAnalytics {
       LIMIT 20""")
   )
 
+  /** Merge rounds for [[qBpeTrain]]. */
+  val BpeMerges = 8
+
+  /** Full BPE tokenizer TRAINING (Sennrich et al. 2016) — [[qBpeMergePairs]]
+    * computes the first merge candidate table; this runs the actual
+    * iterative trainer for [[BpeMerges]] rounds and emits the MERGE TABLE
+    * (rank, left symbol, right symbol, weighted pair count) — the artifact
+    * a tokenizer ships. Variant pinned exactly: words are whitespace
+    * tokens spelled as space-separated character symbols (no end-of-word
+    * marker), pair counts are corpus-frequency-weighted with in-word
+    * multiplicity, the merge pick is (count desc, left asc, right asc),
+    * and a merge rewrites all non-overlapping occurrences left-to-right
+    * (realized as a double-pass delimited `replace` — one pass misses
+    * every second occurrence of a shared-boundary run like `a b a b`,
+    * two passes provably catch all: after pass one no two unmerged
+    * occurrences remain adjacent).
+    *
+    * Scale shape: the ONLY corpus-priced work is the word-frequency
+    * aggregate; every round thereafter runs on the VOCABULARY relation
+    * (symbolized word, freq) — pair enumeration is vocab × avg word
+    * length, the pick is a TakeOrdered(1), and the rewrite is a map pass
+    * over the vocab. The 1-row pick is collected and re-enters as a
+    * literal (the q_kcenter_select shape: the K merge rows are the one
+    * thing held driver-side), and the superseded vocab state unpersists
+    * two rounds back — this is why BPE training is feasible at 100 TB:
+    * iterations never touch the raw text again. */
+  val qBpeTrain = GraftQuery(
+    "q_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      var vocab = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .select(array_join(split($"word", ""), " ").as("ws"), $"freq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
+      val merges =
+        scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+      var done = false
+      for (r <- 1 to BpeMerges if !done) {
+        val syms = vocab.select(split($"ws", " ").as("s"), $"freq")
+          .filter(size($"s") >= 2)
+        val top = syms
+          .select($"s", $"freq",
+            explode(sequence(lit(1), size($"s") - 1)).as("i"))
+          .select(element_at($"s", $"i").as("a"),
+            element_at($"s", $"i" + 1).as("b"), $"freq")
+          .groupBy($"a", $"b").agg(sum($"freq").as("n"))
+          .orderBy($"n".desc, $"a", $"b").limit(1)
+          .as[(String, String, Long)].collect().headOption
+        top match {
+          case None => done = true
+          case Some((a, b, n)) =>
+            merges += ((r.toLong, a, b, n))
+            val pat = lit(s" $a $b ")
+            val rep = lit(s" $a$b ")
+            prev.foreach(_.unpersist())
+            prev = Some(vocab)
+            vocab = vocab.select(
+              trim(org.apache.spark.sql.functions.replace(
+                org.apache.spark.sql.functions.replace(
+                  concat(lit(" "), $"ws", lit(" ")), pat, rep),
+                pat, rep)).as("ws"), $"freq")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+      merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "n_occ")
+        .orderBy($"merge_rank")
+    },
+    Some {
+      val rounds = (1 to BpeMerges).map { r =>
+        val prev = s"v${r - 1}"
+        s"""
+      p$r AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
+        FROM (
+          SELECT s, freq, unnest(range(1, len(s))) AS i
+          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      v$r AS (
+        SELECT trim(replace(replace(' ' || ws || ' ',
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
+        FROM $prev CROSS JOIN t$r)"""
+      }.mkString(",")
+      val rows = (1 to BpeMerges).map { r =>
+        s"SELECT $r::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, n AS n_occ FROM t$r"
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH v0 AS (
+        SELECT array_to_string(string_split(word, ''), ' ') AS ws,
+          count(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS word FROM documents)
+        GROUP BY 1),$rounds
+      SELECT * FROM (
+      $rows)
+      ORDER BY merge_rank"""
+    }
+  )
+
   /** Per-language readability profile — FORCAST grade level (Caylor et
     * al. 1973) plus its syllable-census components. FORCAST is chosen
     * DELIBERATELY over Flesch/Flesch–Kincaid: it is the one classic
@@ -734,8 +837,8 @@ object TextAnalytics {
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
-    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qReadability,
-    qLangConfusion)
+    qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qBpeTrain,
+    qReadability, qLangConfusion)
 
   /** Language-ID classifier evaluation — confusion counts and per-class
     * precision/recall/F1 plus macro-F1 over [[langPredictions]] (the

@@ -106,6 +106,61 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bpe train: the Sennrich worked example reproduces its merge table") {
+    // the canonical BPE corpus (Sennrich et al. 2016 §3.2): low×5,
+    // lower×2, newest×6, widest×3. Hand-derived 8-round merge table with
+    // the pinned (count desc, left asc, right asc) tie-break:
+    //   1 (e,s,9)   es from newest 6 + widest 3
+    //   2 (es,t,9)  the new symbol immediately re-merges with t
+    //   3 (l,o,7)   lo vs ow tie at 7 -> left asc picks l
+    //   4 (lo,w,7)
+    //   5 (e,w,6)   ew/ne/w-est tie at 6 -> "e" < "n" < "w"
+    //   6 (ew,est,6)  "ew" < "n"
+    //   7 (n,ewest,6)
+    //   8 (d,est,3) d-est/id/wi tie at 3 -> "d" < "i" < "w"
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, w, "en", "srcX", w.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalytics.qBpeTrain.run(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L), (6L, "ew", "est", 6L),
+      (7L, "n", "ewest", 6L), (8L, "d", "est", 3L)))
+  }
+
+  test("bpe train: double-pass rewrite merges shared-boundary runs greedily") {
+    // "ababab" spelled a b a b a b with merge (a,b): greedy left-to-right
+    // must yield ab ab ab — the single-pass replace misses every second
+    // occurrence (shared boundary space), the documented second pass
+    // catches them; and "aaa" with (a,a) must yield aa a, never a aa
+    val words = Seq.fill(9)("ababab") ++ Seq.fill(2)("aaa")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe2").toString
+    words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, w, "en", "srcX", w.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalytics.qBpeTrain.run(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: pairs ab×3·9=27, ba×2·9=18, aa×2·2=4 -> (a,b,27)
+    // round 2: vocab ab ab ab ×9, aaa -> a a a ×2 (untouched):
+    //   pairs (ab,ab)×2·9=18, (a,a)×2·2=4 -> (ab,ab,18)
+    // round 3: abab ab ×9 (greedy LTR pairing!), a a a:
+    //   pairs (abab,ab)=9, (a,a)=4 -> (abab,ab,9)
+    // round 4: ababab×9 exhausted; aaa: (a,a,4)
+    // round 5: aa a ×2 (greedy, never a aa): (aa,a,2)
+    // round 6: both words are single symbols -> no pairs, trainer stops
+    assert(got === Seq(
+      (1L, "a", "b", 27L), (2L, "ab", "ab", 18L),
+      (3L, "abab", "ab", 9L), (4L, "a", "a", 4L),
+      (5L, "aa", "a", 2L)))
+  }
+
   test("lang confusion: diagonal mass equals q_lang_id accuracy") {
     val conf = Queries.byName("q_lang_confusion")
       .run(spark, "/root/testdata/sf0.001")
