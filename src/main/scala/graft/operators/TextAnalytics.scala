@@ -693,47 +693,61 @@ object TextAnalytics {
     * thing held driver-side), and the superseded vocab state unpersists
     * two rounds back — this is why BPE training is feasible at 100 TB:
     * iterations never touch the raw text again. */
+  /** The trainer loop — returns the learned merge table (rank, left,
+    * right, weighted count). Shared by [[qBpeTrain]] (which IS the table)
+    * and [[qBpeEncode]] (which applies it to the corpus). All per-round
+    * state is released before returning; the K merge rows are the only
+    * thing held driver-side (the q_kcenter_select license). */
+  private[graft] def bpeLearn(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    var vocab = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(Text.tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select(array_join(split($"word", ""), " ").as("ws"), $"freq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (r <- 1 to BpeMerges if !done) {
+      val syms = vocab.select(split($"ws", " ").as("s"), $"freq")
+        .filter(size($"s") >= 2)
+      val top = syms
+        .select($"s", $"freq",
+          explode(sequence(lit(1), size($"s") - 1)).as("i"))
+        .select(element_at($"s", $"i").as("a"),
+          element_at($"s", $"i" + 1).as("b"), $"freq")
+        .groupBy($"a", $"b").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"a", $"b").limit(1)
+        .as[(String, String, Long)].collect().headOption
+      top match {
+        case None => done = true
+        case Some((a, b, n)) =>
+          merges += ((r.toLong, a, b, n))
+          val pat = lit(s" $a $b ")
+          val rep = lit(s" $a$b ")
+          prev.foreach(_.unpersist())
+          prev = Some(vocab)
+          vocab = vocab.select(
+            trim(org.apache.spark.sql.functions.replace(
+              org.apache.spark.sql.functions.replace(
+                concat(lit(" "), $"ws", lit(" ")), pat, rep),
+              pat, rep)).as("ws"), $"freq")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+    prev.foreach(_.unpersist())
+    vocab.unpersist()
+    merges.toSeq
+  }
+
   val qBpeTrain = GraftQuery(
     "q_bpe_train",
     (spark, dir) => {
       import spark.implicits._
-      var vocab = Tables.spread(Tables.documents(spark, dir))
-        .select(explode(Text.tokens($"text")).as("word"))
-        .groupBy($"word").agg(count(lit(1)).as("freq"))
-        .select(array_join(split($"word", ""), " ").as("ws"), $"freq")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var prev: Option[org.apache.spark.sql.DataFrame] = None
-      val merges =
-        scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-      var done = false
-      for (r <- 1 to BpeMerges if !done) {
-        val syms = vocab.select(split($"ws", " ").as("s"), $"freq")
-          .filter(size($"s") >= 2)
-        val top = syms
-          .select($"s", $"freq",
-            explode(sequence(lit(1), size($"s") - 1)).as("i"))
-          .select(element_at($"s", $"i").as("a"),
-            element_at($"s", $"i" + 1).as("b"), $"freq")
-          .groupBy($"a", $"b").agg(sum($"freq").as("n"))
-          .orderBy($"n".desc, $"a", $"b").limit(1)
-          .as[(String, String, Long)].collect().headOption
-        top match {
-          case None => done = true
-          case Some((a, b, n)) =>
-            merges += ((r.toLong, a, b, n))
-            val pat = lit(s" $a $b ")
-            val rep = lit(s" $a$b ")
-            prev.foreach(_.unpersist())
-            prev = Some(vocab)
-            vocab = vocab.select(
-              trim(org.apache.spark.sql.functions.replace(
-                org.apache.spark.sql.functions.replace(
-                  concat(lit(" "), $"ws", lit(" ")), pat, rep),
-                pat, rep)).as("ws"), $"freq")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        }
-      }
-      merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "n_occ")
+      bpeLearn(spark, dir)
+        .toDF("merge_rank", "left_sym", "right_sym", "n_occ")
         .orderBy($"merge_rank")
     },
     Some {
@@ -767,6 +781,105 @@ object TextAnalytics {
       SELECT * FROM (
       $rows)
       ORDER BY merge_rank"""
+    }
+  )
+
+  /** BPE ENCODING with the learned merge table — the apply side of
+    * [[qBpeTrain]], closing the tokenizer loop (train the merges, then
+    * measure what they buy on the corpus): every document's words are
+    * spelled as character symbols and the [[BpeMerges]] merges rewrite
+    * them IN RANK ORDER (the BPE inference rule), yielding per-language
+    * token-economy readouts — words, character count, post-merge BPE
+    * symbol count, symbols-per-word fertility, and the compression ratio
+    * vs raw characters. The multilingual-tokenizer fairness metric at
+    * the point where it is actually decided: a language whose fertility
+    * stays high after training is under-served by the learned merges.
+    *
+    * Scale shape: the trainer touches only the vocabulary (see
+    * [[bpeLearn]]); encoding is ONE corpus map pass — the K rank-ordered
+    * rewrites nest as K literal double-`replace` pairs inside a single
+    * projection (whole-stage codegen fuses them; nothing materializes
+    * between merges), then one (doc → lang) two-level aggregate. The
+    * oracle applies the SAME rank-ordered chain from its unrolled t1..tK
+    * CTEs. */
+  val qBpeEncode = GraftQuery(
+    "q_bpe_encode",
+    (spark, dir) => {
+      import spark.implicits._
+      val merges = bpeLearn(spark, dir)
+      val ws0 = concat(lit(" "), array_join(split($"word", ""), " "), lit(" "))
+      val encoded = merges.foldLeft(ws0) { case (c, (_, a, b, _)) =>
+        val pat = lit(s" $a $b ")
+        val rep = lit(s" $a$b ")
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(c, pat, rep), pat, rep)
+      }
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("word"))
+        .select($"doc_id", $"lang", length($"word").as("n_chars"),
+          size(split(trim(encoded), " ")).as("n_syms"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("words"), sum($"n_chars").as("chars"),
+          sum($"n_syms").as("syms"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"words").as("n_words"),
+          sum($"chars").as("n_chars"), sum($"syms").as("n_bpe_tokens"))
+        .select($"lang", $"n_docs", $"n_words", $"n_chars", $"n_bpe_tokens",
+          Det.qround($"n_bpe_tokens" / $"n_words").as("fertility"),
+          Det.qround($"n_bpe_tokens" / $"n_chars").as("tokens_per_char"))
+        .orderBy($"lang")
+    },
+    Some {
+      val rounds = (1 to BpeMerges).map { r =>
+        val prev = s"v${r - 1}"
+        s"""
+      p$r AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
+        FROM (
+          SELECT s, freq, unnest(range(1, len(s))) AS i
+          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      v$r AS (
+        SELECT trim(replace(replace(' ' || ws || ' ',
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
+        FROM $prev CROSS JOIN t$r)"""
+      }.mkString(",")
+      val enc = (1 to BpeMerges).foldLeft("' ' || ws0 || ' '") { (c, r) =>
+        s"""replace(replace($c,
+            ' ' || t$r.a || ' ' || t$r.b || ' ', ' ' || t$r.a || t$r.b || ' '),
+            ' ' || t$r.a || ' ' || t$r.b || ' ', ' ' || t$r.a || t$r.b || ' ')"""
+      }
+      val tJoins = (1 to BpeMerges).map(r => s"CROSS JOIN t$r").mkString(" ")
+      s"""
+      WITH v0 AS (
+        SELECT array_to_string(string_split(word, ''), ' ') AS ws,
+          count(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS word FROM documents)
+        GROUP BY 1),$rounds,
+      toks AS (
+        SELECT doc_id, lang,
+          unnest(string_split_regex(lower(text), '[[:space:]]+')) AS word
+        FROM documents),
+      enc AS (
+        SELECT doc_id, lang, length(word) AS n_chars,
+          len(string_split(trim($enc), ' ')) AS n_syms
+        FROM (SELECT doc_id, lang, word,
+                array_to_string(string_split(word, ''), ' ') AS ws0
+              FROM toks) $tJoins),
+      per_doc AS (
+        SELECT doc_id, lang, count(*) AS words, sum(n_chars) AS chars,
+          sum(n_syms) AS syms
+        FROM enc GROUP BY 1, 2)
+      SELECT lang, count(*)::BIGINT AS n_docs, sum(words)::BIGINT AS n_words,
+        sum(chars)::BIGINT AS n_chars, sum(syms)::BIGINT AS n_bpe_tokens,
+        ${Oracle.qround("sum(syms) / sum(words)")} AS fertility,
+        ${Oracle.qround("sum(syms) / sum(chars)")} AS tokens_per_char
+      FROM per_doc GROUP BY lang
+      ORDER BY lang"""
     }
   )
 
@@ -838,7 +951,7 @@ object TextAnalytics {
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
     qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qBpeTrain,
-    qReadability, qLangConfusion)
+    qBpeEncode, qReadability, qLangConfusion)
 
   /** Language-ID classifier evaluation — confusion counts and per-class
     * precision/recall/F1 plus macro-F1 over [[langPredictions]] (the
