@@ -1044,8 +1044,67 @@ object Governance {
       ORDER BY exact_a""")
   )
 
+  /** Privacy budget for [[qDpRelease]] — the release's ε, as exact
+    * literal text shared between both engines' formula trees. */
+  val DpEpsilon = "1.0"
+
+  /** Differentially-private count release (Dwork et al. 2006) — the
+    * publication side of the privacy ladder whose AUDIT side k-anonymity
+    * / t-closeness already cover: per-language document counts released
+    * with Laplace(1/ε) noise (sensitivity 1 — one document moves one
+    * count by one), plus the 95% noise bound ln(20)/ε a consumer reads
+    * as the release's error bar. True counts deliberately do NOT appear
+    * in the output — that is the point of the mechanism.
+    *
+    * Determinism discipline: the uniform driving the inverse-CDF is the
+    * salted-u32 hash of the released key mapped to (0,1) — the
+    * q_bootstrap_ci precedent (deterministic Poisson weights) applied to
+    * Laplace: noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|), a fixed double tree
+    * over the same u in both engines, so the release replays exactly.
+    * (A production deployment swaps the hash for a CSPRNG draw per
+    * release; the relational shape — one map-side transform per released
+    * cell — is unchanged.) u = (h+½)/2³² is strictly inside (0,1) and
+    * |u−½| < ½ exactly, so the log never sees 0.
+    *
+    * Scale shape: one corpus aggregate to the released-domain counts;
+    * the noise is a scalar expression on that ≤|langs|-row relation. */
+  val qDpRelease = GraftQuery(
+    "q_dp_release",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .groupBy($"lang").agg(count(lit(1)).as("n_true"))
+        .withColumn("u", expr(
+          "(CAST(" + graft.operators.PipelineOps.u32Expr("concat('dp:', lang)") +
+            " AS DOUBLE) + 0.5) / 4294967296.0"))
+        .select($"lang",
+          Det.qround(expr(s"""CAST(n_true AS DOUBLE) -
+              (1.0 / $DpEpsilon) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+              * ln(1.0 - 2.0 * abs(u - 0.5))""")).as("n_released"),
+          expr(s"CAST($DpEpsilon AS DOUBLE)").as("epsilon"),
+          Det.qround(expr(s"ln(20.0) / $DpEpsilon")).as("noise_bound_95"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT lang, count(*)::BIGINT AS n_true FROM documents GROUP BY 1),
+      u AS (
+        SELECT lang, n_true,
+          (CAST(${graft.operators.PipelineOps.u32Sql("'dp:' || lang")}
+            AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        FROM g)
+      SELECT lang,
+        ${Oracle.qround(s"""CAST(n_true AS DOUBLE) -
+          (1.0 / $DpEpsilon) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+          * ln(1.0 - 2.0 * abs(u - 0.5))""")} AS n_released,
+        CAST($DpEpsilon AS DOUBLE) AS epsilon,
+        ${Oracle.qround(s"ln(20.0) / $DpEpsilon")} AS noise_bound_95
+      FROM u
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
       qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias, qBenford,
-      qHllIntersect)
+      qHllIntersect, qDpRelease)
 }

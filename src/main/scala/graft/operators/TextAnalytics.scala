@@ -528,6 +528,72 @@ object TextAnalytics {
       ORDER BY doc_id""")
   )
 
+  /** Cohen's κ over the language-ID predictions — chance-corrected
+    * agreement (Cohen 1960), the companion number to [[qLangConfusion]]'s
+    * per-class F1: raw accuracy flatters a classifier on skewed label
+    * distributions (predicting the majority class scores high agreement
+    * by luck); κ subtracts the agreement the margins alone would produce.
+    * The same statistic measures inter-annotator agreement when the two
+    * columns are two labelers — the label-quality audit a supervised
+    * corpus runs before training on the labels.
+    *
+    * Exactness: everything is INTEGER until the final divisions —
+    * κ = (n·po_num − pe_num) / (n² − pe_num) with po_num = Σ diagonal
+    * and pe_num = Σ_class row_margin·col_margin, so po, pe and κ are
+    * each one [[graft.functions.Det.qround]]ed quotient of exact longs;
+    * the margins-degenerate case (pe = 1) reports null.
+    *
+    * Scale shape: the corpus collapses once to the ≤|langs|² confusion
+    * cells (inside [[langPredictions]]); margins, the margin product and
+    * the readout are all cell-table-sized. */
+  val qCohensKappa = GraftQuery(
+    "q_cohens_kappa",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = langPredictions(spark, dir)
+        .groupBy($"actual_lang", $"pred_lang").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = cells.agg(coalesce(sum($"c"), lit(0L)).as("n"),
+        coalesce(sum(when($"actual_lang" === $"pred_lang", $"c")
+          .otherwise(0L)), lit(0L)).as("po_num"))
+      val r = cells.groupBy($"actual_lang".as("l")).agg(sum($"c").as("ra"))
+      val cc = cells.groupBy($"pred_lang".as("l")).agg(sum($"c").as("ca"))
+      val pe = r.join(cc, Seq("l"))
+        .agg(coalesce(sum($"ra" * $"ca"), lit(0L)).as("pe_num"))
+      m.crossJoin(broadcast(pe))
+        .select($"n".as("n_docs"),
+          when($"n" > 0, Det.qround($"po_num" / $"n")).as("po"),
+          when($"n" > 0, Det.qround($"pe_num" / ($"n" * $"n"))).as("pe"),
+          when($"n" * $"n" =!= $"pe_num", Det.qround(
+            ($"n" * $"po_num" - $"pe_num") / ($"n" * $"n" - $"pe_num")))
+            .as("kappa"))
+        .orderBy($"n_docs")
+    },
+    Some(s"""
+      WITH $langPredCtes,
+      cells AS (
+        SELECT actual_lang AS a, pred_lang AS p, count(*)::BIGINT AS c
+        FROM preds GROUP BY 1, 2),
+      m AS (
+        SELECT coalesce(sum(c), 0)::BIGINT AS n,
+          coalesce(sum(CASE WHEN a = p THEN c ELSE 0 END), 0)::BIGINT
+            AS po_num
+        FROM cells),
+      r AS (SELECT a AS l, sum(c)::BIGINT AS ra FROM cells GROUP BY 1),
+      cc AS (SELECT p AS l, sum(c)::BIGINT AS ca FROM cells GROUP BY 1),
+      pe AS (
+        SELECT coalesce(sum(ra * ca), 0)::BIGINT AS pe_num
+        FROM r JOIN cc USING (l))
+      SELECT n AS n_docs,
+        CASE WHEN n > 0 THEN ${Oracle.qround("po_num / n")} END AS po,
+        CASE WHEN n > 0 THEN ${Oracle.qround("pe_num / (n * n)")} END AS pe,
+        CASE WHEN n * n <> pe_num THEN
+          ${Oracle.qround("(n * po_num - pe_num) / (n * n - pe_num)")}
+        END AS kappa
+      FROM m CROSS JOIN pe
+      ORDER BY n_docs""")
+  )
+
   /** Oracle CTE block exposing `preds(doc_id, pred_lang, actual_lang,
     * correct)` — shared by [[qLangId]] and [[qLangConfusion]]. */
   private def langPredCtes: String = """toks AS (
@@ -951,7 +1017,7 @@ object TextAnalytics {
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
     qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qBpeTrain,
-    qBpeEncode, qReadability, qLangConfusion)
+    qBpeEncode, qReadability, qLangConfusion, qCohensKappa)
 
   /** Language-ID classifier evaluation — confusion counts and per-class
     * precision/recall/F1 plus macro-F1 over [[langPredictions]] (the
