@@ -759,17 +759,34 @@ object TextAnalytics {
     * thing held driver-side), and the superseded vocab state unpersists
     * two rounds back — this is why BPE training is feasible at 100 TB:
     * iterations never touch the raw text again. */
-  /** The trainer loop — returns the learned merge table (rank, left,
-    * right, weighted count). Shared by [[qBpeTrain]] (which IS the table)
-    * and [[qBpeEncode]] (which applies it to the corpus). All per-round
-    * state is released before returning; the K merge rows are the only
-    * thing held driver-side (the q_kcenter_select license). */
-  private[graft] def bpeLearn(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, String, String, Long)] = {
-    import spark.implicits._
-    var vocab = Tables.spread(Tables.documents(spark, dir))
-      .select(explode(Text.tokens($"text")).as("word"))
+  /** Corpus word frequencies (word, freq) — the ONE corpus-priced
+    * relation of BPE training, and the ADDITIVE integer relation
+    * [[graft.streaming.StreamBpe]] maintains as a per-batch delta log. */
+  private[graft] def bpeWordFreqs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(Text.tokens($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
+  }
+
+  /** The trainer over the corpus at `dir` — returns the learned merge
+    * table (rank, left, right, weighted count). Shared by [[qBpeTrain]]
+    * (which IS the table) and [[qBpeEncode]] (which applies it). All
+    * per-round state is released before returning; the K merge rows are
+    * the only thing held driver-side (the q_kcenter_select license). */
+  private[graft] def bpeLearn(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] =
+    bpeLearnFrom(bpeWordFreqs(Tables.spread(Tables.documents(spark, dir))))
+
+  /** The trainer loop over an explicit (word, freq) relation — shared by
+    * the batch queries and the streaming maintainer's reader, so a
+    * stream-maintained frequency table learns the identical merge
+    * table. */
+  private[graft] def bpeLearnFrom(wordFreqs: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, String, String, Long)] = {
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    var vocab = wordFreqs
       .select(array_join(split($"word", ""), " ").as("ws"), $"freq")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prev: Option[org.apache.spark.sql.DataFrame] = None
