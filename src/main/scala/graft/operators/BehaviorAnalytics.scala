@@ -1390,9 +1390,139 @@ object BehaviorAnalytics {
       FROM hc CROSS JOIN hm ORDER BY n_transitions""")
   )
 
+  /** Benjamini–Hochberg FDR level for [[qBhFdr]] ("0.1" parses to the
+    * identical IEEE double in both engines). */
+  val FdrQ = 0.1
+
+  /** Benjamini–Hochberg FDR screen over the (event_type × hour-of-day)
+    * metric grid — the multiple-testing correction every experimentation
+    * platform applies when it reads MANY cell-level readouts at once
+    * (Benjamini & Hochberg 1995): each cell's mean `value` is z-tested
+    * against the corpus mean, two-sided p-values come from the normal
+    * tail, and BH rejects the top-k of the ascending p ranking where
+    * p_(i) ≤ i·q/m. On this synthetic corpus the nulls are mostly true
+    * by construction, so the honest readout is few/no rejections — the
+    * machinery (rank, step-up threshold, max-k cutoff) is what is
+    * verified, per the q_cuped honest-null discipline.
+    *
+    * The normal tail is the Abramowitz–Stegun 7.1.26 erfc approximation
+    * (|error| < 1.5e-7, far inside the 6-dp round): both engines evaluate
+    * the IDENTICAL Horner tree, so the approximation cannot drift
+    * cross-engine — the same determinism argument as the engine-wide
+    * `ln` usage (BM25, entropy). p, crit and the rejection decision are
+    * all [[Det.qround]]ed before comparison, so the BH cutoff is decided
+    * on bit-identical doubles.
+    *
+    * Scale shape: ONE partial+final corpus aggregate collapses events to
+    * the ≤|types|·24-cell grid (decimal raw moments, the q_ab_welch
+    * pattern); the global mean re-aggregates the CELL relation (no second
+    * corpus pass); the p ranking, m count and max-k cutoff are windows/
+    * aggregates over the bounded grid with 1-row broadcasts back. At
+    * 100 TB the only corpus-sized work is the first aggregate. */
+  val qBhFdr = GraftQuery(
+    "q_bh_fdr",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .withColumn("hour", expr("pmod(ts_us, 86400000000) div 3600000000"))
+        .groupBy($"event_type", $"hour")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum($"value").as("sx"),
+          Det.dsum($"value" * $"value").as("sxx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val glob = cells.agg(
+        sum($"n").as("gn"),
+        sum($"sx".cast(DecimalType(38, 9))).cast(DoubleType).as("gx"))
+      val tested = cells.crossJoin(broadcast(glob))
+        .select($"event_type", $"hour", $"n",
+          Det.qround($"sx" / $"n").as("mean"),
+          when($"n" > 1, Det.qround(
+            ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("variance"),
+          Det.qround($"gx" / $"gn").as("g_mean"))
+        .filter($"variance".isNotNull && $"variance" > 0)
+        .withColumn("z_stat",
+          Det.qround(($"mean" - $"g_mean") / sqrt($"variance" / $"n")))
+        .withColumn("x", abs($"z_stat") / sqrt(lit(2.0)))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * $"x"))
+        .withColumn("p_value", Det.qround(
+          $"t" * (lit(0.254829592) + $"t" * (lit(-0.284496736) + $"t" *
+            (lit(1.421413741) + $"t" * (lit(-1.453152027) +
+              $"t" * lit(1.061405429))))) * exp(-($"x" * $"x"))))
+        .select($"event_type", $"hour", $"n", $"mean", $"z_stat",
+          $"p_value")
+      // ascending-p ranking over the bounded cell grid (≤ |types|·24 rows
+      // by construction — never corpus-sized)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"p_value", $"event_type", $"hour")
+      val ranked = tested.withColumn("p_rank",
+        row_number().over(w).cast(LongType))
+      val m = ranked.agg(count(lit(1)).as("m"))
+      val withCrit = ranked.crossJoin(broadcast(m))
+        .withColumn("crit", Det.qround($"p_rank" * lit(FdrQ) / $"m"))
+      val kmax = withCrit
+        .agg(max(when($"p_value" <= $"crit", $"p_rank")).as("k"))
+      withCrit.crossJoin(broadcast(kmax))
+        .select($"event_type", $"hour", $"n", $"mean", $"z_stat",
+          $"p_value", $"p_rank", $"crit",
+          when($"p_rank" <= coalesce($"k", lit(0L)), 1L).otherwise(0L)
+            .as("rejected"))
+        .orderBy($"p_rank")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type,
+          (((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+            // 3600000000 AS hour,
+          count(*)::BIGINT AS n,
+          ${Oracle.dsum("value")} AS sx,
+          ${Oracle.dsum("value * value")} AS sxx
+        FROM events GROUP BY 1, 2),
+      gstats AS (
+        SELECT sum(n)::BIGINT AS gn,
+          sum(CAST(sx AS DECIMAL(38,9)))::DOUBLE AS gx
+        FROM cells),
+      tested AS (
+        SELECT event_type, hour, n,
+          ${Oracle.qround("sx / n")} AS mean,
+          CASE WHEN n > 1 THEN
+            ${Oracle.qround("(sxx - sx * sx / n) / (n - 1)")}
+          END AS variance,
+          ${Oracle.qround("gx / gn")} AS g_mean
+        FROM cells CROSS JOIN gstats),
+      zed AS (
+        SELECT event_type, hour, n, mean,
+          ${Oracle.qround("(mean - g_mean) / sqrt(variance / n)")} AS z_stat
+        FROM tested WHERE variance IS NOT NULL AND variance > 0),
+      pv AS (
+        SELECT event_type, hour, n, mean, z_stat,
+          ${Oracle.qround("""t * (0.254829592e0 + t * (-0.284496736e0 +
+              t * (1.421413741e0 + t * (-1.453152027e0 +
+              t * 1.061405429e0)))) * exp(-(x * x))""")} AS p_value
+        FROM (
+          SELECT event_type, hour, n, mean, z_stat,
+            abs(z_stat) / sqrt(2e0) AS x,
+            1e0 / (1e0 + 0.3275911e0 * (abs(z_stat) / sqrt(2e0))) AS t
+          FROM zed)),
+      rk AS (
+        SELECT *, row_number()
+          OVER (ORDER BY p_value, event_type, hour)::BIGINT AS p_rank
+        FROM pv),
+      mm AS (SELECT count(*)::BIGINT AS m FROM rk),
+      cr AS (
+        SELECT *, ${Oracle.qround(s"p_rank * ${FdrQ}e0 / m")} AS crit
+        FROM rk CROSS JOIN mm),
+      km AS (
+        SELECT max(CASE WHEN p_value <= crit THEN p_rank END) AS k FROM cr)
+      SELECT event_type, hour, n, mean, z_stat, p_value, p_rank, crit,
+        (CASE WHEN p_rank <= coalesce(k, 0) THEN 1 ELSE 0 END)::BIGINT
+          AS rejected
+      FROM cr CROSS JOIN km
+      ORDER BY p_rank""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
-      qAbPower, qCuped, qMarkovEntropy)
+      qAbPower, qCuped, qMarkovEntropy, qBhFdr)
 }

@@ -1103,8 +1103,86 @@ object Governance {
       ORDER BY lang""")
   )
 
+  /** Jensen–Shannon divergence of the event-type MIX between the two time
+    * halves — the symmetric, bounded (≤ ln 2) companion of [[qPsiDrift]]:
+    * PSI bins the continuous `value`; this compares the CATEGORICAL
+    * composition (did the traffic mix shift?), the drift readout a
+    * training-data pipeline reads per ingest window before trusting a new
+    * snapshot (Lin 1991). JSD needs no smoothing — the mixture
+    * m = (p+q)/2 is positive wherever either side has mass, and a
+    * zero-mass side simply contributes nothing (`when` guards in both
+    * engines keep 0·ln(0) out of the tree).
+    *
+    * Exactness: category counts are exact BIGINTs; p, q are single IEEE
+    * divisions; each term is qrounded and the total rides the decimal
+    * window sum (the psiOfCounts discipline). Scale shape: ONE
+    * partial+final corpus aggregate to the |types|-row count relation
+    * (the time-half split reuses q_psi_drift's div-2 midpoint, bounds
+    * broadcast); every window below runs on the bounded category
+    * domain. */
+  val qJsdDrift = GraftQuery(
+    "q_jsd_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).select($"ts_us", $"event_type")
+      val bounds = ev.agg(min($"ts_us").as("tmin"), max($"ts_us").as("tmax"))
+      val counts = ev.crossJoin(broadcast(bounds))
+        // same truncating-div midpoint as q_psi_drift (pre-epoch-safe)
+        .withColumn("is_old", $"ts_us" <= expr("(tmin + tmax) div 2"))
+        .groupBy($"event_type")
+        .agg(sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
+          sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"))
+      val w = Window.partitionBy()
+      val sided = counts
+        .withColumn("p", $"n_old".cast(DoubleType) /
+          sum($"n_old").over(w).cast(DoubleType))
+        .withColumn("q", $"n_new".cast(DoubleType) /
+          sum($"n_new").over(w).cast(DoubleType))
+        .withColumn("m", ($"p" + $"q") / lit(2.0))
+      sided
+        .withColumn("jsd_term", Det.qround(lit(0.5) *
+          (coalesce(when($"p" > 0, $"p" * log($"p" / $"m")), lit(0.0)) +
+            coalesce(when($"q" > 0, $"q" * log($"q" / $"m")), lit(0.0)))))
+        .withColumn("jsd_total",
+          round(sum($"jsd_term".cast(DecimalType(38, 9))).over(w), 6)
+            .cast(DoubleType))
+        .select($"event_type", $"n_old", $"n_new", $"jsd_term",
+          $"jsd_total")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events),
+      counts AS (
+        SELECT event_type,
+          sum(CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END)::BIGINT
+            AS n_old,
+          sum(CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END)::BIGINT
+            AS n_new
+        FROM events, b GROUP BY event_type),
+      p AS (
+        SELECT event_type, n_old, n_new,
+          n_old::DOUBLE / (sum(n_old) OVER ())::DOUBLE AS p,
+          n_new::DOUBLE / (sum(n_new) OVER ())::DOUBLE AS q
+        FROM counts),
+      terms AS (
+        SELECT event_type, n_old, n_new,
+          ${Oracle.qround("""0.5e0 *
+            (coalesce(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2e0)) END,
+               0e0) +
+             coalesce(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2e0)) END,
+               0e0))""")} AS jsd_term
+        FROM p)
+      SELECT event_type, n_old, n_new, jsd_term,
+        round(sum(CAST(jsd_term AS DECIMAL(38,9))) OVER (), 6)::DOUBLE
+          AS jsd_total
+      FROM terms
+      ORDER BY event_type""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qHllSketchMerge,
-      qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias, qBenford,
-      qHllIntersect, qDpRelease)
+    Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qJsdDrift,
+      qHllSketchMerge, qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias,
+      qBenford, qHllIntersect, qDpRelease)
 }

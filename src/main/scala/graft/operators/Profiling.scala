@@ -436,7 +436,97 @@ object Profiling {
       ORDER BY n""")
   )
 
+  /** Document budget allocated by [[qNeymanAlloc]]. */
+  val NeymanBudget = 10000L
+
+  /** Neyman (variance-optimal) stratified-sampling allocation over the
+    * language strata — the survey-sampling classic (Neyman 1934) that
+    * [[qMixtureWeights]]' temperature rule does NOT capture: temperature
+    * reweights by stratum MASS alone, Neyman allocates the budget
+    * n_h = n·N_h·S_h / Σ N_k·S_k so strata whose per-document token
+    * counts VARY more receive proportionally more of the sample (the
+    * estimator-variance-minimizing split for a stratified mean). The
+    * proportional fraction N_h/N is emitted beside it — the gap between
+    * the two columns is exactly the variance signal.
+    *
+    * Exactness: per-stratum token sums and squared sums are exact BIGINTs
+    * (the q_feature_corr integer-moment argument: ≈1e10 at sf0.1, far
+    * under 2⁵³ at 100×); the variance numerator n·sxx − sx² stays integer
+    * and converts to double once; S_h = √· is correctly-rounded in both
+    * engines; the Σ N_h·S_h normalizer rides the decimal-addend path.
+    * Scale shape: ONE corpus pass collapses documents to the |langs|-row
+    * moment relation; the normalizer is a 1-row broadcast back. */
+  val qNeymanAlloc = GraftQuery(
+    "q_neyman_alloc",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.spread(Tables.documents(spark, dir))
+        .select($"lang",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("sx"),
+          sum($"n_toks" * $"n_toks").as("sxx"))
+      val stats = per.select($"lang", $"n_docs",
+        Det.qround($"sx".cast(DoubleType) / $"n_docs").as("mean_toks"),
+        when($"n_docs" > 1, Det.qround(sqrt(
+          ($"n_docs" * $"sxx" - $"sx" * $"sx").cast(DoubleType) /
+            ($"n_docs" * ($"n_docs" - 1)).cast(DoubleType))))
+          .as("sd_toks"))
+      val tot = stats.agg(
+        sum($"n_docs").as("tot_docs"),
+        sum(($"n_docs" * $"sd_toks").cast(DecimalType(38, 9)))
+          .cast(DoubleType).as("tot_ns"))
+      // an all-zero-variance corpus (every stratum constant) has no Neyman
+      // signal, and a single-doc stratum has no variance estimate: both
+      // degrade to an explicit 0 allocation rather than a NaN/null hazard
+      val nw = when(coalesce($"tot_ns", lit(0.0)) > 0 &&
+          $"sd_toks".isNotNull,
+        Det.qround($"n_docs" * $"sd_toks" / $"tot_ns")).otherwise(lit(0.0))
+      stats.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs", $"mean_toks", $"sd_toks",
+          nw.as("neyman_frac"),
+          floor(nw * lit(NeymanBudget.toDouble)).cast(LongType)
+            .as("neyman_docs"),
+          Det.qround($"n_docs".cast(DoubleType) / $"tot_docs")
+            .as("prop_frac"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT lang,
+          len(string_split_regex(lower(text), '[[:space:]]+')) AS n_toks
+        FROM documents),
+      per AS (
+        SELECT lang, count(*)::BIGINT AS n_docs,
+          sum(n_toks)::BIGINT AS sx,
+          sum(n_toks * n_toks)::BIGINT AS sxx
+        FROM toks GROUP BY lang),
+      stats AS (
+        SELECT lang, n_docs,
+          ${Oracle.qround("sx::DOUBLE / n_docs")} AS mean_toks,
+          CASE WHEN n_docs > 1 THEN
+            ${Oracle.qround("""sqrt((n_docs * sxx - sx * sx)::DOUBLE /
+              (n_docs * (n_docs - 1))::DOUBLE)""")}
+          END AS sd_toks
+        FROM per),
+      tot AS (
+        SELECT sum(n_docs)::BIGINT AS tot_docs,
+          sum(CAST(n_docs * sd_toks AS DECIMAL(38,9)))::DOUBLE AS tot_ns
+        FROM stats)
+      SELECT lang, n_docs, mean_toks, sd_toks,
+        CASE WHEN coalesce(tot_ns, 0e0) > 0 AND sd_toks IS NOT NULL THEN
+          ${Oracle.qround("n_docs * sd_toks / tot_ns")}
+        ELSE 0e0 END AS neyman_frac,
+        floor((CASE WHEN coalesce(tot_ns, 0e0) > 0 AND sd_toks IS NOT NULL
+            THEN ${Oracle.qround("n_docs * sd_toks / tot_ns")}
+          ELSE 0e0 END) * ${NeymanBudget}e0)::BIGINT AS neyman_docs,
+        ${Oracle.qround("n_docs::DOUBLE / tot_docs")} AS prop_frac
+      FROM stats CROSS JOIN tot
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qProfileTable, qMixtureWeights, qFeatureCorr, qTableChecksum,
-      qCmsHeavy, qGiniSource)
+    Seq(qProfileTable, qMixtureWeights, qNeymanAlloc, qFeatureCorr,
+      qTableChecksum, qCmsHeavy, qGiniSource)
 }

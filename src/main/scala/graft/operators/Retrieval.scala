@@ -489,6 +489,125 @@ object Retrieval {
       ORDER BY ranker""")
   )
 
+  /** The [[qMapMrr]] composition with the term set as a parameter (the
+    * [[bm25Ranked]] convention). Binary relevance = rel ≥ 1 (any query
+    * term present); AP@K uses the min(R, K) normalizer (the MS-MARCO /
+    * trec_eval `map_cut` convention) so a ranker is not penalized for
+    * relevant docs it could not possibly fit in the cutoff. */
+  private[graft] def mapMrr(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    import spark.implicits._
+    // ONE tokenize pass feeds both rankers and the labels (the rankEval
+    // discipline); the persisted relation is posting-list-sized
+    val toks = matchedToks(spark, dir, terms).persist()
+    val stats = corpusDl(spark, dir).persist()
+    val rels = relsFrom(toks)
+    // every label row has rel ≥ 1 by construction, so R = |rels|
+    val rtot = rels.agg(count(lit(1)).as("r_total"))
+    def prAt(ranked: DataFrame, name: String): DataFrame = {
+      // cumulative-relevant window over the ≤EvalK-row limited ranking —
+      // bounded by construction, never a corpus-sized window
+      val w = Window.orderBy($"rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = ranked.filter($"rank" <= EvalK)
+        .join(rels, Seq("doc_id"), "left")
+        .select($"rank",
+          when($"rel".isNotNull, 1L).otherwise(0L).as("relv"))
+        .withColumn("cum", sum($"relv").over(w))
+      marked.agg(
+          coalesce(sum($"relv"), lit(0L)).as("n_rel"),
+          coalesce(Det.dsum(when($"relv" === 1L,
+            $"cum".cast(DoubleType) / $"rank")), lit(0.0)).as("sum_prec"),
+          min(when($"relv" === 1L, $"rank")).as("first_rel"))
+        .crossJoin(broadcast(rtot))
+        .select(lit(name).as("ranker"), $"n_rel", $"r_total",
+          when($"r_total" > 0, Det.qround($"sum_prec" /
+            least($"r_total", lit(EvalK.toLong)).cast(DoubleType)))
+            .otherwise(lit(0.0)).as("map_k"),
+          coalesce(Det.qround(lit(1.0) / $"first_rel"), lit(0.0)).as("mrr"),
+          Det.qround($"n_rel".cast(DoubleType) / lit(EvalK.toDouble))
+            .as("p_at_k"),
+          when($"r_total" > 0,
+            Det.qround($"n_rel".cast(DoubleType) / $"r_total"))
+            .otherwise(lit(0.0)).as("recall_at_k"))
+    }
+    prAt(bm25RankedFrom(toks, stats), "bm25")
+      .unionByName(prAt(qlRankedFrom(toks, stats, terms), "ql"))
+      .orderBy($"ranker")
+  }
+
+  /** MAP@[[EvalK]] / MRR / P@K / recall@K of the BM25 and
+    * query-likelihood rankers — the set-based companions of
+    * [[qRankEval]]'s graded nDCG (trec_eval's other headline columns;
+    * Manning, Raghavan & Schütze ch. 8). AP@K sums precision at each
+    * relevant rank over min(R, K); MRR is the reciprocal of the first
+    * relevant rank (0 when the cutoff holds no relevant doc).
+    *
+    * Exactness: cum/rank quotients are small-integer IEEE divisions,
+    * identical in both engines; the AP numerator rides [[Det.dsum]];
+    * every emitted ratio is [[Det.qround]]ed. Scale shape: identical to
+    * [[qRankEval]] — labels bounded by the query posting lists, metrics
+    * computed on ≤[[EvalK]]-row relations; the only corpus-sized work is
+    * the rankers' own scoring pass, shared through one persisted
+    * posting relation. */
+  val qMapMrr = GraftQuery(
+    "q_map_mrr",
+    (spark, dir) => mapMrr(spark, dir),
+    Some(s"""
+      WITH $bm25Ctes, $qlCtes,
+      rels AS (
+        SELECT doc_id, count(DISTINCT term) AS rel
+        FROM btoks WHERE term IN $queryTermsSqlList
+        GROUP BY doc_id),
+      rtot AS (SELECT count(*)::BIGINT AS r_total FROM rels),
+      bm_m AS (
+        SELECT b.rank,
+          CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS relv
+        FROM bm25_ranked b LEFT JOIN rels r USING (doc_id)
+        WHERE b.rank <= $EvalK),
+      bm_c AS (
+        SELECT rank, relv,
+          sum(relv) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM bm_m),
+      bm_a AS (
+        SELECT 'bm25' AS ranker, coalesce(sum(relv), 0)::BIGINT AS n_rel,
+          coalesce(${Oracle.dsum(
+            "CASE WHEN relv = 1 THEN cum::DOUBLE / rank END")}, 0e0)
+            AS sum_prec,
+          min(CASE WHEN relv = 1 THEN rank END) AS first_rel
+        FROM bm_c),
+      ql_m AS (
+        SELECT q.rank,
+          CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS relv
+        FROM ql_ranked q LEFT JOIN rels r USING (doc_id)
+        WHERE q.rank <= $EvalK),
+      ql_c AS (
+        SELECT rank, relv,
+          sum(relv) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM ql_m),
+      ql_a AS (
+        SELECT 'ql' AS ranker, coalesce(sum(relv), 0)::BIGINT AS n_rel,
+          coalesce(${Oracle.dsum(
+            "CASE WHEN relv = 1 THEN cum::DOUBLE / rank END")}, 0e0)
+            AS sum_prec,
+          min(CASE WHEN relv = 1 THEN rank END) AS first_rel
+        FROM ql_c)
+      SELECT ranker, n_rel, r_total,
+        CASE WHEN r_total > 0 THEN
+          ${Oracle.qround(s"sum_prec / least(r_total, $EvalK)::DOUBLE")}
+        ELSE 0e0 END AS map_k,
+        coalesce(${Oracle.qround("1e0 / first_rel")}, 0e0) AS mrr,
+        ${Oracle.qround(s"n_rel::DOUBLE / ${EvalK}e0")} AS p_at_k,
+        CASE WHEN r_total > 0 THEN
+          ${Oracle.qround("n_rel::DOUBLE / r_total")}
+        ELSE 0e0 END AS recall_at_k
+      FROM (SELECT * FROM bm_a UNION ALL SELECT * FROM ql_a) u
+      CROSS JOIN rtot
+      ORDER BY ranker""")
+  )
+
   /** RM3 feedback parameters: number of feedback documents, number of
     * expansion terms, and the original-query interpolation weight (an
     * exact binary fraction — Anserini's defaults). */
@@ -634,5 +753,6 @@ object Retrieval {
   )
 
   val all: Seq[GraftQuery] =
-    Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval, qPrfExpansion)
+    Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval, qMapMrr,
+      qPrfExpansion)
 }

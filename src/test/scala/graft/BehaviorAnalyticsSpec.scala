@@ -406,4 +406,63 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     // addends are 1.386294: 2·ln(4/2) = ln4
     assert(qr(hcs / 4) === 0.346574 && qr(hms / 4) === 1.039721)
   }
+
+  test("bh fdr at sf0.001: independent plain-Scala replica of the step-up") {
+    def decSum(xs: Seq[Double]): Double = {
+      val s = xs.map(BigDecimal.valueOf(_)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      (BigDecimal(math.floor((s * 1000000).toDouble + 0.5)) / 1000000).toDouble
+    }
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type",
+        org.apache.spark.sql.functions
+          .expr("pmod(ts_us, 86400000000) div 3600000000").as("hour"),
+        $"value")
+      .as[(String, Long, Double)].collect().toSeq
+    val cells = ev.groupBy(e => (e._1, e._2)).toSeq.map { case (k, rows) =>
+      val xs = rows.map(_._3)
+      (k, xs.size.toLong, decSum(xs), decSum(xs.map(x => x * x)))
+    }
+    val gn = cells.map(_._2).sum
+    // glob re-aggregates the CELL sums through decimal addends (no round)
+    val gx = cells.map(c => BigDecimal.valueOf(c._3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val gMean = qr(gx / gn)
+    val tested = cells.flatMap { case ((typ, hour), n, sx, sxx) =>
+      val mean = qr(sx / n)
+      if (n <= 1) None else {
+        val variance = qr((sxx - sx * sx / n) / (n - 1))
+        if (variance <= 0) None else {
+          val z = qr((mean - gMean) / math.sqrt(variance / n))
+          val x = math.abs(z) / math.sqrt(2.0)
+          val t = 1.0 / (1.0 + 0.3275911 * x)
+          val p = qr(t * (0.254829592 + t * (-0.284496736 + t *
+            (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) *
+            math.exp(-(x * x)))
+          Some((typ, hour, n, mean, z, p))
+        }
+      }
+    }
+    val ranked = tested.sortBy(r => (r._6, r._1, r._2)).zipWithIndex
+      .map { case (r, i) => (r, (i + 1).toLong) }
+    val m = ranked.size
+    val withCrit = ranked.map { case (r, i) => (r, i, qr(i * 0.1 / m)) }
+    val k = withCrit.collect { case (r, i, c) if r._6 <= c => i }
+      .foldLeft(0L)(math.max)
+    val expect = withCrit.map { case (r, i, c) =>
+      (r._1, r._2, r._3, r._4, r._5, r._6, i, c,
+        if (i <= k) 1L else 0L)
+    }
+    val got = BehaviorAnalytics.qBhFdr.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double, Double, Long, Double, Long)]
+      .collect().toSeq
+    assert(got === expect)
+    // structural BH invariants: dense 1..m ranking, ascending p, and the
+    // rejected set is exactly a prefix of that ranking
+    assert(got.map(_._7) === (1L to m.toLong))
+    assert(got.map(_._6).sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true })
+    assert(got.map(_._9).dropWhile(_ == 1L).forall(_ == 0L))
+  }
 }

@@ -272,4 +272,47 @@ class GovernanceSpec extends SparkSpec {
     assert(i > 0 && u >= math.max(a, b))
     assert(ok === 1L)
   }
+
+  test("jsd drift: hand-computed fixture mix shift") {
+    // fixture halves at mid = 15h: old = {click@0, click@12, view@6} vs
+    // new = {click@24, view@18, signup@30} → p = (2/3, 1/3, 0),
+    // q = (1/3, 1/3, 1/3) — the mix shifted, so JSD > 0; the view row
+    // carries p = q → a 0 term
+    val got = Governance.qJsdDrift.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) === Seq(
+      ("click", 2L, 1L), ("signup", 0L, 1L), ("view", 1L, 1L)))
+    val byType = got.map(r => r._1 -> r._4).toMap
+    assert(byType("view") === 0.0)
+    assert(byType("click") > 0.0 && byType("signup") > 0.0)
+    val total = got.map(_._5).distinct
+    assert(total.size === 1)
+    assert(total.head > 0.0 && total.head <= math.log(2.0) + 1e-9)
+  }
+
+  test("jsd drift at sf0.001: independent plain-Scala replica") {
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"ts_us", $"event_type").as[(Long, String)].collect().toSeq
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val types = ev.map(_._2).distinct.sorted
+    val counts = types.map { t =>
+      (t, ev.count(e => e._2 == t && e._1 <= mid).toLong,
+        ev.count(e => e._2 == t && e._1 > mid).toLong)
+    }
+    val no = counts.map(_._2).sum.toDouble
+    val nn = counts.map(_._3).sum.toDouble
+    val terms = counts.map { case (t, o, n) =>
+      val p = o / no; val q = n / nn; val m = (p + q) / 2.0
+      (t, o, n, qr(0.5 * ((if (p > 0) p * math.log(p / m) else 0.0) +
+        (if (q > 0) q * math.log(q / m) else 0.0))))
+    }
+    val total = terms.map(x => BigDecimal.valueOf(x._4)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = terms.map { case (t, o, n, term) => (t, o, n, term, total) }
+    val got = Governance.qJsdDrift.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got === expect)
+  }
 }

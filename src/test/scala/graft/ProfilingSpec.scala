@@ -78,6 +78,58 @@ class ProfilingSpec extends SparkSpec {
       exp("de", 2, 8, s8), exp("en", 2, 6, s6), exp("fr", 2, 60, s60)))
   }
 
+  test("q_neyman_alloc: zero-variance fixture degrades to a 0 allocation") {
+    // every fixture lang holds two EQUAL-length docs → S_h = 0 for all
+    // strata → the Neyman normalizer is 0 and the guarded ratio reads 0,
+    // not NaN; proportional fractions are the plain 2/6 shares
+    val got = Profiling.qNeymanAlloc.run(spark, fixtureDir)
+      .as[(String, Long, Double, Option[Double], Double, Long, Double)]
+      .collect().toSeq
+    assert(got.map(_._1) === Seq("de", "en", "fr"))
+    assert(got.map(_._3) === Seq(4.0, 3.0, 30.0)) // mean tokens per doc
+    got.foreach { r =>
+      assert(r._2 === 2L && r._4 === Some(0.0))
+      assert(r._5 === 0.0 && r._6 === 0L && r._7 === 0.333333)
+    }
+  }
+
+  test("q_neyman_alloc at sf0.001: plain-Scala replica of the allocation") {
+    def d9(x: Double): BigDecimal =
+      BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // per-doc token counts through the engine's own tokenizer (pinned
+    // elsewhere); the MOMENT/ALLOCATION math is replicated independently
+    val per = Tables.spread(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"lang",
+        element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+      .as[(String, Long)].collect().toSeq
+    val strata = per.groupBy(_._1).toSeq.map { case (lang, rows) =>
+      val n = rows.size.toLong
+      val sx = rows.map(_._2).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val mean = qround(sx.toDouble / n)
+      val sd = if (n > 1) Some(qround(math.sqrt(
+        (n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble))) else None
+      (lang, n, mean, sd)
+    }.sortBy(_._1)
+    val totDocs = strata.map(_._2).sum
+    val totNs = strata.flatMap(s => s._4.map(sd => d9(s._2 * sd)))
+      .sum.toDouble
+    val expect = strata.map { case (lang, n, mean, sd) =>
+      val f = sd.filter(_ => totNs > 0)
+        .map(s => qround(n * s / totNs)).getOrElse(0.0)
+      (lang, n, mean, sd, f,
+        math.floor(f * Profiling.NeymanBudget.toDouble).toLong,
+        qround(n.toDouble / totDocs))
+    }
+    val got = Profiling.qNeymanAlloc.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Option[Double], Double, Long, Double)]
+      .collect().toSeq
+    assert(got === expect)
+    // the allocation exhausts the budget to within per-stratum rounding
+    val fracSum = got.map(_._5).sum
+    assert(math.abs(fracSum - 1.0) < 1e-5 * got.size)
+  }
+
   test("q_feature_corr: zero-variance groups are null, varying group is exact") {
     // every fixture lang has a zero-variance side (en/fr: equal token
     // counts; de: exact duplicates) -> build a corpus where one lang varies

@@ -101,6 +101,46 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("map/mrr: all four relevant docs at the top of both rankers") {
+    // rels with (fast, slow, big): d0..d3 (R = 4), and both rankers
+    // retrieve exactly those four at ranks 1..4 → every prefix precision
+    // is 1 → AP = 1, MRR = 1/1, P@10 = 4/10, recall = 4/4
+    val rows = Retrieval.mapMrr(spark, fixtureDir, FixtureTerms)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.map(_._1) === Seq("bm25", "ql"))
+    rows.foreach { case (_, nRel, rTot, mapK, mrr, pAtK, rec) =>
+      assert(nRel === 4L && rTot === 4L)
+      assert(mapK === 1.0 && mrr === 1.0)
+      assert(pAtK === 0.4 && rec === 1.0)
+    }
+  }
+
+  test("map/mrr: no matching term -> zero-filled metrics, not a crash") {
+    val rows = Retrieval.mapMrr(spark, fixtureDir, Seq("absent"))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.map(_._1) === Seq("bm25", "ql"))
+    rows.foreach { case (_, nRel, rTot, mapK, mrr, pAtK, rec) =>
+      assert(nRel === 0L && rTot === 0L)
+      assert(mapK === 0.0 && mrr === 0.0 && pAtK === 0.0 && rec === 0.0)
+    }
+  }
+
+  test("map/mrr at sf0.001: metric sanity against rank_eval's labels") {
+    // every metric sits in [0, 1], counts are consistent, and P@K is the
+    // exact n_rel/K quotient (6-dp replica)
+    val rows = Retrieval.mapMrr(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.map(_._1) === Seq("bm25", "ql"))
+    rows.foreach { case (_, nRel, rTot, mapK, mrr, pAtK, rec) =>
+      assert(nRel >= 0L && nRel <= Retrieval.EvalK && rTot >= nRel)
+      Seq(mapK, mrr, pAtK, rec).foreach(v => assert(v >= 0.0 && v <= 1.0))
+      assert(pAtK === math.floor(nRel.toDouble / Retrieval.EvalK * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("prf expansion: feedback terms surface docs the query never matched") {
     // query {fast}: base ranking = docs 0,1 only. Feedback mines their
     // co-occurring vocabulary (slow, the, big), so the expanded pass must
