@@ -1394,42 +1394,40 @@ object BehaviorAnalytics {
     * identical IEEE double in both engines). */
   val FdrQ = 0.1
 
-  /** Benjamini–Hochberg FDR screen over the (event_type × hour-of-day)
-    * metric grid — the multiple-testing correction every experimentation
-    * platform applies when it reads MANY cell-level readouts at once
-    * (Benjamini & Hochberg 1995): each cell's mean `value` is z-tested
-    * against the corpus mean, two-sided p-values come from the normal
-    * tail, and BH rejects the top-k of the ascending p ranking where
-    * p_(i) ≤ i·q/m. On this synthetic corpus the nulls are mostly true
-    * by construction, so the honest readout is few/no rejections — the
-    * machinery (rank, step-up threshold, max-k cutoff) is what is
-    * verified, per the q_cuped honest-null discipline.
-    *
-    * The normal tail is the Abramowitz–Stegun 7.1.26 erfc approximation
-    * (|error| < 1.5e-7, far inside the 6-dp round): both engines evaluate
-    * the IDENTICAL Horner tree, so the approximation cannot drift
-    * cross-engine — the same determinism argument as the engine-wide
-    * `ln` usage (BM25, entropy). p, crit and the rejection decision are
-    * all [[Det.qround]]ed before comparison, so the BH cutoff is decided
-    * on bit-identical doubles.
-    *
-    * Scale shape: ONE partial+final corpus aggregate collapses events to
-    * the ≤|types|·24-cell grid (decimal raw moments, the q_ab_welch
-    * pattern); the global mean re-aggregates the CELL relation (no second
-    * corpus pass); the p ranking, m count and max-k cutoff are windows/
-    * aggregates over the bounded grid with 1-row broadcasts back. At
-    * 100 TB the only corpus-sized work is the first aggregate. */
-  val qBhFdr = GraftQuery(
-    "q_bh_fdr",
-    (spark, dir) => {
-      import spark.implicits._
-      val cells = Tables.events(spark, dir)
-        .withColumn("hour", expr("pmod(ts_us, 86400000000) div 3600000000"))
-        .groupBy($"event_type", $"hour")
-        .agg(count(lit(1)).as("n"),
-          Det.dsum($"value").as("sx"),
-          Det.dsum($"value" * $"value").as("sxx"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** UNROUNDED per-(event_type, hour-of-day) decimal moments (n, Σx, Σx²)
+    * — ADDITIVE, so graft.streaming.StreamFdr maintains this relation per
+    * micro-batch (the [[armMomentsDec]] discipline); the fold rounds once
+    * through [[fdrFinish]] and feeds [[bhReport]]. */
+  private[graft] def fdrCellMomentsDec(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.withColumn("hour", expr("pmod(ts_us, 86400000000) div 3600000000"))
+      .groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(38, 9))).as("sx_d"),
+        sum(($"value" * $"value").cast(DecimalType(38, 9))).as("sxx_d"))
+  }
+
+  /** Round each decimal cell moment once (the Det.dsum output shape). */
+  private[graft] def fdrFinish(dec: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dec.sparkSession
+    import spark.implicits._
+    dec.select($"event_type", $"hour", $"n",
+      round($"sx_d", 6).cast(DoubleType).as("sx"),
+      round($"sxx_d", 6).cast(DoubleType).as("sxx"))
+  }
+
+  /** The BH step-up readout over a finished (event_type, hour, n, sx,
+    * sxx) cell relation — shared by [[qBhFdr]] and the streaming
+    * maintainer so the two surfaces cannot drift. */
+  private[graft] def bhReport(cells0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cells0.sparkSession
+    import spark.implicits._
+    val cells = cells0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val glob = cells.agg(
         sum($"n").as("gn"),
         sum($"sx".cast(DecimalType(38, 9))).cast(DoubleType).as("gx"))
@@ -1467,7 +1465,37 @@ object BehaviorAnalytics {
           when($"p_rank" <= coalesce($"k", lit(0L)), 1L).otherwise(0L)
             .as("rejected"))
         .orderBy($"p_rank")
-    },
+  }
+
+  /** Benjamini–Hochberg FDR screen over the (event_type × hour-of-day)
+    * metric grid — the multiple-testing correction every experimentation
+    * platform applies when it reads MANY cell-level readouts at once
+    * (Benjamini & Hochberg 1995): each cell's mean `value` is z-tested
+    * against the corpus mean, two-sided p-values come from the normal
+    * tail, and BH rejects the top-k of the ascending p ranking where
+    * p_(i) ≤ i·q/m. On this synthetic corpus the nulls are mostly true
+    * by construction, so the honest readout is few/no rejections — the
+    * machinery (rank, step-up threshold, max-k cutoff) is what is
+    * verified, per the q_cuped honest-null discipline.
+    *
+    * The normal tail is the Abramowitz–Stegun 7.1.26 erfc approximation
+    * (|error| < 1.5e-7, far inside the 6-dp round): both engines evaluate
+    * the IDENTICAL Horner tree, so the approximation cannot drift
+    * cross-engine — the same determinism argument as the engine-wide
+    * `ln` usage (BM25, entropy). p, crit and the rejection decision are
+    * all [[Det.qround]]ed before comparison, so the BH cutoff is decided
+    * on bit-identical doubles.
+    *
+    * Scale shape: ONE partial+final corpus aggregate collapses events to
+    * the ≤|types|·24-cell grid (decimal raw moments, the q_ab_welch
+    * pattern); the global mean re-aggregates the CELL relation (no second
+    * corpus pass); the p ranking, m count and max-k cutoff are windows/
+    * aggregates over the bounded grid with 1-row broadcasts back. At
+    * 100 TB the only corpus-sized work is the first aggregate. */
+  val qBhFdr = GraftQuery(
+    "q_bh_fdr",
+    (spark, dir) =>
+      bhReport(fdrFinish(fdrCellMomentsDec(Tables.events(spark, dir)))),
     Some(s"""
       WITH cells AS (
         SELECT event_type,
