@@ -432,8 +432,104 @@ object CorpusQuality {
       LIMIT $MemorizationTopK""")
   )
 
+  /** The 8 high-frequency English function words of the Gopher "stop word"
+    * rule (Rae et al. 2021 §A1.1): a document must contain at least 2 of
+    * them to pass — a cheap fluency prior that kills word-salad pages. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rules document quality filter (Rae et al. 2021, Appendix A1.1
+    * — the MassiveWeb heuristics every LLM data pipeline since has
+    * re-implemented): per document, the five structural rules
+    *
+    *   1. word count in [50, 100,000];
+    *   2. mean word length in [3, 10] characters;
+    *   3. ≥ 80% of words contain at least one alphabetic character;
+    *   4. symbol-to-word ratio (# or ellipsis) below 0.1;
+    *   5. at least 2 of the 8 [[GopherStops]] function words present;
+    *
+    * each emitted as its own flag plus the conjunction, so a pipeline can
+    * report WHICH rule rejected a document (the standard ablation
+    * readout). On this synthetic corpus the word-count floor is the
+    * discriminating rule (~55% pass at sf0.01) and the symbol rule is
+    * trivially satisfied — the honest readout; the machinery (all five
+    * predicates) is what is verified.
+    *
+    * Determinism: every threshold comparison is INTEGER cross-multiplied
+    * (3n ≤ chars ≤ 10n, 5·alpha ≥ 4n, 10·sym < n) so no float boundary
+    * can flip a flag cross-engine; the two emitted ratios are display-only
+    * [[Det.qround]]ed doubles. Scale shape: pure per-row projection — one
+    * map pass, no shuffle except the output sort. */
+  val qGopherRules = GraftQuery(
+    "q_gopher_rules",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = graft.functions.Text.tokens($"text")
+      val nW = size(toks).cast(LongType)
+      // house single-space convention: chars-in-words = len − (n−1)
+      val chars = (length($"text") - nW + lit(1)).cast(LongType)
+      val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+      val nSym = size(filter(toks, t => t.rlike("#|\\.\\.\\."))).cast(LongType)
+      val stopHits = size(array_intersect(array_distinct(toks),
+        lit(GopherStops.toArray))).cast(LongType)
+      Tables.documents(spark, dir)
+        .select($"doc_id", nW.as("n_words"), chars.as("chars"),
+          nAlpha.as("n_alpha"), nSym.as("n_sym"),
+          stopHits.as("stop_hits"))
+        .select($"doc_id", $"n_words",
+          Det.qround($"chars".cast(DoubleType) / $"n_words")
+            .as("mean_word_len"),
+          Det.qround($"n_alpha".cast(DoubleType) / $"n_words")
+            .as("frac_alpha"),
+          $"stop_hits",
+          ($"n_words" >= 50 && $"n_words" <= 100000).as("r_wordcount"),
+          ($"chars" >= $"n_words" * 3 && $"chars" <= $"n_words" * 10)
+            .as("r_wordlen"),
+          ($"n_alpha" * 5 >= $"n_words" * 4).as("r_alpha"),
+          ($"n_sym" * 10 < $"n_words").as("r_symbol"),
+          ($"stop_hits" >= 2).as("r_stops"))
+        .withColumn("passed",
+          $"r_wordcount" && $"r_wordlen" && $"r_alpha" && $"r_symbol" &&
+            $"r_stops")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id,
+          string_split_regex(lower(text), '[[:space:]]+') AS words,
+          length(text) AS n_chars
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          len(words)::BIGINT AS n_words,
+          (n_chars - len(words) + 1)::BIGINT AS chars,
+          len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT
+            AS n_alpha,
+          len(list_filter(words, x -> regexp_matches(x, '#|\\.\\.\\.')))::BIGINT
+            AS n_sym,
+          len(list_filter(${GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")},
+            s -> list_contains(words, s)))::BIGINT AS stop_hits
+        FROM w)
+      SELECT doc_id, n_words,
+        ${Oracle.qround("chars * 1.0 / n_words")} AS mean_word_len,
+        ${Oracle.qround("n_alpha * 1.0 / n_words")} AS frac_alpha,
+        stop_hits,
+        (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+        (chars BETWEEN n_words * 3 AND n_words * 10) AS r_wordlen,
+        (n_alpha * 5 >= n_words * 4) AS r_alpha,
+        (n_sym * 10 < n_words) AS r_symbol,
+        (stop_hits >= 2) AS r_stops,
+        ((n_words BETWEEN 50 AND 100000)
+          AND (chars BETWEEN n_words * 3 AND n_words * 10)
+          AND (n_alpha * 5 >= n_words * 4)
+          AND (n_sym * 10 < n_words)
+          AND (stop_hits >= 2)) AS passed
+      FROM t
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
       qLengthHistogram, qSourceOverlap, qBoilerplateRate,
-      qMemorizationNgrams)
+      qMemorizationNgrams, qGopherRules)
 }

@@ -31,6 +31,26 @@ class CorpusQualitySpec extends SparkSpec {
     assert(out(4L) === ((4L, 30L, 30L, 1L, 0.0, Some(0.034483), Some(0.0), Some(false))))
   }
 
+  test("q_gopher_rules hand-computed flags") {
+    val out = CorpusQuality.qGopherRules.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Double, Long, Boolean, Boolean, Boolean,
+        Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 0 "fast fast slow": 3 words, 12 word-chars → mean 4.0; all
+    // alphabetic; no symbols; zero Gopher stop words. Only the word-count
+    // floor and stop-word rules reject.
+    assert(out(0L) === ((0L, 3L, 4.0, 1.0, 0L,
+      false, true, true, true, false, false)))
+    // doc 1 "fast the big": 10 word-chars → mean 3.333333; "the" is the
+    // one stop-word hit (< 2 required).
+    assert(out(1L) === ((1L, 3L, 3.333333, 1.0, 1L,
+      false, true, true, true, false, false)))
+    // doc 4 w1..w30: 81 word-chars over 30 words → mean 2.7 BELOW the
+    // 3-char floor — the word-length rule rejects too.
+    assert(out(4L) === ((4L, 30L, 2.7, 1.0, 0L,
+      false, false, true, true, false, false)))
+  }
+
   test("PII pattern redacts emails, digit runs and entity tokens") {
     val (n, cleaned) = spark.sql(
       """SELECT cast(size(regexp_extract_all(
