@@ -526,7 +526,85 @@ object Profiling {
       ORDER BY lang""")
   )
 
+  /** Temperature-scaled domain sampling weights (the multilingual/domain
+    * upsampling classic: mBERT's exponential smoothing, XLM/mT5's
+    * temperature mixing — w_α ∝ mass^α renormalized, α < 1 flattening the
+    * head and upweighting the tail). [[qMixtureWeights]] prescribes the
+    * single α=0.5 mixture over lang; THIS query is the readout a pipeline
+    * owner reads to PICK the temperature: per source, the weight at
+    * α ∈ {1, 0.5, 0.25} side by side, the tail upsampling factor
+    * w_.25/w_1, and the per-α sampled-token allocation under the shared
+    * [[MixtureBudget]].
+    *
+    * Determinism: α=0.5 and α=0.25 are one and two IEEE `sqrt`s —
+    * CORRECTLY-ROUNDED ops in both engines (unlike libm `pow`, which this
+    * query deliberately avoids), so every weight is bit-identical
+    * cross-engine before the 6-dp round; addends ride DECIMAL(38,12) (the
+    * qMixtureWeights discipline). Scale shape: ONE corpus pass to the
+    * |sources|-row mass relation; everything downstream is arithmetic on
+    * that bounded aggregate with a 1-row broadcast of the three
+    * normalizers. */
+  val qTemperatureMix = GraftQuery(
+    "q_temperature_mix",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.spread(Tables.documents(spark, dir))
+        .select($"source",
+          element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      val m = $"n_tokens".cast(DoubleType)
+      val tot = per.agg(
+        sum($"n_tokens").as("tot1"),
+        sum(sqrt(m).cast(DecimalType(38, 12))).cast(DoubleType).as("tot50"),
+        sum(sqrt(sqrt(m)).cast(DecimalType(38, 12))).cast(DoubleType)
+          .as("tot25"))
+      val w1 = m / $"tot1".cast(DoubleType)
+      val w50 = sqrt(m) / $"tot50"
+      val w25 = sqrt(sqrt(m)) / $"tot25"
+      per.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          Det.qround(w1).as("w_a100"),
+          Det.qround(w50).as("w_a50"),
+          Det.qround(w25).as("w_a25"),
+          Det.qround(w25 / w1).as("upsample_a25"),
+          floor(Det.qround(w50) * lit(MixtureBudget.toDouble))
+            .cast(LongType).as("tokens_a50"),
+          floor(Det.qround(w25) * lit(MixtureBudget.toDouble))
+            .cast(LongType).as("tokens_a25"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source,
+          len(string_split_regex(lower(text), '[[:space:]]+')) AS n_toks
+        FROM documents),
+      per AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(n_toks)::BIGINT AS n_tokens
+        FROM toks GROUP BY source),
+      tot AS (
+        SELECT sum(n_tokens)::BIGINT AS tot1,
+          sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(38,12)))::DOUBLE AS tot50,
+          sum(CAST(sqrt(sqrt(n_tokens::DOUBLE)) AS DECIMAL(38,12)))::DOUBLE
+            AS tot25
+        FROM per)
+      SELECT source, n_docs, n_tokens,
+        ${Oracle.qround("n_tokens::DOUBLE / tot1::DOUBLE")} AS w_a100,
+        ${Oracle.qround("sqrt(n_tokens::DOUBLE) / tot50")} AS w_a50,
+        ${Oracle.qround("sqrt(sqrt(n_tokens::DOUBLE)) / tot25")} AS w_a25,
+        ${Oracle.qround(
+          "(sqrt(sqrt(n_tokens::DOUBLE)) / tot25) / (n_tokens::DOUBLE / tot1::DOUBLE)")}
+          AS upsample_a25,
+        floor((${Oracle.qround("sqrt(n_tokens::DOUBLE) / tot50")})
+          * ${MixtureBudget}e0)::BIGINT AS tokens_a50,
+        floor((${Oracle.qround("sqrt(sqrt(n_tokens::DOUBLE)) / tot25")})
+          * ${MixtureBudget}e0)::BIGINT AS tokens_a25
+      FROM per CROSS JOIN tot
+      ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qProfileTable, qMixtureWeights, qNeymanAlloc, qFeatureCorr,
-      qTableChecksum, qCmsHeavy, qGiniSource)
+      qTableChecksum, qCmsHeavy, qGiniSource, qTemperatureMix)
 }

@@ -78,6 +78,32 @@ class ProfilingSpec extends SparkSpec {
       exp("de", 2, 8, s8), exp("en", 2, 6, s6), exp("fr", 2, 60, s60)))
   }
 
+  test("q_temperature_mix: multi-alpha weights, plain-Scala replica") {
+    // fixture tokens by source: srcA 3+4=7, srcB 3+30=33, srcC 4+30=34
+    val masses = Seq(("srcA", 2L, 7L), ("srcB", 2L, 33L), ("srcC", 2L, 34L))
+    def d12(x: Double): BigDecimal = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val tot1 = masses.map(_._3).sum.toDouble
+    val tot50 = masses.map(m => d12(math.sqrt(m._3.toDouble))).sum.toDouble
+    val tot25 = masses.map(m => d12(math.sqrt(math.sqrt(m._3.toDouble))))
+      .sum.toDouble
+    val got = Profiling.qTemperatureMix.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    val expRows = masses.map { case (src, nd, m) =>
+      val w1 = m / tot1
+      val w50 = math.sqrt(m.toDouble) / tot50
+      val w25 = math.sqrt(math.sqrt(m.toDouble)) / tot25
+      (src, nd, m, qround(w1), qround(w50), qround(w25), qround(w25 / w1),
+        math.floor(qround(w50) * Profiling.MixtureBudget.toDouble).toLong,
+        math.floor(qround(w25) * Profiling.MixtureBudget.toDouble).toLong)
+    }
+    assert(got === expRows)
+    // the flattening direction: the smallest source gains under alpha<1
+    val bySrc = got.map(r => r._1 -> r).toMap
+    assert(bySrc("srcA")._7 > 1.0 && bySrc("srcC")._7 < 1.0)
+  }
+
   test("q_neyman_alloc: zero-variance fixture degrades to a 0 allocation") {
     // every fixture lang holds two EQUAL-length docs → S_h = 0 for all
     // strata → the Neyman normalizer is 0 and the guarded ratio reads 0,
