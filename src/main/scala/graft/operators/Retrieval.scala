@@ -752,7 +752,77 @@ object Retrieval {
       ORDER BY er.rank""")
   )
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the BM25
+    * and QL top-[[FuseDepth]] rankings — the standard top-weighted
+    * list-similarity measure a retrieval stack reads when deciding whether
+    * two rankers disagree enough to be worth fusing (it is the
+    * ranker-agreement companion to [[qRrfFusion]], which assumes the
+    * answer is yes). Truncated form: RBO@K = Σ_{d≤K} (1−p)·p^{d−1}·A_d/d
+    * with A_d = |prefix_d(BM25) ∩ prefix_d(QL)|; a shared doc with ranks
+    * (r_b, r_q) enters every prefix depth d ≥ max(r_b, r_q), so the whole
+    * per-depth overlap profile comes from ONE inner join of the two
+    * ≤K-row lists.
+    *
+    * Persistence p = 0.5, so every weight (1−p)p^{d−1} = 2^{−d} is an
+    * EXACT power of two (integer shift + division — no libm `pow`, the
+    * q_temperature_mix determinism discipline); agreement A_d/d is an
+    * exact int/int IEEE quotient. The cumulative RBO rides 12-dp-prerounded
+    * decimal addends (the engine-wide float-sum discipline). Scale shape:
+    * the only corpus-priced work is inside the two rankers; everything
+    * here is arithmetic over ≤K·K joined rows. */
+  val qRboOverlap = GraftQuery(
+    "q_rbo_overlap",
+    (spark, dir) => {
+      import spark.implicits._
+      val shared = bm25Ranked(spark, dir).select($"doc_id", $"rank".as("rb"))
+        .join(qlRanked(spark, dir).select($"doc_id", $"rank".as("rq")),
+          Seq("doc_id"))
+        .select(greatest($"rb", $"rq").as("m"))
+      val depths = spark.range(1, FuseDepth + 1).toDF("depth")
+      val weight = lit(1.0) /
+        expr("shiftleft(1L, cast(depth AS INT))").cast(DoubleType)
+      val perDepth = depths.join(broadcast(shared), $"m" <= $"depth", "left")
+        .groupBy($"depth").agg(count($"m").as("a_d"))
+        .select($"depth", $"a_d",
+          Det.qround($"a_d".cast(DoubleType) / $"depth").as("agreement"),
+          weight.as("weight"),
+          (($"a_d".cast(DoubleType) / $"depth") * weight).as("contrib0"))
+      perDepth
+        .withColumn("rbo_cum",
+          Det.qround(sum($"contrib0".cast(DecimalType(38, 12)))
+            .over(Window.orderBy($"depth")).cast(DoubleType)))
+        .select($"depth", $"a_d", $"agreement",
+          Det.qround($"weight").as("weight"), $"rbo_cum")
+        .orderBy($"depth")
+    },
+    Some(s"""
+      WITH $bm25Ctes,
+      $qlCtes,
+      shared AS (
+        SELECT greatest(b.rank, q.rank) AS m
+        FROM bm25_ranked b JOIN ql_ranked q USING (doc_id)),
+      per_depth AS (
+        SELECT d.depth, count(s.m)::BIGINT AS a_d
+        FROM (SELECT unnest(range(1, ${FuseDepth + 1}))::BIGINT AS depth) d
+        LEFT JOIN shared s ON s.m <= d.depth
+        GROUP BY d.depth),
+      scored AS (
+        SELECT depth, a_d,
+          ${Oracle.qround("a_d::DOUBLE / depth")} AS agreement,
+          1e0 / (1::BIGINT << depth)::DOUBLE AS weight,
+          (a_d::DOUBLE / depth) * (1e0 / (1::BIGINT << depth)::DOUBLE)
+            AS contrib0
+        FROM per_depth)
+      SELECT depth, a_d, agreement,
+        ${Oracle.qround("weight")} AS weight,
+        ${Oracle.qround(
+          """sum(CAST(contrib0 AS DECIMAL(38,12)))
+               OVER (ORDER BY depth)::DOUBLE""")} AS rbo_cum
+      FROM scored
+      ORDER BY depth""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval, qMapMrr,
-      qPrfExpansion)
+      qPrfExpansion, qRboOverlap)
 }

@@ -162,4 +162,39 @@ class RetrievalSpec extends SparkSpec {
   test("prf expansion degrades to empty when no pinned term occurs") {
     assert(Retrieval.qPrfExpansion.run(spark, fixtureDir).count() === 0L)
   }
+
+  test("rbo: fixture has no query matches -> all-zero overlap profile") {
+    val rows = Retrieval.qRboOverlap.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.size === Retrieval.FuseDepth)
+    assert(rows.forall(r => r._2 === 0L && r._3 === 0.0 && r._5 === 0.0))
+    // weights are the exact powers of two (p = 0.5)
+    assert(rows.map(_._4) === (1 to Retrieval.FuseDepth)
+      .map(d => math.floor(1e6 / math.pow(2, d) + 0.5) / 1e6))
+  }
+
+  test("rbo at sf0.001: plain-Scala replica from the two rankings") {
+    val dir = "/root/testdata/sf0.001"
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val rb = ranks(Retrieval.bm25Ranked(spark, dir))
+    val rq = ranks(Retrieval.qlRanked(spark, dir))
+    val m = rb.keySet.intersect(rq.keySet).toSeq
+      .map(d => math.max(rb(d), rq(d)))
+    def d12(x: Double): BigDecimal = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var cum = BigDecimal(0)
+    val expRows = (1 to Retrieval.FuseDepth).map { d =>
+      val ad = m.count(_ <= d).toLong
+      cum += d12((ad.toDouble / d) * (1.0 / (1L << d)))
+      (d.toLong, ad, math.floor(ad.toDouble / d * 1e6 + 0.5) / 1e6,
+        math.floor(1e6 / (1L << d) + 0.5) / 1e6,
+        math.floor(cum.toDouble * 1e6 + 0.5) / 1e6)
+    }
+    val got = Retrieval.qRboOverlap.run(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === expRows)
+    // the two rankers DO share top docs at this SF — non-degenerate
+    assert(got.last._2 > 0L && got.last._5 > 0.0)
+  }
 }
