@@ -394,5 +394,103 @@ object Clustering {
     }
   )
 
-  val all: Seq[GraftQuery] = Seq(qKmeans, qKcenterSelect, qGmmEm)
+  /** Per-cluster simplified silhouette over the q_kmeans model — the
+    * standard cluster-quality readout (Rousseeuw 1987; the "simplified"
+    * centroid form is the one that scales, used by every large-k library
+    * since it needs no pairwise member distances): for each vector,
+    * a = distance to its OWN centroid, b = distance to the NEAREST OTHER
+    * centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; the per-cluster mean tells a
+    * curator which semantic-dedup buckets are tight and which are noise.
+    *
+    * Because a is the minimum of the K centroid distances and b the
+    * second-smallest, BOTH come from the two smallest entries of the same
+    * per-vector distance list — one broadcast-model map pass and one
+    * groupBy whose per-vector state is a K-bounded sorted array (map-side
+    * combinable), never a pairwise join; the readout is K rows. Exactness:
+    * distances ride the decimal-accumulating `dist2_f32_f64` like q_kmeans;
+    * `sqrt` is correctly rounded IEEE; s is 6-dp-prerounded before the
+    * decimal mean (the q_anova_f discipline); degenerate a = b = 0 (vector
+    * equal to two centroids) defines s = 0. */
+  val qSilhouette = GraftQuery(
+    "q_silhouette",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", $"embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents0 = emb.filter($"vec_id" < K)
+        .select($"vec_id".as("cid"),
+          transform($"embedding", v => v.cast(DoubleType)).as("ce"))
+      val cents1 = updateCentroids(assignTo(emb, cents0))
+      val top2 = emb.crossJoin(broadcast(cents1))
+        .select($"vec_id", $"cid",
+          call_function("dist2_f32_f64", $"embedding", $"ce").as("d2"))
+        .groupBy($"vec_id")
+        .agg(slice(array_sort(collect_list(struct($"d2", $"cid"))), 1, 2)
+          .as("t2"))
+        .select($"vec_id",
+          $"t2".getItem(0).getField("cid").as("cluster"),
+          sqrt($"t2".getItem(0).getField("d2")).as("a"),
+          sqrt($"t2".getItem(1).getField("d2")).as("b"))
+      val sil = top2.select($"cluster",
+        Det.qround(when(greatest($"a", $"b") > 0,
+          ($"b" - $"a") / greatest($"a", $"b")).otherwise(0.0)).as("s"))
+      sil.groupBy($"cluster")
+        .agg(count(lit(1)).as("n"),
+          Det.qround(sum($"s".cast(DecimalType(38, 9))).cast(DoubleType) /
+            count(lit(1))).as("mean_sil"),
+          min($"s").as("min_sil"), max($"s").as("max_sil"))
+        .orderBy($"cluster")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < $K),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM ex e JOIN c0 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cid),
+      a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a.cell AS cid, e.pos,
+          sum(CAST(e.v AS DECIMAL(38,12)))::DOUBLE / count(*) AS c
+        FROM a1 a JOIN ex e ON a.vec_id = e.vec_id
+        GROUP BY a.cell, e.pos),
+      d2r AS (
+        SELECT e.vec_id, c.cid,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM ex e JOIN c1 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cid),
+      t2 AS (
+        SELECT vec_id, cid, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2r),
+      ab AS (
+        SELECT x.vec_id, x.cid AS cluster, sqrt(x.d2) AS a, sqrt(y.d2) AS b
+        FROM t2 x JOIN t2 y ON x.vec_id = y.vec_id
+        WHERE x.rn = 1 AND y.rn = 2),
+      s AS (
+        SELECT cluster,
+          ${Oracle.qround(
+            "CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0e0 END")}
+            AS s
+        FROM ab)
+      SELECT cluster, count(*)::BIGINT AS n,
+        ${Oracle.qround("sum(CAST(s AS DECIMAL(38,9)))::DOUBLE / count(*)")}
+          AS mean_sil,
+        min(s) AS min_sil, max(s) AS max_sil
+      FROM s GROUP BY cluster
+      ORDER BY cluster""")
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qKmeans, qKcenterSelect, qGmmEm, qSilhouette)
 }

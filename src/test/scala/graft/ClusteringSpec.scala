@@ -46,4 +46,29 @@ class ClusteringSpec extends SparkSpec {
     assert(c1._4 > 0 && c2._4 > 0)
     assert(c1._5 === c2._5 && c1._5 < 0)
   }
+
+  test("silhouette: hand-traced clusters on the fixture embeddings") {
+    // All 4 fixture vectors seed as centroids (vec_id < K). Round-1 ties
+    // send v0,v1 to c0 (lower cid), so c1 LOSES all members and vanishes
+    // from the updated model — the empty-centroid path. Updated centroids:
+    // c0=(1,0,..) (mean of two identical members), c2=v2, c3=v3. Every
+    // vector then sits exactly ON its centroid (a=0, s=1).
+    val got = Clustering.qSilhouette.run(spark, fixtureDir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 1.0, 1.0, 1.0),
+      (2L, 1L, 1.0, 1.0, 1.0),
+      (3L, 1L, 1.0, 1.0, 1.0)))
+  }
+
+  test("silhouette at sf0.001: bounded range, clusters partition the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Clustering.qSilhouette.run(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._4 >= -1.0 && r._5 <= 1.0 && r._4 <= r._3 &&
+      r._3 <= r._5))
+    val nVec = Tables.embeddings(spark, dir).count()
+    assert(got.map(_._2).sum === nVec)
+  }
 }
