@@ -1548,9 +1548,156 @@ object BehaviorAnalytics {
       ORDER BY p_rank""")
   )
 
+  /** UNROUNDED per-(stratum = event_type, arm = user_id % 2) decimal
+    * moments (n, Σx, Σx²) — ADDITIVE (the [[armMomentsDec]] discipline),
+    * so a streaming maintainer can fold per-batch deltas; the fold rounds
+    * once through [[strataFinish]] and feeds [[strataAteReport]]. */
+  private[graft] def strataCellMomentsDec(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.groupBy($"event_type".as("stratum"), ($"user_id" % 2).as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(38, 9))).as("sx_d"),
+        sum(($"value" * $"value").cast(DecimalType(38, 9))).as("sxx_d"))
+  }
+
+  /** Round each decimal cell moment once (the Det.dsum output shape). */
+  private[graft] def strataFinish(dec: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dec.sparkSession
+    import spark.implicits._
+    dec.select($"stratum", $"t", $"n",
+      round($"sx_d", 6).cast(DoubleType).as("sx"),
+      round($"sxx_d", 6).cast(DoubleType).as("sxx"))
+  }
+
+  /** The post-stratification readout over a finished (stratum, t, n, sx,
+    * sxx) cell relation — shared by [[qStrataAte]] and the streaming
+    * maintainer so the two surfaces cannot drift. */
+  private[graft] def strataAteReport(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    // both-arm strata only (the estimator's common-support requirement)
+    val wide = cells.groupBy($"stratum")
+      .agg(sum(when($"t" === 1, $"n")).as("n1"),
+        sum(when($"t" === 1, $"sx")).as("sx1"),
+        sum(when($"t" === 1, $"sxx")).as("sxx1"),
+        sum(when($"t" === 0, $"n")).as("n0"),
+        sum(when($"t" === 0, $"sx")).as("sx0"),
+        sum(when($"t" === 0, $"sxx")).as("sxx0"))
+      .filter($"n1" > 0 && $"n0" > 0)
+    val tot = wide.agg(sum($"n1" + $"n0").as("nn"),
+      sum($"n1").as("nt"), sum($"n0").as("nc"),
+      round(sum($"sx1".cast(DecimalType(38, 9))), 6).cast(DoubleType)
+        .as("sxt"),
+      round(sum($"sx0".cast(DecimalType(38, 9))), 6).cast(DoubleType)
+        .as("sxc"))
+    def variance(sxx: org.apache.spark.sql.Column,
+        sx: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(n > 1, (sxx - sx * sx / n) / (n - 1))
+    val per = wide.crossJoin(broadcast(tot))
+      .select($"stratum", $"n1", $"n0", $"nn", $"nt", $"nc", $"sxt", $"sxc",
+        Det.qround($"sx1" / $"n1" - $"sx0" / $"n0").as("d_s"),
+        (($"n1" + $"n0").cast(DoubleType) / $"nn").as("w_s"),
+        (variance($"sxx1", $"sx1", $"n1") / $"n1" +
+          variance($"sxx0", $"sx0", $"n0") / $"n0").as("v_s"))
+      .select($"stratum", $"nn", $"nt", $"nc", $"sxt", $"sxc",
+        Det.qround($"d_s" * $"w_s").as("wd"),
+        Det.qround($"v_s" * $"w_s" * $"w_s").as("wv"))
+    def d6(c: org.apache.spark.sql.Column) =
+      round(sum(c.cast(DecimalType(38, 9))), 6).cast(DoubleType)
+    per.groupBy($"nn", $"nt", $"nc", $"sxt", $"sxc")
+      .agg(count(lit(1)).as("n_strata"), d6($"wd").as("ate"),
+        d6($"wv").as("var_sum"))
+      .select($"n_strata", $"nn".as("n"), $"nt".as("n_treat"),
+        $"nc".as("n_ctrl"),
+        Det.qround($"sxt" / $"nt" - $"sxc" / $"nc").as("diff_raw"),
+        $"ate".as("ate_strat"),
+        when($"var_sum" > 0, Det.qround(sqrt($"var_sum"))).as("se_strat"),
+        when($"var_sum" > 0,
+          Det.qround($"ate" / sqrt($"var_sum"))).as("z_stat"))
+  }
+
+  /** Post-stratification ATE — the exact-matching causal estimator every
+    * experimentation/observational readout starts from (Imbens & Rubin
+    * 2015 ch. 17; "stratify, difference within, reweight by stratum
+    * mass"): treatment T = user_id % 2 (independent of value by
+    * construction — the honest-null readout, per the q_cuped discipline),
+    * outcome = event value, strata = event_type. Emits the UNADJUSTED
+    * treated−control difference beside the stratified estimate Σ w_s·Δ_s,
+    * its SE √(Σ w_s²·(s²₁/n₁ + s²₀/n₀)) and z — the side-by-side a
+    * reviewer reads to see what stratification absorbed. Strata missing
+    * either arm are dropped (common support), and the raw diff is
+    * computed over the SAME supported population so the two estimates
+    * answer the same question.
+    *
+    * Exactness: one corpus aggregate to the ≤|types|·2-cell moment grid
+    * (decimal, rounded once through [[strataFinish]]); every cross-stratum
+    * reduction 6-dp-prerounds its addends then decimal-sums (the q_anova_f
+    * discipline). Scale shape: at 100 TB the only corpus-priced work is
+    * the first aggregate; the estimator itself is arithmetic over a
+    * bounded grid with a 1-row broadcast of the totals. */
+  val qStrataAte = GraftQuery(
+    "q_strata_ate",
+    (spark, dir) =>
+      strataAteReport(strataFinish(strataCellMomentsDec(
+        Tables.events(spark, dir)))),
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type AS stratum, user_id % 2 AS t,
+          count(*)::BIGINT AS n,
+          round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE AS sx,
+          round(sum(CAST(value * value AS DECIMAL(38,9))), 6)::DOUBLE AS sxx
+        FROM events GROUP BY 1, 2),
+      wide AS (
+        SELECT stratum,
+          sum(CASE WHEN t = 1 THEN n END)::BIGINT AS n1,
+          sum(CASE WHEN t = 1 THEN sx END) AS sx1,
+          sum(CASE WHEN t = 1 THEN sxx END) AS sxx1,
+          sum(CASE WHEN t = 0 THEN n END)::BIGINT AS n0,
+          sum(CASE WHEN t = 0 THEN sx END) AS sx0,
+          sum(CASE WHEN t = 0 THEN sxx END) AS sxx0
+        FROM cells GROUP BY stratum
+        HAVING n1 > 0 AND n0 > 0),
+      tot AS (
+        SELECT sum(n1 + n0)::BIGINT AS nn, sum(n1)::BIGINT AS nt,
+          sum(n0)::BIGINT AS nc,
+          round(sum(CAST(sx1 AS DECIMAL(38,9))), 6)::DOUBLE AS sxt,
+          round(sum(CAST(sx0 AS DECIMAL(38,9))), 6)::DOUBLE AS sxc
+        FROM wide),
+      per AS (
+        SELECT nn, nt, nc, sxt, sxc,
+          ${Oracle.qround("sx1 / n1 - sx0 / n0")} AS d_s_,
+          (n1 + n0)::DOUBLE / nn AS w_s,
+          (CASE WHEN n1 > 1 THEN (sxx1 - sx1 * sx1 / n1) / (n1 - 1) END) / n1
+            + (CASE WHEN n0 > 1 THEN (sxx0 - sx0 * sx0 / n0) / (n0 - 1) END)
+              / n0 AS v_s
+        FROM wide CROSS JOIN tot),
+      per2 AS (
+        SELECT nn, nt, nc, sxt, sxc,
+          ${Oracle.qround("d_s_ * w_s")} AS wd,
+          ${Oracle.qround("v_s * w_s * w_s")} AS wv
+        FROM per),
+      agg AS (
+        SELECT nn, nt, nc, sxt, sxc, count(*)::BIGINT AS n_strata,
+          round(sum(CAST(wd AS DECIMAL(38,9))), 6)::DOUBLE AS ate,
+          round(sum(CAST(wv AS DECIMAL(38,9))), 6)::DOUBLE AS var_sum
+        FROM per2 GROUP BY nn, nt, nc, sxt, sxc)
+      SELECT n_strata, nn AS n, nt AS n_treat, nc AS n_ctrl,
+        ${Oracle.qround("sxt / nt - sxc / nc")} AS diff_raw,
+        ate AS ate_strat,
+        CASE WHEN var_sum > 0
+          THEN ${Oracle.qround("sqrt(var_sum)")} END AS se_strat,
+        CASE WHEN var_sum > 0
+          THEN ${Oracle.qround("ate / sqrt(var_sum)")} END AS z_stat
+      FROM agg""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
-      qAbPower, qCuped, qMarkovEntropy, qBhFdr)
+      qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte)
 }

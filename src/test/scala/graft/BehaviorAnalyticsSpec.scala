@@ -465,4 +465,51 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       case Seq(a, b) => a <= b; case _ => true })
     assert(got.map(_._9).dropWhile(_ == 1L).forall(_ == 0L))
   }
+
+  test("q_strata_ate: fixture strata are all one-armed -> empty output") {
+    // fixture users alternate with event_type, so every stratum has only
+    // one arm and the common-support filter drops them all
+    assert(BehaviorAnalytics.qStrataAte.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_strata_ate at sf0.001: plain-Scala replica, honest null") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"user_id" % 2, $"value")
+      .as[(String, Long, Double)].collect().toSeq
+    def d9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(s: BigDecimal) =
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    case class M(n: Long, sx: Double, sxx: Double)
+    val cells = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> M(es.size.toLong, r6(es.map(e => d9(e._3)).sum),
+        r6(es.map(e => d9(e._3 * e._3)).sum))
+    }
+    val strata = cells.keys.map(_._1).toSeq.distinct
+      .filter(s => cells.contains((s, 1L)) && cells.contains((s, 0L)))
+    val (nt, nc) = (strata.map(s => cells((s, 1L)).n).sum,
+      strata.map(s => cells((s, 0L)).n).sum)
+    val nn = nt + nc
+    val sxt = r6(strata.map(s => d9(cells((s, 1L)).sx)).sum)
+    val sxc = r6(strata.map(s => d9(cells((s, 0L)).sx)).sum)
+    def v(m: M) = (m.sxx - m.sx * m.sx / m.n) / (m.n - 1)
+    val wds = strata.map { s =>
+      val (m1, m0) = (cells((s, 1L)), cells((s, 0L)))
+      val w = (m1.n + m0.n).toDouble / nn
+      (qr(qr(m1.sx / m1.n - m0.sx / m0.n) * w),
+        qr((v(m1) / m1.n + v(m0) / m0.n) * w * w))
+    }
+    val ate = r6(wds.map(x => d9(x._1)).sum)
+    val varSum = r6(wds.map(x => d9(x._2)).sum)
+    val exp = (strata.size.toLong, nn, nt, nc, qr(sxt / nt - sxc / nc),
+      ate, qr(math.sqrt(varSum)), qr(ate / math.sqrt(varSum)))
+    val got = BehaviorAnalytics.qStrataAte.run(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .head()
+    assert(got === exp)
+    // honest null: user_id%2 is independent of value by construction
+    assert(math.abs(got._8) < 3.0)
+  }
 }
