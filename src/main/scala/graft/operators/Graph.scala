@@ -171,5 +171,107 @@ object Graph {
       FROM st CROSS JOIN tri CROSS JOIN ne""")
   )
 
-  val all: Seq[GraftQuery] = Seq(qPagerank, qTriangleCount)
+  /** Keywords reported by [[qTextrankKeywords]]. */
+  val TextrankTopK = 20
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph — nodes are non-stopword
+    * terms, an undirected edge weighted by how often two terms appear
+    * ADJACENT (window 2) in the filtered token stream. The graph-based
+    * keyword extractor that needs no training data, complementing
+    * q_top_keywords' frequency-based TF-IDF pick: TextRank surfaces terms
+    * CENTRAL to the corpus' co-occurrence structure, not merely frequent.
+    *
+    * Determinism: the [[qPagerank]] integer fixed-point discipline —
+    * ranks in [[Scale]] micro-units, every operation an integer div/mul.
+    * The weighted message is `(pr div wdeg) * w` rather than
+    * `(pr * w) div wdeg`: since w ≤ wdeg, every intermediate stays ≤ pr ≤
+    * ~[[Scale]], so the arithmetic cannot overflow Long at ANY corpus
+    * size (pr·w would pass 2⁶³ once edge weights reach ~10⁶ at 100 TB).
+    *
+    * Scale shape: pair generation is one map pass (zip of the filtered
+    * token array with its own tail — no posexplode self-join); the edge
+    * relation aggregates to the model-sized term-pair domain before any
+    * iteration; each of the [[Iterations]] rounds is one edges⋈state join
+    * keyed on the term — vocabulary-sized state, never corpus-sized. */
+  val qTextrankKeywords = GraftQuery(
+    "q_textrank_keywords",
+    (spark, dir) => {
+      import spark.implicits._
+      val t = filter(graft.functions.Text.tokens($"text"),
+        w => !w.isin(graft.functions.Text.stopwords: _*))
+      val len1 = greatest(size(t) - 1, lit(0))
+      val pairs = zip_with(slice(t, lit(1), len1), slice(t, lit(2), len1),
+        (x, y) => struct(x.as("wa"), y.as("wb")))
+      val und = graft.Tables.spread(graft.Tables.documents(spark, dir))
+        .select(explode(pairs).as("p"))
+        .select($"p.wa", $"p.wb")
+        .filter($"wa" =!= $"wb") // no self-loops, the TextRank convention
+        .groupBy(least($"wa", $"wb").as("u"), greatest($"wa", $"wb").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val edges = und.select($"u".as("src"), $"v".as("dst"), $"w")
+        .union(und.select($"v".as("src"), $"u".as("dst"), $"w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy($"src".as("id")).agg(sum($"w").as("wdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.agg(count(lit(1)).as("n"))
+      var state = deg.crossJoin(broadcast(n))
+        .select($"id", $"wdeg", $"n", expr(s"$Scale div n").as("pr"))
+      for (_ <- 1 to Iterations) {
+        val msgs = edges
+          .join(state.select($"id".as("src"),
+            expr("pr div wdeg").as("share")),
+            Seq("src"))
+          .groupBy($"dst".as("id")).agg(sum(expr("share * w")).as("m"))
+        state = state.drop("pr").join(msgs, Seq("id"), "left")
+          .select($"id", $"wdeg", $"n",
+            expr(s"(($Scale div n) * 15) div 100 + " +
+              "(coalesce(m, 0L) * 85) div 100").as("pr"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      state.select($"id".as("term"), $"wdeg", $"pr")
+        .orderBy($"pr".desc, $"term").limit(TextrankTopK)
+    },
+    Some {
+      val rounds = (1 to Iterations).map { i =>
+        val prev = if (i == 1) "p0" else s"p${i - 1}"
+        s"""
+      m$i AS (
+        SELECT e.dst AS id, sum((p.pr // p.wdeg) * e.w) AS m
+        FROM edges e JOIN $prev p ON e.src = p.id GROUP BY e.dst),
+      p$i AS (
+        SELECT d.id, d.wdeg,
+          (($Scale // n.n) * 15) // 100 + (coalesce(m.m, 0) * 85) // 100 AS pr
+        FROM deg d CROSS JOIN nn n LEFT JOIN m$i m ON d.id = m.id)"""
+      }.mkString(",")
+      s"""
+      WITH fl AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(text), '[[:space:]]+'),
+          w -> w NOT IN ${graft.functions.Text.stopwordsSqlList}) AS t
+        FROM documents),
+      pr AS (
+        SELECT t[i + 1] AS wa, t[i + 2] AS wb
+        FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM fl)),
+      und AS (
+        SELECT least(wa, wb) AS u, greatest(wa, wb) AS v, count(*) AS w
+        FROM pr WHERE wa <> wb
+        GROUP BY 1, 2),
+      edges AS (
+        SELECT u AS src, v AS dst, w FROM und
+        UNION ALL
+        SELECT v, u, w FROM und),
+      deg AS (SELECT src AS id, sum(w) AS wdeg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      p0 AS (
+        SELECT id, wdeg, ($Scale // n) AS pr FROM deg CROSS JOIN nn),
+      $rounds
+      SELECT id AS term, wdeg::BIGINT AS wdeg, pr::BIGINT AS pr
+      FROM p$Iterations
+      ORDER BY pr DESC, term LIMIT $TextrankTopK"""
+    }
+  )
+
+  val all: Seq[GraftQuery] =
+    Seq(qPagerank, qTriangleCount, qTextrankKeywords)
 }

@@ -84,4 +84,32 @@ class GraphSpec extends SparkSpec {
     assert(r2 === Seq((6L, 6L, 2L, 6L, Some(1.0))))
   }
 
+  test("textrank: hand-traced integer PageRank on a 3-term word graph") {
+    // filtered streams: d0 [fast,fast,slow] (self-loop dropped), d1
+    // [fast,big] ("the" removed BEFORE pairing, so fast-big touch),
+    // d2=d3 [slow,slow,slow,big] -> big-slow w=2. Edges: (big,fast) 1,
+    // (big,slow) 2, (fast,slow) 1; wdeg big=3, fast=2, slow=3. Three
+    // integer fixed-point rounds traced by hand (Scale=1e12, d=0.85).
+    val dir = java.nio.file.Files.createTempDirectory("graft-trank").toString
+    Seq(
+      (0L, "fast fast slow"), (1L, "fast the big"),
+      (2L, "slow slow slow big"), (3L, "slow slow slow big"))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Graph.qTextrankKeywords.run(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("big", 3L, 370966820982L),
+      ("slow", 3L, 370966820982L),
+      ("fast", 2L, 258066358020L)))
+  }
+
+  test("textrank at sf0.001: exactly top-K central terms, none a stopword") {
+    val got = Graph.qTextrankKeywords.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.size === Graph.TextrankTopK)
+    assert(got.map(_._1).distinct.size === got.size)
+    assert(got.forall(r => !graft.functions.Text.stopwords.contains(r._1)))
+  }
 }
