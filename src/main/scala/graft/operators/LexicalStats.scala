@@ -1483,9 +1483,81 @@ object LexicalStats {
       GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Hill-plot evaluation points for [[qHillTail]]. */
+  val HillKs: Seq[Int] = Seq(10, 25, 50)
+
+  /** Hill tail-index estimator over the token frequency distribution
+    * (Hill 1975) — the direct order-statistics estimate of the power-law
+    * exponent that [[qZipfFit]] gets by log-log regression: for the k
+    * largest frequencies X₍₁₎ ≥ … ≥ X₍ₖ₊₁₎,
+    * α̂_k = k / Σ_{i≤k} (ln X₍ᵢ₎ − ln X₍ₖ₊₁₎). Emitted at the three
+    * [[HillKs]] depths side by side — the "Hill plot" readout whose
+    * stability across k tells a corpus owner whether the head really is
+    * power-law (stable α̂) or just heavy (drifting α̂); read together with
+    * q_zipf_fit's slope it is the standard two-estimator cross-check.
+    *
+    * Scale shape: ONE (term → cf) aggregate, then a TakeOrdered of the
+    * max(k)+1 = ${51} head rows — the Hill statistic only ever touches a
+    * BOUNDED prefix of the frequency ranking, so there is no corpus-wide
+    * window here at all (cheaper than the Zipf regression, which scans
+    * the whole vocabulary). ln addends ride DECIMAL(38,12) (the q_zipf_fit
+    * discipline); a k with fewer than k+1 distinct terms produces no row
+    * (inner join), and an all-tied head (denominator 0) degrades to a
+    * null α̂ rather than an error. */
+  val qHillTail = GraftQuery(
+    "q_hill_tail",
+    (spark, dir) => {
+      import spark.implicits._
+      val maxK = HillKs.max
+      val cf = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cf"))
+      val top = cf.orderBy($"cf".desc, $"term").limit(maxK + 1)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"cf".desc, $"term")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ks = HillKs.map(_.toLong).toDF("k")
+      val thr = top.join(broadcast(ks), $"rnk" === $"k" + 1)
+        .select($"k", $"cf".as("xk1"),
+          log($"cf".cast(DoubleType)).as("lnxk"))
+      val sums = top.join(broadcast(ks), $"rnk" <= $"k")
+        .groupBy($"k")
+        .agg(sum(log($"cf".cast(DoubleType)).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("slncf"))
+      thr.join(sums, Seq("k"))
+        .select($"k", $"xk1",
+          when($"slncf" - $"k" * $"lnxk" > 0,
+            Det.qround($"k" / ($"slncf" - $"k" * $"lnxk")))
+            .as("alpha_hill"))
+        .orderBy($"k")
+    },
+    Some(s"""
+      WITH cf AS (
+        SELECT term, count(*) AS cf
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS term FROM documents)
+        GROUP BY term),
+      top AS (
+        SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+        FROM cf ORDER BY cf DESC, term LIMIT ${HillKs.max + 1}),
+      ks AS (SELECT unnest([${HillKs.mkString(", ")}])::BIGINT AS k),
+      thr AS (
+        SELECT k, cf AS xk1, ln(cf::DOUBLE) AS lnxk
+        FROM top JOIN ks ON rnk = k + 1),
+      s AS (
+        SELECT k,
+          sum(CAST(ln(cf::DOUBLE) AS DECIMAL(38,12)))::DOUBLE AS slncf
+        FROM top JOIN ks ON rnk <= k GROUP BY k)
+      SELECT k, xk1,
+        CASE WHEN slncf - k * lnxk > 0
+          THEN ${Oracle.qround("k / (slncf - k * lnxk)")} END AS alpha_hill
+      FROM thr JOIN s USING (k)
+      ORDER BY k""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
-      qKneserNey, qKnDocSurprisal, qCcnetBuckets)
+      qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail)
 }

@@ -435,4 +435,29 @@ class LexicalStatsSpec extends SparkSpec {
       (23L, 1L, 0L, Some(0.693147)),
       (45L, 1L, 1L, None)))
   }
+
+  test("q_hill_tail: fixture replica; k beyond the vocabulary drops") {
+    // fixture cfs: slow 7; big 3, fast 3; w1..w29 2 each; the/w30/zz 1.
+    // 34 distinct terms, so k=50 has no (k+1)-th order statistic.
+    def d12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def alpha(cfs: Seq[Long], k: Int): Double = {
+      val slncf = cfs.take(k).map(c => d12(math.log(c.toDouble))).sum.toDouble
+      qr(k / (slncf - k * math.log(cfs(k).toDouble)))
+    }
+    val cfs = Seq(7L, 3L, 3L) ++ Seq.fill(29)(2L) ++ Seq(1L, 1L, 1L)
+    val got = LexicalStats.qHillTail.run(spark, fixtureDir)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (10L, 2L, Some(alpha(cfs, 10))),
+      (25L, 2L, Some(alpha(cfs, 25)))))
+  }
+
+  test("q_hill_tail at sf0.001: positive tail index; k=50 drops (31-term vocab)") {
+    val got = LexicalStats.qHillTail.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) === Seq(10L, 25L))
+    assert(got.forall(_._3.exists(_ > 0.0)))
+  }
 }
