@@ -572,6 +572,86 @@ object BehaviorAnalytics {
       ORDER BY n1""")
   )
 
+  /** 1-Wasserstein distance (earth-mover's, Vaserstein 1969; the "EMD
+    * drift" number modern ML monitoring reads beside PSI and KS) between
+    * the same click/purchase value distributions as [[qKsTest]]: where KS
+    * is the MAX of |F₁−F₂|, W₁ = ∫|F₁(v) − F₂(v)| dv is its integral — a
+    * drift measure in the UNITS of the metric, insensitive to binning
+    * (unlike PSI) and sensitive to how FAR mass moved (unlike KS).
+    *
+    * Exactness: on the value-domain count relation, W₁ = Σᵢ
+    * |cum₁ᵢ·n₂ − cum₂ᵢ·n₁|/(n₁·n₂) · (vᵢ₊₁ − vᵢ) over consecutive
+    * distinct values — the cumulative term is the SAME exact integer the
+    * KS max reads (DECIMAL(38,0) lane, no float prefix sums), each
+    * segment term is one IEEE product, and addends ride DECIMAL(38,12).
+    * The last value's segment has no successor and F₁ = F₂ = 1 beyond it,
+    * so dropping it is exact, not a truncation.
+    *
+    * Scale shape: identical to q_ks_test — ONE corpus aggregate to the
+    * value domain; the cum/lead windows run above that bounded aggregate.
+    * Empty arms yield an empty readout. */
+  val qEmdDrift = GraftQuery(
+    "q_emd_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(38, 0)
+      val counts = armValueCounts(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+          min($"value").as("vlo"), max($"value").as("vhi"))
+        .filter($"n1" > 0 && $"n2" > 0)
+      val wc = org.apache.spark.sql.expressions.Window.orderBy($"value")
+      val cum = counts.select($"value",
+        sum($"c1").over(wc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("cum1"),
+        sum($"c2").over(wc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("cum2"))
+        .withColumn("next_v", lead($"value", 1).over(wc))
+      val emd = cum.filter($"next_v".isNotNull)
+        .crossJoin(broadcast(tot))
+        .select((abs($"cum1".cast(dec) * $"n2" - $"cum2".cast(dec) * $"n1")
+          .cast(DoubleType) /
+          ($"n1".cast(dec) * $"n2").cast(DoubleType) *
+          ($"next_v" - $"value")).as("term"))
+        .agg(sum($"term".cast(DecimalType(38, 12))).cast(DoubleType)
+          .as("w1"))
+      emd.crossJoin(broadcast(tot))
+        .select($"n1", $"n2",
+          Det.qround($"w1").as("emd"),
+          when($"vhi" > $"vlo",
+            Det.qround($"w1" / ($"vhi" - $"vlo"))).as("emd_rel"))
+    },
+    Some(s"""
+      WITH $ArmCountsSql,
+      tot2 AS (
+        SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+          min(value) AS vlo, max(value) AS vhi
+        FROM c),
+      cum AS (
+        SELECT value,
+          (sum(c1) OVER w)::BIGINT AS cum1,
+          (sum(c2) OVER w)::BIGINT AS cum2,
+          lead(value) OVER (ORDER BY value) AS next_v
+        FROM c
+        WINDOW w AS (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      terms AS (
+        SELECT (abs(cum1::DECIMAL(38,0) * n2 - cum2::DECIMAL(38,0) * n1)::DOUBLE
+            / (n1::DECIMAL(38,0) * n2)::DOUBLE) * (next_v - value) AS term
+        FROM cum CROSS JOIN tot2
+        WHERE next_v IS NOT NULL AND n1 > 0 AND n2 > 0),
+      w1s AS (
+        SELECT sum(CAST(term AS DECIMAL(38,12)))::DOUBLE AS w1 FROM terms)
+      SELECT n1, n2,
+        ${Oracle.qround("w1")} AS emd,
+        CASE WHEN vhi > vlo
+          THEN ${Oracle.qround("w1 / (vhi - vlo)")} END AS emd_rel
+      FROM w1s CROSS JOIN tot2
+      WHERE n1 > 0 AND n2 > 0""")
+  )
+
   /** Mann–Whitney U test (Wilcoxon rank-sum) between the same two arms —
     * the rank-based location test that, unlike [[qAbWelch]], is robust to
     * the heavy right tail a revenue-like `value` column always has. One
@@ -1699,5 +1779,5 @@ object BehaviorAnalytics {
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
-      qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte)
+      qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift)
 }

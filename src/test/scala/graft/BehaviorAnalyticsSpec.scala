@@ -466,6 +466,38 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(got.map(_._9).dropWhile(_ == 1L).forall(_ == 0L))
   }
 
+  test("q_emd_drift: fixture has no purchase arm -> empty readout") {
+    assert(BehaviorAnalytics.qEmdDrift.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_emd_drift at sf0.001: plain-Scala replica; EMD <= range * KS D") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"value").as[(String, Double)].collect().toSeq
+    val vals = ev.map(_._2).distinct.sorted
+    val (a, b) = (ev.filter(_._1 == "click").map(_._2),
+      ev.filter(_._1 == "purchase").map(_._2))
+    val (n1, n2) = (a.size.toLong, b.size.toLong)
+    def d12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val terms = vals.zip(vals.tail).map { case (v, nv) =>
+      val (cum1, cum2) = (a.count(_ <= v).toLong, b.count(_ <= v).toLong)
+      d12(math.abs(cum1 * n2 - cum2 * n1).toDouble /
+        (n1.toDouble * n2.toDouble) * (nv - v))
+    }
+    val w1 = terms.sum.toDouble
+    val exp = (n1, n2, qr(w1), Some(qr(w1 / (vals.last - vals.head))))
+    val got = BehaviorAnalytics.qEmdDrift.run(spark, sf)
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(got === exp)
+    // the integral is bounded by range x the KS max: W1 <= (vhi-vlo) * D
+    val d = BehaviorAnalytics.qKsTest.run(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].head()._3
+    assert(got._3 <= (vals.last - vals.head) * d + 1e-6)
+  }
+
   test("q_strata_ate: fixture strata are all one-armed -> empty output") {
     // fixture users alternate with event_type, so every stratum has only
     // one arm and the common-support filter drops them all
