@@ -432,6 +432,93 @@ object CorpusQuality {
       LIMIT $MemorizationTopK""")
   )
 
+  /** N-gram orders profiled by [[qNgramNovelty]]. */
+  val NoveltyNs: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** Per-n n-gram novelty profile of the holdout split against the train
+    * split (doc_id < [[HoldoutMax]] vs the rest — the q_contamination
+    * split): for each n ∈ [[NoveltyNs]], the fraction of holdout n-grams
+    * NEVER seen in train, both type-level (distinct) and token-level
+    * (instance-weighted). The RAVEN-style novelty curve (McCoy et al.
+    * 2023): unigram novelty near 0 with novelty rising steeply in n is
+    * the healthy generalization profile; LOW high-n novelty means the
+    * holdout is largely stitched from training text — the corpus-level
+    * complement of q_contamination's per-document screen and
+    * q_memorization_ngrams' verbatim-span hunt.
+    *
+    * Scale shape: one exploded (n, gram) relation per order, unioned;
+    * the join is keyed on (n, gram) — linear in corpus size with map-side
+    * combine on both aggregates, never pairwise. At 100 TB the train side
+    * would take the q_bloom_contamination prefilter verbatim (same join
+    * key); rates are exact int/int quotients, [[Det.qround]]ed. */
+  val qNgramNovelty = GraftQuery(
+    "q_ngram_novelty",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val grams = NoveltyNs.map { n =>
+        docs.select($"doc_id", lit(n.toLong).as("n"),
+          explode(call_function("word_shingles_all", $"text", lit(n)))
+            .as("g"))
+      }.reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ho = grams.filter($"doc_id" < HoldoutMax)
+        .groupBy($"n", $"g").agg(count(lit(1)).as("inst"))
+      val tr = grams.filter($"doc_id" >= HoldoutMax)
+        .select($"n", $"g").distinct()
+        .withColumn("seen", lit(1))
+      ho.join(tr, Seq("n", "g"), "left")
+        .groupBy($"n")
+        .agg(count(lit(1)).as("ho_types"),
+          sum(when($"seen".isNull, 1L).otherwise(0L)).as("novel_types"),
+          sum($"inst").as("ho_tokens"),
+          sum(when($"seen".isNull, $"inst").otherwise(0L))
+            .as("novel_tokens"))
+        .select($"n", $"ho_types", $"novel_types", $"ho_tokens",
+          $"novel_tokens",
+          Det.qround($"novel_types".cast(DoubleType) / $"ho_types")
+            .as("novelty_types"),
+          Det.qround($"novel_tokens".cast(DoubleType) / $"ho_tokens")
+            .as("novelty_tokens"))
+        .orderBy($"n")
+    },
+    Some {
+      def gramsOf(n: Int): String = {
+        val cat = (0 until n).map(j =>
+          if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(" || ' ' || ")
+        s"SELECT doc_id, ${n}::BIGINT AS n, unnest([$cat " +
+          s"for i in range(1, len(ws) - ${n - 2})]) AS g FROM w"
+      }
+      s"""
+      WITH w AS (
+        SELECT doc_id,
+          string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      gi AS (${NoveltyNs.map(gramsOf).mkString("\n        UNION ALL ")}),
+      ho AS (
+        SELECT n, g, count(*)::BIGINT AS inst FROM gi
+        WHERE doc_id < $HoldoutMax GROUP BY n, g),
+      tr AS (
+        SELECT DISTINCT n, g FROM gi WHERE doc_id >= $HoldoutMax),
+      j AS (
+        SELECT h.n, h.inst, (t.g IS NOT NULL) AS seen
+        FROM ho h LEFT JOIN tr t ON h.n = t.n AND h.g = t.g),
+      agg AS (
+        SELECT n, count(*)::BIGINT AS ho_types,
+          sum(CASE WHEN NOT seen THEN 1 ELSE 0 END)::BIGINT AS novel_types,
+          sum(inst)::BIGINT AS ho_tokens,
+          sum(CASE WHEN NOT seen THEN inst ELSE 0 END)::BIGINT
+            AS novel_tokens
+        FROM j GROUP BY n)
+      SELECT n, ho_types, novel_types, ho_tokens, novel_tokens,
+        ${Oracle.qround("novel_types::DOUBLE / ho_types")} AS novelty_types,
+        ${Oracle.qround("novel_tokens::DOUBLE / ho_tokens")}
+          AS novelty_tokens
+      FROM agg
+      ORDER BY n"""
+    }
+  )
+
   /** The 8 high-frequency English function words of the Gopher "stop word"
     * rule (Rae et al. 2021 §A1.1): a document must contain at least 2 of
     * them to pass — a cheap fluency prior that kills word-salad pages. */
@@ -531,5 +618,5 @@ object CorpusQuality {
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
       qLengthHistogram, qSourceOverlap, qBoilerplateRate,
-      qMemorizationNgrams, qGopherRules)
+      qMemorizationNgrams, qGopherRules, qNgramNovelty)
 }

@@ -51,6 +51,30 @@ class CorpusQualitySpec extends SparkSpec {
       false, false, true, true, false, false)))
   }
 
+  test("q_ngram_novelty: fixture is all-holdout -> everything novel, hand counts") {
+    // all fixture ids < HoldoutMax => train split empty, every rate 1.0.
+    // hand counts — types: 35 unigrams (fast/slow/the/big + w1..w30 + zz);
+    // bigrams 2+2+2+29+1=36; trigrams 1+1+2+28+1=33; 4-grams 1+27+1=29.
+    // instances: 74/68/62/56.
+    val got = CorpusQuality.qNgramNovelty.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 35L, 35L, 74L, 74L, 1.0, 1.0),
+      (2L, 36L, 36L, 68L, 68L, 1.0, 1.0),
+      (3L, 33L, 33L, 62L, 62L, 1.0, 1.0),
+      (4L, 29L, 29L, 56L, 56L, 1.0, 1.0)))
+  }
+
+  test("q_ngram_novelty at sf0.001: novelty non-decreasing in n on a 31-term vocab") {
+    val got = CorpusQuality.qNgramNovelty.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    // shared unigram vocab means near-zero unigram novelty; higher orders
+    // can only be as seen or less
+    assert(got.head._6 <= got.last._6)
+    assert(got.forall(r => r._3 <= r._2 && r._5 <= r._4))
+  }
+
   test("PII pattern redacts emails, digit runs and entity tokens") {
     val (n, cleaned) = spark.sql(
       """SELECT cast(size(regexp_extract_all(
