@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   */
 object BehaviorAnalytics {
 
-  private val DayUs = 24L * 3600 * 1000000
+  private[graft] val DayUs = 24L * 3600 * 1000000
 
   /** Funnel stage spine: event types in conversion order. */
   val FunnelStages: Seq[String] = Seq("signup", "click", "purchase")
@@ -432,6 +432,95 @@ object BehaviorAnalytics {
       .orderBy($"n1")
   }
 
+  /** Mixing-prior variance for [[qMsprt]] (effect prior N(0, τ²)): 2⁻²,
+    * an exact binary fraction (the K1/B precedent). */
+  val MsprtTauSq = 0.25
+
+  /** Always-valid mSPRT readout from the finished arm moments (shared
+    * with graft.streaming.StreamWelch — a THIRD readout from the same
+    * maintained log). Λ = √(V/(V+τ²))·exp(δ̂²τ²/(2V(V+τ²))) with
+    * V = s₁²/n₁ + s₂²/n₂ the variance of the observed effect;
+    * p_always_valid = min(1, 1/Λ). */
+  private[graft] def msprtReport(g0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = g0.sparkSession
+    import spark.implicits._
+    val g = g0.select($"event_type", $"n",
+      Det.qround($"sx" / $"n").as("mean"),
+      when($"n" > 1, Det.qround(
+        ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))).as("variance"))
+    val a = g.filter($"event_type" === "click")
+      .select($"n".as("n1"), $"mean".as("m1"), $"variance".as("v1"))
+    val b = g.filter($"event_type" === "purchase")
+      .select($"n".as("n2"), $"mean".as("m2"), $"variance".as("v2"))
+    a.crossJoin(broadcast(b))
+      .filter($"v1".isNotNull && $"v2".isNotNull)
+      .withColumn("delta", Det.qround($"m1" - $"m2"))
+      .withColumn("vv", $"v1" / $"n1" + $"v2" / $"n2")
+      .filter($"vv" > 0)
+      .withColumn("lambda", Det.qround(
+        sqrt($"vv" / ($"vv" + lit(MsprtTauSq))) *
+          exp($"delta" * $"delta" * lit(MsprtTauSq) /
+            (lit(2.0) * $"vv" * ($"vv" + lit(MsprtTauSq))))))
+      .select($"n1", $"n2", $"delta", Det.qround($"vv").as("v_delta"),
+        $"lambda",
+        Det.qround(least(lit(1.0), lit(1.0) / $"lambda")).as("p_av"))
+  }
+
+  /** Always-valid sequential test (mixture SPRT; Johari, Koomen, Pekelis
+    * & Walsh 2017 — the "peeking-proof" A/B readout every modern
+    * experimentation platform ships): unlike the fixed-horizon Welch t,
+    * 1/Λ is a p-value valid at EVERY interim look, so a live dashboard
+    * can stop the moment it crosses α without inflating false positives.
+    * Same click/purchase arms and the same finished arm-moment relation
+    * as q_ab_welch/q_ab_power — three readouts, one additive state (and
+    * the streaming maintainer serves this one live from its log too).
+    * Honest null: arms share the value distribution by construction, so
+    * the expected readout is Λ < 1 ⇒ p_av = 1 — the machinery (mixture
+    * LR, capped inverse) is what is verified. τ² = [[MsprtTauSq]] is an
+    * exact binary fraction; the ln/exp tree follows the engine-wide
+    * determinism precedent. */
+  val qMsprt = GraftQuery(
+    "q_msprt",
+    (spark, dir) =>
+      msprtReport(armFinish(armMomentsDec(Tables.events(spark, dir)))),
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+          ${Oracle.dsum("value")} AS sx,
+          ${Oracle.dsum("value * value")} AS sxx
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      m AS (
+        SELECT event_type, n,
+          ${Oracle.qround("sx / n")} AS mean,
+          CASE WHEN n > 1 THEN
+            ${Oracle.qround("(sxx - sx * sx / n) / (n - 1)")} END AS variance
+        FROM g),
+      ab AS (
+        SELECT a.n AS n1, a.mean AS m1, a.variance AS v1,
+               b.n AS n2, b.mean AS m2, b.variance AS v2
+        FROM (SELECT * FROM m WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM m WHERE event_type = 'purchase') b
+        WHERE a.variance IS NOT NULL AND b.variance IS NOT NULL),
+      e AS (
+        SELECT n1, n2,
+          ${Oracle.qround("m1 - m2")} AS delta,
+          (v1 / n1 + v2 / n2) AS vv
+        FROM ab),
+      l AS (
+        SELECT n1, n2, delta, vv,
+          ${Oracle.qround(
+            s"""sqrt(vv / (vv + $MsprtTauSq)) *
+               exp(delta * delta * $MsprtTauSq /
+                 (2.0 * vv * (vv + $MsprtTauSq)))""")} AS lambda
+        FROM e WHERE vv > 0)
+      SELECT n1, n2, delta, ${Oracle.qround("vv")} AS v_delta, lambda,
+        ${Oracle.qround("least(1.0, 1.0 / lambda)")} AS p_av
+      FROM l
+      ORDER BY n1""")
+  )
+
   val qAbWelch = GraftQuery(
     "q_ab_welch",
     (spark, dir) =>
@@ -649,7 +738,8 @@ object BehaviorAnalytics {
         CASE WHEN vhi > vlo
           THEN ${Oracle.qround("w1 / (vhi - vlo)")} END AS emd_rel
       FROM w1s CROSS JOIN tot2
-      WHERE n1 > 0 AND n2 > 0""")
+      WHERE n1 > 0 AND n2 > 0
+      ORDER BY n1""")
   )
 
   /** Mann–Whitney U test (Wilcoxon rank-sum) between the same two arms —
@@ -1628,6 +1718,144 @@ object BehaviorAnalytics {
       ORDER BY p_rank""")
   )
 
+  /** UNROUNDED per-(arm = user_id % 2, post = day ≥ CupedCutoffDay) decimal
+    * moments (n, Σx, Σx²) — ADDITIVE (the [[armMomentsDec]] discipline), so
+    * a streaming maintainer can fold per-batch deltas; the fold rounds once
+    * through [[didFinish]] and feeds [[didReport]]. */
+  private[graft] def didCellMomentsDec(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.groupBy(($"user_id" % 2).as("t"),
+        (expr(s"ts_us div $DayUs") >= CupedCutoffDay).as("post"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(38, 9))).as("sx_d"),
+        sum(($"value" * $"value").cast(DecimalType(38, 9))).as("sxx_d"))
+  }
+
+  /** Round each decimal cell moment once (the Det.dsum output shape). */
+  private[graft] def didFinish(dec: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dec.sparkSession
+    import spark.implicits._
+    dec.select($"t", $"post", $"n",
+      round($"sx_d", 6).cast(DoubleType).as("sx"),
+      round($"sxx_d", 6).cast(DoubleType).as("sxx"))
+  }
+
+  /** The DiD readout over a finished 4-cell (t, post, n, sx, sxx)
+    * relation — shared by [[qDid]] and any streaming maintainer. */
+  private[graft] def didReport(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    def cell(t: Int, post: Boolean, col: String) =
+      sum(when($"t" === t && $"post" === post, org.apache.spark.sql.functions.col(col)))
+    val wide = cells.agg(
+      cell(1, post = false, "n").as("n_t_pre"),
+      cell(1, post = false, "sx").as("sx_t_pre"),
+      cell(1, post = false, "sxx").as("sxx_t_pre"),
+      cell(1, post = true, "n").as("n_t_post"),
+      cell(1, post = true, "sx").as("sx_t_post"),
+      cell(1, post = true, "sxx").as("sxx_t_post"),
+      cell(0, post = false, "n").as("n_c_pre"),
+      cell(0, post = false, "sx").as("sx_c_pre"),
+      cell(0, post = false, "sxx").as("sxx_c_pre"),
+      cell(0, post = true, "n").as("n_c_post"),
+      cell(0, post = true, "sx").as("sx_c_post"),
+      cell(0, post = true, "sxx").as("sxx_c_post"))
+      .filter($"n_t_pre" > 1 && $"n_t_post" > 1 && $"n_c_pre" > 1 &&
+        $"n_c_post" > 1)
+    def m(p: String) = Det.qround(col(s"sx_$p") / col(s"n_$p"))
+    def se2(p: String) =
+      (col(s"sxx_$p") - col(s"sx_$p") * col(s"sx_$p") / col(s"n_$p")) /
+        (col(s"n_$p") - 1) / col(s"n_$p")
+    wide.select(
+      ($"n_t_pre" + $"n_t_post" + $"n_c_pre" + $"n_c_post").as("n"),
+      m("t_pre").as("m_t_pre"), m("t_post").as("m_t_post"),
+      m("c_pre").as("m_c_pre"), m("c_post").as("m_c_post"),
+      Det.qround((m("t_post") - m("t_pre")) - (m("c_post") - m("c_pre")))
+        .as("did"),
+      (se2("t_pre") + se2("t_post") + se2("c_pre") + se2("c_post"))
+        .as("v0"))
+      .select($"n", $"m_t_pre", $"m_t_post", $"m_c_pre", $"m_c_post",
+        $"did",
+        when($"v0" > 0, Det.qround(sqrt($"v0"))).as("se"),
+        when($"v0" > 0, Det.qround($"did" / sqrt($"v0"))).as("z_stat"))
+  }
+
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator (Card & Krueger 1994 canon): treatment T = user_id % 2,
+    * period split = the [[CupedCutoffDay]] pre/post boundary q_cuped
+    * already uses, outcome = event value. DiD = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre), SE from the four independent cell variances,
+    * z — with T independent of value by construction, the honest-null
+    * readout (the q_cuped/q_strata_ate discipline): the parallel-trends
+    * machinery is what is verified, not a planted effect.
+    *
+    * Scale shape: ONE corpus aggregate to a 4-cell decimal moment grid
+    * (additive, streaming-twin-ready); the estimator is a scalar IEEE
+    * tree over that one row. Any empty/singleton cell degrades to an
+    * empty readout rather than a division error. */
+  val qDid = GraftQuery(
+    "q_did",
+    (spark, dir) =>
+      didReport(didFinish(didCellMomentsDec(Tables.events(spark, dir)))),
+    Some(s"""
+      WITH cells AS (
+        SELECT user_id % 2 AS t,
+          (epoch_us(ts) // $DayUs >= $CupedCutoffDay) AS post,
+          count(*)::BIGINT AS n,
+          round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE AS sx,
+          round(sum(CAST(value * value AS DECIMAL(38,9))), 6)::DOUBLE AS sxx
+        FROM events GROUP BY 1, 2),
+      wide AS (
+        SELECT
+          sum(CASE WHEN t = 1 AND NOT post THEN n END)::BIGINT AS n_t_pre,
+          sum(CASE WHEN t = 1 AND NOT post THEN sx END) AS sx_t_pre,
+          sum(CASE WHEN t = 1 AND NOT post THEN sxx END) AS sxx_t_pre,
+          sum(CASE WHEN t = 1 AND post THEN n END)::BIGINT AS n_t_post,
+          sum(CASE WHEN t = 1 AND post THEN sx END) AS sx_t_post,
+          sum(CASE WHEN t = 1 AND post THEN sxx END) AS sxx_t_post,
+          sum(CASE WHEN t = 0 AND NOT post THEN n END)::BIGINT AS n_c_pre,
+          sum(CASE WHEN t = 0 AND NOT post THEN sx END) AS sx_c_pre,
+          sum(CASE WHEN t = 0 AND NOT post THEN sxx END) AS sxx_c_pre,
+          sum(CASE WHEN t = 0 AND post THEN n END)::BIGINT AS n_c_post,
+          sum(CASE WHEN t = 0 AND post THEN sx END) AS sx_c_post,
+          sum(CASE WHEN t = 0 AND post THEN sxx END) AS sxx_c_post
+        FROM cells),
+      ok AS (
+        SELECT * FROM wide
+        WHERE n_t_pre > 1 AND n_t_post > 1 AND n_c_pre > 1 AND n_c_post > 1),
+      est AS (
+        SELECT
+          (n_t_pre + n_t_post + n_c_pre + n_c_post)::BIGINT AS n,
+          ${Oracle.qround("sx_t_pre / n_t_pre")} AS m_t_pre,
+          ${Oracle.qround("sx_t_post / n_t_post")} AS m_t_post,
+          ${Oracle.qround("sx_c_pre / n_c_pre")} AS m_c_pre,
+          ${Oracle.qround("sx_c_post / n_c_post")} AS m_c_post,
+          ((sxx_t_pre - sx_t_pre * sx_t_pre / n_t_pre) / (n_t_pre - 1)
+              / n_t_pre
+            + (sxx_t_post - sx_t_post * sx_t_post / n_t_post)
+              / (n_t_post - 1) / n_t_post
+            + (sxx_c_pre - sx_c_pre * sx_c_pre / n_c_pre) / (n_c_pre - 1)
+              / n_c_pre
+            + (sxx_c_post - sx_c_post * sx_c_post / n_c_post)
+              / (n_c_post - 1) / n_c_post) AS v0
+        FROM ok),
+      est2 AS (
+        SELECT n, m_t_pre, m_t_post, m_c_pre, m_c_post, v0,
+          ${Oracle.qround("(m_t_post - m_t_pre) - (m_c_post - m_c_pre)")}
+            AS did
+        FROM est)
+      SELECT n, m_t_pre, m_t_post, m_c_pre, m_c_post, did,
+        CASE WHEN v0 > 0 THEN ${Oracle.qround("sqrt(v0)")} END AS se,
+        CASE WHEN v0 > 0 THEN ${Oracle.qround("did / sqrt(v0)")} END
+          AS z_stat
+      FROM est2
+      ORDER BY n""")
+  )
+
   /** UNROUNDED per-(stratum = event_type, arm = user_id % 2) decimal
     * moments (n, Σx, Σx²) — ADDITIVE (the [[armMomentsDec]] discipline),
     * so a streaming maintainer can fold per-batch deltas; the fold rounds
@@ -1772,12 +2000,14 @@ object BehaviorAnalytics {
           THEN ${Oracle.qround("sqrt(var_sum)")} END AS se_strat,
         CASE WHEN var_sum > 0
           THEN ${Oracle.qround("ate / sqrt(var_sum)")} END AS z_stat
-      FROM agg""")
+      FROM agg
+      ORDER BY n_strata""")
   )
 
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
-      qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift)
+      qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift, qDid,
+      qMsprt)
 }

@@ -57,4 +57,10 @@ object StreamWelch {
   /** The live power/MDE design readout from the SAME log. */
   def powerReport(spark: SparkSession, logDir: String): DataFrame =
     BehaviorAnalytics.powerReport(folded(spark, logDir))
+
+  /** The live always-valid mSPRT readout from the SAME log — the
+    * peeking-proof number a dashboard may stop on at any interim look
+    * (q_msprt's batch twin). */
+  def msprtReport(spark: SparkSession, logDir: String): DataFrame =
+    BehaviorAnalytics.msprtReport(folded(spark, logDir))
 }

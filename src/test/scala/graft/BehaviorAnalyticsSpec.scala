@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.BehaviorAnalytics
-import org.apache.spark.sql.functions.{lit, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, lit, timestamp_micros}
 
 /** Behavior analytics: funnel / cohort / outlier expectations hand-computed
   * on the 6-event fixture (users 0,1 alternate; the one signup is user 1's
@@ -464,6 +464,70 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(got.map(_._6).sliding(2).forall {
       case Seq(a, b) => a <= b; case _ => true })
     assert(got.map(_._9).dropWhile(_ == 1L).forall(_ == 0L))
+  }
+
+  test("q_did: fixture is all-pre (epoch-0 days) -> empty readout") {
+    assert(BehaviorAnalytics.qDid.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_did at sf0.001: plain-Scala replica, honest null") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select($"user_id" % 2,
+        expr(s"ts_us div ${BehaviorAnalytics.DayUs}") >=
+          BehaviorAnalytics.CupedCutoffDay, $"value")
+      .as[(Long, Boolean, Double)].collect().toSeq
+    def d9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(s: BigDecimal) =
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    case class M(n: Long, sx: Double, sxx: Double)
+    val cells = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> M(es.size.toLong, r6(es.map(e => d9(e._3)).sum),
+        r6(es.map(e => d9(e._3 * e._3)).sum))
+    }
+    val keys = Seq((1L, false), (1L, true), (0L, false), (0L, true))
+    val (tp, tq, cp, cq) =
+      (cells(keys(0)), cells(keys(1)), cells(keys(2)), cells(keys(3)))
+    def m(x: M) = qr(x.sx / x.n)
+    def se2(x: M) = (x.sxx - x.sx * x.sx / x.n) / (x.n - 1) / x.n
+    val did = qr((m(tq) - m(tp)) - (m(cq) - m(cp)))
+    val v0 = se2(tp) + se2(tq) + se2(cp) + se2(cq)
+    val exp = (tp.n + tq.n + cp.n + cq.n, m(tp), m(tq), m(cp), m(cq),
+      did, qr(math.sqrt(v0)), qr(did / math.sqrt(v0)))
+    val got = BehaviorAnalytics.qDid.run(spark, sf)
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double)]
+      .head()
+    assert(got === exp)
+    assert(math.abs(got._8) < 3.0) // honest null
+  }
+
+  test("q_msprt: fixture has no purchase arm -> empty readout") {
+    assert(BehaviorAnalytics.qMsprt.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_msprt at sf0.001: Lambda consistent with Welch inputs; null p_av") {
+    val sf = "/root/testdata/sf0.001"
+    // replicate from the welch readout's own (n, m, v) row — the two
+    // queries share armFinish, so this pins cross-readout consistency
+    val (n1, m1, v1, n2, m2, v2, _, _) =
+      BehaviorAnalytics.qAbWelch.run(spark, sf)
+        .as[(Long, Double, Double, Long, Double, Double, Double, Double)]
+        .head()
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val delta = qr(m1 - m2)
+    val vv = v1 / n1 + v2 / n2
+    val tau = BehaviorAnalytics.MsprtTauSq
+    val lambda = qr(math.sqrt(vv / (vv + tau)) *
+      math.exp(delta * delta * tau / (2.0 * vv * (vv + tau))))
+    val exp = (n1, n2, delta, qr(vv), lambda,
+      qr(math.min(1.0, 1.0 / lambda)))
+    val got = BehaviorAnalytics.qMsprt.run(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got === exp)
+    // honest null: identical arm distributions -> Lambda < 1, p capped at 1
+    assert(got._5 < 1.0 && got._6 === 1.0)
   }
 
   test("q_emd_drift: fixture has no purchase arm -> empty readout") {

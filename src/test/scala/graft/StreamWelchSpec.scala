@@ -47,6 +47,12 @@ class StreamWelchSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Long, Double)].collect().toSeq
     assert(powerS === powerB && powerB.nonEmpty)
 
+    val msprtS = StreamWelch.msprtReport(spark, logDir)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val msprtB = BehaviorAnalytics.qMsprt.run(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(msprtS === msprtB && msprtB.nonEmpty)
+
     // recovery replay of batch 0: fixed-path overwrite is correctness
     StreamWelch.processBatch(
       ev.filter($"event_id" % 3 === 0)
