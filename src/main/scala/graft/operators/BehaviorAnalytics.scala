@@ -604,13 +604,16 @@ object BehaviorAnalytics {
     * aggregate (the q_psi_drift discipline — at an unbounded domain you
     * would swap in the two-phase range-partitioned prefix sum). An arm
     * with zero rows yields an empty readout (no cross-engine 0/0). */
-  val qKsTest = GraftQuery(
-    "q_ks_test",
-    (spark, dir) => {
-      import spark.implicits._
-      val dec = DecimalType(38, 0)
-      val counts = armValueCounts(Tables.events(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** KS readout over a raw (value, c1, c2) count relation — shared by
+    * [[qKsTest]] and graft.streaming.StreamDist so the two surfaces
+    * cannot drift. */
+  private[graft] def ksReport(counts0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val counts = counts0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
         .filter($"n1" > 0 && $"n2" > 0)
       val w = org.apache.spark.sql.expressions.Window.orderBy($"value")
@@ -631,7 +634,11 @@ object BehaviorAnalytics {
         .select($"n1", $"n2", $"d_stat", $"ks_lambda",
           Det.qround(lit(2.0) *
             exp(lit(-2.0) * $"ks_lambda" * $"ks_lambda")).as("p_approx"))
-    },
+  }
+
+  val qKsTest = GraftQuery(
+    "q_ks_test",
+    (spark, dir) => ksReport(armValueCounts(Tables.events(spark, dir))),
     Some(s"""
       WITH $ArmCountsSql,
       cum AS (
@@ -679,13 +686,15 @@ object BehaviorAnalytics {
     * Scale shape: identical to q_ks_test — ONE corpus aggregate to the
     * value domain; the cum/lead windows run above that bounded aggregate.
     * Empty arms yield an empty readout. */
-  val qEmdDrift = GraftQuery(
-    "q_emd_drift",
-    (spark, dir) => {
-      import spark.implicits._
-      val dec = DecimalType(38, 0)
-      val counts = armValueCounts(Tables.events(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** EMD readout over a raw (value, c1, c2) count relation — shared by
+    * [[qEmdDrift]] and graft.streaming.StreamDist. */
+  private[graft] def emdReport(counts0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val counts = counts0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
           min($"value").as("vlo"), max($"value").as("vhi"))
         .filter($"n1" > 0 && $"n2" > 0)
@@ -711,7 +720,11 @@ object BehaviorAnalytics {
           Det.qround($"w1").as("emd"),
           when($"vhi" > $"vlo",
             Det.qround($"w1" / ($"vhi" - $"vlo"))).as("emd_rel"))
-    },
+  }
+
+  val qEmdDrift = GraftQuery(
+    "q_emd_drift",
+    (spark, dir) => emdReport(armValueCounts(Tables.events(spark, dir))),
     Some(s"""
       WITH $ArmCountsSql,
       tot2 AS (
@@ -759,14 +772,16 @@ object BehaviorAnalytics {
     *
     * Scale shape: identical to [[qKsTest]] — one corpus aggregate, then
     * value-domain-sized windows and a broadcast totals row. */
-  val qMwuTest = GraftQuery(
-    "q_mwu_test",
-    (spark, dir) => {
-      import spark.implicits._
-      val dec = DecimalType(38, 0)
-      val counts = armValueCounts(Tables.events(spark, dir))
-        .withColumn("cnt", $"c1" + $"c2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** MWU readout over a raw (value, c1, c2) count relation — shared by
+    * [[qMwuTest]] and graft.streaming.StreamDist. */
+  private[graft] def mwuReport(counts0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val counts = counts0
+      .withColumn("cnt", $"c1" + $"c2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
         .filter($"n1" > 0 && $"n2" > 0)
       val w = org.apache.spark.sql.expressions.Window.orderBy($"value")
@@ -794,7 +809,11 @@ object BehaviorAnalytics {
           $"mu", $"sigma",
           Det.qround(($"u1x2".cast(DoubleType) / lit(2.0) - $"mu") / $"sigma")
             .as("z_score"))
-    },
+  }
+
+  val qMwuTest = GraftQuery(
+    "q_mwu_test",
+    (spark, dir) => mwuReport(armValueCounts(Tables.events(spark, dir))),
     Some(s"""
       WITH $ArmCountsSql,
       cum AS (
