@@ -491,6 +491,130 @@ object Clustering {
       ORDER BY cluster""")
   )
 
+  /** Mixture weights at which [[qMauveFrontier]] samples the divergence
+    * frontier — exact binary fractions. */
+  val MauveLambdas: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  /** MAUVE-style divergence frontier between two embedding distributions
+    * (Pillutla et al. 2021, NeurIPS best paper — the standard measure of
+    * how close a generated-text distribution is to a human one): both
+    * sets are quantized by ONE shared k-means model (the q_kmeans
+    * two-round centroids), giving each set a histogram over the k cells;
+    * the frontier then reads KL(P‖M_λ) and KL(Q‖M_λ) against the mixture
+    * M_λ = λP + (1−λ)Q at each λ ∈ [[MauveLambdas]] — λ = ½ is twice the
+    * Jensen–Shannon midpoint, the ends approach the one-sided KLs. Sets
+    * here: P = even labels, Q = odd labels (the user_id%2 honest-split
+    * discipline — expected to be CLOSE, and the readout honestly small).
+    *
+    * Exactness: cell histograms are integers; probabilities take the
+    * q_psi_drift add-half smoothing over the observed-cell domain (KL
+    * needs full support); each KL term is [[Det.qround]]ed then
+    * decimal-summed (the PSI term discipline); λ and ½ are exact binary.
+    * Scale shape: assignment is the broadcast-model map pass q_kmeans
+    * already made; everything after is arithmetic on a ≤K-cell relation
+    * with a 1-row broadcast of the totals. */
+  val qMauveFrontier = GraftQuery(
+    "q_mauve_frontier",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", $"embedding", ($"label" % 2).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents0 = emb.filter($"vec_id" < K)
+        .select($"vec_id".as("cid"),
+          transform($"embedding", v => v.cast(DoubleType)).as("ce"))
+      val cents1 = updateCentroids(
+        assignTo(emb.select($"vec_id", $"embedding"), cents0))
+      val hist = assignTo(emb.select($"vec_id", $"embedding"), cents1)
+        .select($"vec_id", $"cell")
+        .join(emb.select($"vec_id", $"g"), Seq("vec_id"))
+        .groupBy($"cell")
+        .agg(sum(when($"g" === 0, 1L).otherwise(0L)).as("n_p"),
+          sum(when($"g" === 1, 1L).otherwise(0L)).as("n_q"))
+      val tot = hist.agg(sum($"n_p").as("tp"), sum($"n_q").as("tq"),
+        count(lit(1)).as("ncells")).filter($"tp" > 0 && $"tq" > 0)
+      val lams = MauveLambdas.toDF("lambda")
+      val probs = hist.crossJoin(broadcast(tot))
+        .select($"cell",
+          (($"n_p" + lit(0.5)) / ($"tp" + $"ncells" / lit(2.0))).as("p"),
+          (($"n_q" + lit(0.5)) / ($"tq" + $"ncells" / lit(2.0))).as("q"))
+      val terms = probs.crossJoin(broadcast(lams))
+        .withColumn("m", $"lambda" * $"p" + (lit(1.0) - $"lambda") * $"q")
+        .select($"lambda",
+          Det.qround($"p" * log($"p" / $"m")).as("term_p"),
+          Det.qround($"q" * log($"q" / $"m")).as("term_q"))
+      terms.groupBy($"lambda")
+        .agg(
+          round(sum($"term_p".cast(DecimalType(38, 9))), 6)
+            .cast(DoubleType).as("kl_p_m"),
+          round(sum($"term_q".cast(DecimalType(38, 9))), 6)
+            .cast(DoubleType).as("kl_q_m"))
+        .orderBy($"lambda")
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, pos, v AS c FROM ex WHERE vec_id < $K),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM ex e JOIN c0 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cid),
+      a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a.cell AS cid, e.pos,
+          sum(CAST(e.v AS DECIMAL(38,12)))::DOUBLE / count(*) AS c
+        FROM a1 a JOIN ex e ON a.vec_id = e.vec_id
+        GROUP BY a.cell, e.pos),
+      d2r AS (
+        SELECT e.vec_id, c.cid,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12)))::DOUBLE AS d2
+        FROM ex e JOIN c1 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cid),
+      a2 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d2r)
+        WHERE rn = 1),
+      hist AS (
+        SELECT a.cell,
+          sum(CASE WHEN em.label % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_p,
+          sum(CASE WHEN em.label % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_q
+        FROM a2 a JOIN embeddings em ON a.vec_id = em.vec_id
+        GROUP BY a.cell),
+      tot AS (
+        SELECT sum(n_p)::BIGINT AS tp, sum(n_q)::BIGINT AS tq,
+          count(*)::BIGINT AS ncells
+        FROM hist),
+      probs AS (
+        SELECT cell,
+          (n_p + 0.5) / (tp + ncells / 2.0) AS p,
+          (n_q + 0.5) / (tq + ncells / 2.0) AS q
+        FROM hist CROSS JOIN tot WHERE tp > 0 AND tq > 0),
+      terms AS (
+        SELECT l.lambda,
+          ${Oracle.qround("p * ln(p / (l.lambda * p + (1.0 - l.lambda) * q))")}
+            AS term_p,
+          ${Oracle.qround("q * ln(q / (l.lambda * p + (1.0 - l.lambda) * q))")}
+            AS term_q
+        FROM probs
+        CROSS JOIN (SELECT unnest([${MauveLambdas.mkString(", ")}])
+          AS lambda) l)
+      SELECT lambda,
+        round(sum(CAST(term_p AS DECIMAL(38,9))), 6)::DOUBLE AS kl_p_m,
+        round(sum(CAST(term_q AS DECIMAL(38,9))), 6)::DOUBLE AS kl_q_m
+      FROM terms GROUP BY lambda
+      ORDER BY lambda""")
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qKcenterSelect, qGmmEm, qSilhouette)
+    Seq(qKmeans, qKcenterSelect, qGmmEm, qSilhouette, qMauveFrontier)
 }

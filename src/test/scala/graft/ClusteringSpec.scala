@@ -61,6 +61,31 @@ class ClusteringSpec extends SparkSpec {
       (3L, 1L, 1.0, 1.0, 1.0)))
   }
 
+  test("mauve frontier: hand-traced histograms on the fixture embeddings") {
+    // clusters (silhouette trace): v0,v1 -> cell0 (labels 0,0 => P);
+    // v2 -> cell2 (label 1 => Q); v3 -> cell3 (label 1 => Q).
+    // smoothed: p = [2.5, .5, .5]/3.5, q = [.5, 1.5, 1.5]/3.5.
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def d9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(s: BigDecimal) =
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = Seq(2.5 / 3.5, 0.5 / 3.5, 0.5 / 3.5)
+    val q = Seq(0.5 / 3.5, 1.5 / 3.5, 1.5 / 3.5)
+    val expRows = Clustering.MauveLambdas.map { lam =>
+      val kl = (x: Seq[Double]) => r6(p.indices.map { i =>
+        val m = lam * p(i) + (1.0 - lam) * q(i)
+        d9(qr(x(i) * math.log(x(i) / m)))
+      }.sum)
+      (lam, kl(p), kl(q))
+    }
+    val got = Clustering.qMauveFrontier.run(spark, fixtureDir)
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(got === expRows)
+    // both KLs positive (the sets genuinely differ on the fixture)
+    assert(got.forall(r => r._2 > 0 && r._3 > 0))
+  }
+
   test("silhouette at sf0.001: bounded range, clusters partition the corpus") {
     val dir = "/root/testdata/sf0.001"
     val got = Clustering.qSilhouette.run(spark, dir)
