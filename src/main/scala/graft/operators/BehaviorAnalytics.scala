@@ -772,6 +772,123 @@ object BehaviorAnalytics {
     *
     * Scale shape: identical to [[qKsTest]] — one corpus aggregate, then
     * value-domain-sized windows and a broadcast totals row. */
+  /** Two-sided 95% normal quantile for [[aucDelongReport]]'s CI — the
+    * standard published constant, an exact decimal literal. */
+  val Z975 = 1.959964
+
+  /** AUC + DeLong variance readout over a raw (value, c1, c2) count
+    * relation — shared by [[qAucDelong]] and graft.streaming.StreamDist
+    * (the FOURTH readout from that maintained log). Treating arm 1 as
+    * positives and arm 2 as negatives, AUC = P(X₁ > X₂) + ½P(X₁ = X₂) is
+    * exactly U₁/(n₁n₂) (q_mwu_test's statistic rescaled — the spec pins
+    * the equality); DeLong, DeLong & Clarke-Pearson 1988 give its
+    * variance from the per-sample placement values V₁₀/V₀₁, which on the
+    * count relation are integer numerators over 2n: W₁₀(v) = 2·cum₂(v) −
+    * c₂(v), W₀₁(v) = 2·(n₁ − cum₁(v)) + c₁(v). All sums of c·W and c·W²
+    * ride DECIMAL(38,0) (exact up to ~4n·n² ≈ 10²⁸ at 10⁹-row arms);
+    * the only IEEE ops are the final divisions. */
+  private[graft] def aucDelongReport(counts0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val counts = counts0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      .filter($"n1" > 1 && $"n2" > 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts.select($"c1", $"c2",
+      sum($"c1").over(w).as("cum1"), sum($"c2").over(w).as("cum2"))
+    val sums = cum.crossJoin(broadcast(tot))
+      .select($"c1", $"c2",
+        (lit(2) * $"cum2".cast(dec) - $"c2").as("w10"),
+        (lit(2) * ($"n1" - $"cum1").cast(dec) + $"c1").as("w01"))
+      .agg(
+        sum($"c1" * $"w10").as("a"),
+        sum($"c1".cast(dec) * $"w10" * $"w10").as("b"),
+        sum($"c2" * $"w01").as("cc"),
+        sum($"c2".cast(dec) * $"w01" * $"w01").as("d"))
+    sums.crossJoin(broadcast(tot))
+      .withColumn("nn1", $"n1".cast(DoubleType))
+      .withColumn("nn2", $"n2".cast(DoubleType))
+      .withColumn("auc0",
+        $"a".cast(DoubleType) / (lit(2.0) * $"nn1" * $"nn2"))
+      .withColumn("s10",
+        ($"b".cast(DoubleType) / (lit(4.0) * $"nn2" * $"nn2") -
+          $"nn1" * $"auc0" * $"auc0") / ($"nn1" - 1.0))
+      .withColumn("s01",
+        ($"d".cast(DoubleType) / (lit(4.0) * $"nn1" * $"nn1") -
+          $"nn2" * $"auc0" * $"auc0") / ($"nn2" - 1.0))
+      .withColumn("v0", $"s10" / $"nn1" + $"s01" / $"nn2")
+      .select($"n1", $"n2", Det.qround($"auc0").as("auc"),
+        when($"v0" > 0, Det.qround(sqrt($"v0"))).as("se"),
+        when($"v0" > 0,
+          Det.qround(($"auc0" - lit(0.5)) / sqrt($"v0"))).as("z_stat"),
+        when($"v0" > 0,
+          Det.qround($"auc0" - lit(Z975) * sqrt($"v0"))).as("ci_lo"),
+        when($"v0" > 0,
+          Det.qround($"auc0" + lit(Z975) * sqrt($"v0"))).as("ci_hi"))
+  }
+
+  /** AUC with the DeLong confidence interval between the click and
+    * purchase value distributions — "how well does `value` separate the
+    * two arms", the effect-size companion the rank family was missing
+    * (q_mwu_test answers IS there a shift; this answers HOW MUCH, with a
+    * peer-reviewed variance). Same maintained count relation as
+    * KS/MWU/EMD — one state, four readouts. Honest split: arms share the
+    * value distribution by construction, so AUC ≈ ½ and the CI covers it
+    * — the machinery (placement sums, DeLong components) is what is
+    * verified. */
+  val qAucDelong = GraftQuery(
+    "q_auc_delong",
+    (spark, dir) =>
+      aucDelongReport(armValueCounts(Tables.events(spark, dir))),
+    Some(s"""
+      WITH $ArmCountsSql,
+      cum AS (
+        SELECT c1, c2,
+          (sum(c1) OVER w)::BIGINT AS cum1,
+          (sum(c2) OVER w)::BIGINT AS cum2
+        FROM c
+        WINDOW w AS (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      pl AS (
+        SELECT c1, c2,
+          (2 * cum2::DECIMAL(38,0) - c2) AS w10,
+          (2 * (n1 - cum1)::DECIMAL(38,0) + c1) AS w01
+        FROM cum CROSS JOIN tot),
+      s AS (
+        SELECT sum(c1 * w10) AS a,
+          sum(c1::DECIMAL(38,0) * w10 * w10) AS b,
+          sum(c2 * w01) AS cc,
+          sum(c2::DECIMAL(38,0) * w01 * w01) AS d
+        FROM pl),
+      e AS (
+        SELECT n1, n2,
+          n1::DOUBLE AS nn1, n2::DOUBLE AS nn2,
+          a::DOUBLE / (2.0 * n1::DOUBLE * n2::DOUBLE) AS auc0,
+          b::DOUBLE AS bb, d::DOUBLE AS dd
+        FROM s CROSS JOIN tot WHERE n1 > 1 AND n2 > 1),
+      v AS (
+        SELECT n1, n2, auc0,
+          ((bb / (4.0 * nn2 * nn2) - nn1 * auc0 * auc0) / (nn1 - 1.0)) / nn1
+            + ((dd / (4.0 * nn1 * nn1) - nn2 * auc0 * auc0) / (nn2 - 1.0))
+              / nn2 AS v0
+        FROM e)
+      SELECT n1, n2, ${Oracle.qround("auc0")} AS auc,
+        CASE WHEN v0 > 0 THEN ${Oracle.qround("sqrt(v0)")} END AS se,
+        CASE WHEN v0 > 0
+          THEN ${Oracle.qround("(auc0 - 0.5) / sqrt(v0)")} END AS z_stat,
+        CASE WHEN v0 > 0
+          THEN ${Oracle.qround(s"auc0 - $Z975 * sqrt(v0)")} END AS ci_lo,
+        CASE WHEN v0 > 0
+          THEN ${Oracle.qround(s"auc0 + $Z975 * sqrt(v0)")} END AS ci_hi
+      FROM v
+      ORDER BY n1""")
+  )
+
   /** MWU readout over a raw (value, c1, c2) count relation — shared by
     * [[qMwuTest]] and graft.streaming.StreamDist. */
   private[graft] def mwuReport(counts0: org.apache.spark.sql.DataFrame)
@@ -2028,5 +2145,5 @@ object BehaviorAnalytics {
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
       qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift, qDid,
-      qMsprt)
+      qMsprt, qAucDelong)
 }

@@ -70,4 +70,8 @@ object StreamDist {
   /** The live earth-mover's readout from the SAME log. */
   def emdReport(spark: SparkSession, logDir: String): DataFrame =
     BehaviorAnalytics.emdReport(folded(spark, logDir))
+
+  /** The live AUC + DeLong CI from the SAME log — the fourth readout. */
+  def aucReport(spark: SparkSession, logDir: String): DataFrame =
+    BehaviorAnalytics.aucDelongReport(folded(spark, logDir))
 }

@@ -530,6 +530,27 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(got._5 < 1.0 && got._6 === 1.0)
   }
 
+  test("q_auc_delong: fixture has no purchase arm -> empty readout") {
+    assert(BehaviorAnalytics.qAucDelong.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_auc_delong at sf0.001: AUC == U/(n1*n2); null CI covers 0.5") {
+    val sf = "/root/testdata/sf0.001"
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (n1, n2, u, _, _, _, _) = BehaviorAnalytics.qMwuTest.run(spark, sf)
+      .as[(Long, Long, Double, Long, Double, Double, Double)].head()
+    val got = BehaviorAnalytics.qAucDelong.run(spark, sf)
+      .as[(Long, Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].head()
+    // cross-readout consistency: AUC = P(X1 > X2) + P(=)/2 is exactly the
+    // COMPLEMENT orientation of q_mwu_test's U (U + U' = n1*n2)
+    assert(got._1 === n1 && got._2 === n2)
+    assert(got._3 === qr((n1.toDouble * n2.toDouble - u) /
+      (n1.toDouble * n2.toDouble)))
+    // honest split: the 95% CI covers 1/2
+    assert(got._6.get <= 0.5 && 0.5 <= got._7.get)
+  }
+
   test("q_emd_drift: fixture has no purchase arm -> empty readout") {
     assert(BehaviorAnalytics.qEmdDrift.run(spark, fixtureDir).count() === 0L)
   }

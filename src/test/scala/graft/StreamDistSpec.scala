@@ -50,6 +50,14 @@ class StreamDistSpec extends SparkSpec {
       .as[(Long, Long, Double, Option[Double])].collect().toSeq
     assert(emdS === emdB && emdB.nonEmpty)
 
+    val aucS = StreamDist.aucReport(spark, logDir)
+      .as[(Long, Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    val aucB = BehaviorAnalytics.qAucDelong.run(spark, sf)
+      .as[(Long, Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(aucS === aucB && aucB.nonEmpty)
+
     // recovery replay of batch 0: fixed-path overwrite is correctness
     StreamDist.processBatch(
       ev.filter($"event_id" % 3 === 0)
