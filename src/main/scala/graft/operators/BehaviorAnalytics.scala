@@ -1141,6 +1141,143 @@ object BehaviorAnalytics {
         .orderBy($"dur_hours")
   }
 
+  /** (g = user_id % 2, dur_hours, d_t, c_t) per-arm duration counters —
+    * the ADDITIVE core of [[qLogrank]] (the kmDurations shape with the
+    * arm key kept), so a streaming maintainer can fold per-batch deltas
+    * of the same relation. NOTE: additive over USER slices (the StreamKm
+    * convention — a user's events must land in one slice). */
+  private[graft] def kmArmDurations(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val perUser = ev
+      .groupBy($"user_id")
+      .agg(min($"ts_us").as("first_us"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("purch_us"))
+    val (bucket, converted) = kmBucket($"first_us", $"purch_us")
+    perUser
+      .select(($"user_id" % 2).as("g"), bucket.as("dur_hours"),
+        converted.as("converted"))
+      .groupBy($"g", $"dur_hours")
+      .agg(sum(when($"converted", 1L).otherwise(0L)).as("d_t"),
+        sum(when($"converted", 0L).otherwise(1L)).as("c_t"))
+  }
+
+  /** The log-rank readout over a per-arm (g, dur_hours, d_t, c_t)
+    * relation — shared by [[qLogrank]] and any streaming maintainer. */
+  private[graft] def logrankReport(durs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = durs.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wide = durs.groupBy($"dur_hours")
+      .agg(sum(when($"g" === 0, $"d_t").otherwise(0L)).as("d1"),
+        sum(when($"g" === 0, $"c_t").otherwise(0L)).as("c1"),
+        sum(when($"g" === 1, $"d_t").otherwise(0L)).as("d2"),
+        sum(when($"g" === 1, $"c_t").otherwise(0L)).as("c2"))
+    val wRisk = W.orderBy($"dur_hours".desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val at = wide
+      .withColumn("n1r", sum($"d1" + $"c1").over(wRisk))
+      .withColumn("n2r", sum($"d2" + $"c2").over(wRisk))
+      .withColumn("d", $"d1" + $"d2")
+      .withColumn("n", $"n1r" + $"n2r")
+      .filter($"d" > 0 && $"n" > 1)
+      .select($"d1",
+        Det.qround($"d".cast(DoubleType) * $"n1r" / $"n").as("e1"),
+        Det.qround($"d".cast(DoubleType) *
+          ($"n1r".cast(DoubleType) / $"n") *
+          ($"n2r".cast(DoubleType) / $"n") *
+          (($"n" - $"d").cast(DoubleType) / ($"n" - 1))).as("v"))
+    def d6(c: org.apache.spark.sql.Column) =
+      round(sum(c.cast(DecimalType(38, 9))), 6).cast(DoubleType)
+    at.agg(count(lit(1)).as("n_times"), sum($"d1").as("o1"),
+        d6($"e1").as("e1"), d6($"v").as("v_sum"))
+      .filter($"n_times" > 0)
+      .select($"n_times", $"o1", $"e1", $"v_sum",
+        when($"v_sum" > 0, Det.qround(
+          ($"o1" - $"e1") / sqrt($"v_sum"))).as("z_stat"),
+        when($"v_sum" > 0, Det.qround(
+          ($"o1" - $"e1") * ($"o1" - $"e1") / $"v_sum")).as("chi2"))
+  }
+
+  /** Log-rank test (Mantel 1966; Peto & Peto 1972) between the two
+    * user-parity survival curves — the standard "do these cohorts convert
+    * at different rates over time" hypothesis test that completes the
+    * survival family around [[qKaplanMeier]]'s single-curve estimate: at
+    * each event time, observed arm-1 events vs the hypergeometric
+    * expectation under H₀ (shared hazard), O−E summed over times and
+    * normalized by the summed hypergeometric variance — z and χ²(1).
+    * Honest split: user_id%2 is independent of conversion latency by
+    * construction, so |z| should be small (the q_cuped discipline).
+    *
+    * Exactness: risk sets are exact integer reverse-cumulative sums over
+    * the bounded duration domain (the q_ks_test integer-lane lesson
+    * applied to survival); E and V terms are [[Det.qround]]ed and
+    * decimal-summed (q_anova_f discipline). Scale shape: ONE user-keyed
+    * aggregate, then a ≤[[KmObsHours]]+1-row domain — all windows run
+    * above the bounded collapse. */
+  val qLogrank = GraftQuery(
+    "q_logrank",
+    (spark, dir) =>
+      logrankReport(kmArmDurations(Tables.events(spark, dir))),
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_us,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            AS purch_us
+        FROM events GROUP BY 1),
+      lat AS (
+        SELECT user_id % 2 AS g,
+          CAST(floor((purch_us - first_us)::DOUBLE / ${HourUs}.0)
+            AS BIGINT) AS lat_h
+        FROM pu),
+      durs AS (
+        SELECT g,
+          CASE WHEN lat_h IS NOT NULL AND lat_h < $KmObsHours
+            THEN lat_h ELSE $KmObsHours END AS dur_hours,
+          (lat_h IS NOT NULL AND lat_h < $KmObsHours) AS converted
+        FROM lat),
+      wide AS (
+        SELECT dur_hours,
+          sum(CASE WHEN g = 0 AND converted THEN 1 ELSE 0 END)::BIGINT AS d1,
+          sum(CASE WHEN g = 0 AND NOT converted THEN 1 ELSE 0 END)::BIGINT
+            AS c1,
+          sum(CASE WHEN g = 1 AND converted THEN 1 ELSE 0 END)::BIGINT AS d2,
+          sum(CASE WHEN g = 1 AND NOT converted THEN 1 ELSE 0 END)::BIGINT
+            AS c2
+        FROM durs GROUP BY 1),
+      r AS (
+        SELECT *,
+          (sum(d1 + c1) OVER w)::BIGINT AS n1r,
+          (sum(d2 + c2) OVER w)::BIGINT AS n2r
+        FROM wide
+        WINDOW w AS (ORDER BY dur_hours DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      at AS (
+        SELECT d1,
+          ${Oracle.qround(
+            "(d1 + d2)::DOUBLE * n1r / (n1r + n2r)")} AS e1,
+          ${Oracle.qround(
+            """(d1 + d2)::DOUBLE * (n1r::DOUBLE / (n1r + n2r)) *
+               (n2r::DOUBLE / (n1r + n2r)) *
+               ((n1r + n2r - d1 - d2)::DOUBLE / (n1r + n2r - 1))""")} AS v
+        FROM r
+        WHERE d1 + d2 > 0 AND n1r + n2r > 1),
+      s AS (
+        SELECT count(*)::BIGINT AS n_times, sum(d1)::BIGINT AS o1,
+          round(sum(CAST(e1 AS DECIMAL(38,9))), 6)::DOUBLE AS e1,
+          round(sum(CAST(v AS DECIMAL(38,9))), 6)::DOUBLE AS v_sum
+        FROM at)
+      SELECT n_times, o1, e1, v_sum,
+        CASE WHEN v_sum > 0
+          THEN ${Oracle.qround("(o1 - e1) / sqrt(v_sum)")} END AS z_stat,
+        CASE WHEN v_sum > 0
+          THEN ${Oracle.qround("(o1 - e1) * (o1 - e1) / v_sum")} END AS chi2
+      FROM s WHERE n_times > 0
+      ORDER BY n_times""")
+  )
+
   val qKaplanMeier = GraftQuery(
     "q_kaplan_meier",
     (spark, dir) => kmReport(kmDurations(Tables.events(spark, dir))),
@@ -2145,5 +2282,5 @@ object BehaviorAnalytics {
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
       qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift, qDid,
-      qMsprt, qAucDelong)
+      qMsprt, qAucDelong, qLogrank)
 }

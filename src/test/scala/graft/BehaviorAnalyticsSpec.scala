@@ -551,6 +551,56 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(got._6.get <= 0.5 && 0.5 <= got._7.get)
   }
 
+  test("q_logrank: fixture has no conversions -> empty readout") {
+    assert(BehaviorAnalytics.qLogrank.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_logrank at sf0.001: plain-Scala replica, honest null") {
+    val sf = "/root/testdata/sf0.001"
+    val obs = BehaviorAnalytics.KmObsHours
+    val hourUs = 3600L * 1000000L
+    val pu = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min($"ts_us").as("f"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.when(
+            $"event_type" === "purchase", $"ts_us")).as("p"))
+      .select($"user_id" % 2, $"f", $"p")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    val durs = pu.map { case (g, f, p) =>
+      val lat = p.map(x => math.floor((x - f).toDouble / hourUs).toLong)
+      val conv = lat.exists(_ < obs)
+      (g, if (conv) lat.get else obs, conv)
+    }
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def d9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(s: BigDecimal) =
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val times = durs.filter(_._3).map(_._2).distinct.sorted
+    val rows = times.map { t =>
+      val n1r = durs.count(d => d._1 == 0 && d._2 >= t).toLong
+      val n2r = durs.count(d => d._1 == 1 && d._2 >= t).toLong
+      val d1 = durs.count(d => d._1 == 0 && d._3 && d._2 == t).toLong
+      val d2 = durs.count(d => d._1 == 1 && d._3 && d._2 == t).toLong
+      val (d, n) = (d1 + d2, n1r + n2r)
+      (d1, qr(d.toDouble * n1r / n),
+        qr(d.toDouble * (n1r.toDouble / n) * (n2r.toDouble / n) *
+          ((n - d).toDouble / (n - 1))))
+    }
+    val o1 = rows.map(_._1).sum
+    val e1 = r6(rows.map(r => d9(r._2)).sum)
+    val vs = r6(rows.map(r => d9(r._3)).sum)
+    val exp = (times.size.toLong, o1, e1, vs,
+      Some(qr((o1 - e1) / math.sqrt(vs))),
+      Some(qr((o1 - e1) * (o1 - e1) / vs)))
+    val got = BehaviorAnalytics.qLogrank.run(spark, sf)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()
+    assert(got === exp)
+    assert(math.abs(got._5.get) < 3.0) // honest null
+  }
+
   test("q_emd_drift: fixture has no purchase arm -> empty readout") {
     assert(BehaviorAnalytics.qEmdDrift.run(spark, fixtureDir).count() === 0L)
   }
