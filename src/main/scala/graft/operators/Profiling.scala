@@ -604,7 +604,103 @@ object Profiling {
       ORDER BY source""")
   )
 
+  /** Exact Spearman rank correlation between event `value` and
+    * hour-of-day — the monotone-association companion to
+    * [[qFeatureCorr]]'s Pearson (robust to the metric's scale and to any
+    * monotone transform; the correlation a profiling pass trusts on
+    * heavy-tailed metrics). Ties take the standard MIDRANK treatment,
+    * computed EXACTLY: on the bounded (value × hour) contingency grid,
+    * the doubled midrank 2r(v) = 2·cum(v) − f(v) + 1 is an integer from
+    * the marginal cumulative counts (the q_ks_test integer-lane lesson
+    * applied to ranks — no float prefix sums), Pearson over doubled ranks
+    * equals Pearson over ranks (affine invariance), and every moment sum
+    * rides DECIMAL(38,0) (documented headroom: n·Σw·R² ≈ 4·10³⁶ < 10³⁸
+    * at 10⁹ rows). The only IEEE ops are the final quotient and sqrt.
+    *
+    * Honest null: value is independent of hour-of-day by construction, so
+    * ρ ≈ 0 — the machinery (midranks, tie handling, t transform) is what
+    * is verified. Scale shape: ONE corpus aggregate to the grid; marginal
+    * windows and the reduction run above the bounded domain. */
+  val qSpearman = GraftQuery(
+    "q_spearman",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec = DecimalType(38, 0)
+      val grid = Tables.events(spark, dir)
+        .select($"value",
+          expr("pmod(ts_us, 86400000000) div 3600000000").as("hour"))
+        .groupBy($"value", $"hour").agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val W = org.apache.spark.sql.expressions.Window
+      val fx = grid.groupBy($"value").agg(sum($"w").as("f"))
+        .withColumn("cum", sum($"f").over(W.orderBy($"value")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select($"value", (lit(2) * $"cum" - $"f" + 1).as("rx2"))
+      val fy = grid.groupBy($"hour").agg(sum($"w").as("f"))
+        .withColumn("cum", sum($"f").over(W.orderBy($"hour")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select($"hour", (lit(2) * $"cum" - $"f" + 1).as("ry2"))
+      val s = grid
+        .join(broadcast(fx), Seq("value"))
+        .join(broadcast(fy), Seq("hour"))
+        .agg(sum($"w").as("n"),
+          sum($"w".cast(dec) * $"rx2").as("sx"),
+          sum($"w".cast(dec) * $"ry2").as("sy"),
+          sum($"w".cast(dec) * $"rx2" * $"ry2").as("sxy"),
+          sum($"w".cast(dec) * $"rx2" * $"rx2").as("sxx"),
+          sum($"w".cast(dec) * $"ry2" * $"ry2").as("syy"))
+        .filter($"n" > 2)
+      s.select($"n",
+          (($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast(DoubleType))))
+            .as("rho0"))
+        .select($"n", Det.qround($"rho0").as("rho"),
+          when(abs($"rho0") < 1, Det.qround(
+            $"rho0" * sqrt(($"n" - 2).cast(DoubleType) /
+              (lit(1.0) - $"rho0" * $"rho0")))).as("t_stat"))
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT value, epoch_us(ts) % 86400000000 // 3600000000 AS hour,
+          count(*)::BIGINT AS w
+        FROM events GROUP BY 1, 2),
+      fx AS (
+        SELECT value,
+          2 * (sum(f) OVER (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            - f + 1 AS rx2
+        FROM (SELECT value, sum(w)::BIGINT AS f FROM grid GROUP BY value)),
+      fy AS (
+        SELECT hour,
+          2 * (sum(f) OVER (ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            - f + 1 AS ry2
+        FROM (SELECT hour, sum(w)::BIGINT AS f FROM grid GROUP BY hour)),
+      s AS (
+        SELECT sum(w)::BIGINT AS n,
+          sum(w::DECIMAL(38,0) * rx2) AS sx,
+          sum(w::DECIMAL(38,0) * ry2) AS sy,
+          sum(w::DECIMAL(38,0) * rx2 * ry2) AS sxy,
+          sum(w::DECIMAL(38,0) * rx2 * rx2) AS sxx,
+          sum(w::DECIMAL(38,0) * ry2 * ry2) AS syy
+        FROM grid JOIN fx USING (value) JOIN fy USING (hour)),
+      r AS (
+        SELECT n,
+          (n * sxy - sx * sy)::DOUBLE /
+            (sqrt((n * sxx - sx * sx)::DOUBLE) *
+             sqrt((n * syy - sy * sy)::DOUBLE)) AS rho0
+        FROM s WHERE n > 2)
+      SELECT n, ${Oracle.qround("rho0")} AS rho,
+        CASE WHEN abs(rho0) < 1 THEN
+          ${Oracle.qround(
+            "rho0 * sqrt((n - 2)::DOUBLE / (1.0 - rho0 * rho0))")} END
+          AS t_stat
+      FROM r
+      ORDER BY n""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qProfileTable, qMixtureWeights, qNeymanAlloc, qFeatureCorr,
-      qTableChecksum, qCmsHeavy, qGiniSource, qTemperatureMix)
+      qTableChecksum, qCmsHeavy, qGiniSource, qTemperatureMix, qSpearman)
 }

@@ -104,6 +104,39 @@ class ProfilingSpec extends SparkSpec {
     assert(bySrc("srcA")._7 > 1.0 && bySrc("srcC")._7 < 1.0)
   }
 
+  test("q_spearman: plain-Scala midrank replica on the fixture events") {
+    // fixture: values 1..6 at hours (b*6)%24 = 0,6,12,18,0,6
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val ys = Seq(0L, 6L, 12L, 18L, 0L, 6L)
+    val n = xs.size
+    def rank2[T: Ordering](v: Seq[T]): Map[T, Long] = {
+      val sorted = v.sorted
+      v.distinct.map { x =>
+        val cum = sorted.count(implicitly[Ordering[T]].lteq(_, x)).toLong
+        val f = v.count(_ == x).toLong
+        x -> (2 * cum - f + 1)
+      }.toMap
+    }
+    val (rx, ry) = (rank2(xs), rank2(ys))
+    val pts = xs.zip(ys).map { case (x, y) => (rx(x), ry(y)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val rho0 = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n.toLong * sxx - sx * sx).toDouble) *
+        math.sqrt((n.toLong * syy - sy * sy).toDouble))
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val exp = (n.toLong, qr(rho0),
+      Some(qr(rho0 * math.sqrt((n - 2).toDouble / (1.0 - rho0 * rho0)))))
+    val got = Profiling.qSpearman.run(spark, fixtureDir)
+      .as[(Long, Double, Option[Double])].head()
+    assert(got === exp)
+    // ties present (two hour values repeat) — midranks exercised: a tied
+    // pair's midrank is a half, so its DOUBLED rank is odd
+    assert(ry(0L) % 2 === 1L)
+  }
+
   test("q_neyman_alloc: zero-variance fixture degrades to a 0 allocation") {
     // every fixture lang holds two EQUAL-length docs → S_h = 0 for all
     // strata → the Neyman normalizer is 0 and the guarded ratio reads 0,
