@@ -1250,9 +1250,102 @@ object Similarity {
       FROM ns CROSS JOIN mm ORDER BY n_vecs""")
   )
 
+  /** Weiszfeld rounds for [[qGeomedian]]. */
+  val GmIters = 3
+
+  /** Geometric median of the embedding corpus by Weiszfeld iteration
+    * (Weiszfeld 1937; the robust-aggregation primitive — unlike the mean,
+    * a coordinate-wise breakdown needs 50% adversarial mass, which is why
+    * robust distributed aggregation and outlier-resistant corpus
+    * centroids use it): x⁺ = Σ v/‖v−x‖ / Σ 1/‖v−x‖, [[GmIters]] rounds
+    * seeded at the mean, points coincident with the estimate excluded
+    * (the standard Weiszfeld guard). Emits each dimension's robust
+    * coordinate BESIDE the mean's — the gap profile is the outlier-mass
+    * readout.
+    *
+    * Scale shape (the q_kcenter_select lesson applied): each round is ONE
+    * broadcast-model map pass (native `dist2_f32_f64` against the 1-row
+    * estimate) plus ONE (dim)-keyed weighted-mean shuffle (64 rows out,
+    * map-side combined); the 64-double estimate is driver-collected and
+    * re-entered as a LITERAL between rounds — the licensed driver-side
+    * state, no per-round broadcast exchange. Exactness: d² decimal-
+    * accumulated, w = 1/√d² one IEEE tree, w·v addends ride
+    * DECIMAL(38,12); the oracle unrolls the rounds (q_pagerank
+    * discipline). */
+  val qGeomedian = GraftQuery(
+    "q_geomedian",
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", $"embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def weightedCoords(est: Seq[Double]): Array[Double] = {
+        val ce = lit(est.toArray)
+        emb
+          .withColumn("d2", call_function("dist2_f32_f64", $"embedding", ce))
+          .filter($"d2" > 0)
+          .withColumn("w", lit(1.0) / sqrt($"d2"))
+          .select($"w", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"pos")
+          .agg((sum(($"w" * $"v").cast(DecimalType(38, 12)))
+            .cast(DoubleType) /
+            sum($"w".cast(DecimalType(38, 12))).cast(DoubleType)).as("c"))
+          .orderBy($"pos").select($"c").as[Double].collect()
+      }
+      val mean = emb
+        .select(posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"pos")
+        .agg((sum($"v".cast(DecimalType(38, 12))).cast(DoubleType) /
+          count(lit(1))).as("c"))
+        .orderBy($"pos").select($"c").as[Double].collect()
+      var est = mean.toSeq
+      for (_ <- 1 to GmIters) est = weightedCoords(est).toSeq
+      est.zip(mean).zipWithIndex
+        .map { case ((g, m), i) => (i.toLong, g, m) }
+        .toDF("pos", "gm0", "mean0")
+        .select($"pos", Det.qround($"gm0").as("gm_coord"),
+          Det.qround($"mean0").as("mean_coord"))
+        .orderBy($"pos")
+    },
+    Some {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "m0" else s"m${i - 1}"
+        s"""
+      d$i AS (
+        SELECT e.vec_id,
+          sum(CAST((e.v - p.c) * (e.v - p.c) AS DECIMAL(38,12)))::DOUBLE
+            AS d2
+        FROM ex e JOIN $prev p ON e.pos = p.pos
+        GROUP BY e.vec_id),
+      w$i AS (
+        SELECT vec_id, 1e0 / sqrt(d2) AS w FROM d$i WHERE d2 > 0),
+      m$i AS (
+        SELECT e.pos,
+          sum(CAST(w.w * e.v AS DECIMAL(38,12)))::DOUBLE /
+          sum(CAST(w.w AS DECIMAL(38,12)))::DOUBLE AS c
+        FROM ex e JOIN w$i w ON e.vec_id = w.vec_id
+        GROUP BY e.pos)"""
+      }
+      s"""
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      m0 AS (
+        SELECT pos, sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS c
+        FROM ex GROUP BY pos),
+      ${(1 to GmIters).map(round).mkString(",")}
+      SELECT g.pos::BIGINT AS pos,
+        ${Oracle.qround("g.c")} AS gm_coord,
+        ${Oracle.qround("m.c")} AS mean_coord
+      FROM m$GmIters g JOIN m0 m USING (pos)
+      ORDER BY pos"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
       qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile,
-      qLabelCentroidDist, qMrlRecall, qEmbedIsotropy)
+      qLabelCentroidDist, qMrlRecall, qEmbedIsotropy, qGeomedian)
 }

@@ -239,4 +239,34 @@ class SimilaritySpec extends SparkSpec {
     val (mn2, cv2, an2) = run(basis)
     assert(mn2 === 1.0 && cv2 === 0.0 && an2 === 0.25)
   }
+
+  test("q_geomedian: Weiszfeld replica on the fixture; robust vs mean pull") {
+    // fixture: 2x(1,0,..), 1x(0,1,..), 1x(.6,.8,..) — the duplicated
+    // point should pull the MEDIAN harder than the mean in dim 0
+    val pts = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 1, 0, 0, 0, 0, 0, 0), Array(0.6, 0.8, 0, 0, 0, 0, 0, 0))
+    def d12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val mean = (0 until 8).map(j =>
+      (pts.map(p => d12(p(j))).sum.toDouble) / pts.size)
+    var est = mean
+    for (_ <- 1 to Similarity.GmIters) {
+      val ws = pts.flatMap { p =>
+        val dd2 = p.indices.map(j => d12((p(j) - est(j)) * (p(j) - est(j))))
+          .sum.toDouble
+        if (dd2 > 0) Some(p -> 1.0 / math.sqrt(dd2)) else None
+      }
+      est = (0 until 8).map { j =>
+        ws.map { case (p, w) => d12(w * p(j)) }.sum.toDouble /
+          ws.map { case (_, w) => d12(w) }.sum.toDouble
+      }
+    }
+    val got = Similarity.qGeomedian.run(spark, fixtureDir)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got === (0 until 8).map(j => (j.toLong, qr(est(j)), qr(mean(j)))))
+    // robustness direction: the gm sits closer to the duplicated point
+    assert(got(0)._2 > got(0)._3 && got(1)._2 < got(1)._3)
+  }
 }
