@@ -1555,9 +1555,68 @@ object LexicalStats {
       ORDER BY k""")
   )
 
+  /** Chao1 species-richness estimate of the vocabulary (Chao 1984) plus
+    * the Good–Turing unseen-mass estimate — the "how much vocabulary have
+    * we NOT crawled yet" readout a corpus-coverage plan reads beside
+    * [[qHeapsFit]]'s growth curve: from the frequency-of-frequencies
+    * spectrum alone, Chao1 = V + f₁²/(2f₂) lower-bounds the true
+    * vocabulary size (bias-corrected form f₁(f₁−1)/(2(f₂+1)) when f₂ = 0),
+    * and the Good–Turing coverage estimate Ĉ = 1 − f₁/N gives the
+    * probability mass of unseen types. Also emits the head of the
+    * spectrum itself (f₁, f₂) — the sufficient statistics.
+    *
+    * Exactness: V, N, f₁, f₂ are exact integers from a two-level
+    * aggregate (term counts → frequency-of-frequency counts); the two
+    * estimates are one IEEE division each, [[Det.qround]]ed. Scale shape:
+    * the first aggregate is the same (term → cf) collapse the Zipf/Hill
+    * family makes; the spectrum is a ≤|distinct cf|-row re-aggregate
+    * (q_refs_global two-level discipline). */
+  val qChao1 = GraftQuery(
+    "q_chao1",
+    (spark, dir) => {
+      import spark.implicits._
+      val cf = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cf"))
+      cf.agg(
+          count(lit(1)).as("v_obs"),
+          sum($"cf").as("n_tokens"),
+          sum(when($"cf" === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when($"cf" === 2, 1L).otherwise(0L)).as("f2"))
+        .select($"v_obs", $"n_tokens", $"f1", $"f2",
+          Det.qround($"v_obs" +
+            when($"f2" > 0,
+              $"f1".cast(DoubleType) * $"f1" / (lit(2.0) * $"f2"))
+            .otherwise(
+              $"f1".cast(DoubleType) * ($"f1" - 1) / lit(2.0)))
+            .as("chao1"),
+          Det.qround(lit(1.0) -
+            $"f1".cast(DoubleType) / $"n_tokens").as("gt_coverage"))
+    },
+    Some(s"""
+      WITH cf AS (
+        SELECT term, count(*) AS cf
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS term FROM documents)
+        GROUP BY term),
+      s AS (
+        SELECT count(*)::BIGINT AS v_obs, sum(cf)::BIGINT AS n_tokens,
+          sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+          sum(CASE WHEN cf = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM cf)
+      SELECT v_obs, n_tokens, f1, f2,
+        ${Oracle.qround(
+          """v_obs + CASE WHEN f2 > 0
+               THEN f1::DOUBLE * f1 / (2.0 * f2)
+               ELSE f1::DOUBLE * (f1 - 1) / 2.0 END""")} AS chao1,
+        ${Oracle.qround("1.0 - f1::DOUBLE / n_tokens")} AS gt_coverage
+      FROM s
+      ORDER BY v_obs""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
-      qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail)
+      qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1)
 }

@@ -454,6 +454,26 @@ class LexicalStatsSpec extends SparkSpec {
       (25L, 2L, Some(alpha(cfs, 25)))))
   }
 
+  test("q_chao1: hand-computed spectrum on the fixture") {
+    // cfs: slow 7; big/fast 3; w1..w29 2 each; the/w30/zz singletons.
+    // V=35, N=74, f1=3, f2=29; chao1 = 35 + 9/58; GT = 1 - 3/74.
+    val got = LexicalStats.qChao1.run(spark, fixtureDir)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(got === ((35L, 74L, 3L, 29L, 35.155172, 0.959459)))
+  }
+
+  test("q_chao1: f2 = 0 falls back to the bias-corrected form") {
+    // every token distinct -> V = f1, f2 = 0: chao1 = V + f1(f1-1)/2
+    val dir = java.nio.file.Files.createTempDirectory("graft-chao").toString
+    Seq((0L, "a b c", "en", "s"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = LexicalStats.qChao1.run(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(got === ((3L, 3L, 3L, 0L, 6.0, 0.0)))
+  }
+
   test("q_hill_tail at sf0.001: positive tail index; k=50 drops (31-term vocab)") {
     val got = LexicalStats.qHillTail.run(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Option[Double])].collect().toSeq
