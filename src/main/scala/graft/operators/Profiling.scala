@@ -700,7 +700,108 @@ object Profiling {
       ORDER BY n""")
   )
 
+  /** Full row+column IPF rounds for [[qRaking]]. */
+  val RakeIters = 3
+
+  /** Raking / iterative proportional fitting (Deming & Stephan 1940) of
+    * the (event_type × hour-of-day) contingency grid to UNIFORM target
+    * margins — the survey-statistics reweighting every dataset-balancing
+    * pipeline reimplements ("weight the corpus so each type and each
+    * hour contributes equally"): w⁰ = 1, then alternately scale each row
+    * to its target row mass and each column to its target column mass,
+    * [[RakeIters]] full rounds. Emits per-cell weight and the weighted
+    * mass; after the final COLUMN step the column margins match exactly
+    * and the row margins are within the usual one-step IPF residual —
+    * the convergence readout a reviewer checks.
+    *
+    * Determinism: the weight is a short chain of IEEE divisions/products
+    * of exact integer masses and margin sums — identical trees in both
+    * engines (margin sums stay in integer·double products over the
+    * bounded grid, no reduction-order hazard: each margin is a ≤24-term
+    * decimal-prerounded sum). Scale shape: ONE corpus aggregate to the
+    * ≤|types|·24 grid; the IPF rounds are joins over that bounded
+    * relation (the q_bh_fdr discipline). */
+  val qRaking = GraftQuery(
+    "q_raking",
+    (spark, dir) => {
+      import spark.implicits._
+      def d12sum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+      val grid = Tables.events(spark, dir)
+        .select($"event_type",
+          expr("pmod(ts_us, 86400000000) div 3600000000").as("hour"))
+        .groupBy($"event_type", $"hour").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = grid.agg(sum($"n").as("nn"),
+        countDistinct($"event_type").as("nt"),
+        countDistinct($"hour").as("nh"))
+      var w = grid.crossJoin(broadcast(tot))
+        .select($"event_type", $"hour", $"n", $"nn", $"nt", $"nh",
+          lit(1.0).as("w"))
+      for (_ <- 1 to RakeIters) {
+        val rm = w.groupBy($"event_type".as("rt"))
+          .agg(d12sum($"w" * $"n").as("rmass"))
+        w = w.join(broadcast(rm), $"event_type" === $"rt")
+          .select($"event_type", $"hour", $"n", $"nn", $"nt", $"nh",
+            ($"w" * (($"nn" / $"nt") / $"rmass")).as("w"))
+        val cm = w.groupBy($"hour".as("ch"))
+          .agg(d12sum($"w" * $"n").as("cmass"))
+        w = w.join(broadcast(cm), $"hour" === $"ch")
+          .select($"event_type", $"hour", $"n", $"nn", $"nt", $"nh",
+            ($"w" * (($"nn" / $"nh") / $"cmass")).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      w.select($"event_type", $"hour", $"n",
+          Det.qround($"w").as("weight"),
+          Det.qround($"w" * $"n").as("w_mass"))
+        .orderBy($"event_type", $"hour")
+    },
+    Some {
+      def round(i: Int): String = {
+        val prev = if (i == 1) "w0" else s"w${i - 1}c"
+        s"""
+      r${i}m AS (
+        SELECT event_type AS rt,
+          sum(CAST(w * n AS DECIMAL(38,12)))::DOUBLE AS rmass
+        FROM $prev GROUP BY event_type),
+      w${i}r AS (
+        SELECT p.event_type, p.hour, p.n, p.nn, p.nt, p.nh,
+          p.w * ((p.nn / p.nt) / m.rmass) AS w
+        FROM $prev p JOIN r${i}m m ON p.event_type = m.rt),
+      c${i}m AS (
+        SELECT hour AS ch,
+          sum(CAST(w * n AS DECIMAL(38,12)))::DOUBLE AS cmass
+        FROM w${i}r GROUP BY hour),
+      w${i}c AS (
+        SELECT p.event_type, p.hour, p.n, p.nn, p.nt, p.nh,
+          p.w * ((p.nn / p.nh) / m.cmass) AS w
+        FROM w${i}r p JOIN c${i}m m ON p.hour = m.ch)"""
+      }
+      s"""
+      WITH grid AS (
+        SELECT event_type, epoch_us(ts) % 86400000000 // 3600000000 AS hour,
+          count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn,
+          count(DISTINCT event_type)::BIGINT AS nt,
+          count(DISTINCT hour)::BIGINT AS nh
+        FROM grid),
+      w0 AS (
+        SELECT event_type, hour, n, nn::DOUBLE AS nn, nt::DOUBLE AS nt,
+          nh::DOUBLE AS nh, 1e0 AS w
+        FROM grid CROSS JOIN tot),
+      ${(1 to RakeIters).map(round).mkString(",")}
+      SELECT event_type, hour, n,
+        ${Oracle.qround("w")} AS weight,
+        ${Oracle.qround("w * n")} AS w_mass
+      FROM w${RakeIters}c
+      ORDER BY event_type, hour"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qProfileTable, qMixtureWeights, qNeymanAlloc, qFeatureCorr,
-      qTableChecksum, qCmsHeavy, qGiniSource, qTemperatureMix, qSpearman)
+      qTableChecksum, qCmsHeavy, qGiniSource, qTemperatureMix, qSpearman,
+      qRaking)
 }

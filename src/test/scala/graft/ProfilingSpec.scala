@@ -137,6 +137,37 @@ class ProfilingSpec extends SparkSpec {
     assert(ry(0L) % 2 === 1L)
   }
 
+  test("q_raking: plain-Scala IPF replica; final column margins uniform") {
+    // fixture cells: (click,0):2 (click,12):1 (view,6):1 (view,18):1
+    // (signup,6):1; N=6, 3 types, 4 hours
+    var cells = Map(
+      ("click", 0L) -> (2L, 1.0), ("click", 12L) -> (1L, 1.0),
+      ("view", 6L) -> (1L, 1.0), ("view", 18L) -> (1L, 1.0),
+      ("signup", 6L) -> (1L, 1.0))
+    def d12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (nn, nt, nh) = (6.0, 3.0, 4.0)
+    for (_ <- 1 to Profiling.RakeIters) {
+      val rm = cells.groupBy(_._1._1).map { case (t, cs) =>
+        t -> cs.values.map { case (n, w) => d12(w * n) }.sum.toDouble }
+      cells = cells.map { case (k, (n, w)) =>
+        k -> (n, w * ((nn / nt) / rm(k._1))) }
+      val cm = cells.groupBy(_._1._2).map { case (h, cs) =>
+        h -> cs.values.map { case (n, w) => d12(w * n) }.sum.toDouble }
+      cells = cells.map { case (k, (n, w)) =>
+        k -> (n, w * ((nn / nh) / cm(k._2))) }
+    }
+    val expRows = cells.toSeq.map { case ((t, h), (n, w)) =>
+      (t, h, n, qr(w), qr(w * n)) }.sortBy(r => (r._1, r._2))
+    val got = Profiling.qRaking.run(spark, fixtureDir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got === expRows)
+    // after the final COLUMN step every hour's weighted mass is nn/nh
+    val byHour = got.groupBy(_._2).view.mapValues(_.map(_._5).sum)
+    assert(byHour.values.forall(m => math.abs(m - 1.5) < 1e-5))
+  }
+
   test("q_neyman_alloc: zero-variance fixture degrades to a 0 allocation") {
     // every fixture lang holds two EQUAL-length docs → S_h = 0 for all
     // strata → the Neyman normalizer is 0 and the guarded ratio reads 0,
