@@ -300,6 +300,121 @@ object MlEval {
       FROM w ORDER BY bin""")
   )
 
+  /** Brier score with the Murphy (1973) decomposition — the proper-
+    * scoring-rule companion to [[qCalibrationBins]]' ECE over the SAME
+    * (pred, pos) surface and the same 10 bins: Brier = mean (pred−y)²
+    * overall, reliability = Σ n_b(p̄_b−ō_b)²/N (miscalibration, lower
+    * better), resolution = Σ n_b(ō_b−ō)²/N (discrimination, higher
+    * better), uncertainty = ō(1−ō). With continuous predictions binned,
+    * the three-term identity holds only up to the within-bin variance, so
+    * the RESIDUAL brier − (rel − res + unc) is emitted too — the honest
+    * binning-error readout rather than a silently-forced identity.
+    *
+    * Exactness: pred is already DECIMAL(38,9) (the calibration-bin
+    * convention), so Σp, Σp², Σp·y and the per-bin masses are EXACT
+    * decimals; the per-bin squared-gap terms are qrounded then
+    * decimal-summed over the 10-row bin relation (q_anova_f discipline).
+    * Scale shape: ONE corpus aggregate to 10 bins + one 1-row global. */
+  val qBrierDecomp = GraftQuery(
+    "q_brier_decomp",
+    (spark, dir) => {
+      import spark.implicits._
+      val b = Tables.events(spark, dir).select(
+        expr("least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9)")
+          .as("bin"),
+        when($"event_type" === PosType, 1L).otherwise(0L).as("pos"),
+        expr("CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9))")
+          .as("pred"))
+      val g = b.groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+          sum($"pred").as("sp"),
+          sum($"pred" * $"pred").as("spp"),
+          sum(when($"pos" === 1, $"pred").otherwise(lit(0).cast(
+            DecimalType(38, 9)))).as("spy"))
+      val tot = g.agg(sum($"n").as("nn"), sum($"n_pos").as("tpos"),
+        sum($"sp").as("tsp"), sum($"spp").as("tspp"),
+        sum($"spy").as("tspy")).filter($"nn" > 0)
+      val terms = g.crossJoin(broadcast(tot))
+        .select(
+          Det.qround(($"n".cast(DoubleType)) *
+            (expr("CAST(sp AS DOUBLE)") / $"n" -
+              $"n_pos".cast(DoubleType) / $"n") *
+            (expr("CAST(sp AS DOUBLE)") / $"n" -
+              $"n_pos".cast(DoubleType) / $"n")).as("rel_t"),
+          Det.qround(($"n".cast(DoubleType)) *
+            ($"n_pos".cast(DoubleType) / $"n" -
+              $"tpos".cast(DoubleType) / $"nn") *
+            ($"n_pos".cast(DoubleType) / $"n" -
+              $"tpos".cast(DoubleType) / $"nn")).as("res_t"))
+        .agg(
+          round(sum($"rel_t".cast(DecimalType(38, 9))), 6)
+            .cast(DoubleType).as("rel_n"),
+          round(sum($"res_t".cast(DecimalType(38, 9))), 6)
+            .cast(DoubleType).as("res_n"))
+      terms.crossJoin(broadcast(tot))
+        .withColumn("ob", $"tpos".cast(DoubleType) / $"nn")
+        .withColumn("brier0",
+          (expr("CAST(tspp AS DOUBLE)") -
+            lit(2.0) * expr("CAST(tspy AS DOUBLE)") +
+            $"tpos".cast(DoubleType)) / $"nn")
+        .withColumn("rel0", $"rel_n" / $"nn")
+        .withColumn("res0", $"res_n" / $"nn")
+        .withColumn("unc0", $"ob" * (lit(1.0) - $"ob"))
+        .select($"nn".as("n"),
+          Det.qround($"brier0").as("brier"),
+          Det.qround($"rel0").as("reliability"),
+          Det.qround($"res0").as("resolution"),
+          Det.qround($"unc0").as("uncertainty"),
+          Det.qround($"brier0" - ($"rel0" - $"res0" + $"unc0"))
+            .as("residual"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9) AS bin,
+          CASE WHEN event_type = '$PosType' THEN 1 ELSE 0 END AS pos,
+          CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9)) AS pred
+        FROM events),
+      g AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+          sum(pred) AS sp, sum(pred * pred) AS spp,
+          sum(CASE WHEN pos = 1 THEN pred
+                   ELSE 0::DECIMAL(38,9) END) AS spy
+        FROM b GROUP BY bin),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, sum(n_pos)::BIGINT AS tpos,
+          sum(sp) AS tsp, sum(spp) AS tspp, sum(spy) AS tspy
+        FROM g),
+      terms AS (
+        SELECT
+          ${Oracle.qround(
+            """n::DOUBLE * (CAST(sp AS DOUBLE) / n - n_pos::DOUBLE / n)
+               * (CAST(sp AS DOUBLE) / n - n_pos::DOUBLE / n)""")} AS rel_t,
+          ${Oracle.qround(
+            """n::DOUBLE * (n_pos::DOUBLE / n - tpos::DOUBLE / nn)
+               * (n_pos::DOUBLE / n - tpos::DOUBLE / nn)""")} AS res_t
+        FROM g CROSS JOIN tot),
+      s AS (
+        SELECT
+          round(sum(CAST(rel_t AS DECIMAL(38,9))), 6)::DOUBLE AS rel_n,
+          round(sum(CAST(res_t AS DECIMAL(38,9))), 6)::DOUBLE AS res_n
+        FROM terms),
+      e AS (
+        SELECT nn, tpos::DOUBLE / nn AS ob,
+          (CAST(tspp AS DOUBLE) - 2.0 * CAST(tspy AS DOUBLE)
+            + tpos::DOUBLE) / nn AS brier0,
+          rel_n / nn AS rel0, res_n / nn AS res0
+        FROM s CROSS JOIN tot WHERE nn > 0)
+      SELECT nn AS n,
+        ${Oracle.qround("brier0")} AS brier,
+        ${Oracle.qround("rel0")} AS reliability,
+        ${Oracle.qround("res0")} AS resolution,
+        ${Oracle.qround("ob * (1.0 - ob)")} AS uncertainty,
+        ${Oracle.qround(
+          "brier0 - (rel0 - res0 + ob * (1.0 - ob))")} AS residual
+      FROM e
+      ORDER BY n""")
+  )
+
   // ------------------------------------------------------- mutual info —
 
   /** Mutual information between event type and UTC hour-of-day — the
@@ -1043,5 +1158,5 @@ object MlEval {
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
-      qRidgePath)
+      qRidgePath, qBrierDecomp)
 }

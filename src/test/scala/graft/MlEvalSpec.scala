@@ -156,4 +156,21 @@ class MlEvalSpec extends SparkSpec {
       assert(b._5 >= a._5 - 1e-9)
     }
   }
+
+  test("brier decomposition: components bounded, residual is binning error") {
+    val sf = "/root/testdata/sf0.001"
+    val (n, brier, rel, res, unc, resid) =
+      MlEval.qBrierDecomp.run(spark, sf)
+        .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(n > 0)
+    // proper-score bounds: all components in [0, 1]; unc <= 1/4
+    assert(brier >= 0 && brier <= 1 && rel >= 0 && res >= 0)
+    assert(unc >= 0 && unc <= 0.25)
+    // resolution cannot exceed uncertainty (Murphy); residual is the
+    // within-bin variance the 3-term identity drops — small but >= 0
+    assert(res <= unc + 1e-9)
+    assert(resid >= -1e-6)
+    // identity check: brier == rel - res + unc + resid by construction
+    assert(math.abs(brier - (rel - res + unc + resid)) < 2e-6)
+  }
 }
