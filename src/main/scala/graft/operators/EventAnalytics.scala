@@ -1257,6 +1257,92 @@ object EventAnalytics {
     }
   }
 
+  /** Single-changepoint detection over the daily value series — the
+    * offline AMOC (at-most-one-change) scan via binary segmentation
+    * (Scott & Knott 1974 lineage; the first step of every changepoint
+    * stack and the offline companion to q_cusum_drift's online monitor):
+    * for every candidate split after day d, the between-segment sum of
+    * squares BSS = n_L(m̄_L − m̄)² + n_R(m̄_R − m̄)² from exact prefix
+    * sums; the argmax is the estimated changepoint. Every candidate row
+    * is emitted with its BSS (the scan profile a reviewer reads to judge
+    * whether the peak is sharp or the series is just drifting), the
+    * winner flagged; ties break to the earlier day.
+    *
+    * Exactness: daily masses are [[Det.dsum]]-rounded once; prefix sums
+    * ride DECIMAL(38,9) windows over the ≤|days|-row relation (never
+    * float prefix sums — the q_ks_test lesson); BSS is one IEEE tree per
+    * candidate, identical in both engines, so the argmax cannot flip.
+    * Scale shape: ONE corpus aggregate to the day domain; everything
+    * downstream is windows over that bounded relation. */
+  val qChangepoint = GraftQuery(
+    "q_changepoint",
+    (spark, dir) => {
+      import spark.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, dir)
+        .groupBy(expr(s"ts_us div $DayUs").as("day"))
+        .agg(Det.dsum($"value").as("v"))
+      val wc = W.orderBy($"day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum($"v".cast(DecimalType(38, 9))).cast(DoubleType).as("sv"))
+      val cand = daily
+        .withColumn("nl", count(lit(1)).over(wc))
+        .withColumn("sl",
+          sum($"v".cast(DecimalType(38, 9))).over(wc).cast(DoubleType))
+        .crossJoin(broadcast(tot))
+        .filter($"nl" < $"n") // right segment must be non-empty
+        .withColumn("ml", $"sl" / $"nl")
+        .withColumn("mr", ($"sv" - $"sl") / ($"n" - $"nl"))
+        .withColumn("m", $"sv" / $"n")
+        .withColumn("bss0",
+          $"nl" * ($"ml" - $"m") * ($"ml" - $"m") +
+            ($"n" - $"nl") * ($"mr" - $"m") * ($"mr" - $"m"))
+      cand
+        .withColumn("rk", row_number().over(
+          W.orderBy($"bss0".desc, $"day")))
+        .select($"day", $"nl".as("n_left"), ($"n" - $"nl").as("n_right"),
+          Det.qround($"ml").as("mean_left"),
+          Det.qround($"mr").as("mean_right"),
+          Det.qround($"bss0").as("bss"),
+          ($"rk" === 1).as("is_changepoint"))
+        .orderBy($"day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT epoch_us(ts) // $DayUs AS day, ${Oracle.dsum("value")} AS v
+        FROM events GROUP BY 1),
+      tot AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CAST(v AS DECIMAL(38,9)))::DOUBLE AS sv
+        FROM daily),
+      cand AS (
+        SELECT day,
+          (count(*) OVER w)::BIGINT AS nl,
+          (sum(CAST(v AS DECIMAL(38,9))) OVER w)::DOUBLE AS sl
+        FROM daily
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      scored AS (
+        SELECT day, nl, n - nl AS nr,
+          sl / nl AS ml, (sv - sl) / (n - nl) AS mr, sv / n AS m,
+          nl * (sl / nl - sv / n) * (sl / nl - sv / n)
+            + (n - nl) * ((sv - sl) / (n - nl) - sv / n)
+              * ((sv - sl) / (n - nl) - sv / n) AS bss0
+        FROM cand CROSS JOIN tot
+        WHERE nl < n),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY bss0 DESC, day) AS rk
+        FROM scored)
+      SELECT day, nl AS n_left, nr AS n_right,
+        ${Oracle.qround("ml")} AS mean_left,
+        ${Oracle.qround("mr")} AS mean_right,
+        ${Oracle.qround("bss0")} AS bss,
+        (rk = 1) AS is_changepoint
+      FROM ranked
+      ORDER BY day""")
+  )
+
   val qAutocorr = GraftQuery(
     "q_autocorr",
     (spark, dir) => autocorrReport(dailyByType(Tables.events(spark, dir))),
@@ -1693,7 +1779,7 @@ object EventAnalytics {
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
     qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast, qTheilSen,
-    qSnapshotDiff)
+    qSnapshotDiff, qChangepoint)
 
   /** Snapshot diff — the read-side companion of [[qUpsertMerge]]'s MERGE:
     * given two versions of a keyed table, report what changed (the audit a

@@ -309,4 +309,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows === expected)
     assert(rows.nonEmpty && rows.forall(_._3 === H.toLong))
   }
+
+  test("changepoint: planted level shift found at the true split") {
+    // days 0-5 at value 1, days 6-9 at value 10: AMOC must flag day 5.
+    // hand: n=10, m=4.6; split@5: bss = 6*3.6^2 + 4*5.4^2 = 194.4
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpt").toString
+    val dayUs = 24L * 3600 * 1000000
+    (0 to 9).map { d =>
+      (d.toLong, d * dayUs, d.toLong, "click",
+        if (d <= 5) 1.0 else 10.0, "{}")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros($"ts_us")
+          .cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.qChangepoint.run(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(got.size === 9) // 10 days, last split excluded
+    val best = got.filter(_._7)
+    assert(best === Seq((5L, 6L, 4L, 1.0, 10.0, 194.4, true)))
+    // the scan profile peaks at the true split
+    assert(got.forall(r => r._6 <= 194.4))
+  }
 }
