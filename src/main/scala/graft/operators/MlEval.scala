@@ -254,17 +254,37 @@ object MlEval {
     * here could diverge cross-engine — the q_t_closeness segment-tree
     * lesson). One corpus aggregate → ≤10 rows; the ECE window is
     * SinglePartition over those ten rows only. */
-  val qCalibrationBins = GraftQuery(
-    "q_calibration_bins",
-    (spark, dir) => {
-      import spark.implicits._
-      val b = Tables.events(spark, dir).select(
-        expr("least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9)").as("bin"),
+  /** The per-bin (n, n_pos, Σpred, Σpred², Σpred·y) decimal counters of
+    * the calibration surface — ADDITIVE over row slices (pred is exact
+    * DECIMAL(38,9), so decimal sums merge exactly), which is what lets
+    * graft.streaming.StreamCal maintain ONE bin log serving BOTH the ECE
+    * readout ([[calibReport]]) and the Brier decomposition
+    * ([[brierReport]]). */
+  private[graft] def calBinsDec(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(
+        expr("least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9)")
+          .as("bin"),
         when($"event_type" === PosType, 1L).otherwise(0L).as("pos"),
-        expr("CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9))").as("pred"))
-      val g = b.groupBy($"bin")
-        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
-          sum($"pred").as("sp"))
+        expr("CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9))")
+          .as("pred"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+        sum($"pred").as("sp"),
+        sum($"pred" * $"pred").as("spp"),
+        sum(when($"pos" === 1, $"pred")
+          .otherwise(lit(0).cast(DecimalType(38, 9)))).as("spy"))
+  }
+
+  /** The ECE/bin readout over a [[calBinsDec]]-shaped relation — shared
+    * by [[qCalibrationBins]] and the streaming maintainer. */
+  private[graft] def calibReport(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    {
       val all = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       g.withColumn("ad", abs($"sp" - $"n_pos"))
@@ -276,7 +296,12 @@ object MlEval {
           Det.qround(expr("CAST(ad AS DOUBLE) / n")).as("gap"),
           Det.qround(expr("CAST(sad AS DOUBLE) / tot")).as("ece"))
         .orderBy($"bin")
-    },
+    }
+  }
+
+  val qCalibrationBins = GraftQuery(
+    "q_calibration_bins",
+    (spark, dir) => calibReport(calBinsDec(Tables.events(spark, dir))),
     Some(s"""
       WITH b AS (
         SELECT least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9) AS bin,
@@ -315,22 +340,14 @@ object MlEval {
     * decimals; the per-bin squared-gap terms are qrounded then
     * decimal-summed over the 10-row bin relation (q_anova_f discipline).
     * Scale shape: ONE corpus aggregate to 10 bins + one 1-row global. */
-  val qBrierDecomp = GraftQuery(
-    "q_brier_decomp",
-    (spark, dir) => {
-      import spark.implicits._
-      val b = Tables.events(spark, dir).select(
-        expr("least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9)")
-          .as("bin"),
-        when($"event_type" === PosType, 1L).otherwise(0L).as("pos"),
-        expr("CAST(least(greatest(value, 0), 500)/500 AS DECIMAL(38,9))")
-          .as("pred"))
-      val g = b.groupBy($"bin")
-        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
-          sum($"pred").as("sp"),
-          sum($"pred" * $"pred").as("spp"),
-          sum(when($"pos" === 1, $"pred").otherwise(lit(0).cast(
-            DecimalType(38, 9)))).as("spy"))
+  /** The Murphy-decomposition readout over a [[calBinsDec]]-shaped
+    * relation — shared by [[qBrierDecomp]] and the streaming
+    * maintainer. */
+  private[graft] def brierReport(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    {
       val tot = g.agg(sum($"n").as("nn"), sum($"n_pos").as("tpos"),
         sum($"sp").as("tsp"), sum($"spp").as("tspp"),
         sum($"spy").as("tspy")).filter($"nn" > 0)
@@ -367,7 +384,12 @@ object MlEval {
           Det.qround($"unc0").as("uncertainty"),
           Det.qround($"brier0" - ($"rel0" - $"res0" + $"unc0"))
             .as("residual"))
-    },
+    }
+  }
+
+  val qBrierDecomp = GraftQuery(
+    "q_brier_decomp",
+    (spark, dir) => brierReport(calBinsDec(Tables.events(spark, dir))),
     Some(s"""
       WITH b AS (
         SELECT least(greatest(CAST(floor(value/50) AS BIGINT), 0), 9) AS bin,
