@@ -268,4 +268,31 @@ class PlanGuardSpec extends SparkSpec {
       assert(bad.isEmpty, s"$n: ${bad.map(_.nodeName).mkString(", ")}")
     }
   }
+
+  test("q_spearman / q_raking: margin relations broadcast onto the grid") {
+    for (n <- Seq("q_spearman", "q_raking")) {
+      val p = Queries.byName(n).run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      // the bounded marginal/margin relations must reach the grid as
+      // BroadcastHashJoins — a SortMergeJoin means the bounded relation
+      // shuffled as if corpus-sized
+      assert(p.contains("BroadcastHashJoin"), s"$n\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n\n$p")
+    }
+  }
+
+  test("q_textrank_keywords / q_mauve_frontier / q_rbo_overlap: no pair enumeration") {
+    for (n <- Seq("q_textrank_keywords", "q_mauve_frontier",
+        "q_rbo_overlap")) {
+      val df = Queries.byName(n).run(spark, "/root/testdata/sf0.001")
+      df.collect() // materialize persists so the executed shape is real
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n\n$p")
+      // the only Cross joins are BROADCAST nested loops of bounded
+      // relations (centroid/threshold rows), never a data-sized product
+      for (line <- p.linesIterator if line.contains("Cross,"))
+        assert(line.contains("BroadcastNestedLoopJoin"), s"$n: $line")
+    }
+  }
 }
