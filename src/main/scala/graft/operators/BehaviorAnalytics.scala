@@ -1278,6 +1278,166 @@ object BehaviorAnalytics {
       ORDER BY n_times""")
   )
 
+  /** Newton steps for [[qCoxHr]]. */
+  val CoxIters = 3
+
+  /** Cox proportional-hazards ratio between the two user-parity survival
+    * arms (Cox 1972) — the semiparametric EFFECT-SIZE companion to
+    * [[qLogrank]]'s hypothesis test (log-rank answers "do the curves
+    * differ"; this answers "by what hazard ratio", and the score test of
+    * this model at β = 0 IS the log-rank statistic): with one binary
+    * covariate the partial likelihood reduces to Breslow risk-set sums
+    * over the SAME bounded duration relation, and [[CoxIters]] Newton
+    * steps solve it — U(β) = Σ_t (d₁ₜ − dₜ·n₁ₜeᵝ/(n₁ₜeᵝ+n₂ₜ)),
+    * I(β) = Σ_t dₜ·n₁ₜeᵝn₂ₜ/(n₁ₜeᵝ+n₂ₜ)², β ← β + U/I. One row: the
+    * fitted β, HR = eᵝ, SE = 1/√I, z — honest-null HR ≈ 1.
+    *
+    * Exactness: risk sets are the exact integer reverse cumulative sums
+    * q_logrank already pins; per-time U/I terms are [[Det.qround]]ed and
+    * decimal-summed per step (q_anova_f discipline), so each Newton
+    * iterate is bit-identical cross-engine; β re-enters each step as a
+    * driver-collected LITERAL (the k-center licensed-scalar shape), while
+    * the oracle carries it as an unrolled 1-row relation. Scale shape:
+    * ONE user-keyed aggregate, then [[CoxIters]] passes over the
+    * ≤[[KmObsHours]]+1-row domain. */
+  val qCoxHr = GraftQuery(
+    "q_cox_hr",
+    (spark, dir) => {
+      import spark.implicits._
+      val durs = kmArmDurations(Tables.events(spark, dir))
+      val wide = durs.groupBy($"dur_hours")
+        .agg(sum(when($"g" === 0, $"d_t").otherwise(0L)).as("d1"),
+          sum(when($"g" === 0, $"c_t").otherwise(0L)).as("c1"),
+          sum(when($"g" === 1, $"d_t").otherwise(0L)).as("d2"),
+          sum(when($"g" === 1, $"c_t").otherwise(0L)).as("c2"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wRisk = W.orderBy($"dur_hours".desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val at = wide
+        .withColumn("n1r", sum($"d1" + $"c1").over(wRisk))
+        .withColumn("n2r", sum($"d2" + $"c2").over(wRisk))
+        .withColumn("d", $"d1" + $"d2")
+        .filter($"d" > 0)
+        .select($"d1", $"d", $"n1r", $"n2r")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def d6(c: org.apache.spark.sql.Column) =
+        round(sum(c.cast(DecimalType(38, 9))), 6).cast(DoubleType)
+      def step(beta: Double): Option[(Double, Double, Long, Long)] = {
+        val eb = math.exp(beta)
+        val r = at
+          .withColumn("a", $"n1r" * lit(eb))
+          .withColumn("den", $"a" + $"n2r")
+          .select(
+            Det.qround($"d1" - $"d" * $"a" / $"den").as("u_t"),
+            Det.qround($"d" * $"a" * $"n2r" / ($"den" * $"den")).as("i_t"),
+            $"d1")
+          .agg(d6($"u_t").as("u"), d6($"i_t").as("i"),
+            count(lit(1)).as("n_times"), sum($"d1").as("o1"))
+          .filter($"i" > 0)
+          .as[(Double, Double, Long, Long)].collect()
+        r.headOption
+      }
+      var beta = 0.0
+      var last: Option[(Double, Double, Long, Long)] = None
+      for (_ <- 1 to CoxIters) {
+        last = step(beta)
+        last.foreach { case (u, i, _, _) => beta = beta + u / i }
+      }
+      last match {
+        case Some((_, _, nTimes, o1)) =>
+          // one final information evaluation AT the fitted beta for SE/z
+          val fin = step(beta)
+          val i = fin.map(_._2).getOrElse(0.0)
+          Seq((nTimes, o1, beta, i)).toDF("n_times", "o1", "beta0", "i0")
+            .select($"n_times", $"o1",
+              Det.qround($"beta0").as("beta"),
+              Det.qround(exp($"beta0")).as("hazard_ratio"),
+              when($"i0" > 0, Det.qround(lit(1.0) / sqrt($"i0"))).as("se"),
+              when($"i0" > 0, Det.qround($"beta0" * sqrt($"i0")))
+                .as("z_stat"))
+        case None =>
+          Seq.empty[(Long, Long, Double, Double, Option[Double],
+            Option[Double])]
+            .toDF("n_times", "o1", "beta", "hazard_ratio", "se", "z_stat")
+      }
+    },
+    Some {
+      def stepSql(i: Int): String = {
+        val prev = if (i == 1) "b0" else s"b${i - 1}"
+        s"""
+      s$i AS (
+        SELECT
+          round(sum(CAST(${Oracle.qround(
+            s"d1 - d * (n1r * exp($prev.beta)) / (n1r * exp($prev.beta) + n2r)")}
+            AS DECIMAL(38,9))), 6)::DOUBLE AS u,
+          round(sum(CAST(${Oracle.qround(
+            s"""d * (n1r * exp($prev.beta)) * n2r /
+               ((n1r * exp($prev.beta) + n2r) * (n1r * exp($prev.beta) + n2r))""")}
+            AS DECIMAL(38,9))), 6)::DOUBLE AS i
+        FROM at CROSS JOIN $prev),
+      b$i AS (SELECT $prev.beta + s$i.u / s$i.i AS beta
+              FROM $prev CROSS JOIN s$i WHERE s$i.i > 0)"""
+      }
+      s"""
+      WITH pu AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_us,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            AS purch_us
+        FROM events GROUP BY 1),
+      lat AS (
+        SELECT user_id % 2 AS g,
+          CAST(floor((purch_us - first_us)::DOUBLE / ${HourUs}.0)
+            AS BIGINT) AS lat_h
+        FROM pu),
+      durs AS (
+        SELECT g,
+          CASE WHEN lat_h IS NOT NULL AND lat_h < $KmObsHours
+            THEN lat_h ELSE $KmObsHours END AS dur_hours,
+          (lat_h IS NOT NULL AND lat_h < $KmObsHours) AS converted
+        FROM lat),
+      wide AS (
+        SELECT dur_hours,
+          sum(CASE WHEN g = 0 AND converted THEN 1 ELSE 0 END)::BIGINT AS d1,
+          sum(CASE WHEN g = 0 AND NOT converted THEN 1 ELSE 0 END)::BIGINT
+            AS c1,
+          sum(CASE WHEN g = 1 AND converted THEN 1 ELSE 0 END)::BIGINT AS d2,
+          sum(CASE WHEN g = 1 AND NOT converted THEN 1 ELSE 0 END)::BIGINT
+            AS c2
+        FROM durs GROUP BY 1),
+      r AS (
+        SELECT *,
+          (sum(d1 + c1) OVER w)::BIGINT AS n1r,
+          (sum(d2 + c2) OVER w)::BIGINT AS n2r
+        FROM wide
+        WINDOW w AS (ORDER BY dur_hours DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      at AS (
+        SELECT d1, d1 + d2 AS d, n1r, n2r FROM r WHERE d1 + d2 > 0),
+      b0 AS (SELECT 0e0 AS beta),
+      ${(1 to CoxIters).map(stepSql).mkString(",")},
+      cnt AS (
+        SELECT count(*)::BIGINT AS n_times, sum(d1)::BIGINT AS o1 FROM at),
+      fin AS (
+        SELECT
+          round(sum(CAST(${Oracle.qround(
+            s"""d * (n1r * exp(b$CoxIters.beta)) * n2r /
+               ((n1r * exp(b$CoxIters.beta) + n2r)
+                * (n1r * exp(b$CoxIters.beta) + n2r))""")}
+            AS DECIMAL(38,9))), 6)::DOUBLE AS i0
+        FROM at CROSS JOIN b$CoxIters)
+      SELECT n_times, o1,
+        ${Oracle.qround(s"b$CoxIters.beta")} AS beta,
+        ${Oracle.qround(s"exp(b$CoxIters.beta)")} AS hazard_ratio,
+        CASE WHEN i0 > 0
+          THEN ${Oracle.qround("1e0 / sqrt(i0)")} END AS se,
+        CASE WHEN i0 > 0
+          THEN ${Oracle.qround(s"b$CoxIters.beta * sqrt(i0)")} END AS z_stat
+      FROM cnt CROSS JOIN b$CoxIters CROSS JOIN fin
+      WHERE n_times > 0
+      ORDER BY n_times"""
+    }
+  )
+
   val qKaplanMeier = GraftQuery(
     "q_kaplan_meier",
     (spark, dir) => kmReport(kmDurations(Tables.events(spark, dir))),
@@ -2282,5 +2442,5 @@ object BehaviorAnalytics {
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
       qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift, qDid,
-      qMsprt, qAucDelong, qLogrank)
+      qMsprt, qAucDelong, qLogrank, qCoxHr)
 }

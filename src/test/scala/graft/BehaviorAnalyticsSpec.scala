@@ -601,6 +601,71 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(math.abs(got._5.get) < 3.0) // honest null
   }
 
+  test("q_cox_hr: fixture has no conversions -> empty readout") {
+    assert(BehaviorAnalytics.qCoxHr.run(spark, fixtureDir).count() === 0L)
+  }
+
+  test("q_cox_hr at sf0.001: plain-Scala Newton replica; honest-null HR ~ 1") {
+    val sf = "/root/testdata/sf0.001"
+    val at = BehaviorAnalytics.qLogrank // reuse the spec-verified shapes
+    // rebuild the risk-set relation exactly as the engine does
+    val obs = BehaviorAnalytics.KmObsHours
+    val hourUs = 3600L * 1000000L
+    val pu = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min($"ts_us").as("f"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.when(
+            $"event_type" === "purchase", $"ts_us")).as("p"))
+      .select($"user_id" % 2, $"f", $"p")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    val durs = pu.map { case (g, f, p) =>
+      val lat = p.map(x => math.floor((x - f).toDouble / hourUs).toLong)
+      val conv = lat.exists(_ < obs)
+      (g, if (conv) lat.get else obs, conv)
+    }
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def d9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(s: BigDecimal) =
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val times = durs.filter(_._3).map(_._2).distinct.sorted
+    case class T(d1: Long, d: Long, n1r: Long, n2r: Long)
+    val rows = times.map { t =>
+      T(durs.count(x => x._1 == 0 && x._3 && x._2 == t).toLong,
+        durs.count(x => x._3 && x._2 == t).toLong,
+        durs.count(x => x._1 == 0 && x._2 >= t).toLong,
+        durs.count(x => x._1 == 1 && x._2 >= t).toLong)
+    }
+    def ui(beta: Double): (Double, Double) = {
+      val eb = math.exp(beta)
+      (r6(rows.map(r => d9(qr(
+        r.d1 - r.d * (r.n1r * eb) / (r.n1r * eb + r.n2r)))).sum),
+        r6(rows.map(r => d9(qr(
+          r.d * (r.n1r * eb) * r.n2r /
+            ((r.n1r * eb + r.n2r) * (r.n1r * eb + r.n2r))))).sum))
+    }
+    var beta = 0.0
+    for (_ <- 1 to BehaviorAnalytics.CoxIters) {
+      val (u, i) = ui(beta); beta += u / i
+    }
+    val iFin = ui(beta)._2
+    val o1 = rows.map(_.d1).sum
+    val exp0 = (times.size.toLong, o1, qr(beta), qr(math.exp(beta)),
+      Some(qr(1.0 / math.sqrt(iFin))), Some(qr(beta * math.sqrt(iFin))))
+    val got = BehaviorAnalytics.qCoxHr.run(spark, sf)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()
+    assert(got === exp0)
+    // honest null: hazard ratio near 1, |z| small
+    assert(got._4 > 0.5 && got._4 < 2.0 && math.abs(got._6.get) < 3.0)
+    // effect direction agrees with the log-rank z
+    val lrZ = BehaviorAnalytics.qLogrank.run(spark, sf)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()._5.get
+    assert(lrZ.sign === got._6.get.sign)
+  }
+
   test("q_emd_drift: fixture has no purchase arm -> empty readout") {
     assert(BehaviorAnalytics.qEmdDrift.run(spark, fixtureDir).count() === 0L)
   }
