@@ -607,7 +607,6 @@ class BehaviorAnalyticsSpec extends SparkSpec {
 
   test("q_cox_hr at sf0.001: plain-Scala Newton replica; honest-null HR ~ 1") {
     val sf = "/root/testdata/sf0.001"
-    val at = BehaviorAnalytics.qLogrank // reuse the spec-verified shapes
     // rebuild the risk-set relation exactly as the engine does
     val obs = BehaviorAnalytics.KmObsHours
     val hourUs = 3600L * 1000000L
