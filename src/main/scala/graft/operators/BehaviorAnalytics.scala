@@ -1300,11 +1300,14 @@ object BehaviorAnalytics {
     * the oracle carries it as an unrolled 1-row relation. Scale shape:
     * ONE user-keyed aggregate, then [[CoxIters]] passes over the
     * ≤[[KmObsHours]]+1-row domain. */
-  val qCoxHr = GraftQuery(
-    "q_cox_hr",
-    (spark, dir) => {
-      import spark.implicits._
-      val durs = kmArmDurations(Tables.events(spark, dir))
+  /** The Cox-Newton readout over a per-arm (g, dur_hours, d_t, c_t)
+    * relation — shared by [[qCoxHr]] and graft.streaming.StreamLogrank
+    * (the second readout from that retraction-maintained log). */
+  private[graft] def coxReport(durs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = durs.sparkSession
+    import spark.implicits._
+    {
       val wide = durs.groupBy($"dur_hours")
         .agg(sum(when($"g" === 0, $"d_t").otherwise(0L)).as("d1"),
           sum(when($"g" === 0, $"c_t").otherwise(0L)).as("c1"),
@@ -1360,7 +1363,13 @@ object BehaviorAnalytics {
             Option[Double])]
             .toDF("n_times", "o1", "beta", "hazard_ratio", "se", "z_stat")
       }
-    },
+    }
+  }
+
+  val qCoxHr = GraftQuery(
+    "q_cox_hr",
+    (spark, dir) =>
+      coxReport(kmArmDurations(Tables.events(spark, dir))),
     Some {
       def stepSql(i: Int): String = {
         val prev = if (i == 1) "b0" else s"b${i - 1}"

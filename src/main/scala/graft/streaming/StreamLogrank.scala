@@ -87,4 +87,9 @@ object StreamLogrank {
     * (and, by the folded equality, identical values) to q_logrank. */
   def report(deltaLog: DataFrame): DataFrame =
     BehaviorAnalytics.logrankReport(fold(deltaLog))
+
+  /** The live Cox hazard ratio from the SAME log — the effect-size
+    * companion readout (q_cox_hr's batch twin). */
+  def coxReport(deltaLog: DataFrame): DataFrame =
+    BehaviorAnalytics.coxReport(fold(deltaLog))
 }

@@ -68,5 +68,14 @@ class StreamLogrankSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
       .collect().toSeq
     assert(streamed === batchReport && batchReport.nonEmpty)
+
+    // second readout from the SAME log: the live Cox hazard ratio
+    val coxS = StreamLogrank.coxReport(allDeltas)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    val coxB = BehaviorAnalytics.qCoxHr.run(spark, dir)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(coxS === coxB && coxB.nonEmpty)
   }
 }
