@@ -1257,6 +1257,109 @@ object EventAnalytics {
     }
   }
 
+  /** χ²₀.₉₅ critical values for df = 1..7 (published table constants,
+    * exact decimal literals) — [[qLjungBox]]'s rejection line. */
+  val Chi2Crit95: Seq[Double] =
+    Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067)
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per event type — the
+    * model-diagnostic that asks whether the daily series' first
+    * [[MaxLag]] autocorrelations are JOINTLY zero ("is this series white
+    * noise, or is there structure a forecaster is leaving on the
+    * table"): Q = n(n+2)·Σ_{k≤m} r_k²/(n−k) ~ χ²(m) under H₀, compared
+    * against the published 95% critical value. Rides the SAME acf
+    * relation as q_autocorr (one shared daily collapse); lags with a
+    * degenerate denominator drop and df adjusts.
+    *
+    * Exactness: r_k are the already-qrounded acf values; each Q term is
+    * qrounded then decimal-summed over the ≤m-row lag relation (q_anova_f
+    * discipline); the critical-value lookup is a CASE over integer df. Scale
+    * shape: everything after the daily aggregate is bounded-domain
+    * arithmetic. */
+  val qLjungBox = GraftQuery(
+    "q_ljung_box",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = dailyByType(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDays = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+      val acf = autocorrReport(daily)
+      val terms = acf.join(broadcast(nDays), Seq("event_type"))
+        .filter($"acf".isNotNull && $"n" - $"k" > 0)
+        .select($"event_type", $"n",
+          Det.qround($"acf" * $"acf" / ($"n" - $"k")).as("t"))
+      val crit = Chi2Crit95.zipWithIndex
+        .map { case (c, i) => (i.toLong + 1, c) }.toDF("df", "crit")
+      terms.groupBy($"event_type", $"n")
+        .agg(count(lit(1)).as("df"),
+          round(sum($"t".cast(DecimalType(38, 9))), 6).cast(DoubleType)
+            .as("tsum"))
+        .join(broadcast(crit), Seq("df"))
+        .select($"event_type", $"n".as("n_days"), $"df",
+          Det.qround($"n" * ($"n" + 2) * $"tsum").as("q_stat"),
+          $"crit",
+          (Det.qround($"n" * ($"n" + 2) * $"tsum") > $"crit")
+            .as("reject_white_noise"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // $DayUs AS day,
+          ${Oracle.dsum("value")} AS v
+        FROM events GROUP BY 1, 2),
+      nd AS (
+        SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+      means AS (
+        SELECT event_type,
+          ${Oracle.qround(s"${Oracle.dsum("v")} / count(*)")} AS m
+        FROM daily GROUP BY event_type),
+      dev AS (
+        SELECT d.event_type, d.day, d.v - m.m AS dd
+        FROM daily d JOIN means m USING (event_type)),
+      den AS (
+        SELECT event_type, ${Oracle.dsum("dd * dd")} AS den
+        FROM dev GROUP BY 1),
+      lagged AS (
+        SELECT event_type, dd,
+          ${(1 to MaxLag).map(k => s"lag(dd, $k) OVER w AS d$k").mkString(", ")}
+        FROM dev
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      stacked AS (
+        SELECT event_type, k, dd,
+          CASE k ${(1 to MaxLag).map(k => s"WHEN $k THEN d$k").mkString(" ")}
+          END AS dlag
+        FROM lagged
+        CROSS JOIN (SELECT unnest(range(1, ${MaxLag + 1})) AS k)),
+      num AS (
+        SELECT event_type, k, ${Oracle.dsum("dd * dlag")} AS num
+        FROM stacked WHERE dlag IS NOT NULL
+        GROUP BY event_type, k),
+      acf AS (
+        SELECT n.event_type, n.k,
+          CASE WHEN d.den > 0
+            THEN ${Oracle.qround("n.num / d.den")} END AS acf
+        FROM num n JOIN den d USING (event_type)),
+      terms AS (
+        SELECT a.event_type, nd.n,
+          ${Oracle.qround("a.acf * a.acf / (nd.n - a.k)")} AS t
+        FROM acf a JOIN nd USING (event_type)
+        WHERE a.acf IS NOT NULL AND nd.n - a.k > 0),
+      agg AS (
+        SELECT event_type, n, count(*)::BIGINT AS df,
+          round(sum(CAST(t AS DECIMAL(38,9))), 6)::DOUBLE AS tsum
+        FROM terms GROUP BY event_type, n),
+      crit AS (
+        SELECT unnest(range(1, ${Chi2Crit95.size + 1}))::BIGINT AS df,
+          unnest([${Chi2Crit95.mkString(", ")}]) AS crit)
+      SELECT event_type, n AS n_days, df,
+        ${Oracle.qround("n * (n + 2) * tsum")} AS q_stat, crit,
+        (${Oracle.qround("n * (n + 2) * tsum")} > crit)
+          AS reject_white_noise
+      FROM agg JOIN crit USING (df)
+      ORDER BY event_type""")
+  )
+
   /** Single-changepoint detection over the daily value series — the
     * offline AMOC (at-most-one-change) scan via binary segmentation
     * (Scott & Knott 1974 lineage; the first step of every changepoint
@@ -1779,7 +1882,7 @@ object EventAnalytics {
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,
     qWinsorizedStats, qIncrementalAgg, qTimeWeightedAvg, qHourlyProfile,
     qAutocorr, qCrossCorr, qStlDecompose, qSeasonalForecast, qTheilSen,
-    qSnapshotDiff, qChangepoint)
+    qSnapshotDiff, qChangepoint, qLjungBox)
 
   /** Snapshot diff — the read-side companion of [[qUpsertMerge]]'s MERGE:
     * given two versions of a keyed table, report what changed (the audit a

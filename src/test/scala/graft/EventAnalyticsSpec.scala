@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions.expr
 
 /** Dashboard analytics on the fixture events (one event per 6h bucket,
   * values 1..6): rolling(5) null semantics + sample stddev, keep-last dedup,
@@ -308,6 +309,33 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().toSeq
     assert(rows === expected)
     assert(rows.nonEmpty && rows.forall(_._3 === H.toLong))
+  }
+
+  test("ljung-box at sf0.001: replica from q_autocorr's own acf rows") {
+    val sf = "/root/testdata/sf0.001"
+    def qr(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def d9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(s: BigDecimal) =
+      s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val acf = EventAnalytics.qAutocorr.run(spark, sf)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    val nDays = Tables.events(spark, sf)
+      .select($"event_type", expr("ts_us div 86400000000").as("day"))
+      .distinct().groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val expRows = acf.groupBy(_._1).toSeq.map { case (t, rows) =>
+      val n = nDays(t)
+      val ts = rows.filter(r => r._4.isDefined && n - r._2 > 0)
+        .map(r => d9(qr(r._4.get * r._4.get / (n - r._2))))
+      val df = ts.size
+      val q = qr(n * (n + 2) * r6(ts.sum))
+      val crit = EventAnalytics.Chi2Crit95(df - 1)
+      (t, n, df.toLong, q, crit, q > crit)
+    }.sortBy(_._1)
+    val got = EventAnalytics.qLjungBox.run(spark, sf)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got === expRows && got.nonEmpty)
   }
 
   test("changepoint: planted level shift found at the true split") {
