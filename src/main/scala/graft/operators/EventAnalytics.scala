@@ -1377,14 +1377,33 @@ object EventAnalytics {
     * candidate, identical in both engines, so the argmax cannot flip.
     * Scale shape: ONE corpus aggregate to the day domain; everything
     * downstream is windows over that bounded relation. */
-  val qChangepoint = GraftQuery(
-    "q_changepoint",
-    (spark, dir) => {
-      import spark.implicits._
+  /** UNROUNDED per-day decimal value masses — ADDITIVE (the fdr/ate/did
+    * discipline), so graft.streaming.StreamCpt maintains this relation
+    * per micro-batch; the fold rounds once through [[cptFinish]]. */
+  private[graft] def cptDailyDec(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.groupBy(expr(s"ts_us div $DayUs").as("day"))
+      .agg(sum($"value".cast(DecimalType(38, 9))).as("v_d"))
+  }
+
+  /** Round each decimal daily mass once (the Det.dsum output shape). */
+  private[graft] def cptFinish(dec: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dec.sparkSession
+    import spark.implicits._
+    dec.select($"day", round($"v_d", 6).cast(DoubleType).as("v"))
+  }
+
+  /** The AMOC scan over a finished (day, v) relation — shared by
+    * [[qChangepoint]] and the streaming maintainer. */
+  private[graft] def cptReport(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    {
       val W = org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(spark, dir)
-        .groupBy(expr(s"ts_us div $DayUs").as("day"))
-        .agg(Det.dsum($"value").as("v"))
       val wc = W.orderBy($"day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
       val tot = daily.agg(count(lit(1)).as("n"),
@@ -1410,7 +1429,13 @@ object EventAnalytics {
           Det.qround($"bss0").as("bss"),
           ($"rk" === 1).as("is_changepoint"))
         .orderBy($"day")
-    },
+    }
+  }
+
+  val qChangepoint = GraftQuery(
+    "q_changepoint",
+    (spark, dir) =>
+      cptReport(cptFinish(cptDailyDec(Tables.events(spark, dir)))),
     Some(s"""
       WITH daily AS (
         SELECT epoch_us(ts) // $DayUs AS day, ${Oracle.dsum("value")} AS v
