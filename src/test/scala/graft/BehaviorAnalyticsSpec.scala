@@ -743,4 +743,21 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     // honest null: user_id%2 is independent of value by construction
     assert(math.abs(got._8) < 3.0)
   }
+
+  test("powerReport degrades to nulls on single-row arms") {
+    // one event per arm: variance is undefined (n−1 = 0), so the pooled
+    // s2, required n and MDE must all come out null — not a division
+    // error and not Infinity/NaN leaking out of the double lane
+    val g0 = Seq(("click", 1L, 5.0, 25.0), ("purchase", 1L, 3.0, 9.0))
+      .toDF("event_type", "n", "sx", "sxx")
+    val row = BehaviorAnalytics.powerReport(g0).collect().head
+    assert(row.getLong(0) === 1L && row.getLong(1) === 1L)
+    assert(row.getAs[Double]("delta") === 2.0)
+    assert(row.isNullAt(row.fieldIndex("s2_pooled")))
+    assert(row.isNullAt(row.fieldIndex("n_per_arm_required")))
+    assert(row.isNullAt(row.fieldIndex("mde_at_current_n")))
+    // welchReport shares the guard: same fixture, null t/df readout
+    val w = BehaviorAnalytics.welchReport(g0).collect().head
+    assert(w.isNullAt(w.fieldIndex("v1")) && w.isNullAt(w.fieldIndex("v2")))
+  }
 }

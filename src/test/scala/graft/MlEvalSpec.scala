@@ -173,4 +173,27 @@ class MlEvalSpec extends SparkSpec {
     // identity check: brier == rel - res + unc + resid by construction
     assert(math.abs(brier - (rel - res + unc + resid)) < 2e-6)
   }
+
+  test("rocReport degrades to null auc/gini/ks on a one-class value log") {
+    // a delta log that so far holds only negatives — the early-StreamRoc
+    // shape the n_pos/n_neg guards exist for: must yield a null readout
+    // row, never a division error or NaN
+    val vc = Seq((1.0, 0L, 5L), (2.0, 0L, 3L)).toDF("v", "p", "f")
+    val row = MlEval.rocReport(vc).collect().head
+    assert(row.getLong(0) === 0L && row.getLong(1) === 8L)
+    assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
+  }
+
+  test("liftReport degrades to null lift/gain with zero positives") {
+    val vc = Seq((1.0, 0L, 4L), (2.0, 0L, 6L)).toDF("v", "p", "f")
+    val rows = MlEval.liftReport(vc).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("resp_rate") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("lift")))
+      assert(r.isNullAt(r.fieldIndex("cum_gain")))
+    }
+    // and a fully empty log yields an empty gains table, not an error
+    assert(MlEval.liftReport(vc.limit(0)).collect().isEmpty)
+  }
 }
