@@ -146,8 +146,11 @@ object Clustering {
       // contract above) and re-enters the plan as a LITERAL center, which
       // removes the per-round broadcast exchange, the 1-row pick persist,
       // and the eager-materialize job the first unpersist fix paid for.
-      // Measured at sf0.1: 5.2 s (r11 broadcast-subquery shape) → 3.4 s,
-      // hash unchanged. The next round's TakeOrdered action materializes
+      // Measured at sf0.1, Prof WARM second run (the NOTES measurement
+      // mode): 5.2 s (r11 broadcast-subquery shape) → 1.2 s, hash
+      // unchanged; the cold first run reads ~5.9 s, dominated by the
+      // initial parquet scan + cache build, not the greedy rounds.
+      // The next round's TakeOrdered action materializes
       // the new state's cache, after which the state two rounds back
       // unpersists — at most TWO corpus-sized (vec_id, embedding, d2)
       // relations are ever resident (the ADVICE k-cache fix), and at real
