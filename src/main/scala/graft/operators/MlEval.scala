@@ -1177,8 +1177,314 @@ object MlEval {
       FROM b ORDER BY alpha""")
   )
 
+  // ------------------------------------ hashed-feature text classifier —
+
+  /** Hash-bucket count for the text classifier's feature space. Distinct
+    * from PipelineOps.HashBuckets (16, sized to AUDIT collisions): 64 is a
+    * model dimension — at real scale this is the fastText trick, any vocab
+    * folds into a fixed-width weight vector the driver can hold. */
+  private[graft] val ClsB = 64
+
+  /** Quality threshold defining the training label: y = 1 iff the shared
+    * [[TextAnalytics.qualityCol]] score exceeds it (≈ corpus median, so
+    * both classes are populated at every SF). */
+  private[graft] val ClsTau = 1.75
+
+  /** Per-document classifier input: label + structural features + hashed
+    * bag-of-words. `feats` is the L1-NORMALIZED term-frequency vector over
+    * [[ClsB]] md5 buckets (x_j = tf_j / n, so Σ_j x_j = 1 per doc — the
+    * fastText mean-of-embeddings shape, and the constant that licenses the
+    * undamped diagonal step in [[clsBucketRound]]); `xl` = ln(1+n) and
+    * `xa` = min(avg_token_len, 10) are the two structural features the
+    * quality rule also reads, so a perfect linear fit EXISTS up to hash
+    * collisions and the readout measures how much of the handcrafted rule
+    * the trained filter recovers.
+    *
+    * Scale shape: the ONLY corpus-sized exchanges of the whole operator
+    * happen here, once — token explode → (doc, bucket) tf → per-doc
+    * feature array — and the result is persisted; every training round
+    * after is a map pass over it. */
+  private[graft] def clsDocs(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val toks = graft.functions.Text.tokens($"text")
+    val base = docsIn.filter($"text".isNotNull)
+      .select($"doc_id", $"lang", $"text")
+      .withColumn("toks", toks)
+      .withColumn("n", size($"toks").cast("bigint"))
+      .withColumn("avg_len",
+        (length($"text") - $"n" + lit(1)).cast(DoubleType) / $"n")
+      .withColumn("y",
+        when(TextAnalytics.qualityCol > lit(ClsTau), 1.0).otherwise(0.0))
+      .withColumn("xl", Det.qround(log(lit(1.0) + $"n".cast(DoubleType))))
+      .withColumn("xa", Det.qround(least($"avg_len", lit(10.0))))
+    val hashed = base.select($"doc_id", $"n", explode($"toks").as("t"))
+      .select($"doc_id", $"n",
+        (conv(substring(md5($"t".cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % ClsB).as("j"))
+      .groupBy($"doc_id", $"n", $"j").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(collect_list(
+        struct($"j", ($"cnt".cast(DoubleType) / $"n").as("x"))).as("feats"))
+    base.select($"doc_id", $"lang", $"y", $"xl", $"xa")
+      .join(hashed, Seq("doc_id"))
+  }
+
+  /** Working columns under a FIXED model (coef = structural (b0, bl, ba),
+    * beta = bucket weights): off = Σ_j β_j·x_j (per-term decimal cast, so
+    * the fold is order-free — collect_list order never matters), eta, the
+    * ±30-clamped etac (keeps p strictly inside (0,1) in doubles: at ±30,
+    * exp(∓30) ≈ 9.4e-14 ≫ the 2.2e-16 double eps — so w > 0 and
+    * ln(1−p) is finite, the guards q_logistic_irls never needed because
+    * its β stays near 0), sigmoid p, weight w, residual g. The model
+    * enters as LITERALS (the k-center license: B+3 doubles is model-sized
+    * driver state), so each round is one map pass, no broadcast exchange. */
+  private def clsScored(docs: DataFrame, coef: (Double, Double, Double),
+      beta: Array[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE ArrayType literal, not CreateArray(64 Literals): the fold below
+    // re-plans every round (the weights are new literals), so a compact
+    // constant keeps per-round analysis/codegen cheap
+    val bArr = typedlit(beta.toSeq)
+    val zero = lit(BigDecimal(0)).cast(DecimalType(38, 9))
+    val sDec = aggregate($"feats", zero,
+      (acc, f) => (acc + (element_at(bArr, f.getField("j").cast("int") + 1)
+        * f.getField("x")).cast(DecimalType(38, 9))).cast(DecimalType(38, 9)))
+    docs
+      .withColumn("off", sDec.cast(DoubleType))
+      .withColumn("eta",
+        (lit(coef._1) + lit(coef._2) * $"xl" + lit(coef._3) * $"xa") + $"off")
+      .withColumn("etac", least(greatest($"eta", lit(-30.0)), lit(30.0)))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(lit(0.0) - $"etac")))
+      .withColumn("w", $"p" * (lit(1.0) - $"p"))
+      .withColumn("g", $"y" - $"p")
+  }
+
+  /** One EXACT IRLS round on the 3-dim structural block (1, xl, xa) with
+    * the bucket score as fixed offset — the q_logistic_irls machinery
+    * (weighted decimal Gramian + the shared 3×3 Cramer strings) re-aimed
+    * at a block of a larger model. ONE aggregate job; the solved (b0, bl,
+    * ba) is qrounded IN THE PLAN and collected. Degenerate corpora (empty,
+    * all-identical features ⇒ det = 0 ⇒ NaN/null quotients) keep the
+    * incoming coefficients. */
+  private def clsStructRound(docs: DataFrame, coef: (Double, Double, Double),
+      beta: Array[Double]): (Double, Double, Double) = {
+    val sc = clsScored(docs, coef, beta)
+      .withColumn("zs", (col("etac") - col("off")) + col("g") / col("w"))
+    def d(e: String) = sum(expr(s"CAST(($e) AS DECIMAL(38,9))"))
+    val row = sc.agg(
+        d("w").as("a1"), d("w*xl").as("a2"), d("w*xa").as("a3"),
+        d("w*zs").as("a4"), d("w*xl*xl").as("a5"), d("w*xl*xa").as("a6"),
+        d("w*xa*xa").as("a7"), d("w*xl*zs").as("a8"), d("w*xa*zs").as("a9"))
+      .select(
+        expr("CAST(a1 AS DOUBLE)").as("nd"), expr("CAST(a2 AS DOUBLE)").as("sq"),
+        expr("CAST(a3 AS DOUBLE)").as("sd"), expr("CAST(a4 AS DOUBLE)").as("sy"),
+        expr("CAST(a5 AS DOUBLE)").as("sqq"), expr("CAST(a6 AS DOUBLE)").as("sqd"),
+        expr("CAST(a7 AS DOUBLE)").as("sdd"), expr("CAST(a8 AS DOUBLE)").as("sqy"),
+        expr("CAST(a9 AS DOUBLE)").as("sdy"))
+      .withColumn("det", expr(DetM))
+      .withColumn("det0", expr(Det0))
+      .withColumn("det1", expr(Det1))
+      .withColumn("det2", expr(Det2))
+      .select(Det.qround(expr("det0/det")).as("b0"),
+        Det.qround(expr("det1/det")).as("bl"),
+        Det.qround(expr("det2/det")).as("ba"))
+      .collect().head
+    def ok(i: Int) = !row.isNullAt(i) &&
+      !row.getDouble(i).isNaN && !row.getDouble(i).isInfinite
+    if (ok(0) && ok(1) && ok(2))
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    else coef
+  }
+
+  /** One majorized diagonal-Newton round on the bucket block: β_j ←
+    * qround(β_j + Σ_d g_d·x_dj / Σ_d w_d·x_dj). Because x ≥ 0 and
+    * ‖x_d‖₁ = 1 per doc, the bucket-block Hessian satisfies H ≼ diag(Σ_d
+    * w_d·x_dj) (Jensen over the per-doc simplex weights), so the UNDAMPED
+    * diagonal step is a proper MM step — monotone, no learning rate. A
+    * full B×B Newton solve would need a B²-sized Gramian and a
+    * distributed solver; this is the standard large-scale compromise and
+    * ONE aggregate job (explode → ≤B groups, map-side partials). Buckets
+    * with no support keep their weight. */
+  private def clsBucketRound(docs: DataFrame, coef: (Double, Double, Double),
+      beta: Array[Double]): Array[Double] = {
+    val sc = clsScored(docs, coef, beta)
+    val bArr = typedlit(beta.toSeq)
+    val upd = sc.select(explode(col("feats")).as("f"), col("g"), col("w"))
+      .groupBy(col("f.j").as("j"))
+      .agg(sum(expr("CAST(g * f.x AS DECIMAL(38,9))")).as("sg"),
+        sum(expr("CAST(w * f.x AS DECIMAL(38,9))")).as("sw"))
+      .select(col("j"),
+        Det.qround(element_at(bArr, col("j").cast("int") + 1) +
+          expr("CAST(sg AS DOUBLE) / CAST(sw AS DOUBLE)")).as("nb"))
+      .collect()
+    val next = beta.clone()
+    upd.foreach(r => next(r.getLong(0).toInt) = r.getDouble(1))
+    next
+  }
+
+  /** Trained text-quality filter + per-language eval — the fastText-shape
+    * production quality classifier (cf. CCNet/LLaMA corpus filtering):
+    * logistic over [[ClsB]] hashed unigram features + 2 structural
+    * features, trained by BLOCK-COORDINATE IRLS (S,S,J,J,S,S,J,J: exact
+    * 3×3 Newton on the structural block, majorized diagonal Newton on the
+    * hash block), then one scoring pass reporting per-language
+    * precision/recall/log-loss against the thresholded quality label.
+    * Composes q_feature_hash's portable u32(md5) bucket space with
+    * q_logistic_irls's decimal-Gramian trainer.
+    *
+    * 100 TB shape: feature prep is the one corpus exchange (paid once,
+    * persisted); each of the 8 training rounds + the eval is a map pass
+    * over it ending in a ≤[[ClsB]]-row (or 1-row) aggregate; the model
+    * lives on the driver as B+3 doubles between rounds (the k-center
+    * literal-center pattern). NO streaming maintained twin, deliberately:
+    * unlike StreamIrls' bounded (l_quantity, l_discount) cell grid, the
+    * sufficient statistics of each round depend on the CURRENT model via
+    * per-document feature vectors — an unbounded state — so incremental
+    * maintenance would have to retain the corpus. Exactness: every
+    * cross-row sum is a per-term decimal cast; β/coef are 6-dp qrounded in
+    * the plan at each round boundary; σ/ln ride the exp/ln cross-engine
+    * parity precedent (q_logistic_irls); predictions use UNCLAMPED eta>0
+    * while p/w/loss use the ±30 clamp. */
+  private[graft] def textClassifierReport(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val prepared = clsDocs(docsIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var coef = (0.0, 0.0, 0.0)
+    var beta = Array.fill(ClsB)(0.0)
+    coef = clsStructRound(prepared, coef, beta)
+    coef = clsStructRound(prepared, coef, beta)
+    beta = clsBucketRound(prepared, coef, beta)
+    beta = clsBucketRound(prepared, coef, beta)
+    coef = clsStructRound(prepared, coef, beta)
+    coef = clsStructRound(prepared, coef, beta)
+    beta = clsBucketRound(prepared, coef, beta)
+    beta = clsBucketRound(prepared, coef, beta)
+    clsScored(prepared, coef, beta)
+      .withColumn("loss", lit(0.0) -
+        ($"y" * log($"p") + (lit(1.0) - $"y") * log(lit(1.0) - $"p")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"y".cast("bigint")).as("n_pos"),
+        sum(when($"eta" > 0.0, 1L).otherwise(0L)).as("n_pred"),
+        sum(when($"eta" > 0.0 && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(expr("CAST(loss AS DECIMAL(38,9))")).as("lsum"))
+      .select($"lang", $"n", $"n_pos", $"n_pred", $"tp",
+        when($"n_pred" > 0,
+          Det.qround(expr("CAST(tp AS DOUBLE) / n_pred"))).as("prec"),
+        when($"n_pos" > 0,
+          Det.qround(expr("CAST(tp AS DOUBLE) / n_pos"))).as("rec"),
+        Det.qround(expr("CAST(lsum AS DOUBLE) / n")).as("log_loss"))
+      .orderBy($"lang")
+  }
+
+  val qTextClassifier = GraftQuery(
+    "q_text_classifier",
+    (spark, dir) =>
+      textClassifierReport(Tables.spread(Tables.documents(spark, dir))),
+    Some {
+      def dS(e: String) = s"(sum(CAST(($e) AS DECIMAL(38,9))))::DOUBLE"
+      // scored-columns stage under model (coefRel, betaRel) → ${out}_p
+      def scSql(coefRel: String, betaRel: String, out: String) = s"""
+      ${out}_o AS (
+        SELECT f.doc_id, sum(CAST(r.b * f.x AS DECIMAL(38,9))) AS s
+        FROM feats f JOIN $betaRel r USING (j) GROUP BY 1),
+      ${out}_e AS (
+        SELECT d.doc_id, d.lang, d.y, d.xl, d.xa,
+          CAST(o.s AS DOUBLE) AS off,
+          (c.b0 + c.bl * d.xl + c.ba * d.xa) + CAST(o.s AS DOUBLE) AS eta
+        FROM docs d JOIN ${out}_o o USING (doc_id) CROSS JOIN $coefRel c),
+      ${out}_p AS (
+        SELECT *, p * (1.0 - p) AS w, y - p AS g FROM (
+          SELECT *, (1.0 / (1.0 + exp(0.0 - etac))) AS p FROM (
+            SELECT *, least(greatest(eta, -30.0), 30.0) AS etac
+            FROM ${out}_e)))"""
+      // structural IRLS round over ${in}_p → coefficient relation $coefOut
+      def structSql(in: String, coefOut: String) = s"""
+      ${coefOut}_z AS (
+        SELECT *, (etac - off) + g / w AS zs FROM ${in}_p),
+      ${coefOut}_m AS (SELECT
+        ${dS("w")} AS nd, ${dS("w*xl")} AS sq, ${dS("w*xa")} AS sd,
+        ${dS("w*zs")} AS sy, ${dS("w*xl*xl")} AS sqq,
+        ${dS("w*xl*xa")} AS sqd, ${dS("w*xa*xa")} AS sdd,
+        ${dS("w*xl*zs")} AS sqy, ${dS("w*xa*zs")} AS sdy
+        FROM ${coefOut}_z),
+      ${coefOut}_c AS (SELECT *, @DETM@ AS det, @DET0@ AS det0,
+        @DET1@ AS det1, @DET2@ AS det2 FROM ${coefOut}_m),
+      $coefOut AS (SELECT ${Oracle.qround("det0/det")} AS b0,
+        ${Oracle.qround("det1/det")} AS bl,
+        ${Oracle.qround("det2/det")} AS ba FROM ${coefOut}_c)"""
+      // bucket diagonal-Newton round over ${in}_p → weight relation $betaOut
+      def bucketSql(in: String, betaIn: String, betaOut: String) = s"""
+      ${betaOut}_g AS (
+        SELECT f.j, sum(CAST(sc.g * f.x AS DECIMAL(38,9))) AS sg,
+               sum(CAST(sc.w * f.x AS DECIMAL(38,9))) AS sw
+        FROM feats f JOIN ${in}_p sc USING (doc_id) GROUP BY 1),
+      $betaOut AS (
+        SELECT r.j,
+          CASE WHEN g.sw IS NOT NULL THEN ${Oracle.qround(
+            "r.b + CAST(g.sg AS DOUBLE) / CAST(g.sw AS DOUBLE)")}
+          ELSE r.b END AS b
+        FROM $betaIn r LEFT JOIN ${betaOut}_g g ON r.j = g.j)"""
+      s"""
+      WITH d0 AS (
+        SELECT doc_id, lang, text,
+          string_split_regex(lower(text), '[[:space:]]+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      db AS (
+        SELECT doc_id, lang, toks, len(toks)::BIGINT AS n,
+          (length(text) - len(toks) + 1)::DOUBLE / len(toks) AS avg_len,
+          ${TextAnalytics.qualitySqlExpr} AS quality
+        FROM d0),
+      docs AS (
+        SELECT doc_id, lang, toks, n,
+          CASE WHEN quality > $ClsTau THEN 1.0 ELSE 0.0 END AS y,
+          ${Oracle.qround("ln(1.0 + n)")} AS xl,
+          ${Oracle.qround("least(avg_len, 10.0)")} AS xa
+        FROM db),
+      tk AS (SELECT doc_id, n, unnest(toks) AS t FROM docs),
+      feats AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $ClsB AS j,
+          count(*)::DOUBLE / n AS x
+        FROM tk GROUP BY doc_id, n, j),
+      beta0 AS (SELECT j, 0.0::DOUBLE AS b FROM range(0, $ClsB) t(j)),
+      coef0 AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS bl,
+        0.0::DOUBLE AS ba),
+      ${scSql("coef0", "beta0", "s1")}, ${structSql("s1", "c1")},
+      ${scSql("c1", "beta0", "s2")}, ${structSql("s2", "c2")},
+      ${scSql("c2", "beta0", "s3")}, ${bucketSql("s3", "beta0", "w1")},
+      ${scSql("c2", "w1", "s4")}, ${bucketSql("s4", "w1", "w2")},
+      ${scSql("c2", "w2", "s5")}, ${structSql("s5", "c3")},
+      ${scSql("c3", "w2", "s6")}, ${structSql("s6", "c4")},
+      ${scSql("c4", "w2", "s7")}, ${bucketSql("s7", "w2", "w3")},
+      ${scSql("c4", "w3", "s8")}, ${bucketSql("s8", "w3", "w4")},
+      ${scSql("c4", "w4", "s9")},
+      ag AS (
+        SELECT lang, count(*)::BIGINT AS n,
+          sum(CAST(y AS BIGINT))::BIGINT AS n_pos,
+          sum(CASE WHEN eta > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+          sum(CASE WHEN eta > 0.0 AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT
+            AS tp,
+          sum(CAST((0.0 - (y * ln(p) + (1.0 - y) * ln(1.0 - p)))
+            AS DECIMAL(38,9))) AS lsum
+        FROM s9_p GROUP BY 1)
+      SELECT lang, n, n_pos, n_pred, tp,
+        CASE WHEN n_pred > 0 THEN
+          ${Oracle.qround("CAST(tp AS DOUBLE) / n_pred")} END AS prec,
+        CASE WHEN n_pos > 0 THEN
+          ${Oracle.qround("CAST(tp AS DOUBLE) / n_pos")} END AS rec,
+        ${Oracle.qround("CAST(lsum AS DOUBLE) / n")} AS log_loss
+      FROM ag ORDER BY lang"""
+        .replace("@DETM@", DetM).replace("@DET0@", Det0)
+        .replace("@DET1@", Det1).replace("@DET2@", Det2)
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
-      qRidgePath, qBrierDecomp)
+      qRidgePath, qBrierDecomp, qTextClassifier)
 }

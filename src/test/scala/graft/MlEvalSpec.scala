@@ -174,6 +174,42 @@ class MlEvalSpec extends SparkSpec {
     assert(math.abs(brier - (rel - res + unc + resid)) < 2e-6)
   }
 
+  test("q_text_classifier separates a planted two-cluster corpus") {
+    // hi docs: 40+i long non-stopword tokens (quality ≈ 1.88 > τ);
+    // lo docs: 8+i%7 stopwords (quality ≈ 0.76 < τ). Lengths VARY inside
+    // each class so the structural (1, xl, xa) Gramian is nonsingular and
+    // the exact 3×3 block trains; content differs so the hashed-bucket
+    // block separates too. The trained filter must be perfect here.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cls").toString
+    val stops = Seq("the", "a", "is", "of", "and", "to", "in")
+    val rows = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val text =
+        if (i < 20)
+          (0 until 40 + i).map(k => f"quality${(k + i) % 30}%02ditem")
+            .mkString(" ")
+        else
+          (0 until 8 + i % 7).map(k => stops((k + i) % stops.length))
+            .mkString(" ")
+      (i.toLong, text, lang, "src", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.byName("q_text_classifier").run(spark, dir).collect()
+    assert(out.map(_.getAs[String]("lang")).toSeq === Seq("en", "fr"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === 20)
+      assert(r.getAs[Long]("n_pos") === 10)   // the label derivation
+      assert(r.getAs[Long]("n_pred") === 10)  // the trained separation
+      assert(r.getAs[Long]("tp") === 10)
+      assert(r.getAs[Double]("prec") === 1.0)
+      assert(r.getAs[Double]("rec") === 1.0)
+    }
+    // determinism: a second end-to-end train+score run is bit-identical
+    val again = Queries.byName("q_text_classifier").run(spark, dir).collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("rocReport degrades to null auc/gini/ks on a one-class value log") {
     // a delta log that so far holds only negatives — the early-StreamRoc
     // shape the n_pos/n_neg guards exist for: must yield a null readout
