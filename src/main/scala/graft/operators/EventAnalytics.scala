@@ -1276,33 +1276,43 @@ object EventAnalytics {
     * discipline); the critical-value lookup is a CASE over integer df. Scale
     * shape: everything after the daily aggregate is bounded-domain
     * arithmetic. */
+  /** The Ljung–Box readout over a (event_type, day, v) daily series —
+    * shared by [[qLjungBox]] and graft.streaming.StreamDaily's fold, so
+    * the maintained white-noise monitor can never drift from the batch
+    * query (this is the FOURTH readout of the same maintained daily log,
+    * after acf/STL/forecast — the one-state-many-readouts discipline). */
+  private[graft] def ljungBoxReport(dailyIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dailyIn.sparkSession
+    import spark.implicits._
+    val daily = dailyIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDays = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+    val acf = autocorrReport(daily)
+    val terms = acf.join(broadcast(nDays), Seq("event_type"))
+      .filter($"acf".isNotNull && $"n" - $"k" > 0)
+      .select($"event_type", $"n",
+        Det.qround($"acf" * $"acf" / ($"n" - $"k")).as("t"))
+    val crit = Chi2Crit95.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1, c) }.toDF("df", "crit")
+    terms.groupBy($"event_type", $"n")
+      .agg(count(lit(1)).as("df"),
+        round(sum($"t".cast(DecimalType(38, 9))), 6).cast(DoubleType)
+          .as("tsum"))
+      .join(broadcast(crit), Seq("df"))
+      .select($"event_type", $"n".as("n_days"), $"df",
+        Det.qround($"n" * ($"n" + 2) * $"tsum").as("q_stat"),
+        $"crit",
+        (Det.qround($"n" * ($"n" + 2) * $"tsum") > $"crit")
+          .as("reject_white_noise"))
+      .orderBy($"event_type")
+  }
+
   val qLjungBox = GraftQuery(
     "q_ljung_box",
-    (spark, dir) => {
-      import spark.implicits._
-      val daily = dailyByType(Tables.events(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDays = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"))
-      val acf = autocorrReport(daily)
-      val terms = acf.join(broadcast(nDays), Seq("event_type"))
-        .filter($"acf".isNotNull && $"n" - $"k" > 0)
-        .select($"event_type", $"n",
-          Det.qround($"acf" * $"acf" / ($"n" - $"k")).as("t"))
-      val crit = Chi2Crit95.zipWithIndex
-        .map { case (c, i) => (i.toLong + 1, c) }.toDF("df", "crit")
-      terms.groupBy($"event_type", $"n")
-        .agg(count(lit(1)).as("df"),
-          round(sum($"t".cast(DecimalType(38, 9))), 6).cast(DoubleType)
-            .as("tsum"))
-        .join(broadcast(crit), Seq("df"))
-        .select($"event_type", $"n".as("n_days"), $"df",
-          Det.qround($"n" * ($"n" + 2) * $"tsum").as("q_stat"),
-          $"crit",
-          (Det.qround($"n" * ($"n" + 2) * $"tsum") > $"crit")
-            .as("reject_white_noise"))
-        .orderBy($"event_type")
-    },
+    (spark, dir) =>
+      ljungBoxReport(dailyByType(Tables.events(spark, dir))),
     Some(s"""
       WITH daily AS (
         SELECT event_type, epoch_us(ts) // $DayUs AS day,

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 /** Streaming daily-series maintainer — ONE maintained relation serving the
   * engine's whole time-series family: the fold equals the batch
   * `EventAnalytics.dailyByType` relation bit-for-bit, so the shared
-  * autocorrReport / stlReport / forecastReport run unchanged on top of it
-  * (q_autocorr, q_stl_decompose AND q_seasonal_forecast from one delta
-  * log — at 100 TB the per-type daily aggregate is the expensive pass,
-  * and this maintains it without ever re-scanning history).
+  * autocorrReport / stlReport / forecastReport / ljungBoxReport run
+  * unchanged on top of it (q_autocorr, q_stl_decompose,
+  * q_seasonal_forecast AND q_ljung_box from one delta log — at 100 TB the
+  * per-type daily aggregate is the expensive pass, and this maintains it
+  * without ever re-scanning history).
   *
   * Exactness across batches needs care the additive-counter twins don't:
   * the batch relation's `v` is round(Σ decimal-addends, 6) — rounding a
@@ -66,13 +67,17 @@ object StreamDaily {
       .agg(round(sum(col("vdec")), 6).cast(DoubleType).as("v"))
   }
 
-  /** The three family readouts over the folded series — identical
+  /** The four family readouts over the folded series — identical
     * machinery (and, by the fold equality, identical values) to
-    * q_autocorr / q_stl_decompose / q_seasonal_forecast. */
+    * q_autocorr / q_stl_decompose / q_seasonal_forecast / q_ljung_box.
+    * The last is the LIVE white-noise monitor: a forecaster's residual
+    * check that updates per micro-batch without re-scanning history. */
   def autocorr(spark: SparkSession, logDir: String): DataFrame =
     EventAnalytics.autocorrReport(series(spark, logDir))
   def stl(spark: SparkSession, logDir: String): DataFrame =
     EventAnalytics.stlReport(series(spark, logDir))
   def forecast(spark: SparkSession, logDir: String): DataFrame =
     EventAnalytics.forecastReport(series(spark, logDir))
+  def ljungBox(spark: SparkSession, logDir: String): DataFrame =
+    EventAnalytics.ljungBoxReport(series(spark, logDir))
 }

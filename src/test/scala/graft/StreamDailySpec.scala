@@ -9,14 +9,14 @@ import java.nio.file.Files
 /** Streaming daily-series maintainer end-to-end: events replayed in
   * micro-batches whose slices SPLIT days across batches (the partial-sum
   * path is genuinely exercised), folded series must bit-match the batch
-  * dailyByType relation, and all three family readouts must bit-match
+  * dailyByType relation, and all four family readouts must bit-match
   * their batch queries. */
 class StreamDailySpec extends SparkSpec {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("folded series and the three readouts bit-match the batch family") {
+  test("folded series and the four readouts bit-match the batch family") {
     val ev = Tables.events(spark, dir)
     val logDir = Files.createTempDirectory("graft-daily-log").toString
 
@@ -55,6 +55,8 @@ class StreamDailySpec extends SparkSpec {
       rows5(EventAnalytics.qStlDecompose.run(spark, dir)))
     assert(rows5(StreamDaily.forecast(spark, logDir)) ===
       rows5(EventAnalytics.qSeasonalForecast.run(spark, dir)))
+    assert(rows5(StreamDaily.ljungBox(spark, logDir)) ===
+      rows5(EventAnalytics.qLjungBox.run(spark, dir)))
 
     // recovery replay of batch 0: partial sums -> fixed-path overwrite
     // is correctness on replay
