@@ -1614,9 +1614,172 @@ object LexicalStats {
       ORDER BY v_obs""")
   )
 
+  /** Data-scaling ladder — the "does more data still help" curation-ROI
+    * diagnostic (the empirical-scaling-law shape of Kaplan et al. 2020 /
+    * Hoffmann et al. 2022, instrumented on the unigram LM this engine can
+    * fit exactly): held-out cross-entropy under [[qHeldoutXent]]'s add-1
+    * unigram model trained on NESTED PREFIXES of the train split — 1, 2,
+    * 4, all 8 of the salted-md5 train buckets, every rung evaluated on
+    * the SAME val bucket (8), so the k = 8 rung IS q_heldout_xent's
+    * readout verbatim (LexicalStatsSpec pins the bit-equality). Per lang,
+    * the rungs feed a log-log OLS fit (the q_zipf_fit machinery):
+    * slope = d ln(xent)/d ln(D) — the local power-law exponent a curation
+    * team reads as "one more doubling of this source buys slope·ln2 nats"
+    * — and the fitted line extrapolates to `xent_at_10x`, the predicted
+    * loss at 10× the current train mass. Rising oov with falling xent
+    * along the ladder shows WHERE the gain comes from (vocabulary
+    * coverage vs distribution sharpening).
+    *
+    * Exactness: every count is integer from ONE (lang, term) exchange
+    * (the four prefix counts + val count are conditional aggregates of
+    * the same pass); xent addends are single-ln doubles decimal-summed
+    * (q_heldout_xent precedent); the 4-point OLS runs on ln of the
+    * already-qrounded xent values through scale-12 decimal sums
+    * (q_zipf_fit precedent); a degenerate ladder (all mass in one
+    * bucket ⇒ zero x-variance) yields NULL slope/extrapolation, not NaN.
+    *
+    * Scale shape: ONE corpus exchange to (lang, term) counts; the ×4
+    * prefix fan-out happens on the VOCABULARY-sized relation; everything
+    * after is ≤|langs|×4 rows. The corpus never shuffles twice. */
+  val qScalingLaw = GraftQuery(
+    "q_scaling_law",
+    (spark, dir) => {
+      import spark.implicits._
+      val bucketed = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket",
+          expr(PipelineOps.u32Expr(
+            "concat('split:', cast(doc_id as string))") + " % 10"))
+        .filter($"bucket" <= 8)
+      val tf = bucketed
+        .select($"lang", $"bucket", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"lang", $"term")
+        .agg(count(when($"bucket" <= 0, 1)).as("ctf1"),
+          count(when($"bucket" <= 1, 1)).as("ctf2"),
+          count(when($"bucket" <= 3, 1)).as("ctf4"),
+          count(when($"bucket" <= 7, 1)).as("ctf8"),
+          count(when($"bucket" === 8, 1)).as("vtf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pre = tf.selectExpr("lang", "term", "vtf",
+        "stack(4, 1L, ctf1, 2L, ctf2, 4L, ctf4, 8L, ctf8) as (k, ctf)")
+      val st = pre.groupBy($"lang", $"k")
+        .agg(sum($"ctf").as("n_train"),
+          count(when($"ctf" > 0, 1)).as("vocab"),
+          sum($"vtf").as("n_val"))
+      val xe = pre.filter($"vtf" > 0)
+        .join(broadcast(st), Seq("lang", "k"))
+        .groupBy($"lang", $"k", $"n_train", $"vocab", $"n_val")
+        .agg(coalesce(sum(when($"ctf" === 0, $"vtf")), lit(0L)).as("n_oov"),
+          sum(($"vtf".cast(DoubleType) *
+            log(($"n_train" + $"vocab" + 1).cast(DoubleType) /
+              ($"ctf" + 1).cast(DoubleType)))
+            .cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("xsum"))
+        .filter($"n_train" > 0 && $"n_val" > 0)
+        .select($"lang", $"k", $"n_train", $"vocab", $"n_val",
+          Det.qround($"n_oov" * lit(1.0) / $"n_val").as("oov_rate"),
+          Det.qround($"xsum" / $"n_val").as("xent_nats"))
+      val fit = xe.filter($"xent_nats" > 0)
+        .select($"lang", log($"n_train".cast(DoubleType)).as("x"),
+          log($"xent_nats").as("y"), $"n_train")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("np"),
+          sum($"x".cast(DecimalType(38, 12))).cast(DoubleType).as("sx"),
+          sum($"y".cast(DecimalType(38, 12))).cast(DoubleType).as("sy"),
+          sum(($"x" * $"y").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sxy"),
+          sum(($"x" * $"x").cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("sxx"),
+          max($"n_train").as("n_max"))
+        .withColumn("den", expr("np * sxx - sx * sx"))
+        .select($"lang",
+          when($"den" =!= 0.0,
+            Det.qround(expr("(np * sxy - sx * sy) / den"))).as("slope"),
+          when($"den" =!= 0.0,
+            Det.qround(expr("(sy * sxx - sx * sxy) / den"))).as("icept"),
+          $"n_max")
+      xe.join(broadcast(fit), Seq("lang"))
+        .select($"lang", $"k".as("frac_eighths"),
+          $"n_train".as("n_train_tokens"), $"vocab",
+          $"n_val".as("n_val_tokens"), $"oov_rate", $"xent_nats", $"slope",
+          when($"slope".isNotNull, Det.qround(
+            exp($"icept" + $"slope" * log(lit(10.0) * $"n_max"))))
+            .as("xent_at_10x"))
+        .orderBy($"lang", $"frac_eighths")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT lang, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10
+            AS bucket
+        FROM documents),
+      toks AS (
+        SELECT lang, bucket,
+          unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM split WHERE bucket <= 8),
+      tf AS (
+        SELECT lang, term,
+          count(*) FILTER (WHERE bucket <= 0) AS ctf1,
+          count(*) FILTER (WHERE bucket <= 1) AS ctf2,
+          count(*) FILTER (WHERE bucket <= 3) AS ctf4,
+          count(*) FILTER (WHERE bucket <= 7) AS ctf8,
+          count(*) FILTER (WHERE bucket = 8) AS vtf
+        FROM toks GROUP BY lang, term),
+      pre AS (
+        SELECT lang, term, vtf, kk.k,
+          CASE kk.k WHEN 1 THEN ctf1 WHEN 2 THEN ctf2 WHEN 4 THEN ctf4
+            ELSE ctf8 END AS ctf
+        FROM tf CROSS JOIN (SELECT unnest([1, 2, 4, 8])::BIGINT AS k) kk),
+      st AS (
+        SELECT lang, k, sum(ctf)::BIGINT AS n_train,
+          (count(*) FILTER (WHERE ctf > 0))::BIGINT AS vocab,
+          sum(vtf)::BIGINT AS n_val
+        FROM pre GROUP BY lang, k),
+      xe AS (
+        SELECT p.lang, p.k, n_train, vocab, n_val,
+          ${Oracle.qround(
+            "coalesce(sum(vtf) FILTER (WHERE ctf = 0), 0) * 1.0 / n_val")}
+            AS oov_rate,
+          ${Oracle.qround(
+            "sum(CAST(vtf::DOUBLE * ln((n_train + vocab + 1)::DOUBLE /" +
+              " (ctf + 1)::DOUBLE) AS DECIMAL(38,9)))::DOUBLE / n_val")}
+            AS xent_nats
+        FROM pre p JOIN st USING (lang, k)
+        WHERE p.vtf > 0
+        GROUP BY p.lang, p.k, n_train, vocab, n_val
+        HAVING n_train > 0 AND n_val > 0),
+      fitin AS (
+        SELECT lang, ln(n_train::DOUBLE) AS x, ln(xent_nats) AS y, n_train
+        FROM xe WHERE xent_nats > 0),
+      fit0 AS (
+        SELECT lang, count(*)::BIGINT AS np,
+          sum(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+          sum(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+          sum(CAST(x * y AS DECIMAL(38,12)))::DOUBLE AS sxy,
+          sum(CAST(x * x AS DECIMAL(38,12)))::DOUBLE AS sxx,
+          max(n_train)::BIGINT AS n_max
+        FROM fitin GROUP BY lang),
+      fit AS (
+        SELECT lang, np * sxx - sx * sx AS den,
+          CASE WHEN np * sxx - sx * sx <> 0.0 THEN
+            ${Oracle.qround("(np * sxy - sx * sy) / (np * sxx - sx * sx)")}
+          END AS slope,
+          CASE WHEN np * sxx - sx * sx <> 0.0 THEN
+            ${Oracle.qround("(sy * sxx - sx * sxy) / (np * sxx - sx * sx)")}
+          END AS icept,
+          n_max
+        FROM fit0)
+      SELECT xe.lang, k AS frac_eighths, n_train AS n_train_tokens, vocab,
+        n_val AS n_val_tokens, oov_rate, xent_nats, slope,
+        CASE WHEN slope IS NOT NULL THEN
+          ${Oracle.qround("exp(icept + slope * ln(10.0 * n_max))")}
+        END AS xent_at_10x
+      FROM xe JOIN fit USING (lang)
+      ORDER BY lang, frac_eighths""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
-      qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1)
+      qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1,
+      qScalingLaw)
 }

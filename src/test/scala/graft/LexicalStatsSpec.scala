@@ -480,4 +480,27 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got.map(_._1) === Seq(10L, 25L))
     assert(got.forall(_._3.exists(_ > 0.0)))
   }
+
+  test("q_scaling_law: the full-prefix rung IS q_heldout_xent verbatim") {
+    val dir = "/root/testdata/sf0.001"
+    // k = 8 trains on all eight train buckets — the same model and the
+    // same val bucket as q_heldout_xent, so the rung must match bit-exact
+    val rung = LexicalStats.qScalingLaw.run(spark, dir)
+      .filter($"frac_eighths" === 8)
+      .select($"lang", $"n_train_tokens", $"vocab", $"n_val_tokens",
+        $"oov_rate", $"xent_nats")
+      .collect().toSeq.map(_.toSeq)
+    val held = LexicalStats.qHeldoutXent.run(spark, dir)
+      .collect().toSeq.map(_.toSeq)
+    assert(rung === held && held.nonEmpty)
+    // ladder shape: every lang has the 4 rungs with weakly growing mass
+    val ladder = LexicalStats.qScalingLaw.run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double,
+        Option[Double], Option[Double])].collect().toSeq
+    ladder.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === Seq(1L, 2L, 4L, 8L))
+      val mass = rows.sortBy(_._2).map(_._3)
+      assert(mass === mass.sorted)
+    }
+  }
 }
