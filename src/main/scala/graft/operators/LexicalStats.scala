@@ -768,41 +768,63 @@ object LexicalStats {
     * together (partial+final); the per-lang LM normalizers are a tiny
     * aggregate broadcast back onto the vocabulary relation; the final
     * rollup is one lang-keyed aggregate. The corpus never shuffles twice. */
+  /** The (lang, term) split-count collapse shared by [[qHeldoutXent]],
+    * [[qScalingLaw]] and graft.streaming.StreamXent's maintained fold:
+    * token-instance counts per prefix ladder rung (ctf1 = bucket 0 only,
+    * ctf2 ≤ 1, ctf4 ≤ 3, ctf8 = the full train split) plus the val count.
+    * ADDITIVE over document slices (plain integer counters keyed by the
+    * per-doc salted split), which is what lets a streaming maintainer
+    * keep it current per micro-batch and fold at read time. */
+  private[graft] def xentTf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    docsIn
+      .withColumn("bucket",
+        expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
+      .filter($"bucket" <= 8)
+      .select($"lang", $"bucket", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"lang", $"term")
+      .agg(count(when($"bucket" <= 0, 1)).as("ctf1"),
+        count(when($"bucket" <= 1, 1)).as("ctf2"),
+        count(when($"bucket" <= 3, 1)).as("ctf4"),
+        count(when($"bucket" <= 7, 1)).as("ctf8"),
+        count(when($"bucket" === 8, 1)).as("vtf"))
+  }
+
+  /** The held-out readout from the shared tf relation (ctf8 = the full
+    * train split) — shared by [[qHeldoutXent]] and the streaming
+    * maintainer's fold, so the two surfaces can never drift. */
+  private[graft] def heldoutReport(tfIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = tfIn.sparkSession
+    import spark.implicits._
+    val tf = tfIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = tf.groupBy($"lang")
+      .agg(sum($"ctf8").as("n_train"),
+        count(when($"ctf8" > 0, 1)).as("vocab"),
+        sum($"vtf").as("n_val"))
+    tf.filter($"vtf" > 0)
+      .join(broadcast(st), Seq("lang"))
+      .groupBy($"lang", $"n_train", $"vocab", $"n_val")
+      .agg(
+        coalesce(sum(when($"ctf8" === 0, $"vtf")), lit(0L)).as("n_oov"),
+        sum(($"vtf".cast(DoubleType) *
+          log(($"n_train" + $"vocab" + 1).cast(DoubleType) /
+            ($"ctf8" + 1).cast(DoubleType)))
+          .cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("xsum"))
+      .select($"lang", $"n_train".as("n_train_tokens"), $"vocab",
+        $"n_val".as("n_val_tokens"),
+        Det.qround($"n_oov" * lit(1.0) / $"n_val").as("oov_rate"),
+        Det.qround($"xsum" / $"n_val").as("xent_nats"))
+      .orderBy($"lang")
+  }
+
   val qHeldoutXent = GraftQuery(
     "q_heldout_xent",
-    (spark, dir) => {
-      import spark.implicits._
-      val bucketed = Tables.spread(Tables.documents(spark, dir))
-        .withColumn("bucket",
-          expr(PipelineOps.u32Expr("concat('split:', cast(doc_id as string))") + " % 10"))
-        .filter($"bucket" <= 8)
-      // train ctf and val vtf from the same exchange: count token INSTANCES
-      // per (lang, term) on each side of the split
-      val tf = bucketed
-        .select($"lang", $"bucket", explode(Text.tokens($"text")).as("term"))
-        .groupBy($"lang", $"term")
-        .agg(count(when($"bucket" <= 7, 1)).as("ctf"),
-          count(when($"bucket" === 8, 1)).as("vtf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val st = tf.groupBy($"lang")
-        .agg(sum($"ctf").as("n_train"),
-          count(when($"ctf" > 0, 1)).as("vocab"),
-          sum($"vtf").as("n_val"))
-      tf.filter($"vtf" > 0)
-        .join(broadcast(st), Seq("lang"))
-        .groupBy($"lang", $"n_train", $"vocab", $"n_val")
-        .agg(
-          coalesce(sum(when($"ctf" === 0, $"vtf")), lit(0L)).as("n_oov"),
-          sum(($"vtf".cast(DoubleType) *
-            log(($"n_train" + $"vocab" + 1).cast(DoubleType) /
-              ($"ctf" + 1).cast(DoubleType)))
-            .cast(DecimalType(38, Det.Scale))).cast(DoubleType).as("xsum"))
-        .select($"lang", $"n_train".as("n_train_tokens"), $"vocab",
-          $"n_val".as("n_val_tokens"),
-          Det.qround($"n_oov" * lit(1.0) / $"n_val").as("oov_rate"),
-          Det.qround($"xsum" / $"n_val").as("xent_nats"))
-        .orderBy($"lang")
-    },
+    (spark, dir) =>
+      heldoutReport(xentTf(Tables.spread(Tables.documents(spark, dir)))),
     Some(s"""
       WITH split AS (
         SELECT lang, text,
@@ -1641,23 +1663,14 @@ object LexicalStats {
     * Scale shape: ONE corpus exchange to (lang, term) counts; the ×4
     * prefix fan-out happens on the VOCABULARY-sized relation; everything
     * after is ≤|langs|×4 rows. The corpus never shuffles twice. */
-  val qScalingLaw = GraftQuery(
-    "q_scaling_law",
-    (spark, dir) => {
-      import spark.implicits._
-      val bucketed = Tables.spread(Tables.documents(spark, dir))
-        .withColumn("bucket",
-          expr(PipelineOps.u32Expr(
-            "concat('split:', cast(doc_id as string))") + " % 10"))
-        .filter($"bucket" <= 8)
-      val tf = bucketed
-        .select($"lang", $"bucket", explode(Text.tokens($"text")).as("term"))
-        .groupBy($"lang", $"term")
-        .agg(count(when($"bucket" <= 0, 1)).as("ctf1"),
-          count(when($"bucket" <= 1, 1)).as("ctf2"),
-          count(when($"bucket" <= 3, 1)).as("ctf4"),
-          count(when($"bucket" <= 7, 1)).as("ctf8"),
-          count(when($"bucket" === 8, 1)).as("vtf"))
+  /** The full ladder + fit readout from the shared tf relation — shared
+    * by [[qScalingLaw]] and the streaming maintainer's fold. */
+  private[graft] def scalingReport(tfIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = tfIn.sparkSession
+    import spark.implicits._
+    {
+      val tf = tfIn
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pre = tf.selectExpr("lang", "term", "vtf",
         "stack(4, 1L, ctf1, 2L, ctf2, 4L, ctf4, 8L, ctf8) as (k, ctf)")
@@ -1704,7 +1717,13 @@ object LexicalStats {
             exp($"icept" + $"slope" * log(lit(10.0) * $"n_max"))))
             .as("xent_at_10x"))
         .orderBy($"lang", $"frac_eighths")
-    },
+    }
+  }
+
+  val qScalingLaw = GraftQuery(
+    "q_scaling_law",
+    (spark, dir) =>
+      scalingReport(xentTf(Tables.spread(Tables.documents(spark, dir)))),
     Some(s"""
       WITH split AS (
         SELECT lang, text,
