@@ -1209,7 +1209,7 @@ object MlEval {
     import spark.implicits._
     val toks = graft.functions.Text.tokens($"text")
     val base = docsIn.filter($"text".isNotNull)
-      .select($"doc_id", $"lang", $"text")
+      .select($"doc_id", $"lang", $"source", $"text")
       .withColumn("toks", toks)
       .withColumn("n", size($"toks").cast("bigint"))
       .withColumn("avg_len",
@@ -1226,7 +1226,7 @@ object MlEval {
       .groupBy($"doc_id")
       .agg(collect_list(
         struct($"j", ($"cnt".cast(DoubleType) / $"n").as("x"))).as("feats"))
-    base.select($"doc_id", $"lang", $"y", $"xl", $"xa")
+    base.select($"doc_id", $"lang", $"source", $"n", $"y", $"xl", $"xa")
       .join(hashed, Seq("doc_id"))
   }
 
@@ -1347,11 +1347,12 @@ object MlEval {
     * the plan at each round boundary; σ/ln ride the exp/ln cross-engine
     * parity precedent (q_logistic_irls); predictions use UNCLAMPED eta>0
     * while p/w/loss use the ±30 clamp. */
-  private[graft] def textClassifierReport(docsIn: DataFrame): DataFrame = {
-    val spark = docsIn.sparkSession
-    import spark.implicits._
-    val prepared = clsDocs(docsIn)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The S,S,J,J,S,S,J,J training schedule over a persisted feature
+    * relation — shared by [[qTextClassifier]] (per-lang eval) and
+    * [[qFilterImpact]] (mixture-retention readout), so both surfaces
+    * score with the IDENTICAL model. */
+  private def clsTrain(prepared: DataFrame)
+      : ((Double, Double, Double), Array[Double]) = {
     var coef = (0.0, 0.0, 0.0)
     var beta = Array.fill(ClsB)(0.0)
     coef = clsStructRound(prepared, coef, beta)
@@ -1362,6 +1363,15 @@ object MlEval {
     coef = clsStructRound(prepared, coef, beta)
     beta = clsBucketRound(prepared, coef, beta)
     beta = clsBucketRound(prepared, coef, beta)
+    (coef, beta)
+  }
+
+  private[graft] def textClassifierReport(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val prepared = clsDocs(docsIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coef, beta) = clsTrain(prepared)
     clsScored(prepared, coef, beta)
       .withColumn("loss", lit(0.0) -
         ($"y" * log($"p") + (lit(1.0) - $"y") * log(lit(1.0) - $"p")))
@@ -1380,19 +1390,16 @@ object MlEval {
       .orderBy($"lang")
   }
 
-  val qTextClassifier = GraftQuery(
-    "q_text_classifier",
-    (spark, dir) =>
-      textClassifierReport(Tables.spread(Tables.documents(spark, dir))),
-    Some {
-      def dS(e: String) = s"(sum(CAST(($e) AS DECIMAL(38,9))))::DOUBLE"
-      // scored-columns stage under model (coefRel, betaRel) → ${out}_p
-      def scSql(coefRel: String, betaRel: String, out: String) = s"""
+  private def clsDs(e: String) = s"(sum(CAST(($e) AS DECIMAL(38,9))))::DOUBLE"
+
+  /** Scored-columns oracle stage under model (coefRel, betaRel) → ${out}_p
+    * — the SQL twin of [[clsScored]]. */
+  private def clsScSql(coefRel: String, betaRel: String, out: String) = s"""
       ${out}_o AS (
         SELECT f.doc_id, sum(CAST(r.b * f.x AS DECIMAL(38,9))) AS s
         FROM feats f JOIN $betaRel r USING (j) GROUP BY 1),
       ${out}_e AS (
-        SELECT d.doc_id, d.lang, d.y, d.xl, d.xa,
+        SELECT d.doc_id, d.lang, d.source, d.n, d.y, d.xl, d.xa,
           CAST(o.s AS DOUBLE) AS off,
           (c.b0 + c.bl * d.xl + c.ba * d.xa) + CAST(o.s AS DOUBLE) AS eta
         FROM docs d JOIN ${out}_o o USING (doc_id) CROSS JOIN $coefRel c),
@@ -1401,23 +1408,27 @@ object MlEval {
           SELECT *, (1.0 / (1.0 + exp(0.0 - etac))) AS p FROM (
             SELECT *, least(greatest(eta, -30.0), 30.0) AS etac
             FROM ${out}_e)))"""
-      // structural IRLS round over ${in}_p → coefficient relation $coefOut
-      def structSql(in: String, coefOut: String) = s"""
+
+  /** Structural IRLS oracle round over ${in}_p → coefficient relation
+    * $coefOut — the SQL twin of [[clsStructRound]]. */
+  private def clsStructSql(in: String, coefOut: String) = s"""
       ${coefOut}_z AS (
         SELECT *, (etac - off) + g / w AS zs FROM ${in}_p),
       ${coefOut}_m AS (SELECT
-        ${dS("w")} AS nd, ${dS("w*xl")} AS sq, ${dS("w*xa")} AS sd,
-        ${dS("w*zs")} AS sy, ${dS("w*xl*xl")} AS sqq,
-        ${dS("w*xl*xa")} AS sqd, ${dS("w*xa*xa")} AS sdd,
-        ${dS("w*xl*zs")} AS sqy, ${dS("w*xa*zs")} AS sdy
+        ${clsDs("w")} AS nd, ${clsDs("w*xl")} AS sq, ${clsDs("w*xa")} AS sd,
+        ${clsDs("w*zs")} AS sy, ${clsDs("w*xl*xl")} AS sqq,
+        ${clsDs("w*xl*xa")} AS sqd, ${clsDs("w*xa*xa")} AS sdd,
+        ${clsDs("w*xl*zs")} AS sqy, ${clsDs("w*xa*zs")} AS sdy
         FROM ${coefOut}_z),
       ${coefOut}_c AS (SELECT *, @DETM@ AS det, @DET0@ AS det0,
         @DET1@ AS det1, @DET2@ AS det2 FROM ${coefOut}_m),
       $coefOut AS (SELECT ${Oracle.qround("det0/det")} AS b0,
         ${Oracle.qround("det1/det")} AS bl,
         ${Oracle.qround("det2/det")} AS ba FROM ${coefOut}_c)"""
-      // bucket diagonal-Newton round over ${in}_p → weight relation $betaOut
-      def bucketSql(in: String, betaIn: String, betaOut: String) = s"""
+
+  /** Bucket diagonal-Newton oracle round over ${in}_p → weight relation
+    * $betaOut — the SQL twin of [[clsBucketRound]]. */
+  private def clsBucketSql(in: String, betaIn: String, betaOut: String) = s"""
       ${betaOut}_g AS (
         SELECT f.j, sum(CAST(sc.g * f.x AS DECIMAL(38,9))) AS sg,
                sum(CAST(sc.w * f.x AS DECIMAL(38,9))) AS sw
@@ -1428,18 +1439,24 @@ object MlEval {
             "r.b + CAST(g.sg AS DOUBLE) / CAST(g.sw AS DOUBLE)")}
           ELSE r.b END AS b
         FROM $betaIn r LEFT JOIN ${betaOut}_g g ON r.j = g.j)"""
-      s"""
+
+  /** The full WITH chain — features, label, and the unrolled
+    * S,S,J,J,S,S,J,J schedule ending in the final scored relation `s9_p`
+    * — shared by the [[qTextClassifier]] and [[qFilterImpact]] oracles so
+    * the two SQL models can never drift from each other (they already
+    * can't drift from Spark: both engines unroll the identical stages). */
+  private def clsOracleWith: String = s"""
       WITH d0 AS (
-        SELECT doc_id, lang, text,
+        SELECT doc_id, lang, source, text,
           string_split_regex(lower(text), '[[:space:]]+') AS toks
         FROM documents WHERE text IS NOT NULL),
       db AS (
-        SELECT doc_id, lang, toks, len(toks)::BIGINT AS n,
+        SELECT doc_id, lang, source, toks, len(toks)::BIGINT AS n,
           (length(text) - len(toks) + 1)::DOUBLE / len(toks) AS avg_len,
           ${TextAnalytics.qualitySqlExpr} AS quality
         FROM d0),
       docs AS (
-        SELECT doc_id, lang, toks, n,
+        SELECT doc_id, lang, source, toks, n,
           CASE WHEN quality > $ClsTau THEN 1.0 ELSE 0.0 END AS y,
           ${Oracle.qround("ln(1.0 + n)")} AS xl,
           ${Oracle.qround("least(avg_len, 10.0)")} AS xa
@@ -1453,15 +1470,23 @@ object MlEval {
       beta0 AS (SELECT j, 0.0::DOUBLE AS b FROM range(0, $ClsB) t(j)),
       coef0 AS (SELECT 0.0::DOUBLE AS b0, 0.0::DOUBLE AS bl,
         0.0::DOUBLE AS ba),
-      ${scSql("coef0", "beta0", "s1")}, ${structSql("s1", "c1")},
-      ${scSql("c1", "beta0", "s2")}, ${structSql("s2", "c2")},
-      ${scSql("c2", "beta0", "s3")}, ${bucketSql("s3", "beta0", "w1")},
-      ${scSql("c2", "w1", "s4")}, ${bucketSql("s4", "w1", "w2")},
-      ${scSql("c2", "w2", "s5")}, ${structSql("s5", "c3")},
-      ${scSql("c3", "w2", "s6")}, ${structSql("s6", "c4")},
-      ${scSql("c4", "w2", "s7")}, ${bucketSql("s7", "w2", "w3")},
-      ${scSql("c4", "w3", "s8")}, ${bucketSql("s8", "w3", "w4")},
-      ${scSql("c4", "w4", "s9")},
+      ${clsScSql("coef0", "beta0", "s1")}, ${clsStructSql("s1", "c1")},
+      ${clsScSql("c1", "beta0", "s2")}, ${clsStructSql("s2", "c2")},
+      ${clsScSql("c2", "beta0", "s3")}, ${clsBucketSql("s3", "beta0", "w1")},
+      ${clsScSql("c2", "w1", "s4")}, ${clsBucketSql("s4", "w1", "w2")},
+      ${clsScSql("c2", "w2", "s5")}, ${clsStructSql("s5", "c3")},
+      ${clsScSql("c3", "w2", "s6")}, ${clsStructSql("s6", "c4")},
+      ${clsScSql("c4", "w2", "s7")}, ${clsBucketSql("s7", "w2", "w3")},
+      ${clsScSql("c4", "w3", "s8")}, ${clsBucketSql("s8", "w3", "w4")},
+      ${clsScSql("c4", "w4", "s9")}"""
+
+  val qTextClassifier = GraftQuery(
+    "q_text_classifier",
+    (spark, dir) =>
+      textClassifierReport(Tables.spread(Tables.documents(spark, dir))),
+    Some {
+      s"""
+      $clsOracleWith,
       ag AS (
         SELECT lang, count(*)::BIGINT AS n,
           sum(CAST(y AS BIGINT))::BIGINT AS n_pos,
@@ -1483,8 +1508,73 @@ object MlEval {
     }
   )
 
+  /** Mixture impact of the trained quality filter — the production
+    * question q_text_classifier's eval doesn't answer: apply the SAME
+    * trained model (shared [[clsTrain]] schedule) at the p > ½ operating
+    * point and report, per (lang, source) cell of the corpus mixture,
+    * document and TOKEN retention plus the kept-set's label purity. A
+    * curation team reads this next to q_temperature_mix/q_dsir_weights:
+    * the filter's effect IS a re-weighting of the training mixture, and a
+    * cell whose token_keep_rate collapses is a domain the filter is about
+    * to silently delete. Scale shape identical to q_text_classifier (the
+    * one corpus exchange + 9 map passes); the readout is one
+    * |langs|×|sources| aggregate. */
+  private[graft] def filterImpactReport(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val prepared = clsDocs(docsIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (coef, beta) = clsTrain(prepared)
+    clsScored(prepared, coef, beta)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"eta" > 0.0, 1L).otherwise(0L)).as("n_kept"),
+        sum($"n").as("n_tokens"),
+        sum(when($"eta" > 0.0, $"n").otherwise(0L)).as("kept_tokens"),
+        sum(when($"eta" > 0.0 && $"y" === 1.0, 1L).otherwise(0L))
+          .as("kept_pos"))
+      .select($"lang", $"source", $"n_docs", $"n_kept",
+        Det.qround(expr("CAST(n_kept AS DOUBLE) / n_docs")).as("keep_rate"),
+        $"n_tokens", $"kept_tokens",
+        Det.qround(expr("CAST(kept_tokens AS DOUBLE) / n_tokens"))
+          .as("token_keep_rate"),
+        when($"n_kept" > 0,
+          Det.qround(expr("CAST(kept_pos AS DOUBLE) / n_kept")))
+          .as("kept_pos_rate"))
+      .orderBy($"lang", $"source")
+  }
+
+  val qFilterImpact = GraftQuery(
+    "q_filter_impact",
+    (spark, dir) =>
+      filterImpactReport(Tables.spread(Tables.documents(spark, dir))),
+    Some {
+      s"""
+      $clsOracleWith,
+      ag AS (
+        SELECT lang, source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN eta > 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          sum(n)::BIGINT AS n_tokens,
+          sum(CASE WHEN eta > 0.0 THEN n ELSE 0 END)::BIGINT AS kept_tokens,
+          sum(CASE WHEN eta > 0.0 AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT
+            AS kept_pos
+        FROM s9_p GROUP BY 1, 2)
+      SELECT lang, source, n_docs, n_kept,
+        ${Oracle.qround("CAST(n_kept AS DOUBLE) / n_docs")} AS keep_rate,
+        n_tokens, kept_tokens,
+        ${Oracle.qround("CAST(kept_tokens AS DOUBLE) / n_tokens")}
+          AS token_keep_rate,
+        CASE WHEN n_kept > 0 THEN
+          ${Oracle.qround("CAST(kept_pos AS DOUBLE) / n_kept")}
+        END AS kept_pos_rate
+      FROM ag ORDER BY lang, source"""
+        .replace("@DETM@", DetM).replace("@DET0@", Det0)
+        .replace("@DET1@", Det1).replace("@DET2@", Det2)
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
-      qRidgePath, qBrierDecomp, qTextClassifier)
+      qRidgePath, qBrierDecomp, qTextClassifier, qFilterImpact)
 }

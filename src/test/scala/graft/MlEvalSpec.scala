@@ -208,6 +208,21 @@ class MlEvalSpec extends SparkSpec {
     // determinism: a second end-to-end train+score run is bit-identical
     val again = Queries.byName("q_text_classifier").run(spark, dir).collect()
     assert(again.toSeq === out.toSeq)
+    // the SAME trained model applied as a mixture filter: perfect
+    // separation keeps exactly the 10 hi docs per (lang, source) cell,
+    // and everything it keeps is label-positive
+    val imp = Queries.byName("q_filter_impact").run(spark, dir).collect()
+    assert(imp.map(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .toSeq === Seq(("en", "src"), ("fr", "src")))
+    imp.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 20)
+      assert(r.getAs[Long]("n_kept") === 10)
+      assert(r.getAs[Double]("keep_rate") === 0.5)
+      assert(r.getAs[Double]("kept_pos_rate") === 1.0)
+      // the kept tokens are the hi docs' (longer) halves: more than half
+      // of the token mass survives
+      assert(r.getAs[Double]("token_keep_rate") > 0.5)
+    }
   }
 
   test("rocReport degrades to null auc/gini/ks on a one-class value log") {
