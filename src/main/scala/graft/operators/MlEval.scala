@@ -1325,7 +1325,10 @@ object MlEval {
   }
 
   /** Trained text-quality filter + per-language eval — the fastText-shape
-    * production quality classifier (cf. CCNet/LLaMA corpus filtering):
+    * production quality classifier (cf. CCNet/LLaMA corpus filtering).
+    * This is the classify-per-document slot the reference's lexicon
+    * sentiment UDF occupies (reddit_consumer.py:87-99) upgraded from a
+    * fixed dictionary to a TRAINED model:
     * logistic over [[ClsB]] hashed unigram features + 2 structural
     * features, trained by BLOCK-COORDINATE IRLS (S,S,J,J,S,S,J,J: exact
     * 3×3 Newton on the structural block, majorized diagonal Newton on the
