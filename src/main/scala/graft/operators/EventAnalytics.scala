@@ -375,6 +375,80 @@ object EventAnalytics {
       ORDER BY user_id, sess_seq""")
   )
 
+  /** Top-10 within-session event-type trigram paths — sequential-pattern
+    * mining over [[qSessionize]]'s session boundaries, the EXPLORATORY
+    * companion to q_event_funnel's fixed 3-step funnel and
+    * q_markov_transitions' order-1 matrix: which 3-step behaviors actually
+    * dominate, with global support. Consecutive-only (a session's step i,
+    * i+1, i+2 — the app-flow reading), ranked by count with a full
+    * lexicographic tiebreak so the LIMIT is deterministic.
+    *
+    * Scale shape: the session assignment and both lead() frames ride ONE
+    * user-hash exchange (HashPartitioning(user_id) satisfies the
+    * (user_id, sess_seq) clustering — no second shuffle, just the
+    * in-partition sort); the trigram space is ≤|types|³ rows, so the
+    * count/support/top-k stages are all bounded-domain. Exactness: counts
+    * are integers; support is one qrounded integer division. */
+  val qSessionPaths = GraftQuery(
+    "q_session_paths",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val sess = Tables.events(spark, dir)
+        .withColumn("prev", lag($"ts_us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev".isNull || $"ts_us" - $"prev" > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_seq", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy($"user_id", $"sess_seq")
+        .orderBy($"ts_us", $"event_id")
+      val counts = sess
+        .withColumn("step2", lead($"event_type", 1).over(ws))
+        .withColumn("step3", lead($"event_type", 2).over(ws))
+        .filter($"step2".isNotNull && $"step3".isNotNull)
+        .groupBy($"event_type".as("step1"), $"step2", $"step3")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum($"n").as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select($"step1", $"step2", $"step3", $"n",
+          Det.qround($"n".cast(DoubleType) / $"tot").as("support"))
+        .orderBy($"n".desc, $"step1", $"step2", $"step3")
+        .limit(10)
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${SessionGapUs}
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      s AS (
+        SELECT user_id, event_id, event_type, ts_us,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS sess_seq
+        FROM g),
+      tri AS (
+        SELECT event_type AS step1,
+          lead(event_type, 1) OVER w2 AS step2,
+          lead(event_type, 2) OVER w2 AS step3
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id, sess_seq
+          ORDER BY ts_us, event_id)),
+      c AS (
+        SELECT step1, step2, step3, count(*)::BIGINT AS n
+        FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY 1, 2, 3),
+      t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+      SELECT step1, step2, step3, n,
+        ${Oracle.qround("CAST(n AS DOUBLE) / tot")} AS support
+      FROM c CROSS JOIN t
+      ORDER BY n DESC, step1, step2, step3
+      LIMIT 10""")
+  )
+
   /** ROLLUP aggregation: (event_type, day) hierarchy with subtotal and
     * grand-total rows — beyond the reference's flat group-bys, standard for
     * an analytics surface. grouping() flags disambiguate NULL keys. */
@@ -1912,6 +1986,7 @@ object EventAnalytics {
     qEventTimerange, qDedupKeepLast, qWindowFilter6h, qRollingMetric,
     qLatestMetric, qActivityDaily, qTop3EventTypes, qUnionMetrics, qJsonProps,
     qMembershipFilter, qTumblingWindow, qSlidingWindow, qSessionize,
+    qSessionPaths,
     qPivotDaily, qCubeActivity, qEventValueStats, qValueMoments,
     qUnpivotDaily, qVariantProps,
     qGapFill, qUpsertMerge, qValueTrend, qEventPaths, qEwmaMetric,

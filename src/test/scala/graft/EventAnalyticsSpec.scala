@@ -338,6 +338,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === expRows && got.nonEmpty)
   }
 
+  test("session paths: trigrams respect session boundaries, hand-traced") {
+    // user 1: A B C A B in ONE session (1-min spacing) -> trigrams
+    // ABC, BCA, CAB; user 2: A B C | gap > 30 min | A B C -> two sessions,
+    // one ABC each. Totals: ABC x3, BCA x1, CAB x1 (no cross-gap trigram).
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    val min = 60L * 1000000
+    val u1 = Seq("A", "B", "C", "A", "B").zipWithIndex.map { case (t, i) =>
+      (i.toLong, i * min, 1L, t, 1.0, "{}")
+    }
+    val u2 = Seq(0, 1, 2, 40, 41, 42).zipWithIndex.map { case (m, i) =>
+      (10L + i, m * min, 2L, Seq("A", "B", "C")(i % 3), 1.0, "{}")
+    }
+    (u1 ++ u2).toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros($"ts_us")
+          .cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.qSessionPaths.run(spark, dir)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("A", "B", "C", 3L, 0.6),
+      ("B", "C", "A", 1L, 0.2),
+      ("C", "A", "B", 1L, 0.2)))
+  }
+
   test("changepoint: planted level shift found at the true split") {
     // days 0-5 at value 1, days 6-9 at value 10: AMOC must flag day 5.
     // hand: n=10, m=4.6; split@5: bss = 6*3.6^2 + 4*5.4^2 = 194.4
