@@ -59,4 +59,18 @@ class StreamXentSpec extends SparkSpec {
     assert(rows(StreamXent.heldout(spark, logDir)) === heldBatch)
     assert(rows(StreamXent.scaling(spark, logDir)) === ladderBatch)
   }
+
+  test("fresh maintainer (no log dir yet) yields empty readouts, not errors") {
+    // before any micro-batch appends (or when every batch was empty and
+    // skipped), the log directory does not exist — tf must return the
+    // empty relation in the delta schema and both readouts degrade to
+    // empty reports instead of throwing AnalysisException
+    val logDir = Files.createTempDirectory("graft-xent-fresh").toString
+    val tf = StreamXent.tf(spark, logDir)
+    assert(tf.columns.toSeq ===
+      Seq("lang", "term", "ctf1", "ctf2", "ctf4", "ctf8", "vtf"))
+    assert(tf.count() === 0)
+    assert(StreamXent.heldout(spark, logDir).count() === 0)
+    assert(StreamXent.scaling(spark, logDir).count() === 0)
+  }
 }
