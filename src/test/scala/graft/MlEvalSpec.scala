@@ -205,8 +205,11 @@ class MlEvalSpec extends SparkSpec {
       assert(r.getAs[Double]("prec") === 1.0)
       assert(r.getAs[Double]("rec") === 1.0)
     }
-    // determinism: a second end-to-end train+score run is bit-identical
-    val again = Queries.byName("q_text_classifier").run(spark, dir).collect()
+    // determinism: a second end-to-end train+score run is bit-identical —
+    // through the non-memoized path, so a real retrain happens (the query
+    // surface memoizes per (session, dir) to share one fit)
+    val again = MlEval.textClassifierReport(
+      Tables.spread(Tables.documents(spark, dir))).collect()
     assert(again.toSeq === out.toSeq)
     // the SAME trained model applied as a mixture filter: perfect
     // separation keeps exactly the 10 hi docs per (lang, source) cell,
@@ -222,6 +225,58 @@ class MlEvalSpec extends SparkSpec {
       // the kept tokens are the hi docs' (longer) halves: more than half
       // of the token mass survives
       assert(r.getAs[Double]("token_keep_rate") > 0.5)
+    }
+  }
+
+  test("q_text_classifier_v2: bigrams are a non-vacuous leg") {
+    // the planted two-cluster corpus with DIRECTED pair markers — "alpha
+    // beta" rides only hi docs, "beta alpha" only lo docs (md5 buckets 35
+    // vs 33, distinct mod 64) — plus two probe docs with IDENTICAL
+    // unigram multisets (6×alpha + 6×beta) differing only in bigram
+    // direction. The unigram model MUST score the probes identically
+    // (same feature vector, bit-for-bit); the bigram model must not —
+    // the Flesch lesson's non-vacuity pin.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cls2").toString
+    val stops = Seq("the", "a", "is", "of", "and", "to", "in")
+    val probeA = Seq.fill(6)("alpha beta").mkString(" ")
+    val probeB = Seq.fill(6)("beta alpha").mkString(" ")
+    val rows = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val text =
+        if (i < 20)
+          ((0 until 40 + i).map(k => f"quality${(k + i) % 30}%02ditem") ++
+            Seq.fill(4)("alpha beta")).mkString(" ")
+        else
+          ((0 until 8 + i % 7).map(k => stops((k + i) % stops.length)) ++
+            Seq.fill(4)("beta alpha")).mkString(" ")
+      (i.toLong, text, lang, "src", text.length.toLong)
+    } ++ Seq(
+      (100L, probeA, "en", "src", probeA.length.toLong),
+      (101L, probeB, "en", "src", probeB.length.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val (c1, b1) = MlEval.clsFit(docs)
+    val (c2, b2) = MlEval.clsFit2(docs)
+    // bigrams change the fitted hash block
+    assert(!java.util.Arrays.equals(b1, b2))
+    def etas(prep: org.apache.spark.sql.DataFrame,
+        c: (Double, Double, Double), b: Array[Double]): Map[Long, Double] =
+      MlEval.clsScored(prep, c, b).filter($"doc_id" >= 100L)
+        .select($"doc_id", $"eta").as[(Long, Double)].collect().toMap
+    val e1 = etas(MlEval.clsDocs(docs), c1, b1)
+    val e2 = etas(MlEval.clsDocs2(docs), c2, b2)
+    assert(e1(100L) === e1(101L)) // unigrams cannot see direction
+    assert(e2(100L) !== e2(101L)) // bigrams can
+    // end-to-end: per-lang delta column populated, schema as declared
+    val out = Queries.byName("q_text_classifier_v2").run(spark, dir)
+    assert(out.columns.toSeq === Seq("lang", "n", "n_pos", "n_pred", "tp",
+      "prec", "rec", "log_loss", "delta_log_loss"))
+    val rowsOut = out.collect()
+    assert(rowsOut.map(_.getAs[String]("lang")).toSeq === Seq("en", "fr"))
+    rowsOut.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("delta_log_loss")))
+      assert(!r.isNullAt(r.fieldIndex("log_loss")))
     }
   }
 
