@@ -389,6 +389,23 @@ object EventAnalytics {
     * in-partition sort); the trigram space is ≤|types|³ rows, so the
     * count/support/top-k stages are all bounded-domain. Exactness: counts
     * are integers; support is one qrounded integer division. */
+  /** Shared count→support→top-10 readout over a (step1, step2, step3, n)
+    * trigram-count relation — used by [[qSessionPaths]] and the streaming
+    * maintainer graft.streaming.StreamPaths, so the two surfaces cannot
+    * drift (counts are additive integers; support is one qrounded
+    * division over the ≤|types|³ domain). */
+  private[graft] def sessionPathsReport(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val tot = counts.agg(sum($"n").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select($"step1", $"step2", $"step3", $"n",
+        Det.qround($"n".cast(DoubleType) / $"tot").as("support"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+      .limit(10)
+  }
+
   val qSessionPaths = GraftQuery(
     "q_session_paths",
     (spark, dir) => {
@@ -409,12 +426,7 @@ object EventAnalytics {
         .filter($"step2".isNotNull && $"step3".isNotNull)
         .groupBy($"event_type".as("step1"), $"step2", $"step3")
         .agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum($"n").as("tot"))
-      counts.crossJoin(broadcast(tot))
-        .select($"step1", $"step2", $"step3", $"n",
-          Det.qround($"n".cast(DoubleType) / $"tot").as("support"))
-        .orderBy($"n".desc, $"step1", $"step2", $"step3")
-        .limit(10)
+      sessionPathsReport(counts)
     },
     Some(s"""
       WITH g AS (
