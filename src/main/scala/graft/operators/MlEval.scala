@@ -1831,9 +1831,97 @@ object MlEval {
     }
   )
 
+  /** The p-threshold grid shared by [[qFilterThresholdSweep]] and its
+    * oracle — 0.1 … 0.9. Literal doubles, so the p > t comparisons are
+    * bit-identical across engines. */
+  private[graft] val ClsThresholds: Seq[Double] =
+    (1 to 9).map(_ / 10.0)
+
+  /** Operating-point sweep of the trained quality filter — the curve a
+    * curation team reads to CHOOSE the filter threshold q_filter_impact
+    * applies at p > ½: for each p-threshold on the grid, corpus-wide kept
+    * docs/tokens, precision and recall against the quality label, and
+    * the document/token keep rates. This is q_roc_auc's question asked
+    * of the TRAINED model at deployment granularity (9 named operating
+    * points, not the full rank curve), and the readout that shows the
+    * doc-level and token-level retention diverging (long docs survive
+    * the filter disproportionately).
+    *
+    * 100 TB shape: the trained model arrives from the session memo (B+3
+    * doubles — the bench pays training once across all classifier
+    * queries); the sweep itself is ONE map pass ending in a 1-row
+    * aggregate of 3 + 3·|grid| conditional sums, stacked to |grid| rows
+    * driver-side — the grid multiplies AGGREGATE COLUMNS, never corpus
+    * rows. Exactness: counts are integers; every rate is one qrounded
+    * integer division; the p > t comparisons use identical literal
+    * doubles in both engines. */
+  val qFilterThresholdSweep = GraftQuery(
+    "q_filter_threshold_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val (coef, beta) = clsModelFor(spark, dir)
+      val sc = clsScored(
+        clsDocs(Tables.spread(Tables.documents(spark, dir))), coef, beta)
+      val condAggs = ClsThresholds.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum(when($"p" > t, 1L).otherwise(0L)).as(s"k$i"),
+          sum(when($"p" > t && $"y" === 1.0, 1L).otherwise(0L)).as(s"kp$i"),
+          sum(when($"p" > t, $"n").otherwise(0L)).as(s"kt$i"))
+      }
+      val allAggs = Seq(count(lit(1)).as("nd"),
+        sum($"y".cast("bigint")).as("np"),
+        sum($"n").as("nt")) ++ condAggs
+      val one = sc.agg(allAggs.head, allAggs.tail: _*)
+      // CAST the grid literals in the SQL text: a bare 0.1 parses as
+      // DECIMAL(1,1) (the q_lang_confusion decimal-literal hazard)
+      val stackArgs = ClsThresholds.zipWithIndex
+        .map { case (t, i) => s"CAST($t AS DOUBLE), k$i, kp$i, kt$i" }
+        .mkString(", ")
+      one.select(col("nd"), col("np"), col("nt"),
+          expr(s"stack(${ClsThresholds.size}, $stackArgs)")
+            .as(Seq("thr", "n_kept", "kept_pos", "kept_tokens")))
+        .select($"thr", $"nd".as("n_docs"), $"np".as("n_pos"),
+          $"n_kept", $"kept_pos",
+          when($"n_kept" > 0,
+            Det.qround(expr("CAST(kept_pos AS DOUBLE) / n_kept")))
+            .as("prec"),
+          when($"np" > 0,
+            Det.qround(expr("CAST(kept_pos AS DOUBLE) / np"))).as("rec"),
+          Det.qround(expr("CAST(n_kept AS DOUBLE) / nd")).as("keep_rate"),
+          Det.qround(expr("CAST(kept_tokens AS DOUBLE) / nt"))
+            .as("token_keep_rate"))
+        .orderBy($"thr")
+    },
+    Some {
+      val grid = ClsThresholds.mkString(", ")
+      s"""
+      $clsOracleWith,
+      g AS (SELECT CAST(unnest([$grid]) AS DOUBLE) AS thr),
+      ag AS (
+        SELECT g.thr, count(*)::BIGINT AS n_docs,
+          sum(CAST(y AS BIGINT))::BIGINT AS n_pos,
+          sum(n)::BIGINT AS n_tokens,
+          sum(CASE WHEN p > g.thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          sum(CASE WHEN p > g.thr AND y = 1.0 THEN 1 ELSE 0 END)::BIGINT
+            AS kept_pos,
+          sum(CASE WHEN p > g.thr THEN n ELSE 0 END)::BIGINT AS kept_tokens
+        FROM s9_p CROSS JOIN g GROUP BY 1)
+      SELECT thr, n_docs, n_pos, n_kept, kept_pos,
+        CASE WHEN n_kept > 0 THEN
+          ${Oracle.qround("CAST(kept_pos AS DOUBLE) / n_kept")} END AS prec,
+        CASE WHEN n_pos > 0 THEN
+          ${Oracle.qround("CAST(kept_pos AS DOUBLE) / n_pos")} END AS rec,
+        ${Oracle.qround("CAST(n_kept AS DOUBLE) / n_docs")} AS keep_rate,
+        ${Oracle.qround("CAST(kept_tokens AS DOUBLE) / n_tokens")}
+          AS token_keep_rate
+      FROM ag ORDER BY thr"""
+        .replace("@DETM@", DetM).replace("@DET0@", Det0)
+        .replace("@DET1@", Det1).replace("@DET2@", Det2)
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
       qRidgePath, qBrierDecomp, qTextClassifier, qTextClassifierV2,
-      qFilterImpact)
+      qFilterImpact, qFilterThresholdSweep)
 }

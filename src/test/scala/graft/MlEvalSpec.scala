@@ -280,6 +280,47 @@ class MlEvalSpec extends SparkSpec {
     }
   }
 
+  test("q_filter_threshold_sweep: monotone retention over the grid") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-thr").toString
+    val stops = Seq("the", "a", "is", "of", "and", "to", "in")
+    val rows = (0 until 40).map { i =>
+      val text =
+        if (i < 20)
+          (0 until 40 + i).map(k => f"quality${(k + i) % 30}%02ditem")
+            .mkString(" ")
+        else
+          (0 until 8 + i % 7).map(k => stops((k + i) % stops.length))
+            .mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "fr", "src",
+        text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.byName("q_filter_threshold_sweep").run(spark, dir)
+      .collect()
+    assert(out.map(_.getAs[Double]("thr")).toSeq ===
+      (1 to 9).map(_ / 10.0))
+    // raising the threshold can only shrink the kept set (docs AND tokens)
+    val kept = out.map(_.getAs[Long]("n_kept")).toSeq
+    val keptTok = out.map(_.getAs[Double]("token_keep_rate")).toSeq
+    assert(kept === kept.sorted.reverse)
+    assert(keptTok === keptTok.sorted.reverse)
+    // global columns constant across the grid; rates bounded
+    assert(out.map(_.getAs[Long]("n_docs")).toSet === Set(40L))
+    assert(out.map(_.getAs[Long]("n_pos")).toSet === Set(20L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept_pos") <= r.getAs[Long]("n_kept"))
+      val kr = r.getAs[Double]("keep_rate")
+      assert(kr >= 0.0 && kr <= 1.0)
+    }
+    // the planted separation holds at the middle of the grid: at t=0.5
+    // the filter keeps exactly the 20 hi docs, all label-positive
+    val mid = out(4)
+    assert(mid.getAs[Long]("n_kept") === 20L)
+    assert(mid.getAs[Double]("prec") === 1.0)
+    assert(mid.getAs[Double]("rec") === 1.0)
+  }
+
   test("rocReport degrades to null auc/gini/ks on a one-class value log") {
     // a delta log that so far holds only negatives — the early-StreamRoc
     // shape the n_pos/n_neg guards exist for: must yield a null readout
