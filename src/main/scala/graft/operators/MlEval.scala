@@ -1919,9 +1919,83 @@ object MlEval {
     }
   )
 
+  /** Reliability diagram + ECE for the TRAINED quality filter — is the
+    * filter's p actually a probability? [[qCalibrationBins]] audits a
+    * synthetic score surface; this audits the model every other
+    * classifier query deploys, on its own training corpus (the honest
+    * production readout next to q_text_classifier's rank metrics: a
+    * filter used for soft-sampling — keep with probability p, the CCNet
+    * trick — needs CALIBRATED p, not just good ranking).
+    *
+    * Exactness: p is an arbitrary trained double, so the decimal-pred
+    * convention of calBinsDec would reintroduce the double→DECIMAL
+    * digit-9 straddle — instead every per-row pred enters as the integer
+    * nano-unit floor(p·1e9 + 0.5) (same IEEE ops both engines) and ALL
+    * bin arithmetic (Σpred, |Σpred − n_pos·1e9|, the ECE numerator) is
+    * exact integer work until the final qrounded divisions. Scale shape:
+    * model from the session memo + ONE scoring pass → 10-row bins; the
+    * ECE window is SinglePartition over those ten rows only. */
+  val qClassifierCalibration = GraftQuery(
+    "q_classifier_calibration",
+    (spark, dir) => {
+      import spark.implicits._
+      val (coef, beta) = clsModelFor(spark, dir)
+      val sc = clsScored(
+        clsDocs(Tables.spread(Tables.documents(spark, dir))), coef, beta)
+      val bins = sc.select(
+          expr("least(greatest(CAST(floor(p * 10) AS BIGINT), 0), 9)")
+            .as("bin"),
+          $"y",
+          expr("CAST(floor(p * 1e9 + 0.5) AS DECIMAL(38,0))").as("pn"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"y".cast("bigint")).as("n_pos"),
+          sum($"pn").as("spn"))
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      bins
+        .withColumn("ad",
+          expr("abs(spn - CAST(n_pos AS DECIMAL(38,0)) * 1000000000)"))
+        .withColumn("sad", sum($"ad").over(all))
+        .withColumn("tot", sum($"n").over(all))
+        .select($"bin", $"n", $"n_pos",
+          Det.qround(expr("CAST(spn AS DOUBLE) / n / 1e9")).as("mean_pred"),
+          Det.qround(expr("CAST(n_pos AS DOUBLE) / n")).as("pos_rate"),
+          Det.qround(expr("CAST(ad AS DOUBLE) / n / 1e9")).as("gap"),
+          Det.qround(expr("CAST(sad AS DOUBLE) / tot / 1e9")).as("ece"))
+        .orderBy($"bin")
+    },
+    Some {
+      s"""
+      $clsOracleWith,
+      b AS (
+        SELECT least(greatest(CAST(floor(p * 10) AS BIGINT), 0), 9) AS bin,
+          y, CAST(floor(p * 1e9 + 0.5) AS DECIMAL(38,0)) AS pn
+        FROM s9_p),
+      bg AS (
+        SELECT bin, count(*)::BIGINT AS n,
+          sum(CAST(y AS BIGINT))::BIGINT AS n_pos, sum(pn) AS spn
+        FROM b GROUP BY 1),
+      w AS (
+        SELECT *,
+          abs(spn - CAST(n_pos AS DECIMAL(38,0)) * 1000000000) AS ad,
+          sum(abs(spn - CAST(n_pos AS DECIMAL(38,0)) * 1000000000))
+            OVER () AS sad,
+          sum(n) OVER ()::BIGINT AS tot
+        FROM bg)
+      SELECT bin, n, n_pos,
+        ${Oracle.qround("CAST(spn AS DOUBLE) / n / 1e9")} AS mean_pred,
+        ${Oracle.qround("CAST(n_pos AS DOUBLE) / n")} AS pos_rate,
+        ${Oracle.qround("CAST(ad AS DOUBLE) / n / 1e9")} AS gap,
+        ${Oracle.qround("CAST(sad AS DOUBLE) / tot / 1e9")} AS ece
+      FROM w ORDER BY bin"""
+        .replace("@DETM@", DetM).replace("@DET0@", Det0)
+        .replace("@DET1@", Det1).replace("@DET2@", Det2)
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
       qRidgePath, qBrierDecomp, qTextClassifier, qTextClassifierV2,
-      qFilterImpact, qFilterThresholdSweep)
+      qFilterImpact, qFilterThresholdSweep, qClassifierCalibration)
 }

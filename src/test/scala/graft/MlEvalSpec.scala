@@ -321,6 +321,44 @@ class MlEvalSpec extends SparkSpec {
     assert(mid.getAs[Double]("rec") === 1.0)
   }
 
+  test("q_classifier_calibration: bin identities and the ECE mass balance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cal").toString
+    val stops = Seq("the", "a", "is", "of", "and", "to", "in")
+    val rows = (0 until 40).map { i =>
+      val text =
+        if (i < 20)
+          (0 until 40 + i).map(k => f"quality${(k + i) % 30}%02ditem")
+            .mkString(" ")
+        else
+          (0 until 8 + i % 7).map(k => stops((k + i) % stops.length))
+            .mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "fr", "src",
+        text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Queries.byName("q_classifier_calibration").run(spark, dir)
+      .collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.map(_.getAs[Long]("n")).sum === 40L)
+    assert(out.map(_.getAs[Long]("n_pos")).sum === 20L)
+    val ece = out.map(_.getAs[Double]("ece")).distinct
+    assert(ece.length === 1) // global column constant across bins
+    out.foreach { r =>
+      val mp = r.getAs[Double]("mean_pred")
+      val pr = r.getAs[Double]("pos_rate")
+      val gap = r.getAs[Double]("gap")
+      assert(mp >= 0.0 && mp <= 1.0)
+      // per-bin identity up to the two independent 6-dp roundings
+      assert(math.abs(gap - math.abs(mp - pr)) < 2e-6)
+    }
+    // ECE is the n-weighted mean per-bin gap (up to rounding)
+    val n = out.map(_.getAs[Long]("n").toDouble)
+    val gaps = out.map(_.getAs[Double]("gap"))
+    val expected = n.zip(gaps).map { case (a, b) => a * b }.sum / n.sum
+    assert(math.abs(ece.head - expected) < 2e-6)
+  }
+
   test("rocReport degrades to null auc/gini/ks on a one-class value log") {
     // a delta log that so far holds only negatives — the early-StreamRoc
     // shape the n_pos/n_neg guards exist for: must yield a null readout
