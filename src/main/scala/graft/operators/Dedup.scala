@@ -126,10 +126,11 @@ object Dedup {
            [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)])) AS shingle
          FROM (SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws FROM documents)"""
 
-  /** Exact-Jaccard verification of candidate pairs against the true shingle
-    * sets: join the (small) pair list back to the per-doc arrays and
-    * intersect per row. */
-  private def verifyJaccard(cand: DataFrame, docsSh: DataFrame): DataFrame = {
+  /** Exact Jaccard of every candidate pair against the true shingle sets
+    * (UNfiltered — the relation [[qDedupThresholdSweep]] sweeps): join
+    * the (small) pair list back to the per-doc arrays and intersect per
+    * row. */
+  private def scoredJaccard(cand: DataFrame, docsSh: DataFrame): DataFrame = {
     import cand.sparkSession.implicits._
     cand
       .join(docsSh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
@@ -139,6 +140,13 @@ object Dedup {
         size($"sha").as("na"), size($"shb").as("nb"))
       .select($"ia", $"ib",
         graft.functions.Det.qround($"inter" / ($"na" + $"nb" - $"inter")).as("jaccard"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs at the production
+    * threshold. */
+  private def verifyJaccard(cand: DataFrame, docsSh: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    scoredJaccard(cand, docsSh)
       .filter($"jaccard" >= JaccardThreshold)
       .orderBy($"ia", $"ib")
   }
@@ -207,8 +215,10 @@ object Dedup {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
 
-  /** The minhash pair relation as oracle SQL (shared with q_dedup_clusters). */
-  private def minhashPairsSql: String = s"""
+  /** UNTHRESHOLDED candidate-pair Jaccards as oracle SQL — the SQL twin
+    * of [[scoredJaccard]] over the LSH candidates, swept by
+    * q_dedup_threshold_sweep's oracle. */
+  private def minhashScoredSql: String = s"""
       WITH $minhashCandCtes,
       sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
       inter AS (
@@ -221,9 +231,13 @@ object Dedup {
         ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS jaccard
       FROM inter
       JOIN sizes na ON ia = na.doc_id
-      JOIN sizes nb ON ib = nb.doc_id
-      WHERE ${graft.Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")}
-          >= $JaccardThreshold"""
+      JOIN sizes nb ON ib = nb.doc_id"""
+
+  /** The minhash pair relation as oracle SQL (shared with q_dedup_clusters):
+    * the scored relation filtered at the production threshold. */
+  private def minhashPairsSql: String = s"""
+      SELECT * FROM ($minhashScoredSql)
+      WHERE jaccard >= $JaccardThreshold"""
 
   val qDedupMinhash = GraftQuery(
     "q_dedup_minhash",
@@ -312,6 +326,68 @@ object Dedup {
           THEN ${graft.Oracle.qround("n_verified * 1.0 / n_cand")} END AS precision,
         exp_recall
       FROM bstats, cstats, vstats""")
+  )
+
+  /** The Jaccard grid [[qDedupThresholdSweep]] walks — brackets the
+    * production [[JaccardThreshold]] (0.6) on both sides. Literal
+    * doubles, identical in both engines. */
+  private[graft] val DedupThresholds: Seq[Double] = (10 to 19).map(_ / 20.0)
+
+  /** Dedup-aggressiveness sweep — the q_filter_threshold_sweep question
+    * asked of the near-dup pipeline: for each Jaccard threshold on the
+    * grid, how many verified candidate pairs survive and how many
+    * distinct documents they touch. A curation team reads this before
+    * moving [[JaccardThreshold]]: the pair count says how much MORE
+    * merging a lower bar buys, the touched-doc count bounds the removal
+    * set. Scoped to the LSH CANDIDATE set (banding is tuned for the
+    * production threshold), so sub-0.6 rows read as within-candidate
+    * retention — the same audit framing as q_lsh_candidate_audit, whose
+    * recall S-curve says how complete the candidate set is at each j.
+    *
+    * Scale shape: the exact-Jaccard scoring runs ONCE over the
+    * bucket-scoped candidate pairs (never all-pairs); the sweep is a
+    * |grid|-way conditional pass over that audit-sized relation, and the
+    * touched-doc distinct runs on (thr, doc) pairs bounded by
+    * 2·|grid|·|candidates|. Exactness: counts are integers; jaccard is
+    * already qrounded; grid comparisons use identical literal doubles. */
+  val qDedupThresholdSweep = GraftQuery(
+    "q_dedup_threshold_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val docsSh = docShingles(spark, dir, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scored = scoredJaccard(minhashCandidates(docsSh), docsSh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = DedupThresholds.toDF("thr")
+      val byThr = scored.crossJoin(broadcast(g)).filter($"jaccard" >= $"thr")
+      val pairsPerT = byThr.groupBy($"thr").agg(count(lit(1)).as("n_pairs"))
+      val docsPerT = byThr
+        .select($"thr", explode(array($"ia", $"ib")).as("d")).distinct()
+        .groupBy($"thr").agg(count(lit(1)).as("n_docs_touched"))
+      g.join(pairsPerT, Seq("thr"), "left")
+        .join(docsPerT, Seq("thr"), "left")
+        .select($"thr", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_docs_touched", lit(0L)).as("n_docs_touched"))
+        .orderBy($"thr")
+    },
+    Some {
+      val grid = DedupThresholds.mkString(", ")
+      s"""
+      WITH pall AS ($minhashScoredSql),
+      g AS (SELECT CAST(unnest([$grid]) AS DOUBLE) AS thr),
+      pt AS (
+        SELECT thr, count(*)::BIGINT AS n_pairs
+        FROM pall CROSS JOIN g WHERE jaccard >= thr GROUP BY 1),
+      dt AS (
+        SELECT thr, count(DISTINCT d)::BIGINT AS n_docs_touched
+        FROM (SELECT thr, unnest([ia, ib]) AS d
+              FROM pall CROSS JOIN g WHERE jaccard >= thr)
+        GROUP BY 1)
+      SELECT g.thr, coalesce(pt.n_pairs, 0)::BIGINT AS n_pairs,
+        coalesce(dt.n_docs_touched, 0)::BIGINT AS n_docs_touched
+      FROM g LEFT JOIN pt USING (thr) LEFT JOIN dt USING (thr)
+      ORDER BY g.thr"""
+    }
   )
 
   /** Maximum label-propagation rounds for q_dedup_clusters — a guard far
@@ -2015,5 +2091,5 @@ object Dedup {
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,
     qQualityDedupCalibration, qPairEvidence, qSplitLeakage,
     qContainmentDedup, qSnmDedup, qBlockingRecall, qRecordLinkage,
-    qLinkageEm)
+    qLinkageEm, qDedupThresholdSweep)
 }

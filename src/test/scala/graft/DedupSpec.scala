@@ -312,4 +312,22 @@ class DedupSpec extends SparkSpec {
     val jac = rows("jac")
     assert(jac._2 > jac._3 && jac._4 > 1.0)
   }
+
+  test("dedup threshold sweep: monotone, and the 0.6 row IS q_dedup_minhash") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.qDedupThresholdSweep.run(spark, dir)
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(out.map(_._1) === (10 to 19).map(_ / 20.0))
+    // raising the bar can only shrink the pair set and the touched docs
+    assert(out.map(_._2) === out.map(_._2).sorted.reverse)
+    assert(out.map(_._3) === out.map(_._3).sorted.reverse)
+    // the production-threshold row counts exactly the verified pairs and
+    // the docs they touch
+    val prodPairs = Dedup.qDedupMinhash.run(spark, dir)
+    val at06 = out.find(_._1 === 0.6).get
+    assert(at06._2 === prodPairs.count())
+    assert(at06._3 ===
+      prodPairs.select($"ia").union(prodPairs.select($"ib"))
+        .distinct().count())
+  }
 }
