@@ -775,6 +775,101 @@ object Similarity {
       FROM cstats, dstats, nstats""")
   )
 
+  /** Semantic (embedding-space) contamination against a held-out split —
+    * the SemDeDup machinery aimed at q_contamination's question: the
+    * n-gram contamination queries catch VERBATIM leakage of eval data
+    * into training data, but a paraphrased or re-chunked leak shares no
+    * 13-gram while sitting at cosine ≥ τ of a holdout vector. Split
+    * vectors 90/10 by salted hash (the q_train_split discipline — split
+    * membership is a pure function of vec_id, so ANY engine recomputes
+    * it identically), then count, per k-means cell, the train vectors
+    * with at least one ≥τ holdout neighbor IN-CELL. A leaked train doc
+    * is one the eval set can grade by memory.
+    *
+    * Scale shape: the shared [[semAssigned]] cell assignment is the one
+    * corpus exchange; cross-split pairs are CELL-scoped (≈ 0.1·Σ cell²
+    * with a 10% holdout, never all-pairs) with the fast-dot prefilter /
+    * exact-decimal verify two-phase; the readout is ≤[[SemK]] rows.
+    * Exactness: counts are integers, cosine rides the shared decimal-dot
+    * qround, leak_rate is one guarded qround division. */
+  val qSemanticContamination = GraftQuery(
+    "q_semantic_contamination",
+    (spark, dir) => {
+      import spark.implicits._
+      val assigned = semAssigned(spark, dir)
+        .withColumn("holdout",
+          expr(PipelineOps.u32Expr(
+            "concat('semsplit:', cast(vec_id as string))") + " % 10 = 9"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tr = assigned.filter(!$"holdout").select($"cell",
+        $"vec_id".as("ia"), $"embedding".as("ea"), $"nrm".as("na"))
+      val ho = assigned.filter($"holdout").select($"cell",
+        $"vec_id".as("ib"), $"embedding".as("eb"), $"nrm".as("nb"))
+      val leaks = tr.join(ho, Seq("cell"))
+        .filter(call_function("dot_f32_fast", $"ea", $"eb") / ($"na" * $"nb")
+          >= lit(SemThreshold - 1e-6))
+        .select($"cell", $"ia",
+          Det.qround(decDot($"ea", $"eb") / ($"na" * $"nb")).as("cosine"))
+        .filter($"cosine" >= SemThreshold)
+      val cellStats = assigned.groupBy($"cell").agg(
+        sum(when(!$"holdout", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"holdout", 1L).otherwise(0L)).as("n_holdout"))
+      val leakStats = leaks.groupBy($"cell")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"ia").as("n_leaked"))
+      cellStats.join(leakStats, Seq("cell"), "left")
+        .select($"cell", $"n_train", $"n_holdout",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_leaked", lit(0L)).as("n_leaked"),
+          when($"n_train" > 0, Det.qround(
+            expr("CAST(coalesce(n_leaked, 0) AS DOUBLE) / n_train")))
+            .as("leak_rate"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH $semCtes,
+      sp AS (
+        SELECT vec_id,
+          ${PipelineOps.u32Sql("'semsplit:' || CAST(vec_id AS VARCHAR)")}
+            % 10 = 9 AS holdout
+        FROM a1),
+      cellstats AS (
+        SELECT cell,
+          sum(CASE WHEN NOT holdout THEN 1 ELSE 0 END)::BIGINT AS n_train,
+          sum(CASE WHEN holdout THEN 1 ELSE 0 END)::BIGINT AS n_holdout
+        FROM a1 JOIN sp USING (vec_id) GROUP BY 1),
+      xp AS (
+        SELECT x.cell, x.vec_id AS ia, y.vec_id AS ib
+        FROM a1 x JOIN sp sx ON x.vec_id = sx.vec_id AND NOT sx.holdout
+        JOIN a1 y ON x.cell = y.cell
+        JOIN sp sy ON y.vec_id = sy.vec_id AND sy.holdout),
+      xdots AS (
+        SELECT p.cell, p.ia, p.ib,
+          sum(CAST(ea.v * eb.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM xp p
+        JOIN ex ea ON ea.vec_id = p.ia
+        JOIN ex eb ON eb.vec_id = p.ib AND ea.pos = eb.pos
+        GROUP BY 1, 2, 3),
+      xcos AS (
+        SELECT cell, ia, ib,
+          ${Oracle.qround("dot / (na.nrm * nb.nrm)")} AS cosine
+        FROM xdots
+        JOIN nrm na ON ia = na.vec_id
+        JOIN nrm nb ON ib = nb.vec_id),
+      lk AS (
+        SELECT cell, count(*)::BIGINT AS n_pairs,
+          count(DISTINCT ia)::BIGINT AS n_leaked
+        FROM xcos WHERE cosine >= $SemThreshold GROUP BY 1)
+      SELECT c.cell, c.n_train, c.n_holdout,
+        coalesce(lk.n_pairs, 0)::BIGINT AS n_pairs,
+        coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
+        CASE WHEN c.n_train > 0 THEN ${Oracle.qround(
+          "CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / c.n_train")}
+        END AS leak_rate
+      FROM cellstats c LEFT JOIN lk USING (cell)
+      ORDER BY c.cell""")
+  )
+
   /** Embedding covariance matrix (population, upper triangle) — the
     * whitening/PCA-prep statistic of the embedding space (decorrelating
     * dimensions before product quantization or IVF routing is the standard
@@ -1346,6 +1441,7 @@ object Similarity {
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
-      qSemdedupCellAudit, qEmbedCovariance, qPcaPower, qEmbedLabelProfile,
-      qLabelCentroidDist, qMrlRecall, qEmbedIsotropy, qGeomedian)
+      qSemdedupCellAudit, qSemanticContamination, qEmbedCovariance,
+      qPcaPower, qEmbedLabelProfile, qLabelCentroidDist, qMrlRecall,
+      qEmbedIsotropy, qGeomedian)
 }

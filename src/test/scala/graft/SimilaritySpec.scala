@@ -269,4 +269,43 @@ class SimilaritySpec extends SparkSpec {
     // robustness direction: the gm sits closer to the duplicated point
     assert(got(0)._2 > got(0)._3 && got(1)._2 < got(1)._3)
   }
+
+  test("semantic contamination: a planted cross-split duplicate leaks") {
+    // split membership is a pure function of vec_id (salted md5) — find a
+    // holdout id and a train id, give both the e_0 basis vector: same
+    // cell, cosine 1 >= tau, so the train copy is a leaked document
+    def hold(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"semsplit:$id".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10 == 9
+    }
+    val h = (8L to 200L).find(hold).get
+    val t = (8L to 200L).find(id => !hold(id) && id != h).get
+    val e0 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val basis = (0 until 8).map(i =>
+      i.toLong -> Array.tabulate(8)(j => if (i == j) 1f else 0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semcon").toString
+    (basis ++ Seq(t -> e0, h -> e0))
+      .map { case (id, v) => (id, v, (id % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.qSemanticContamination.run(spark, dir).collect()
+    // mass balance over the whole corpus
+    assert(out.map(_.getAs[Long]("n_train")).sum +
+      out.map(_.getAs[Long]("n_holdout")).sum === 10L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_train"))
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_pairs"))
+    }
+    // the planted pair lands in e_0's cell (cell 0) and leaks
+    val cell0 = out.find(_.getAs[Long]("cell") === 0L).get
+    assert(cell0.getAs[Long]("n_pairs") >= 1L)
+    assert(cell0.getAs[Long]("n_leaked") >= 1L)
+    assert(cell0.getAs[Double]("leak_rate") > 0.0)
+    // orthogonal cells cannot leak (cosine 0 < tau)
+    out.filter(_.getAs[Long]("cell") != 0L).foreach { r =>
+      assert(r.getAs[Long]("n_pairs") === 0L)
+    }
+  }
 }
