@@ -115,7 +115,10 @@ object Retrieval {
               (tf + ${K1}e0 *
                 (1e0 - ${B}e0 + ${B}e0 * (dl / (sum_dl / n_docs))))))"""
 
-  private def bm25RankedFrom(toks: DataFrame, stats: DataFrame): DataFrame = {
+  /** The UNLIMITED per-document BM25 relation (doc_id, n_terms, score) —
+    * bounded by the query terms' posting lists; [[qHardNegatives]] mines
+    * it below the [[FuseDepth]] cut. */
+  private def bm25Scored(toks: DataFrame, stats: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
     val tf = toks.groupBy($"doc_id", $"term")
@@ -124,8 +127,14 @@ object Retrieval {
     val perTerm = tf.join(broadcast(dfr), Seq("term"))
       .crossJoin(broadcast(stats))
       .select($"doc_id", bm25Factor.as("ts"))
-    val top = perTerm.groupBy($"doc_id")
+    perTerm.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), Det.dsum($"ts").as("score"))
+  }
+
+  private def bm25RankedFrom(toks: DataFrame, stats: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val top = bm25Scored(toks, stats)
       .orderBy($"score".desc, $"doc_id").limit(FuseDepth)
     // rank over the ≤FuseDepth-row limited relation — bounded by
     // construction, never a corpus-sized single-partition window
@@ -185,6 +194,72 @@ object Retrieval {
       WITH $bm25Ctes
       SELECT rank, doc_id, n_terms, score FROM bm25_ranked
       ORDER BY rank""")
+  )
+
+  /** Relevance floor for a mined positive: ≥ 3 of the 4 query terms. */
+  val PosRel = 3
+  /** Mined positives / hard negatives per query. */
+  val PosK = 3
+  val HardNegK = 10
+
+  /** Hard-negative mining for contrastive retriever training — the DPR
+    * recipe: positives are the top-scoring docs matching ≥[[PosRel]] of
+    * the query terms; HARD negatives are the highest-BM25-scoring docs
+    * that are NOT relevant (high lexical score, incomplete match —
+    * exactly the confusable examples an embedding model must learn to
+    * separate). Mined from the UNLIMITED scored relation, not the
+    * [[FuseDepth]] cut: on a term-dense corpus the fully-relevant docs
+    * monopolize the top of the ranking, and the hardest negatives live
+    * just below it. `rank` is the within-role rank; `margin` = score −
+    * min(score over the SELECTED positives): positives sit ≥ 0 and a
+    * hard negative's margin says how confusable it is (closer to 0 =
+    * harder). NULL margin when no positive exists.
+    *
+    * Scale shape: the scored relation is posting-list-bounded (only
+    * query-term matches survive the scan filter); both mines are
+    * orderBy+limit (TakeOrderedAndProject), the rank windows run over
+    * ≤[[PosK]]/[[HardNegK]] rows. Exactness: ranks/counts are integers,
+    * score is the decimal-summed BM25, margin one qrounded difference. */
+  val qHardNegatives = GraftQuery(
+    "q_hard_negatives",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = bm25Scored(
+        matchedToks(spark, dir, QueryTerms), corpusDl(spark, dir))
+      def mine(cond: org.apache.spark.sql.Column, k: Int, role: String) =
+        scored.filter(cond).orderBy($"score".desc, $"doc_id").limit(k)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"score".desc, $"doc_id")).cast(LongType))
+          .withColumn("role", lit(role))
+      val pos = mine($"n_terms" >= PosRel, PosK, "pos")
+      val neg = mine($"n_terms" < PosRel, HardNegK, "hard_neg")
+      val mp = pos.agg(min($"score").as("mp"))
+      pos.unionByName(neg).crossJoin(broadcast(mp))
+        .select($"role", $"rank", $"doc_id", $"n_terms", $"score",
+          when($"mp".isNotNull, Det.qround($"score" - $"mp")).as("margin"))
+        .orderBy($"role", $"rank")
+    },
+    Some(s"""
+      WITH $bm25Ctes,
+      pos AS (
+        SELECT 'pos' AS role,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+          doc_id, n_terms, score
+        FROM (SELECT * FROM bdoc WHERE n_terms >= $PosRel
+              ORDER BY score DESC, doc_id LIMIT $PosK)),
+      neg AS (
+        SELECT 'hard_neg' AS role,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+          doc_id, n_terms, score
+        FROM (SELECT * FROM bdoc WHERE n_terms < $PosRel
+              ORDER BY score DESC, doc_id LIMIT $HardNegK)),
+      minpos AS (SELECT min(score) AS mp FROM pos)
+      SELECT role, rank, doc_id, n_terms, score,
+        CASE WHEN mp IS NOT NULL THEN
+          ${Oracle.qround("score - mp")} END AS margin
+      FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+      CROSS JOIN minpos
+      ORDER BY role, rank""")
   )
 
   /** Embedding-cosine ranking (rank, doc_id, cosine) against the pinned
@@ -824,5 +899,5 @@ object Retrieval {
 
   val all: Seq[GraftQuery] =
     Seq(qBm25Scores, qRrfFusion, qQlScores, qRankEval, qMapMrr,
-      qPrfExpansion, qRboOverlap)
+      qPrfExpansion, qRboOverlap, qHardNegatives)
 }

@@ -197,4 +197,29 @@ class RetrievalSpec extends SparkSpec {
     // the two rankers DO share top docs at this SF — non-degenerate
     assert(got.last._2 > 0L && got.last._5 > 0.0)
   }
+
+  test("hard negatives: both roles mined, margins anchored to the weakest pos") {
+    val out = Retrieval.qHardNegatives.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    val (pos, neg) = out.partition(_.getAs[String]("role") == "pos")
+    // both legs non-vacuous on real data (the Flesch lesson)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.length <= Retrieval.PosK && neg.length <= Retrieval.HardNegK)
+    // role semantics: positives match >= PosRel terms, negatives fewer
+    pos.foreach(r => assert(r.getAs[Long]("n_terms") >= Retrieval.PosRel))
+    neg.foreach(r => assert(r.getAs[Long]("n_terms") < Retrieval.PosRel))
+    // within-role ranks are 1..k in score order
+    def ranks(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("rank")).toSeq
+    assert(ranks(pos) === (1L to pos.length))
+    assert(ranks(neg) === (1L to neg.length))
+    def scores(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("score")).toSeq
+    assert(scores(neg) === scores(neg).sorted.reverse)
+    // margin anchor: the weakest SELECTED positive has margin exactly 0;
+    // every positive sits at >= 0
+    val pMargins = pos.map(_.getAs[Double]("margin"))
+    assert(pMargins.min === 0.0)
+    assert(pMargins.forall(_ >= 0.0))
+  }
 }
