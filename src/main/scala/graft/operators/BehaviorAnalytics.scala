@@ -34,6 +34,26 @@ object BehaviorAnalytics {
   /** Funnel stage spine: event types in conversion order. */
   val FunnelStages: Seq[String] = Seq("signup", "click", "purchase")
 
+  /** Shared stage-count → conversion readout over a (stage, n_users)
+    * relation (possibly sparse — the spine densifies missing stages to
+    * 0), used by [[qEventFunnel]] and the streaming maintainer
+    * graft.streaming.StreamFunnel so the two surfaces cannot drift. */
+  private[graft] def funnelReport(stageCounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = stageCounts.sparkSession
+    import spark.implicits._
+    val spine = FunnelStages.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("stage", "step")
+    val dense = spine.join(stageCounts, Seq("stage"), "left")
+      .select($"stage", $"step", coalesce($"n_users", lit(0L)).as("n_users"))
+    val n0 = dense.filter($"stage" === 1).select($"n_users".as("n0"))
+    dense.crossJoin(broadcast(n0))
+      .select($"stage", $"step", $"n_users",
+        when($"n0" > 0,
+          Det.qround($"n_users".cast(DoubleType) / $"n0")).as("conv_frac"))
+      .orderBy($"stage")
+  }
+
   val qEventFunnel = GraftQuery(
     "q_event_funnel",
     (spark, dir) => {
@@ -55,17 +75,12 @@ object BehaviorAnalytics {
         .filter($"event_type" === FunnelStages(2) && $"ts_us" > $"t2")
         .groupBy($"user_id").agg(min($"ts_us").as("t3"))
       val counts = t1.agg(count(lit(1)).as("n_users"))
-        .select(lit(1).as("stage"), lit(FunnelStages(0)).as("step"), $"n_users")
+        .select(lit(1).as("stage"), $"n_users")
         .unionByName(t2.agg(count(lit(1)).as("n_users"))
-          .select(lit(2).as("stage"), lit(FunnelStages(1)).as("step"), $"n_users"))
+          .select(lit(2).as("stage"), $"n_users"))
         .unionByName(t3.agg(count(lit(1)).as("n_users"))
-          .select(lit(3).as("stage"), lit(FunnelStages(2)).as("step"), $"n_users"))
-      counts
-        .crossJoin(broadcast(t1.agg(count(lit(1)).as("n0"))))
-        .select($"stage", $"step", $"n_users",
-          when($"n0" > 0,
-            Det.qround($"n_users".cast(DoubleType) / $"n0")).as("conv_frac"))
-        .orderBy($"stage")
+          .select(lit(3).as("stage"), $"n_users"))
+      funnelReport(counts)
     },
     Some(s"""
       WITH ev AS (
