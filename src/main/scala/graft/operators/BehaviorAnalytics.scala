@@ -109,6 +109,92 @@ object BehaviorAnalytics {
       ORDER BY stage""")
   )
 
+  /** Time-to-convert distribution per funnel transition — the question
+    * q_event_funnel's counts don't answer: HOW LONG does each surviving
+    * step take? Per transition (stage-1→2, stage-2→3): converter count,
+    * mean lag, and the p50/p90 lag in microseconds over the same
+    * strict-ordering min-time chain the funnel counts. A growth team
+    * reads p90 blowups as the step where users stall before converting.
+    *
+    * Scale shape: the same three user-keyed min-aggregates as
+    * q_event_funnel (the per-user stage tables are the one exchange
+    * family), then per-transition 1-row aggregates — percentiles ride
+    * the Spark `percentile` ≡ DuckDB `quantile_cont` parity (q_conformal
+    * precedent, same sorted-multiset interpolation). Exactness:
+    * durations are exact integer micros; mean is a decimal sum over a
+    * count; every emitted double is qrounded. */
+  val qFunnelLag = GraftQuery(
+    "q_funnel_lag",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_type", $"ts_us")
+      val t1 = ev.filter($"event_type" === FunnelStages(0))
+        .groupBy($"user_id").agg(min($"ts_us").as("t1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t2 = ev.join(t1, Seq("user_id"))
+        .filter($"event_type" === FunnelStages(1) && $"ts_us" > $"t1")
+        .groupBy($"user_id").agg(min($"ts_us").as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t3 = ev.join(t2, Seq("user_id"))
+        .filter($"event_type" === FunnelStages(2) && $"ts_us" > $"t2")
+        .groupBy($"user_id").agg(min($"ts_us").as("t3"))
+      def lagRow(lags: org.apache.spark.sql.DataFrame, stage: Int,
+          label: String): org.apache.spark.sql.DataFrame =
+        lags.agg(count(lit(1)).as("n_users"),
+            sum(expr("CAST(d AS DECIMAL(38,0))")).as("sd"),
+            expr("percentile(d, 0.5)").as("q50"),
+            expr("percentile(d, 0.9)").as("q90"))
+          .select(lit(stage).as("stage"), lit(label).as("transition"),
+            $"n_users",
+            when($"n_users" > 0,
+              Det.qround(expr("CAST(sd AS DOUBLE) / n_users")))
+              .as("mean_us"),
+            Det.qround($"q50").as("p50_us"),
+            Det.qround($"q90").as("p90_us"))
+      val l1 = t2.join(t1, Seq("user_id")).select(($"t2" - $"t1").as("d"))
+      val l2 = t3.join(t2, Seq("user_id")).select(($"t3" - $"t2").as("d"))
+      lagRow(l1, 1, s"${FunnelStages(0)}->${FunnelStages(1)}")
+        .unionByName(lagRow(l2, 2, s"${FunnelStages(1)}->${FunnelStages(2)}"))
+        .orderBy($"stage")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      t1 AS (
+        SELECT user_id, min(ts_us) AS t1 FROM ev
+        WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id),
+      t2 AS (
+        SELECT e.user_id, min(ts_us) AS t2 FROM ev e JOIN t1 USING (user_id)
+        WHERE event_type = '${FunnelStages(1)}' AND ts_us > t1
+        GROUP BY e.user_id),
+      t3 AS (
+        SELECT e.user_id, min(ts_us) AS t3 FROM ev e JOIN t2 USING (user_id)
+        WHERE event_type = '${FunnelStages(2)}' AND ts_us > t2
+        GROUP BY e.user_id),
+      l1 AS (SELECT t2 - t1 AS d FROM t2 JOIN t1 USING (user_id)),
+      l2 AS (SELECT t3 - t2 AS d FROM t3 JOIN t2 USING (user_id)),
+      r AS (
+        SELECT 1 AS stage,
+          '${FunnelStages(0)}->${FunnelStages(1)}' AS transition,
+          count(*)::BIGINT AS n_users,
+          sum(CAST(d AS DECIMAL(38,0))) AS sd,
+          quantile_cont(d, 0.5) AS q50, quantile_cont(d, 0.9) AS q90
+        FROM l1
+        UNION ALL
+        SELECT 2, '${FunnelStages(1)}->${FunnelStages(2)}',
+          count(*)::BIGINT,
+          sum(CAST(d AS DECIMAL(38,0))),
+          quantile_cont(d, 0.5), quantile_cont(d, 0.9)
+        FROM l2)
+      SELECT stage, transition, n_users,
+        CASE WHEN n_users > 0 THEN
+          ${Oracle.qround("CAST(sd AS DOUBLE) / n_users")} END AS mean_us,
+        ${Oracle.qround("q50")} AS p50_us,
+        ${Oracle.qround("q90")} AS p90_us
+      FROM r ORDER BY stage""")
+  )
+
   val qRetentionCohorts = GraftQuery(
     "q_retention_cohorts",
     (spark, dir) => {
@@ -2466,5 +2552,5 @@ object BehaviorAnalytics {
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
       qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift, qDid,
-      qMsprt, qAucDelong, qLogrank, qCoxHr)
+      qMsprt, qAucDelong, qLogrank, qCoxHr, qFunnelLag)
 }

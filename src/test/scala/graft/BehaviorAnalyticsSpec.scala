@@ -760,4 +760,30 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     val w = BehaviorAnalytics.welchReport(g0).collect().head
     assert(w.isNullAt(w.fieldIndex("v1")) && w.isNullAt(w.fieldIndex("v2")))
   }
+
+  test("q_funnel_lag: hand-traced lags, interpolated percentiles") {
+    // user 1: signup@0, click@100, purchase@400  -> d12 = 100, d23 = 300
+    // user 2: signup@0, click@50                 -> d12 = 50
+    // user 3: signup@0 only
+    // l1 = {50, 100}: mean 75, p50 = 75, p90 = 95 (linear interpolation)
+    // l2 = {300}: all stats 300
+    val rows = Seq(
+      (1L, 1L, "signup", 0L), (2L, 1L, "click", 100L),
+      (3L, 1L, "purchase", 400L),
+      (4L, 2L, "signup", 0L), (5L, 2L, "click", 50L),
+      (6L, 3L, "signup", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-flag").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts_us")
+      .withColumn("ts", timestamp_micros($"ts_us"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        $"props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = BehaviorAnalytics.qFunnelLag.run(spark, dir)
+      .as[(Int, String, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1, "signup->click", 2L, 75.0, 75.0, 95.0),
+      (2, "click->purchase", 1L, 300.0, 300.0, 300.0)))
+  }
 }
