@@ -109,6 +109,34 @@ object BehaviorAnalytics {
       ORDER BY stage""")
   )
 
+  /** Shared lag readout over a (stage ∈ {1,2}, d) transition-duration
+    * relation — used by [[qFunnelLag]] and the streaming maintainer
+    * graft.streaming.StreamFunnel's second readout (one delta log, two
+    * reports), so the surfaces cannot drift. Missing transitions
+    * densify to (0, NULL, NULL, NULL) over the spine. */
+  private[graft] def funnelLagReport(lags: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = lags.sparkSession
+    import spark.implicits._
+    val spine = Seq(
+      (1, s"${FunnelStages(0)}->${FunnelStages(1)}"),
+      (2, s"${FunnelStages(1)}->${FunnelStages(2)}"))
+      .toDF("stage", "transition")
+    val stats = lags.groupBy($"stage")
+      .agg(count(lit(1)).as("nu"),
+        sum(expr("CAST(d AS DECIMAL(38,0))")).as("sd"),
+        expr("percentile(d, 0.5)").as("q50"),
+        expr("percentile(d, 0.9)").as("q90"))
+    spine.join(stats, Seq("stage"), "left")
+      .select($"stage", $"transition",
+        coalesce($"nu", lit(0L)).as("n_users"),
+        when($"nu" > 0,
+          Det.qround(expr("CAST(sd AS DOUBLE) / nu"))).as("mean_us"),
+        Det.qround($"q50").as("p50_us"),
+        Det.qround($"q90").as("p90_us"))
+      .orderBy($"stage")
+  }
+
   /** Time-to-convert distribution per funnel transition — the question
     * q_event_funnel's counts don't answer: HOW LONG does each surviving
     * step take? Per transition (stage-1→2, stage-2→3): converter count,
@@ -139,24 +167,11 @@ object BehaviorAnalytics {
       val t3 = ev.join(t2, Seq("user_id"))
         .filter($"event_type" === FunnelStages(2) && $"ts_us" > $"t2")
         .groupBy($"user_id").agg(min($"ts_us").as("t3"))
-      def lagRow(lags: org.apache.spark.sql.DataFrame, stage: Int,
-          label: String): org.apache.spark.sql.DataFrame =
-        lags.agg(count(lit(1)).as("n_users"),
-            sum(expr("CAST(d AS DECIMAL(38,0))")).as("sd"),
-            expr("percentile(d, 0.5)").as("q50"),
-            expr("percentile(d, 0.9)").as("q90"))
-          .select(lit(stage).as("stage"), lit(label).as("transition"),
-            $"n_users",
-            when($"n_users" > 0,
-              Det.qround(expr("CAST(sd AS DOUBLE) / n_users")))
-              .as("mean_us"),
-            Det.qround($"q50").as("p50_us"),
-            Det.qround($"q90").as("p90_us"))
-      val l1 = t2.join(t1, Seq("user_id")).select(($"t2" - $"t1").as("d"))
-      val l2 = t3.join(t2, Seq("user_id")).select(($"t3" - $"t2").as("d"))
-      lagRow(l1, 1, s"${FunnelStages(0)}->${FunnelStages(1)}")
-        .unionByName(lagRow(l2, 2, s"${FunnelStages(1)}->${FunnelStages(2)}"))
-        .orderBy($"stage")
+      val l1 = t2.join(t1, Seq("user_id"))
+        .select(lit(1).as("stage"), ($"t2" - $"t1").as("d"))
+      val l2 = t3.join(t2, Seq("user_id"))
+        .select(lit(2).as("stage"), ($"t3" - $"t2").as("d"))
+      funnelLagReport(l1.unionByName(l2))
     },
     Some(s"""
       WITH ev AS (

@@ -15,10 +15,13 @@ import org.apache.spark.sql.streaming._
   * their min-t1; the first stage-2 event with ts STRICTLY after the
   * now-final t1 is min-t2 (no earlier-ts event can still arrive); same
   * for t3. Each t_k is set at most once, so a stage entry is a ONE-SHOT
-  * additive delta (stage, +1) — no upsert machinery needed, unlike
-  * StreamScd2: the all-time funnel is one (stage) sum over the
-  * O(batches · 3)-bounded delta log fed to the SAME shared
-  * `funnelReport` readout the batch query runs.
+  * additive delta (stage, +1, entry lag) — no upsert machinery needed,
+  * unlike StreamScd2 — and ONE delta log serves TWO batch-bit-equal
+  * readouts (the StreamDaily/StreamXent one-state-many-readouts
+  * discipline): the q_event_funnel conversion counts (fold n by stage
+  * through the shared `funnelReport`) AND the q_funnel_lag
+  * time-to-convert percentiles (the carried d_us values are EXACTLY the
+  * batch t2−t1 / t3−t2 multiset, fed to the shared `funnelLagReport`).
   *
   * Ordering contract: rows are applied in (ts_us, event_id) order within
   * a batch; across batches per-key arrival must be in event order (the
@@ -33,7 +36,10 @@ object StreamFunnel {
     * sentinel) because event times may legitimately be negative
     * (pre-epoch timestamps exist in the test corpus). */
   case class FnState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
-  case class FnDelta(stage: Int, n: Long)
+  /** One stage entry: `d_us` is the entry lag (t_k − t_{k−1}) for stages
+    * 2/3, None for stage 1 — the per-user values whose multiset the lag
+    * readout percentiles. */
+  case class FnDelta(stage: Int, n: Long, d_us: Option[Long])
 
   class FunnelProcessor extends StatefulProcessor[Long, FnIn, FnDelta] {
     @transient private var st: ValueState[FnState] = _
@@ -47,24 +53,23 @@ object StreamFunnel {
       val stages = graft.operators.BehaviorAnalytics.FunnelStages
       val ordered = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
       var s = if (st.exists()) st.get() else FnState(None, None, None)
-      val deltas = scala.collection.mutable.Map.empty[Int, Long]
+      val out = scala.collection.mutable.ListBuffer.empty[FnDelta]
       ordered.foreach { r =>
         if (r.event_type == stages(0) && s.t1.isEmpty) {
           s = s.copy(t1 = Some(r.ts_us))
-          deltas(1) = deltas.getOrElse(1, 0L) + 1L
+          out += FnDelta(1, 1L, None)
         } else if (r.event_type == stages(1) && s.t2.isEmpty &&
             s.t1.exists(r.ts_us > _)) {
+          out += FnDelta(2, 1L, Some(r.ts_us - s.t1.get))
           s = s.copy(t2 = Some(r.ts_us))
-          deltas(2) = deltas.getOrElse(2, 0L) + 1L
         } else if (r.event_type == stages(2) && s.t3.isEmpty &&
             s.t2.exists(r.ts_us > _)) {
+          out += FnDelta(3, 1L, Some(r.ts_us - s.t2.get))
           s = s.copy(t3 = Some(r.ts_us))
-          deltas(3) = deltas.getOrElse(3, 0L) + 1L
         }
       }
       st.update(s)
-      deltas.toSeq.sortBy(_._1)
-        .iterator.map { case (stage, n) => FnDelta(stage, n) }
+      out.iterator
     }
   }
 
@@ -91,5 +96,17 @@ object StreamFunnel {
     import spark.implicits._
     graft.operators.BehaviorAnalytics.funnelReport(
       deltaLog.groupBy($"stage").agg(sum($"n").as("n_users")))
+  }
+
+  /** Second readout over the SAME delta log: time-to-convert percentiles
+    * — the carried entry lags are exactly the batch t2−t1 / t3−t2
+    * multiset, so this is q_funnel_lag bit-equal (funnel stage k entry =
+    * lag transition k−1). */
+  def lagReport(deltaLog: DataFrame): DataFrame = {
+    val spark = deltaLog.sparkSession
+    import spark.implicits._
+    graft.operators.BehaviorAnalytics.funnelLagReport(
+      deltaLog.filter($"stage" >= 2)
+        .select(($"stage" - 1).as("stage"), $"d_us".as("d")))
   }
 }

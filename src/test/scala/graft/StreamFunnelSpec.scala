@@ -39,18 +39,26 @@ class StreamFunnelSpec extends SparkSpec {
       .as[(Int, String, Long, Double)].collect().toSeq
     assert(streamed === batch) // bit-for-bit, conv_frac doubles included
     assert(batch.head._3 > 0L)
+
+    // SECOND readout from the SAME delta log: the carried entry lags
+    // reproduce q_funnel_lag bit-for-bit (percentile doubles included)
+    def lagRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq)
+    assert(lagRows(StreamFunnel.lagReport(spark.table("funnel_deltas")))
+      === lagRows(BehaviorAnalytics.qFunnelLag.run(spark, dir)))
   }
 
   test("a funnel progresses across batches AND a restart; ties don't count") {
     val in = MemoryStream[(Long, String, Long, Long)](spark)
     val stream = in.toDF().toDF("user_id", "event_type", "ts_us", "event_id")
     val ckpt = Files.createTempDirectory("graft-funnel-ckpt2").toString
-    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Option[Long])]()
     def start() = StreamFunnel.stages(stream)
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamFunnel.FnDelta],
           _: Long) =>
-        df.collect().foreach(d => emitted.add((d.stage, d.n)))
+        df.collect().foreach(d => emitted.add((d.stage, d.n, d.d_us)))
         ()
       }
       .outputMode("append").option("checkpointLocation", ckpt).start()
@@ -74,13 +82,19 @@ class StreamFunnelSpec extends SparkSpec {
     } finally q2.stop()
 
     import scala.jdk.CollectionConverters._
-    assert(emitted.asScala.toSeq.sorted === Seq((1, 1L), (2, 1L), (3, 1L)))
+    // entry lags carried on the deltas: click at 200 − signup at 100,
+    // purchase at 300 − click at 200 (the same-ts click never counted)
+    assert(emitted.asScala.toSeq.sorted === Seq(
+      (1, 1L, None), (2, 1L, Some(100L)), (3, 1L, Some(100L))))
     // sparse-stage densification: a log holding only stage-1 deltas still
-    // reports all three spine rows
-    val partial = Seq((1, 1L)).toDF("stage", "n")
+    // reports all three spine rows (and an empty lag readout densifies)
+    val partial = Seq((1, 1L, None: Option[Long])).toDF("stage", "n", "d_us")
     val rep = StreamFunnel.report(partial)
       .as[(Int, String, Long, Double)].collect().toSeq
     assert(rep.map(r => (r._1, r._3)) === Seq((1, 1L), (2, 0L), (3, 0L)))
     assert(rep.map(_._4) === Seq(1.0, 0.0, 0.0))
+    val lag = StreamFunnel.lagReport(partial).collect().toSeq
+    assert(lag.map(_.getAs[Long]("n_users")) === Seq(0L, 0L))
+    assert(lag.forall(_.isNullAt(3)))
   }
 }
