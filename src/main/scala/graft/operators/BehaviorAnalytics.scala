@@ -210,6 +210,29 @@ object BehaviorAnalytics {
       FROM r ORDER BY stage""")
   )
 
+  /** Shared cohort-retention readout over a (cohort_day, day_offset,
+    * n_users) relation — used by [[qRetentionCohorts]] and the streaming
+    * maintainer graft.streaming.StreamRetention so the two surfaces
+    * cannot drift: the day-0 row of each cohort is its size, retention
+    * is one qrounded integer division. */
+  private[graft] def retentionReport(ret: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ret.sparkSession
+    import spark.implicits._
+    // the size side re-aliases every column (fresh expression ids) so the
+    // self-join resolves even when `ret` is a named view (DeduplicateRelations
+    // does not rewrite view-backed conflicting references)
+    val sz = ret.toDF("cohort_day", "day_offset", "n_users")
+      .filter($"day_offset" === 0)
+      .select($"cohort_day", $"n_users".as("cohort_size"))
+    ret
+      .join(broadcast(sz), Seq("cohort_day"))
+      .select($"cohort_day", $"day_offset", $"n_users", $"cohort_size",
+        Det.qround($"n_users".cast(DoubleType) / $"cohort_size")
+          .as("retention"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   val qRetentionCohorts = GraftQuery(
     "q_retention_cohorts",
     (spark, dir) => {
@@ -224,13 +247,7 @@ object BehaviorAnalytics {
       val ret = ud.join(coh, Seq("user_id"))
         .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
         .agg(count(lit(1)).as("n_users"))
-      ret
-        .join(broadcast(ret.filter($"day_offset" === 0)
-          .select($"cohort_day", $"n_users".as("cohort_size"))), Seq("cohort_day"))
-        .select($"cohort_day", $"day_offset", $"n_users", $"cohort_size",
-          Det.qround($"n_users".cast(DoubleType) / $"cohort_size")
-            .as("retention"))
-        .orderBy($"cohort_day", $"day_offset")
+      retentionReport(ret)
     },
     Some(s"""
       WITH ud AS (
