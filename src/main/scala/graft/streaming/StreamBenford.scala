@@ -27,6 +27,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamBenford {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "digit INT,n BIGINT"
+
   /** Append one micro-batch's digit-count deltas to the log. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -51,8 +58,7 @@ object StreamBenford {
 
   /** The live digit counters from the delta log alone: one digit fold. */
   def counts(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     log.groupBy(col("digit")).agg(sum(col("n")).as("n"))
   }
 

@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object StreamBoot {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "b INT,ws_dec DECIMAL(38,9),wn BIGINT"
+
   /** Append one micro-batch's replica-sum deltas (+ the b = −1 point
     * row: ws = Σ value as decimal, wn = row count). */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
@@ -64,8 +71,7 @@ object StreamBoot {
     * terminal round per reduction — then the shared report. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
     import spark.implicits._
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy($"b")
       .agg(sum($"ws_dec").as("ws_dec"), sum($"wn").as("wn"))
     val reps = log.filter($"b" >= 0)

@@ -31,6 +31,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamBpe {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "word STRING,freq BIGINT"
+
   /** Append one micro-batch's word-frequency delta to the log. */
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -54,8 +61,7 @@ object StreamBpe {
 
   /** The live (word, freq) vocabulary from the delta log alone. */
   def wordFreqs(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     log.groupBy(col("word")).agg(sum(col("freq")).as("freq"))
   }
 

@@ -24,6 +24,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamCal {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "bin BIGINT,n BIGINT,n_pos BIGINT,sp DECIMAL(38,9)" +
+      ",spp DECIMAL(38,6),spy DECIMAL(38,9)"
+
   /** Append one micro-batch's bin-counter delta (≤ 10 rows). */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -47,8 +55,7 @@ object StreamCal {
       .start()
 
   private def folded(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("bin"))
       .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
         sum(col("sp")).as("sp"), sum(col("spp")).as("spp"),

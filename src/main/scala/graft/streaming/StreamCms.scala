@@ -28,6 +28,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamCms {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "r INT,bucket BIGINT,c BIGINT"
+
   /** Append one micro-batch's sketch-cell deltas to the log. */
   def processBatch(termsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -51,8 +58,7 @@ object StreamCms {
 
   /** The live sketch from the delta log alone: one (r, bucket) fold. */
   def sketch(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     log.groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
   }
 }

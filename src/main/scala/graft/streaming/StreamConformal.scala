@@ -35,6 +35,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object StreamConformal {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "event_type STRING,bucket BIGINT,v DOUBLE,cnt BIGINT"
+
   /** Append one micro-batch's (type, bucket, value) count delta. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -60,8 +67,7 @@ object StreamConformal {
   /** The live band + coverage from the count log alone. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
     import spark.implicits._
-    val vc = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val vc = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy($"event_type", $"bucket", $"v")
       .agg(sum($"cnt").as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

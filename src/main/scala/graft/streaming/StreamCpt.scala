@@ -24,6 +24,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamCpt {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "day BIGINT,v_d DECIMAL(38,9)"
+
   /** Append one micro-batch's daily-mass delta (≤ |days| rows). */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -50,8 +57,7 @@ object StreamCpt {
   def report(spark: SparkSession, logDir: String): DataFrame =
     EventAnalytics.cptReport(
       EventAnalytics.cptFinish(
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$logDir/log")
+        DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
           .groupBy(col("day"))
           .agg(sum(col("v_d")).as("v_d"))))
 }

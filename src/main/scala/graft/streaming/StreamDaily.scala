@@ -32,6 +32,13 @@ object StreamDaily {
 
   private val DayUs = 24L * 3600 * 1000000
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "event_type STRING,day BIGINT,vdec DECIMAL(38,9),n BIGINT"
+
   /** Append one micro-batch's (event_type, day) decimal partial sums. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -61,8 +68,7 @@ object StreamDaily {
   /** The live daily series from the delta log alone: exact decimal fold,
     * ONE terminal 6-dp round — bit-identical to the batch dailyByType. */
   def series(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     log.groupBy(col("event_type"), col("day"))
       .agg(round(sum(col("vdec")), 6).cast(DoubleType).as("v"))
   }

@@ -22,6 +22,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamDid {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "t BIGINT,post BOOLEAN,n BIGINT,sx_d DECIMAL(38,9)" +
+      ",sxx_d DECIMAL(38,9)"
+
   /** Append one micro-batch's cell-moment delta (≤ 4 rows). */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -48,8 +56,7 @@ object StreamDid {
   def report(spark: SparkSession, logDir: String): DataFrame =
     BehaviorAnalytics.didReport(
       BehaviorAnalytics.didFinish(
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$logDir/log")
+        DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
           .groupBy(col("t"), col("post"))
           .agg(sum(col("n")).as("n"),
             sum(col("sx_d")).as("sx_d"), sum(col("sxx_d")).as("sxx_d"))))

@@ -31,6 +31,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamDist {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "value DOUBLE,c1 BIGINT,c2 BIGINT"
+
   /** Append one micro-batch's per-value arm-count delta. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -54,8 +61,7 @@ object StreamDist {
       .start()
 
   private def folded(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("value"))
       .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
 

@@ -36,6 +36,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamDq {
 
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "n_checked BIGINT,v_quantity_range BIGINT" +
+      ",v_discount_range BIGINT,v_positive_price BIGINT" +
+      ",v_returnflag_domain BIGINT,v_ship_after_order BIGINT" +
+      ",v_fk_order_exists BIGINT"
+
   /** Audit one micro-batch of lineitem-shaped rows against the static
     * orders dim; append its counter row to the log. */
   def processBatch(liBatch: DataFrame, orders: DataFrame, batchId: Long,
@@ -62,8 +72,7 @@ object StreamDq {
   /** The all-time per-rule report from the counter log alone: one
     * column-wise sum over O(batches) rows, then the shared unpivot. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     Governance.dqStack(log.agg(
       sum(col("n_checked")).as("n_checked"),
       sum(col("v_quantity_range")).as("v_quantity_range"),

@@ -26,6 +26,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamFdr {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "event_type STRING,hour BIGINT,n BIGINT,sx_d DECIMAL(38,9)" +
+      ",sxx_d DECIMAL(38,9)"
+
   /** Append one micro-batch's cell-moment delta (≤ |types|·24 rows). */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -55,8 +63,7 @@ object StreamFdr {
   def report(spark: SparkSession, logDir: String): DataFrame =
     BehaviorAnalytics.bhReport(
       BehaviorAnalytics.fdrFinish(
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$logDir/log")
+        DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
           .groupBy(col("event_type"), col("hour"))
           .agg(sum(col("n")).as("n"),
             sum(col("sx_d")).as("sx_d"), sum(col("sxx_d")).as("sxx_d"))))

@@ -20,6 +20,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamGmm {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "v DOUBLE,c BIGINT"
+
   /** Append one micro-batch's value-domain count delta. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -44,8 +51,7 @@ object StreamGmm {
   /** The live fit from the count log alone: integer fold by value, then
     * the shared two-iteration EM report. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val vc = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val vc = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("v"))
       .agg(sum(col("c")).as("c"))
     Clustering.gmmReport(vc)

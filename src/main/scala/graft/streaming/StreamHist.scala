@@ -39,6 +39,14 @@ object StreamHist {
       .write.mode("overwrite").parquet(refDir)
 
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (the
+    * frozen reference at `refDir` is written at deployment by
+    * [[writeReference]], so a missing REFERENCE stays a loud config
+    * error — only the not-yet-started delta log degrades). */
+  private[graft] val DeltaDdl = "bin BIGINT,n BIGINT"
+
   /** Bin one micro-batch of (value) rows against the frozen bounds;
     * append its ≤HistBins count rows to the log. */
   def processBatch(batch: DataFrame, refDir: String, batchId: Long,
@@ -70,8 +78,7 @@ object StreamHist {
     * fold, rebuild the merged-histogram shape, shared lookup. */
   def report(spark: SparkSession, refDir: String, logDir: String): DataFrame = {
     val ref = spark.read.parquet(refDir).limit(1)
-    val folded = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val folded = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("bin")).agg(sum(col("n")).as("cnt"))
       .crossJoin(broadcast(ref))
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))

@@ -21,6 +21,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamIrls {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "l_quantity DOUBLE,l_discount DOUBLE,y DOUBLE,cnt BIGINT"
+
   /** Append one micro-batch's feature-grid cell delta. */
   def processBatch(liBatch: DataFrame, batchId: Long, logDir: String): Unit = {
     if (liBatch.isEmpty) return
@@ -45,8 +52,7 @@ object StreamIrls {
   /** The live fit from the cell log alone: integer fold by cell, then the
     * shared two-round IRLS report. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val cells = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val cells = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("l_quantity"), col("l_discount"), col("y"))
       .agg(sum(col("cnt")).as("cnt"))
     MlEval.irlsReport(cells)

@@ -20,6 +20,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamIso {
 
+  /** Delta-log schemas as written by [[processBatch]] (norm moments and
+    * per-dimension sums) — pinned against the writer by
+    * FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the empty relation
+    * in these schemas when the maintainer is fresh (no batch yet), so the
+    * readout degrades to an empty report, never throws. */
+  private[graft] val NormsDdl =
+    "n BIGINT,sn_d DECIMAL(38,9),sn2_d DECIMAL(38,9)"
+  private[graft] val PosDdl = "pos INT,cnt BIGINT,sv_d DECIMAL(38,12)"
+
   /** Append one micro-batch's norm-moment + per-dimension deltas. */
   def processBatch(embBatch: DataFrame, batchId: Long, logDir: String): Unit = {
     if (embBatch.isEmpty) return
@@ -48,12 +57,10 @@ object StreamIso {
   /** The live readout from the delta logs alone: exact decimal folds,
     * then the shared report. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val norms = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/norms")
+    val norms = DeltaLog.emptyOr(spark, s"$logDir/norms", NormsDdl)
       .agg(sum(col("n")).as("n"),
         sum(col("sn_d")).as("sn_d"), sum(col("sn2_d")).as("sn2_d"))
-    val pos = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/pos")
+    val pos = DeltaLog.emptyOr(spark, s"$logDir/pos", PosDdl)
       .groupBy(col("pos"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("sv_d")).as("sv_d"))
     Similarity.isoReport(norms, pos)

@@ -36,6 +36,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamKanon {
 
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "lang STRING,chars_bucket BIGINT,n BIGINT,sk BINARY"
+
   /** Audit one micro-batch of documents rows: per-class count + source
     * sketch appended to the class log. */
   def processBatch(docsBatch: DataFrame, batchId: Long, logDir: String): Unit = {
@@ -62,8 +69,7 @@ object StreamKanon {
   /** The all-time audit from the class log alone: additive counts summed,
     * source sketches unioned, flags shared with the batch query. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val folded = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val folded = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("lang"), col("chars_bucket"))
       .agg(sum(col("n")).as("class_n"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("l_diversity"))

@@ -38,6 +38,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamKn {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "w1 STRING,w2 STRING,cb BIGINT"
+
   /** Append one micro-batch's train-split bigram-count delta to the log.
     * Batches of documents carry (doc_id, text); the salted-md5 split
     * inside [[LexicalStats.knDocBigrams]] decides train membership
@@ -64,8 +71,7 @@ object StreamKn {
 
   /** The live (w1, w2, cb) model from the delta log alone: one fold. */
   def model(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     log.groupBy(col("w1"), col("w2")).agg(sum(col("cb")).as("cb"))
   }
 

@@ -22,6 +22,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamMi {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "x STRING,y BIGINT,nij BIGINT"
+
   /** Append one micro-batch's contingency-cell delta. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -47,8 +54,7 @@ object StreamMi {
   /** The live readout from the cell log alone: integer fold by cell, then
     * the shared MI report. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val cells = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val cells = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("x"), col("y"))
       .agg(sum(col("nij")).as("nij"))
     MlEval.miReport(cells)

@@ -22,6 +22,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamOls {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "n BIGINT,sq_d DECIMAL(38,9),sd_d DECIMAL(38,9)" +
+      ",sy_d DECIMAL(38,9),sqq_d DECIMAL(38,9),sqd_d DECIMAL(38,9)" +
+      ",sdd_d DECIMAL(38,9),sqy_d DECIMAL(38,9),sdy_d DECIMAL(38,9)" +
+      ",syy_d DECIMAL(38,9)"
+
   /** Append one micro-batch's moment delta (1 row: n + ten decimal sums). */
   def processBatch(liBatch: DataFrame, batchId: Long, logDir: String): Unit = {
     if (liBatch.isEmpty) return
@@ -47,8 +57,7 @@ object StreamOls {
     * terminal round per moment, then the shared closed-form solve. */
   def report(spark: SparkSession, logDir: String): DataFrame = {
     val dec = Seq("sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy", "syy")
-    val folded = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val folded = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .agg(sum(col("n")).as("n"),
         dec.map(c => sum(col(c + "_d")).as(c + "_d")): _*)
     MlEval.olsSolve(MlEval.olsFinish(folded))

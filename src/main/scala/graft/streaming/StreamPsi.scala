@@ -50,6 +50,13 @@ object StreamPsi {
       .write.mode("overwrite").parquet(refDir)
 
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the monitor is fresh (a missing
+    * REFERENCE stays a loud config error — [[writeReference]] runs at
+    * deployment; only the not-yet-started delta log degrades). */
+  private[graft] val DeltaDdl = "bin BIGINT,n BIGINT"
+
   /** Bin one micro-batch of (value) rows against the frozen reference
     * bounds; append its ≤PsiBins count rows to the log. */
   def processBatch(batch: DataFrame, refDir: String, batchId: Long,
@@ -84,8 +91,7 @@ object StreamPsi {
   def report(spark: SparkSession, refDir: String, logDir: String): DataFrame = {
     val ref = spark.read.parquet(refDir)
       .select(col("bin"), col("n_ref").as("n_old"))
-    val cur = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val cur = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("bin")).agg(sum(col("n")).as("n_new"))
     Governance.psiOfCounts(ref.join(cur, Seq("bin"), "full"))
   }

@@ -22,6 +22,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamRoc {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "v DOUBLE,p BIGINT,f BIGINT"
+
   /** Append one micro-batch's value-domain count delta. */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -45,8 +52,7 @@ object StreamRoc {
       .start()
 
   private def folded(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
       .groupBy(col("v"))
       .agg(sum(col("p")).as("p"), sum(col("f")).as("f"))
 

@@ -72,12 +72,17 @@ object StreamSketch {
       .option("checkpointLocation", s"$sketchDir/checkpoint")
       .start()
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh. */
+  private[graft] val DeltaDdl = "event_type STRING,day BIGINT,sk BINARY"
+
   /** Distinct-user estimate per event_type from the sketch log alone —
     * never re-touching raw rows. The query side of the incremental
-    * pattern. (recursiveFileLookup: each batch's sketches are a nested
-    * `sketch_b<id>.parquet` directory under the log root.) */
+    * pattern. (recursiveFileLookup inside [[DeltaLog.emptyOr]]: each
+    * batch's sketches are a nested `sketch_b<id>.parquet` directory under
+    * the log root.) */
   def rollup(spark: SparkSession, sketchDir: String): DataFrame =
     Governance.sketchRollup(
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$sketchDir/log"))
+      DeltaLog.emptyOr(spark, s"$sketchDir/log", DeltaDdl))
 }

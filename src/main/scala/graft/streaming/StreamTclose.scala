@@ -27,6 +27,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamTclose {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "lang STRING,chars_bucket BIGINT,source STRING,cnt BIGINT"
+
   /** Append one micro-batch's class-value count deltas to the log. */
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -53,8 +60,7 @@ object StreamTclose {
     * The folded relation is persisted for the scorer's four consumers
     * (the same reason the batch query persists its counts). */
   def report(spark: SparkSession, logDir: String): DataFrame = {
-    val log = spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$logDir/log")
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     Governance.tcloseReport(
       log.groupBy(col("lang"), col("chars_bucket"), col("source"))
         .agg(sum(col("cnt")).as("cnt"))

@@ -20,6 +20,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamWelch {
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh (no
+    * batch yet), so readouts degrade to empty reports, never throw. */
+  private[graft] val DeltaDdl =
+    "event_type STRING,n BIGINT,sx_d DECIMAL(38,9)" +
+      ",sxx_d DECIMAL(38,9)"
+
   /** Append one micro-batch's per-arm moment delta (≤2 rows). */
   def processBatch(eventsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
@@ -44,8 +52,7 @@ object StreamWelch {
 
   private def folded(spark: SparkSession, logDir: String): DataFrame =
     BehaviorAnalytics.armFinish(
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$logDir/log")
+      DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("n"),
           sum(col("sx_d")).as("sx_d"), sum(col("sxx_d")).as("sxx_d")))

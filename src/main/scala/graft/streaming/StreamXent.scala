@@ -54,26 +54,22 @@ object StreamXent {
       .option("checkpointLocation", s"$logDir/checkpoint")
       .start()
 
+  /** Delta-log schema as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relation in this schema when the maintainer is fresh. */
+  private[graft] val DeltaDdl =
+    "lang STRING,term STRING,ctf1 BIGINT,ctf2 BIGINT" +
+      ",ctf4 BIGINT,ctf8 BIGINT,vtf BIGINT"
+
   /** The live (lang, term) split counts from the delta log alone: one
     * integer fold — equals the batch xentTf relation exactly. A freshly
     * started maintainer (no batch appended yet, or every batch empty and
-    * skipped) has no log directory at all: return the empty relation in
-    * the delta schema instead of letting the parquet read throw, so the
-    * readouts degrade to empty reports, not AnalysisException. */
+    * skipped) has no log directory at all: [[DeltaLog.emptyOr]] returns
+    * the empty relation in the delta schema instead of letting the
+    * parquet read throw, so the readouts degrade to empty reports, not
+    * AnalysisException. */
   def tf(spark: SparkSession, logDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$logDir/log")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val log =
-      if (fs.exists(path))
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$logDir/log")
-      else {
-        import org.apache.spark.sql.types._
-        val docsSchema = StructType(Seq(StructField("doc_id", LongType),
-          StructField("lang", StringType), StructField("text", StringType)))
-        LexicalStats.xentTf(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema))
-      }
+    val log = DeltaLog.emptyOr(spark, s"$logDir/log", DeltaDdl)
     log.groupBy(col("lang"), col("term"))
       .agg(sum(col("ctf1")).as("ctf1"), sum(col("ctf2")).as("ctf2"),
         sum(col("ctf4")).as("ctf4"), sum(col("ctf8")).as("ctf8"),
