@@ -115,14 +115,30 @@ object Retrieval {
               (tf + ${K1}e0 *
                 (1e0 - ${B}e0 + ${B}e0 * (dl / (sum_dl / n_docs))))))"""
 
+  /** The (doc_id, term, tf, dl) term-frequency relation of a postings
+    * set — the shared reduction under BM25 and QL, and EXACTLY the shape
+    * graft.streaming.StreamIndex maintains incrementally (each doc lives
+    * in one micro-batch, so the per-batch tf rows fold by plain
+    * addition). Both rankers consume tf through the `*Tf` entry points
+    * below so the maintained index and the batch queries run the SAME
+    * scoring plan — an inlined copy could silently drift. */
+  private[graft] def tfOf(toks: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+  }
+
   /** The UNLIMITED per-document BM25 relation (doc_id, n_terms, score) —
     * bounded by the query terms' posting lists; [[qHardNegatives]] mines
     * it below the [[FuseDepth]] cut. */
-  private def bm25Scored(toks: DataFrame, stats: DataFrame): DataFrame = {
-    val spark = toks.sparkSession
+  private def bm25Scored(toks: DataFrame, stats: DataFrame): DataFrame =
+    bm25ScoredTf(tfOf(toks), stats)
+
+  private[graft] def bm25ScoredTf(tf: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    val tf = toks.groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
     val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val perTerm = tf.join(broadcast(dfr), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -131,10 +147,14 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), Det.dsum($"ts").as("score"))
   }
 
-  private def bm25RankedFrom(toks: DataFrame, stats: DataFrame): DataFrame = {
-    val spark = toks.sparkSession
+  private def bm25RankedFrom(toks: DataFrame, stats: DataFrame): DataFrame =
+    bm25RankedFromTf(tfOf(toks), stats)
+
+  private[graft] def bm25RankedFromTf(tf: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    val top = bm25Scored(toks, stats)
+    val top = bm25ScoredTf(tf, stats)
       .orderBy($"score".desc, $"doc_id").limit(FuseDepth)
     // rank over the ≤FuseDepth-row limited relation — bounded by
     // construction, never a corpus-sized single-partition window
@@ -372,15 +392,18 @@ object Retrieval {
     qlRankedFrom(matchedToks(spark, dir, terms), corpusDl(spark, dir), terms)
 
   private def qlRankedFrom(matched: DataFrame, stats: DataFrame,
+      terms: Seq[String]): DataFrame =
+    qlRankedFromTf(tfOf(matched), stats, terms)
+
+  private[graft] def qlRankedFromTf(tf: DataFrame, stats: DataFrame,
       terms: Seq[String]): DataFrame = {
-    val spark = matched.sparkSession
+    val spark = tf.sparkSession
     import spark.implicits._
-    val tf = matched.groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
     // collection stats: |C| from the shared 1-row corpus pass; per-term cf
-    // from the matched postings (cf of an unmatched term is by definition 0)
+    // folded from the tf relation (Σ tf ≡ the occurrence count of the
+    // matched postings; cf of an unmatched term is by definition 0)
     val coll = stats.select($"sum_dl".as("c_len"))
-    val cf = matched.groupBy($"term").agg(count(lit(1)).as("cf"))
+    val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
     val cands = tf.groupBy($"doc_id")
       .agg(max($"dl").as("dl"), count(lit(1)).as("n_match"))
     val grid = cands

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.functions.Text
+import graft.operators.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming retrieval-index maintainer — ONE maintained inverted-index
+  * delta log serving BOTH lexical rankers bit-equal to their batch twins:
+  * q_bm25_scores (Okapi BM25) and q_ql_scores (Dirichlet-smoothed query
+  * likelihood). The one-state-many-readouts discipline applied to the
+  * retrieval family: at 100 TB the corpus tokenization is the expensive
+  * pass, and the maintained index means a GROWING corpus re-ranks any
+  * query per micro-batch without ever re-tokenizing history — the
+  * production shape for a live search/RAG stack.
+  *
+  * State = two additive relations per batch:
+  *  - postings `(doc_id, term, tf, dl)` — the batch's full-vocabulary
+  *    term frequencies ([[Retrieval.tfOf]], the SAME reduction the batch
+  *    rankers run). Each document lives in exactly one micro-batch
+  *    (append-only corpus), so the per-(doc, term) rows are disjoint
+  *    across batches and the fold (sum tf, max dl) is the identity on
+  *    real rows — plainly additive, recovery-safe.
+  *  - stats `(n_docs, sum_dl)` — one integer counter row per batch
+  *    (the [[Retrieval.corpusDl]] aggregate of the batch), folded by sum.
+  *
+  * Readouts filter the postings log to the query's terms (predicate
+  * pushdown into the parquet scan — posting-list-bounded, never a corpus
+  * rescan), fold, and run the SHARED scoring plans
+  * ([[Retrieval.bm25RankedFromTf]] / [[Retrieval.qlRankedFromTf]]) — by
+  * the fold equalities both readouts are bit-equal to the batch queries
+  * on the same corpus; StreamIndexSpec pins both plus recovery replay.
+  *
+  * Scale shape: the per-batch delta is one batch-sized groupBy; the
+  * vocabulary-scale log compacts via [[Compaction.compact]] when file
+  * count becomes the read bottleneck. Document UPDATES are out of scope
+  * by contract (append-only corpus) — a mutable corpus replaces its
+  * batch file, which the fixed `b<id>.parquet` overwrite layout already
+  * supports.
+  *
+  * Idempotent recovery: fixed per-batch paths in overwrite mode —
+  * additive counters are not duplicate-insensitive, so replace-my-batch
+  * is correctness on checkpoint-recovery replay (the StreamDq
+  * discipline).
+  */
+object StreamIndex {
+
+  /** Delta-log schemas as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relations when the maintainer is fresh (no batch yet), so
+    * both rankers degrade to empty rankings, never throw. */
+  private[graft] val PostingsDdl =
+    "doc_id BIGINT,term STRING,tf BIGINT,dl INT"
+  private[graft] val StatsDdl = "n_docs BIGINT,sum_dl BIGINT"
+
+  /** Append one micro-batch's postings + corpus-stats deltas. Batches
+    * carry (doc_id, text); tokenization (lowercase, whitespace split,
+    * stopword removal) is identical to the batch rankers'. */
+  def processBatch(docsBatch: DataFrame, batchId: Long,
+      logDir: String): Unit = {
+    if (docsBatch.isEmpty) return
+    val toks = docsBatch
+      .select(col("doc_id"),
+        Text.withoutStopwords(Text.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    Retrieval.tfOf(toks)
+      .write.mode("overwrite")
+      .parquet(s"$logDir/postings/b$batchId.parquet")
+    docsBatch
+      .select(size(Text.withoutStopwords(Text.tokens(col("text"))))
+        .as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl"))
+      .coalesce(1) // 1 row
+      .write.mode("overwrite")
+      .parquet(s"$logDir/stats/b$batchId.parquet")
+  }
+
+  /** Wire a streaming documents DataFrame (doc_id, text) into the
+    * maintainer. */
+  def run(docStream: DataFrame, logDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    docStream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        processBatch(df, id, logDir))
+      .trigger(trigger)
+      .option("checkpointLocation", s"$logDir/checkpoint")
+      .start()
+
+  /** The live (doc_id, term, tf, dl) relation for a term set, from the
+    * postings log alone: term filter (pushed into the scan), then the
+    * additive fold — equals the batch [[Retrieval.tfOf]] over the same
+    * corpus exactly (each (doc, term) lives in one batch file). */
+  private[graft] def tf(spark: SparkSession, logDir: String,
+      terms: Seq[String]): DataFrame =
+    DeltaLog.emptyOr(spark, s"$logDir/postings", PostingsDdl)
+      .filter(col("term").isInCollection(terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl"))
+
+  /** The live (n_docs, sum_dl) corpus stats from the stats log alone. */
+  private[graft] def stats(spark: SparkSession, logDir: String): DataFrame =
+    DeltaLog.emptyOr(spark, s"$logDir/stats", StatsDdl)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+
+  /** The two readouts over the folded index — identical machinery (and,
+    * by the fold equalities, identical values) to q_bm25_scores and
+    * q_ql_scores. Any term set can be served; the default is the pinned
+    * query the batch twins verify against. */
+  def bm25(spark: SparkSession, logDir: String,
+      terms: Seq[String] = Retrieval.QueryTerms): DataFrame =
+    Retrieval.bm25RankedFromTf(tf(spark, logDir, terms),
+      stats(spark, logDir)).orderBy("rank")
+
+  def ql(spark: SparkSession, logDir: String,
+      terms: Seq[String] = Retrieval.QueryTerms): DataFrame =
+    Retrieval.qlRankedFromTf(tf(spark, logDir, terms),
+      stats(spark, logDir), terms).orderBy("rank")
+}

@@ -62,6 +62,8 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamDq", "report", 6L, d => StreamDq.report(spark, d)),
       ("StreamFdr", "report", 0L, d => StreamFdr.report(spark, d)),
       ("StreamGmm", "report", 2L, d => StreamGmm.report(spark, d)),
+      ("StreamIndex", "bm25", 0L, d => StreamIndex.bm25(spark, d)),
+      ("StreamIndex", "ql", 0L, d => StreamIndex.ql(spark, d)),
       ("StreamIrls", "report", 1L, d => StreamIrls.report(spark, d)),
       ("StreamIso", "report", 1L, d => StreamIso.report(spark, d)),
       ("StreamKanon", "report", 0L, d => StreamKanon.report(spark, d)),
@@ -176,6 +178,15 @@ class FreshMaintainerSpec extends SparkSpec {
     test(s"$mod: DeltaDdl pins the written delta schema") {
       assert(norm(writtenDdl("log")(write)) === norm(ddl))
     }
+
+  test("StreamIndex: Postings/Stats DDLs pin the written delta schemas") {
+    val d = Files.createTempDirectory("graft-ddlpin-index").toString
+    StreamIndex.processBatch(docs.select($"doc_id", $"text"), 0L, d)
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/postings").schema.toDDL) === norm(StreamIndex.PostingsDdl))
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/stats").schema.toDDL) === norm(StreamIndex.StatsDdl))
+  }
 
   test("StreamIso: Norms/Pos DDLs pin the written delta schemas") {
     val d = Files.createTempDirectory("graft-ddlpin-iso").toString
