@@ -1214,8 +1214,9 @@ object MlEval {
       .withColumn("n", size($"toks").cast("bigint"))
       .withColumn("avg_len",
         (length($"text") - $"n" + lit(1)).cast(DoubleType) / $"n")
+      .withColumn("quality", TextAnalytics.qualityCol)
       .withColumn("y",
-        when(TextAnalytics.qualityCol > lit(ClsTau), 1.0).otherwise(0.0))
+        when($"quality" > lit(ClsTau), 1.0).otherwise(0.0))
       .withColumn("xl", Det.qround(log(lit(1.0) + $"n".cast(DoubleType))))
       .withColumn("xa", Det.qround(least($"avg_len", lit(10.0))))
     val hashed = base.select($"doc_id", $"n", explode($"toks").as("t"))
@@ -1226,7 +1227,10 @@ object MlEval {
       .groupBy($"doc_id")
       .agg(collect_list(
         struct($"j", ($"cnt".cast(DoubleType) / $"n").as("x"))).as("feats"))
-    base.select($"doc_id", $"lang", $"source", $"n", $"y", $"xl", $"xa")
+    // quality rides along so readouts can compare the TRAINED gate with
+    // the heuristic gate (q_corpus_prep_v2) without a second corpus pass
+    base.select($"doc_id", $"lang", $"source", $"n", $"quality", $"y",
+        $"xl", $"xa")
       .join(hashed, Seq("doc_id"))
   }
 
@@ -1993,9 +1997,118 @@ object MlEval {
     }
   )
 
+  /** Trained-filter corpus prep (round-15 verdict item #6) —
+    * q_corpus_prep's cascade (exact-dedup keepers → quality gate →
+    * deterministic stratified sample) recomposed with the TRAINED
+    * classifier probability as the quality gate (p > ½ ⟺ eta > 0, the
+    * q_filter_impact operating point) instead of the heuristic
+    * quality ≥ [[PipelineOps.QualityThreshold]] cutoff, reporting per
+    * (lang, source) mixture cell what CHANGES when the learned filter
+    * goes live: kept docs/tokens under each gate, the doc delta, and the
+    * count of documents the two gates disagree on — the readout a
+    * curation team ships before swapping filters (a cell where the model
+    * silently deletes a domain shows up as a collapsed model_token_rate
+    * next to a healthy heur_token_rate).
+    *
+    * The gates genuinely differ by construction: the model is trained
+    * against the label quality > [[ClsTau]] (1.75) while the production
+    * heuristic gate is quality ≥ 1.5, so disagreement combines the
+    * band between the two cutoffs with the model's own errors;
+    * CorpusQualitySpec pins a real disagreeing document at sf0.001.
+    *
+    * 100 TB shape: the model arrives from the session memo (B+3 doubles
+    * — zero extra training); the cascade is q_corpus_prep's plan (ONE
+    * md5(text) hash exchange for the dedup window, broadcast rate
+    * table, map-side sample filter); scoring is one map pass over the
+    * sampled keepers with the model as literals (quality rides through
+    * [[clsDocs]], so BOTH gates come off that single pass — no second
+    * corpus scan, no self-join); the readout is one
+    * ≤|langs|·|sources|-row aggregate. Exactness: gate counts and token
+    * sums are integers; the two token rates are qrounded integer
+    * divisions; eta/p ride the classifier chain's established
+    * cross-engine parity. */
+  val qCorpusPrepV2 = GraftQuery(
+    "q_corpus_prep_v2",
+    (spark, dir) => {
+      import spark.implicits._
+      val (coef, beta) = clsModelFor(spark, dir)
+      val rates = PipelineOps.thresholds.toDF("lang", "thr")
+      val cascade = Tables.documents(spark, dir)
+        .withColumn("keep_id",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep_id")
+        .join(broadcast(rates), Seq("lang"))
+        .filter(expr(PipelineOps.u32Expr("cast(doc_id as string)")) < $"thr")
+        .select($"doc_id", $"lang", $"source", $"text")
+      val heur = $"quality" >= lit(PipelineOps.QualityThreshold)
+      clsScored(clsDocs(cascade), coef, beta)
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").as("n_tokens"),
+          sum(when($"eta" > 0.0, 1L).otherwise(0L)).as("kept_model"),
+          sum(when(heur, 1L).otherwise(0L)).as("kept_heur"),
+          sum(when($"eta" > 0.0, $"n").otherwise(0L)).as("tok_model"),
+          sum(when(heur, $"n").otherwise(0L)).as("tok_heur"),
+          sum(when(($"eta" > 0.0) =!= heur, 1L).otherwise(0L))
+            .as("n_disagree"))
+        .select($"lang", $"source", $"n_docs", $"n_tokens",
+          $"kept_model", $"kept_heur",
+          ($"kept_model" - $"kept_heur").as("delta_docs"),
+          $"tok_model", $"tok_heur", $"n_disagree",
+          Det.qround(expr("CAST(tok_model AS DOUBLE) / n_tokens"))
+            .as("model_token_rate"),
+          Det.qround(expr("CAST(tok_heur AS DOUBLE) / n_tokens"))
+            .as("heur_token_rate"))
+        .orderBy($"lang", $"source")
+    },
+    Some {
+      val thr = s"${PipelineOps.QualityThreshold}e0"
+      s"""
+      $clsOracleWith,
+      keep AS (
+        SELECT doc_id, lang,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents),
+      cascade AS (
+        SELECT k.doc_id
+        FROM keep k
+        JOIN ${PipelineOps.thresholdsSql} USING (lang)
+        WHERE k.doc_id = k.keep_id
+          AND ${PipelineOps.u32Sql("CAST(k.doc_id AS VARCHAR)")} < thr),
+      ag AS (
+        SELECT s.lang, s.source, count(*)::BIGINT AS n_docs,
+          sum(s.n)::BIGINT AS n_tokens,
+          sum(CASE WHEN s.eta > 0.0 THEN 1 ELSE 0 END)::BIGINT
+            AS kept_model,
+          sum(CASE WHEN b.quality >= $thr THEN 1 ELSE 0 END)::BIGINT
+            AS kept_heur,
+          sum(CASE WHEN s.eta > 0.0 THEN s.n ELSE 0 END)::BIGINT
+            AS tok_model,
+          sum(CASE WHEN b.quality >= $thr THEN s.n ELSE 0 END)::BIGINT
+            AS tok_heur,
+          sum(CASE WHEN (s.eta > 0.0) <> (b.quality >= $thr)
+            THEN 1 ELSE 0 END)::BIGINT AS n_disagree
+        FROM cascade c
+        JOIN s9_p s USING (doc_id)
+        JOIN db b USING (doc_id)
+        GROUP BY 1, 2)
+      SELECT lang, source, n_docs, n_tokens, kept_model, kept_heur,
+        kept_model - kept_heur AS delta_docs,
+        tok_model, tok_heur, n_disagree,
+        ${Oracle.qround("CAST(tok_model AS DOUBLE) / n_tokens")}
+          AS model_token_rate,
+        ${Oracle.qround("CAST(tok_heur AS DOUBLE) / n_tokens")}
+          AS heur_token_rate
+      FROM ag ORDER BY lang, source"""
+        .replace("@DETM@", DetM).replace("@DET0@", Det0)
+        .replace("@DET1@", Det1).replace("@DET2@", Det2)
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
       qRidgePath, qBrierDecomp, qTextClassifier, qTextClassifierV2,
-      qFilterImpact, qFilterThresholdSweep, qClassifierCalibration)
+      qFilterImpact, qFilterThresholdSweep, qClassifierCalibration,
+      qCorpusPrepV2)
 }

@@ -23,7 +23,7 @@ object PipelineOps {
     "en" -> 0.75, "zh" -> 0.50, "de" -> 0.50, "es" -> 0.25, "fr" -> 0.25)
 
   private val TwoPow32 = 4294967296L
-  private def thresholds: Seq[(String, Long)] =
+  private[operators] def thresholds: Seq[(String, Long)] =
     SampleRates.map { case (l, r) => l -> (r * TwoPow32).toLong }
 
   /** u32(md5(e)) — the deterministic 32-bit hash EVERY sampling/splitting
@@ -34,7 +34,7 @@ object PipelineOps {
   private[operators] def u32Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
-  private def thresholdsSql: String =
+  private[operators] def thresholdsSql: String =
     thresholds.map { case (l, t) => s"('$l', $t)" }
       .mkString("(VALUES ", ", ", ") AS rates(lang, thr)")
 

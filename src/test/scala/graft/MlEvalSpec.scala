@@ -381,4 +381,52 @@ class MlEvalSpec extends SparkSpec {
     // and a fully empty log yields an empty gains table, not an error
     assert(MlEval.liftReport(vc.limit(0)).collect().isEmpty)
   }
+
+  test("q_corpus_prep_v2: trained vs heuristic gate genuinely disagree on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Queries.byName("q_corpus_prep_v2").run(spark, dir).collect()
+    assert(out.nonEmpty)
+    def tot(f: String) = out.map(_.getAs[Long](f)).sum
+    // non-vacuity on REAL data (the q_hard_negatives lesson): the learned
+    // gate keeps documents, the heuristic gate keeps documents, and they
+    // DISAGREE somewhere -- otherwise the v2 readout is the v1 readout
+    assert(tot("kept_model") > 0 && tot("kept_heur") > 0)
+    assert(tot("n_disagree") > 0)
+    out.foreach { r =>
+      val nd = r.getAs[Long]("n_disagree")
+      val d = r.getAs[Long]("delta_docs")
+      // delta = model-only - heur-only, disagree = model-only + heur-only
+      assert(math.abs(d) <= nd && (nd - math.abs(d)) % 2 === 0L)
+      assert(r.getAs[Long]("kept_model") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_heur") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tok_model") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("tok_heur") <= r.getAs[Long]("n_tokens"))
+    }
+    // pin a CONCRETE disagreeing document: rebuild the sampled-keeper
+    // cascade, score under a fresh fit (the session memo holds the same
+    // fit), and recount that document's (lang, source) cell
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val (coef, beta) = MlEval.clsFit(docs)
+    val rates = graft.operators.PipelineOps.SampleRates
+      .map { case (l, r) => (l, (r * 4294967296L).toLong) }.toDF("lang", "thr")
+    val cascade = docs
+      .withColumn("keep_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keep_id")
+      .join(broadcast(rates), Seq("lang"))
+      .filter(expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+        < $"thr")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val dis = MlEval.clsScored(MlEval.clsDocs(cascade), coef, beta)
+      .filter(($"eta" > 0.0) =!= ($"quality" >= 1.5))
+      .select($"doc_id", $"lang", $"source")
+      .as[(Long, String, String)].collect()
+    assert(dis.nonEmpty)
+    val (_, dl, ds) = dis.head
+    val cell = out.find(r =>
+      r.getString(0) == dl && r.getString(1) == ds).get
+    assert(cell.getAs[Long]("n_disagree")
+      === dis.count(t => t._2 == dl && t._3 == ds).toLong)
+  }
 }
