@@ -328,6 +328,135 @@ object Dedup {
       FROM bstats, cstats, vstats""")
   )
 
+  /** Every (bands, rowsPerBand) factorization of [[MinHashK]] = 12, the
+    * grid [[qMinhashTune]] walks — ordered by rows per band, bracketing
+    * the production (4 bands × 3 rows) on both sides. */
+  private[graft] val BandFactorizations: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+
+  /** Banding auto-tuner (round-15 verdict item #7) — the "should we
+    * re-band" decision table q_lsh_candidate_audit's folklore procedure
+    * reads from: for EACH (b, r) factorization of the existing K = 12
+    * signature, one row with
+    *
+    *  - `thr_pred` = (1/b)^(1/r), the S-curve P(candidate | j) =
+    *    1 − (1 − j^r)^b inflection estimate — the Jaccard level this
+    *    banding is implicitly tuned for (spelled exp(ln(1/b)/r) in both
+    *    engines, the q_logistic_irls exp/ln-parity precedent);
+    *  - the MEASURED bucket shape under that banding (n_buckets,
+    *    max_bucket, and band_pairs = Σ C(bucket, 2) — the candidate
+    *    volume the band join would generate BEFORE pair dedup, the
+    *    number a bad banding blows up first);
+    *  - `exp_recall` = avg over the production-verified pairs of the
+    *    S-curve catch probability under (b, r) — measured recall against
+    *    the same conditioned truth set the audit uses (at (4, 3) this IS
+    *    the audit's exp_recall; the spec pins the row).
+    *
+    * Reading the table: rows_per_band below 3 explode band_pairs (r = 1
+    * buckets key on a single minimum), rows above 3 trade candidate
+    * volume for recall lost at the production threshold — (4, 3) is the
+    * knee, which is WHY it is the production setting.
+    *
+    * Scale shape: the K raw minima are computed ONCE per doc (the same
+    * native one-pass expression as banding, bandRows = 1); each of the 6
+    * bandings is one re-group of that 12-row-per-doc relation ending in
+    * a 1-row bucket aggregate — the grid multiplies model-scale
+    * AGGREGATES, never corpus passes (no md5 is recomputed); the recall
+    * leg is ONE 13-column aggregate over the verified pairs (grid →
+    * aggregate COLUMNS, the q_filter_threshold_sweep pattern).
+    * Exactness: bucket counts are integers; the power chains are
+    * explicit left-associated products mirrored verbatim in the oracle;
+    * averages are decimal [[Det.davg]] folds. */
+  val qMinhashTune = GraftQuery(
+    "q_minhash_tune",
+    (spark, dir) => {
+      import spark.implicits._
+      val docsSh = docShingles(spark, dir, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the K raw minima, one native pass (the q_minhash_estimate shape)
+      val minima = docsSh
+        .select($"doc_id", posexplode(
+          call_function("minhash_bands", $"sh", lit(MinHashK), lit(1)))
+          .as(Seq("h", "mh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // bucket shape of the (K/r bands × r rows) banding: band = h div r,
+      // key = the band's minima joined in h order (≡ the oracle's
+      // string_agg(mh, '|' ORDER BY h); bucket SIZES are all that matter)
+      def bucketStats(r: Int): DataFrame =
+        minima
+          .groupBy($"doc_id", expr(s"h div $r").as("band"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct($"h", $"mh"))),
+              x => x.getField("mh")), "|").as("key"))
+          .groupBy($"band", $"key").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_buckets"), max($"sz").as("max_bucket"),
+            sum(expr("(sz * (sz - 1)) div 2")).as("band_pairs"))
+      // ONE aggregate over the verified pairs: count + per-(b,r) S-curve
+      // expected recall as columns
+      val verified = verifyJaccard(minhashCandidates(docsSh), docsSh)
+        .select($"jaccard".as("j"))
+      val erCols = BandFactorizations.zipWithIndex.map { case ((b, r), i) =>
+        val jPowR = Seq.fill(r)($"j": Column).reduce(_ * _)
+        val m = lit(1.0) - jPowR
+        val mPowB = Seq.fill(b)(m).reduce(_ * _)
+        Det.davg(lit(1.0) - mPowB).as(s"er$i")
+      }
+      val vAgg = verified.agg(count(lit(1)).as("n_verified"), erCols: _*)
+      BandFactorizations.zipWithIndex.map { case ((b, r), i) =>
+        bucketStats(r).crossJoin(broadcast(vAgg))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            Det.qround(exp(log(lit(1.0) / lit(b.toDouble))
+              / lit(r.toDouble))).as("thr_pred"),
+            $"n_buckets", $"max_bucket", $"band_pairs",
+            $"n_verified", col(s"er$i").as("exp_recall"))
+      }.reduce(_.unionByName(_)).orderBy($"rows_per_band")
+    },
+    Some {
+      val perR = BandFactorizations.map { case (b, r) => s"""
+      bands_$r AS (
+        SELECT doc_id, h // $r AS band,
+          string_agg(mh, '|' ORDER BY h) AS key
+        FROM hashed GROUP BY doc_id, h // $r),
+      buckets_$r AS (
+        SELECT band, key, count(*) AS sz FROM bands_$r GROUP BY band, key),
+      stats_$r AS (
+        SELECT count(*) AS n_buckets, max(sz) AS max_bucket,
+          sum((sz * (sz - 1)) // 2)::BIGINT AS band_pairs
+        FROM buckets_$r),
+      er_$r AS (
+        SELECT ${Oracle.davg("p")} AS er FROM (
+          SELECT 1.0 - ${Seq.fill(b)("m").mkString("*")} AS p FROM (
+            SELECT 1.0 - ${Seq.fill(r)("j").mkString("*")} AS m
+            FROM verified)))""" }.mkString(",")
+      val selects = BandFactorizations.map { case (b, r) => s"""
+      SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+        ${Oracle.qround(s"exp(ln(1.0e0 / ${b.toDouble}e0) / ${r.toDouble}e0)")}
+          AS thr_pred,
+        s.n_buckets, s.max_bucket, s.band_pairs, vs.n_verified,
+        e.er AS exp_recall
+      FROM stats_$r s, vstats vs, er_$r e""" }.mkString(" UNION ALL ")
+      s"""
+      WITH $minhashCandCtes,
+      sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT ia, ib, count(*) AS inter FROM cand
+        JOIN sh sa ON ia = sa.doc_id
+        JOIN sh sb ON ib = sb.doc_id AND sa.shingle = sb.shingle
+        GROUP BY ia, ib),
+      verified AS (
+        SELECT ${Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")} AS j
+        FROM inter
+        JOIN sizes na ON ia = na.doc_id
+        JOIN sizes nb ON ib = nb.doc_id
+        WHERE ${Oracle.qround("inter * 1.0 / (na.ns + nb.ns - inter)")}
+            >= $JaccardThreshold),
+      vstats AS (SELECT count(*) AS n_verified FROM verified),
+      $perR
+      SELECT * FROM ($selects) ORDER BY rows_per_band"""
+    }
+  )
+
   /** The Jaccard grid [[qDedupThresholdSweep]] walks — brackets the
     * production [[JaccardThreshold]] (0.6) on both sides. Literal
     * doubles, identical in both engines. */
@@ -2085,7 +2214,8 @@ object Dedup {
   )
 
   val all: Seq[GraftQuery] = Seq(
-    qDedupExact, qDedupMinhash, qLshCandidateAudit, qDedupClusters,
+    qDedupExact, qDedupMinhash, qLshCandidateAudit, qMinhashTune,
+    qDedupClusters,
     qDedupSimhash, qDedupIncremental, qNgramJaccard, qEditDistance,
     qSpanDedup, qJaccardPrefix, qWinnowStats, qWinnowOverlap,
     qDedupKeepBest, qNeardupSources, qMinhashEstimate, qCdcDedup,

@@ -330,4 +330,32 @@ class DedupSpec extends SparkSpec {
       prodPairs.select($"ia").union(prodPairs.select($"ib"))
         .distinct().count())
   }
+
+  test("q_minhash_tune: (4,3) row IS the production audit; table non-vacuous") {
+    val dir = "/root/testdata/sf0.001"
+    val tune = Dedup.qMinhashTune.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r)
+      .toMap
+    assert(tune.size === 6) // every factorization of K = 12
+    // the production (4 bands x 3 rows) row equals q_lsh_candidate_audit's
+    // measured bucket shape and S-curve recall EXACTLY (different band-key
+    // encodings, same partition -> same stats)
+    val audit = Dedup.qLshCandidateAudit.run(spark, dir).collect().head
+    val prod = tune((4L, 3L))
+    for (f <- Seq("n_buckets", "max_bucket", "band_pairs", "n_verified"))
+      assert(prod.getAs[Long](f) === audit.getAs[Long](f), f)
+    assert(prod.getAs[Double]("exp_recall") === audit.getAs[Double]("exp_recall"))
+    // decision-table non-vacuity on real data: fewer rows per band =>
+    // coarser keys => strictly more band-join work at r = 1 than at the
+    // production r = 3, and the implied threshold rises with r
+    assert(tune((12L, 1L)).getAs[Long]("band_pairs")
+      > prod.getAs[Long]("band_pairs"))
+    val thrByR = Dedup.BandFactorizations.map { case (b, r) =>
+      tune((b.toLong, r.toLong)).getAs[Double]("thr_pred") }
+    assert(thrByR === thrByR.sorted) // monotone in rows_per_band
+    assert(thrByR.head < thrByR.last)
+    // recall falls as the implied threshold rises past the verified mass
+    assert(tune((12L, 1L)).getAs[Double]("exp_recall")
+      >= tune((1L, 12L)).getAs[Double]("exp_recall"))
+  }
 }
