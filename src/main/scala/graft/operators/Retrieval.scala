@@ -487,29 +487,45 @@ object Retrieval {
     * docs with rel ≥ 1 appear (the term-match posting lists bound it). */
   private[graft] def relLabels(spark: SparkSession, dir: String,
       terms: Seq[String] = QueryTerms): DataFrame =
-    relsFrom(matchedToks(spark, dir, terms))
+    relsFromTf(tfOf(matchedToks(spark, dir, terms)))
 
-  private def relsFrom(matched: DataFrame): DataFrame = {
-    val spark = matched.sparkSession
+  /** rel(d) off the tf relation: one row per (doc, matched term), so the
+    * row count per doc IS the distinct-term count — the same labels as
+    * counting distinct terms over occurrence postings, and the shape that
+    * lets the maintained index (graft.streaming.StreamIndex) serve the
+    * eval readouts from its fold. */
+  private def relsFromTf(tf: DataFrame): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    matched.groupBy($"doc_id").agg(countDistinct($"term").as("rel"))
+    tf.groupBy($"doc_id").agg(count(lit(1)).as("rel"))
   }
 
   /** The [[qRankEval]] composition with the term set as a parameter (the
     * [[bm25Ranked]] convention — fixture specs replay it on their own
     * vocabulary; the verified query pins [[QueryTerms]]). */
   private[graft] def rankEval(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      terms: Seq[String] = QueryTerms): DataFrame =
+    // ONE tokenize pass reduced to tf feeds both rankers and the labels
+    // (5 corpus HOF passes → 2 with the shared 1-row length stats;
+    // measured 2.9 s → see NOTES round 12)
+    rankEvalFromTf(tfOf(matchedToks(spark, dir, terms)),
+      corpusDl(spark, dir), terms)
+
+  /** The eval core over an explicit tf relation — shared by the batch
+    * query and StreamIndex's maintained-index readout (one definition of
+    * the metric, no drift). Persists its inputs: tf is consumed by the
+    * labels AND both rankers; the 1-row stats relation is consumed
+    * through two DIFFERENT projections (bm25's crossJoin, QL's c_len
+    * select), so ReuseExchange can't dedup them — persist() can. Both
+    * persists live inside the returned plan (query-lifetime; the
+    * Verify/Bench/Prof clearCache() discipline). */
+  private[graft] def rankEvalFromTf(tfIn: DataFrame, statsIn: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val spark = tfIn.sparkSession
     import spark.implicits._
-    // ONE tokenize pass feeds both rankers and the labels (5 corpus HOF
-    // passes → 2 with the shared 1-row length stats; measured 2.9 s →
-    // see NOTES round 12); the persisted relation is posting-list-sized
-    val toks = matchedToks(spark, dir, terms).persist()
-    // the 1-row stats relation is consumed through two DIFFERENT
-    // projections (bm25's crossJoin, QL's c_len select), so ReuseExchange
-    // can't dedup them — persist() can
-    val stats = corpusDl(spark, dir).persist()
-    val rels = relsFrom(toks)
+    val tf = tfIn.persist()
+    val stats = statsIn.persist()
+    val rels = relsFromTf(tf)
     val gain = expr("shiftleft(1, cast(rel as int)) - 1")
     val disc = log(col("i") + 1) / log(lit(2.0))
     val ideal = rels.orderBy($"rel".desc, $"doc_id").limit(EvalK)
@@ -523,8 +539,8 @@ object Retrieval {
         .agg(count(when($"rel" > 0, 1)).as("n_rel"),
           Det.dsum(gain / (log($"rank" + 1) / log(lit(2.0)))).as("dcg"))
         .select(lit(name).as("ranker"), $"n_rel", $"dcg")
-    dcgOf(bm25RankedFrom(toks, stats), "bm25")
-      .unionByName(dcgOf(qlRankedFrom(toks, stats, terms), "ql"))
+    dcgOf(bm25RankedFromTf(tf, stats), "bm25")
+      .unionByName(dcgOf(qlRankedFromTf(tf, stats, terms), "ql"))
       .crossJoin(broadcast(idcg))
       .select($"ranker", $"n_rel", $"dcg", $"idcg",
         when($"idcg" > 0, Det.qround($"dcg" / $"idcg"))
@@ -593,13 +609,20 @@ object Retrieval {
     * trec_eval `map_cut` convention) so a ranker is not penalized for
     * relevant docs it could not possibly fit in the cutoff. */
   private[graft] def mapMrr(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame = {
+      terms: Seq[String] = QueryTerms): DataFrame =
+    mapMrrFromTf(tfOf(matchedToks(spark, dir, terms)),
+      corpusDl(spark, dir), terms)
+
+  /** The set-metric core over an explicit tf relation — shared by the
+    * batch query and StreamIndex's maintained-index readout (the
+    * [[rankEvalFromTf]] persist discipline). */
+  private[graft] def mapMrrFromTf(tfIn: DataFrame, statsIn: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val spark = tfIn.sparkSession
     import spark.implicits._
-    // ONE tokenize pass feeds both rankers and the labels (the rankEval
-    // discipline); the persisted relation is posting-list-sized
-    val toks = matchedToks(spark, dir, terms).persist()
-    val stats = corpusDl(spark, dir).persist()
-    val rels = relsFrom(toks)
+    val tf = tfIn.persist()
+    val stats = statsIn.persist()
+    val rels = relsFromTf(tf)
     // every label row has rel ≥ 1 by construction, so R = |rels|
     val rtot = rels.agg(count(lit(1)).as("r_total"))
     def prAt(ranked: DataFrame, name: String): DataFrame = {
@@ -629,8 +652,8 @@ object Retrieval {
             Det.qround($"n_rel".cast(DoubleType) / $"r_total"))
             .otherwise(lit(0.0)).as("recall_at_k"))
     }
-    prAt(bm25RankedFrom(toks, stats), "bm25")
-      .unionByName(prAt(qlRankedFrom(toks, stats, terms), "ql"))
+    prAt(bm25RankedFromTf(tf, stats), "bm25")
+      .unionByName(prAt(qlRankedFromTf(tf, stats, terms), "ql"))
       .orderBy($"ranker")
   }
 

@@ -118,4 +118,20 @@ object StreamIndex {
       terms: Seq[String] = Retrieval.QueryTerms): DataFrame =
     Retrieval.qlRankedFromTf(tf(spark, logDir, terms),
       stats(spark, logDir), terms).orderBy("rank")
+
+  /** Third and fourth readouts over the SAME fold: the offline retrieval
+    * evals — nDCG@K (q_rank_eval) and MAP/MRR/P@K/recall@K (q_map_mrr) —
+    * bit-equal to their batch twins. The relevance labels derive from
+    * the tf fold itself (rel = matched-term rows per doc), so re-running
+    * the eval loop after every index growth costs only the rankers' own
+    * scoring pass — the retuning cadence a live retrieval stack wants. */
+  def rankEval(spark: SparkSession, logDir: String,
+      terms: Seq[String] = Retrieval.QueryTerms): DataFrame =
+    Retrieval.rankEvalFromTf(tf(spark, logDir, terms),
+      stats(spark, logDir), terms)
+
+  def mapMrr(spark: SparkSession, logDir: String,
+      terms: Seq[String] = Retrieval.QueryTerms): DataFrame =
+    Retrieval.mapMrrFromTf(tf(spark, logDir, terms),
+      stats(spark, logDir), terms)
 }

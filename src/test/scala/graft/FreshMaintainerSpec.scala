@@ -64,6 +64,8 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamGmm", "report", 2L, d => StreamGmm.report(spark, d)),
       ("StreamIndex", "bm25", 0L, d => StreamIndex.bm25(spark, d)),
       ("StreamIndex", "ql", 0L, d => StreamIndex.ql(spark, d)),
+      ("StreamIndex", "rankEval", 2L, d => StreamIndex.rankEval(spark, d)),
+      ("StreamIndex", "mapMrr", 2L, d => StreamIndex.mapMrr(spark, d)),
       ("StreamIrls", "report", 1L, d => StreamIrls.report(spark, d)),
       ("StreamIso", "report", 1L, d => StreamIso.report(spark, d)),
       ("StreamKanon", "report", 0L, d => StreamKanon.report(spark, d)),

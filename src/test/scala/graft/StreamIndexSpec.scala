@@ -55,6 +55,14 @@ class StreamIndexSpec extends SparkSpec {
     assert(rows(StreamIndex.bm25(spark, logDir)) === bm25Batch)
     assert(rows(StreamIndex.ql(spark, logDir)) === qlBatch)
 
+    // the SAME fold serves both offline evals bit-equal to their batch
+    // twins (labels derive from the fold itself)
+    val evalBatch = rows(Retrieval.qRankEval.run(spark, dir))
+    val mapBatch = rows(Retrieval.qMapMrr.run(spark, dir))
+    assert(evalBatch.nonEmpty && mapBatch.nonEmpty)
+    assert(rows(StreamIndex.rankEval(spark, logDir)) === evalBatch)
+    assert(rows(StreamIndex.mapMrr(spark, logDir)) === mapBatch)
+
     // the index serves a DIFFERENT query than the pinned one (non-vacuity:
     // the ad-hoc ranking is nonempty and bit-matches the batch plan run
     // with the same terms)
