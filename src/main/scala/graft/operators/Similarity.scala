@@ -630,6 +630,99 @@ object Similarity {
       FROM e GROUP BY vec_id, max_abs ORDER BY vec_id""")
   )
 
+  /** SQ8 recall audit — the retrieval-quality half of the int8 story
+    * ([[qEmbedInt8]] measures per-vector distortion; this measures what
+    * that distortion DOES to search): per query vector, how many of the
+    * exact cosine top-[[TopK]] survive when every database vector is
+    * replaced by its symmetric-int8 reconstruction (the scalar
+    * quantization tier production vector stores deploy most — 4× smaller
+    * than float32, no codebook training, cf. FAISS SQ8). Same audit
+    * framing as [[qIvfRecallAudit]]/[[qMrlRecall]]: every approximate
+    * tier ships with its recall readout, or it does not ship.
+    *
+    * Quantization is [[qEmbedInt8]]'s exact scheme (code = floor(x·127 /
+    * max_abs + 0.5), reconstruct code·max_abs/127, all-zero vectors pass
+    * through), with the reconstruction rounded through REAL — the dtype
+    * an int8 store actually serves — identically in both engines. Scale
+    * shape: reconstruction is one map-only HOF pass; the ranking reuses
+    * [[topkOf]] (broadcast query side, native decimal dot); the recall
+    * join is ≤ NQueryVecs·TopK rows. */
+  val qSq8Recall = GraftQuery(
+    "q_sq8_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      val rec = Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", $"embedding",
+          coalesce(array_max(transform($"embedding",
+            x => abs(x.cast(DoubleType)))), lit(0.0)).as("ma"))
+        .select($"vec_id",
+          when($"ma" === 0.0, $"embedding")
+            .otherwise(transform($"embedding", x =>
+              (floor(x.cast(DoubleType) * lit(127.0) / $"ma" + lit(0.5))
+                * ($"ma" / lit(127.0))).cast("float")))
+            .as("embedding"))
+        .select($"vec_id", $"embedding",
+          sqrt(decDot($"embedding", $"embedding")).as("nrm"))
+      exactTopk(spark, dir).select($"qid", $"tid")
+        .join(topkOf(rec).select($"qid", $"tid", lit(1).as("m")),
+          Seq("qid", "tid"), "left")
+        .groupBy($"qid").agg(count($"m").as("n_hit"))
+        .select($"qid", $"n_hit",
+          Det.qround($"n_hit" / lit(TopK)).as("recall"))
+        .orderBy($"qid")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      $exactTopkCtes,
+      qm AS (
+        SELECT vec_id,
+          coalesce(list_max([abs(x::DOUBLE) for x in embedding]), 0.0)
+            AS ma,
+          embedding
+        FROM embeddings),
+      rex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+          unnest(CASE WHEN ma = 0.0
+            THEN [x::DOUBLE for x in embedding]
+            ELSE [(floor(x::DOUBLE * 127.0 / ma + 0.5)
+                   * (ma / 127.0))::REAL::DOUBLE for x in embedding] END)
+            AS v
+        FROM qm),
+      rnrm AS (
+        SELECT vec_id, sqrt(sum(CAST(v * v AS DECIMAL(38,12)))::DOUBLE)
+          AS nrm
+        FROM rex GROUP BY vec_id),
+      rdots AS (
+        SELECT q.vec_id AS qid, t.vec_id AS tid,
+          sum(CAST(q.v * t.v AS DECIMAL(38,12)))::DOUBLE AS dot
+        FROM rex q JOIN rex t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+        WHERE q.vec_id < $NQueryVecs
+        GROUP BY q.vec_id, t.vec_id),
+      rcos AS (
+        SELECT qid, tid,
+          ${Oracle.qround("dot / (qn.nrm * tn.nrm)")} AS cosine
+        FROM rdots
+        JOIN rnrm qn ON qid = qn.vec_id
+        JOIN rnrm tn ON tid = tn.vec_id),
+      sq8_topk AS (
+        SELECT qid, tid FROM (
+          SELECT qid, tid,
+            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, tid)
+              AS rk
+          FROM rcos)
+        WHERE rk <= $TopK),
+      hits AS (
+        SELECT e.qid, count(t.tid) AS n_hit
+        FROM exact_topk e
+        LEFT JOIN sq8_topk t ON e.qid = t.qid AND e.tid = t.tid
+        GROUP BY e.qid)
+      SELECT qid, n_hit,
+        ${Oracle.qround(s"n_hit * 1.0 / $TopK")} AS recall
+      FROM hits
+      ORDER BY qid""")
+  )
+
   /** Cluster count and cosine threshold for [[qSemanticDedup]]. K follows
     * the q_kmeans/q_ann_ivf deterministic first-K init; the threshold is
     * tuned to the synthetic corpus' cosine range (max in-cell cosine ≈
@@ -1440,7 +1533,8 @@ object Similarity {
 
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
-      qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSemanticDedup,
+      qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSq8Recall,
+      qSemanticDedup,
       qSemdedupCellAudit, qSemanticContamination, qEmbedCovariance,
       qPcaPower, qEmbedLabelProfile, qLabelCentroidDist, qMrlRecall,
       qEmbedIsotropy, qGeomedian)

@@ -308,4 +308,24 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n_pairs") === 0L)
     }
   }
+
+  test("q_sq8_recall: lossless on the {0,1}-component fixture; lossy on real data") {
+    // fixture vectors 0/1/2 have only 0/1 components (exactly representable
+    // after int8 round-trip) and 3 = (0.6, 0.8) stays order-preserving --
+    // every one of the 3 candidates per query survives quantization
+    // (n_hit = 3 of 3 possible; recall = 3/TopK = 0.6 only because the
+    // fixture has fewer candidates than K)
+    val fx = Similarity.qSq8Recall.run(spark, fixtureDir)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(fx.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(fx.forall(_._2 === 3L))
+    assert(fx.forall(_._3 === 0.6))
+    // real data: quantization genuinely perturbs at least one ranking at
+    // sf0.001 (recall < 1 somewhere), and never catastrophically (>= 3/5)
+    val real = Similarity.qSq8Recall.run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(real.size === Similarity.NQueryVecs)
+    assert(real.exists(_._3 < 1.0), "SQ8 audit vacuous: all recalls 1.0")
+    assert(real.forall(_._2 >= 3L))
+  }
 }
