@@ -50,4 +50,61 @@ object Compaction {
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)
   }
+
+  /** Compaction for the Stream* maintainers' per-batch DELTA-LOG layout
+    * (nested `<name>_b<id>.parquet` batch DIRECTORIES under the log
+    * root — [[compact]] sees no top-level data files there and silently
+    * no-ops, which is exactly the wrong failure mode for the layout the
+    * maintainers actually write; found in round 15 while wiring
+    * StreamIndex).
+    *
+    * Folds every batch directory EXCEPT the `keepLast` newest into one
+    * `compacted.parquet` directory (recursive read → repartition to
+    * ~`targetBytes` files → temp-dir swap). Correctness: the maintainers'
+    * delta rows are additive counters, so collapsing file/batch
+    * boundaries never changes a fold; recovery safety comes from the
+    * `keepLast` guard — foreachBatch checkpoint recovery can replay (and
+    * fixed-path overwrite) only the LAST uncommitted batch, so dirs
+    * older than the newest `keepLast` can never be rewritten in place
+    * and are safe to absorb. An existing `compacted.parquet` from a
+    * previous pass is re-absorbed (ids -1, always oldest). Run between
+    * batches / with readers paused, like [[compact]].
+    *
+    * @return (batchDirsBefore, batchDirsAfter) — unchanged when there is
+    *         nothing to gain (≤ 1 dir in the compaction set). */
+  def compactLog(spark: SparkSession, logDir: String, keepLast: Int = 2,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new Path(logDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return (0, 0)
+    val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+    if (dirs.isEmpty) return (0, 0)
+    def bid(p: Path): Long =
+      "\\d+".r.findAllIn(p.getName).toSeq.lastOption
+        .map(_.toLong).getOrElse(-1L) // compacted.parquet sorts oldest
+    val sorted = dirs.sortBy(bid)
+    val (olds, kept) = sorted.splitAt(math.max(0, sorted.length - keepLast))
+    if (olds.length <= 1) return (dirs.length, dirs.length)
+
+    val totalBytes = olds.map(d => fs.getContentSummary(d).getLength).sum
+    val targetFiles =
+      math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(logDir + ".compacting")
+    fs.delete(tmp, true)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(olds.map(_.toString): _*)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // fail loudly on FS-API false returns, like compact(): a swallowed
+    // delete/rename here silently double-counts or loses deltas
+    for (d <- olds)
+      if (!fs.delete(d, true))
+        throw new java.io.IOException(
+          s"compactLog: failed to remove $d (rewrite preserved at $tmp)")
+    val dest = new Path(path, "compacted.parquet")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"compactLog: failed to publish $tmp as $dest (data intact at $tmp)")
+    (dirs.length, kept.length + 1)
+  }
 }

@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * on the same corpus; StreamIndexSpec pins both plus recovery replay.
   *
   * Scale shape: the per-batch delta is one batch-sized groupBy; the
-  * vocabulary-scale log compacts via [[Compaction.compact]] when file
+  * vocabulary-scale log compacts via [[Compaction.compactLog]] when file
   * count becomes the read bottleneck. Document UPDATES are out of scope
   * by contract (append-only corpus) — a mutable corpus replaces its
   * batch file, which the fixed `b<id>.parquet` overwrite layout already

@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * derived model relations are bigram-type-scale; only a scoring pass
   * over the PROBE documents is corpus-priced, exactly like the batch
   * scorer. Compaction of the delta log rides the same
-  * [[Compaction.compact]] path as the signature indexes when file count
+  * [[Compaction.compactLog]] path as the signature indexes when file count
   * (not data volume) becomes the read bottleneck.
   */
 object StreamKn {

@@ -26,7 +26,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Idempotent recovery: fixed `tf_b<id>.parquet` path in overwrite mode —
   * additive counters are not duplicate-insensitive, so replace-my-batch
   * is correctness on checkpoint-recovery replay (the StreamKn/StreamDq
-  * discipline). Log compaction rides [[Compaction.compact]] when file
+  * discipline). Log compaction rides [[Compaction.compactLog]] when file
   * count becomes the read bottleneck.
   */
 object StreamXent {

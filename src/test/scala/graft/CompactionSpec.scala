@@ -29,4 +29,51 @@ class CompactionSpec extends SparkSpec {
   test("missing directory is a no-op") {
     assert(Compaction.compact(spark, "/tmp/graft-no-such-dir-xyz") === ((0, 0)))
   }
+
+  test("compactLog folds a maintainer's nested batch dirs; readouts bit-equal") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val logDir = Files.createTempDirectory("graft-compactlog").toString
+    for (s <- 0 until 4)
+      graft.streaming.StreamIndex.processBatch(
+        docs.filter($"doc_id" % 4 === s).select($"doc_id", $"text"),
+        s.toLong, logDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq)
+    val bm = rows(graft.streaming.StreamIndex.bm25(spark, logDir))
+    val ql = rows(graft.streaming.StreamIndex.ql(spark, logDir))
+    assert(bm.nonEmpty && ql.nonEmpty)
+
+    // plain compact() is structurally blind to the nested layout -- it
+    // must report a no-op, NOT destroy anything (the round-15 find: the
+    // maintainers' docs used to point at it)
+    assert(Compaction.compact(spark, s"$logDir/postings") === ((0, 0)))
+
+    // fold all but the newest batch dir into compacted.parquet
+    assert(Compaction.compactLog(spark, s"$logDir/postings", keepLast = 1)
+      === ((4, 2)))
+    assert(Compaction.compactLog(spark, s"$logDir/stats", keepLast = 1)
+      === ((4, 2)))
+    assert(rows(graft.streaming.StreamIndex.bm25(spark, logDir)) === bm)
+    assert(rows(graft.streaming.StreamIndex.ql(spark, logDir)) === ql)
+
+    // the kept newest batch is still replayable in place (checkpoint
+    // recovery can only rewrite the LAST batch -- the keepLast contract)
+    graft.streaming.StreamIndex.processBatch(
+      docs.filter($"doc_id" % 4 === 3).select($"doc_id", $"text"),
+      3L, logDir)
+    assert(rows(graft.streaming.StreamIndex.bm25(spark, logDir)) === bm)
+
+    // nothing left to gain: compacted + 1 kept dir is a no-op
+    assert(Compaction.compactLog(spark, s"$logDir/postings", keepLast = 1)
+      === ((2, 2)))
+
+    // terminated stream (keepLast = 0): a later pass re-absorbs the
+    // previous compacted.parquet together with the remaining batch dir
+    assert(Compaction.compactLog(spark, s"$logDir/postings", keepLast = 0)
+      === ((2, 1)))
+    assert(rows(graft.streaming.StreamIndex.bm25(spark, logDir)) === bm)
+    assert(rows(graft.streaming.StreamIndex.ql(spark, logDir)) === ql)
+  }
 }
