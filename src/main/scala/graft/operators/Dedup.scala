@@ -381,13 +381,16 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // bucket shape of the (K/r bands × r rows) banding: band = h div r,
       // key = the band's minima joined in h order (≡ the oracle's
-      // string_agg(mh, '|' ORDER BY h); bucket SIZES are all that matter)
+      // string_agg(mh, '|' ORDER BY h); bucket SIZES are all that
+      // matter). Within a band each slot h % r holds exactly one
+      // minimum, so r conditional maxes in slot order rebuild the
+      // ordered key with plain codegen'd aggregates — no interpreted
+      // collect_list/array_sort HOF in the 12-row-per-doc exchange.
       def bucketStats(r: Int): DataFrame =
         minima
           .groupBy($"doc_id", expr(s"h div $r").as("band"))
-          .agg(array_join(
-            transform(array_sort(collect_list(struct($"h", $"mh"))),
-              x => x.getField("mh")), "|").as("key"))
+          .agg(concat_ws("|", (0 until r).map(i =>
+            max(when($"h" % r === i, $"mh"))): _*).as("key"))
           .groupBy($"band", $"key").agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_buckets"), max($"sz").as("max_bucket"),
             sum(expr("(sz * (sz - 1)) div 2")).as("band_pairs"))
