@@ -30,6 +30,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamPhash {
 
+  /** Signature-index schema (the flat append dir screenBatch probes) —
+    * [[DeltaLog.emptyOr]] serves the empty index on the first batch,
+    * replacing the per-module fs.exists dance. */
+  private[graft] val IndexDdl =
+    "old_id BIGINT,kind STRING,old_sig BIGINT"
+
   /** 4 rows per object carrying (band, bkey) — the batch query's banding:
     * bkey = 4 bits of `sigCol`, bucket scoped by `kind`. */
   private def withBands(df: DataFrame, sigCol: String): DataFrame =
@@ -72,12 +78,7 @@ object StreamPhash {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(root)) spark.read.parquet(indexDir)
-          else spark.range(0).select(col("id").as("old_id"),
-            lit("").as("kind"), col("id").as("old_sig"))
+        val index = DeltaLog.emptyOr(spark, indexDir, IndexDdl)
         val kept = screenBatch(batch, index)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

@@ -29,6 +29,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamSemDedup {
 
+  /** Signature-index schema (the flat append dir screenBatch probes) —
+    * [[DeltaLog.emptyOr]] serves the empty index on the first batch,
+    * replacing the per-module fs.exists dance. */
+  private[graft] val IndexDdl =
+    "old_id BIGINT,old_emb ARRAY<FLOAT>,old_nrm DOUBLE" +
+      ",bucket BIGINT"
+
   private def dotFast(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("dot_f32_fast", a, b)
   private def dotExact(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -81,13 +88,7 @@ object StreamSemDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(root)) spark.read.parquet(indexDir)
-          else spark.range(0).select(col("id").as("old_id"),
-            expr("cast(array() as array<float>)").as("old_emb"),
-            lit(0.0).as("old_nrm"), col("id").as("bucket"))
+        val index = DeltaLog.emptyOr(spark, indexDir, IndexDdl)
         val kept = screenBatch(batch, index)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

@@ -33,6 +33,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamSimhash {
 
+  /** Signature-index schema (the flat append dir screenBatch probes) —
+    * [[DeltaLog.emptyOr]] serves the empty index on the first batch,
+    * replacing the per-module fs.exists dance. */
+  private[graft] val IndexDdl =
+    "old_id BIGINT,old_sig BIGINT" // simhash32 is LongType
+
   val HammingMax = 3
 
   /** Expand a row to 4 rows carrying (band, bkey) derived from `sigCol` —
@@ -89,12 +95,7 @@ object StreamSimhash {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(root)) spark.read.parquet(indexDir)
-          else spark.range(0).select(col("id").as("old_id"),
-            col("id").as("old_sig"))   // simhash32 is LongType
+        val index = DeltaLog.emptyOr(spark, indexDir, IndexDdl)
         // survivors are consumed twice (outDir + index append): persist so
         // the banded joins run once, not per sink
         val kept = screenBatch(batch, index)

@@ -29,6 +29,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamWinnow {
 
+  /** Signature-index schema (the flat append dir screenBatch probes) —
+    * [[DeltaLog.emptyOr]] serves the empty index on the first batch,
+    * replacing the per-module fs.exists dance. */
+  private[graft] val IndexDdl =
+    "fp STRING,old_id BIGINT"
+
   /** Same threshold as the batch overlap report. */
   val MinShared: Int = Dedup.WinnowMinShared
 
@@ -119,12 +125,7 @@ object StreamWinnow {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(root)) spark.read.parquet(indexDir)
-          else spark.range(0).select(
-            col("id").cast("string").as("fp"), col("id").as("old_id"))
+        val index = DeltaLog.emptyOr(spark, indexDir, IndexDdl)
         val (survivors, bf) = screenBatch(batch, index)
         val kept = survivors
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
