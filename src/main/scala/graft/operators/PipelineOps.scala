@@ -1016,10 +1016,124 @@ object PipelineOps {
       FROM bs ORDER BY vocab""")
   )
 
+  /** Skip-gram window (context positions per side), subsample threshold
+    * (word2vec's t), and the readout cut. */
+  val SgWindow = 2
+  val SgT = 0.001
+  val SgTopK = 100
+
+  /** Skip-gram training-pair generation with frequency subsampling — the
+    * word2vec/fastText data-prep step (Mikolov et al. 2013) as a
+    * relational pipeline: tokens are DOWNSAMPLED by corpus frequency
+    * (keep an occurrence with p = (√(f/t)+1)·t/f — frequent words mostly
+    * drop, rare words always survive), the kept tokens are re-indexed
+    * per document (windows close over removed tokens, the reference
+    * implementations' semantics), and (center, context) pairs form
+    * within ±[[SgWindow]] of the COMPACTED sequence. The readout is the
+    * per-word pair economy — total/kept occurrences, the realized keep
+    * rate, and the number of training pairs the word participates in —
+    * for the top-[[SgTopK]] pair-mass words: what an embedding team
+    * reads to check the subsample threshold before a training run.
+    *
+    * Determinism: the keep decision hashes (doc_id, pos, word) through
+    * the shared u32(md5) (the sampling/splitting house hash), compared
+    * against floor(p·2³²) — p is the same IEEE sqrt/÷/× tree in both
+    * engines, so the kept set is bit-identical and every output column
+    * is an integer (plus one qrounded rate). Scale shape: frequencies
+    * are one vocab-sized aggregate joined back on `word` (one exchange);
+    * the re-index is a per-document window (one doc_id exchange, ≤doc
+    * rows per partition); pair formation is an EQUI-join on (doc_id,
+    * ri + δ) over the [[SgWindow]]-exploded kept relation — banded by
+    * construction, ≤ 2·W pairs per kept token, never doc². */
+  val qSkipgramPairs = GraftQuery(
+    "q_skipgram_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          posexplode(graft.functions.Text.tokens($"text"))
+            .as(Seq("pos", "word")))
+      val tot = toks.agg(count(lit(1)).as("tot"))
+      val freqs = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val kept = toks
+        .join(freqs, Seq("word"))
+        .crossJoin(broadcast(tot))
+        .withColumn("f", expr("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)"))
+        .withColumn("pk",
+          (sqrt($"f" / lit(SgT)) + lit(1.0)) * (lit(SgT) / $"f"))
+        .filter(
+          expr(u32Expr(
+            "concat(cast(doc_id as string), ':', cast(pos as string), ':', word)"))
+            < floor($"pk" * lit(4294967296.0)))
+        .select($"doc_id", $"pos", $"word")
+      val seq2 = kept.withColumn("ri", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"pos")))
+        .select($"doc_id", $"ri", $"word")
+      val left = seq2
+        .withColumn("d", explode(typedlit((1 to SgWindow).toList)))
+        .select($"doc_id", $"word", ($"ri" + $"d").as("rj"))
+      val adj = left.join( // equi-join on (doc_id, rj): banded pairs
+        seq2.select($"doc_id", $"ri".as("rj"), $"word".as("wr")),
+        Seq("doc_id", "rj"))
+      val pairs = adj
+        .select(explode(array($"word", $"wr")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n_pairs"))
+      val keptOcc = kept.groupBy($"word").agg(count(lit(1)).as("kept_occ"))
+      pairs
+        .join(keptOcc, Seq("word"))
+        .join(freqs.select($"word", $"cnt".as("total_occ")), Seq("word"))
+        .select($"word", $"total_occ", $"kept_occ",
+          graft.functions.Det.qround(
+            expr("CAST(kept_occ AS DOUBLE) / total_occ")).as("keep_rate"),
+          $"n_pairs")
+        .orderBy($"n_pairs".desc, $"word")
+        .limit(SgTopK)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS word
+        FROM (SELECT doc_id,
+                string_split_regex(lower(text), '[[:space:]]+') AS ws
+              FROM documents)),
+      tot AS (SELECT count(*)::BIGINT AS tot FROM toks),
+      freqs AS (SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY word),
+      sc AS (
+        SELECT t.doc_id, t.pos, t.word,
+          CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS f
+        FROM toks t JOIN freqs USING (word) CROSS JOIN tot),
+      kept AS (
+        SELECT doc_id, pos, word FROM sc
+        WHERE ${u32Sql(
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' || word")}
+          < CAST(floor(((sqrt(f / ${SgT}e0) + 1.0) * (${SgT}e0 / f))
+              * 4294967296.0) AS BIGINT)),
+      seq2 AS (
+        SELECT doc_id, word,
+          row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ri
+        FROM kept),
+      adj AS (
+        SELECT a.word AS wl, b.word AS wr
+        FROM seq2 a
+        CROSS JOIN (SELECT unnest(range(1, ${SgWindow + 1})) AS d) ds
+        JOIN seq2 b ON b.doc_id = a.doc_id AND b.ri = a.ri + ds.d),
+      centers AS (
+        SELECT wl AS word FROM adj UNION ALL SELECT wr AS word FROM adj),
+      pairs AS (
+        SELECT word, count(*)::BIGINT AS n_pairs FROM centers GROUP BY word),
+      ko AS (
+        SELECT word, count(*)::BIGINT AS kept_occ FROM kept GROUP BY word)
+      SELECT p.word, f.cnt AS total_occ, k.kept_occ,
+        ${graft.Oracle.qround("CAST(k.kept_occ AS DOUBLE) / f.cnt")}
+          AS keep_rate,
+        p.n_pairs
+      FROM pairs p JOIN ko k USING (word) JOIN freqs f USING (word)
+      ORDER BY n_pairs DESC, word LIMIT $SgTopK""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
       qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget,
-      qBudgetSample, qFeatureHash)
+      qBudgetSample, qFeatureHash, qSkipgramPairs)
 }

@@ -271,4 +271,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(maxK >= (vocab + b - 1) / b) // ceil(vocab/b) lower-bounds the max
     assert(massRate > 0.0 && massRate <= 1.0)
   }
+
+  test("q_skipgram_pairs: pure windowing on an all-rare corpus; subsampling bites on real data") {
+    import spark.implicits._
+    // 1,200 DISTINCT words in one document: every f = 1/1200 < t = 0.001
+    // gives p >= 1, so NOTHING is subsampled and the pair counts are pure
+    // window math -- interior words sit in exactly 4 pairs (2 as center-
+    // left, 2 as center-right), the first word in 2, the second in 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-sg").toString
+    val words = (1 to 1200).map(i => f"w$i%04d")
+    Seq((0L, words.mkString(" "), "en", "src",
+        words.mkString(" ").length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.PipelineOps.qSkipgramPairs.run(spark, dir)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(out.size === graft.operators.PipelineOps.SgTopK)
+    // top-100 by (n_pairs desc, word): the alphabetically first interior
+    // words, each with exactly 4 pairs, fully kept
+    assert(out.map(_._1) === (3 to 102).map(i => f"w$i%04d"))
+    assert(out.forall(r => r._2 === 1L && r._3 === 1L && r._4 === 1.0
+      && r._5 === 4L))
+
+    // real data: frequency subsampling genuinely drops occurrences
+    val real = graft.operators.PipelineOps.qSkipgramPairs
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(real.nonEmpty)
+    assert(real.exists(_._4 < 1.0), "subsampling vacuous: every word kept")
+    assert(real.forall(r => r._3 <= r._2))
+  }
 }
