@@ -295,4 +295,41 @@ class PlanGuardSpec extends SparkSpec {
         assert(line.contains("BroadcastNestedLoopJoin"), s"$n: $line")
     }
   }
+
+  test("q_skipgram_pairs: banded equi-join pairs, no cartesian") {
+    val p = plan(graft.operators.PipelineOps.qSkipgramPairs)
+    // the (center, context) pair formation must plan as an EQUI-join on
+    // (doc_id, ri + d) -- a cartesian/BNLJ here is doc^2 at scale
+    assert(!p.contains("CartesianProduct"), p)
+    for (line <- p.linesIterator if line.contains("Cross,"))
+      assert(line.contains("BroadcastNestedLoopJoin"), line)
+    // exactly one corpus window pass (the per-doc re-index)
+    assert(occurrences(p, "RunningWindowFunction") <= 1, p)
+  }
+
+  test("q_minhash_tune: codegen bucket keys, no interpreted HOF aggregates") {
+    val p = plan(Dedup.qMinhashTune)
+    // the 6 banding re-groups must stay plain codegen'd aggregates --
+    // collect_list/array_sort falling back in would re-introduce the
+    // interpreted HOF in the 12-row-per-doc exchange
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("array_sort"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("StreamIndex: the term filter reaches the postings parquet scan") {
+    // write a tiny index log, then check the readout's scan carries the
+    // term pushdown -- at 100 TB this is what makes a query posting-
+    // bounded instead of a full index rescan
+    import spark.implicits._
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-planguard-index").toString
+    graft.streaming.StreamIndex.processBatch(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+        .select($"doc_id", $"text"),
+      0L, logDir)
+    val p = graft.streaming.StreamIndex.bm25(spark, logDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(term,"), p)
+  }
 }
