@@ -60,6 +60,10 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamDist", "emdReport", 0L, d => StreamDist.emdReport(spark, d)),
       ("StreamDist", "aucReport", 0L, d => StreamDist.aucReport(spark, d)),
       ("StreamDq", "report", 6L, d => StreamDq.report(spark, d)),
+      ("StreamExactDedup", "registry", 0L,
+        d => StreamExactDedup.registry(spark, d)),
+      ("StreamExactDedup", "summary", 1L,
+        d => StreamExactDedup.summary(spark, d)),
       ("StreamFdr", "report", 0L, d => StreamFdr.report(spark, d)),
       ("StreamGmm", "report", 2L, d => StreamGmm.report(spark, d)),
       ("StreamIndex", "bm25", 0L, d => StreamIndex.bm25(spark, d)),
@@ -147,6 +151,9 @@ class FreshMaintainerSpec extends SparkSpec {
       ev.select($"event_id", $"user_id", $"ts_us", $"value"), 0L, d)),
     ("StreamDist", StreamDist.DeltaDdl, d => StreamDist.processBatch(
       ev.select($"event_id", $"event_type", $"value"), 0L, d)),
+    ("StreamExactDedup", StreamExactDedup.DeltaDdl,
+      d => StreamExactDedup.processBatch(
+        docs.select($"doc_id", $"text"), 0L, d)),
     ("StreamDq", StreamDq.DeltaDdl, d => StreamDq.processBatch(li,
       Tables.orders(spark, sf).select($"o_orderkey", $"o_orderdate"),
       0L, d)),
