@@ -1061,10 +1061,14 @@ object PipelineOps {
         .withColumn("f", expr("CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)"))
         .withColumn("pk",
           (sqrt($"f" / lit(SgT)) + lit(1.0)) * (lit(SgT) / $"f"))
+        // clamp at 1.0 BEFORE scaling: p >= 1 already means always-keep
+        // (floor(2^32) > any u32), and at 100 TB a rare word's unclamped
+        // p*2^32 exceeds Long.MaxValue - Spark's floor would saturate
+        // while DuckDB's BIGINT cast throws
         .filter(
           expr(u32Expr(
             "concat(cast(doc_id as string), ':', cast(pos as string), ':', word)"))
-            < floor($"pk" * lit(4294967296.0)))
+            < floor(least($"pk", lit(1.0)) * lit(4294967296.0)))
         .select($"doc_id", $"pos", $"word")
       val seq2 = kept.withColumn("ri", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"pos")))
@@ -1105,8 +1109,8 @@ object PipelineOps {
         SELECT doc_id, pos, word FROM sc
         WHERE ${u32Sql(
           "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' || word")}
-          < CAST(floor(((sqrt(f / ${SgT}e0) + 1.0) * (${SgT}e0 / f))
-              * 4294967296.0) AS BIGINT)),
+          < CAST(floor(least((sqrt(f / ${SgT}e0) + 1.0) * (${SgT}e0 / f),
+              1.0) * 4294967296.0) AS BIGINT)),
       seq2 AS (
         SELECT doc_id, word,
           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ri
