@@ -694,32 +694,49 @@ object LexicalStats {
     * by distinct terms, not corpus size, the same discipline as the TF-IDF
     * vocab rank — and the moments collapse in one partial+final aggregate
     * to a single row. */
+  /** The corpus-wide (term, cf) token-frequency collapse shared by the
+    * frequency-spectrum family ([[qZipfFit]], [[qHillTail]], [[qChao1]])
+    * and graft.streaming.StreamVocab's maintained fold: full tokens (no
+    * stopword removal), one partial+final aggregate. ADDITIVE over
+    * document slices (plain integer counts), which is what lets a
+    * streaming maintainer keep it current per micro-batch and fold at
+    * read time. */
+  private[graft] def cfOf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docsIn
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+
+  /** The Zipf log-log OLS readout from a (term, cf) relation — shared by
+    * [[qZipfFit]] and the streaming maintainer's fold. */
+  private[graft] def zipfFromCf(cfIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cfIn.sparkSession
+    import spark.implicits._
+    cfIn
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"cf".desc, $"term")))
+      .select(log($"rnk".cast(DoubleType)).as("x"),
+        log($"cf".cast(DoubleType)).as("y"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum($"x".cast(DecimalType(38, 12))).cast(DoubleType).as("sx"),
+        sum($"y".cast(DecimalType(38, 12))).cast(DoubleType).as("sy"),
+        sum(($"x" * $"y").cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("sxy"),
+        sum(($"x" * $"x").cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("sxx"))
+      .select($"n_terms",
+        Det.qround(($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("slope"),
+        Det.qround(($"sy" * $"sxx" - $"sx" * $"sxy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("intercept"))
+  }
+
   val qZipfFit = GraftQuery(
     "q_zipf_fit",
-    (spark, dir) => {
-      import spark.implicits._
-      val cf = Tables.spread(Tables.documents(spark, dir))
-        .select(explode(Text.tokens($"text")).as("term"))
-        .groupBy($"term").agg(count(lit(1)).as("cf"))
-      cf
-        .withColumn("rnk",
-          row_number().over(Window.orderBy($"cf".desc, $"term")))
-        .select(log($"rnk".cast(DoubleType)).as("x"),
-          log($"cf".cast(DoubleType)).as("y"))
-        .agg(
-          count(lit(1)).as("n_terms"),
-          sum($"x".cast(DecimalType(38, 12))).cast(DoubleType).as("sx"),
-          sum($"y".cast(DecimalType(38, 12))).cast(DoubleType).as("sy"),
-          sum(($"x" * $"y").cast(DecimalType(38, 12)))
-            .cast(DoubleType).as("sxy"),
-          sum(($"x" * $"x").cast(DecimalType(38, 12)))
-            .cast(DoubleType).as("sxx"))
-        .select($"n_terms",
-          Det.qround(($"n_terms" * $"sxy" - $"sx" * $"sy") /
-            ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("slope"),
-          Det.qround(($"sy" * $"sxx" - $"sx" * $"sxy") /
-            ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("intercept"))
-    },
+    (spark, dir) =>
+      zipfFromCf(cfOf(Tables.spread(Tables.documents(spark, dir)))),
     Some(s"""
       WITH cf AS (
         SELECT term, count(*) AS cf
@@ -1526,33 +1543,37 @@ object LexicalStats {
     * discipline); a k with fewer than k+1 distinct terms produces no row
     * (inner join), and an all-tied head (denominator 0) degrades to a
     * null α̂ rather than an error. */
+  /** The Hill-plot readout from a (term, cf) relation — shared by
+    * [[qHillTail]] and the streaming maintainer's fold. */
+  private[graft] def hillFromCf(cfIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cfIn.sparkSession
+    import spark.implicits._
+    val maxK = HillKs.max
+    val top = cfIn.orderBy($"cf".desc, $"term").limit(maxK + 1)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy($"cf".desc, $"term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ks = HillKs.map(_.toLong).toDF("k")
+    val thr = top.join(broadcast(ks), $"rnk" === $"k" + 1)
+      .select($"k", $"cf".as("xk1"),
+        log($"cf".cast(DoubleType)).as("lnxk"))
+    val sums = top.join(broadcast(ks), $"rnk" <= $"k")
+      .groupBy($"k")
+      .agg(sum(log($"cf".cast(DoubleType)).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("slncf"))
+    thr.join(sums, Seq("k"))
+      .select($"k", $"xk1",
+        when($"slncf" - $"k" * $"lnxk" > 0,
+          Det.qround($"k" / ($"slncf" - $"k" * $"lnxk")))
+          .as("alpha_hill"))
+      .orderBy($"k")
+  }
+
   val qHillTail = GraftQuery(
     "q_hill_tail",
-    (spark, dir) => {
-      import spark.implicits._
-      val maxK = HillKs.max
-      val cf = Tables.spread(Tables.documents(spark, dir))
-        .select(explode(Text.tokens($"text")).as("term"))
-        .groupBy($"term").agg(count(lit(1)).as("cf"))
-      val top = cf.orderBy($"cf".desc, $"term").limit(maxK + 1)
-        .withColumn("rnk",
-          row_number().over(Window.orderBy($"cf".desc, $"term")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ks = HillKs.map(_.toLong).toDF("k")
-      val thr = top.join(broadcast(ks), $"rnk" === $"k" + 1)
-        .select($"k", $"cf".as("xk1"),
-          log($"cf".cast(DoubleType)).as("lnxk"))
-      val sums = top.join(broadcast(ks), $"rnk" <= $"k")
-        .groupBy($"k")
-        .agg(sum(log($"cf".cast(DoubleType)).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("slncf"))
-      thr.join(sums, Seq("k"))
-        .select($"k", $"xk1",
-          when($"slncf" - $"k" * $"lnxk" > 0,
-            Det.qround($"k" / ($"slncf" - $"k" * $"lnxk")))
-            .as("alpha_hill"))
-        .orderBy($"k")
-    },
+    (spark, dir) =>
+      hillFromCf(cfOf(Tables.spread(Tables.documents(spark, dir)))),
     Some(s"""
       WITH cf AS (
         SELECT term, count(*) AS cf
@@ -1593,28 +1614,32 @@ object LexicalStats {
     * the first aggregate is the same (term → cf) collapse the Zipf/Hill
     * family makes; the spectrum is a ≤|distinct cf|-row re-aggregate
     * (q_refs_global two-level discipline). */
+  /** The Chao1/Good–Turing readout from a (term, cf) relation — shared by
+    * [[qChao1]] and the streaming maintainer's fold. */
+  private[graft] def chao1FromCf(cfIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = cfIn.sparkSession
+    import spark.implicits._
+    cfIn.agg(
+        count(lit(1)).as("v_obs"),
+        sum($"cf").as("n_tokens"),
+        sum(when($"cf" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"cf" === 2, 1L).otherwise(0L)).as("f2"))
+      .select($"v_obs", $"n_tokens", $"f1", $"f2",
+        Det.qround($"v_obs" +
+          when($"f2" > 0,
+            $"f1".cast(DoubleType) * $"f1" / (lit(2.0) * $"f2"))
+          .otherwise(
+            $"f1".cast(DoubleType) * ($"f1" - 1) / lit(2.0)))
+          .as("chao1"),
+        Det.qround(lit(1.0) -
+          $"f1".cast(DoubleType) / $"n_tokens").as("gt_coverage"))
+  }
+
   val qChao1 = GraftQuery(
     "q_chao1",
-    (spark, dir) => {
-      import spark.implicits._
-      val cf = Tables.spread(Tables.documents(spark, dir))
-        .select(explode(Text.tokens($"text")).as("term"))
-        .groupBy($"term").agg(count(lit(1)).as("cf"))
-      cf.agg(
-          count(lit(1)).as("v_obs"),
-          sum($"cf").as("n_tokens"),
-          sum(when($"cf" === 1, 1L).otherwise(0L)).as("f1"),
-          sum(when($"cf" === 2, 1L).otherwise(0L)).as("f2"))
-        .select($"v_obs", $"n_tokens", $"f1", $"f2",
-          Det.qround($"v_obs" +
-            when($"f2" > 0,
-              $"f1".cast(DoubleType) * $"f1" / (lit(2.0) * $"f2"))
-            .otherwise(
-              $"f1".cast(DoubleType) * ($"f1" - 1) / lit(2.0)))
-            .as("chao1"),
-          Det.qround(lit(1.0) -
-            $"f1".cast(DoubleType) / $"n_tokens").as("gt_coverage"))
-    },
+    (spark, dir) =>
+      chao1FromCf(cfOf(Tables.spread(Tables.documents(spark, dir)))),
     Some(s"""
       WITH cf AS (
         SELECT term, count(*) AS cf

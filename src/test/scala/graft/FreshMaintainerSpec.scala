@@ -80,6 +80,9 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamRoc", "liftReport", 0L, d => StreamRoc.liftReport(spark, d)),
       ("StreamSketch", "rollup", 0L, d => StreamSketch.rollup(spark, d)),
       ("StreamTclose", "report", 0L, d => StreamTclose.report(spark, d)),
+      ("StreamVocab", "zipf", 1L, d => StreamVocab.zipf(spark, d)),
+      ("StreamVocab", "hill", 0L, d => StreamVocab.hill(spark, d)),
+      ("StreamVocab", "chao1", 1L, d => StreamVocab.chao1(spark, d)),
       ("StreamWelch", "report", 0L, d => StreamWelch.report(spark, d)),
       ("StreamWelch", "powerReport", 0L,
         d => StreamWelch.powerReport(spark, d)),
@@ -178,6 +181,8 @@ class FreshMaintainerSpec extends SparkSpec {
         ev.select($"event_type", $"ts_us", $"user_id"), 0L, d)),
     ("StreamTclose", StreamTclose.DeltaDdl,
       d => StreamTclose.processBatch(docs, 0L, d)),
+    ("StreamVocab", StreamVocab.DeltaDdl, d => StreamVocab.processBatch(
+      docs.select($"doc_id", $"text"), 0L, d)),
     ("StreamWelch", StreamWelch.DeltaDdl, d => StreamWelch.processBatch(
       ev.select($"event_id", $"event_type", $"value"), 0L, d)),
     ("StreamXent", StreamXent.DeltaDdl, d => StreamXent.processBatch(
