@@ -618,6 +618,229 @@ object Clustering {
       ORDER BY lambda""")
   )
 
+  /** Topics / unrolled EM rounds / topic-card width for [[qPlsaTopics]]. */
+  val PlsaK = 3
+  val PlsaRounds = 2
+  val PlsaTopTerms = 8
+
+  /** The (doc_id, term, n) count relation PLSA factorizes — the same
+    * doc-term collapse the TF-IDF/retrieval family makes. */
+  private[graft] def plsaTf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+        explode(graft.functions.Text.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("n"))
+  }
+
+  /** PLSA topic model (Hofmann 1999) fit by `rounds` unrolled EM rounds,
+    * emitting the topic-card readout — shared by [[qPlsaTopics]] (at
+    * [[PlsaRounds]]) and ClusteringSpec's likelihood-monotonicity check
+    * (which varies `rounds`).
+    *
+    * Parameterization is WIDE — p(z|d) is one doc-keyed relation with K
+    * probability COLUMNS (p1..pK), p(w|z) one vocab-keyed relation with K
+    * columns (q1..qK) — so the E-step is a plain two-join projection and
+    * the K-way structure multiplies aggregate columns, never corpus rows
+    * (the q_filter_threshold_sweep discipline). Init: p(z|d) uniform;
+    * p(w|z) hash-perturbed near-uniform (h_k(w) = 1000 + u32(md5) % 1000,
+    * exact integers normalized per topic) — deterministic symmetry
+    * breaking both engines derive byte-identically.
+    *
+    * Exactness: every E-step responsibility is the same IEEE quotient of
+    * products of 6-dp-prerounded doubles in both engines (den = 0 rows —
+    * possible only if every q_k prerounds to 0 — fall back to uniform);
+    * every M-step numerator rides DECIMAL(38,9) sums; params are
+    * [[Det.qround]]ed between rounds so drift cannot compound (the gmm
+    * discipline). The 1e-6 preround grid is fidelity-only (both engines
+    * share it): at a production-scale vocabulary where p(w|z) ~ 1e-8 the
+    * grid constant moves to 1e-12, same machinery.
+    *
+    * Scale shape: per round, ONE doc-keyed exchange (tf ⋈ p(z|d) — the
+    * inherent PLSA cost) and one vocabulary-sized join (p(w|z) —
+    * broadcast-able); both M-steps are partial+final aggregates of the
+    * SAME persisted E-step relation (two consumers — the persist is
+    * query-lifetime under the clearCache protocol); the readout is
+    * K×[[PlsaTopTerms]] rows + two 1-row metric relations. Nothing
+    * driver-side ever sees a per-doc row. */
+  private[graft] def plsaReport(tfIn: DataFrame,
+      rounds: Int = PlsaRounds): DataFrame = {
+    val spark = tfIn.sparkSession
+    import spark.implicits._
+    val ks = 1 to PlsaK
+    val uni = s"(1.0 / ${PlsaK}.0)"
+    val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init p(w|z): hash-perturbed near-uniform, exact-integer normalizers
+    val hRel = tf.select($"term").distinct()
+      .select(($"term" +: ks.map(k => expr(
+        s"1000 + ${PipelineOps.u32Expr(s"concat('plsa$k:', term)")} % 1000")
+        .as(s"h$k"))): _*)
+    val hTot = hRel.agg(sum($"h1").as("ht1"),
+      ks.tail.map(k => sum(col(s"h$k")).as(s"ht$k")): _*)
+    var pwz: DataFrame = hRel.crossJoin(broadcast(hTot))
+      .select(($"term" +: ks.map(k => Det.qround(
+        col(s"h$k").cast(DoubleType) / col(s"ht$k").cast(DoubleType))
+        .as(s"q$k"))): _*)
+    // init p(z|d): uniform
+    var pzd: DataFrame = tf.select($"doc_id").distinct()
+      .select(($"doc_id" +: ks.map(k => expr(uni).as(s"p$k"))): _*)
+    for (_ <- 1 to rounds) {
+      val den = ks.map(k => s"(p$k * q$k)").mkString(" + ")
+      val e = tf.join(pzd, "doc_id").join(pwz, "term")
+        .withColumn("den", expr(den))
+        .select(($"doc_id" +: $"term" +: $"n" +: ks.map(k => expr(
+          s"CASE WHEN den > 0 THEN (p$k * q$k) / den ELSE $uni END")
+          .as(s"r$k"))): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sw = e.groupBy($"term").agg(
+        sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("s1"),
+        ks.tail.map(k =>
+          sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"s$k")): _*)
+      val tot = sw.agg(sum($"s1").as("t1"),
+        ks.tail.map(k => sum(col(s"s$k")).as(s"t$k")): _*)
+      pwz = sw.crossJoin(broadcast(tot))
+        .select(($"term" +: ks.map(k => Det.qround(
+          col(s"s$k").cast(DoubleType) / col(s"t$k").cast(DoubleType))
+          .as(s"q$k"))): _*)
+      pzd = e.groupBy($"doc_id").agg(
+        sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("u1"),
+        ks.tail.map(k =>
+          sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"u$k"))
+          :+ sum($"n").as("dl"): _*)
+        .select(($"doc_id" +: ks.map(k => Det.qround(
+          col(s"u$k").cast(DoubleType) / col("dl").cast(DoubleType))
+          .as(s"p$k"))): _*)
+    }
+    // readout: topic masses P(z), held-in avg log-likelihood, top terms
+    val dld = tf.groupBy($"doc_id").agg(sum($"n").as("dl"))
+    val mass = pzd.join(dld, "doc_id").agg(
+        sum(expr("CAST(p1 * dl AS DECIMAL(38,9))")).as("m1"),
+        ks.tail.map(k =>
+          sum(expr(s"CAST(p$k * dl AS DECIMAL(38,9))")).as(s"m$k"))
+          :+ sum($"dl").as("nn"): _*)
+      .select(ks.map(k => Det.qround(
+        col(s"m$k").cast(DoubleType) / col("nn").cast(DoubleType))
+        .as(s"mass$k")): _*)
+    val mix = ks.map(k => s"(p$k * q$k)").mkString(" + ")
+    val ll = tf.join(pzd, "doc_id").join(pwz, "term")
+      .agg(sum(expr(s"CAST(CASE WHEN $mix > 0 THEN n * ln($mix) " +
+        "ELSE 0.0 END AS DECIMAL(38,9))")).cast(DoubleType).as("lls"),
+        sum($"n").as("nn"))
+      .select(Det.qround($"lls" / $"nn".cast(DoubleType)).as("avg_ll"))
+    val unp = pwz.selectExpr("term",
+      s"stack($PlsaK, ${ks.map(k => s"CAST($k AS BIGINT), q$k").mkString(", ")}) " +
+        "as (topic, p_wz)")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"topic").orderBy($"p_wz".desc, $"term")))
+      .filter($"rk" <= PlsaTopTerms)
+    unp.crossJoin(broadcast(mass)).crossJoin(broadcast(ll))
+      .select($"topic", $"rk".cast(LongType).as("rk"), $"term", $"p_wz",
+        expr(s"CASE ${ks.map(k => s"WHEN topic = $k THEN mass$k")
+          .mkString(" ")} END").as("topic_mass"),
+        $"avg_ll")
+      .orderBy($"topic", $"rk")
+  }
+
+  /** PLSA topic model over the document corpus — the classic latent-topic
+    * factorization of the doc-term matrix (Hofmann 1999; the aspect-model
+    * ancestor of LDA), fit by [[PlsaRounds]] unrolled EM rounds and read
+    * out as the standard "topic card": per topic, the [[PlsaTopTerms]]
+    * highest-probability terms with p(w|z), the corpus topic mass P(z),
+    * and the shared held-in average log-likelihood — the clustering view
+    * of the corpus a data-mixing plan reads next to q_kl_by_source's
+    * divergence table (WHAT the latent groups are, not just how far apart
+    * sources sit). See [[plsaReport]] for the EM machinery, exactness
+    * discipline, and 100 TB shape. */
+  val qPlsaTopics = GraftQuery(
+    "q_plsa_topics",
+    (spark, dir) =>
+      plsaReport(plsaTf(Tables.spread(Tables.documents(spark, dir)))),
+    Some {
+      def qr(e: String) = Oracle.qround(e)
+      val ks = 1 to PlsaK
+      val uni = s"(1.0 / ${PlsaK}.0)"
+      def u32(e: String) =
+        s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+      def roundSql(r: Int, pzdPrev: String, pwzPrev: String): String = {
+        val den = ks.map(k => s"(p$k * q$k)").mkString(" + ")
+        s"""
+      e$r AS (
+        SELECT t.doc_id, t.term, t.n,
+          ${ks.map(k => s"CASE WHEN ($den) > 0 THEN (p$k * q$k) / ($den) " +
+            s"ELSE $uni END AS r$k").mkString(", ")}
+        FROM tf t JOIN $pzdPrev USING (doc_id) JOIN $pwzPrev USING (term)),
+      sw$r AS (
+        SELECT term,
+          ${ks.map(k => s"sum(CAST(n * r$k AS DECIMAL(38,9))) AS s$k")
+            .mkString(", ")}
+        FROM e$r GROUP BY term),
+      tot$r AS (
+        SELECT ${ks.map(k => s"sum(s$k) AS t$k").mkString(", ")} FROM sw$r),
+      pwz$r AS (
+        SELECT term,
+          ${ks.map(k => s"${qr(s"s$k::DOUBLE / t$k::DOUBLE")} AS q$k")
+            .mkString(", ")}
+        FROM sw$r CROSS JOIN tot$r),
+      pzd$r AS (
+        SELECT doc_id,
+          ${ks.map(k => s"${qr(s"sum(CAST(n * r$k AS DECIMAL(38,9)))::DOUBLE" +
+            " / sum(n)")} AS p$k").mkString(", ")}
+        FROM e$r GROUP BY doc_id)"""
+      }
+      val mix = ks.map(k => s"(p$k * q$k)").mkString(" + ")
+      s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS n
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                  AS term FROM documents)
+        GROUP BY doc_id, term),
+      h AS (
+        SELECT term,
+          ${ks.map(k => s"1000 + ${u32(s"'plsa$k:' || term")} % 1000 AS h$k")
+            .mkString(", ")}
+        FROM (SELECT DISTINCT term FROM tf)),
+      ht AS (SELECT ${ks.map(k => s"sum(h$k) AS ht$k").mkString(", ")} FROM h),
+      pwz0 AS (
+        SELECT term,
+          ${ks.map(k => s"${qr(s"h$k::DOUBLE / ht$k::DOUBLE")} AS q$k")
+            .mkString(", ")}
+        FROM h CROSS JOIN ht),
+      pzd0 AS (
+        SELECT DISTINCT doc_id, ${ks.map(k => s"$uni AS p$k").mkString(", ")}
+        FROM tf),
+      ${(1 to PlsaRounds).map(r => roundSql(r, s"pzd${r - 1}", s"pwz${r - 1}"))
+        .mkString(",")},
+      dld AS (SELECT doc_id, sum(n)::BIGINT AS dl FROM tf GROUP BY doc_id),
+      mass AS (
+        SELECT
+          ${ks.map(k => s"${qr(s"sum(CAST(p$k * dl AS DECIMAL(38,9)))::DOUBLE" +
+            " / sum(dl)")} AS mass$k").mkString(", ")}
+        FROM pzd$PlsaRounds JOIN dld USING (doc_id)),
+      ll AS (
+        SELECT ${qr(s"sum(CAST(CASE WHEN ($mix) > 0 THEN n * ln($mix) " +
+          "ELSE 0.0 END AS DECIMAL(38,9)))::DOUBLE / sum(n)")} AS avg_ll
+        FROM tf JOIN pzd$PlsaRounds USING (doc_id)
+          JOIN pwz$PlsaRounds USING (term)),
+      unp AS (
+        SELECT topic, term, p_wz,
+          row_number() OVER (PARTITION BY topic ORDER BY p_wz DESC, term)
+            AS rk
+        FROM (SELECT term,
+                unnest([${ks.mkString(", ")}])::BIGINT AS topic,
+                unnest([${ks.map(k => s"q$k").mkString(", ")}]) AS p_wz
+              FROM pwz$PlsaRounds))
+      SELECT topic, rk::BIGINT AS rk, term, p_wz,
+        CASE ${ks.map(k => s"WHEN topic = $k THEN mass$k").mkString(" ")} END
+          AS topic_mass,
+        avg_ll
+      FROM unp CROSS JOIN mass CROSS JOIN ll
+      WHERE rk <= $PlsaTopTerms
+      ORDER BY topic, rk"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
-    Seq(qKmeans, qKcenterSelect, qGmmEm, qSilhouette, qMauveFrontier)
+    Seq(qKmeans, qKcenterSelect, qGmmEm, qSilhouette, qMauveFrontier,
+      qPlsaTopics)
 }

@@ -1134,10 +1134,82 @@ object PipelineOps {
       ORDER BY n_pairs DESC, word LIMIT $SgTopK""")
   )
 
+  /** Minimum quality margin for a preference pair to be marked usable —
+    * pairs whose chosen/rejected scores are too close teach a preference
+    * model nothing (the standard margin gate in DPO data curation). */
+  val PrefMinMargin: Double = 0.5
+
+  /** Preference-pair construction (the DPO/RLHF data-prep step): per
+    * stratum — (lang, source) stands in for the prompt key this synthetic
+    * corpus doesn't have; with a real prompt id the identical plan applies
+    * verbatim — mine the exemplar pair (chosen = highest-quality document,
+    * rejected = lowest; ties to the lower doc_id), report the quality
+    * margin, and gate usability at [[PrefMinMargin]] (emitted as a flag,
+    * not a filter, so the readout doubles as the margin-distribution
+    * audit a curation team reads before training). Singleton strata
+    * cannot form a pair and are excluded; the quality score is the ONE
+    * shared definition ([[TextAnalytics.qualityCol]]).
+    *
+    * Exactness: chosen/rejected are total-order picks (quality desc/asc,
+    * doc_id) over qround'd scores; the margin is one IEEE subtraction of
+    * bit-identical doubles in both engines, so the `kept` comparison can
+    * never straddle.
+    *
+    * Scale shape: ONE (lang, source) exchange — min_by/max_by partial-
+    * aggregate map-side (per-group state is two structs), so the corpus
+    * never shuffles more than one row per (partition, stratum); output is
+    * stratum-bounded. At 100 TB with a prompt-keyed corpus the key count
+    * grows but the per-key state does not. */
+  val qPreferencePairs = GraftQuery(
+    "q_preference_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"lang", $"source", $"doc_id",
+          TextAnalytics.qualityCol.as("q"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id"))
+            .as("ch"),
+          min_by(struct($"doc_id", $"q"), struct($"q", $"doc_id"))
+            .as("rj"))
+        .filter($"n_docs" >= 2)
+        .select($"lang", $"source", $"n_docs",
+          $"ch.doc_id".as("chosen_id"), $"ch.q".as("chosen_q"),
+          $"rj.doc_id".as("rejected_id"), $"rj.q".as("rejected_q"),
+          graft.functions.Det.qround($"ch.q" - $"rj.q").as("margin"),
+          ($"ch.q" - $"rj.q" >= PrefMinMargin).as("kept"))
+        .orderBy($"lang", $"source")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, lang, source, ${TextAnalytics.qualitySqlExpr} AS q
+        FROM documents),
+      c AS (
+        SELECT lang, source, doc_id, q,
+          row_number() OVER (PARTITION BY lang, source
+            ORDER BY q DESC, doc_id) AS rc,
+          row_number() OVER (PARTITION BY lang, source
+            ORDER BY q ASC, doc_id) AS rr,
+          count(*) OVER (PARTITION BY lang, source) AS n_docs
+        FROM q),
+      ch AS (SELECT lang, source, n_docs, doc_id AS chosen_id,
+               q AS chosen_q FROM c WHERE rc = 1),
+      rj AS (SELECT lang, source, doc_id AS rejected_id, q AS rejected_q
+             FROM c WHERE rr = 1)
+      SELECT lang, source, n_docs::BIGINT AS n_docs, chosen_id, chosen_q,
+        rejected_id, rejected_q,
+        ${graft.Oracle.qround("chosen_q - rejected_q")} AS margin,
+        (chosen_q - rejected_q >= $PrefMinMargin) AS kept
+      FROM ch JOIN rj USING (lang, source)
+      WHERE n_docs >= 2
+      ORDER BY lang, source""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
       qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget,
-      qBudgetSample, qFeatureHash, qSkipgramPairs)
+      qBudgetSample, qFeatureHash, qSkipgramPairs, qPreferencePairs)
 }

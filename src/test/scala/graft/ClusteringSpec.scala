@@ -96,4 +96,35 @@ class ClusteringSpec extends SparkSpec {
     val nVec = Tables.embeddings(spark, dir).count()
     assert(got.map(_._2).sum === nVec)
   }
+
+  test("q_plsa_topics: EM likelihood is monotone over rounds; topics differentiate") {
+    val dir = "/root/testdata/sf0.001"
+    val tf = Clustering.plsaTf(Tables.documents(spark, dir))
+    // EM's defining guarantee: each round cannot decrease the data
+    // log-likelihood (up to the 1e-6 cross-engine preround grid)
+    val lls = (0 to Clustering.PlsaRounds).map { r =>
+      Clustering.plsaReport(tf, rounds = r)
+        .select($"avg_ll").distinct().as[Double].collect().head
+    }
+    assert(lls.sliding(2).forall { case Seq(a, b) => b >= a - 1e-5 },
+      s"EM likelihood decreased: $lls")
+    assert(lls.last > lls.head, "EM vacuous: no likelihood gain over init")
+
+    val rows = Clustering.qPlsaTopics.run(spark, dir)
+      .as[(Long, Long, String, Double, Double, Double)].collect().toSeq
+    // topic card shape: K topics x TopTerms ranks, total order
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      (for (t <- 1 to Clustering.PlsaK; k <- 1 to Clustering.PlsaTopTerms)
+        yield (t.toLong, k.toLong)).toSet)
+    // masses are a distribution (one mass per topic, summing to ~1)
+    val masses = rows.groupBy(_._1).map(_._2.head._5)
+    assert(math.abs(masses.sum - 1.0) <= 3e-6)
+    assert(masses.forall(m => m > 0 && m < 1))
+    // non-vacuity: the hash init broke symmetry -- the per-topic p(w|z)
+    // over the shared top-term vocabulary are NOT identical across topics
+    val byTopic = rows.groupBy(_._1).view
+      .mapValues(_.map(r => r._3 -> r._4).toMap).toMap
+    assert(byTopic.values.toSeq.distinct.size > 1,
+      "all topics carry identical term distributions")
+  }
 }

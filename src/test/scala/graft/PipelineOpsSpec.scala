@@ -301,4 +301,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(real.exists(_._4 < 1.0), "subsampling vacuous: every word kept")
     assert(real.forall(r => r._3 <= r._2))
   }
+
+  test("q_preference_pairs: hand-traced picks + tie-breaks; both gate values on real data") {
+    import spark.implicits._
+    // one stratum with a quality TIE at the top (docs 10 and 11 are
+    // verbatim copies -> identical quality; tie must go to doc_id 10),
+    // one singleton stratum (must produce NO pair row)
+    val hi = "colorless green ideas sleep furiously in the long " +
+      "quiet improbable afternoon " + (1 to 40).map(i => s"tok$i").mkString(" ")
+    val lo = "the the the the"
+    val dir = java.nio.file.Files.createTempDirectory("graft-pref").toString
+    Seq(
+      (10L, hi, "en", "s1"), (11L, hi, "en", "s1"), (12L, lo, "en", "s1"),
+      (20L, lo, "de", "s2"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = PipelineOps.qPreferencePairs.run(spark, dir)
+      .select($"lang", $"source", $"n_docs", $"chosen_id", $"rejected_id",
+        $"kept")
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
+    // singleton stratum (de, s2) forms no pair; the tie broke to doc 10
+    assert(out === Seq(("en", "s1", 3L, 10L, 12L, true)))
+
+    // real data: both kept values occur, singletons are excluded, and
+    // every chosen strictly out-scores its rejected on kept rows
+    val real = PipelineOps.qPreferencePairs.run(spark, "/root/testdata/sf0.001")
+      .select($"n_docs", $"chosen_q", $"rejected_q", $"margin", $"kept")
+      .as[(Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(real.nonEmpty && real.forall(_._1 >= 2L))
+    assert(real.exists(_._5) && real.exists(!_._5),
+      "margin gate vacuous at sf0.001")
+    assert(real.filter(_._5).forall(r => r._2 > r._3))
+  }
 }

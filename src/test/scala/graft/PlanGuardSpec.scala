@@ -317,6 +317,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_preference_pairs: one stratum exchange, no joins, no windows") {
+    val p = plan(graft.operators.PipelineOps.qPreferencePairs)
+    // chosen/rejected are min_by/max_by picks inside ONE (lang, source)
+    // aggregate — a refactor to per-stratum windows or a self-join would
+    // shuffle the corpus twice (the oracle's window form is fine for
+    // DuckDB; the Spark side must keep the single-aggregate shape)
+    assert(occurrences(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_plsa_topics: EM rounds never enumerate pairs; crosses are 1-row models") {
+    val df = graft.operators.Clustering.qPlsaTopics
+      .run(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize persists so the executed shape is real
+    val p = df.queryExecution.executedPlan.toString
+    // the E-step must reach the corpus as keyed joins (doc_id / term) —
+    // a CartesianProduct or a data-sized nested loop means the wide-column
+    // K-topic structure regressed to a K-way row fan-out or worse
+    assert(!p.contains("CartesianProduct"), p)
+    for (line <- p.linesIterator if line.contains("Cross,"))
+      assert(line.contains("BroadcastNestedLoopJoin"), line)
+  }
+
   test("StreamIndex: the term filter reaches the postings parquet scan") {
     // write a tiny index log, then check the readout's scan carries the
     // term pushdown -- at 100 TB this is what makes a query posting-
