@@ -22,6 +22,13 @@ object Prof {
         println(q.run(spark, dir).queryExecution.executedPlan.toString)
       spark.stop(); return
     }
+    if (args.headOption.contains("-buildscale")) {
+      // build the Nx salted-replica dir only (for per-query 10x rehearsals
+      // via SPARK_GRAFT_SF_DIR without re-measuring the whole family set)
+      val n = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(10)
+      ScaleRehearsal.build(spark, dir, s"/tmp/graft_scale_${n}x", n)
+      spark.stop(); return
+    }
     if (args.headOption.contains("-scale")) {
       // 10x scale rehearsal for the pair-join dedup families; see
       // ScaleRehearsal. Usage: Prof -scale [N] [baseDir] — both optional,

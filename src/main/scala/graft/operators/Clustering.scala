@@ -668,7 +668,8 @@ object Clustering {
     import spark.implicits._
     val ks = 1 to PlsaK
     val uni = s"(1.0 / ${PlsaK}.0)"
-    val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tf = tfIn.persist(mem)
     // init p(w|z): hash-perturbed near-uniform, exact-integer normalizers
     val hRel = tf.select($"term").distinct()
       .select(($"term" +: ks.map(k => expr(
@@ -680,39 +681,77 @@ object Clustering {
       .select(($"term" +: ks.map(k => Det.qround(
         col(s"h$k").cast(DoubleType) / col(s"ht$k").cast(DoubleType))
         .as(s"q$k"))): _*)
-    // init p(z|d): uniform
-    var pzd: DataFrame = tf.select($"doc_id").distinct()
-      .select(($"doc_id" +: ks.map(k => expr(uni).as(s"p$k"))): _*)
-    for (_ <- 1 to rounds) {
-      val den = ks.map(k => s"(p$k * q$k)").mkString(" + ")
-      val e = tf.join(pzd, "doc_id").join(pwz, "term")
-        .withColumn("den", expr(den))
-        .select(($"doc_id" +: $"term" +: $"n" +: ks.map(k => expr(
-          s"CASE WHEN den > 0 THEN (p$k * q$k) / den ELSE $uni END")
+    // init p(z|d): uniform; dl rides along so the mass readout needs no
+    // extra join (both engines keep dl through every round)
+    var pzd: DataFrame = tf.groupBy($"doc_id").agg(sum($"n").as("dl"))
+      .select(($"doc_id" +: ks.map(k => expr(uni).as(s"p$k"))) :+ $"dl": _*)
+    for (r <- 1 to rounds) {
+      if (r == 1) {
+        // UNIFORM-init collapse: with p(z|d) constant across docs, the
+        // round-1 responsibilities are term-only — r_k(w) = q_k / Σq —
+        // so p(w|z) updates from pure vocabulary arithmetic
+        // (s_k = cf·r_k) and p(z|d) from ONE term-broadcast corpus pass.
+        // The oracle uses the identical collapsed formulas for round 1.
+        val den = ks.map(k => s"q$k").mkString(" + ")
+        val rw = pwz.select(($"term" +: ks.map(k => expr(
+          s"CASE WHEN ($den) > 0 THEN q$k / ($den) ELSE $uni END")
           .as(s"r$k"))): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sw = e.groupBy($"term").agg(
-        sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("s1"),
-        ks.tail.map(k =>
-          sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"s$k")): _*)
-      val tot = sw.agg(sum($"s1").as("t1"),
-        ks.tail.map(k => sum(col(s"s$k")).as(s"t$k")): _*)
-      pwz = sw.crossJoin(broadcast(tot))
-        .select(($"term" +: ks.map(k => Det.qround(
-          col(s"s$k").cast(DoubleType) / col(s"t$k").cast(DoubleType))
-          .as(s"q$k"))): _*)
-      pzd = e.groupBy($"doc_id").agg(
-        sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("u1"),
-        ks.tail.map(k =>
-          sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"u$k"))
-          :+ sum($"n").as("dl"): _*)
-        .select(($"doc_id" +: ks.map(k => Det.qround(
-          col(s"u$k").cast(DoubleType) / col("dl").cast(DoubleType))
-          .as(s"p$k"))): _*)
+        val cf = tf.groupBy($"term").agg(sum($"n").as("cf"))
+        val sw = cf.join(rw, "term")
+          .select(($"term" +: ks.map(k =>
+            expr(s"CAST(cf * r$k AS DECIMAL(38,9))").as(s"s$k"))): _*)
+        val tot = sw.agg(sum($"s1").as("t1"),
+          ks.tail.map(k => sum(col(s"s$k")).as(s"t$k")): _*)
+        pwz = sw.crossJoin(broadcast(tot))
+          .select(($"term" +: ks.map(k => Det.qround(
+            col(s"s$k").cast(DoubleType) / col(s"t$k").cast(DoubleType))
+            .as(s"q$k"))): _*)
+        pzd = tf.join(broadcast(rw), "term").groupBy($"doc_id").agg(
+          sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("u1"),
+          ks.tail.map(k =>
+            sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"u$k"))
+            :+ sum($"n").as("dl"): _*)
+          .select(($"doc_id" +: ks.map(k => Det.qround(
+            col(s"u$k").cast(DoubleType) / col("dl").cast(DoubleType))
+            .as(s"p$k"))) :+ $"dl": _*)
+      } else {
+        // generic round: E-step responsibilities on the (d, w) relation;
+        // the MODEL relations (doc-keyed p(z|d), vocab-keyed p(w|z)) are
+        // the persisted state — corpus-sized intermediates are never
+        // cached, the two M-steps each stream the tf cache once
+        val den = ks.map(k => s"(p$k * q$k)").mkString(" + ")
+        val e = tf.join(pzd, "doc_id").join(pwz, "term")
+          .withColumn("den", expr(den))
+          .select(($"doc_id" +: $"term" +: $"n" +: ks.map(k => expr(
+            s"CASE WHEN den > 0 THEN (p$k * q$k) / den ELSE $uni END")
+            .as(s"r$k"))): _*)
+        val sw = e.groupBy($"term").agg(
+          sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("s1"),
+          ks.tail.map(k =>
+            sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"s$k")): _*)
+        val tot = sw.agg(sum($"s1").as("t1"),
+          ks.tail.map(k => sum(col(s"s$k")).as(s"t$k")): _*)
+        pwz = sw.crossJoin(broadcast(tot))
+          .select(($"term" +: ks.map(k => Det.qround(
+            col(s"s$k").cast(DoubleType) / col(s"t$k").cast(DoubleType))
+            .as(s"q$k"))): _*)
+        pzd = e.groupBy($"doc_id").agg(
+          sum(expr("CAST(n * r1 AS DECIMAL(38,9))")).as("u1"),
+          ks.tail.map(k =>
+            sum(expr(s"CAST(n * r$k AS DECIMAL(38,9))")).as(s"u$k"))
+            :+ sum($"n").as("dl"): _*)
+          .select(($"doc_id" +: ks.map(k => Det.qround(
+            col(s"u$k").cast(DoubleType) / col("dl").cast(DoubleType))
+            .as(s"p$k"))) :+ $"dl": _*)
+      }
+      // model relations are small (docs × K+1 / vocab × K) and
+      // multi-consumed (next round + mass/ll readouts) — persist them,
+      // never the corpus-sized E-step
+      pzd = pzd.persist(mem)
+      pwz = pwz.persist(mem)
     }
     // readout: topic masses P(z), held-in avg log-likelihood, top terms
-    val dld = tf.groupBy($"doc_id").agg(sum($"n").as("dl"))
-    val mass = pzd.join(dld, "doc_id").agg(
+    val mass = pzd.agg(
         sum(expr("CAST(p1 * dl AS DECIMAL(38,9))")).as("m1"),
         ks.tail.map(k =>
           sum(expr(s"CAST(p$k * dl AS DECIMAL(38,9))")).as(s"m$k"))
@@ -762,8 +801,30 @@ object Clustering {
       def u32(e: String) =
         s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
       def roundSql(r: Int, pzdPrev: String, pwzPrev: String): String = {
-        val den = ks.map(k => s"(p$k * q$k)").mkString(" + ")
-        s"""
+        // round 1 uses the uniform-init collapse (term-only
+        // responsibilities; p(w|z) from vocabulary arithmetic) — the
+        // exact formulas the Spark side computes
+        val e =
+          if (r == 1) {
+            val den = ks.map(k => s"q$k").mkString(" + ")
+            s"""
+      rw$r AS (
+        SELECT term,
+          ${ks.map(k => s"CASE WHEN ($den) > 0 THEN q$k / ($den) " +
+            s"ELSE $uni END AS r$k").mkString(", ")}
+        FROM $pwzPrev),
+      e$r AS (
+        SELECT t.doc_id, t.term, t.n, ${ks.map(k => s"r$k").mkString(", ")}
+        FROM tf t JOIN rw$r USING (term)),
+      sw$r AS (
+        SELECT term,
+          ${ks.map(k => s"CAST(cf * r$k AS DECIMAL(38,9)) AS s$k")
+            .mkString(", ")}
+        FROM (SELECT term, sum(n)::BIGINT AS cf FROM tf GROUP BY term)
+          JOIN rw$r USING (term)),"""
+          } else {
+            val den = ks.map(k => s"(p$k * q$k)").mkString(" + ")
+            s"""
       e$r AS (
         SELECT t.doc_id, t.term, t.n,
           ${ks.map(k => s"CASE WHEN ($den) > 0 THEN (p$k * q$k) / ($den) " +
@@ -773,7 +834,9 @@ object Clustering {
         SELECT term,
           ${ks.map(k => s"sum(CAST(n * r$k AS DECIMAL(38,9))) AS s$k")
             .mkString(", ")}
-        FROM e$r GROUP BY term),
+        FROM e$r GROUP BY term),"""
+          }
+        s"""$e
       tot$r AS (
         SELECT ${ks.map(k => s"sum(s$k) AS t$k").mkString(", ")} FROM sw$r),
       pwz$r AS (
@@ -784,7 +847,8 @@ object Clustering {
       pzd$r AS (
         SELECT doc_id,
           ${ks.map(k => s"${qr(s"sum(CAST(n * r$k AS DECIMAL(38,9)))::DOUBLE" +
-            " / sum(n)")} AS p$k").mkString(", ")}
+            " / sum(n)")} AS p$k").mkString(", ")},
+          sum(n)::BIGINT AS dl
         FROM e$r GROUP BY doc_id)"""
       }
       val mix = ks.map(k => s"(p$k * q$k)").mkString(" + ")
@@ -807,16 +871,16 @@ object Clustering {
             .mkString(", ")}
         FROM h CROSS JOIN ht),
       pzd0 AS (
-        SELECT DISTINCT doc_id, ${ks.map(k => s"$uni AS p$k").mkString(", ")}
-        FROM tf),
+        SELECT doc_id, ${ks.map(k => s"$uni AS p$k").mkString(", ")},
+          sum(n)::BIGINT AS dl
+        FROM tf GROUP BY doc_id),
       ${(1 to PlsaRounds).map(r => roundSql(r, s"pzd${r - 1}", s"pwz${r - 1}"))
         .mkString(",")},
-      dld AS (SELECT doc_id, sum(n)::BIGINT AS dl FROM tf GROUP BY doc_id),
       mass AS (
         SELECT
           ${ks.map(k => s"${qr(s"sum(CAST(p$k * dl AS DECIMAL(38,9)))::DOUBLE" +
             " / sum(dl)")} AS mass$k").mkString(", ")}
-        FROM pzd$PlsaRounds JOIN dld USING (doc_id)),
+        FROM pzd$PlsaRounds),
       ll AS (
         SELECT ${qr(s"sum(CAST(CASE WHEN ($mix) > 0 THEN n * ln($mix) " +
           "ELSE 0.0 END AS DECIMAL(38,9)))::DOUBLE / sum(n)")} AS avg_ll
