@@ -547,34 +547,47 @@ object CorpusQuality {
     * can flip a flag cross-engine; the two emitted ratios are display-only
     * [[Det.qround]]ed doubles. Scale shape: pure per-row projection — one
     * map pass, no shuffle except the output sort. */
+  /** The per-document integer statistics the five Gopher rules compare —
+    * ONE definition shared by [[qGopherRules]] and [[qFilterAblation]]
+    * (an inlined copy in either could silently drift on a rule change).
+    * house single-space convention: chars-in-words = len − (n−1). */
+  private[graft] def gopherStatCols: Seq[org.apache.spark.sql.Column] = {
+    val toks = graft.functions.Text.tokens(col("text"))
+    val nW = size(toks).cast(LongType)
+    Seq(nW.as("n_words"),
+      (length(col("text")) - nW + lit(1)).cast(LongType).as("chars"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+        .as("n_alpha"),
+      size(filter(toks, t => t.rlike("#|\\.\\.\\."))).cast(LongType)
+        .as("n_sym"),
+      size(array_intersect(array_distinct(toks),
+        lit(GopherStops.toArray))).cast(LongType).as("stop_hits"))
+  }
+
+  /** The five rule predicates over the [[gopherStatCols]] names, as
+    * (rule key, SQL text valid in BOTH engines) — integer
+    * cross-multiplied, no float boundary. Shared by both queries'
+    * Spark plans and DuckDB oracles. */
+  private[graft] val GopherRuleSql: Seq[(String, String)] = Seq(
+    "wordcount" -> "(n_words BETWEEN 50 AND 100000)",
+    "wordlen" -> "(chars BETWEEN n_words * 3 AND n_words * 10)",
+    "alpha" -> "(n_alpha * 5 >= n_words * 4)",
+    "symbol" -> "(n_sym * 10 < n_words)",
+    "stops" -> "(stop_hits >= 2)")
+
   val qGopherRules = GraftQuery(
     "q_gopher_rules",
     (spark, dir) => {
       import spark.implicits._
-      val toks = graft.functions.Text.tokens($"text")
-      val nW = size(toks).cast(LongType)
-      // house single-space convention: chars-in-words = len − (n−1)
-      val chars = (length($"text") - nW + lit(1)).cast(LongType)
-      val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
-      val nSym = size(filter(toks, t => t.rlike("#|\\.\\.\\."))).cast(LongType)
-      val stopHits = size(array_intersect(array_distinct(toks),
-        lit(GopherStops.toArray))).cast(LongType)
       Tables.documents(spark, dir)
-        .select($"doc_id", nW.as("n_words"), chars.as("chars"),
-          nAlpha.as("n_alpha"), nSym.as("n_sym"),
-          stopHits.as("stop_hits"))
-        .select($"doc_id", $"n_words",
+        .select(($"doc_id" +: gopherStatCols): _*)
+        .select(Seq($"doc_id", $"n_words",
           Det.qround($"chars".cast(DoubleType) / $"n_words")
             .as("mean_word_len"),
           Det.qround($"n_alpha".cast(DoubleType) / $"n_words")
             .as("frac_alpha"),
-          $"stop_hits",
-          ($"n_words" >= 50 && $"n_words" <= 100000).as("r_wordcount"),
-          ($"chars" >= $"n_words" * 3 && $"chars" <= $"n_words" * 10)
-            .as("r_wordlen"),
-          ($"n_alpha" * 5 >= $"n_words" * 4).as("r_alpha"),
-          ($"n_sym" * 10 < $"n_words").as("r_symbol"),
-          ($"stop_hits" >= 2).as("r_stops"))
+          $"stop_hits") ++
+          GopherRuleSql.map { case (k, sql) => expr(sql).as(s"r_$k") }: _*)
         .withColumn("passed",
           $"r_wordcount" && $"r_wordlen" && $"r_alpha" && $"r_symbol" &&
             $"r_stops")
@@ -601,22 +614,198 @@ object CorpusQuality {
         ${Oracle.qround("chars * 1.0 / n_words")} AS mean_word_len,
         ${Oracle.qround("n_alpha * 1.0 / n_words")} AS frac_alpha,
         stop_hits,
-        (n_words BETWEEN 50 AND 100000) AS r_wordcount,
-        (chars BETWEEN n_words * 3 AND n_words * 10) AS r_wordlen,
-        (n_alpha * 5 >= n_words * 4) AS r_alpha,
-        (n_sym * 10 < n_words) AS r_symbol,
-        (stop_hits >= 2) AS r_stops,
-        ((n_words BETWEEN 50 AND 100000)
-          AND (chars BETWEEN n_words * 3 AND n_words * 10)
-          AND (n_alpha * 5 >= n_words * 4)
-          AND (n_sym * 10 < n_words)
-          AND (stop_hits >= 2)) AS passed
+        ${GopherRuleSql.map { case (k, sql) => s"$sql AS r_$k" }
+          .mkString(",\n        ")},
+        (${GopherRuleSql.map(_._2).mkString("\n          AND ")}) AS passed
       FROM t
       ORDER BY doc_id""")
+  )
+
+  /** The ablation variants: each Gopher rule ALONE as the training-set
+    * gate, plus 'none' (unfiltered baseline) and 'all' (the production
+    * conjunction). */
+  private[graft] val AblationVariants: Seq[String] =
+    "none" +: GopherRuleSql.map(_._1) :+ "all"
+
+  /** Filter-ablation table — the "which filter buys perplexity" readout
+    * (the RefinedWeb/DataComp methodology, instrumented on the unigram LM
+    * this engine can fit exactly): for each [[AblationVariants]] variant,
+    * train q_heldout_xent's add-1 unigram LM on the TRAIN-split documents
+    * passing that variant's gate and score the SAME untouched val split
+    * (q_train_split's salted-md5 buckets: ≤ 7 train, = 8 val). Per
+    * variant: kept train docs/tokens, LM vocabulary, val OOV mass, val
+    * cross-entropy (nats), and delta_vs_none = xent(none) − xent(v) — a
+    * positive delta means the filter genuinely sharpens the LM, not just
+    * shrinks the corpus. The val split is NEVER filtered (ablations that
+    * filter eval with train are self-confirming — the honest protocol).
+    *
+    * Exactness: rule flags are the shared integer predicates
+    * ([[GopherRuleSql]]); all counts are exact integers off conditional
+    * sums; each xent addend is one ln of a double quotient of exact
+    * integers (the q_heldout_xent precedent), decimal-summed; deltas are
+    * differences of already-qround'd doubles, re-qround'd.
+    *
+    * Scale shape: ONE corpus token pass — the per-doc flags ride the
+    * explode projection, the |variants|-way structure multiplies
+    * CONDITIONAL-AGGREGATE COLUMNS of the one (term) exchange, never
+    * corpus rows (the q_filter_threshold_sweep discipline); everything
+    * after is vocabulary-sized (normalizers = 1 wide row broadcast back;
+    * final stack = |variants| rows). The doc-count leg is a separate
+    * map-only pass ending in a 1-row aggregate. */
+  val qFilterAblation = GraftQuery(
+    "q_filter_ablation",
+    (spark, dir) => {
+      import spark.implicits._
+      val vs = AblationVariants
+      // variant gate over the flag columns (train side only)
+      def gate(v: String): org.apache.spark.sql.Column = v match {
+        case "none" => lit(true)
+        case "all" => GopherRuleSql.map(r => col(s"r_${r._1}"))
+          .reduce(_ && _)
+        case k => col(s"r_$k")
+      }
+      val flagged = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket", expr(PipelineOps.u32Expr(
+          "concat('split:', cast(doc_id as string))") + " % 10"))
+        .filter($"bucket" <= 8)
+        .select(Seq($"bucket", col("text")) ++ gopherStatCols: _*)
+        .select(Seq($"bucket", col("text")) ++
+          GopherRuleSql.map { case (k, sql) => expr(sql).as(s"r_$k") }: _*)
+      val toks = flagged
+        .select(Seq($"bucket") ++ vs.map(v => gate(v).as(s"g_$v")) :+
+          explode(graft.functions.Text.tokens($"text")).as("term"): _*)
+      val tfw = toks.groupBy($"term").agg(
+        count(when($"bucket" <= 7 && col(s"g_${vs.head}"), 1))
+          .as(s"c_${vs.head}"),
+        vs.tail.map(v =>
+          count(when($"bucket" <= 7 && col(s"g_$v"), 1)).as(s"c_$v"))
+          :+ count(when($"bucket" === 8, 1)).as("vtf"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val norm = tfw.agg(
+        sum(col(s"c_${vs.head}")).as(s"n_${vs.head}"),
+        vs.tail.map(v => sum(col(s"c_$v")).as(s"n_$v")) ++
+          vs.map(v => count(when(col(s"c_$v") > 0, 1)).as(s"v_$v")) :+
+          sum($"vtf").as("n_val"): _*)
+      val scored = tfw.filter($"vtf" > 0).crossJoin(broadcast(norm))
+        .agg(
+          sum(expr(s"CAST(vtf * ln(CAST(n_${vs.head} + v_${vs.head} + 1 " +
+            s"AS DOUBLE) / (c_${vs.head} + 1)) AS DECIMAL(38,9))"))
+            .as(s"s_${vs.head}"),
+          vs.tail.map(v =>
+            sum(expr(s"CAST(vtf * ln(CAST(n_$v + v_$v + 1 AS DOUBLE) " +
+              s"/ (c_$v + 1)) AS DECIMAL(38,9))")).as(s"s_$v")) ++
+            vs.map(v => sum(when(col(s"c_$v") === 0, $"vtf")
+              .otherwise(0L)).as(s"o_$v")) :+
+            max($"n_val").as("n_val"): _*)
+      val wide = scored.crossJoin(broadcast(norm.drop("n_val")))
+        .select(vs.flatMap(v => Seq(
+          col(s"n_$v"), col(s"v_$v"),
+          Det.qround(col(s"o_$v").cast(DoubleType) / $"n_val")
+            .as(s"oovr_$v"),
+          Det.qround(col(s"s_$v").cast(DoubleType) / $"n_val")
+            .as(s"x_$v"))) :+ $"n_val": _*)
+      // kept train docs per variant: map-only second doc pass -> 1 row
+      val docsKept = flagged.filter($"bucket" <= 7).agg(
+        count(when(gate(vs.head), 1)).as(s"d_${vs.head}"),
+        vs.tail.map(v => count(when(gate(v), 1)).as(s"d_$v")): _*)
+      val stacked = wide.crossJoin(broadcast(docsKept)).selectExpr(
+        s"stack(${vs.size}, ${vs.map(v =>
+          s"'$v', d_$v, n_$v, v_$v, CAST(n_val AS BIGINT), oovr_$v, x_$v, " +
+            // 1e6 parses as DOUBLE in Spark SQL text (bare 1000000.0 is a
+            // DECIMAL literal — the q_filter_threshold_sweep lesson)
+            s"floor((x_${vs.head} - x_$v) * 1e6 + 0.5) / 1e6")
+          .mkString(", ")}) as (variant, kept_train_docs, n_train_tokens, " +
+          "vocab, n_val_tokens, oov_rate, xent_nats, delta_vs_none)")
+      stacked.orderBy($"variant")
+    },
+    Some {
+      val vs = AblationVariants
+      def gateSql(v: String): String = v match {
+        case "none" => "TRUE"
+        case "all" => GopherRuleSql.map(_._2).mkString("(", " AND ", ")")
+        case k => GopherRuleSql.toMap.apply(k)
+      }
+      s"""
+      WITH w AS (
+        SELECT doc_id, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10
+            AS bucket,
+          string_split_regex(lower(text), '[[:space:]]+') AS words,
+          length(text) AS n_chars
+        FROM documents),
+      t AS (
+        SELECT bucket, words,
+          len(words)::BIGINT AS n_words,
+          (n_chars - len(words) + 1)::BIGINT AS chars,
+          len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT
+            AS n_alpha,
+          len(list_filter(words, x -> regexp_matches(x, '#|\\.\\.\\.')))::BIGINT
+            AS n_sym,
+          len(list_filter(${GopherStops.map(s => s"'$s'")
+            .mkString("[", ", ", "]")},
+            s -> list_contains(words, s)))::BIGINT AS stop_hits
+        FROM w WHERE bucket <= 8),
+      g AS (
+        SELECT bucket, words,
+          ${vs.map(v => s"${gateSql(v)} AS g_$v").mkString(",\n          ")}
+        FROM t),
+      toks AS (
+        SELECT bucket, ${vs.map(v => s"g_$v").mkString(", ")},
+          unnest(words) AS term
+        FROM g),
+      tfw AS (
+        SELECT term,
+          ${vs.map(v =>
+            s"count(*) FILTER (WHERE bucket <= 7 AND g_$v) AS c_$v")
+            .mkString(",\n          ")},
+          count(*) FILTER (WHERE bucket = 8) AS vtf
+        FROM toks GROUP BY term),
+      norm AS (
+        SELECT
+          ${vs.map(v => s"sum(c_$v) AS n_$v").mkString(", ")},
+          ${vs.map(v => s"count(*) FILTER (WHERE c_$v > 0) AS v_$v")
+            .mkString(", ")},
+          sum(vtf) AS n_val
+        FROM tfw),
+      scored AS (
+        SELECT
+          ${vs.map(v => s"sum(CAST(vtf * ln(CAST(n_$v + v_$v + 1 AS DOUBLE)" +
+            s" / (c_$v + 1)) AS DECIMAL(38,9))) AS s_$v").mkString(",\n          ")},
+          ${vs.map(v =>
+            s"sum(CASE WHEN c_$v = 0 THEN vtf ELSE 0 END) AS o_$v")
+            .mkString(", ")},
+          max(n_val) AS n_val
+        FROM tfw CROSS JOIN norm WHERE vtf > 0),
+      wide AS (
+        SELECT
+          ${vs.map(v => s"n_$v, v_$v, " +
+            s"${Oracle.qround(s"o_$v * 1.0 / n_val")} AS oovr_$v, " +
+            s"${Oracle.qround(s"s_$v::DOUBLE / n_val")} AS x_$v")
+            .mkString(",\n          ")},
+          n_val
+        FROM scored CROSS JOIN (SELECT ${vs.map(v => s"n_$v, v_$v")
+          .mkString(", ")} FROM norm) n2),
+      dk AS (
+        SELECT
+          ${vs.map(v =>
+            s"count(*) FILTER (WHERE g_$v) AS d_$v").mkString(", ")}
+        FROM g WHERE bucket <= 7)
+      SELECT variant, kept_train_docs, n_train_tokens, vocab, n_val_tokens,
+        oov_rate, xent_nats, delta_vs_none
+      FROM (
+        ${vs.map(v => s"SELECT '$v' AS variant, d_$v AS kept_train_docs, " +
+          s"n_$v::BIGINT AS n_train_tokens, v_$v::BIGINT AS vocab, " +
+          s"n_val::BIGINT AS n_val_tokens, oovr_$v AS oov_rate, " +
+          s"x_$v AS xent_nats, " +
+          s"floor((x_${vs.head} - x_$v) * 1e6 + 0.5) / 1e6 " +
+          "AS delta_vs_none FROM wide CROSS JOIN dk")
+          .mkString("\n        UNION ALL\n        ")})
+      ORDER BY variant"""
+    }
   )
 
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
       qLengthHistogram, qSourceOverlap, qBoilerplateRate,
-      qMemorizationNgrams, qGopherRules, qNgramNovelty)
+      qMemorizationNgrams, qGopherRules, qNgramNovelty, qFilterAblation)
 }

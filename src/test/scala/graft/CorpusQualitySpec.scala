@@ -240,4 +240,33 @@ class CorpusQualitySpec extends SparkSpec {
     // nothing else in this corpus repeats >= 3 times
     assert(r.map(_._1).toSet.subsetOf(Set(footerA, footerB)))
   }
+
+  test("q_filter_ablation: honest-protocol invariants + non-vacuity at sf0.001") {
+    val rows = graft.operators.CorpusQuality.qFilterAblation
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    val byV = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).sorted === rows.map(_._1),
+      "output not variant-ordered")
+    assert(byV.keySet ===
+      graft.operators.CorpusQuality.AblationVariants.toSet)
+    val none = byV("none")
+    // the baseline is the identity gate: delta = 0 by construction
+    assert(none._8 === 0.0)
+    // the val split is NEVER filtered: identical across every variant
+    assert(rows.map(_._5).distinct.size === 1)
+    // gates only remove train docs/tokens/vocab; 'all' is the tightest
+    for (r <- rows) {
+      assert(r._2 <= none._2 && r._3 <= none._3 && r._4 <= none._4)
+      // shrunken train vocabulary can only raise val OOV
+      assert(r._6 >= none._6 - 1e-9)
+    }
+    assert(rows.forall(r => byV("all")._2 <= r._2))
+    // non-vacuity: at least one rule really bites at sf0.001 (the
+    // wordcount floor) and moves the held-out xent
+    assert(rows.exists(r => r._2 < none._2))
+    assert(rows.exists(r => r._8 != 0.0),
+      "ablation vacuous: no filter moved the held-out xent")
+  }
 }
