@@ -1160,26 +1160,47 @@ object PipelineOps {
     * never shuffles more than one row per (partition, stratum); output is
     * stratum-bounded. At 100 TB with a prompt-keyed corpus the key count
     * grows but the per-key state does not. */
+  /** The readout tail over an aggregated (lang, source, n_docs, ch, rj)
+    * relation — shared by [[qPreferencePairs]] and
+    * graft.streaming.StreamPref's maintained fold (the chosen/rejected
+    * picks are associative total-order extrema, so the per-batch
+    * pre-aggregation folds to the identical pair table). */
+  private[graft] def prefPairsFrom(grouped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    grouped
+      .filter($"n_docs" >= 2)
+      .select($"lang", $"source", $"n_docs",
+        $"ch.doc_id".as("chosen_id"), $"ch.q".as("chosen_q"),
+        $"rj.doc_id".as("rejected_id"), $"rj.q".as("rejected_q"),
+        graft.functions.Det.qround($"ch.q" - $"rj.q").as("margin"),
+        ($"ch.q" - $"rj.q" >= PrefMinMargin).as("kept"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** The per-stratum extrema aggregation over a (lang, source, doc_id, q)
+    * relation — the same reduction [[qPreferencePairs]] runs per corpus
+    * and StreamPref runs per micro-batch. */
+  private[graft] def prefGrouped(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id"))
+          .as("ch"),
+        min_by(struct($"doc_id", $"q"), struct($"q", $"doc_id"))
+          .as("rj"))
+  }
+
   val qPreferencePairs = GraftQuery(
     "q_preference_pairs",
     (spark, dir) => {
       import spark.implicits._
-      Tables.documents(spark, dir)
+      prefPairsFrom(prefGrouped(Tables.documents(spark, dir)
         .select($"lang", $"source", $"doc_id",
-          TextAnalytics.qualityCol.as("q"))
-        .groupBy($"lang", $"source")
-        .agg(count(lit(1)).as("n_docs"),
-          max_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id"))
-            .as("ch"),
-          min_by(struct($"doc_id", $"q"), struct($"q", $"doc_id"))
-            .as("rj"))
-        .filter($"n_docs" >= 2)
-        .select($"lang", $"source", $"n_docs",
-          $"ch.doc_id".as("chosen_id"), $"ch.q".as("chosen_q"),
-          $"rj.doc_id".as("rejected_id"), $"rj.q".as("rejected_q"),
-          graft.functions.Det.qround($"ch.q" - $"rj.q").as("margin"),
-          ($"ch.q" - $"rj.q" >= PrefMinMargin).as("kept"))
-        .orderBy($"lang", $"source")
+          TextAnalytics.qualityCol.as("q"))))
     },
     Some(s"""
       WITH q AS (

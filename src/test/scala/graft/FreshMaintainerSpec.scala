@@ -79,6 +79,7 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamRoc", "report", 1L, d => StreamRoc.report(spark, d)),
       ("StreamRoc", "liftReport", 0L, d => StreamRoc.liftReport(spark, d)),
       ("StreamSketch", "rollup", 0L, d => StreamSketch.rollup(spark, d)),
+      ("StreamPref", "pairs", 0L, d => StreamPref.pairs(spark, d)),
       ("StreamTclose", "report", 0L, d => StreamTclose.report(spark, d)),
       ("StreamVocab", "zipf", 1L, d => StreamVocab.zipf(spark, d)),
       ("StreamVocab", "hill", 0L, d => StreamVocab.hill(spark, d)),
@@ -179,6 +180,8 @@ class FreshMaintainerSpec extends SparkSpec {
     ("StreamSketch", StreamSketch.DeltaDdl,
       d => StreamSketch.processBatch(
         ev.select($"event_type", $"ts_us", $"user_id"), 0L, d)),
+    ("StreamPref", StreamPref.DeltaDdl, d => StreamPref.processBatch(
+      docs.select($"doc_id", $"text", $"lang", $"source"), 0L, d)),
     ("StreamTclose", StreamTclose.DeltaDdl,
       d => StreamTclose.processBatch(docs, 0L, d)),
     ("StreamVocab", StreamVocab.DeltaDdl, d => StreamVocab.processBatch(
