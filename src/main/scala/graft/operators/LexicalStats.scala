@@ -244,9 +244,12 @@ object LexicalStats {
     * to the corpus — broadcast onto the (doc, term) tf relation; the corpus
     * shuffles once, on (doc_id, term), then once more on doc_id for the
     * per-doc rollup (both partial+final). */
-  val qUnigramSurprisal = GraftQuery(
-    "q_unigram_surprisal",
-    (spark, dir) => {
+  /** The per-document mean-surprisal relation (doc_id, n_tokens,
+    * mean_surprisal) — shared by [[qUnigramSurprisal]] (which IS this
+    * relation ordered) and PipelineOps.qCurriculumPlan (which uses it as
+    * the difficulty score). */
+  private[graft] def docSurprisal(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import spark.implicits._
       // tf (shuffled, corpus-priced) feeds both the LM build and the probe
       // join — persist so the (doc, term) exchange runs once
@@ -265,22 +268,36 @@ object LexicalStats {
           Det.qround(
             sum(($"tf".cast(DoubleType) * $"s").cast(DecimalType(38, Det.Scale)))
               .cast(DoubleType) / sum($"tf")).as("mean_surprisal"))
-        .orderBy($"doc_id")
-    },
-    Some(s"""
-      WITH toks AS (
+  }
+
+  /** The shared surprisal prelude as DuckDB CTEs ending in a `docsurp`
+    * relation — the oracle twin of [[docSurprisal]]. */
+  private[graft] val DocSurprisalSql: String = s"""
+      toks AS (
         SELECT doc_id, unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
       cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
       tot AS (SELECT sum(cf) AS tot FROM cf),
-      lm AS (SELECT term, ln(tot::DOUBLE / cf::DOUBLE) AS s FROM cf CROSS JOIN tot)
-      SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-        ${Oracle.qround(
-          "sum(CAST(tf::DOUBLE * s AS DECIMAL(38,9)))::DOUBLE / sum(tf)")}
-          AS mean_surprisal
-      FROM tf JOIN lm USING (term)
-      GROUP BY doc_id
+      lm AS (SELECT term, ln(tot::DOUBLE / cf::DOUBLE) AS s FROM cf CROSS JOIN tot),
+      docsurp AS (
+        SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+          ${Oracle.qround(
+            "sum(CAST(tf::DOUBLE * s AS DECIMAL(38,9)))::DOUBLE / sum(tf)")}
+            AS mean_surprisal
+        FROM tf JOIN lm USING (term)
+        GROUP BY doc_id)"""
+
+  val qUnigramSurprisal = GraftQuery(
+    "q_unigram_surprisal",
+    (spark, dir) => {
+      import spark.implicits._
+      docSurprisal(spark, dir).orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${DocSurprisalSql}
+      SELECT doc_id, n_tokens, mean_surprisal
+      FROM docsurp
       ORDER BY doc_id""")
   )
 
@@ -1820,10 +1837,134 @@ object LexicalStats {
       ORDER BY lang, frac_eighths""")
   )
 
+  /** Mixture rebalancing from per-source excess loss — the DoReMi shape
+    * (Xie et al. 2023) instrumented on the unigram LM this engine fits
+    * exactly: per source, score the source's OWN untouched val split
+    * (q_train_split's buckets: ≤ 7 train, = 8 val) under TWO add-1
+    * unigram LMs — the GLOBAL train LM (the proxy trained on the current
+    * uniform-ish mixture) and the source's SELF LM (the per-domain
+    * reference) — and read excess = xent_global − xent_self: how much the
+    * shared model underserves this source. Weights follow DoReMi's
+    * exponentiated-excess update on the token-share prior:
+    * w_s ∝ (N_s / N_g) · exp(excess_s), normalized — the "which sources
+    * deserve more epochs" number a data-mixing run feeds back into
+    * q_epoch_plan / q_temperature_mix. A NEGATIVE excess is honest too
+    * (tiny sources whose self-LM generalizes worse than the pool).
+    *
+    * Exactness: all counts are integers off ONE (source, term) exchange;
+    * each xent addend is one ln of a double quotient of exact integers
+    * (the q_heldout_xent precedent), decimal-summed; excess is a
+    * difference of qround'd doubles; exp runs on the qround'd excess
+    * (identical input both engines); the weight normalizer is a
+    * decimal-cast sum of the raw weights.
+    *
+    * Scale shape: one corpus token pass into the (source, term)
+    * exchange; the global ctf is a term-level re-aggregate of that
+    * vocabulary-sized relation joined back on term (vocab × vocab keyed
+    * join); normalizers are ≤|sources|-row and 1-row aggregates
+    * broadcast back; the readout is |sources| rows. The corpus never
+    * shuffles twice. */
+  val qMixRebalance = GraftQuery(
+    "q_mix_rebalance",
+    (spark, dir) => {
+      import spark.implicits._
+      val st = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket", expr(PipelineOps.u32Expr(
+          "concat('split:', cast(doc_id as string))") + " % 10"))
+        .filter($"bucket" <= 8)
+        .select($"source", $"bucket",
+          explode(Text.tokens($"text")).as("term"))
+        .groupBy($"source", $"term")
+        .agg(count(when($"bucket" <= 7, 1)).as("ctf"),
+          count(when($"bucket" === 8, 1)).as("vtf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tg = st.groupBy($"term").agg(sum($"ctf").as("ctf_g"))
+      val ng = tg.agg(sum($"ctf_g").as("n_g"),
+        count(when($"ctf_g" > 0, 1)).as("v_g"))
+      val ns = st.groupBy($"source")
+        .agg(sum($"ctf").as("n_s"), count(when($"ctf" > 0, 1)).as("v_s"),
+          sum($"vtf").as("n_val"))
+      val scored = st.filter($"vtf" > 0)
+        .join(tg, "term").join(ns, "source").crossJoin(broadcast(ng))
+        .groupBy($"source")
+        .agg(
+          sum(expr("CAST(vtf * ln(CAST(n_g + v_g + 1 AS DOUBLE) / " +
+            "(ctf_g + 1)) AS DECIMAL(38,9))")).as("sg"),
+          sum(expr("CAST(vtf * ln(CAST(n_s + v_s + 1 AS DOUBLE) / " +
+            "(ctf + 1)) AS DECIMAL(38,9))")).as("ss"),
+          max($"n_s").as("n_s"), max($"n_val").as("n_val"),
+          max($"n_g").as("n_g"))
+      val ex = scored.select($"source", $"n_s", $"n_val",
+          Det.qround($"sg".cast(DoubleType) / $"n_val").as("xent_global"),
+          Det.qround($"ss".cast(DoubleType) / $"n_val").as("xent_self"),
+          ($"n_s".cast(DoubleType) / $"n_g").as("prior"))
+        .withColumn("excess",
+          Det.qround($"xent_global" - $"xent_self"))
+        .withColumn("w_raw", $"prior" * exp($"excess"))
+      val z = ex.agg(sum($"w_raw".cast(DecimalType(38, Det.Scale)))
+        .cast(DoubleType).as("z"))
+      ex.crossJoin(broadcast(z))
+        .select($"source", $"n_s".as("n_train_tokens"),
+          $"n_val".as("n_val_tokens"), $"xent_global", $"xent_self",
+          $"excess", Det.qround($"w_raw" / $"z").as("weight"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT source, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10
+            AS bucket
+        FROM documents),
+      st AS (
+        SELECT source, term,
+          count(*) FILTER (WHERE bucket <= 7) AS ctf,
+          count(*) FILTER (WHERE bucket = 8) AS vtf
+        FROM (SELECT source, bucket,
+                unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                  AS term
+              FROM split WHERE bucket <= 8)
+        GROUP BY source, term),
+      tg AS (SELECT term, sum(ctf) AS ctf_g FROM st GROUP BY term),
+      ng AS (SELECT sum(ctf_g) AS n_g,
+               count(*) FILTER (WHERE ctf_g > 0) AS v_g FROM tg),
+      ns AS (
+        SELECT source, sum(ctf) AS n_s,
+          count(*) FILTER (WHERE ctf > 0) AS v_s, sum(vtf) AS n_val
+        FROM st GROUP BY source),
+      scored AS (
+        SELECT source,
+          sum(CAST(vtf * ln(CAST(n_g + v_g + 1 AS DOUBLE) / (ctf_g + 1))
+            AS DECIMAL(38,9))) AS sg,
+          sum(CAST(vtf * ln(CAST(n_s + v_s + 1 AS DOUBLE) / (ctf + 1))
+            AS DECIMAL(38,9))) AS ss,
+          max(n_s) AS n_s, max(n_val) AS n_val, max(n_g) AS n_g
+        FROM st JOIN tg USING (term) JOIN ns USING (source) CROSS JOIN ng
+        WHERE vtf > 0
+        GROUP BY source),
+      ex AS (
+        SELECT source, n_s, n_val,
+          ${Oracle.qround("sg::DOUBLE / n_val")} AS xent_global,
+          ${Oracle.qround("ss::DOUBLE / n_val")} AS xent_self,
+          (n_s::DOUBLE / n_g) AS prior
+        FROM scored),
+      ex2 AS (
+        SELECT source, n_s, n_val, xent_global, xent_self,
+          ${Oracle.qround("xent_global - xent_self")} AS excess,
+          prior * exp(${Oracle.qround("xent_global - xent_self")}) AS w_raw
+        FROM ex),
+      z AS (
+        SELECT sum(CAST(w_raw AS DECIMAL(38,9)))::DOUBLE AS z FROM ex2)
+      SELECT source, n_s::BIGINT AS n_train_tokens,
+        n_val::BIGINT AS n_val_tokens, xent_global, xent_self, excess,
+        ${Oracle.qround("w_raw / z")} AS weight
+      FROM ex2 CROSS JOIN z
+      ORDER BY source""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
       qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1,
-      qScalingLaw)
+      qScalingLaw, qMixRebalance)
 }

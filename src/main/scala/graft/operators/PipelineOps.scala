@@ -1227,10 +1227,85 @@ object PipelineOps {
       ORDER BY lang, source""")
   )
 
+  /** Difficulty deciles / training epochs for [[qCurriculumPlan]]. */
+  val CurrQ = 10
+  val CurrEpochs = 5
+
+  /** Competence-based curriculum schedule (Platanios et al. 2019 shape):
+    * difficulty = per-document mean unigram surprisal (the ONE shared
+    * definition, [[LexicalStats.docSurprisal]] — rare-word-dense docs are
+    * hard), bucketed into [[CurrQ]] deciles by ntile over the
+    * (surprisal, doc_id) total order; the linear competence schedule
+    * c(e) = e/E admits buckets b ≤ c(e)·Q at epoch e, so epoch 1 trains
+    * on the easiest 20% and epoch [[CurrEpochs]] on everything. Readout
+    * per admitted (epoch, bucket): docs, tokens, plus the epoch's
+    * cumulative token share — the "how much data does each epoch
+    * actually see" table a curriculum run publishes next to its
+    * q_epoch_plan.
+    *
+    * Exactness: ntile is an exact integer over a total order; counts are
+    * integers; the share is one qround'd quotient of exact integers.
+    *
+    * Scale shape: the difficulty relation is the per-doc collapse (one
+    * (doc, term) exchange + broadcast LM); the decile assignment is ONE
+    * corpus-wide ntile window over the THIN 3-column doc relation (the
+    * q_quality_quartiles precedent — a single-partition sort of doc
+    * rows, not tokens; at 100 TB this becomes a 2-pass range-partitioned
+    * rank, same semantics); the schedule join is a broadcast of the
+    * [[CurrEpochs]]-row epoch grid against the [[CurrQ]]-row bucket
+    * aggregate. */
+  val qCurriculumPlan = GraftQuery(
+    "q_curriculum_plan",
+    (spark, dir) => {
+      import spark.implicits._
+      val buckets = LexicalStats.docSurprisal(spark, dir)
+        .withColumn("bucket", ntile(CurrQ).over(
+          Window.orderBy($"mean_surprisal", $"doc_id")))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      val tot = buckets.agg(sum($"n_tokens").as("tot"))
+      val epochs = (1 to CurrEpochs).map(_.toLong).toDF("epoch")
+      buckets.join(broadcast(epochs),
+          $"bucket".cast(LongType) * CurrEpochs <= $"epoch" * CurrQ)
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_tokens", sum($"n_tokens").over(
+          Window.partitionBy($"epoch").orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"epoch", $"bucket".cast(LongType).as("bucket"),
+          $"n_docs", $"n_tokens",
+          graft.functions.Det.qround(
+            $"cum_tokens".cast(DoubleType) / $"tot").as("cum_share"))
+        .orderBy($"epoch", $"bucket")
+    },
+    Some(s"""
+      WITH ${LexicalStats.DocSurprisalSql},
+      b AS (
+        SELECT doc_id, n_tokens,
+          ntile($CurrQ) OVER (ORDER BY mean_surprisal, doc_id) AS bucket
+        FROM docsurp),
+      buckets AS (
+        SELECT bucket, count(*)::BIGINT AS n_docs,
+          sum(n_tokens)::BIGINT AS n_tokens
+        FROM b GROUP BY bucket),
+      grand AS (SELECT sum(n_tokens) AS grand FROM buckets),
+      epochs AS (SELECT unnest(range(1, ${CurrEpochs + 1})) AS epoch),
+      adm AS (
+        SELECT epoch, bucket, n_docs, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY epoch ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM buckets JOIN epochs
+          ON bucket * $CurrEpochs <= epoch * $CurrQ)
+      SELECT epoch, bucket::BIGINT AS bucket, n_docs, n_tokens,
+        ${graft.Oracle.qround("cum_tokens::DOUBLE / grand")} AS cum_share
+      FROM adm CROSS JOIN grand
+      ORDER BY epoch, bucket""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedSample, qPackSequences, qNormalizeText, qShuffleOrder,
       qCorpusPrep, qTopQualityPerLang, qTrainSplit, qChunkAssembly, qDocChunks,
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
       qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget,
-      qBudgetSample, qFeatureHash, qSkipgramPairs, qPreferencePairs)
+      qBudgetSample, qFeatureHash, qSkipgramPairs, qPreferencePairs,
+      qCurriculumPlan)
 }

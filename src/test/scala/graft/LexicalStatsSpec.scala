@@ -503,4 +503,31 @@ class LexicalStatsSpec extends SparkSpec {
       assert(mass === mass.sorted)
     }
   }
+
+  test("q_mix_rebalance: weights close the DoReMi loop on emitted columns") {
+    import spark.implicits._
+    val rows = graft.operators.LexicalStats.qMixRebalance
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    // a proper distribution over sources
+    assert(math.abs(rows.map(_._7).sum - 1.0) <= rows.size * 2e-6)
+    assert(rows.forall(_._7 > 0))
+    // excess = qround(global - self), and the weight is exactly the
+    // exponentiated-excess update on the token-share prior (closed loop
+    // from the emitted columns alone)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val nG = rows.map(_._2).sum.toDouble
+    val wRaw = rows.map(r => (r._2 / nG) * math.exp(r._6))
+    val z = wRaw.map(BigDecimal(_).setScale(9, BigDecimal.RoundingMode.DOWN))
+      .sum.toDouble
+    for ((r, w) <- rows.zip(wRaw)) {
+      assert(r._6 === q6(r._4 - r._5), s"excess mismatch for ${r._1}")
+      assert(math.abs(r._7 - q6(w / z)) <= 1e-6, s"weight loop ${r._1}")
+    }
+    // non-vacuity: the sources genuinely differ in excess loss
+    assert(rows.map(_._6).distinct.size > 1)
+    assert(rows.exists(_._6 > 0), "no source underserved by the pool LM")
+  }
 }

@@ -334,4 +334,30 @@ class PipelineOpsSpec extends SparkSpec {
       "margin gate vacuous at sf0.001")
     assert(real.filter(_._5).forall(r => r._2 > r._3))
   }
+
+  test("q_curriculum_plan: linear pacing admits 2e deciles; final epoch sees all") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = PipelineOps.qCurriculumPlan.run(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val byEpoch = rows.groupBy(_._1)
+    // epoch e admits exactly buckets 1..2e (Q=10, E=5 linear schedule)
+    assert(byEpoch.keySet === (1L to 5L).toSet)
+    for ((e, rs) <- byEpoch)
+      assert(rs.map(_._2).sorted === (1L to 2 * e),
+        s"epoch $e admitted ${rs.map(_._2).sorted}")
+    // the final epoch covers the whole corpus, cum_share reaching 1
+    val total = Tables.documents(spark, dir).count()
+    assert(byEpoch(5L).map(_._3).sum === total)
+    assert(byEpoch(5L).maxBy(_._2)._5 === 1.0)
+    // the curriculum genuinely GROWS: each epoch ends seeing strictly
+    // more token mass than the previous
+    val ends = (1L to 5L).map(e => byEpoch(e).maxBy(_._2)._5)
+    assert(ends.sliding(2).forall { case Seq(a, b) => b > a })
+    // shared-bucket rows are identical across the epochs that admit them
+    // (the schedule only ADDS buckets, never rebuilds them)
+    val byBucket = rows.groupBy(_._2)
+    assert(byBucket.values.forall(rs =>
+      rs.map(r => (r._3, r._4)).distinct.size === 1))
+  }
 }
