@@ -652,35 +652,70 @@ object CorpusQuality {
     * after is vocabulary-sized (normalizers = 1 wide row broadcast back;
     * final stack = |variants| rows). The doc-count leg is a separate
     * map-only pass ending in a 1-row aggregate. */
-  val qFilterAblation = GraftQuery(
-    "q_filter_ablation",
-    (spark, dir) => {
-      import spark.implicits._
-      val vs = AblationVariants
-      // variant gate over the flag columns (train side only)
-      def gate(v: String): org.apache.spark.sql.Column = v match {
-        case "none" => lit(true)
-        case "all" => GopherRuleSql.map(r => col(s"r_${r._1}"))
-          .reduce(_ && _)
-        case k => col(s"r_$k")
-      }
-      val flagged = Tables.spread(Tables.documents(spark, dir))
-        .withColumn("bucket", expr(PipelineOps.u32Expr(
-          "concat('split:', cast(doc_id as string))") + " % 10"))
-        .filter($"bucket" <= 8)
-        .select(Seq($"bucket", col("text")) ++ gopherStatCols: _*)
-        .select(Seq($"bucket", col("text")) ++
-          GopherRuleSql.map { case (k, sql) => expr(sql).as(s"r_$k") }: _*)
-      val toks = flagged
-        .select(Seq($"bucket") ++ vs.map(v => gate(v).as(s"g_$v")) :+
-          explode(graft.functions.Text.tokens($"text")).as("term"): _*)
-      val tfw = toks.groupBy($"term").agg(
+  /** The per-variant gate over the `r_<rule>` flag columns. */
+  private def ablGate(v: String): org.apache.spark.sql.Column = v match {
+    case "none" => lit(true)
+    case "all" => GopherRuleSql.map(r => col(s"r_${r._1}")).reduce(_ && _)
+    case k => col(s"r_$k")
+  }
+
+  /** (bucket, text, r_<rule>…) — split bucket + rule flags per document;
+    * the shared front of both ablation legs. */
+  private[graft] def ablFlagged(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("bucket", expr(PipelineOps.u32Expr(
+        "concat('split:', cast(doc_id as string))") + " % 10"))
+      .filter($"bucket" <= 8)
+      .select(Seq($"bucket", col("text")) ++ gopherStatCols: _*)
+      .select(Seq($"bucket", col("text")) ++
+        GopherRuleSql.map { case (k, sql) => expr(sql).as(s"r_$k") }: _*)
+  }
+
+  /** The wide (term, c_<variant>…, vtf) conditional-count relation —
+    * ADDITIVE over document slices (flags and split buckets are per-doc
+    * constants), which is what lets graft.streaming.StreamAblate keep it
+    * current per micro-batch and fold at read time. */
+  private[graft] def ablTfw(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vs = AblationVariants
+    ablFlagged(docs)
+      .select(Seq($"bucket") ++ vs.map(v => ablGate(v).as(s"g_$v")) :+
+        explode(graft.functions.Text.tokens($"text")).as("term"): _*)
+      .groupBy($"term").agg(
         count(when($"bucket" <= 7 && col(s"g_${vs.head}"), 1))
           .as(s"c_${vs.head}"),
         vs.tail.map(v =>
           count(when($"bucket" <= 7 && col(s"g_$v"), 1)).as(s"c_$v"))
           :+ count(when($"bucket" === 8, 1)).as("vtf"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The 1-row kept-train-docs counts per variant — also additive. */
+  private[graft] def ablDocsKept(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vs = AblationVariants
+    ablFlagged(docs).filter($"bucket" <= 7).agg(
+      count(when(ablGate(vs.head), 1)).as(s"d_${vs.head}"),
+      vs.tail.map(v => count(when(ablGate(v), 1)).as(s"d_$v")): _*)
+  }
+
+  /** The |variants|-row ablation table from the two count relations —
+    * shared by [[qFilterAblation]] and the streaming maintainer's fold. */
+  private[graft] def ablReport(tfwIn: org.apache.spark.sql.DataFrame,
+      docsKept: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = tfwIn.sparkSession
+    import spark.implicits._
+    val vs = AblationVariants
+    val tfw = tfwIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    locally {
       val norm = tfw.agg(
         sum(col(s"c_${vs.head}")).as(s"n_${vs.head}"),
         vs.tail.map(v => sum(col(s"c_$v")).as(s"n_$v")) ++
@@ -704,10 +739,6 @@ object CorpusQuality {
             .as(s"oovr_$v"),
           Det.qround(col(s"s_$v").cast(DoubleType) / $"n_val")
             .as(s"x_$v"))) :+ $"n_val": _*)
-      // kept train docs per variant: map-only second doc pass -> 1 row
-      val docsKept = flagged.filter($"bucket" <= 7).agg(
-        count(when(gate(vs.head), 1)).as(s"d_${vs.head}"),
-        vs.tail.map(v => count(when(gate(v), 1)).as(s"d_$v")): _*)
       val stacked = wide.crossJoin(broadcast(docsKept)).selectExpr(
         s"stack(${vs.size}, ${vs.map(v =>
           s"'$v', d_$v, n_$v, v_$v, CAST(n_val AS BIGINT), oovr_$v, x_$v, " +
@@ -717,6 +748,15 @@ object CorpusQuality {
           .mkString(", ")}) as (variant, kept_train_docs, n_train_tokens, " +
           "vocab, n_val_tokens, oov_rate, xent_nats, delta_vs_none)")
       stacked.orderBy($"variant")
+    }
+  }
+
+  val qFilterAblation = GraftQuery(
+    "q_filter_ablation",
+    (spark, dir) => {
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      // kept-train-docs is a map-only second doc pass ending in 1 row
+      ablReport(ablTfw(docs), ablDocsKept(docs))
     },
     Some {
       val vs = AblationVariants

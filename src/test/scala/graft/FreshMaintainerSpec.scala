@@ -79,6 +79,7 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamRoc", "report", 1L, d => StreamRoc.report(spark, d)),
       ("StreamRoc", "liftReport", 0L, d => StreamRoc.liftReport(spark, d)),
       ("StreamSketch", "rollup", 0L, d => StreamSketch.rollup(spark, d)),
+      ("StreamAblate", "report", 7L, d => StreamAblate.report(spark, d)),
       ("StreamPref", "pairs", 0L, d => StreamPref.pairs(spark, d)),
       ("StreamTclose", "report", 0L, d => StreamTclose.report(spark, d)),
       ("StreamVocab", "zipf", 1L, d => StreamVocab.zipf(spark, d)),
@@ -195,6 +196,15 @@ class FreshMaintainerSpec extends SparkSpec {
     test(s"$mod: DeltaDdl pins the written delta schema") {
       assert(norm(writtenDdl("log")(write)) === norm(ddl))
     }
+
+  test("StreamAblate: Counts/Docs DDLs pin the written delta schemas") {
+    val d = Files.createTempDirectory("graft-ddlpin-abl").toString
+    StreamAblate.processBatch(docs.select($"doc_id", $"text"), 0L, d)
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/counts").schema.toDDL) === norm(StreamAblate.CountsDdl))
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/docs").schema.toDDL) === norm(StreamAblate.DocsDdl))
+  }
 
   test("StreamIndex: Postings/Stats DDLs pin the written delta schemas") {
     val d = Files.createTempDirectory("graft-ddlpin-index").toString
