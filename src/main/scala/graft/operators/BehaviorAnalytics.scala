@@ -2579,10 +2579,77 @@ object BehaviorAnalytics {
       ORDER BY n_strata""")
   )
 
+  /** Quantile treatment effects over the q_ab_welch arms — the
+    * heterogeneous-effect readout the mean-based Welch test hides: per
+    * decile p ∈ {10%..90%}, the exact per-arm value quantile and the QTE
+    * (treatment − control at that quantile). A positive mean diff with
+    * QTE concentrated in the upper deciles means the treatment moved the
+    * TAIL, not the typical user — the standard next question after a
+    * significant A/B readout. Arms follow q_ab_welch verbatim
+    * ('click' = treatment, 'purchase' = control).
+    *
+    * Exactness: Spark `percentile(value, array(...))` ≡ DuckDB
+    * `quantile_cont` per element (same linear interpolation over the
+    * sorted values — the q_value_quantiles precedent); the QTE and
+    * relative QTE are IEEE ops on those identical doubles, qround'd; a
+    * zero control quantile yields a NULL relative effect, not a NaN.
+    *
+    * Scale shape: exact `percentile` buffers each arm's values — correct
+    * for a 2-arm experiment readout and bounded by the value domain; at
+    * a scale where that buffer hurts, q_value_quantiles_approx's
+    * GK-sketch + rank-contract pattern is the drop-in (documented
+    * tradeoff). Everything after the 2-row aggregate is a 9-row grid. */
+  val qQte = GraftQuery(
+    "q_qte",
+    (spark, dir) => {
+      import spark.implicits._
+      val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+      val arms = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type")
+        .agg(expr(s"percentile(value, array($ps))").as("qs"),
+          count(lit(1)).as("n"))
+      val e = arms.select($"event_type", $"n", posexplode($"qs"))
+        .toDF("event_type", "n", "i", "qv")
+      val t = e.filter($"event_type" === "click")
+        .select($"i", $"qv".as("qt"), $"n".as("n_treat"))
+      val c = e.filter($"event_type" === "purchase")
+        .select($"i", $"qv".as("qc"), $"n".as("n_ctrl"))
+      t.join(c, "i")
+        .select((($"i" + 1) * 10).cast(LongType).as("pct"),
+          $"n_treat", $"n_ctrl",
+          Det.qround($"qt").as("q_treat"), Det.qround($"qc").as("q_ctrl"),
+          Det.qround($"qt" - $"qc").as("qte"),
+          when($"qc" =!= 0.0, Det.qround(($"qt" - $"qc") / $"qc"))
+            .as("rel_qte"))
+        .orderBy($"pct")
+    },
+    Some(s"""
+      WITH arms AS (
+        SELECT event_type, count(*) AS n,
+          quantile_cont(value, [${(1 to 9).map(i => s"0.$i")
+            .mkString(", ")}]) AS qs
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      g AS (SELECT unnest(range(1, 10)) AS i),
+      e AS (SELECT event_type, n, i, qs[i] AS qv FROM arms CROSS JOIN g),
+      t AS (SELECT i, qv AS qt, n AS n_treat FROM e
+            WHERE event_type = 'click'),
+      c AS (SELECT i, qv AS qc, n AS n_ctrl FROM e
+            WHERE event_type = 'purchase')
+      SELECT (i * 10)::BIGINT AS pct, n_treat, n_ctrl,
+        ${Oracle.qround("qt")} AS q_treat, ${Oracle.qround("qc")} AS q_ctrl,
+        ${Oracle.qround("qt - qc")} AS qte,
+        CASE WHEN qc <> 0 THEN ${Oracle.qround("(qt - qc) / qc")} END
+          AS rel_qte
+      FROM t JOIN c USING (i)
+      ORDER BY pct""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qEventFunnel, qRetentionCohorts, qOutlierEvents, qAnomalyMad,
       qInterarrival, qMarkovTransitions, qAbWelch, qKsTest, qMwuTest,
       qAnovaF, qKaplanMeier, qBootstrapCi, qAssocRules, qOverdispersion,
       qAbPower, qCuped, qMarkovEntropy, qBhFdr, qStrataAte, qEmdDrift, qDid,
-      qMsprt, qAucDelong, qLogrank, qCoxHr, qFunnelLag)
+      qMsprt, qAucDelong, qLogrank, qCoxHr, qFunnelLag, qQte)
 }

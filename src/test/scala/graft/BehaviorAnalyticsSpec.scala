@@ -786,4 +786,25 @@ class BehaviorAnalyticsSpec extends SparkSpec {
       (1, "signup->click", 2L, 75.0, 75.0, 95.0),
       (2, "click->purchase", 1L, 300.0, 300.0, 300.0)))
   }
+
+  test("q_qte: empty without a control arm; monotone quantiles + internal consistency") {
+    import spark.implicits._
+    // the hand fixture has no 'purchase' events -> no control arm -> no rows
+    assert(graft.operators.BehaviorAnalytics.qQte
+      .run(spark, fixtureDir).collect().isEmpty)
+
+    val rows = graft.operators.BehaviorAnalytics.qQte
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(rows.map(_._1) === (1 to 9).map(_ * 10L))
+    // per-arm quantiles are nondecreasing in the percentile
+    assert(rows.map(_._4).sliding(2).forall { case Seq(a, b) => b >= a })
+    assert(rows.map(_._5).sliding(2).forall { case Seq(a, b) => b >= a })
+    // arm sizes constant across deciles
+    assert(rows.map(_._2).distinct.size === 1)
+    assert(rows.map(_._3).distinct.size === 1)
+    // qte consistent with the emitted per-arm quantiles (to the grid)
+    assert(rows.forall(r => math.abs(r._6 - (r._4 - r._5)) <= 2e-6))
+  }
 }
