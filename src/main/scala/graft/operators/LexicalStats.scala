@@ -1864,20 +1864,34 @@ object LexicalStats {
     * join); normalizers are ≤|sources|-row and 1-row aggregates
     * broadcast back; the readout is |sources| rows. The corpus never
     * shuffles twice. */
-  val qMixRebalance = GraftQuery(
-    "q_mix_rebalance",
-    (spark, dir) => {
-      import spark.implicits._
-      val st = Tables.spread(Tables.documents(spark, dir))
-        .withColumn("bucket", expr(PipelineOps.u32Expr(
-          "concat('split:', cast(doc_id as string))") + " % 10"))
-        .filter($"bucket" <= 8)
-        .select($"source", $"bucket",
-          explode(Text.tokens($"text")).as("term"))
-        .groupBy($"source", $"term")
-        .agg(count(when($"bucket" <= 7, 1)).as("ctf"),
-          count(when($"bucket" === 8, 1)).as("vtf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The (source, term, ctf, vtf) split-count collapse — ADDITIVE over
+    * document slices (split buckets are per-doc constants), shared by
+    * [[qMixRebalance]] and graft.streaming.StreamMix's maintained fold. */
+  private[graft] def mixSt(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("bucket", expr(PipelineOps.u32Expr(
+        "concat('split:', cast(doc_id as string))") + " % 10"))
+      .filter($"bucket" <= 8)
+      .select($"source", $"bucket",
+        explode(Text.tokens($"text")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(when($"bucket" <= 7, 1)).as("ctf"),
+        count(when($"bucket" === 8, 1)).as("vtf"))
+  }
+
+  /** The |sources|-row rebalance table from a (source, term, ctf, vtf)
+    * relation — shared by [[qMixRebalance]] and the streaming
+    * maintainer's fold. */
+  private[graft] def mixReport(stIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = stIn.sparkSession
+    import spark.implicits._
+    val st = stIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    locally {
       val tg = st.groupBy($"term").agg(sum($"ctf").as("ctf_g"))
       val ng = tg.agg(sum($"ctf_g").as("n_g"),
         count(when($"ctf_g" > 0, 1)).as("v_g"))
@@ -1908,7 +1922,13 @@ object LexicalStats {
           $"n_val".as("n_val_tokens"), $"xent_global", $"xent_self",
           $"excess", Det.qround($"w_raw" / $"z").as("weight"))
         .orderBy($"source")
-    },
+    }
+  }
+
+  val qMixRebalance = GraftQuery(
+    "q_mix_rebalance",
+    (spark, dir) =>
+      mixReport(mixSt(Tables.spread(Tables.documents(spark, dir)))),
     Some(s"""
       WITH split AS (
         SELECT source, text,

@@ -80,6 +80,7 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamRoc", "liftReport", 0L, d => StreamRoc.liftReport(spark, d)),
       ("StreamSketch", "rollup", 0L, d => StreamSketch.rollup(spark, d)),
       ("StreamAblate", "report", 7L, d => StreamAblate.report(spark, d)),
+      ("StreamMix", "report", 0L, d => StreamMix.report(spark, d)),
       ("StreamPref", "pairs", 0L, d => StreamPref.pairs(spark, d)),
       ("StreamTclose", "report", 0L, d => StreamTclose.report(spark, d)),
       ("StreamVocab", "zipf", 1L, d => StreamVocab.zipf(spark, d)),
@@ -181,6 +182,8 @@ class FreshMaintainerSpec extends SparkSpec {
     ("StreamSketch", StreamSketch.DeltaDdl,
       d => StreamSketch.processBatch(
         ev.select($"event_type", $"ts_us", $"user_id"), 0L, d)),
+    ("StreamMix", StreamMix.DeltaDdl, d => StreamMix.processBatch(
+      docs.select($"doc_id", $"text", $"source"), 0L, d)),
     ("StreamPref", StreamPref.DeltaDdl, d => StreamPref.processBatch(
       docs.select($"doc_id", $"text", $"lang", $"source"), 0L, d)),
     ("StreamTclose", StreamTclose.DeltaDdl,
