@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Composite ingest end-to-end: ONE replayed document stream advances all
+  * six corpus-level maintainers per batch; every readout must equal its
+  * batch twin bit-for-bit on the same corpus — the six logs advance
+  * together, none is starved or double-fed. */
+class IngestHubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("one stream advances all six maintainers; every readout bit-equal") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val base = Files.createTempDirectory("graft-hub").toString
+    val srcDir = Files.createTempDirectory("graft-hub-src").toString
+    for (s <- 0 until 3)
+      docs.filter($"doc_id" % 3 === s)
+        .select($"doc_id", $"text", $"lang", $"source")
+        .write.parquet(s"$srcDir/slice_$s.parquet")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/slice_0.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val q = IngestHub.run(stream, base, Trigger.AvailableNow())
+    assert(q.awaitTermination(180000), "hub did not terminate")
+
+    assert(rows(StreamVocab.zipf(spark, s"$base/vocab"))
+      === rows(graft.operators.LexicalStats.qZipfFit.run(spark, dir)))
+    assert(rows(StreamExactDedup.registry(spark, s"$base/exactdedup"))
+      === rows(graft.operators.Dedup.qDedupExact.run(spark, dir)))
+    assert(rows(StreamIndex.bm25(spark, s"$base/index"))
+      === rows(graft.operators.Retrieval.qBm25Scores.run(spark, dir)))
+    assert(rows(StreamAblate.report(spark, s"$base/ablate"))
+      === rows(graft.operators.CorpusQuality.qFilterAblation
+        .run(spark, dir)))
+    assert(rows(StreamMix.report(spark, s"$base/mix"))
+      === rows(graft.operators.LexicalStats.qMixRebalance.run(spark, dir)))
+    assert(rows(StreamPref.pairs(spark, s"$base/pref"))
+      === rows(graft.operators.PipelineOps.qPreferencePairs
+        .run(spark, dir)))
+  }
+}
