@@ -461,9 +461,51 @@ object Relational {
       ORDER BY o_year""")
   )
 
+  /** TPC-H Q3 shape (shipping-priority list): segment-filtered customer
+    * dim BROADCAST into orders, the surviving orders join lineitem on the
+    * shared orderkey clustering, revenue per order, top-10 via
+    * TakeOrderedAndProject (never a full sort). Date predicates sit on
+    * the scans (PushedFilters); the unshipped-as-of-cutoff semantics
+    * (o_orderdate < cutoff < l_shipdate) is Q3's backlog question asked
+    * of this dataset's o_orderpriority column (it has no shippriority). */
+  val q3ShippingPriority = GraftQuery(
+    "q3_shipping_priority",
+    (spark, dir) => {
+      import spark.implicits._
+      val cust = Tables.customer(spark, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      Tables.orders(spark, dir)
+        .filter(expr("o_orderdate < timestamp'1997-06-01'"))
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(Tables.lineitem(spark, dir)
+          .filter(expr("l_shipdate > timestamp'1997-06-01'")),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+        .select($"l_orderkey", $"revenue", $"o_orderdate",
+          $"o_orderpriority")
+        .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01'
+        AND l_shipdate > TIMESTAMP '1997-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""")
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qMarketShare,
     q1PricingSummary, qRevenueByBrand, qCustomersWithoutOrders,
     qPriorityRevenue, qAcctbalByRegion, qTopCustomers, qSetOps, qSqlSurface,
-    qCorrelatedScalar, q5LocalSupplier, qExistsRewrite)
+    qCorrelatedScalar, q5LocalSupplier, qExistsRewrite, q3ShippingPriority)
 }

@@ -175,4 +175,20 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q3_shipping_priority: broadcast dim + TakeOrderedAndProject, filters pushed") {
+    val df = graft.operators.Relational.q3ShippingPriority
+      .run(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // segment-filtered customer reaches orders as a broadcast; the top-10
+    // is a TakeOrderedAndProject (never a full sort); both date
+    // predicates sit in the scans' pushed/data filters
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    // descending revenue with the pinned tie-break
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sliding(2).forall { case Array(a, b) => a >= b })
+  }
 }
