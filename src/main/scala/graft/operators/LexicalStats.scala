@@ -1981,10 +1981,118 @@ object LexicalStats {
       ORDER BY source""")
   )
 
+  /** Candidate-list size / χ²₀.₉₅ threshold for [[qStopwordDiscovery]]
+    * (the critical value is for |sources|−1 = 19 degrees of freedom on
+    * the driver corpus — a production run recomputes it for its source
+    * count; it is a LITERAL so both engines compare identically). */
+  val StopTopK = 20
+  val StopChi2Crit: Double = 30.14
+
+  /** Corpus-driven stopword discovery — the first preprocessing step in
+    * a NEW language/domain where no curated list exists: a stopword
+    * candidate is (a) ubiquitous (document-frequency rate near 1) and
+    * (b) topically FLAT — its counts across sources match each source's
+    * token mass (low χ²). Content words are ubiquitous-but-bursty (high
+    * χ² — concentrated where their topic lives); function words are
+    * ubiquitous-and-flat. Top [[StopTopK]] by df-rate with the per-term
+    * source-χ² and the `is_flat` verdict at [[StopChi2Crit]] — the
+    * complement of q_top_keywords (TF-IDF finds the DISTINCTIVE terms;
+    * this finds the ones to remove before TF-IDF).
+    *
+    * Exactness: df/cf/source counts are exact integers off two
+    * aggregates; expected counts e_s = cf·N_s/N and the χ² addends are
+    * IEEE ops on identical doubles, decimal-summed, qround'd; the flat
+    * verdict compares the qround'd χ² to a literal.
+    *
+    * Scale shape: one (source, term) exchange for the observed counts
+    * (partial-aggregated) and one DISTINCT (doc, term) exchange for df —
+    * both corpus passes end in vocabulary-sized relations; the χ² sum
+    * runs per term over its ≤|sources| rows (vocab-scale); top-K is a
+    * TakeOrderedAndProject. */
+  val qStopwordDiscovery = GraftQuery(
+    "q_stopword_discovery",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val toks = docs.select($"doc_id", $"source",
+          explode(Text.tokens($"text")).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val ost = toks.groupBy($"source", $"term")
+        .agg(count(lit(1)).as("o"))
+      val ns = ost.groupBy($"source").agg(sum($"o").as("n_s"))
+      val tot = ns.agg(sum($"n_s").as("nn"))
+      val chi = ost.join(ns, "source").crossJoin(broadcast(tot))
+        .select($"term", $"o", $"n_s", $"nn")
+        // per-source χ² addend against the token-mass expectation; a
+        // source with NO occurrences of the term still contributes e_s
+        // (handled in closed form below: Σ_s∉obs e_s = cf − Σ_s∈obs e_s)
+        .withColumn("e", $"n_s".cast(DoubleType) *
+          sum($"o").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"term")).cast(DoubleType) / $"nn".cast(DoubleType))
+        .groupBy($"term")
+        .agg(sum($"o").as("cf"),
+          sum(expr("CAST((o - e) * (o - e) / e AS DECIMAL(38,9))"))
+            .as("x_obs"),
+          sum(expr("CAST(e AS DECIMAL(38,9))")).as("e_obs"))
+      val df = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      chi.join(df, "term").crossJoin(broadcast(nDocs))
+        .crossJoin(broadcast(tot))
+        .select($"term", $"df",
+          Det.qround($"df".cast(DoubleType) / $"n_docs").as("df_rate"),
+          $"cf",
+          Det.qround($"cf".cast(DoubleType) / $"nn").as("cf_rate"),
+          // unobserved (source, term) cells contribute (0−e)²/e = e;
+          // their total is cf − Σ_observed e (exact in the decimal lane)
+          Det.qround($"x_obs".cast(DoubleType) +
+            ($"cf".cast(DoubleType) - $"e_obs".cast(DoubleType)))
+            .as("chi2_source"))
+        .withColumn("is_flat", $"chi2_source" < StopChi2Crit)
+        .orderBy($"df_rate".desc, $"term")
+        .limit(StopTopK)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source,
+          unnest(string_split_regex(lower(text), '[[:space:]]+')) AS term
+        FROM documents),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      ost AS (
+        SELECT source, term, count(*) AS o FROM toks GROUP BY source, term),
+      ns AS (SELECT source, sum(o) AS n_s FROM ost GROUP BY source),
+      tot AS (SELECT sum(n_s) AS nn FROM ns),
+      cfr AS (SELECT term, sum(o) AS cf FROM ost GROUP BY term),
+      chi AS (
+        SELECT term,
+          sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,9))) AS x_obs,
+          sum(CAST(e AS DECIMAL(38,9))) AS e_obs
+        FROM (SELECT term, o,
+                n_s::DOUBLE * cf::DOUBLE / nn::DOUBLE AS e
+              FROM ost JOIN ns USING (source) JOIN cfr USING (term)
+                CROSS JOIN tot)
+        GROUP BY term),
+      dfr AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term)
+      SELECT term, df::BIGINT AS df,
+        ${Oracle.qround("df::DOUBLE / n_docs")} AS df_rate,
+        cf::BIGINT AS cf,
+        ${Oracle.qround("cf::DOUBLE / nn")} AS cf_rate,
+        ${Oracle.qround("x_obs::DOUBLE + (cf::DOUBLE - e_obs::DOUBLE)")}
+          AS chi2_source,
+        (${Oracle.qround("x_obs::DOUBLE + (cf::DOUBLE - e_obs::DOUBLE)")}
+          < $StopChi2Crit) AS is_flat
+      FROM chi JOIN cfr USING (term) JOIN dfr USING (term)
+      CROSS JOIN nd CROSS JOIN tot
+      ORDER BY df_rate DESC, term
+      LIMIT $StopTopK""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
       qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1,
-      qScalingLaw, qMixRebalance)
+      qScalingLaw, qMixRebalance, qStopwordDiscovery)
 }

@@ -530,4 +530,42 @@ class LexicalStatsSpec extends SparkSpec {
     assert(rows.map(_._6).distinct.size > 1)
     assert(rows.exists(_._6 > 0), "no source underserved by the pool LM")
   }
+
+  test("q_stopword_discovery: flat ubiquitous term passes, planted bursty term fails") {
+    import spark.implicits._
+    // 4 equal-mass sources x 5 docs x 100 tokens. 'the' appears once per
+    // doc everywhere (perfectly flat: chi2 = 0); 'promo' appears in every
+    // doc (df_rate 1) but 60x per s1 doc vs 1x elsewhere -- ubiquitous
+    // yet topically bursty, the case the chi2 leg exists to reject
+    val dir = java.nio.file.Files.createTempDirectory("graft-stop").toString
+    val docs = for (s <- 1 to 4; d <- 0 until 5) yield {
+      val id = (s - 1) * 5 + d
+      val promo = if (s == 1) 60 else 1
+      val fill = 100 - 1 - promo
+      val text = ("the" +: Seq.fill(promo)("promo")) ++
+        (1 to fill).map(i => s"f${id}x$i")
+      (id.toLong, text.mkString(" "), "en", s"s$s")
+    }
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LexicalStats.qStopwordDiscovery
+      .run(spark, dir)
+      .select($"term", $"df_rate", $"chi2_source", $"is_flat")
+      .as[(String, Double, Double, Boolean)].collect().toSeq
+    val byTerm = out.map(r => r._1 -> r).toMap
+    // both ubiquitous terms make the candidate list with df_rate 1
+    assert(byTerm("the")._2 === 1.0 && byTerm("promo")._2 === 1.0)
+    // flatness verdict: 'the' is a stopword candidate, 'promo' is not
+    assert(byTerm("the")._3 === 0.0 && byTerm("the")._4)
+    assert(byTerm("promo")._3 >
+      graft.operators.LexicalStats.StopChi2Crit && !byTerm("promo")._4)
+
+    // real corpus: ordering contract + candidate list is full
+    val real = graft.operators.LexicalStats.qStopwordDiscovery
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"df_rate").as[Double].collect().toSeq
+    assert(real.size === graft.operators.LexicalStats.StopTopK)
+    assert(real.sliding(2).forall { case Seq(a, b) => a >= b })
+  }
 }
