@@ -587,23 +587,53 @@ object PipelineOps {
     * and BROADCAST onto the corpus; the manifest itself is one map pass
     * (native `rep_stats` token count + two md5s per row) — the corpus
     * never shuffles except the output sort. */
+  /** The per-language (lang, n_tokens, r) epoch-rate relation — the
+    * sqrt-temperature budget allocation as fractional epochs per
+    * document. Shared by [[qEpochPlan]] (which materializes per-doc copy
+    * counts from it) and [[qEpochDecay]] (which prices the repetition). */
+  private[graft] def epochRates(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val per = Tables.spread(Tables.documents(spark, dir))
+      .select($"lang",
+        element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
+      .groupBy($"lang").agg(sum($"n_toks").as("n_tokens"))
+    val tot = per.agg(
+      sum(sqrt($"n_tokens".cast(DoubleType)).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("tot_sqrt"))
+    val weight = graft.functions.Det.qround(
+      sqrt($"n_tokens".cast(DoubleType)) / $"tot_sqrt")
+    per.crossJoin(broadcast(tot))
+      .select($"lang", $"n_tokens",
+        (floor(weight * lit(Profiling.MixtureBudget.toDouble))
+          .cast(DoubleType) / $"n_tokens".cast(DoubleType)).as("r"))
+  }
+
+  /** The shared epoch-rate prelude as DuckDB CTEs ending in `rat`
+    * (lang, n_tokens, r) — the oracle twin of [[epochRates]]. */
+  private[graft] val EpochRateSql: String = s"""
+      toks AS (
+        SELECT doc_id, lang,
+          len(string_split_regex(lower(text), '[[:space:]]+')) AS n_toks
+        FROM documents),
+      per AS (
+        SELECT lang, sum(n_toks)::BIGINT AS n_tokens FROM toks GROUP BY lang),
+      tot AS (
+        SELECT sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(38,12)))::DOUBLE
+          AS tot_sqrt
+        FROM per),
+      rat AS (
+        SELECT lang, n_tokens,
+          floor((${graft.Oracle.qround("sqrt(n_tokens::DOUBLE) / tot_sqrt")})
+              * ${Profiling.MixtureBudget}e0)
+            / n_tokens::DOUBLE AS r
+        FROM per CROSS JOIN tot)"""
+
   val qEpochPlan = GraftQuery(
     "q_epoch_plan",
     (spark, dir) => {
       import spark.implicits._
-      val per = Tables.spread(Tables.documents(spark, dir))
-        .select($"lang",
-          element_at(call_function("rep_stats", $"text"), 1).as("n_toks"))
-        .groupBy($"lang").agg(sum($"n_toks").as("n_tokens"))
-      val tot = per.agg(
-        sum(sqrt($"n_tokens".cast(DoubleType)).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("tot_sqrt"))
-      val weight = graft.functions.Det.qround(
-        sqrt($"n_tokens".cast(DoubleType)) / $"tot_sqrt")
-      val ratio = per.crossJoin(broadcast(tot))
-        .select($"lang",
-          (floor(weight * lit(Profiling.MixtureBudget.toDouble))
-            .cast(DoubleType) / $"n_tokens".cast(DoubleType)).as("r"))
+      val ratio = epochRates(spark, dir).select($"lang", $"r")
       Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", $"lang",
           element_at(call_function("rep_stats", $"text"), 1).as("n_doc_tokens"),
@@ -616,22 +646,7 @@ object PipelineOps {
         .orderBy($"doc_id")
     },
     Some(s"""
-      WITH toks AS (
-        SELECT doc_id, lang,
-          len(string_split_regex(lower(text), '[[:space:]]+')) AS n_toks
-        FROM documents),
-      per AS (
-        SELECT lang, sum(n_toks)::BIGINT AS n_tokens FROM toks GROUP BY lang),
-      tot AS (
-        SELECT sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(38,12)))::DOUBLE
-          AS tot_sqrt
-        FROM per),
-      rat AS (
-        SELECT lang,
-          floor((${graft.Oracle.qround("sqrt(n_tokens::DOUBLE) / tot_sqrt")})
-              * ${Profiling.MixtureBudget}e0)
-            / n_tokens::DOUBLE AS r
-        FROM per CROSS JOIN tot)
+      WITH ${EpochRateSql}
       SELECT doc_id, lang, n_toks::BIGINT AS n_doc_tokens,
         (floor(r) + CASE
           WHEN ${u32Sql("'epoch:' || doc_id::VARCHAR")}
@@ -639,6 +654,67 @@ object PipelineOps {
           THEN 1 ELSE 0 END)::BIGINT AS n_copies
       FROM toks JOIN rat USING (lang)
       ORDER BY doc_id""")
+  )
+
+  /** Repeated-data decay constant — Muennighoff et al. 2023
+    * ("Scaling Data-Constrained Language Models") fit R_D* ≈ 15.4:
+    * repeated epochs decay in value as U·R*·(1−e^{−R/R*}); a LITERAL so
+    * both engines compare identically. */
+  val EpochRStar: Double = 15.4
+
+  /** Data-constrained repetition pricing for the epoch plan — per
+    * language, the EFFECTIVE token count of the planned allocation under
+    * the Muennighoff et al. 2023 repeated-data decay: a language planned
+    * at r ≤ 1 epochs contributes its planned tokens at full value; one
+    * planned at r > 1 contributes U + U·R*·(1−e^{−(r−1)/R*}) — the
+    * diminishing value of repetition — and `efficiency` =
+    * effective/planned is the number a budget owner reads before buying
+    * more epochs of a small language instead of more data ("the 5th
+    * epoch of fr buys 62% of a fresh-token epoch"). Rides the SAME
+    * allocation relation as q_epoch_plan ([[epochRates]]), so the plan
+    * and its pricing can never disagree.
+    *
+    * Exactness: r and U are the shared deterministic relation; exp runs
+    * on the same IEEE double in both engines; outputs qround'd. Scale
+    * shape: one corpus pass to per-lang token counts (shared), then
+    * ≤|langs| rows of arithmetic. */
+  val qEpochDecay = GraftQuery(
+    "q_epoch_decay",
+    (spark, dir) => {
+      import spark.implicits._
+      val rs = EpochRStar
+      epochRates(spark, dir)
+        .withColumn("planned",
+          $"r" * $"n_tokens".cast(DoubleType))
+        .withColumn("effective",
+          when($"r" <= 1.0, $"planned").otherwise(
+            $"n_tokens".cast(DoubleType) * (lit(1.0) + lit(rs) *
+              (lit(1.0) - exp(-($"r" - lit(1.0)) / lit(rs))))))
+        .select($"lang", $"n_tokens".as("unique_tokens"),
+          graft.functions.Det.qround($"r").as("epochs"),
+          graft.functions.Det.qround($"planned").as("planned_tokens"),
+          graft.functions.Det.qround($"effective").as("effective_tokens"),
+          graft.functions.Det.qround($"effective" / $"planned")
+            .as("efficiency"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH ${EpochRateSql},
+      pr AS (
+        SELECT lang, n_tokens, r,
+          r * n_tokens::DOUBLE AS planned,
+          CASE WHEN r <= 1.0 THEN r * n_tokens::DOUBLE
+            ELSE n_tokens::DOUBLE * (1.0 + $EpochRStar *
+              (1.0 - exp(-(r - 1.0) / $EpochRStar)))
+          END AS effective
+        FROM rat)
+      SELECT lang, n_tokens AS unique_tokens,
+        ${graft.Oracle.qround("r")} AS epochs,
+        ${graft.Oracle.qround("planned")} AS planned_tokens,
+        ${graft.Oracle.qround("effective")} AS effective_tokens,
+        ${graft.Oracle.qround("effective / planned")} AS efficiency
+      FROM pr
+      ORDER BY lang""")
   )
 
   /** Sample size per language stratum for [[qWeightedSample]]. */
@@ -1307,5 +1383,5 @@ object PipelineOps {
       qZorderLayout, qQualityQuartiles, qRankWindows, qJsonlExport, qAssignIds,
       qEpochPlan, qWeightedSample, qParetoFront, qLengthBuckets, qTokenBudget,
       qBudgetSample, qFeatureHash, qSkipgramPairs, qPreferencePairs,
-      qCurriculumPlan)
+      qCurriculumPlan, qEpochDecay)
 }

@@ -360,4 +360,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byBucket.values.forall(rs =>
       rs.map(r => (r._3, r._4)).distinct.size === 1))
   }
+
+  test("q_epoch_decay: repetition pricing closes on the emitted columns") {
+    import spark.implicits._
+    val rows = PipelineOps.qEpochDecay.run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val rs = PipelineOps.EpochRStar
+    for ((lang, u, e, planned, eff, ratio) <- rows) {
+      // plan consistency: planned = epochs * unique (to the round grid)
+      assert(math.abs(planned - e * u) <= math.max(1.0, planned * 1e-5),
+        s"$lang planned")
+      if (e > 1.0) {
+        // decay formula closes from the emitted columns alone
+        val expected = u * (1.0 + rs * (1.0 - math.exp(-(e - 1.0) / rs)))
+        assert(math.abs(eff - expected) <= math.max(0.01, expected * 1e-4),
+          s"$lang effective")
+        assert(eff < planned && eff > u, s"$lang bounds")
+        assert(ratio < 1.0, s"$lang efficiency < 1 when repeating")
+      } else assert(math.abs(ratio - 1.0) <= 2e-6)
+    }
+    // more repetition -> lower marginal value (efficiency anti-monotone
+    // in epochs)
+    val byE = rows.sortBy(_._3)
+    assert(byE.map(_._6).sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
+  }
 }

@@ -341,6 +341,35 @@ class PlanGuardSpec extends SparkSpec {
       assert(line.contains("BroadcastNestedLoopJoin"), line)
   }
 
+  test("q_filter_ablation / q_mix_rebalance / q_stopword_discovery: " +
+      "wide-column corpus passes, model-sized crosses only") {
+    for (n <- Seq("q_filter_ablation", "q_mix_rebalance",
+        "q_stopword_discovery")) {
+      val df = Queries.byName(n).run(spark, "/root/testdata/sf0.001")
+      df.collect() // materialize persists so the executed shape is real
+      val p = df.queryExecution.executedPlan.toString
+      // the variant/source/term structure must multiply aggregate
+      // COLUMNS, never corpus rows: no cartesian, and every Cross is a
+      // broadcast of a 1-row normalizer relation
+      assert(!p.contains("CartesianProduct"), s"$n\n$p")
+      for (line <- p.linesIterator if line.contains("Cross,"))
+        assert(line.contains("BroadcastNestedLoopJoin"), s"$n: $line")
+    }
+  }
+
+  test("q_curriculum_plan: decile window runs on the thin doc relation") {
+    val df = graft.operators.PipelineOps.qCurriculumPlan
+      .run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // ntile must window the per-doc collapse (3 thin columns), with the
+    // epoch grid arriving broadcast — a SortMergeJoin here means the
+    // 5-row grid shuffled as if corpus-sized
+    assert(p.contains("ntile"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("StreamIndex: the term filter reaches the postings parquet scan") {
     // write a tiny index log, then check the readout's scan carries the
     // term pushdown -- at 100 TB this is what makes a query posting-
