@@ -2089,10 +2089,153 @@ object LexicalStats {
       LIMIT $StopTopK""")
   )
 
+  /** LM order sweep — "does context buy perplexity on this corpus": per
+    * language, the SAME untouched val split (q_train_split's buckets:
+    * ≤ 7 train, = 8 val) scored under the train-split add-1 unigram LM
+    * (q_heldout_xent's model and formula VERBATIM — LexicalStatsSpec
+    * pins the xent_uni column bit-equal to q_heldout_xent) and under a
+    * train-split add-1 BIGRAM LM (p(w₂|w₁) = (c(w₁w₂)+1)/(c₁(w₁)+V+1),
+    * the same V), both in nats per prediction. `delta_nats` = uni − bi
+    * is the value of one token of context; read with
+    * `unseen_bigram_rate` (val bigram mass never seen in train) it
+    * answers whether a higher-order model is worth its state at this
+    * corpus size — the n-gram cousin of q_scaling_law's
+    * more-data question.
+    *
+    * Exactness: all counts are integers (bigrams via the native
+    * `word_shingles_all` n=2 pass, the q_ngram_novelty machinery); each
+    * addend is one ln of a double quotient of exact integers,
+    * decimal-summed; delta is a difference of qround'd doubles.
+    *
+    * Scale shape: one token pass to (lang, term) counts and one shingle
+    * pass to (lang, bigram) counts (both partial-aggregated); context
+    * counts are a re-aggregate of the bigram relation (vocab-scale);
+    * per-lang normalizers broadcast back; readout is |langs| rows.
+    * Bigram state is vocab²-BOUNDED, never corpus-bounded (the
+    * q_kneser_ney precedent). */
+  val qLmOrderSweep = GraftQuery(
+    "q_lm_order_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.spread(Tables.documents(spark, dir))
+        .withColumn("bucket", expr(PipelineOps.u32Expr(
+          "concat('split:', cast(doc_id as string))") + " % 10"))
+        .filter($"bucket" <= 8)
+      // unigram side: q_heldout_xent's exact relation
+      val uni = base
+        .select($"lang", $"bucket", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"lang", $"term")
+        .agg(count(when($"bucket" <= 7, 1)).as("ctf"),
+          count(when($"bucket" === 8, 1)).as("vtf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val un = uni.groupBy($"lang")
+        .agg(sum($"ctf").as("n_train"),
+          count(when($"ctf" > 0, 1)).as("vocab"), sum($"vtf").as("n_val"))
+      val uScore = uni.filter($"vtf" > 0).join(un, "lang")
+        .groupBy($"lang")
+        .agg(sum(expr("CAST(vtf * ln(CAST(n_train + vocab + 1 AS DOUBLE)" +
+          " / (ctf + 1)) AS DECIMAL(38,9))")).as("su"),
+          sum(when($"ctf" === 0, $"vtf").otherwise(0L)).as("oov_u"))
+      // bigram side: within-doc adjacent pairs
+      val bi = base
+        .select($"lang", $"bucket",
+          explode(call_function("word_shingles_all", $"text", lit(2)))
+            .as("g"))
+        .groupBy($"lang", $"g")
+        .agg(count(when($"bucket" <= 7, 1)).as("cb"),
+          count(when($"bucket" === 8, 1)).as("vb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ctx = bi.groupBy($"lang",
+          substring_index($"g", " ", 1).as("w1"))
+        .agg(sum($"cb").as("c1"))
+      val bn = bi.groupBy($"lang").agg(sum($"vb").as("nb_val"))
+      val bScore = bi.filter($"vb" > 0)
+        .withColumn("w1", substring_index($"g", " ", 1))
+        .join(ctx, Seq("lang", "w1"), "left")
+        .join(un.select($"lang", $"vocab"), "lang")
+        .join(bn, "lang")
+        .groupBy($"lang")
+        .agg(sum(expr("CAST(vb * ln(CAST(coalesce(c1, 0) + vocab + 1 " +
+          "AS DOUBLE) / (cb + 1)) AS DECIMAL(38,9))")).as("sb"),
+          sum(when($"cb" === 0, $"vb").otherwise(0L)).as("unseen_b"),
+          max($"nb_val").as("nb_val"))
+      uScore.join(un, "lang").join(bScore, "lang")
+        .select($"lang", $"n_val".as("n_val_tokens"),
+          $"nb_val".as("n_val_bigrams"),
+          Det.qround($"su".cast(DoubleType) / $"n_val").as("xent_uni"),
+          Det.qround($"sb".cast(DoubleType) / $"nb_val").as("xent_bi"),
+          Det.qround($"su".cast(DoubleType) / $"n_val" -
+            $"sb".cast(DoubleType) / $"nb_val").as("delta_nats"),
+          Det.qround($"unseen_b".cast(DoubleType) / $"nb_val")
+            .as("unseen_bigram_rate"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT lang, text,
+          ${PipelineOps.u32Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10
+            AS bucket
+        FROM documents),
+      w AS (
+        SELECT lang, bucket,
+          string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM split WHERE bucket <= 8),
+      uni AS (
+        SELECT lang, term,
+          count(*) FILTER (WHERE bucket <= 7) AS ctf,
+          count(*) FILTER (WHERE bucket = 8) AS vtf
+        FROM (SELECT lang, bucket, unnest(ws) AS term FROM w)
+        GROUP BY lang, term),
+      un AS (
+        SELECT lang, sum(ctf) AS n_train,
+          count(*) FILTER (WHERE ctf > 0) AS vocab, sum(vtf) AS n_val
+        FROM uni GROUP BY lang),
+      us AS (
+        SELECT lang,
+          sum(CAST(vtf * ln(CAST(n_train + vocab + 1 AS DOUBLE)
+            / (ctf + 1)) AS DECIMAL(38,9))) AS su,
+          sum(CASE WHEN ctf = 0 THEN vtf ELSE 0 END) AS oov_u
+        FROM uni JOIN un USING (lang) WHERE vtf > 0 GROUP BY lang),
+      bi AS (
+        SELECT lang, g,
+          count(*) FILTER (WHERE bucket <= 7) AS cb,
+          count(*) FILTER (WHERE bucket = 8) AS vb
+        FROM (SELECT lang, bucket,
+                unnest([ws[i] || ' ' || ws[i+1]
+                  for i in range(1, len(ws))]) AS g
+              FROM w)
+        GROUP BY lang, g),
+      ctx AS (
+        SELECT lang, split_part(g, ' ', 1) AS w1, sum(cb) AS c1
+        FROM bi GROUP BY lang, split_part(g, ' ', 1)),
+      bn AS (SELECT lang, sum(vb) AS nb_val FROM bi GROUP BY lang),
+      bs AS (
+        SELECT lang,
+          sum(CAST(vb * ln(CAST(coalesce(c1, 0) + vocab + 1 AS DOUBLE)
+            / (cb + 1)) AS DECIMAL(38,9))) AS sb,
+          sum(CASE WHEN cb = 0 THEN vb ELSE 0 END) AS unseen_b,
+          max(nb_val) AS nb_val
+        FROM (SELECT b.*, split_part(b.g, ' ', 1) AS w1 FROM bi b
+              WHERE vb > 0)
+        LEFT JOIN ctx USING (lang, w1)
+        JOIN (SELECT lang, vocab FROM un) uv USING (lang)
+        JOIN bn USING (lang)
+        GROUP BY lang)
+      SELECT lang, n_val::BIGINT AS n_val_tokens,
+        nb_val::BIGINT AS n_val_bigrams,
+        ${Oracle.qround("su::DOUBLE / n_val")} AS xent_uni,
+        ${Oracle.qround("sb::DOUBLE / nb_val")} AS xent_bi,
+        ${Oracle.qround("su::DOUBLE / n_val - sb::DOUBLE / nb_val")}
+          AS delta_nats,
+        ${Oracle.qround("unseen_b::DOUBLE / nb_val")} AS unseen_bigram_rate
+      FROM us JOIN un USING (lang) JOIN bs USING (lang)
+      ORDER BY lang""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
       qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1,
-      qScalingLaw, qMixRebalance, qStopwordDiscovery)
+      qScalingLaw, qMixRebalance, qStopwordDiscovery, qLmOrderSweep)
 }

@@ -568,4 +568,40 @@ class LexicalStatsSpec extends SparkSpec {
     assert(real.size === graft.operators.LexicalStats.StopTopK)
     assert(real.sliding(2).forall { case Seq(a, b) => a >= b })
   }
+
+  test("q_lm_order_sweep: unigram column IS q_heldout_xent; planted sequential corpus flips the delta") {
+    import spark.implicits._
+    // structural cross-check: the sweep's unigram model and formula are
+    // q_heldout_xent verbatim
+    val sweep = graft.operators.LexicalStats.qLmOrderSweep
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"lang", $"xent_uni").as[(String, Double)].collect().toMap
+    val held = graft.operators.LexicalStats.qHeldoutXent
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"lang", $"xent_nats").as[(String, Double)].collect().toMap
+    assert(sweep === held)
+
+    // this synthetic corpus is near-unigram: one token of context cannot
+    // help (delta <= 0 everywhere) -- the honest readout
+    val deltas = graft.operators.LexicalStats.qLmOrderSweep
+      .run(spark, "/root/testdata/sf0.001")
+      .select($"delta_nats").as[Double].collect()
+    assert(deltas.forall(_ <= 0.0))
+
+    // planted SEQUENTIAL corpus ("a b a b ...") -- bigram context is
+    // nearly deterministic, so the sweep must flip strongly positive
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm2").toString
+    val text = Seq.fill(20)("a b").mkString(" ")
+    (0 until 60).map(i => (i.toLong, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = graft.operators.LexicalStats.qLmOrderSweep
+      .run(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(planted.size === 1 && planted.head._2 > 0,
+      "val split empty on the planted ids -- repick doc ids")
+    assert(planted.head._6 > 0.3,
+      s"context did not help on a deterministic sequence: ${planted.head}")
+  }
 }
