@@ -274,7 +274,13 @@ object Similarity {
     * probed cell, with its exact rounded cosine. Shared by [[qAnnIvf]]
     * (which ranks it) and the recall audit (which also counts it: the
     * candidate volume IS the per-query work the cell probe performs). */
-  private def ivfPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF candidate relation at probe depth `maxP`, with the probe
+    * rank (`prk` = rank of the target's cell in the query's probe list)
+    * carried — shared by [[ivfPairs]] (at the production [[NProbe]]) and
+    * the [[qIvfTune]] sweep (at the deepest tier; the nested tiers are
+    * `prk` filters, never re-probes). */
+  private def ivfCand(spark: SparkSession, dir: String,
+      maxP: Int): DataFrame = {
     import spark.implicits._
     val emb = withNorm(spark, dir)
     val cents = emb.filter($"vec_id" < NCells)
@@ -293,14 +299,19 @@ object Similarity {
       .select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"),
         $"cid".as("cell"))
     val probes = scored.filter($"vec_id" < NQueryVecs)
-      .withColumn("rk", row_number().over(byCcos)).filter($"rk" <= NProbe)
+      .withColumn("rk", row_number().over(byCcos)).filter($"rk" <= maxP)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
-        $"cid".as("cell"))
+        $"cid".as("cell"), $"rk".as("prk"))
     probes.join(assign, Seq("cell"))
       .filter($"qid" =!= $"tid")
       .select($"qid", $"tid",
-        Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"))
+        Det.qround(decDot($"qe", $"te") / ($"qn" * $"tn")).as("cosine"),
+        $"prk")
   }
+
+  private def ivfPairs(spark: SparkSession, dir: String): DataFrame =
+    ivfCand(spark, dir, NProbe)
+      .select(col("qid"), col("tid"), col("cosine"))
 
   /** IVF top-k (qid, rk, tid, cosine), unordered, over an [[ivfPairs]]
     * relation (taken as a parameter so the audit can rank the same
@@ -413,6 +424,93 @@ object Similarity {
         ${Oracle.qround(s"n_hit * 1.0 / $TopK")} AS recall
       FROM hits h JOIN cands c ON h.qid = c.qid
       ORDER BY h.qid""")
+  )
+
+  /** Probe depths swept by [[qIvfTune]] (production [[NProbe]] included). */
+  val IvfTuneTiers: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** IVF probe auto-tuner — the "should we re-probe" decision table, the
+    * ANN sibling of q_minhash_tune's banding table: for each probe depth
+    * p ∈ [[IvfTuneTiers]], the candidate volume the probe would scan and
+    * the recall@k against the exact brute-force top-k. The K raw cell
+    * rankings are computed ONCE at the deepest tier; every shallower tier
+    * is a `prk ≤ p` CONDITIONAL-SUM COLUMN of the same relation (probe
+    * sets nest), so the |tiers|-way sweep multiplies aggregate columns,
+    * never candidate rows — and the candidate leg never even computes the
+    * exact cosines (column pruning drops them; the tune counts work, it
+    * doesn't redo it). Recall uses the membership identity: an exact
+    * top-k pair found among tier-p candidates is necessarily in the
+    * tier-p candidate TOP-k (anything outranking it there would outrank
+    * it globally, and globally at most k−1 do) — so hits are a LEFT-JOIN
+    * count, no per-tier window; SimilaritySpec pins the production row
+    * against q_ivf_recall_audit's totals to witness the identity.
+    *
+    * Scale shape: one n×NCells broadcast scoring pass (shared with the
+    * search queries), the candidate relation at the deepest tier
+    * (Σ probed-cell sizes), two 1-row wide aggregates, a |tiers|-row
+    * stack. */
+  val qIvfTune = GraftQuery(
+    "q_ivf_tune",
+    (spark, dir) => {
+      import spark.implicits._
+      val ts = IvfTuneTiers
+      val cand = ivfCand(spark, dir, ts.max)
+        .select($"qid", $"tid", $"prk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vol = cand.agg(
+        sum(when($"prk" <= ts.head, 1L).otherwise(0L)).as(s"c_${ts.head}"),
+        ts.tail.map(p =>
+          sum(when($"prk" <= p, 1L).otherwise(0L)).as(s"c_$p")): _*)
+      val hx = exactTopk(spark, dir).select($"qid", $"tid")
+        .join(cand, Seq("qid", "tid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          ts.map(p =>
+            sum(when($"prk" <= p, 1L).otherwise(0L)).as(s"h_$p")): _*)
+      vol.crossJoin(broadcast(hx))
+        .selectExpr(s"stack(${ts.size}, ${ts.map(p =>
+          s"CAST($p AS BIGINT), c_$p, " +
+            s"floor(CAST(c_$p AS DOUBLE) / $NQueryVecs * 1e6 + 0.5) / 1e6, " +
+            s"h_$p, n_exact, " +
+            s"floor(CAST(h_$p AS DOUBLE) / n_exact * 1e6 + 0.5) / 1e6")
+          .mkString(", ")}) as (nprobe, n_candidates, cand_per_query, " +
+          "n_hits, n_exact, recall)")
+        .orderBy($"nprobe")
+    },
+    Some {
+      val ts = IvfTuneTiers
+      s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      $exactTopkCtes,
+      $ivfCtes,
+      probes_t AS (
+        SELECT vec_id AS qid, cid AS cell, rk AS prk FROM cranked
+        WHERE rk <= ${ts.max} AND vec_id < $NQueryVecs),
+      cand_t AS (
+        SELECT p.qid, a.tid, p.prk FROM probes_t p
+        JOIN assign a ON p.cell = a.cell AND a.tid <> p.qid),
+      vol AS (
+        SELECT ${ts.map(p =>
+          s"sum(CASE WHEN prk <= $p THEN 1 ELSE 0 END) AS c_$p")
+          .mkString(", ")}
+        FROM cand_t),
+      hx AS (
+        SELECT count(*) AS n_exact,
+          ${ts.map(p =>
+            s"sum(CASE WHEN prk <= $p THEN 1 ELSE 0 END) AS h_$p")
+            .mkString(", ")}
+        FROM exact_topk e
+        LEFT JOIN cand_t c ON e.qid = c.qid AND e.tid = c.tid)
+      SELECT nprobe, n_candidates, cand_per_query, n_hits, n_exact, recall
+      FROM (
+        ${ts.map(p => s"SELECT $p::BIGINT AS nprobe, c_$p::BIGINT " +
+          s"AS n_candidates, floor(c_$p::DOUBLE / $NQueryVecs * 1e6 + 0.5) " +
+          s"/ 1e6 AS cand_per_query, h_$p::BIGINT AS n_hits, " +
+          s"n_exact::BIGINT AS n_exact, " +
+          s"floor(h_$p::DOUBLE / n_exact * 1e6 + 0.5) / 1e6 AS recall " +
+          "FROM vol CROSS JOIN hx").mkString("\n        UNION ALL\n        ")})
+      ORDER BY nprobe"""
+    }
   )
 
   val PqSubspaces = 8             // M: number of subvectors
@@ -1533,7 +1631,7 @@ object Similarity {
 
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
-      qIvfRecallAudit, qAnnPq, qPqDistortion, qEmbedInt8, qSq8Recall,
+      qIvfRecallAudit, qIvfTune, qAnnPq, qPqDistortion, qEmbedInt8, qSq8Recall,
       qSemanticDedup,
       qSemdedupCellAudit, qSemanticContamination, qEmbedCovariance,
       qPcaPower, qEmbedLabelProfile, qLabelCentroidDist, qMrlRecall,

@@ -328,4 +328,26 @@ class SimilaritySpec extends SparkSpec {
     assert(real.exists(_._3 < 1.0), "SQ8 audit vacuous: all recalls 1.0")
     assert(real.forall(_._2 >= 3L))
   }
+
+  test("q_ivf_tune: production row matches the audit; sweep monotone in nprobe") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Similarity.qIvfTune.run(spark, dir)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) ===
+      graft.operators.Similarity.IvfTuneTiers.map(_.toLong))
+    // nested probe sets: candidates and hits nondecreasing in depth
+    assert(rows.map(_._2).sliding(2).forall { case Seq(a, b) => b >= a })
+    assert(rows.map(_._4).sliding(2).forall { case Seq(a, b) => b >= a })
+    assert(rows.forall(r => r._4 <= r._5))
+    // the production tier's totals equal q_ivf_recall_audit's sums --
+    // witnessing the membership identity the tune's join-count recall
+    // relies on (exact-topk hit in candidates <=> hit in candidate topk)
+    val audit = graft.operators.Similarity.qIvfRecallAudit.run(spark, dir)
+      .select($"n_cand", $"n_hit").as[(Long, Long)].collect()
+    val prod = rows.find(_._1 ==
+      graft.operators.Similarity.NProbe.toLong).get
+    assert(prod._2 === audit.map(_._1).sum)
+    assert(prod._4 === audit.map(_._2).sum)
+  }
 }
