@@ -1849,7 +1849,11 @@ object LexicalStats {
     * w_s ∝ (N_s / N_g) · exp(excess_s), normalized — the "which sources
     * deserve more epochs" number a data-mixing run feeds back into
     * q_epoch_plan / q_temperature_mix. A NEGATIVE excess is honest too
-    * (tiny sources whose self-LM generalizes worse than the pool).
+    * (tiny sources whose self-LM generalizes worse than the pool). A
+    * source with NO val-split tokens keeps its row — NULL xents/excess,
+    * prior-only weight — so the table always covers the full mixture
+    * (round-15 advice: the vtf>0 filter used to silently drop it and
+    * renormalize over a subset).
     *
     * Exactness: all counts are integers off ONE (source, term) exchange;
     * each xent addend is one ln of a double quotient of exact integers
@@ -1905,16 +1909,22 @@ object LexicalStats {
           sum(expr("CAST(vtf * ln(CAST(n_g + v_g + 1 AS DOUBLE) / " +
             "(ctf_g + 1)) AS DECIMAL(38,9))")).as("sg"),
           sum(expr("CAST(vtf * ln(CAST(n_s + v_s + 1 AS DOUBLE) / " +
-            "(ctf + 1)) AS DECIMAL(38,9))")).as("ss"),
-          max($"n_s").as("n_s"), max($"n_val").as("n_val"),
-          max($"n_g").as("n_g"))
-      val ex = scored.select($"source", $"n_s", $"n_val",
+            "(ctf + 1)) AS DECIMAL(38,9))")).as("ss"))
+      // source list derives from ns (ALL sources), the xent legs join
+      // LEFT: a source with zero val-split tokens must not vanish from
+      // the mixture table (its weight renormalizing the rest over a
+      // subset — round-15 advice). It degrades to NULL xents/excess and
+      // a prior-only weight (exp(0) = 1), keeping the DoReMi table a
+      // full-coverage distribution.
+      val ex = ns.join(scored, Seq("source"), "left")
+        .crossJoin(broadcast(ng.select($"n_g")))
+        .select($"source", $"n_s", $"n_val",
           Det.qround($"sg".cast(DoubleType) / $"n_val").as("xent_global"),
           Det.qround($"ss".cast(DoubleType) / $"n_val").as("xent_self"),
           ($"n_s".cast(DoubleType) / $"n_g").as("prior"))
         .withColumn("excess",
           Det.qround($"xent_global" - $"xent_self"))
-        .withColumn("w_raw", $"prior" * exp($"excess"))
+        .withColumn("w_raw", $"prior" * exp(coalesce($"excess", lit(0.0))))
       val z = ex.agg(sum($"w_raw".cast(DecimalType(38, Det.Scale)))
         .cast(DoubleType).as("z"))
       ex.crossJoin(broadcast(z))
@@ -1956,8 +1966,7 @@ object LexicalStats {
           sum(CAST(vtf * ln(CAST(n_g + v_g + 1 AS DOUBLE) / (ctf_g + 1))
             AS DECIMAL(38,9))) AS sg,
           sum(CAST(vtf * ln(CAST(n_s + v_s + 1 AS DOUBLE) / (ctf + 1))
-            AS DECIMAL(38,9))) AS ss,
-          max(n_s) AS n_s, max(n_val) AS n_val, max(n_g) AS n_g
+            AS DECIMAL(38,9))) AS ss
         FROM st JOIN tg USING (term) JOIN ns USING (source) CROSS JOIN ng
         WHERE vtf > 0
         GROUP BY source),
@@ -1966,11 +1975,12 @@ object LexicalStats {
           ${Oracle.qround("sg::DOUBLE / n_val")} AS xent_global,
           ${Oracle.qround("ss::DOUBLE / n_val")} AS xent_self,
           (n_s::DOUBLE / n_g) AS prior
-        FROM scored),
+        FROM ns LEFT JOIN scored USING (source) CROSS JOIN ng),
       ex2 AS (
         SELECT source, n_s, n_val, xent_global, xent_self,
           ${Oracle.qround("xent_global - xent_self")} AS excess,
-          prior * exp(${Oracle.qround("xent_global - xent_self")}) AS w_raw
+          prior * exp(coalesce(
+            ${Oracle.qround("xent_global - xent_self")}, 0.0)) AS w_raw
         FROM ex),
       z AS (
         SELECT sum(CAST(w_raw AS DECIMAL(38,9)))::DOUBLE AS z FROM ex2)
@@ -2100,7 +2110,10 @@ object LexicalStats {
     * `unseen_bigram_rate` (val bigram mass never seen in train) it
     * answers whether a higher-order model is worth its state at this
     * corpus size — the n-gram cousin of q_scaling_law's
-    * more-data question.
+    * more-data question. A language whose val split contains NO bigrams
+    * (every val doc single-token) keeps its unigram row with NULL bigram
+    * columns and n_val_bigrams = 0 — the readout never silently loses a
+    * language (round-15 advice).
     *
     * Exactness: all counts are integers (bigrams via the native
     * `word_shingles_all` n=2 pass, the q_ngram_novelty machinery); each
@@ -2153,20 +2166,28 @@ object LexicalStats {
         .withColumn("w1", substring_index($"g", " ", 1))
         .join(ctx, Seq("lang", "w1"), "left")
         .join(un.select($"lang", $"vocab"), "lang")
-        .join(bn, "lang")
         .groupBy($"lang")
         .agg(sum(expr("CAST(vb * ln(CAST(coalesce(c1, 0) + vocab + 1 " +
           "AS DOUBLE) / (cb + 1)) AS DECIMAL(38,9))")).as("sb"),
-          sum(when($"cb" === 0, $"vb").otherwise(0L)).as("unseen_b"),
-          max($"nb_val").as("nb_val"))
-      uScore.join(un, "lang").join(bScore, "lang")
+          sum(when($"cb" === 0, $"vb").otherwise(0L)).as("unseen_b"))
+      // bScore joins LEFT: a language whose val split contains no bigrams
+      // (every val doc single-token) must keep its unigram readout row —
+      // an inner join silently dropped the language entirely (round-15
+      // advice). The bigram columns degrade to NULL behind the nb_val > 0
+      // guard (which also keeps 0/0 out of the plan).
+      uScore.join(un, "lang")
+        .join(bn, Seq("lang"), "left")
+        .join(bScore, Seq("lang"), "left")
         .select($"lang", $"n_val".as("n_val_tokens"),
-          $"nb_val".as("n_val_bigrams"),
+          coalesce($"nb_val", lit(0L)).as("n_val_bigrams"),
           Det.qround($"su".cast(DoubleType) / $"n_val").as("xent_uni"),
-          Det.qround($"sb".cast(DoubleType) / $"nb_val").as("xent_bi"),
-          Det.qround($"su".cast(DoubleType) / $"n_val" -
-            $"sb".cast(DoubleType) / $"nb_val").as("delta_nats"),
-          Det.qround($"unseen_b".cast(DoubleType) / $"nb_val")
+          when($"nb_val" > 0,
+            Det.qround($"sb".cast(DoubleType) / $"nb_val")).as("xent_bi"),
+          when($"nb_val" > 0,
+            Det.qround($"su".cast(DoubleType) / $"n_val" -
+              $"sb".cast(DoubleType) / $"nb_val")).as("delta_nats"),
+          when($"nb_val" > 0,
+            Det.qround($"unseen_b".cast(DoubleType) / $"nb_val"))
             .as("unseen_bigram_rate"))
         .orderBy($"lang")
     },
@@ -2213,22 +2234,26 @@ object LexicalStats {
         SELECT lang,
           sum(CAST(vb * ln(CAST(coalesce(c1, 0) + vocab + 1 AS DOUBLE)
             / (cb + 1)) AS DECIMAL(38,9))) AS sb,
-          sum(CASE WHEN cb = 0 THEN vb ELSE 0 END) AS unseen_b,
-          max(nb_val) AS nb_val
+          sum(CASE WHEN cb = 0 THEN vb ELSE 0 END) AS unseen_b
         FROM (SELECT b.*, split_part(b.g, ' ', 1) AS w1 FROM bi b
               WHERE vb > 0)
         LEFT JOIN ctx USING (lang, w1)
         JOIN (SELECT lang, vocab FROM un) uv USING (lang)
-        JOIN bn USING (lang)
         GROUP BY lang)
       SELECT lang, n_val::BIGINT AS n_val_tokens,
-        nb_val::BIGINT AS n_val_bigrams,
+        coalesce(nb_val, 0)::BIGINT AS n_val_bigrams,
         ${Oracle.qround("su::DOUBLE / n_val")} AS xent_uni,
-        ${Oracle.qround("sb::DOUBLE / nb_val")} AS xent_bi,
-        ${Oracle.qround("su::DOUBLE / n_val - sb::DOUBLE / nb_val")}
-          AS delta_nats,
-        ${Oracle.qround("unseen_b::DOUBLE / nb_val")} AS unseen_bigram_rate
-      FROM us JOIN un USING (lang) JOIN bs USING (lang)
+        CASE WHEN nb_val > 0 THEN
+          ${Oracle.qround("sb::DOUBLE / nb_val")} END AS xent_bi,
+        CASE WHEN nb_val > 0 THEN
+          ${Oracle.qround("su::DOUBLE / n_val - sb::DOUBLE / nb_val")}
+        END AS delta_nats,
+        CASE WHEN nb_val > 0 THEN
+          ${Oracle.qround("unseen_b::DOUBLE / nb_val")}
+        END AS unseen_bigram_rate
+      FROM us JOIN un USING (lang)
+      LEFT JOIN bn USING (lang)
+      LEFT JOIN bs USING (lang)
       ORDER BY lang""")
   )
 

@@ -657,9 +657,11 @@ object PipelineOps {
   )
 
   /** Repeated-data decay constant — Muennighoff et al. 2023
-    * ("Scaling Data-Constrained Language Models") fit R_D* ≈ 15.4:
-    * repeated epochs decay in value as U·R*·(1−e^{−R/R*}); a LITERAL so
-    * both engines compare identically. */
+    * ("Scaling Data-Constrained Language Models") fit R_D* ≈ 15.4: the
+    * effective tokens of r planned epochs over U unique tokens are
+    * U·(1 + R*·(1−e^{−(r−1)/R*})) — reducing to U at r = 1 and
+    * saturating at U·(1+R*) as r → ∞ (the implemented form, both
+    * engines); a LITERAL so both engines compare identically. */
   val EpochRStar: Double = 15.4
 
   /** Data-constrained repetition pricing for the epoch plan — per
@@ -1219,15 +1221,20 @@ object PipelineOps {
     * stratum — (lang, source) stands in for the prompt key this synthetic
     * corpus doesn't have; with a real prompt id the identical plan applies
     * verbatim — mine the exemplar pair (chosen = highest-quality document,
-    * rejected = lowest; ties to the lower doc_id), report the quality
+    * ties to the LOWER doc_id; rejected = lowest, ties to the HIGHER —
+    * opposed tie-breaks, so a degenerate all-equal-quality stratum still
+    * emits chosen_id ≠ rejected_id rather than pairing a document with
+    * itself; its margin is 0, so the kept gate excludes it), report the
+    * quality
     * margin, and gate usability at [[PrefMinMargin]] (emitted as a flag,
     * not a filter, so the readout doubles as the margin-distribution
     * audit a curation team reads before training). Singleton strata
     * cannot form a pair and are excluded; the quality score is the ONE
     * shared definition ([[TextAnalytics.qualityCol]]).
     *
-    * Exactness: chosen/rejected are total-order picks (quality desc/asc,
-    * doc_id) over qround'd scores; the margin is one IEEE subtraction of
+    * Exactness: chosen/rejected are total-order picks ((quality desc,
+    * doc_id asc) / (quality asc, doc_id desc)) over qround'd scores; the
+    * margin is one IEEE subtraction of
     * bit-identical doubles in both engines, so the `kept` comparison can
     * never straddle.
     *
@@ -1266,7 +1273,7 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"),
         max_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id"))
           .as("ch"),
-        min_by(struct($"doc_id", $"q"), struct($"q", $"doc_id"))
+        min_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id"))
           .as("rj"))
   }
 
@@ -1287,7 +1294,7 @@ object PipelineOps {
           row_number() OVER (PARTITION BY lang, source
             ORDER BY q DESC, doc_id) AS rc,
           row_number() OVER (PARTITION BY lang, source
-            ORDER BY q ASC, doc_id) AS rr,
+            ORDER BY q ASC, doc_id DESC) AS rr,
           count(*) OVER (PARTITION BY lang, source) AS n_docs
         FROM q),
       ch AS (SELECT lang, source, n_docs, doc_id AS chosen_id,

@@ -9,8 +9,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * q_preference_pairs: one delta log of per-batch stratum extrema whose
   * fold IS the corpus-lifetime pair table, because every reduction is
   * associative — the stratum count is a sum of per-batch counts, and the
-  * chosen/rejected picks are total-order extrema (quality desc/asc, ties
-  * to the lower doc_id), so max-by over a corpus equals max-by of
+  * chosen/rejected picks are total-order extrema (chosen: quality desc,
+  * ties to the lower doc_id; rejected: quality asc, ties to the HIGHER —
+  * opposed, so a degenerate stratum never pairs a doc with itself), so
+  * max-by over a corpus equals max-by of
   * per-batch max-bys. A better exemplar arriving months after a stratum's
   * current pair still replaces it at fold time, with zero per-key
   * streaming state (the state lives in the log, strata-sized per batch).
@@ -70,6 +72,6 @@ object StreamPref {
         .agg(sum(col("n_docs")).as("n_docs"),
           max_by(col("ch"), struct(col("ch.q"), -col("ch.doc_id")))
             .as("ch"),
-          min_by(col("rj"), struct(col("rj.q"), col("rj.doc_id")))
+          min_by(col("rj"), struct(col("rj.q"), -col("rj.doc_id")))
             .as("rj")))
 }

@@ -506,29 +506,36 @@ class LexicalStatsSpec extends SparkSpec {
 
   test("q_mix_rebalance: weights close the DoReMi loop on emitted columns") {
     import spark.implicits._
+    // xent/excess columns decode as Options: a val-less source (sf0.001
+    // has one) carries NULL xents with a prior-only weight
     val rows = graft.operators.LexicalStats.qMixRebalance
       .run(spark, "/root/testdata/sf0.001")
-      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Double)]
       .collect().toSeq
     assert(rows.nonEmpty)
-    // a proper distribution over sources
+    // a proper distribution over ALL sources (val-less ones included)
     assert(math.abs(rows.map(_._7).sum - 1.0) <= rows.size * 2e-6)
     assert(rows.forall(_._7 > 0))
     // excess = qround(global - self), and the weight is exactly the
     // exponentiated-excess update on the token-share prior (closed loop
-    // from the emitted columns alone)
+    // from the emitted columns alone); a NULL-excess row is prior-only
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val nG = rows.map(_._2).sum.toDouble
-    val wRaw = rows.map(r => (r._2 / nG) * math.exp(r._6))
+    val wRaw = rows.map(r => (r._2 / nG) * math.exp(r._6.getOrElse(0.0)))
     val z = wRaw.map(BigDecimal(_).setScale(9, BigDecimal.RoundingMode.DOWN))
       .sum.toDouble
     for ((r, w) <- rows.zip(wRaw)) {
-      assert(r._6 === q6(r._4 - r._5), s"excess mismatch for ${r._1}")
+      for (e <- r._6)
+        assert(e === q6(r._4.get - r._5.get), s"excess mismatch for ${r._1}")
+      assert(r._6.isEmpty === (r._3 === 0L),
+        s"NULL excess must coincide with an empty val split: ${r._1}")
       assert(math.abs(r._7 - q6(w / z)) <= 1e-6, s"weight loop ${r._1}")
     }
     // non-vacuity: the sources genuinely differ in excess loss
-    assert(rows.map(_._6).distinct.size > 1)
-    assert(rows.exists(_._6 > 0), "no source underserved by the pool LM")
+    assert(rows.flatMap(_._6).distinct.size > 1)
+    assert(rows.exists(_._6.exists(_ > 0)),
+      "no source underserved by the pool LM")
   }
 
   test("q_stopword_discovery: flat ubiquitous term passes, planted bursty term fails") {
@@ -603,5 +610,75 @@ class LexicalStatsSpec extends SparkSpec {
       "val split empty on the planted ids -- repick doc ids")
     assert(planted.head._6 > 0.3,
       s"context did not help on a deterministic sequence: ${planted.head}")
+  }
+
+  // split buckets for fixture doc ids — the same u32(md5('split:'||id))%10
+  // derivation the split queries use (duplicated here as the test's
+  // independent arithmetic; a drift fails the bucket-membership guards)
+  private lazy val splitBucket: Map[Long, Long] = {
+    import spark.implicits._
+    spark.range(0, 400)
+      .selectExpr("id", "cast(conv(substr(md5(concat('split:', " +
+        "cast(id as string))), 1, 8), 16, 10) as bigint) % 10 as b")
+      .as[(Long, Long)].collect().toMap
+  }
+  private lazy val trainIds: Seq[Long] =
+    (0L until 400L).filter(i => splitBucket(i) <= 7)
+  private lazy val valIds: Seq[Long] =
+    (0L until 400L).filter(i => splitBucket(i) == 8)
+
+  test("q_lm_order_sweep: bigram-less language keeps its unigram row with NULL bigram columns") {
+    import spark.implicits._
+    // lang xx: every doc single-token -> its val split has tokens but NO
+    // bigrams. The inner join used to drop the language entirely
+    // (round-15 advice); now the unigram readout survives with NULL
+    // xent_bi/delta_nats and n_val_bigrams = 0.
+    assert(trainIds.size >= 6 && valIds.size >= 4, "repick fixture range")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-solo").toString
+    val docs =
+      (trainIds.take(3) ++ valIds.take(2)).map(id => (id, "solo", "xx")) ++
+      (trainIds.slice(3, 6) ++ valIds.slice(2, 4))
+        .map(id => (id, "alpha beta gamma alpha beta", "en"))
+    docs.map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LexicalStats.qLmOrderSweep.run(spark, dir)
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    val xx = out.find(_._1 == "xx").getOrElse(
+      fail("bigram-less language dropped from the readout"))
+    assert(xx._2 > 0 && xx._3 === 0L && xx._4 > 0.0)
+    assert(xx._5.isEmpty && xx._6.isEmpty && xx._7.isEmpty)
+    // the normal language is untouched by the left-join restructure
+    val en = out.find(_._1 == "en").get
+    assert(en._3 > 0 && en._5.nonEmpty && en._6.nonEmpty)
+  }
+
+  test("q_mix_rebalance: val-less source keeps a prior-only row (full mixture coverage)") {
+    import spark.implicits._
+    // source sv: every doc lands in a train bucket -> zero val tokens.
+    // The vtf>0 filter used to drop it and renormalize the remaining
+    // weights over a subset (round-15 advice); now it degrades to NULL
+    // xents/excess with a prior-only weight inside the normalizer.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix-novl").toString
+    val docs =
+      trainIds.take(4).map(id => (id, "alpha beta alpha", "sv")) ++
+      (trainIds.slice(4, 8) ++ valIds.take(3))
+        .map(id => (id, "alpha beta gamma delta", "sn"))
+    docs.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LexicalStats.qMixRebalance.run(spark, dir)
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Double)].collect().toSeq
+    assert(out.map(_._1).sorted === Seq("sn", "sv"))
+    val sv = out.find(_._1 == "sv").get
+    assert(sv._2 > 0 && sv._3 === 0L)
+    assert(sv._4.isEmpty && sv._5.isEmpty && sv._6.isEmpty)
+    assert(sv._7 > 0.0, "val-less source got no weight")
+    // still a proper distribution over ALL sources
+    assert(math.abs(out.map(_._7).sum - 1.0) <= out.size * 2e-6)
+    val sn = out.find(_._1 == "sn").get
+    assert(sn._4.nonEmpty && sn._5.nonEmpty)
   }
 }

@@ -305,15 +305,19 @@ class PipelineOpsSpec extends SparkSpec {
   test("q_preference_pairs: hand-traced picks + tie-breaks; both gate values on real data") {
     import spark.implicits._
     // one stratum with a quality TIE at the top (docs 10 and 11 are
-    // verbatim copies -> identical quality; tie must go to doc_id 10),
-    // one singleton stratum (must produce NO pair row)
+    // verbatim copies -> identical quality; chosen-tie must go to doc_id
+    // 10), one singleton stratum (must produce NO pair row), and one
+    // DEGENERATE stratum (docs 30/31 verbatim copies, nothing else):
+    // opposed tie-breaks must emit chosen 30 != rejected 31 with margin 0
+    // (never a doc paired with itself), gated out by kept=false
     val hi = "colorless green ideas sleep furiously in the long " +
       "quiet improbable afternoon " + (1 to 40).map(i => s"tok$i").mkString(" ")
     val lo = "the the the the"
     val dir = java.nio.file.Files.createTempDirectory("graft-pref").toString
     Seq(
       (10L, hi, "en", "s1"), (11L, hi, "en", "s1"), (12L, lo, "en", "s1"),
-      (20L, lo, "de", "s2"))
+      (20L, lo, "de", "s2"),
+      (30L, hi, "fr", "s3"), (31L, hi, "fr", "s3"))
       .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
@@ -321,8 +325,10 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"lang", $"source", $"n_docs", $"chosen_id", $"rejected_id",
         $"kept")
       .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
-    // singleton stratum (de, s2) forms no pair; the tie broke to doc 10
-    assert(out === Seq(("en", "s1", 3L, 10L, 12L, true)))
+    // singleton stratum (de, s2) forms no pair; the tie broke to doc 10;
+    // the degenerate stratum pairs 30 vs 31, not 30 vs 30
+    assert(out === Seq(("en", "s1", 3L, 10L, 12L, true),
+      ("fr", "s3", 2L, 30L, 31L, false)))
 
     // real data: both kept values occur, singletons are excluded, and
     // every chosen strictly out-scores its rejected on kept rows
