@@ -27,6 +27,32 @@ object Bench {
     s"""{"metric":"families","sf":$sf,"t":$fams}"""
   }
 
+  /** How many queries the slowest-queries line carries. */
+  val SlowestK = 8
+
+  /** The top-[[SlowestK]] per-query line (round-15 verdict item #6):
+    * the driver keeps only ~2,000 chars of output tail, so individual
+    * detail parts are routinely truncated and cross-round per-query
+    * triage of the heaviest queries required a full re-measure (by
+    * builder AND judge in r15). ONE ≤300-char line between the families
+    * subtotal and the total preserves exactly the numbers that triage
+    * needs: the suite's heaviest queries by measured seconds. Failed
+    * queries (-1) are dropped (they already carry "failed" on the total
+    * line), and tail entries are shed if the line would exceed 300 chars
+    * (only reachable when the K heaviest queries also have the longest
+    * names AND 3-digit seconds — insurance, not an expected path). */
+  def slowestLine(sf: String, times: Seq[(String, Double)]): String = {
+    val prefix = s"""{"metric":"slowest","sf":$sf,"t":{"""
+    val entries = times.filter(_._2 >= 0).sortBy { case (n, t) => (-t, n) }
+      .take(SlowestK)
+      .map { case (n, t) => "\"" + n + "\":" + fmtSec(t) }
+    val budget = 300 - prefix.length - 2 // closing "}}"
+    val kept = entries.foldLeft(Seq.empty[String]) { (acc, e) =>
+      if (acc.map(_.length + 1).sum + e.length <= budget) acc :+ e else acc
+    }
+    prefix + kept.mkString(",") + "}}"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -125,6 +151,9 @@ object Bench {
       f -> results.collect { case (n, t, _) if names(n) && t >= 0 => t }.sum
     }.toMap
     println(familiesLine(sf, famTimes))
+    // per-query triage insurance: the heaviest queries by measured
+    // seconds, one short line (see slowestLine)
+    println(slowestLine(sf, results.map { case (n, t, _) => (n, t) }))
     // "elapsed": suite wall-clock (timed runs + warm-ups + retries) — the
     // gap between `value` (sum of per-query minima) and `elapsed` is the
     // overhead/contention budget the "at" offsets slice up
