@@ -358,12 +358,16 @@ object Dedup {
     * knee, which is WHY it is the production setting.
     *
     * Scale shape: the K raw minima are computed ONCE per doc (the same
-    * native one-pass expression as banding, bandRows = 1); each of the 6
-    * bandings is one re-group of that 12-row-per-doc relation ending in
-    * a 1-row bucket aggregate — the grid multiplies model-scale
-    * AGGREGATES, never corpus passes (no md5 is recomputed); the recall
-    * leg is ONE 13-column aggregate over the verified pairs (grid →
-    * aggregate COLUMNS, the q_filter_threshold_sweep pattern).
+    * native one-pass expression as banding, bandRows = 1); ONE map-side
+    * projection then emits the (rows_per_band, band, slot-ordered key)
+    * rows of ALL six factorizations at once — Σ 12/r = 28 rows per doc,
+    * each banding's keys assembled from the same 12 array slots — so
+    * the whole grid costs ONE groupBy(r, band, key) exchange plus a
+    * 6-row banding rollup, never six re-groups of the minima relation
+    * (round-15 verdict item #4: same aggregates, a third of the
+    * exchanges); the recall leg is ONE 13-column aggregate over the
+    * verified pairs (grid → aggregate COLUMNS, the
+    * q_filter_threshold_sweep pattern).
     * Exactness: bucket counts are integers; the power chains are
     * explicit left-associated products mirrored verbatim in the oracle;
     * averages are decimal [[Det.davg]] folds. */
@@ -373,27 +377,34 @@ object Dedup {
       import spark.implicits._
       val docsSh = docShingles(spark, dir, 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the K raw minima, one native pass (the q_minhash_estimate shape)
-      val minima = docsSh
-        .select($"doc_id", posexplode(
-          call_function("minhash_bands", $"sh", lit(MinHashK), lit(1)))
-          .as(Seq("h", "mh")))
+      // the K raw minima, one native pass (the q_minhash_estimate
+      // shape); a doc with no shingles signs NULL and is absent from
+      // every banding (the posexplode-of-empty behavior of the six-
+      // re-group shape this replaces). For banding r, band i's key is
+      // minima[i·r .. i·r+r−1] joined in slot order — identical to the
+      // oracle's string_agg(mh, '|' ORDER BY h) within h div r — built
+      // here as one codegen'd array-of-structs explode, no interpreted
+      // HOF and no per-banding exchange.
+      val banded = docsSh
+        .select(call_function("minhash_bands", $"sh", lit(MinHashK),
+          lit(1)).as("mhs"))
+        .filter($"mhs".isNotNull)
+        .select(explode(array(
+          (for ((b, r) <- BandFactorizations; band <- 0 until b) yield
+            struct(lit(r).as("r"), lit(band).as("band"),
+              concat_ws("|", (0 until r).map(s =>
+                $"mhs".getItem(band * r + s)): _*).as("key"))): _*))
+          .as("x"))
+        .select($"x.r".as("r"), $"x.band".as("band"), $"x.key".as("key"))
+      // ONE (r, band, key) exchange for all six bandings, then the
+      // 6-row banding-keyed rollup (persisted: six final-projection legs
+      // read it)
+      val stats = banded
+        .groupBy($"r", $"band", $"key").agg(count(lit(1)).as("sz"))
+        .groupBy($"r")
+        .agg(count(lit(1)).as("n_buckets"), max($"sz").as("max_bucket"),
+          sum(expr("(sz * (sz - 1)) div 2")).as("band_pairs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // bucket shape of the (K/r bands × r rows) banding: band = h div r,
-      // key = the band's minima joined in h order (≡ the oracle's
-      // string_agg(mh, '|' ORDER BY h); bucket SIZES are all that
-      // matter). Within a band each slot h % r holds exactly one
-      // minimum, so r conditional maxes in slot order rebuild the
-      // ordered key with plain codegen'd aggregates — no interpreted
-      // collect_list/array_sort HOF in the 12-row-per-doc exchange.
-      def bucketStats(r: Int): DataFrame =
-        minima
-          .groupBy($"doc_id", expr(s"h div $r").as("band"))
-          .agg(concat_ws("|", (0 until r).map(i =>
-            max(when($"h" % r === i, $"mh"))): _*).as("key"))
-          .groupBy($"band", $"key").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_buckets"), max($"sz").as("max_bucket"),
-            sum(expr("(sz * (sz - 1)) div 2")).as("band_pairs"))
       // ONE aggregate over the verified pairs: count + per-(b,r) S-curve
       // expected recall as columns
       val verified = verifyJaccard(minhashCandidates(docsSh), docsSh)
@@ -406,7 +417,7 @@ object Dedup {
       }
       val vAgg = verified.agg(count(lit(1)).as("n_verified"), erCols: _*)
       BandFactorizations.zipWithIndex.map { case ((b, r), i) =>
-        bucketStats(r).crossJoin(broadcast(vAgg))
+        stats.filter($"r" === r).crossJoin(broadcast(vAgg))
           .select(lit(b.toLong).as("bands"),
             lit(r.toLong).as("rows_per_band"),
             Det.qround(exp(log(lit(1.0) / lit(b.toDouble))
