@@ -56,12 +56,15 @@ object Similarity {
     * CodegenFallback (interpreted), so their per-row cost must be spread
     * across cores — a real multi-split table gets this from the scan, the
     * driver's single small parquet file does not. */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.spread(Tables.embeddings(spark, dir))
-      .select($"vec_id", $"embedding",
-        sqrt(decDot($"embedding", $"embedding")).as("nrm"))
-  }
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    withNormOf(Tables.spread(Tables.embeddings(spark, dir)))
+
+  /** The norm projection over any (vec_id, embedding) relation — shared
+    * with graft.streaming.StreamIvf, whose per-batch deltas must carry
+    * the identical exact norms. */
+  private[graft] def withNormOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      sqrt(decDot(col("embedding"), col("embedding"))).as("nrm"))
 
   private[operators] val explodedSql = """
     SELECT vec_id, unnest(range(len(embedding))) AS pos,
@@ -83,9 +86,10 @@ object Similarity {
     topkOf(withNorm(spark, dir))
 
   /** The exact-cosine top-k pipeline over any (vec_id, embedding, nrm)
-    * relation — shared by [[exactTopk]] (full vectors) and the MRL
-    * truncation audit (prefix vectors). */
-  private def topkOf(emb: DataFrame): DataFrame = {
+    * relation — shared by [[exactTopk]] (full vectors), the MRL
+    * truncation audit (prefix vectors), and StreamIvf's recall audit
+    * (the folded assignment log). */
+  private[graft] def topkOf(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = emb.filter($"vec_id" < NQueryVecs)
@@ -281,27 +285,66 @@ object Similarity {
     * `prk` filters, never re-probes). */
   private def ivfCand(spark: SparkSession, dir: String,
       maxP: Int): DataFrame = {
-    import spark.implicits._
     val emb = withNorm(spark, dir)
-    val cents = emb.filter($"vec_id" < NCells)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
     // persisted: `scored` (the n×NCells centroid-distance pass) feeds BOTH
     // `assign` and `probes`; without the barrier the whole crossJoin +
     // decimal dot products execute twice (BENCH_r01: 8.2 s → the fix is
     // the same persist the LSH index query already uses)
-    val scored = emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"nrm", $"cid",
-        (decDot($"embedding", $"ce") / ($"nrm" * $"cn")).as("ccos"))
+    val scored = ivfScored(emb, ivfCentroids(emb))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfCandOf(ivfProbesOf(scored, maxP), ivfAssignOf(scored))
+  }
+
+  /** The frozen coarse codebook (cid, ce, cn): deterministically the
+    * first [[NCells]] corpus vectors — the trained-quantizer stand-in
+    * the oracle replays. graft.streaming.StreamIvf assigns every batch
+    * against this FROZEN relation (the q_kmeans broadcast-model shape),
+    * which is what keeps its per-batch deltas bit-equal to the batch
+    * queries on the grown corpus. */
+  private[graft] def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+
+  /** The n×NCells centroid-scoring pass over a (vec_id, embedding, nrm)
+    * relation: one broadcast crossJoin, exact decimal cosines. */
+  private[graft] def ivfScored(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (decDot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("ccos"))
+
+  /** Cell assignment (tid, te, tn, cell): nearest centroid by cosine,
+    * ties to the lower cid — a per-vector decision (depends only on the
+    * vector + the frozen codebook), which is the additivity that lets
+    * StreamIvf assign per micro-batch. */
+  private[graft] def ivfAssignOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val byCcos = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-    val assign = scored
+    scored
       .withColumn("rk", row_number().over(byCcos)).filter($"rk" === 1)
       .select($"vec_id".as("tid"), $"embedding".as("te"), $"nrm".as("tn"),
         $"cid".as("cell"))
-    val probes = scored.filter($"vec_id" < NQueryVecs)
+  }
+
+  /** Probe lists (qid, qe, qn, cell, prk) for the query vectors
+    * (vec_id < [[NQueryVecs]]) at probe depth `maxP` — per-vector like
+    * the assignment, so probe sets computed per batch equal the batch
+    * pass's. */
+  private[graft] def ivfProbesOf(scored: DataFrame, maxP: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val byCcos = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    scored.filter($"vec_id" < NQueryVecs)
       .withColumn("rk", row_number().over(byCcos)).filter($"rk" <= maxP)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nrm".as("qn"),
         $"cid".as("cell"), $"rk".as("prk"))
+  }
+
+  /** The candidate relation from probe lists × assignments: cell-bounded
+    * equi-join, exact decimal cosines computed on the joined pair. */
+  private[graft] def ivfCandOf(probes: DataFrame,
+      assign: DataFrame): DataFrame = {
+    import probes.sparkSession.implicits._
     probes.join(assign, Seq("cell"))
       .filter($"qid" =!= $"tid")
       .select($"qid", $"tid",
@@ -315,8 +358,9 @@ object Similarity {
 
   /** IVF top-k (qid, rk, tid, cosine), unordered, over an [[ivfPairs]]
     * relation (taken as a parameter so the audit can rank the same
-    * instance it counts). */
-  private def ivfTopk(pairs: DataFrame): DataFrame = {
+    * instance it counts — and so StreamIvf can rank its folded
+    * candidates). */
+  private[graft] def ivfTopk(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     pairs
       .withColumn("rk", row_number().over(
@@ -390,25 +434,33 @@ object Similarity {
     * The standard IVF tuning loop reads exactly this pair: raise NProbe
     * until recall clears the product bar, watching candidates/query as
     * the price. Fully oracle-checkable (both sides deterministic). */
+  /** The audit tail over a candidate-pairs relation and an exact-top-k
+    * ground truth — shared by [[qIvfRecallAudit]] and StreamIvf's
+    * maintained readout (identical relations in → identical table
+    * out). */
+  private[graft] def ivfRecallAuditOf(pairsIn: DataFrame,
+      exact: DataFrame): DataFrame = {
+    import pairsIn.sparkSession.implicits._
+    // persisted: the candidate relation feeds the volume count AND the
+    // top-k ranking (without the barrier the probe join's exact decimal
+    // cosines execute twice)
+    val pairs = pairsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pairs.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    val hits = exact.select($"qid", $"tid")
+      .join(ivfTopk(pairs).select($"qid", $"tid", lit(1).as("m")),
+        Seq("qid", "tid"), "left")
+      .groupBy($"qid").agg(count($"m").as("n_hit"))
+    hits.join(cands, Seq("qid"))
+      .select($"qid", $"n_cand", $"n_hit",
+        Det.qround($"n_hit" / lit(TopK)).as("recall"))
+      .orderBy($"qid")
+  }
+
   val qIvfRecallAudit = GraftQuery(
     "q_ivf_recall_audit",
-    (spark, dir) => {
-      import spark.implicits._
-      // persisted: the candidate relation feeds the volume count AND the
-      // top-k ranking (without the barrier the probe join's exact decimal
-      // cosines execute twice)
-      val pairs = ivfPairs(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = pairs.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
-      val hits = exactTopk(spark, dir).select($"qid", $"tid")
-        .join(ivfTopk(pairs).select($"qid", $"tid", lit(1).as("m")),
-          Seq("qid", "tid"), "left")
-        .groupBy($"qid").agg(count($"m").as("n_hit"))
-      hits.join(cands, Seq("qid"))
-        .select($"qid", $"n_cand", $"n_hit",
-          Det.qround($"n_hit" / lit(TopK)).as("recall"))
-        .orderBy($"qid")
-    },
+    (spark, dir) =>
+      ivfRecallAuditOf(ivfPairs(spark, dir), exactTopk(spark, dir)),
     Some(s"""
       WITH ex AS ($explodedSql),
       nrm AS ($normsSql),
@@ -443,7 +495,13 @@ object Similarity {
     * tier-p candidate TOP-k (anything outranking it there would outrank
     * it globally, and globally at most k−1 do) — so hits are a LEFT-JOIN
     * count, no per-tier window; SimilaritySpec pins the production row
-    * against q_ivf_recall_audit's totals to witness the identity.
+    * against q_ivf_recall_audit's totals to witness the identity. Tie
+    * caveat: the identity assumes a tie-free k-boundary — when qround'd
+    * cosines tie exactly at rank k, the audit's candidate-top-k (ties to
+    * the lower tid) may exclude an exact pair this membership count
+    * includes, so tune recall can read ≥ audit recall on such corpora;
+    * the spec witnesses equality at the production tier on the driver
+    * corpora, which are tie-free at the boundary.
     *
     * Scale shape: one n×NCells broadcast scoring pass (shared with the
     * search queries), the candidate relation at the deepest tier

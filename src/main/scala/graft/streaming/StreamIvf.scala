@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ANN-index maintainer — the maintained IVF index of the
+  * similarity family (round-15 verdict item #2), the embedding cousin of
+  * [[StreamIndex]]: new embeddings become searchable per micro-batch
+  * WITHOUT re-scoring history, the live-RAG ingest shape. At 100 TB the
+  * n×NCells centroid-scoring pass over the full corpus is the expensive
+  * step; the maintainer pays it once per vector, at arrival.
+  *
+  * The model is the FROZEN coarse codebook
+  * ([[Similarity.ivfCentroids]] — deterministically the first NCells
+  * corpus vectors, the trained-quantizer stand-in the batch queries and
+  * the DuckDB oracle replay; a production run freezes its trained
+  * quantizer the same way). Because cell assignment and probe ranking
+  * are PER-VECTOR decisions against that frozen model (vector +
+  * codebook only — [[Similarity.ivfAssignOf]]/[[Similarity.ivfProbesOf]]),
+  * per-batch deltas computed on arrival equal the batch pass's rows
+  * exactly, and the folded log serves the batch queries bit-equal on the
+  * grown corpus.
+  *
+  * State = two relations per batch, disjoint across batches (append-only
+  * corpus: each vec_id lives in exactly one micro-batch):
+  *  - assign `(tid, te, tn, cell)` — every batch vector's cell, with the
+  *    embedding + exact decimal norm (the IVF index stores its vectors;
+  *    readout cosines recompute from these bit-equal to the batch
+  *    queries).
+  *  - probes `(qid, qe, qn, cell, prk)` — probe lists for the query
+  *    vectors (vec_id < NQueryVecs), materialized to the DEEPEST tune
+  *    tier (prk ≤ max [[Similarity.IvfTuneTiers]] = 8); probe sets nest,
+  *    so one log serves the production depth (prk ≤ NProbe), every tune
+  *    tier, and the recall audit by prk filters alone.
+  *
+  * Readouts (all through the shared cores, so bit-equality is by
+  * construction, not re-derivation): [[annTopk]] ≡ q_ann_ivf,
+  * [[recallAudit]] ≡ q_ivf_recall_audit (ground truth = exact top-k
+  * over the folded vectors), [[cellCounts]] — the cell-balance monitor
+  * an IVF operator watches for skewed cells.
+  *
+  * Idempotent recovery: fixed per-batch paths in overwrite mode (the
+  * StreamDq discipline) — rows are disjoint, not duplicate-insensitive,
+  * so replace-my-batch is correctness on checkpoint-recovery replay.
+  */
+object StreamIvf {
+
+  /** Delta-log schemas as written by [[processBatch]] — pinned against
+    * the writer by FreshMaintainerSpec; [[DeltaLog.emptyOr]] serves the
+    * empty relations when the maintainer is fresh, so every readout
+    * degrades to an empty ranking, never a throw. */
+  private[graft] val AssignDdl =
+    "tid BIGINT,te ARRAY<FLOAT>,tn DOUBLE,cell BIGINT"
+  private[graft] val ProbesDdl =
+    "qid BIGINT,qe ARRAY<FLOAT>,qn DOUBLE,cell BIGINT,prk INT"
+
+  /** The frozen codebook from a corpus directory — the deterministic
+    * stand-in the batch twins use; spec/demo convenience. */
+  def frozenCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCentroids(Similarity.withNormOf(
+      graft.Tables.embeddings(spark, dir)))
+
+  /** Append one micro-batch's assignment + probe deltas, scored against
+    * the frozen `cents` codebook. Batches carry (vec_id, embedding). */
+  def processBatch(embBatch: DataFrame, batchId: Long, logDir: String,
+      cents: DataFrame): Unit = {
+    if (embBatch.isEmpty) return
+    // persisted: the batch×NCells scoring pass feeds BOTH deltas (the
+    // same barrier the batch ivfCand uses)
+    val scored = Similarity.ivfScored(Similarity.withNormOf(
+        embBatch.select(col("vec_id"), col("embedding"))), cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Similarity.ivfAssignOf(scored)
+        .write.mode("overwrite")
+        .parquet(s"$logDir/assign/b$batchId.parquet")
+      Similarity.ivfProbesOf(scored, Similarity.IvfTuneTiers.max)
+        .write.mode("overwrite")
+        .parquet(s"$logDir/probes/b$batchId.parquet")
+    } finally scored.unpersist()
+  }
+
+  /** Wire a streaming embeddings DataFrame (vec_id, embedding) into the
+    * maintainer against a frozen codebook. */
+  def run(embStream: DataFrame, logDir: String, cents: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    embStream.writeStream
+      .foreachBatch((df: DataFrame, id: Long) =>
+        processBatch(df, id, logDir, cents))
+      .trigger(trigger)
+      .option("checkpointLocation", s"$logDir/checkpoint")
+      .start()
+
+  /** The folded assignment log — disjoint rows, so the fold is the read
+    * itself (no aggregate). */
+  private[graft] def assign(spark: SparkSession, logDir: String): DataFrame =
+    DeltaLog.emptyOr(spark, s"$logDir/assign", AssignDdl)
+
+  /** The folded probe log at probe depth `maxP` (prk filter — probe sets
+    * nest, so one log serves every depth up to the materialized max). */
+  private[graft] def probes(spark: SparkSession, logDir: String,
+      maxP: Int): DataFrame =
+    DeltaLog.emptyOr(spark, s"$logDir/probes", ProbesDdl)
+      .filter(col("prk") <= maxP)
+
+  /** The folded corpus vectors (vec_id, embedding, nrm) — ground truth
+    * input for [[recallAudit]]. */
+  private[graft] def emb(spark: SparkSession, logDir: String): DataFrame =
+    assign(spark, logDir)
+      .select(col("tid").as("vec_id"), col("te").as("embedding"),
+        col("tn").as("nrm"))
+
+  /** The candidate relation at probe depth `maxP` over the folded logs —
+    * the maintained twin of the batch ivfCand. */
+  private def cand(spark: SparkSession, logDir: String,
+      maxP: Int): DataFrame =
+    Similarity.ivfCandOf(probes(spark, logDir, maxP),
+      assign(spark, logDir))
+      .select(col("qid"), col("tid"), col("cosine"))
+
+  /** IVF top-k over the maintained index — q_ann_ivf bit-equal on the
+    * corpus streamed so far. */
+  def annTopk(spark: SparkSession, logDir: String): DataFrame =
+    Similarity.ivfTopk(cand(spark, logDir, Similarity.NProbe))
+      .orderBy("qid", "rk")
+
+  /** Candidate volumes + recall@k against the exact top-k over the
+    * folded vectors — q_ivf_recall_audit bit-equal on the corpus
+    * streamed so far (the shared audit tail over the shared relations). */
+  def recallAudit(spark: SparkSession, logDir: String): DataFrame =
+    Similarity.ivfRecallAuditOf(cand(spark, logDir, Similarity.NProbe),
+      Similarity.topkOf(emb(spark, logDir)))
+
+  /** Per-cell vector counts — the cell-balance monitor (a skewed cell is
+    * the IVF failure mode: its probes degrade toward brute force). */
+  def cellCounts(spark: SparkSession, logDir: String): DataFrame =
+    assign(spark, logDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("cell"))
+}

@@ -70,6 +70,10 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamIndex", "ql", 0L, d => StreamIndex.ql(spark, d)),
       ("StreamIndex", "rankEval", 2L, d => StreamIndex.rankEval(spark, d)),
       ("StreamIndex", "mapMrr", 2L, d => StreamIndex.mapMrr(spark, d)),
+      ("StreamIvf", "annTopk", 0L, d => StreamIvf.annTopk(spark, d)),
+      ("StreamIvf", "recallAudit", 0L,
+        d => StreamIvf.recallAudit(spark, d)),
+      ("StreamIvf", "cellCounts", 0L, d => StreamIvf.cellCounts(spark, d)),
       ("StreamIrls", "report", 1L, d => StreamIrls.report(spark, d)),
       ("StreamIso", "report", 1L, d => StreamIso.report(spark, d)),
       ("StreamKanon", "report", 0L, d => StreamKanon.report(spark, d)),
@@ -216,6 +220,18 @@ class FreshMaintainerSpec extends SparkSpec {
       .parquet(s"$d/postings").schema.toDDL) === norm(StreamIndex.PostingsDdl))
     assert(norm(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$d/stats").schema.toDDL) === norm(StreamIndex.StatsDdl))
+  }
+
+  test("StreamIvf: Assign/Probes DDLs pin the written delta schemas") {
+    val d = Files.createTempDirectory("graft-ddlpin-ivf").toString
+    val emb = Tables.embeddings(spark, sf).limit(40)
+      .select($"vec_id", $"embedding")
+    StreamIvf.processBatch(emb, 0L, d,
+      StreamIvf.frozenCentroids(spark, sf))
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/assign").schema.toDDL) === norm(StreamIvf.AssignDdl))
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/probes").schema.toDDL) === norm(StreamIvf.ProbesDdl))
   }
 
   test("StreamIso: Norms/Pos DDLs pin the written delta schemas") {
