@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * texts, total docs, duplicate mass, duplication rate).
   *
   * Idempotent recovery: fixed `fp_b<id>.parquet` path in overwrite mode
-  * (the StreamDq discipline); log compaction rides
-  * [[Compaction.compactLog]].
+  * (the StreamDq discipline). The log compacts AUTOMATICALLY past
+  * [[DeltaLog.CompactThreshold]] batch dirs ([[DeltaLog.maybeCompact]]
+  * after every append; AutoCompactSpec pins bit-equality across the
+  * boundary).
   */
 object StreamExactDedup {
 
@@ -41,6 +43,7 @@ object StreamExactDedup {
       .agg(min(col("doc_id")).as("min_id"), count(lit(1)).as("cnt"))
       .write.mode("overwrite")
       .parquet(s"$logDir/log/fp_b$batchId.parquet")
+    DeltaLog.maybeCompact(docsBatch.sparkSession, s"$logDir/log")
   }
 
   /** Wire a streaming documents DataFrame (doc_id, text) into the

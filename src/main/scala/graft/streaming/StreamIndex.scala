@@ -32,9 +32,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the fold equalities both readouts are bit-equal to the batch queries
   * on the same corpus; StreamIndexSpec pins both plus recovery replay.
   *
-  * Scale shape: the per-batch delta is one batch-sized groupBy; the
-  * vocabulary-scale log compacts via [[Compaction.compactLog]] when file
-  * count becomes the read bottleneck. Document UPDATES are out of scope
+  * Scale shape: the per-batch delta is one batch-sized groupBy; both
+  * logs compact AUTOMATICALLY past [[DeltaLog.CompactThreshold]] batch
+  * dirs ([[DeltaLog.maybeCompact]] after every append; AutoCompactSpec
+  * pins bit-equality across the boundary). Document UPDATES are out of scope
   * by contract (append-only corpus) — a mutable corpus replaces its
   * batch file, which the fixed `b<id>.parquet` overwrite layout already
   * supports.
@@ -75,6 +76,9 @@ object StreamIndex {
       .coalesce(1) // 1 row
       .write.mode("overwrite")
       .parquet(s"$logDir/stats/b$batchId.parquet")
+    val spark = docsBatch.sparkSession
+    DeltaLog.maybeCompact(spark, s"$logDir/postings")
+    DeltaLog.maybeCompact(spark, s"$logDir/stats")
   }
 
   /** Wire a streaming documents DataFrame (doc_id, text) into the

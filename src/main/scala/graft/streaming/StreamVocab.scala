@@ -30,8 +30,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Scale shape: the per-batch delta is one batch-sized groupBy
   * (vocabulary-sized output); readout cost is the fold (vocabulary-scale,
   * NOT corpus-scale) plus the readouts' own model-scale plans. The log
-  * compacts via [[Compaction.compactLog]] when file count becomes the
-  * read bottleneck.
+  * compacts AUTOMATICALLY past [[DeltaLog.CompactThreshold]] batch dirs
+  * ([[DeltaLog.maybeCompact]] at the end of every processBatch), so
+  * readout file count is bounded regardless of stream lifetime
+  * (AutoCompactSpec drives past the threshold and pins bit-equality
+  * across the boundary).
   *
   * Idempotent recovery: fixed per-batch paths in overwrite mode —
   * additive counters are not duplicate-insensitive, so replace-my-batch
@@ -56,6 +59,7 @@ object StreamVocab {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite")
       .parquet(s"$logDir/log/b$batchId.parquet")
+    DeltaLog.maybeCompact(docsBatch.sparkSession, s"$logDir/log")
   }
 
   /** Wire a streaming documents DataFrame (doc_id, text) into the
