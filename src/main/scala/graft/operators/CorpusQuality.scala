@@ -674,6 +674,24 @@ object CorpusQuality {
         GopherRuleSql.map { case (k, sql) => expr(sql).as(s"r_$k") }: _*)
   }
 
+  /** Appends the g_<variant> ablation-gate booleans to `docs` (which
+    * must carry `text`) — the per-document half of [[ablTfw]], factored
+    * out for IngestHub's tokenize-once path, which computes the gates
+    * ONCE on its shared per-batch relation and reuses them for both
+    * ablation legs. Unlike [[ablFlagged]] it neither derives the split
+    * bucket nor filters on it (the caller carries a shared bucket
+    * column). */
+  private[graft] def withAblGates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.columns.toSeq.map(col)
+    docs
+      .select(base ++ gopherStatCols: _*)
+      .select(base ++
+        GopherRuleSql.map { case (k, sql) => expr(sql).as(s"r_$k") }: _*)
+      .select(base ++
+        AblationVariants.map(v => ablGate(v).as(s"g_$v")): _*)
+  }
+
   /** The wide (term, c_<variant>…, vtf) conditional-count relation —
     * ADDITIVE over document slices (flags and split buckets are per-doc
     * constants), which is what lets graft.streaming.StreamAblate keep it

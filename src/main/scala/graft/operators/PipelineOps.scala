@@ -28,8 +28,9 @@ object PipelineOps {
 
   /** u32(md5(e)) — the deterministic 32-bit hash EVERY sampling/splitting
     * decision in this file derives from; `e` is a SQL string expression.
-    * One definition per engine so the sites can never drift apart. */
-  private[operators] def u32Expr(e: String): String =
+    * One definition per engine so the sites can never drift apart.
+    * (graft-wide: IngestHub derives the shared split bucket with it.) */
+  private[graft] def u32Expr(e: String): String =
     s"cast(conv(substr(md5($e), 1, 8), 16, 10) as bigint)"
   private[operators] def u32Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"

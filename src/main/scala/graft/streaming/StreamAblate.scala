@@ -45,11 +45,17 @@ object StreamAblate {
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
     if (docsBatch.isEmpty) return
-    CorpusQuality.ablTfw(docsBatch)
-      .write.mode("overwrite")
+    writeDeltas(CorpusQuality.ablTfw(docsBatch),
+      CorpusQuality.ablDocsKept(docsBatch), batchId, logDir)
+  }
+
+  /** Delta writers (fixed-path overwrite) — shared with IngestHub's
+    * tokenize-once path. `docsKept` is 1 row. */
+  private[graft] def writeDeltas(counts: DataFrame, docsKept: DataFrame,
+      batchId: Long, logDir: String): Unit = {
+    counts.write.mode("overwrite")
       .parquet(s"$logDir/counts/b$batchId.parquet")
-    CorpusQuality.ablDocsKept(docsBatch)
-      .coalesce(1) // 1 row
+    docsKept.coalesce(1) // 1 row
       .write.mode("overwrite")
       .parquet(s"$logDir/docs/b$batchId.parquet")
   }

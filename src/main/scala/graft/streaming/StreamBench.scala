@@ -27,15 +27,52 @@ import org.apache.spark.sql.types._
   *     extend the run — at sf0.1's 5,000 docs, replicate=10 with 5,000
   *     records/batch exercises 10 batches of 10× the reference's volume.
   *
-  * With NO arguments it runs BOTH standard envelopes — 500 rec/batch ×1
+  * With NO arguments it runs the standard envelopes — 500 rec/batch ×1
   * (the reference consumer's configured volume, reddit_consumer.py:497)
-  * and 5,000 rec/batch ×10 (10× volume) — and, in addition to printing
-  * each run's JSON line, writes the combined artifact to
-  * `SPARK_GRAFT_STREAMBENCH_OUT` (default `STREAMBENCH.json` in the
-  * working directory) so the per-round envelope is machine-readable and
-  * trendable beside BENCH_r{N}.json rather than living in NOTES prose.
+  * and 5,000 rec/batch ×10 (10× volume), for BOTH the parity pipeline
+  * and the [[IngestHub]] six-maintainer composite (the deployment shape;
+  * `runMain … StreamBench ingest [recordsPerBatch] [replicate]` drives it
+  * alone) — and, in addition to printing each run's JSON line, writes
+  * the combined artifact to `SPARK_GRAFT_STREAMBENCH_OUT` (default
+  * `STREAMBENCH.json` in the working directory) so the per-round
+  * envelope is machine-readable and trendable beside BENCH_r{N}.json
+  * rather than living in NOTES prose.
   */
 object StreamBench {
+
+  /** Per-batch stats from a finished streaming query's own
+    * recentProgress ring → one JSON line (shared by the parity-pipeline
+    * and IngestHub envelopes). `rows` is the record count this harness
+    * WROTE (the engine's numInputRows re-counts per foreachBatch
+    * action). */
+  private def progressLine(metric: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery, rows: Long,
+      perBatch: Int, wall: Double): String = {
+    val batches = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.numInputRows,
+        p.durationMs.getOrDefault("triggerExecution", 0L)))
+      .sortBy(_._1)
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) 0.0
+      else xs(math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1))
+    val secs = batches.map(_._3 / 1000.0)
+    // batch 0 pays whole-pipeline codegen/JIT once per process; report it
+    // separately from the steady state. Single-batch runs have no steady
+    // state: fall back to the full set so the line never carries NaN.
+    val steady = if (secs.size > 1) secs.drop(1).sorted else secs.sorted
+    val steadyRows = if (secs.size > 1) rows - perBatch else rows
+    val busy = secs.sum
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    s"""{"metric":"$metric","recordsPerBatch":$perBatch,"batches":${batches.size},""" +
+      s""""rows":$rows,"recPerSec":${f(rows / busy)},""" +
+      s""""steadyRecPerSec":${f(steadyRows / steady.sum)},""" +
+      s""""firstBatchSec":${f(secs.headOption.getOrElse(0.0))},""" +
+      s""""p50BatchSec":${f(pct(steady, 0.5))},"p95BatchSec":${f(pct(steady, 0.95))},""" +
+      s""""maxBatchSec":${f(pct(steady, 1.0))},"busySec":${f(busy)},"wallSec":${f(wall)},""" +
+      s""""triggerBudgetSec":10.0}"""
+  }
 
   /** One replay at the given volume; returns the result as a JSON line. */
   def runOnce(spark: SparkSession, sfDir: String, perBatch: Int,
@@ -76,36 +113,45 @@ object StreamBench {
     // round-11 review catch). The ring holds the last
     // spark.sql.streaming.numRecentProgressUpdates (default 100) entries —
     // far above any replay size this harness drives.
-    val batches = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .map(p => (p.batchId, p.numInputRows,
-        p.durationMs.getOrDefault("triggerExecution", 0L)))
-      .sortBy(_._1)
-    def pct(xs: Seq[Double], p: Double): Double =
-      if (xs.isEmpty) 0.0
-      else xs(math.min(xs.size - 1, math.ceil(p * xs.size).toInt - 1))
-    val secs = batches.map(_._3 / 1000.0)
-    // batch 0 pays whole-pipeline codegen/JIT once per process, like the
-    // reference consumer's first batch; report it separately from the
-    // steady state. `rows` is the line count this harness WROTE — the
-    // engine's numInputRows re-counts each foreachBatch action over the
-    // source (isEmpty probe + raw write + processed materialize ≈ 3n+1).
-    // single-batch runs have no steady state: fall back to the full set so
-    // the line never carries NaN/-Infinity (review catch — (rows-perBatch)/0
-    // with an empty steady set is not JSON)
-    val steady = if (secs.size > 1) secs.drop(1).sorted else secs.sorted
-    val steadyRows = if (secs.size > 1) lines.length.toLong - perBatch
-                     else lines.length.toLong
-    val rows = lines.length.toLong
-    val busy = secs.sum
-    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    s"""{"metric":"stream","recordsPerBatch":$perBatch,"batches":${batches.size},""" +
-      s""""rows":$rows,"recPerSec":${f(rows / busy)},""" +
-      s""""steadyRecPerSec":${f(steadyRows / steady.sum)},""" +
-      s""""firstBatchSec":${f(secs.headOption.getOrElse(0.0))},""" +
-      s""""p50BatchSec":${f(pct(steady, 0.5))},"p95BatchSec":${f(pct(steady, 0.95))},""" +
-      s""""maxBatchSec":${f(pct(steady, 1.0))},"busySec":${f(busy)},"wallSec":${f(wall)},""" +
-      s""""triggerBudgetSec":10.0}"""
+    progressLine("stream", q, lines.length.toLong, perBatch, wall)
+  }
+
+  /** One IngestHub replay at the given volume (round-15 verdict item #3a:
+    * the six-maintainer composite is the deployment shape, so it gets its
+    * own measured envelope): the documents table replayed as parquet
+    * slices of ~`perBatch` docs, one slice per trigger, through
+    * [[IngestHub.run]] — every batch advances all six delta logs. Same
+    * stats, same 10 s budget. */
+  def runIngestOnce(spark: SparkSession, sfDir: String, perBatch: Int,
+      replicate: Int): String = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val all = (0 until replicate).map { r =>
+      docs.select(($"doc_id" + lit(r.toLong * (1L << 40))).as("doc_id"),
+        $"text", $"lang", $"source")
+    }.reduce(_ unionByName _)
+    val rows = all.count()
+    val nSlices = math.max(1, math.ceil(rows.toDouble / perBatch).toInt)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-ing")
+    for (s <- 0 until nSlices)
+      all.filter(pmod($"doc_id", lit(nSlices.toLong)) === s)
+        .coalesce(1) // one file per slice = one slice per trigger
+        .write.parquet(f"$srcDir/slice_$s%05d.parquet")
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-sbench-hub").toString
+
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+    val t0 = System.nanoTime()
+    val q = IngestHub.run(stream, baseDir, Trigger.AvailableNow())
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    progressLine("ingest", q, rows, perBatch, wall)
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,20 +168,31 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     if (args.nonEmpty) {
-      // dev mode: one run at the requested volume, line to stdout only
-      val perBatch = args.headOption.flatMap(_.toIntOption).getOrElse(500)
-      val replicate = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(1)
-      println(runOnce(spark, sfDir, perBatch, replicate))
+      // dev mode: one run at the requested volume, line to stdout only;
+      // leading "ingest" drives the IngestHub composite instead of the
+      // parity pipeline
+      val ingest = args.head == "ingest"
+      val rest = if (ingest) args.tail else args
+      val perBatch = rest.headOption.flatMap(_.toIntOption).getOrElse(500)
+      val replicate = rest.drop(1).headOption.flatMap(_.toIntOption).getOrElse(1)
+      println(if (ingest) runIngestOnce(spark, sfDir, perBatch, replicate)
+              else runOnce(spark, sfDir, perBatch, replicate))
     } else {
-      // artifact mode: both standard envelopes, combined JSON to disk
+      // artifact mode: all four standard envelopes (parity pipeline and
+      // IngestHub composite, each at reference and 10x volume), combined
+      // JSON to disk
       val ref = runOnce(spark, sfDir, 500, 1)
       println(ref)
       val x10 = runOnce(spark, sfDir, 5000, 10)
       println(x10)
+      val ing = runIngestOnce(spark, sfDir, 500, 1)
+      println(ing)
+      val ingX10 = runIngestOnce(spark, sfDir, 5000, 10)
+      println(ingX10)
       val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        s"""{"metric":"streambench","sfDir":"$sfDir","reference":$ref,"x10":$x10}\n"""
-          .getBytes("UTF-8"))
+        (s"""{"metric":"streambench","sfDir":"$sfDir","reference":$ref,"x10":$x10,""" +
+          s""""ingest":$ing,"ingest_x10":$ingX10}\n""").getBytes("UTF-8"))
       println(s"wrote $out")
     }
     spark.stop()

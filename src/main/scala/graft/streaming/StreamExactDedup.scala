@@ -38,12 +38,19 @@ object StreamExactDedup {
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
     if (docsBatch.isEmpty) return
-    docsBatch
+    writeDelta(docsBatch
       .groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("min_id"), count(lit(1)).as("cnt"))
-      .write.mode("overwrite")
+      .agg(min(col("doc_id")).as("min_id"), count(lit(1)).as("cnt")),
+      batchId, logDir)
+  }
+
+  /** Delta writer (fixed-path overwrite + auto-compaction) — shared with
+    * IngestHub. */
+  private[graft] def writeDelta(delta: DataFrame, batchId: Long,
+      logDir: String): Unit = {
+    delta.write.mode("overwrite")
       .parquet(s"$logDir/log/fp_b$batchId.parquet")
-    DeltaLog.maybeCompact(docsBatch.sparkSession, s"$logDir/log")
+    DeltaLog.maybeCompact(delta.sparkSession, s"$logDir/log")
   }
 
   /** Wire a streaming documents DataFrame (doc_id, text) into the

@@ -66,17 +66,24 @@ object StreamIndex {
         Text.withoutStopwords(Text.tokens(col("text"))).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
-    Retrieval.tfOf(toks)
-      .write.mode("overwrite")
+    writeDeltas(Retrieval.tfOf(toks),
+      docsBatch
+        .select(size(Text.withoutStopwords(Text.tokens(col("text"))))
+          .as("dl0"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl")),
+      batchId, logDir)
+  }
+
+  /** Delta writers (fixed-path overwrite + auto-compaction) — shared
+    * with IngestHub's tokenize-once path. `stats` is 1 row. */
+  private[graft] def writeDeltas(postings: DataFrame, stats: DataFrame,
+      batchId: Long, logDir: String): Unit = {
+    postings.write.mode("overwrite")
       .parquet(s"$logDir/postings/b$batchId.parquet")
-    docsBatch
-      .select(size(Text.withoutStopwords(Text.tokens(col("text"))))
-        .as("dl0"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl"))
-      .coalesce(1) // 1 row
+    stats.coalesce(1) // 1 row
       .write.mode("overwrite")
       .parquet(s"$logDir/stats/b$batchId.parquet")
-    val spark = docsBatch.sparkSession
+    val spark = postings.sparkSession
     DeltaLog.maybeCompact(spark, s"$logDir/postings")
     DeltaLog.maybeCompact(spark, s"$logDir/stats")
   }

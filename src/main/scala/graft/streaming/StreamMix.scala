@@ -34,10 +34,15 @@ object StreamMix {
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
     if (docsBatch.isEmpty) return
-    LexicalStats.mixSt(docsBatch)
-      .write.mode("overwrite")
-      .parquet(s"$logDir/log/b$batchId.parquet")
+    writeDelta(LexicalStats.mixSt(docsBatch), batchId, logDir)
   }
+
+  /** Delta writer (fixed-path overwrite) — shared with IngestHub's
+    * tokenize-once path. */
+  private[graft] def writeDelta(delta: DataFrame, batchId: Long,
+      logDir: String): Unit =
+    delta.write.mode("overwrite")
+      .parquet(s"$logDir/log/b$batchId.parquet")
 
   /** Wire a streaming documents DataFrame (doc_id, text, source) into
     * the maintainer. */

@@ -42,12 +42,17 @@ object StreamPref {
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
     if (docsBatch.isEmpty) return
-    PipelineOps.prefGrouped(docsBatch
+    writeDelta(PipelineOps.prefGrouped(docsBatch
         .select(col("lang"), col("source"), col("doc_id"),
-          TextAnalytics.qualityCol.as("q")))
-      .write.mode("overwrite")
-      .parquet(s"$logDir/log/b$batchId.parquet")
+          TextAnalytics.qualityCol.as("q"))),
+      batchId, logDir)
   }
+
+  /** Delta writer (fixed-path overwrite) — shared with IngestHub. */
+  private[graft] def writeDelta(delta: DataFrame, batchId: Long,
+      logDir: String): Unit =
+    delta.write.mode("overwrite")
+      .parquet(s"$logDir/log/b$batchId.parquet")
 
   /** Wire a streaming documents DataFrame (doc_id, text, lang, source)
     * into the maintainer. */

@@ -54,12 +54,19 @@ object StreamVocab {
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
     if (docsBatch.isEmpty) return
-    docsBatch
+    writeDelta(docsBatch
       .select(explode(Text.tokens(col("text"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite")
-      .parquet(s"$logDir/log/b$batchId.parquet")
-    DeltaLog.maybeCompact(docsBatch.sparkSession, s"$logDir/log")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")),
+      batchId, logDir)
+  }
+
+  /** Delta writer (fixed-path overwrite + auto-compaction) — shared with
+    * IngestHub's tokenize-once path, which derives the identical delta
+    * from the hub's one shared token relation. */
+  private[graft] def writeDelta(delta: DataFrame, batchId: Long,
+      logDir: String): Unit = {
+    delta.write.mode("overwrite").parquet(s"$logDir/log/b$batchId.parquet")
+    DeltaLog.maybeCompact(delta.sparkSession, s"$logDir/log")
   }
 
   /** Wire a streaming documents DataFrame (doc_id, text) into the
