@@ -392,8 +392,14 @@ object Dedup {
         .select(explode(array(
           (for ((b, r) <- BandFactorizations; band <- 0 until b) yield
             struct(lit(r).as("r"), lit(band).as("band"),
-              concat_ws("|", (0 until r).map(s =>
-                $"mhs".getItem(band * r + s)): _*).as("key"))): _*))
+              // md5 fingerprint of the slot-ordered key: bucket SIZES are
+              // invariant under an injective key mapping (the exact-dedup
+              // fingerprint argument; 128-bit collisions ~1e-24), and the
+              // fixed 32-char key keeps the one big exchange and its hash
+              // table ~2.5x smaller than raw r-minima concatenations
+              // (the r=12 key alone is 400 bytes)
+              md5(concat_ws("|", (0 until r).map(s =>
+                $"mhs".getItem(band * r + s)): _*)).as("key"))): _*))
           .as("x"))
         .select($"x.r".as("r"), $"x.band".as("band"), $"x.key".as("key"))
       // ONE (r, band, key) exchange for all six bandings, then the
