@@ -257,17 +257,28 @@ object LexicalStats {
         .select($"doc_id", explode(Text.tokens($"text")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
-      val tot = cf.agg(sum($"cf").as("tot"))
-      val lm = cf.crossJoin(broadcast(tot))
-        .select($"term",
-          log($"tot".cast(DoubleType) / $"cf".cast(DoubleType)).as("s"))
-      tf.join(broadcast(lm), Seq("term"))
+      tf.join(broadcast(surprisalLm(tf)), Seq("term"))
         .groupBy($"doc_id")
         .agg(sum($"tf").as("n_tokens"),
           Det.qround(
             sum(($"tf".cast(DoubleType) * $"s").cast(DecimalType(38, Det.Scale)))
               .cast(DoubleType) / sum($"tf")).as("mean_surprisal"))
+  }
+
+  /** The corpus unigram surprisal LM (term, s = ln(tot/cf)) re-aggregated
+    * from any (…, term, tf) relation — the ONE scoring model shared by
+    * [[docSurprisal]] (document granularity) and [[qParagraphPpl]]
+    * (paragraph granularity); the cf re-aggregate is invariant to extra
+    * grouping keys in the input, so both build the identical model. */
+  private[graft] def surprisalLm(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
+    val tot = cf.agg(sum($"cf").as("tot"))
+    cf.crossJoin(broadcast(tot))
+      .select($"term",
+        log($"tot".cast(DoubleType) / $"cf".cast(DoubleType)).as("s"))
   }
 
   /** The shared surprisal prelude as DuckDB CTEs ending in a `docsurp`
@@ -2257,10 +2268,129 @@ object LexicalStats {
       ORDER BY lang""")
   )
 
+  /** Tokens per paragraph for [[qParagraphPpl]] — the synthetic corpus
+    * has no structural paragraph breaks, so a paragraph is a fixed
+    * window of consecutive tokens (the convention a real CCNet run falls
+    * back to on unstructured text; with newline-delimited text the
+    * identical plan applies to a split-on-blank-line relation). */
+  val ParaTokens = 20
+
+  /** Paragraph-level perplexity filtering — the CCNet shape (Wenzek et
+    * al. 2020) INSIDE documents, the intra-document complement of
+    * q_filter_ablation's whole-document gates: a mostly-good document
+    * often carries boilerplate/gibberish spans that a doc-level gate
+    * cannot remove without throwing away the good text. Each document is
+    * cut into [[ParaTokens]]-token paragraphs, every paragraph scored
+    * under the SAME corpus unigram LM as q_unigram_surprisal
+    * ([[surprisalLm]] — one model, two granularities), and the corpus-
+    * wide surprisal terciles (the q_ccnet_buckets head/middle/tail
+    * split) gate each paragraph: head+middle kept, tail (gibberish-like)
+    * dropped. Readout per document: paragraph/token counts before and
+    * after, the kept fraction, and the cut — the cleaned-token budget a
+    * curation run reads next to its document-level funnel.
+    *
+    * Exactness: per-paragraph mean surprisal is the docSurprisal formula
+    * verbatim (decimal-summed, qround'd); terciles are min-over-the-
+    * bounded-6-dp-value-domain picks (the q_ccnet_buckets discipline —
+    * no engine percentile); gates compare identical rounded doubles;
+    * counts are integers; kept_frac is one qround'd integer quotient.
+    *
+    * Scale shape: ONE posexplode pass into the (doc, para, term)
+    * exchange (paragraph ids are map-side arithmetic on the token
+    * position); the LM is the vocab-scale re-aggregate broadcast back;
+    * the tercile window runs on the BOUNDED rounded-score value domain,
+    * never the paragraphs; the readout is one (doc) re-group of the
+    * paragraph relation. The corpus shuffles once. */
+  val qParagraphPpl = GraftQuery(
+    "q_paragraph_ppl",
+    (spark, dir) => {
+      import spark.implicits._
+      val ptf = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id",
+          posexplode(Text.tokens($"text")).as(Seq("pos", "term")))
+        .select($"doc_id", expr(s"pos div $ParaTokens").as("para"), $"term")
+        .groupBy($"doc_id", $"para", $"term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val paras = ptf.join(broadcast(surprisalLm(ptf)), Seq("term"))
+        .groupBy($"doc_id", $"para")
+        .agg(sum($"tf").as("n_tokens"),
+          Det.qround(
+            sum(($"tf".cast(DoubleType) * $"s")
+              .cast(DecimalType(38, Det.Scale)))
+              .cast(DoubleType) / sum($"tf")).as("ms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // corpus terciles over the bounded rounded-score value domain
+      val vd = paras.groupBy($"ms".as("v")).agg(count(lit(1)).as("f"))
+      val cumW = org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val thr = vd
+        .select($"v", sum($"f").over(cumW).as("cf"))
+        .crossJoin(broadcast(vd.agg(coalesce(sum($"f"), lit(0L)).as("nn"))))
+        .agg(min(when($"cf" * 3 >= $"nn" * 2, $"v")).as("q66"))
+      paras.crossJoin(broadcast(thr))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when($"ms" <= $"q66", 1L).otherwise(0L)).as("kept_paras"),
+          sum($"n_tokens").as("n_tokens"),
+          sum(when($"ms" <= $"q66", $"n_tokens").otherwise(0L))
+            .as("kept_tokens"),
+          max($"q66").as("surp_cut"))
+        .select($"doc_id", $"n_paras", $"kept_paras", $"n_tokens",
+          $"kept_tokens",
+          Det.qround($"kept_tokens".cast(DoubleType) / $"n_tokens")
+            .as("kept_frac"),
+          $"surp_cut")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ptoks AS (
+        SELECT doc_id,
+          unnest(range(len(ws))) // $ParaTokens AS para,
+          unnest(ws) AS term
+        FROM (SELECT doc_id,
+                string_split_regex(lower(text), '[[:space:]]+') AS ws
+              FROM documents)),
+      ptf AS (
+        SELECT doc_id, para, term, count(*) AS tf
+        FROM ptoks GROUP BY doc_id, para, term),
+      cf AS (SELECT term, sum(tf) AS cf FROM ptf GROUP BY term),
+      tot AS (SELECT sum(cf) AS tot FROM cf),
+      lm AS (SELECT term, ln(tot::DOUBLE / cf::DOUBLE) AS s
+             FROM cf CROSS JOIN tot),
+      paras AS (
+        SELECT doc_id, para, sum(tf)::BIGINT AS n_tokens,
+          ${Oracle.qround(
+            "sum(CAST(tf::DOUBLE * s AS DECIMAL(38,9)))::DOUBLE / sum(tf)")}
+            AS ms
+        FROM ptf JOIN lm USING (term)
+        GROUP BY doc_id, para),
+      vd AS (SELECT ms AS v, count(*) AS f FROM paras GROUP BY ms),
+      cum AS (
+        SELECT v, sum(f) OVER (ORDER BY v) AS cf2,
+          (SELECT sum(f) FROM vd) AS nn
+        FROM vd),
+      thr AS (
+        SELECT min(CASE WHEN cf2 * 3 >= nn * 2 THEN v END) AS q66 FROM cum)
+      SELECT doc_id, count(*)::BIGINT AS n_paras,
+        sum(CASE WHEN ms <= q66 THEN 1 ELSE 0 END)::BIGINT AS kept_paras,
+        sum(n_tokens)::BIGINT AS n_tokens,
+        sum(CASE WHEN ms <= q66 THEN n_tokens ELSE 0 END)::BIGINT
+          AS kept_tokens,
+        ${Oracle.qround(
+          "sum(CASE WHEN ms <= q66 THEN n_tokens ELSE 0 END)::DOUBLE" +
+            " / sum(n_tokens)")} AS kept_frac,
+        max(q66) AS surp_cut
+      FROM paras CROSS JOIN thr
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qTokenDiversity, qBigramLift, qFilterFunnel, qUnigramSurprisal,
       qOovRate, qDsirWeights, qKlBySource, qTokenEntropy, qVocabCoverage,
       qTokenFertility, qZipfFit, qHeldoutXent, qCooccurPmi, qHeapsFit,
       qKneserNey, qKnDocSurprisal, qCcnetBuckets, qHillTail, qChao1,
-      qScalingLaw, qMixRebalance, qStopwordDiscovery, qLmOrderSweep)
+      qScalingLaw, qMixRebalance, qStopwordDiscovery, qLmOrderSweep,
+      qParagraphPpl)
 }

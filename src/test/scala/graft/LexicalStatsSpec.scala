@@ -654,6 +654,42 @@ class LexicalStatsSpec extends SparkSpec {
     assert(en._3 > 0 && en._5.nonEmpty && en._6.nonEmpty)
   }
 
+  test("q_paragraph_ppl: planted boilerplate paragraph dropped, clean paragraph kept") {
+    import spark.implicits._
+    val P = graft.operators.LexicalStats.ParaTokens
+    // 30 background docs of one common paragraph (the LM's in-domain
+    // text); doc 0 = that same clean paragraph followed by a gibberish
+    // paragraph of corpus-unique tokens (maximal surprisal) — the intra-
+    // document case a whole-document gate cannot fix
+    val clean = (1 to P).map(i => s"w${i % 7}").mkString(" ")
+    val junk = (1 to P).map(i => s"zq${i}xgl").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
+    val docs = (0L, s"$clean $junk", "en", "s0") +:
+      (1 to 30).map(i => (i.toLong, clean, "en", "s0"))
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LexicalStats.qParagraphPpl.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val d0 = out.find(_._1 == 0L).get
+    assert(d0._2 === 2L && d0._3 === 1L, s"doc 0 row: $d0")
+    assert(d0._4 === 2L * P && d0._5 === P.toLong && d0._6 === 0.5)
+    // the background docs keep their single clean paragraph whole
+    assert(out.filter(_._1 > 0L).forall(r =>
+      r._2 === 1L && r._3 === 1L && r._6 === 1.0))
+
+    // real corpus: every doc present; gate non-vacuous but tercile-bounded
+    val dirR = "/root/testdata/sf0.001"
+    val real = graft.operators.LexicalStats.qParagraphPpl.run(spark, dirR)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(real.size.toLong === Tables.documents(spark, dirR).count())
+    assert(real.forall(r => r._3 <= r._2 && r._5 <= r._4))
+    assert(real.exists(_._6 < 1.0), "paragraph gate vacuous at sf0.001")
+    // head+middle kept => at least ~60% of paragraphs survive corpus-wide
+    val (kept, total) = (real.map(_._3).sum, real.map(_._2).sum)
+    assert(kept * 10 >= total * 6, s"kept $kept of $total paragraphs")
+  }
+
   test("q_mix_rebalance: val-less source keeps a prior-only row (full mixture coverage)") {
     import spark.implicits._
     // source sv: every doc lands in a train bucket -> zero val tokens.
