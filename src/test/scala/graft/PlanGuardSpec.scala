@@ -317,6 +317,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_paragraph_ppl: no cartesian; the tercile window runs on the value domain") {
+    val p = plan(graft.operators.LexicalStats.qParagraphPpl)
+    // the LM and tercile relations cross back as broadcast 1-row/model
+    // relations, never a CartesianProduct; the only Window is the
+    // cumulative tercile scan over the bounded rounded-score value
+    // domain (a second window would mean a per-paragraph rank sneaked in)
+    // (the one-posexplode-pass property is enforced by the ptf persist —
+    // the cached subtree reprints inside every InMemoryRelation scan, so
+    // a Generate string count cannot pin it here)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(occurrences(p, "Window [") === 1, p)
+  }
+
   test("q_preference_pairs: one stratum exchange, no joins, no windows") {
     val p = plan(graft.operators.PipelineOps.qPreferencePairs)
     // chosen/rejected are min_by/max_by picks inside ONE (lang, source)
