@@ -1029,12 +1029,164 @@ object TextAnalytics {
       ORDER BY lang""")
   )
 
+  /** Merge-count tiers swept by [[qBpeVocabSweep]]: 0 = the character
+    * baseline, [[BpeMerges]] = the full trained table. Tiers are
+    * PREFIXES of the one merge list — BPE merge ranks nest (encoding
+    * with k merges is the intermediate state of encoding with K), so the
+    * sweep never retrains and never re-encodes from scratch. */
+  val BpeSweepTiers: Seq[Int] = Seq(0, 2, 4, BpeMerges)
+
+  /** Tokenizer vocab-size sweep — the "how many merges are worth it"
+    * decision table (the tokenizer sibling of q_minhash_tune /
+    * q_ivf_tune / q_lm_order_sweep): for each merge-count tier, the
+    * corpus token economy under the FIRST k learned merges — total BPE
+    * tokens, fertility (tokens/word), chars/token, and the marginal
+    * tokens saved per additional merge since the previous tier (the
+    * diminishing-returns curve a tokenizer-size decision reads; when it
+    * flattens, extra vocabulary no longer buys sequence length).
+    *
+    * Exactness: the trainer and the rank-ordered double-replace rewrite
+    * are [[qBpeTrain]]/[[qBpeEncode]] verbatim; tier snapshots are
+    * intermediate states of the SAME rewrite chain; counts are
+    * integers; ratios are qround'd quotients; the marginal column is a
+    * qround'd quotient of lagged integers over the |tiers|-row stack.
+    *
+    * Scale shape: training touches only the vocabulary ([[bpeLearn]]);
+    * the sweep is ONE corpus map pass in which the K nested replace
+    * pairs are evaluated once and each tier contributes a snapshot
+    * COLUMN (codegen subexpression reuse — tiers multiply columns,
+    * never corpus passes), folded by one global aggregate; the stack,
+    * lag window, and readout run on |tiers| rows. */
+  val qBpeVocabSweep = GraftQuery(
+    "q_bpe_vocab_sweep",
+    (spark, dir) => {
+      import spark.implicits._
+      val merges = bpeLearn(spark, dir)
+      val ws0 = concat(lit(" "), array_join(split($"word", ""), " "),
+        lit(" "))
+      // running rewrite chain with a snapshot column at each tier
+      // boundary (tier k's chain extends tier k-1's — the prefix
+      // property)
+      val tierCols: Seq[(Int, org.apache.spark.sql.Column)] = {
+        var c = ws0
+        var applied = 0
+        BpeSweepTiers.map { k =>
+          merges.slice(applied, k).foreach { case (_, a, b, _) =>
+            val pat = lit(s" $a $b ")
+            val rep = lit(s" $a$b ")
+            c = org.apache.spark.sql.functions.replace(
+              org.apache.spark.sql.functions.replace(c, pat, rep),
+              pat, rep)
+          }
+          applied = math.max(applied, k)
+          k -> size(split(trim(c), " "))
+        }
+      }
+      val ts = BpeSweepTiers
+      val agg = Tables.spread(Tables.documents(spark, dir))
+        .select(explode(Text.tokens($"text")).as("word"))
+        .select(length($"word").as("n_chars") +:
+          tierCols.filter(_._1 != ts.head)
+            .map { case (k, c) => c.as(s"syms_$k") }: _*)
+        .agg(count(lit(1)).as("n_words"), sum($"n_chars").as("nc") +:
+          ts.tail.map(k => sum(col(s"syms_$k")).as(s"t_$k")): _*)
+        // tier 0 IS the character census (each word spells as its
+        // chars), so its sum is read off n_chars rather than a
+        // redundant split column
+        .withColumn(s"t_${ts.head}", col("nc"))
+      val byTier = org.apache.spark.sql.expressions.Window
+        .orderBy($"n_merges")
+      agg.selectExpr("n_words", "nc as n_chars",
+        s"stack(${ts.size}, ${ts.map(k => s"CAST($k AS BIGINT), t_$k")
+          .mkString(", ")}) as (n_merges, n_bpe_tokens)")
+        .withColumn("pt", lag($"n_bpe_tokens", 1).over(byTier))
+        .withColumn("pm", lag($"n_merges", 1).over(byTier))
+        .select($"n_merges", $"n_words", $"n_chars", $"n_bpe_tokens",
+          Det.qround($"n_bpe_tokens".cast(DoubleType) / $"n_words")
+            .as("fertility"),
+          Det.qround($"n_chars".cast(DoubleType) / $"n_bpe_tokens")
+            .as("chars_per_token"),
+          when($"pt".isNotNull, Det.qround(
+            ($"pt" - $"n_bpe_tokens").cast(DoubleType)
+              / ($"n_merges" - $"pm"))).as("tokens_saved_per_merge"))
+        .orderBy($"n_merges")
+    },
+    Some {
+      val rounds = (1 to BpeMerges).map { r =>
+        val prev = s"v${r - 1}"
+        s"""
+      p$r AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
+        FROM (
+          SELECT s, freq, unnest(range(1, len(s))) AS i
+          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      v$r AS (
+        SELECT trim(replace(replace(' ' || ws || ' ',
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
+        FROM $prev CROSS JOIN t$r)"""
+      }.mkString(",")
+      def encSql(k: Int): String =
+        (1 to k).foldLeft("' ' || ws0 || ' '") { (c, r) =>
+          s"""replace(replace($c,
+            ' ' || t$r.a || ' ' || t$r.b || ' ', ' ' || t$r.a || t$r.b || ' '),
+            ' ' || t$r.a || ' ' || t$r.b || ' ', ' ' || t$r.a || t$r.b || ' ')"""
+        }
+      val ts = BpeSweepTiers
+      val tJoins = (1 to BpeMerges).map(r => s"CROSS JOIN t$r").mkString(" ")
+      val tierSyms = ts.tail.map(k =>
+        s"len(string_split(trim(${encSql(k)}), ' ')) AS syms_$k")
+        .mkString(",\n          ")
+      val stackRows = ts.map { k =>
+        val tk = if (k == ts.head) "n_chars" else s"t_$k"
+        s"SELECT $k::BIGINT AS n_merges, n_words, n_chars, $tk AS n_bpe_tokens FROM tot"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH v0 AS (
+        SELECT array_to_string(string_split(word, ''), ' ') AS ws,
+          count(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+                AS word FROM documents)
+        GROUP BY 1),$rounds,
+      words AS (
+        SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
+          AS word
+        FROM documents),
+      enc AS (
+        SELECT length(word) AS n_chars,
+          $tierSyms
+        FROM (SELECT word,
+                array_to_string(string_split(word, ''), ' ') AS ws0
+              FROM words) $tJoins),
+      tot AS (
+        SELECT count(*)::BIGINT AS n_words, sum(n_chars)::BIGINT AS n_chars,
+          ${ts.tail.map(k => s"sum(syms_$k)::BIGINT AS t_$k")
+            .mkString(", ")}
+        FROM enc),
+      st AS (
+        $stackRows)
+      SELECT n_merges, n_words, n_chars, n_bpe_tokens,
+        ${Oracle.qround("n_bpe_tokens::DOUBLE / n_words")} AS fertility,
+        ${Oracle.qround("n_chars::DOUBLE / n_bpe_tokens")} AS chars_per_token,
+        CASE WHEN lag(n_bpe_tokens) OVER (ORDER BY n_merges) IS NOT NULL
+          THEN ${Oracle.qround(
+            "(lag(n_bpe_tokens) OVER (ORDER BY n_merges) - n_bpe_tokens)" +
+              "::DOUBLE / (n_merges - lag(n_merges) OVER (ORDER BY n_merges))")}
+        END AS tokens_saved_per_merge
+      FROM st
+      ORDER BY n_merges"""
+    }
+  )
+
   val all: Seq[GraftQuery] = Seq(
     qParseClean, qSubredditStats, qSubredditStatsApprox, qRefsByDoc,
     qRefsTotals, qRefsGlobal, qSentimentDocs, qAvgSentimentByLang,
     qSentimentExpr, qSentimentVader, qTokenStats, qBpeTokens, qQualityScore,
     qLangId, qFingerprint, qHeavyHitters, qBpeMergePairs, qBpeTrain,
-    qBpeEncode, qReadability, qLangConfusion, qCohensKappa)
+    qBpeEncode, qBpeVocabSweep, qReadability, qLangConfusion, qCohensKappa)
 
   /** Language-ID classifier evaluation — confusion counts and per-class
     * precision/recall/F1 plus macro-F1 over [[langPredictions]] (the

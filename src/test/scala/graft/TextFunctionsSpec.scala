@@ -161,6 +161,42 @@ class TextFunctionsSpec extends SparkSpec {
       (5L, "aa", "a", 2L)))
   }
 
+  test("bpe vocab sweep: tier economics hand-traced; tier 0 is the char census") {
+    // 40 docs of "abcd abcd abcd": merge 1 = (a,b), 2 = (ab,c),
+    // 3 = (abc,d); the trainer stops at 3 (single-symbol words), so
+    // tiers 4 and 8 coincide with the full table — the sweep reads:
+    //   k=0: 4 syms/word; k=2: "abc d" = 2; k=4,8: "abcd" = 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpesw").toString
+    val text = "abcd abcd abcd"
+    (0 until 40)
+      .map(i => (i.toLong, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = operators.TextAnalytics.qBpeVocabSweep.run(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    val w = 120L // words
+    assert(got.map(r => (r._1, r._4, r._5)) === Seq(
+      (0L, 4 * w, 4.0), (2L, 2 * w, 2.0), (4L, w, 1.0), (8L, w, 1.0)))
+    assert(got.forall(r => r._2 === w && r._3 === 4 * w))
+    // marginal column: NULL at the baseline, then (480-240)/2, (240-120)/2, 0/4
+    assert(got.map(_._7) ===
+      Seq(None, Some(120.0), Some(60.0), Some(0.0)))
+
+    // real corpus: monotone non-increasing token counts; tier 0 IS the
+    // character census; fertility never increases with more merges
+    val real = operators.TextAnalytics.qBpeVocabSweep
+      .run(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(real.map(_._1) ===
+      operators.TextAnalytics.BpeSweepTiers.map(_.toLong))
+    assert(real.head._4 === real.head._3)
+    assert(real.map(_._4).sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(real.map(_._5).sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(real.last._4 < real.head._4, "merges bought nothing at sf0.001")
+  }
+
   test("lang confusion: diagonal mass equals q_lang_id accuracy") {
     val conf = Queries.byName("q_lang_confusion")
       .run(spark, "/root/testdata/sf0.001")
