@@ -12,7 +12,8 @@ import java.nio.file.Files
   *
   *  1. drive MORE batches than the threshold (disjoint doc slices);
   *  2. the log physically compacted (dir count collapsed to
-  *     compacted.parquet + the keepLast tail, far below the batch count);
+  *     compacted-<N>.parquet + the keepLast tail, far below the batch
+  *     count);
   *  3. every readout is bit-identical to its batch twin ACROSS the
   *     compaction boundary (the fold sees the same additive rows, just
   *     re-filed);
@@ -43,7 +44,8 @@ class AutoCompactSpec extends SparkSpec {
     // few batches landed since the last fold — never the full history
     val nDirs = batchDirCount(s"$logDir/log")
     assert(nDirs < NBatches - 2, s"log never compacted: $nDirs dirs")
-    assert(new java.io.File(s"$logDir/log/compacted.parquet").isDirectory)
+    assert(new java.io.File(s"$logDir/log").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("compacted-")))
     // readout bit-identical across the compaction boundary
     val batch = rows(Dedup.qDedupExact.run(spark, dir))
     assert(batch.nonEmpty)
