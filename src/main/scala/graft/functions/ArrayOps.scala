@@ -284,6 +284,27 @@ object ArrayOps {
     * shortest-decimal representation, exact accumulation — so it is
     * bit-identical to the oracle's
     * `sum(CAST((v-c)*(v-c) AS DECIMAL(38,12)))::DOUBLE`. */
+  /** Exact-decimal dot product of an array&lt;float&gt; vector and an
+    * array&lt;double&gt; centroid — the mixed-width sibling of [[dotF32]]
+    * (same per-term dec₁₂ rounding, so `dot_f32_f64(v, cast(c))` equals
+    * `dot_f32(v, c)` bit-for-bit when the centroid is an exact float
+    * cast). Exists for the TRAINED IVF codebook, whose centroids are
+    * per-dimension decimal means (doubles) rather than corpus vectors. */
+  def dotF32F64(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getFloat(i).toDouble * b.getDouble(i)
+      sum = sum.add(java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue()
+  }
+
   def dist2F32F64(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -719,6 +740,36 @@ case class LshBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
+}
+
+/** `dot_f32_f64(v, c)`: exact-decimal dot product of an array&lt;float&gt;
+  * vector and an array&lt;double&gt; centroid (see [[ArrayOps.dotF32F64]]). */
+case class DotF32F64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_f32_f64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "dot_f32_f64 requires (array<float>, array<double>)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.dotF32F64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.ArrayOps.dotF32F64($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF32F64 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `dist2_f32_f64(v, c)`: exact-decimal squared L2 distance between an

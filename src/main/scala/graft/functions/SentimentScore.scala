@@ -111,6 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => LshBucket(args.head,
         intArg("lsh_bucket", "n_planes", args, 1, default = 8))))
     ext.injectFunction((
+      new FunctionIdentifier("dot_f32_f64"),
+      new ExpressionInfo(classOf[DotF32F64].getName, "dot_f32_f64"),
+      (args: Seq[Expression]) => DotF32F64(args(0), args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("dist2_f32_f64"),
       new ExpressionInfo(classOf[Dist2F32F64].getName, "dist2_f32_f64"),
       (args: Seq[Expression]) => Dist2F32F64(args(0), args(1))))

@@ -13,10 +13,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * step; the maintainer pays it once per vector, at arrival.
   *
   * The model is the FROZEN coarse codebook
-  * ([[Similarity.ivfCentroids]] — deterministically the first NCells
-  * corpus vectors, the trained-quantizer stand-in the batch queries and
-  * the DuckDB oracle replay; a production run freezes its trained
-  * quantizer the same way). Because cell assignment and probe ranking
+  * ([[Similarity.ivfTrainedCentroids]] — one deterministic spherical
+  * k-means Lloyd round from the first-NCells init, the same trained
+  * quantizer the batch queries use and the DuckDB oracle replays;
+  * [[frozenCentroids]] collects its NCells rows once at stream start, the
+  * production freeze-the-quantizer shape). Because cell assignment and
+  * probe ranking
   * are PER-VECTOR decisions against that frozen model (vector +
   * codebook only — [[Similarity.ivfAssignOf]]/[[Similarity.ivfProbesOf]]),
   * per-batch deltas computed on arrival equal the batch pass's rows
@@ -56,11 +58,16 @@ object StreamIvf {
   private[graft] val ProbesDdl =
     "qid BIGINT,qe ARRAY<FLOAT>,qn DOUBLE,cell BIGINT,prk INT"
 
-  /** The frozen codebook from a corpus directory — the deterministic
-    * stand-in the batch twins use; spec/demo convenience. */
-  def frozenCentroids(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfCentroids(Similarity.withNormOf(
+  /** The frozen codebook from a corpus directory: the trained quantizer
+    * the batch twins use, MATERIALIZED — the training round must run once
+    * at freeze time, not be re-executed inside every micro-batch's
+    * broadcast lineage (the codebook is model-sized: NCells rows). */
+  def frozenCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val trained = Similarity.ivfTrainedCentroids(Similarity.withNormOf(
       graft.Tables.embeddings(spark, dir)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+  }
 
   /** Append one micro-batch's assignment + probe deltas, scored against
     * the frozen `cents` codebook. Batches carry (vec_id, embedding). */

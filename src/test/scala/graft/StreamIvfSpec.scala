@@ -53,6 +53,20 @@ class StreamIvfSpec extends SparkSpec {
     assert(cc.map(_._2).sum === emb.count())
     assert(cc.forall(_._2 > 0) && cc.size > 1)
 
+    // the TRAINED codebook (round 17) must be measurably flatter than
+    // its first-NCells init: a Lloyd round pulls centroids toward the
+    // data's actual modes, shrinking the biggest cell — the IVF failure
+    // mode cellCounts exists to watch (a fat cell degrades its probes
+    // toward brute force)
+    val withNorm = Similarity.withNormOf(
+      Tables.embeddings(spark, dir).select($"vec_id", $"embedding"))
+    val initAssign = Similarity.ivfAssignOf(Similarity.ivfScored(
+      withNorm, Similarity.ivfInitCentroids(withNorm)))
+      .groupBy($"cell").count().as[(Long, Long)].collect().toSeq
+    assert(cc.map(_._2).max < initAssign.map(_._2).max,
+      s"trained max cell ${cc.map(_._2).max} not flatter than init " +
+        s"${initAssign.map(_._2).max}")
+
     // --- manually-driven log: recovery replay with a KNOWN id↔slice
     // mapping (fixed-path overwrite is correctness) ---
     val logDir2 = Files.createTempDirectory("graft-ivf-log2").toString
