@@ -46,6 +46,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Idempotent recovery: fixed per-batch paths in overwrite mode (the
   * StreamDq discipline) — rows are disjoint, not duplicate-insensitive,
   * so replace-my-batch is correctness on checkpoint-recovery replay.
+  *
+  * Both logs auto-compact past [[DeltaLog.CompactThreshold]] batch dirs
+  * ([[DeltaLog.maybeCompact]] at the end of processBatch — two logs per
+  * batch makes this the chattiest maintainer): disjoint rows re-filed,
+  * readouts bit-equal across the boundary, keepLast protecting the only
+  * replayable batch (AutoCompactSpec's StreamIvf leg).
   */
 object StreamIvf {
 
@@ -87,6 +93,11 @@ object StreamIvf {
         .write.mode("overwrite")
         .parquet(s"$logDir/probes/b$batchId.parquet")
     } finally scored.unpersist()
+    // two logs per batch — the chattiest maintainer; both rows-disjoint
+    // across batches, so compactLog's re-file argument holds verbatim
+    val spark = embBatch.sparkSession
+    DeltaLog.maybeCompact(spark, s"$logDir/assign")
+    DeltaLog.maybeCompact(spark, s"$logDir/probes")
   }
 
   /** Wire a streaming embeddings DataFrame (vec_id, embedding) into the

@@ -96,4 +96,28 @@ class AutoCompactSpec extends SparkSpec {
       (NBatches - 1).toLong, logDir)
     assert(rows(StreamIndex.bm25(spark, logDir)) === bm25)
   }
+
+  test("StreamIvf: auto-compacts BOTH logs past the threshold; ANN readouts bit-equal + recovery") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamIvf
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = StreamIvf.frozenCentroids(spark, dir)
+    val logDir = Files.createTempDirectory("graft-ac-ivf").toString
+    for (s <- 0 until NBatches)
+      StreamIvf.processBatch(
+        emb.filter($"vec_id" % NBatches === s), s.toLong, logDir, cents)
+    for (sub <- Seq("assign", "probes")) {
+      val nDirs = batchDirCount(s"$logDir/$sub")
+      assert(nDirs < NBatches - 2, s"$sub never compacted: $nDirs dirs")
+    }
+    val ann = rows(Similarity.qAnnIvf.run(spark, dir))
+    val audit = rows(Similarity.qIvfRecallAudit.run(spark, dir))
+    assert(ann.nonEmpty && audit.nonEmpty)
+    assert(rows(StreamIvf.annTopk(spark, logDir)) === ann)
+    assert(rows(StreamIvf.recallAudit(spark, logDir)) === audit)
+    StreamIvf.processBatch(
+      emb.filter($"vec_id" % NBatches === (NBatches - 1)),
+      (NBatches - 1).toLong, logDir, cents)
+    assert(rows(StreamIvf.annTopk(spark, logDir)) === ann)
+  }
 }
