@@ -61,17 +61,25 @@ object StreamIndex {
   def processBatch(docsBatch: DataFrame, batchId: Long,
       logDir: String): Unit = {
     if (docsBatch.isEmpty) return
-    val toks = docsBatch
-      .select(col("doc_id"),
+    // ONE tokenizer call site (the IngestHub tokenize-once discipline —
+    // this method used to tokenize the batch twice, once per delta): a
+    // doc-level (doc_id, toks) view over the cached batch feeds BOTH the
+    // postings explode and the stats aggregate; the view stays lazy so
+    // each consumer pipelines it into its own partial aggregation
+    // (IngestHub A/B: materializing exploded rows costs more than
+    // re-deriving from the columnar cache)
+    val batch = docsBatch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val docToks = batch.select(col("doc_id"),
         Text.withoutStopwords(Text.tokens(col("text"))).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"),
+      val toks = docToks.select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
-    writeDeltas(Retrieval.tfOf(toks),
-      docsBatch
-        .select(size(Text.withoutStopwords(Text.tokens(col("text"))))
-          .as("dl0"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl")),
-      batchId, logDir)
+      writeDeltas(Retrieval.tfOf(toks),
+        docToks.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("sum_dl")),
+        batchId, logDir)
+    } finally batch.unpersist()
   }
 
   /** Delta writers (fixed-path overwrite + auto-compaction) — shared
