@@ -197,6 +197,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(real.last._4 < real.head._4, "merges bought nothing at sf0.001")
   }
 
+  test("bpe memo: rewriting the corpus at the SAME path retrains (no stale table)") {
+    // the round-16 advice's footgun: the memo was keyed by (session, dir),
+    // so overwriting a fixed path (ScaleRehearsal's /tmp rehearsal dirs)
+    // silently served the previous corpus's merge table. The key now
+    // carries a content fingerprint (file count, bytes, max mtime) — the
+    // second training below MUST see the new corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpememo").toString
+    def write(words: Seq[String]): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"), true)
+      words.zipWithIndex.map { case (w, i) =>
+        (i.toLong, w, "en", "srcX", w.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    write(Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
+    val first = operators.TextAnalytics.qBpeTrain.run(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(first.head === ((1L, "l", "o", 7L)))
+    // same path, different corpus — and re-ask twice: the retrained
+    // table must ALSO be memoized (second read hits the new entry)
+    write(Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+    val second = operators.TextAnalytics.qBpeTrain.run(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(second.head === ((1L, "e", "s", 9L)), "stale merge table served")
+    assert(second !== first)
+    val third = operators.TextAnalytics.qBpeTrain.run(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(third === second)
+  }
+
   test("lang confusion: diagonal mass equals q_lang_id accuracy") {
     val conf = Queries.byName("q_lang_confusion")
       .run(spark, "/root/testdata/sf0.001")
