@@ -2268,11 +2268,11 @@ object LexicalStats {
       ORDER BY lang""")
   )
 
-  /** Tokens per paragraph for [[qParagraphPpl]] — the synthetic corpus
-    * has no structural paragraph breaks, so a paragraph is a fixed
-    * window of consecutive tokens (the convention a real CCNet run falls
-    * back to on unstructured text; with newline-delimited text the
-    * identical plan applies to a split-on-blank-line relation). */
+  /** Fixed-window width (tokens) for [[qParagraphPpl]]'s UNSTRUCTURED
+    * fallback: documents carrying real newlines split on them (the CCNet
+    * convention — each line is a paragraph); documents without any
+    * newline have no structural breaks to honor and fall back to fixed
+    * [[ParaTokens]]-token windows. */
   val ParaTokens = 20
 
   /** Paragraph-level perplexity filtering — the CCNet shape (Wenzek et
@@ -2280,7 +2280,10 @@ object LexicalStats {
     * q_filter_ablation's whole-document gates: a mostly-good document
     * often carries boilerplate/gibberish spans that a doc-level gate
     * cannot remove without throwing away the good text. Each document is
-    * cut into [[ParaTokens]]-token paragraphs, every paragraph scored
+    * cut into paragraphs — on its REAL newline boundaries when it has
+    * any (CCNet splits on '\n'; empty lines yield empty paragraphs that
+    * simply emit no rows), else fixed [[ParaTokens]]-token windows (the
+    * unstructured-text fallback) — and every paragraph is scored
     * under the SAME corpus unigram LM as q_unigram_surprisal
     * ([[surprisalLm]] — one model, two granularities), and the corpus-
     * wide surprisal terciles (the q_ccnet_buckets head/middle/tail
@@ -2295,9 +2298,11 @@ object LexicalStats {
     * no engine percentile); gates compare identical rounded doubles;
     * counts are integers; kept_frac is one qround'd integer quotient.
     *
-    * Scale shape: ONE posexplode pass into the (doc, para, term)
-    * exchange (paragraph ids are map-side arithmetic on the token
-    * position); the LM is the vocab-scale re-aggregate broadcast back;
+    * Scale shape: ONE generator pass into the (doc, para, term)
+    * exchange (the newline split and tokenizer are CHAINED generators in
+    * the same map stage — paragraph ids are per-row arithmetic on the
+    * segment index / token position, no extra shuffle); the LM is the
+    * vocab-scale re-aggregate broadcast back;
     * the tercile window runs on the BOUNDED rounded-score value domain,
     * never the paragraphs; the readout is one (doc) re-group of the
     * paragraph relation. The corpus shuffles once. */
@@ -2306,9 +2311,18 @@ object LexicalStats {
     (spark, dir) => {
       import spark.implicits._
       val ptf = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"text".contains("\n").as("has_nl"),
+          posexplode(split($"text", "\n")).as(Seq("seg", "seg_text")))
+        .select($"doc_id", $"has_nl", $"seg",
+          posexplode(Text.tokens($"seg_text")).as(Seq("pos", "term")))
+        // the tokenizer's Java-split semantics emit an empty token on a
+        // leading-whitespace segment; it is not a word — drop it AFTER
+        // position assignment (both engines index unfiltered positions)
+        .filter($"term" =!= "")
         .select($"doc_id",
-          posexplode(Text.tokens($"text")).as(Seq("pos", "term")))
-        .select($"doc_id", expr(s"pos div $ParaTokens").as("para"), $"term")
+          when($"has_nl", $"seg".cast(LongType))
+            .otherwise(expr(s"pos div $ParaTokens")).as("para"),
+          $"term")
         .groupBy($"doc_id", $"para", $"term").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val paras = ptf.join(broadcast(surprisalLm(ptf)), Seq("term"))
@@ -2344,13 +2358,23 @@ object LexicalStats {
         .orderBy($"doc_id")
     },
     Some(s"""
-      WITH ptoks AS (
-        SELECT doc_id,
-          unnest(range(len(ws))) // $ParaTokens AS para,
-          unnest(ws) AS term
-        FROM (SELECT doc_id,
-                string_split_regex(lower(text), '[[:space:]]+') AS ws
+      WITH segs AS (
+        SELECT doc_id, contains(text, chr(10)) AS has_nl,
+          unnest(range(len(sg))) AS seg, unnest(sg) AS seg_text
+        FROM (SELECT doc_id, text, string_split(text, chr(10)) AS sg
               FROM documents)),
+      ptoks AS (
+        SELECT doc_id,
+          CASE WHEN has_nl THEN seg
+               ELSE tpos // $ParaTokens END AS para,
+          term
+        FROM (
+          SELECT doc_id, has_nl, seg,
+            unnest(range(len(ws))) AS tpos, unnest(ws) AS term
+          FROM (SELECT doc_id, has_nl, seg,
+                  string_split_regex(lower(seg_text), '[[:space:]]+') AS ws
+                FROM segs))
+        WHERE term <> ''),
       ptf AS (
         SELECT doc_id, para, term, count(*) AS tf
         FROM ptoks GROUP BY doc_id, para, term),

@@ -690,6 +690,33 @@ class LexicalStatsSpec extends SparkSpec {
     assert(kept * 10 >= total * 6, s"kept $kept of $total paragraphs")
   }
 
+  test("q_paragraph_ppl: real newline boundaries win over fixed windows; blank lines emit nothing") {
+    import spark.implicits._
+    // two REAL paragraphs of 12 tokens each, separated by a BLANK line
+    // (newline split → segs [clean, '', junk]); both are shorter than
+    // ParaTokens, so the fixed-window fallback would have fused them
+    // into ONE 24-token window — n_paras === 2 pins that the newline
+    // boundary, not the window arithmetic, cut this document
+    val clean = (1 to 12).map(i => s"w${i % 5}").mkString(" ")
+    val junk = (1 to 12).map(i => s"zq${i}xgl").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-para-nl").toString
+    val docs = (0L, s"$clean\n\n$junk", "en", "s0") +:
+      (1 to 30).map(i => (i.toLong, clean, "en", "s0"))
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.LexicalStats.qParagraphPpl.run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val d0 = out.find(_._1 == 0L).get
+    // doc 0: clean paragraph scores exactly like the 30 background docs
+    // (identical text → identical LM mean), junk is corpus-unique →
+    // tail tercile → dropped; the blank middle segment emits no row
+    assert(d0._2 === 2L && d0._3 === 1L, s"doc 0 row: $d0")
+    assert(d0._4 === 24L && d0._5 === 12L && d0._6 === 0.5)
+    assert(out.filter(_._1 > 0L).forall(r =>
+      r._2 === 1L && r._3 === 1L && r._6 === 1.0))
+  }
+
   test("q_mix_rebalance: val-less source keeps a prior-only row (full mixture coverage)") {
     import spark.implicits._
     // source sv: every doc lands in a train bucket -> zero val tokens.
