@@ -423,12 +423,20 @@ object Dedup {
       }
       val vAgg = verified.agg(count(lit(1)).as("n_verified"), erCols: _*)
       BandFactorizations.zipWithIndex.map { case ((b, r), i) =>
-        stats.filter($"r" === r).crossJoin(broadcast(vAgg))
+        // LEFT-join a 1-row anchor so a zero-bucket banding (degenerate
+        // corpus: no doc yields shingles) still emits its grid row —
+        // the oracle's per-banding GLOBAL aggregate always produces one
+        // row (count 0, null shape), and the filter alone would lose it
+        // (round-16 advice)
+        spark.range(1)
+          .join(stats.filter($"r" === r), lit(true), "left")
+          .crossJoin(broadcast(vAgg))
           .select(lit(b.toLong).as("bands"),
             lit(r.toLong).as("rows_per_band"),
             Det.qround(exp(log(lit(1.0) / lit(b.toDouble))
               / lit(r.toDouble))).as("thr_pred"),
-            $"n_buckets", $"max_bucket", $"band_pairs",
+            coalesce($"n_buckets", lit(0L)).as("n_buckets"),
+            $"max_bucket", $"band_pairs",
             $"n_verified", col(s"er$i").as("exp_recall"))
       }.reduce(_.unionByName(_)).orderBy($"rows_per_band")
     },

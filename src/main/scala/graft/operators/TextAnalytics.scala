@@ -870,6 +870,44 @@ object TextAnalytics {
     merges.toSeq
   }
 
+  /** Shared oracle CTE chain for the three BPE queries: v0 (the
+    * char-spelled vocabulary), then per round r the pair counts `p$r`,
+    * the picked merge `t$r`, and the rewritten vocabulary `v$r`.
+    *
+    * `t$r` is ALWAYS exactly one row: when `p$r` is empty (the trainer
+    * exhausted — every word fully merged before [[BpeMerges]] rounds),
+    * the pick degrades to a chr(10) SENTINEL identity merge — a newline
+    * can never appear in a symbol (words are split on `[[:space:]]+`),
+    * so the ` \\n \\n ` pattern never matches and the round's rewrite,
+    * and every downstream encode CROSS JOIN, become no-ops instead of
+    * collapsing the whole relation to zero rows (the round-16 advice's
+    * latent divergence: an early-stopping corpus emptied the oracle
+    * while the Spark side, which mirrors [[bpeLearnFrom]]'s early stop,
+    * returned every row). q_bpe_train filters sentinels out via
+    * `n IS NOT NULL`, matching the Spark merge list's length. */
+  private def bpeRoundsCtes: String = (1 to BpeMerges).map { r =>
+    val prev = s"v${r - 1}"
+    s"""
+      p$r AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
+        FROM (
+          SELECT s, freq, unnest(range(1, len(s))) AS i
+          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
+          WHERE len(s) >= 2)
+        GROUP BY 1, 2),
+      t$r AS (
+        SELECT coalesce(p.a, chr(10)) AS a, coalesce(p.b, chr(10)) AS b,
+          p.n AS n
+        FROM (SELECT 1 AS one) o
+        LEFT JOIN (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1) p
+          ON true),
+      v$r AS (
+        SELECT trim(replace(replace(' ' || ws || ' ',
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
+        FROM $prev CROSS JOIN t$r)"""
+  }.mkString(",")
+
   val qBpeTrain = GraftQuery(
     "q_bpe_train",
     (spark, dir) => {
@@ -879,25 +917,8 @@ object TextAnalytics {
         .orderBy($"merge_rank")
     },
     Some {
-      val rounds = (1 to BpeMerges).map { r =>
-        val prev = s"v${r - 1}"
-        s"""
-      p$r AS (
-        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
-        FROM (
-          SELECT s, freq, unnest(range(1, len(s))) AS i
-          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
-          WHERE len(s) >= 2)
-        GROUP BY 1, 2),
-      t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-      v$r AS (
-        SELECT trim(replace(replace(' ' || ws || ' ',
-            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
-            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
-        FROM $prev CROSS JOIN t$r)"""
-      }.mkString(",")
       val rows = (1 to BpeMerges).map { r =>
-        s"SELECT $r::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, n AS n_occ FROM t$r"
+        s"SELECT $r::BIGINT AS merge_rank, a AS left_sym, b AS right_sym, n AS n_occ FROM t$r WHERE n IS NOT NULL"
       }.mkString("\n      UNION ALL ")
       s"""
       WITH v0 AS (
@@ -905,7 +926,7 @@ object TextAnalytics {
           count(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
                 AS word FROM documents)
-        GROUP BY 1),$rounds
+        GROUP BY 1),$bpeRoundsCtes
       SELECT * FROM (
       $rows)
       ORDER BY merge_rank"""
@@ -958,23 +979,6 @@ object TextAnalytics {
         .orderBy($"lang")
     },
     Some {
-      val rounds = (1 to BpeMerges).map { r =>
-        val prev = s"v${r - 1}"
-        s"""
-      p$r AS (
-        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
-        FROM (
-          SELECT s, freq, unnest(range(1, len(s))) AS i
-          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
-          WHERE len(s) >= 2)
-        GROUP BY 1, 2),
-      t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-      v$r AS (
-        SELECT trim(replace(replace(' ' || ws || ' ',
-            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
-            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
-        FROM $prev CROSS JOIN t$r)"""
-      }.mkString(",")
       val enc = (1 to BpeMerges).foldLeft("' ' || ws0 || ' '") { (c, r) =>
         s"""replace(replace($c,
             ' ' || t$r.a || ' ' || t$r.b || ' ', ' ' || t$r.a || t$r.b || ' '),
@@ -987,7 +991,7 @@ object TextAnalytics {
           count(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
                 AS word FROM documents)
-        GROUP BY 1),$rounds,
+        GROUP BY 1),$bpeRoundsCtes,
       toks AS (
         SELECT doc_id, lang,
           unnest(string_split_regex(lower(text), '[[:space:]]+')) AS word
@@ -1157,23 +1161,6 @@ object TextAnalytics {
         .orderBy($"n_merges")
     },
     Some {
-      val rounds = (1 to BpeMerges).map { r =>
-        val prev = s"v${r - 1}"
-        s"""
-      p$r AS (
-        SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS n
-        FROM (
-          SELECT s, freq, unnest(range(1, len(s))) AS i
-          FROM (SELECT string_split(ws, ' ') AS s, freq FROM $prev)
-          WHERE len(s) >= 2)
-        GROUP BY 1, 2),
-      t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-      v$r AS (
-        SELECT trim(replace(replace(' ' || ws || ' ',
-            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
-            ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')) AS ws, freq
-        FROM $prev CROSS JOIN t$r)"""
-      }.mkString(",")
       def encSql(k: Int): String =
         (1 to k).foldLeft("' ' || ws0 || ' '") { (c, r) =>
           s"""replace(replace($c,
@@ -1195,7 +1182,7 @@ object TextAnalytics {
           count(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
                 AS word FROM documents)
-        GROUP BY 1),$rounds,
+        GROUP BY 1),$bpeRoundsCtes,
       words AS (
         SELECT unnest(string_split_regex(lower(text), '[[:space:]]+'))
           AS word

@@ -358,4 +358,29 @@ class DedupSpec extends SparkSpec {
     assert(tune((12L, 1L)).getAs[Double]("exp_recall")
       >= tune((1L, 12L)).getAs[Double]("exp_recall"))
   }
+
+  test("q_minhash_tune: degenerate corpus (no shingles) still emits all six grid rows") {
+    import spark.implicits._
+    // single-word docs produce NO 2-shingles -> every banding has zero
+    // buckets. The rollup's groupBy(r) emits nothing for such a banding;
+    // the 1-row anchor join must keep the row (n_buckets 0, null shape),
+    // matching the oracle's always-one-row global aggregates
+    // (round-16 advice: the filter alone silently lost the grid rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tune0").toString
+    (0 until 8).map(i => (i.toLong, s"word$i", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.qMinhashTune.run(spark, dir).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq
+      === Dedup.BandFactorizations.map(_._2.toLong).sorted)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_buckets") === 0L)
+      assert(r.isNullAt(r.fieldIndex("max_bucket")))
+      assert(r.isNullAt(r.fieldIndex("band_pairs")))
+      assert(r.getAs[Long]("n_verified") === 0L)
+      assert(r.isNullAt(r.fieldIndex("exp_recall")))
+      assert(!r.isNullAt(r.fieldIndex("thr_pred")))
+    }
+  }
 }
