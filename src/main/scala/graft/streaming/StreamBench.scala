@@ -29,10 +29,11 @@ import org.apache.spark.sql.types._
   *
   * With NO arguments it runs the standard envelopes — 500 rec/batch ×1
   * (the reference consumer's configured volume, reddit_consumer.py:497)
-  * and 5,000 rec/batch ×10 (10× volume), for BOTH the parity pipeline
-  * and the [[IngestHub]] six-maintainer composite (the deployment shape;
-  * `runMain … StreamBench ingest [recordsPerBatch] [replicate]` drives it
-  * alone) — and, in addition to printing each run's JSON line, writes
+  * and 5,000 rec/batch ×10 (10× volume), for the parity pipeline, the
+  * [[IngestHub]] six-maintainer composite, AND the [[StreamIvf]]
+  * maintained-ANN ingest (`runMain … StreamBench ingest|ann
+  * [recordsPerBatch] [replicate]` drives one alone) — and, in addition
+  * to printing each run's JSON line, writes
   * the combined artifact to `SPARK_GRAFT_STREAMBENCH_OUT` (default
   * `STREAMBENCH.json` in the working directory) so the per-round
   * envelope is machine-readable and trendable beside BENCH_r{N}.json
@@ -61,7 +62,17 @@ object StreamBench {
     // separately from the steady state. Single-batch runs have no steady
     // state: fall back to the full set so the line never carries NaN.
     val steady = if (secs.size > 1) secs.drop(1).sorted else secs.sorted
-    val steadyRows = if (secs.size > 1) rows - perBatch else rows
+    // steady rows = written rows minus batch 0's ACTUAL share (round-16
+    // advice: the pmod slices are uneven and the tail slice is short, so
+    // assuming batch 0 = perBatch misstated steadyRecPerSec). numInputRows
+    // can be uniformly inflated by multi-action foreachBatch re-counts,
+    // so take batch 0's SHARE of the engine total, scaled to the rows the
+    // harness actually wrote.
+    val inputTotal = batches.map(_._2).sum.toDouble
+    val steadyRows =
+      if (secs.size > 1 && inputTotal > 0)
+        rows * (1.0 - batches.head._2 / inputTotal)
+      else rows.toDouble
     val busy = secs.sum
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
@@ -154,6 +165,46 @@ object StreamBench {
     progressLine("ingest", q, rows, perBatch, wall)
   }
 
+  /** One StreamIvf replay at the given volume (round-16 verdict item #4:
+    * the maintained-ANN ingest shape was the one stateful deployment
+    * without a measured envelope): the embeddings table replayed as
+    * parquet slices of ~`perBatch` vectors, one slice per trigger,
+    * through [[StreamIvf.run]] against the codebook FROZEN from the
+    * unreplicated base corpus (the production shape: the quantizer is
+    * trained once, offline; ingest only scores against it). Same stats,
+    * same 10 s budget. */
+  def runAnnOnce(spark: SparkSession, sfDir: String, perBatch: Int,
+      replicate: Int): String = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val cents = StreamIvf.frozenCentroids(spark, sfDir)
+    val all = (0 until replicate).map { r =>
+      emb.select(($"vec_id" + lit(r.toLong * (1L << 40))).as("vec_id"),
+        $"embedding")
+    }.reduce(_ unionByName _)
+    val rows = all.count()
+    val nSlices = math.max(1, math.ceil(rows.toDouble / perBatch).toInt)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-ann")
+    for (s <- 0 until nSlices)
+      all.filter(pmod($"vec_id", lit(nSlices.toLong)) === s)
+        .coalesce(1) // one file per slice = one slice per trigger
+        .write.parquet(f"$srcDir/slice_$s%05d.parquet")
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-sbench-ivf").toString
+
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+    val t0 = System.nanoTime()
+    val q = StreamIvf.run(stream, logDir, cents, Trigger.AvailableNow())
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    progressLine("ann", q, rows, perBatch, wall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -169,18 +220,24 @@ object StreamBench {
 
     if (args.nonEmpty) {
       // dev mode: one run at the requested volume, line to stdout only;
-      // leading "ingest" drives the IngestHub composite instead of the
-      // parity pipeline
-      val ingest = args.head == "ingest"
-      val rest = if (ingest) args.tail else args
+      // leading "ingest" drives the IngestHub composite, leading "ann"
+      // the StreamIvf maintainer, instead of the parity pipeline
+      val mode = args.head match {
+        case m @ ("ingest" | "ann") => m
+        case _ => "stream"
+      }
+      val rest = if (mode == "stream") args else args.tail
       val perBatch = rest.headOption.flatMap(_.toIntOption).getOrElse(500)
       val replicate = rest.drop(1).headOption.flatMap(_.toIntOption).getOrElse(1)
-      println(if (ingest) runIngestOnce(spark, sfDir, perBatch, replicate)
-              else runOnce(spark, sfDir, perBatch, replicate))
+      println(mode match {
+        case "ingest" => runIngestOnce(spark, sfDir, perBatch, replicate)
+        case "ann" => runAnnOnce(spark, sfDir, perBatch, replicate)
+        case _ => runOnce(spark, sfDir, perBatch, replicate)
+      })
     } else {
-      // artifact mode: all four standard envelopes (parity pipeline and
-      // IngestHub composite, each at reference and 10x volume), combined
-      // JSON to disk
+      // artifact mode: all six standard envelopes (parity pipeline,
+      // IngestHub composite, StreamIvf maintainer — each at reference
+      // and 10x volume), combined JSON to disk
       val ref = runOnce(spark, sfDir, 500, 1)
       println(ref)
       val x10 = runOnce(spark, sfDir, 5000, 10)
@@ -189,10 +246,15 @@ object StreamBench {
       println(ing)
       val ingX10 = runIngestOnce(spark, sfDir, 5000, 10)
       println(ingX10)
+      val ann = runAnnOnce(spark, sfDir, 500, 1)
+      println(ann)
+      val annX10 = runAnnOnce(spark, sfDir, 5000, 10)
+      println(annX10)
       val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (s"""{"metric":"streambench","sfDir":"$sfDir","reference":$ref,"x10":$x10,""" +
-          s""""ingest":$ing,"ingest_x10":$ingX10}\n""").getBytes("UTF-8"))
+          s""""ingest":$ing,"ingest_x10":$ingX10,""" +
+          s""""ann":$ann,"ann_x10":$annX10}\n""").getBytes("UTF-8"))
       println(s"wrote $out")
     }
     spark.stop()
