@@ -421,7 +421,14 @@ object Dedup {
         val mPowB = Seq.fill(b)(m).reduce(_ * _)
         Det.davg(lit(1.0) - mPowB).as(s"er$i")
       }
+      // persisted (1 row): each grid leg prunes this to its own er$i
+      // column, so the six broadcast subtrees canonicalize DIFFERENTLY
+      // and exchange reuse never fires — without the barrier the whole
+      // candidate+verify pipeline executes six times (measured at the
+      // 10x rehearsal: 25-28 s vs ~8 s with the barrier; invisible at 1x
+      // where the verify leg is cheap)
       val vAgg = verified.agg(count(lit(1)).as("n_verified"), erCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       BandFactorizations.zipWithIndex.map { case ((b, r), i) =>
         // LEFT-join a 1-row anchor so a zero-bucket banding (degenerate
         // corpus: no doc yields shingles) still emits its grid row —
