@@ -1797,9 +1797,14 @@ object BehaviorAnalytics {
       val nb = b.select($"user_id", $"d").distinct()
         .agg(count(lit(1)).as("nb"))
       val items = b.groupBy($"event_type").agg(count(lit(1)).as("ni"))
+      // persisted (≤ |event_type|² rows): the symmetrization union reads
+      // this twice under DIFFERENT aliases, so the leg plans never
+      // canonicalize equal and the basket pair-enumeration re-executed
+      // per leg (the q_minhash_tune exchange-reuse lesson)
       val p = assocPairRows(b)
         .groupBy($"a.event_type".as("x"), $"c.event_type".as("y"))
         .agg(count(lit(1)).as("nxy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val r = p.select($"x".as("ante"), $"y".as("cons"), $"nxy")
         .unionByName(p.select($"y".as("ante"), $"x".as("cons"), $"nxy"))
       r.join(broadcast(items.select($"event_type".as("ante"),

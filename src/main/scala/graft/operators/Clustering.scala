@@ -320,7 +320,13 @@ object Clustering {
           Det.qround(expr("sqrt(greatest(q2 - mu2 * mu2, 0.000001))"))
             .as("s2"))
       }
+      // persisted (1 row): the log-likelihood leg and the two component
+      // legs each prune this to different columns, so without the
+      // barrier the 2-step EM lineage re-executes per consumer (the
+      // q_minhash_tune exchange-reuse lesson: differently-pruned
+      // aggregates never canonicalize equal)
       val fitted = step(step(init))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ll = vc.crossJoin(broadcast(fitted))
         .agg(
           sum(expr(s"CAST(c * ($gmmPdfSql) AS DECIMAL(38,9))"))

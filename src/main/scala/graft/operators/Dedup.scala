@@ -2190,7 +2190,11 @@ object Dedup {
               expr(s"CAST(s1ga$i AS DOUBLE) / CAST(s1g AS DOUBLE)")).as(s"u$i")))
         g.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
       }
+      // persisted (1 row): the four field legs each prune different
+      // m/u columns — the same differently-pruned-aggregate shape that
+      // re-executed q_minhash_tune's verify leg six times
       val fitted = step(step(init))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fields = Seq("lang", "source", "lenb", "jac")
       fields.zipWithIndex.map { case (f, i0) =>
         val i = i0 + 1
