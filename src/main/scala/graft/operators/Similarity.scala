@@ -672,7 +672,12 @@ object Similarity {
   /** The full ADC relation (qid, tid, ad2) with RAW (un-rounded) sums —
     * [[qAnnPq]] ranks it; the distortion audit compares it against exact
     * distances on the pairs the ranking selected. */
-  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+  /** The PQ model relations — the per-(vector, subspace) code assignment
+    * `codes (vec_id, s, code)` and the query-side M×K exact lookup table
+    * `qlut (qid, s, cid, d2)` — shared by [[pqAdc]] (full-corpus ADC) and
+    * the IVF-PQ composite (candidate-restricted ADC). */
+  private def pqModel(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     val subv = Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("s"),
@@ -700,6 +705,12 @@ object Similarity {
       .join(broadcast(cents), Seq("s"))
       .select($"vec_id".as("qid"), $"s", $"cid",
         call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
+    (codes, qlut)
+  }
+
+  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (codes, qlut) = pqModel(spark, dir)
     codes.join(broadcast(qlut),
         codes("s") === qlut("s") && codes("code") === qlut("cid") &&
           codes("vec_id") =!= qlut("qid"))
@@ -819,6 +830,131 @@ object Similarity {
         ${Oracle.davg("abs(ad2 - d2)")} AS avg_abs_err
       FROM pd2 GROUP BY qid
       ORDER BY qid""")
+  )
+
+  /** IVF-PQ composite ANN (qid, rk, tid, ad2 RAW) — the production index
+    * shape (FAISS IndexIVFPQ, non-residual variant): the TRAINED coarse
+    * quantizer bounds each query's candidate set to its probed cells
+    * ([[ivfCandOf]] at [[NProbe]] — n·NProbe/NCells work per query on
+    * balanced cells), and the candidates are ranked by PQ ADC instead of
+    * exact cosine — M code lookups + a sum per candidate, never a touch
+    * of the original vector. The composition is what serves at 100 TB:
+    * IVF bounds WHICH vectors are scored, PQ bounds what scoring one
+    * COSTS (and shrinks the index 32×, [[PqSubspaces]] bytes/vector).
+    * Residual encoding (PQ over v − centroid, per-cell) is the standard
+    * refinement; this variant quantizes the vectors themselves so the
+    * SAME codebook serves q_ann_pq and the composite, and the oracle
+    * replays both chains verbatim.
+    *
+    * The exact cosines [[ivfCandOf]] defines are PRUNED out of the plan
+    * (only (qid, tid) is selected — the q_ivf_tune column-pruning
+    * property): an IVF-PQ search never computes an exact pair distance.
+    *
+    * Scale shape: the candidate pair relation joins the codes on tid
+    * (pairs×M rows), the query LUT is broadcast, and the ADC sum
+    * partial-aggregates before its (qid, tid) exchange. */
+  private[graft] def ivfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ivfCand(spark, dir, NProbe).select($"qid", $"tid")
+    val (codes, qlut) = pqModel(spark, dir)
+    pairs
+      .join(codes, pairs("tid") === codes("vec_id"))
+      .join(broadcast(qlut),
+        codes("s") === qlut("s") && codes("code") === qlut("cid") &&
+          pairs("qid") === qlut("qid"))
+      .groupBy(pairs("qid"), pairs("tid"))
+      .agg(sum($"d2".cast(DecimalType(38, 12))).cast(DoubleType).as("ad2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"ad2", $"tid")))
+      .filter($"rk" <= TopK)
+      .select($"qid", $"rk".cast(LongType).as("rk"), $"tid", $"ad2")
+  }
+
+  /** Oracle CTE block for [[ivfPqTopk]] — assumes `ex`, `$ivfCtes`
+    * (for `cand`) and `$pqCtes` (for `codes`/`enc_d`) are in scope,
+    * exposes `ivfpq_topk(qid, rk, tid, ad2)`. */
+  private def ivfPqCtes: String = s"""
+      ivfpq_adc AS (
+        SELECT c.qid, c.tid, sum(CAST(q.d2 AS DECIMAL(38,12)))::DOUBLE AS ad2
+        FROM cand c
+        JOIN codes t ON t.vec_id = c.tid
+        JOIN enc_d q ON q.s = t.s AND q.cid = t.code AND q.vec_id = c.qid
+        GROUP BY c.qid, c.tid),
+      ivfpq_topk AS (
+        SELECT qid, rk, tid, ad2 FROM (
+          SELECT qid, tid, ad2,
+            row_number() OVER (PARTITION BY qid ORDER BY ad2, tid) AS rk
+          FROM ivfpq_adc)
+        WHERE rk <= $TopK)"""
+
+  val qAnnIvfpq = GraftQuery(
+    "q_ann_ivfpq",
+    (spark, dir) => {
+      import spark.implicits._
+      ivfPqTopk(spark, dir)
+        .select($"qid", $"rk", $"tid", Det.qround($"ad2").as("approx_dist2"))
+        .orderBy($"qid", $"rk")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      $ivfCtes,
+      $pqCtes,
+      $ivfPqCtes
+      SELECT qid, rk, tid, ${Oracle.qround("ad2")} AS approx_dist2
+      FROM ivfpq_topk
+      ORDER BY qid, rk""")
+  )
+
+  /** IVF-PQ recall decomposition — per query, hits@k against the exact
+    * brute-force top-k for the FULL-corpus PQ ranking ([[pqTopk]] — the
+    * quantization cost alone) and for the IVF-PQ composite ([[ivfPqTopk]]
+    * — quantization + the probe's candidate restriction). Reading the
+    * pair tells an index tuner WHERE lost recall went: recall_pq is the
+    * ceiling more probes could recover to; the gap between the columns is
+    * the probe restriction's price (raise [[NProbe]]); lifting the
+    * ceiling itself means more codebook bits ([[PqCodes]]/[[PqSubspaces]])
+    * — the two knobs of a production IVF-PQ, each with its own column.
+    * (No containment either way: restricting candidates can also ADMIT a
+    * true pair that full-PQ ranked below an out-of-cell competitor.) */
+  val qIvfpqRecall = GraftQuery(
+    "q_ivfpq_recall",
+    (spark, dir) => {
+      import spark.implicits._
+      exactTopk(spark, dir).select($"qid", $"tid")
+        .join(pqTopk(pqAdc(spark, dir))
+          .select($"qid", $"tid", lit(1).as("mp")), Seq("qid", "tid"), "left")
+        .join(ivfPqTopk(spark, dir)
+          .select($"qid", $"tid", lit(1).as("mi")), Seq("qid", "tid"), "left")
+        .groupBy($"qid")
+        .agg(count($"mp").as("n_pq_hits"), count($"mi").as("n_ivfpq_hits"))
+        .select($"qid", $"n_pq_hits", $"n_ivfpq_hits",
+          Det.qround($"n_pq_hits" / lit(TopK)).as("recall_pq"),
+          Det.qround($"n_ivfpq_hits" / lit(TopK)).as("recall_ivfpq"))
+        .orderBy($"qid")
+    },
+    Some(s"""
+      WITH ex AS ($explodedSql),
+      nrm AS ($normsSql),
+      $exactTopkCtes,
+      $ivfCtes,
+      $pqCtes,
+      $ivfPqCtes,
+      hp AS (
+        SELECT e.qid, count(p.tid) AS n_pq_hits
+        FROM exact_topk e
+        LEFT JOIN pq_topk p ON e.qid = p.qid AND e.tid = p.tid
+        GROUP BY e.qid),
+      hi AS (
+        SELECT e.qid, count(i.tid) AS n_ivfpq_hits
+        FROM exact_topk e
+        LEFT JOIN ivfpq_topk i ON e.qid = i.qid AND e.tid = i.tid
+        GROUP BY e.qid)
+      SELECT hp.qid, n_pq_hits, n_ivfpq_hits,
+        ${Oracle.qround(s"n_pq_hits * 1.0 / $TopK")} AS recall_pq,
+        ${Oracle.qround(s"n_ivfpq_hits * 1.0 / $TopK")} AS recall_ivfpq
+      FROM hp JOIN hi ON hp.qid = hi.qid
+      ORDER BY hp.qid""")
   )
 
   /** Symmetric int8 quantization audit — the compression step a 100 TB
@@ -1763,7 +1899,8 @@ object Similarity {
 
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
-      qIvfRecallAudit, qIvfTune, qAnnPq, qPqDistortion, qEmbedInt8, qSq8Recall,
+      qIvfRecallAudit, qIvfTune, qAnnPq, qPqDistortion, qAnnIvfpq,
+      qIvfpqRecall, qEmbedInt8, qSq8Recall,
       qSemanticDedup,
       qSemdedupCellAudit, qSemanticContamination, qEmbedCovariance,
       qPcaPower, qEmbedLabelProfile, qLabelCentroidDist, qMrlRecall,

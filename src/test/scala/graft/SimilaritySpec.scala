@@ -350,4 +350,39 @@ class SimilaritySpec extends SparkSpec {
     assert(prod._2 === audit.map(_._1).sum)
     assert(prod._4 === audit.map(_._2).sum)
   }
+
+  test("ivf-pq: ranks only probed-cell candidates; recall decomposition well-formed") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val S = graft.operators.Similarity
+    val topk = S.ivfPqTopk(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(topk.nonEmpty)
+    // the probe bound: every ranked pair is an IVF candidate pair (the
+    // composite may never score a vector outside the query's probed
+    // cells — that is the whole point of the coarse quantizer)
+    val emb = S.withNormOf(
+      Tables.embeddings(spark, dir).select($"vec_id", $"embedding"))
+    val scored = S.ivfScored(emb, S.ivfTrainedCentroids(emb))
+    val cand = S.ivfCandOf(S.ivfProbesOf(scored, S.NProbe),
+        S.ivfAssignOf(scored))
+      .select($"qid", $"tid").as[(Long, Long)].collect().toSet
+    assert(topk.forall(r => cand((r._1, r._3))))
+    // per-query rank lists: dense ranks from 1, ad2 nondecreasing
+    for ((_, rs) <- topk.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.size.toLong))
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Seq(a, b) => b >= a; case _ => true })
+    }
+    // the decomposition audit: one row per query vector, hits bounded by
+    // k, recalls the rounded hit quotients
+    val rec = S.qIvfpqRecall.run(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rec.size === S.NQueryVecs)
+    assert(rec.forall(r => r._2 >= 0 && r._2 <= S.TopK
+      && r._3 >= 0 && r._3 <= S.TopK))
+    assert(rec.forall(r => r._4 >= 0.0 && r._4 <= 1.0
+      && r._5 >= 0.0 && r._5 <= 1.0))
+  }
 }
