@@ -672,40 +672,70 @@ object Similarity {
   /** The full ADC relation (qid, tid, ad2) with RAW (un-rounded) sums —
     * [[qAnnPq]] ranks it; the distortion audit compares it against exact
     * distances on the pairs the ranking selected. */
-  /** The PQ model relations — the per-(vector, subspace) code assignment
-    * `codes (vec_id, s, code)` and the query-side M×K exact lookup table
-    * `qlut (qid, s, cid, d2)` — shared by [[pqAdc]] (full-corpus ADC) and
-    * the IVF-PQ composite (candidate-restricted ADC). */
-  private def pqModel(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val subv = Tables.spread(Tables.embeddings(spark, dir))
+  /** The (vec_id, s, sub) subvector relation of any (vec_id, embedding)
+    * relation — the PQ slicing, shared by the batch model build and
+    * graft.streaming.StreamIvf's per-batch encode. */
+  private[graft] def pqSubvOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb
       .select($"vec_id", explode(expr(s"sequence(0, ${PqSubspaces - 1})")).as("s"),
         $"embedding")
       .select($"vec_id", $"s",
         expr(s"slice(embedding, s * $PqSubDims + 1, $PqSubDims)").as("sub"))
-    val cents = subv.filter($"vec_id" < PqCodes)
+  }
+
+  /** The PQ codebook (cid, s, ce): subvectors of the first [[PqCodes]]
+    * vectors, components cast to double — the deterministic trained-model
+    * stand-in the oracle replays (StreamIvf freezes a collect of it). */
+  private[graft] def pqCentsOf(subv: DataFrame): DataFrame = {
+    import subv.sparkSession.implicits._
+    subv.filter($"vec_id" < PqCodes)
       .select($"vec_id".as("cid"), $"s",
         transform($"sub", v => v.cast(DoubleType)).as("ce"))
-    // One-pass encode: the K distance rows of each (vector, subspace)
-    // group come from ONE source row's broadcast fan-out, so they sit in
-    // the same partition and the argmin collapses in the partial
-    // aggregate — no shuffle ever carries the fan-out. (A two-phase
-    // fast-rank/exact-confirm variant was measured: its per-(vec, s)
-    // group-min join adds an n·M·K-row shuffle, which at scale costs
-    // more than the map-side decimal CPU it saves.)
-    val codes = subv.join(broadcast(cents), Seq("s"))
+  }
+
+  /** The per-(vector, subspace) code assignment (vec_id, s, code) of any
+    * subvector relation against a codebook — a PER-VECTOR decision
+    * (subvector + frozen codebook only), which is the additivity that
+    * lets StreamIvf encode per micro-batch.
+    *
+    * One-pass encode: the K distance rows of each (vector, subspace)
+    * group come from ONE source row's broadcast fan-out, so they sit in
+    * the same partition and the argmin collapses in the partial
+    * aggregate — no shuffle ever carries the fan-out. (A two-phase
+    * fast-rank/exact-confirm variant was measured: its per-(vec, s)
+    * group-min join adds an n·M·K-row shuffle, which at scale costs
+    * more than the map-side decimal CPU it saves.) */
+  private[graft] def pqCodesOf(subv: DataFrame, cents: DataFrame): DataFrame = {
+    import subv.sparkSession.implicits._
+    subv.join(broadcast(cents), Seq("s"))
       .select(subv("vec_id"), $"s", $"cid",
         call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
       .groupBy($"vec_id", $"s")
       .agg(min_by($"cid", struct($"d2", $"cid")).as("code"))
-    // the query-side M×K lookup table (tiny, broadcast) — ADC needs the
-    // EXACT distance to every entry, so no prefilter here
-    val qlut = subv.filter($"vec_id" < NQueryVecs)
+  }
+
+  /** The query-side M×K exact lookup table (qid, s, cid, d2) — tiny,
+    * broadcast downstream; ADC needs the EXACT distance to every entry,
+    * so no prefilter here. Per-vector like the codes, so a readout can
+    * rebuild it from stored query embeddings bit-equal. */
+  private[graft] def pqQlutOf(subv: DataFrame, cents: DataFrame): DataFrame = {
+    import subv.sparkSession.implicits._
+    subv.filter($"vec_id" < NQueryVecs)
       .join(broadcast(cents), Seq("s"))
       .select($"vec_id".as("qid"), $"s", $"cid",
         call_function("dist2_f32_f64", $"sub", $"ce").as("d2"))
-    (codes, qlut)
+  }
+
+  /** The PQ model relations — codes + query LUT — shared by [[pqAdc]]
+    * (full-corpus ADC) and the IVF-PQ composite (candidate-restricted
+    * ADC). */
+  private def pqModel(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val subv = pqSubvOf(Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding")))
+    val cents = pqCentsOf(subv)
+    (pqCodesOf(subv, cents), pqQlutOf(subv, cents))
   }
 
   private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
@@ -857,6 +887,16 @@ object Similarity {
     import spark.implicits._
     val pairs = ivfCand(spark, dir, NProbe).select($"qid", $"tid")
     val (codes, qlut) = pqModel(spark, dir)
+    ivfPqRank(pairs, codes, qlut)
+  }
+
+  /** The ADC ranking tail over a candidate-pair relation, a codes
+    * relation and a query LUT — shared by [[ivfPqTopk]] and StreamIvf's
+    * maintained readout (identical relations in → identical ranking
+    * out). */
+  private[graft] def ivfPqRank(pairs: DataFrame, codes: DataFrame,
+      qlut: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
     pairs
       .join(codes, pairs("tid") === codes("vec_id"))
       .join(broadcast(qlut),

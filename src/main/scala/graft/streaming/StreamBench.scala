@@ -178,6 +178,7 @@ object StreamBench {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
     val cents = StreamIvf.frozenCentroids(spark, sfDir)
+    val pqCents = StreamIvf.frozenPqCents(spark, sfDir)
     val all = (0 until replicate).map { r =>
       emb.select(($"vec_id" + lit(r.toLong * (1L << 40))).as("vec_id"),
         $"embedding")
@@ -199,7 +200,8 @@ object StreamBench {
       .option("recursiveFileLookup", "true")
       .parquet(srcDir.toString)
     val t0 = System.nanoTime()
-    val q = StreamIvf.run(stream, logDir, cents, Trigger.AvailableNow())
+    val q = StreamIvf.run(stream, logDir, cents, pqCents,
+      Trigger.AvailableNow())
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     progressLine("ann", q, rows, perBatch, wall)

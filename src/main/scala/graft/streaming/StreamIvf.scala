@@ -25,8 +25,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * exactly, and the folded log serves the batch queries bit-equal on the
   * grown corpus.
   *
-  * State = two relations per batch, disjoint across batches (append-only
-  * corpus: each vec_id lives in exactly one micro-batch):
+  * State = three relations per batch, disjoint across batches
+  * (append-only corpus: each vec_id lives in exactly one micro-batch):
   *  - assign `(tid, te, tn, cell)` — every batch vector's cell, with the
   *    embedding + exact decimal norm (the IVF index stores its vectors;
   *    readout cosines recompute from these bit-equal to the batch
@@ -36,12 +36,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    tier (prk ≤ max [[Similarity.IvfTuneTiers]] = 8); probe sets nest,
   *    so one log serves the production depth (prk ≤ NProbe), every tune
   *    tier, and the recall audit by prk filters alone.
+  *  - codes `(vec_id, s, code)` — every batch vector's PQ codes against
+  *    the frozen fine codebook (a per-vector argmin, like the cell
+  *    assignment), making the maintained index a full IndexIVFPQ: the
+  *    composite readout ranks probed-cell candidates by ADC without
+  *    ever rescanning the stored vectors.
   *
   * Readouts (all through the shared cores, so bit-equality is by
   * construction, not re-derivation): [[annTopk]] ≡ q_ann_ivf,
   * [[recallAudit]] ≡ q_ivf_recall_audit (ground truth = exact top-k
-  * over the folded vectors), [[cellCounts]] — the cell-balance monitor
-  * an IVF operator watches for skewed cells.
+  * over the folded vectors), [[annTopkPq]] ≡ q_ann_ivfpq (the
+  * maintained composite index), [[cellCounts]] — the cell-balance
+  * monitor an IVF operator watches for skewed cells.
   *
   * Idempotent recovery: fixed per-batch paths in overwrite mode (the
   * StreamDq discipline) — rows are disjoint, not duplicate-insensitive,
@@ -63,6 +69,7 @@ object StreamIvf {
     "tid BIGINT,te ARRAY<FLOAT>,tn DOUBLE,cell BIGINT"
   private[graft] val ProbesDdl =
     "qid BIGINT,qe ARRAY<FLOAT>,qn DOUBLE,cell BIGINT,prk INT"
+  private[graft] val CodesDdl = "vec_id BIGINT,s INT,code BIGINT"
 
   /** The frozen codebook from a corpus directory: the trained quantizer
     * the batch twins use, MATERIALIZED — the training round must run once
@@ -75,15 +82,35 @@ object StreamIvf {
       java.util.Arrays.asList(trained.collect(): _*), trained.schema)
   }
 
-  /** Append one micro-batch's assignment + probe deltas, scored against
-    * the frozen `cents` codebook. Batches carry (vec_id, embedding). */
+  /** The frozen PQ codebook (cid, s, ce) from a corpus directory,
+    * MATERIALIZED like [[frozenCentroids]] (M×K rows — model-sized). */
+  def frozenPqCents(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.pqCentsOf(Similarity.pqSubvOf(
+      graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+  }
+
+  /** Append one micro-batch's assignment + probe + PQ-code deltas,
+    * scored against the frozen `cents` (coarse) and `pqCents` (fine)
+    * codebooks. Batches carry (vec_id, embedding). */
   def processBatch(embBatch: DataFrame, batchId: Long, logDir: String,
-      cents: DataFrame): Unit = {
+      cents: DataFrame, pqCents: DataFrame): Unit = {
     if (embBatch.isEmpty) return
-    // persisted: the batch×NCells scoring pass feeds BOTH deltas (the
-    // same barrier the batch ivfCand uses)
-    val scored = Similarity.ivfScored(Similarity.withNormOf(
-        embBatch.select(col("vec_id"), col("embedding"))), cents)
+    // persisted: the batch feeds the coarse scoring pass AND the PQ
+    // encode (two independent model joins over the same rows).
+    // REPARTITIONED first: a micro-batch often arrives as one file =
+    // one partition, which would run every decimal distance on a single
+    // core (measured: the 10x ann envelope read p95 11.4 s single-
+    // partition vs the 10 s budget; spread, the same batch scores in
+    // ~2 s) — the Tables.spread rationale applied to the stream path
+    val batch = embBatch.select(col("vec_id"), col("embedding"))
+      .repartition(embBatch.sparkSession.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the batch×NCells scoring pass feeds BOTH coarse deltas
+    // (the same barrier the batch ivfCand uses)
+    val scored = Similarity.ivfScored(Similarity.withNormOf(batch), cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Similarity.ivfAssignOf(scored)
@@ -92,22 +119,27 @@ object StreamIvf {
       Similarity.ivfProbesOf(scored, Similarity.IvfTuneTiers.max)
         .write.mode("overwrite")
         .parquet(s"$logDir/probes/b$batchId.parquet")
-    } finally scored.unpersist()
-    // two logs per batch — the chattiest maintainer; both rows-disjoint
+      Similarity.pqCodesOf(Similarity.pqSubvOf(batch), pqCents)
+        .write.mode("overwrite")
+        .parquet(s"$logDir/codes/b$batchId.parquet")
+    } finally { scored.unpersist(); batch.unpersist() }
+    // three logs per batch — the chattiest maintainer; all rows-disjoint
     // across batches, so compactLog's re-file argument holds verbatim
     val spark = embBatch.sparkSession
     DeltaLog.maybeCompact(spark, s"$logDir/assign")
     DeltaLog.maybeCompact(spark, s"$logDir/probes")
+    DeltaLog.maybeCompact(spark, s"$logDir/codes")
   }
 
   /** Wire a streaming embeddings DataFrame (vec_id, embedding) into the
-    * maintainer against a frozen codebook. */
+    * maintainer against the frozen codebooks. */
   def run(embStream: DataFrame, logDir: String, cents: DataFrame,
+      pqCents: DataFrame,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
       : StreamingQuery =
     embStream.writeStream
       .foreachBatch((df: DataFrame, id: Long) =>
-        processBatch(df, id, logDir, cents))
+        processBatch(df, id, logDir, cents, pqCents))
       .trigger(trigger)
       .option("checkpointLocation", s"$logDir/checkpoint")
       .start()
@@ -158,4 +190,28 @@ object StreamIvf {
     assign(spark, logDir)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("cell"))
+
+  /** The folded PQ-code log — disjoint rows, so the fold is the read. */
+  private[graft] def codes(spark: SparkSession, logDir: String): DataFrame =
+    DeltaLog.emptyOr(spark, s"$logDir/codes", CodesDdl)
+
+  /** IVF-PQ top-k over the maintained index — q_ann_ivfpq bit-equal on
+    * the corpus streamed so far: candidates from the folded coarse logs,
+    * codes from the folded code log, and the query LUT REBUILT from the
+    * stored query embeddings against the frozen `pqCents` (a per-vector
+    * decision, so the rebuild is bit-equal to the batch pass's). The
+    * production read path of an IndexIVFPQ: per query, probed-cell
+    * candidates × M code lookups — the original vectors are never
+    * rescanned. */
+  def annTopkPq(spark: SparkSession, logDir: String,
+      pqCents: DataFrame): DataFrame = {
+    val qlut = Similarity.pqQlutOf(Similarity.pqSubvOf(
+      emb(spark, logDir).select(col("vec_id"), col("embedding"))), pqCents)
+    Similarity.ivfPqRank(
+        cand(spark, logDir, Similarity.NProbe).select(col("qid"), col("tid")),
+        codes(spark, logDir), qlut)
+      .select(col("qid"), col("rk"), col("tid"),
+        graft.functions.Det.qround(col("ad2")).as("approx_dist2"))
+      .orderBy("qid", "rk")
+  }
 }

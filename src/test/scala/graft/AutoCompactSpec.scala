@@ -97,27 +97,32 @@ class AutoCompactSpec extends SparkSpec {
     assert(rows(StreamIndex.bm25(spark, logDir)) === bm25)
   }
 
-  test("StreamIvf: auto-compacts BOTH logs past the threshold; ANN readouts bit-equal + recovery") {
+  test("StreamIvf: auto-compacts ALL THREE logs past the threshold; ANN readouts bit-equal + recovery") {
     import graft.operators.Similarity
     import graft.streaming.StreamIvf
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val cents = StreamIvf.frozenCentroids(spark, dir)
+    val pqCents = StreamIvf.frozenPqCents(spark, dir)
     val logDir = Files.createTempDirectory("graft-ac-ivf").toString
     for (s <- 0 until NBatches)
       StreamIvf.processBatch(
-        emb.filter($"vec_id" % NBatches === s), s.toLong, logDir, cents)
-    for (sub <- Seq("assign", "probes")) {
+        emb.filter($"vec_id" % NBatches === s), s.toLong, logDir,
+        cents, pqCents)
+    for (sub <- Seq("assign", "probes", "codes")) {
       val nDirs = batchDirCount(s"$logDir/$sub")
       assert(nDirs < NBatches - 2, s"$sub never compacted: $nDirs dirs")
     }
     val ann = rows(Similarity.qAnnIvf.run(spark, dir))
     val audit = rows(Similarity.qIvfRecallAudit.run(spark, dir))
-    assert(ann.nonEmpty && audit.nonEmpty)
+    val ivfpq = rows(Similarity.qAnnIvfpq.run(spark, dir))
+    assert(ann.nonEmpty && audit.nonEmpty && ivfpq.nonEmpty)
     assert(rows(StreamIvf.annTopk(spark, logDir)) === ann)
     assert(rows(StreamIvf.recallAudit(spark, logDir)) === audit)
+    assert(rows(StreamIvf.annTopkPq(spark, logDir, pqCents)) === ivfpq)
     StreamIvf.processBatch(
       emb.filter($"vec_id" % NBatches === (NBatches - 1)),
-      (NBatches - 1).toLong, logDir, cents)
+      (NBatches - 1).toLong, logDir, cents, pqCents)
     assert(rows(StreamIvf.annTopk(spark, logDir)) === ann)
+    assert(rows(StreamIvf.annTopkPq(spark, logDir, pqCents)) === ivfpq)
   }
 }

@@ -74,6 +74,8 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamIvf", "recallAudit", 0L,
         d => StreamIvf.recallAudit(spark, d)),
       ("StreamIvf", "cellCounts", 0L, d => StreamIvf.cellCounts(spark, d)),
+      ("StreamIvf", "annTopkPq", 0L,
+        d => StreamIvf.annTopkPq(spark, d, StreamIvf.frozenPqCents(spark, sf))),
       ("StreamIrls", "report", 1L, d => StreamIrls.report(spark, d)),
       ("StreamIso", "report", 1L, d => StreamIso.report(spark, d)),
       ("StreamKanon", "report", 0L, d => StreamKanon.report(spark, d)),
@@ -222,16 +224,19 @@ class FreshMaintainerSpec extends SparkSpec {
       .parquet(s"$d/stats").schema.toDDL) === norm(StreamIndex.StatsDdl))
   }
 
-  test("StreamIvf: Assign/Probes DDLs pin the written delta schemas") {
+  test("StreamIvf: Assign/Probes/Codes DDLs pin the written delta schemas") {
     val d = Files.createTempDirectory("graft-ddlpin-ivf").toString
     val emb = Tables.embeddings(spark, sf).limit(40)
       .select($"vec_id", $"embedding")
     StreamIvf.processBatch(emb, 0L, d,
-      StreamIvf.frozenCentroids(spark, sf))
+      StreamIvf.frozenCentroids(spark, sf),
+      StreamIvf.frozenPqCents(spark, sf))
     assert(norm(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$d/assign").schema.toDDL) === norm(StreamIvf.AssignDdl))
     assert(norm(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$d/probes").schema.toDDL) === norm(StreamIvf.ProbesDdl))
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/codes").schema.toDDL) === norm(StreamIvf.CodesDdl))
   }
 
   test("StreamIso: Norms/Pos DDLs pin the written delta schemas") {

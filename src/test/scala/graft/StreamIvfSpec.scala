@@ -26,9 +26,11 @@ class StreamIvfSpec extends SparkSpec {
   test("maintained IVF index serves q_ann_ivf + q_ivf_recall_audit bit-equal; recovery replay") {
     val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val cents = StreamIvf.frozenCentroids(spark, dir)
+    val pqCents = StreamIvf.frozenPqCents(spark, dir)
     val annBatch = rows(Similarity.qAnnIvf.run(spark, dir))
     val auditBatch = rows(Similarity.qIvfRecallAudit.run(spark, dir))
-    assert(annBatch.nonEmpty && auditBatch.nonEmpty)
+    val ivfpqBatch = rows(Similarity.qAnnIvfpq.run(spark, dir))
+    assert(annBatch.nonEmpty && auditBatch.nonEmpty && ivfpqBatch.nonEmpty)
 
     // --- real stream: file source, one slice per trigger ---
     val logDir = Files.createTempDirectory("graft-ivf-log").toString
@@ -41,11 +43,13 @@ class StreamIvfSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(srcDir)
-    val q = StreamIvf.run(stream, logDir, cents, Trigger.AvailableNow())
+    val q = StreamIvf.run(stream, logDir, cents, pqCents,
+      Trigger.AvailableNow())
     assert(q.awaitTermination(120000), "maintainer did not terminate")
 
     assert(rows(StreamIvf.annTopk(spark, logDir)) === annBatch)
     assert(rows(StreamIvf.recallAudit(spark, logDir)) === auditBatch)
+    assert(rows(StreamIvf.annTopkPq(spark, logDir, pqCents)) === ivfpqBatch)
 
     // cell-balance monitor: every corpus vector assigned exactly once
     val cc = StreamIvf.cellCounts(spark, logDir)
@@ -72,11 +76,12 @@ class StreamIvfSpec extends SparkSpec {
     val logDir2 = Files.createTempDirectory("graft-ivf-log2").toString
     for (s <- 0 until 3)
       StreamIvf.processBatch(emb.filter($"vec_id" % 3 === s),
-        s.toLong, logDir2, cents)
+        s.toLong, logDir2, cents, pqCents)
     assert(rows(StreamIvf.annTopk(spark, logDir2)) === annBatch)
     StreamIvf.processBatch(emb.filter($"vec_id" % 3 === 1),
-      1L, logDir2, cents)
+      1L, logDir2, cents, pqCents)
     assert(rows(StreamIvf.annTopk(spark, logDir2)) === annBatch)
     assert(rows(StreamIvf.recallAudit(spark, logDir2)) === auditBatch)
+    assert(rows(StreamIvf.annTopkPq(spark, logDir2, pqCents)) === ivfpqBatch)
   }
 }
