@@ -46,6 +46,14 @@ object IngestHub {
       baseDir: String): Unit = {
     if (docsBatch.isEmpty) return
     val vs = CorpusQuality.AblationVariants
+    // NOT repartitioned, deliberately: the StreamIvf single-partition
+    // find does NOT transfer here — A/B at 10x volume measured p95
+    // 3.3 s as-is vs 4.7-5.2 s with a defaultParallelism repartition
+    // (round 22). The batch is string-heavy (shuffling the raw text
+    // costs more than it buys) and each consumer partial-aggregates
+    // away from the cache early; StreamIvf's batch is compact float
+    // arrays under far heavier per-byte decimal compute, so the
+    // trade-off lands opposite
     val batch = docsBatch.persist(MEMORY_AND_DISK)
     // doc-level relation: the shared split bucket + ablation gates,
     // computed ONCE per batch (string-scan cost)
