@@ -862,8 +862,161 @@ object CorpusQuality {
     }
   )
 
+  /** Tokens per canary / decoy sequence in [[qCanaryExposure]]. */
+  val CanaryN = 3
+
+  /** Canaries audited by [[qCanaryExposure]]. */
+  val CanaryCount = 8
+
+  /** Decoy candidates per canary — the candidate space is the canary plus
+    * these, so max exposure = log2([[CanaryDecoys]] + 1) = 8 bits. */
+  val CanaryDecoys = 255
+
+  /** Canary-exposure memorization audit (Carlini et al. 2019, "The Secret
+    * Sharer: Evaluating and Testing Unintended Memorization in Neural
+    * Networks", USENIX Security — the rank-based `exposure` metric): treat
+    * the corpus' singleton [[CanaryN]]-grams (sequences occurring exactly
+    * ONCE — the planted-secret analogue) as canaries, score each against a
+    * deterministic candidate set of [[CanaryDecoys]] random same-shape
+    * sequences drawn from the corpus vocabulary, and report
+    * `exposure = log2(|candidates|) − log2(rank)` where rank orders by
+    * model NLL (lower NLL = more memorized-looking). Exposure near the
+    * 8-bit ceiling means the model finds the secret FAR more likely than
+    * chance — the extraction-risk signal. The scoring model here is the
+    * corpus unigram LM (the [[graft.operators.LexicalStats]] surprisal
+    * model); a production audit swaps in the trained network's NLL, and
+    * the pipeline — candidate generation, broadcast scoring, rank,
+    * exposure — is exactly this.
+    *
+    * Exactness: canary and decoy NLLs are decimal-summed surprisals
+    * rounded once ([[Det.dsum]]); the rank compares those 6-dp doubles
+    * strictly; decoy picks are md5-indexed vocabulary rows (the
+    * stratified-sampling u32 machinery); exposure is one shared
+    * `ln`-quotient expression tree.
+    *
+    * Scale shape: two corpus-priced passes, each ONE exchange (the
+    * [[CanaryN]]-gram occurrence count on the shingle key; the unigram cf
+    * on the term key — map-side combined). Everything downstream is
+    * model-scale: the vocabulary window, [[CanaryCount]] canaries,
+    * [[CanaryDecoys]]×[[CanaryN]] decoy picks, and a C×R rank cross of
+    * ~2k rows — all broadcast work; no corpus-sized join ever forms. */
+  /** Core of [[qCanaryExposure]] over the two collapsed relations —
+    * `gramOcc` = ([[CanaryN]]-gram, occ) occurrence counts and `cf` =
+    * (term, cf) vocabulary counts. Factored so the streaming maintainer
+    * ([[graft.streaming.StreamCanary]]) can fold its additive logs into
+    * exactly these shapes and reuse the whole readout bit-equal. `cf`
+    * should arrive persisted (it feeds the LM, the ranked vocab and the
+    * size scalar). */
+  private[graft] def canaryExposureOf(gramOcc: org.apache.spark.sql.DataFrame,
+      cf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = gramOcc.sparkSession
+    import spark.implicits._
+    val canaries = gramOcc
+      .filter($"occ" === 1L)
+      .orderBy($"canary").limit(CanaryCount)
+      .select($"canary")
+    val tot = cf.agg(sum($"cf").as("tot"))
+    val lm = cf.crossJoin(broadcast(tot))
+      .select($"term",
+        log($"tot".cast(DoubleType) / $"cf".cast(DoubleType)).as("s"))
+    val vocab = cf.select($"term").withColumn("rnk",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"term")))
+    val vsize = cf.agg(count(lit(1)).as("v"))
+    val cScore = canaries
+      .select($"canary", explode(split($"canary", " ")).as("term"))
+      .join(broadcast(lm), Seq("term"))
+      .groupBy($"canary").agg(Det.dsum($"s").as("nll"))
+    val picks = spark.range(CanaryDecoys).toDF("j")
+      .select($"j", explode(sequence(lit(0), lit(CanaryN - 1))).as("pos"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("rnk", expr(PipelineOps.u32Expr(
+        "concat('canary:', cast(j as string), ':', cast(pos as string))"))
+        % $"v" + lit(1L))
+    val dScore = vocab.join(broadcast(picks), Seq("rnk"))
+      .join(broadcast(lm), Seq("term"))
+      .groupBy($"j").agg(Det.dsum($"s").as("dnll"))
+    cScore.crossJoin(broadcast(dScore))
+      .groupBy($"canary", $"nll")
+      .agg((sum(when($"dnll" < $"nll", 1L).otherwise(0L)) + lit(1L))
+        .as("cand_rank"))
+      .select($"canary", $"nll", $"cand_rank",
+        Det.qround(expr(s"(ln(${CanaryDecoys + 1}.0) - " +
+          "ln(CAST(cand_rank AS DOUBLE))) / ln(2.0)")).as("exposure_bits"))
+        .orderBy($"canary")
+  }
+
+  val qCanaryExposure = GraftQuery(
+    "q_canary_exposure",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val gramOcc = docs
+        .select(explode(call_function("word_shingles_all", $"text",
+          lit(CanaryN))).as("canary"))
+        .groupBy($"canary").agg(count(lit(1)).as("occ"))
+      // vocab-sized; feeds the LM, the ranked vocab AND the size scalar —
+      // persist so the corpus term exchange runs once (q_dsir discipline)
+      val cf = docs
+        .select(explode(graft.functions.Text.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      canaryExposureOf(gramOcc, cf)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '[[:space:]]+') AS ws
+        FROM documents),
+      grams AS (
+        SELECT unnest([array_to_string(ws[i:i+${CanaryN - 1}], ' ')
+                for i in range(1, greatest(len(ws) - ${CanaryN - 2}, 1))])
+          AS canary
+        FROM toks),
+      canaries AS (
+        SELECT canary FROM (
+          SELECT canary, count(*) AS occ FROM grams GROUP BY canary)
+        WHERE occ = 1 ORDER BY canary LIMIT $CanaryCount),
+      cf AS (
+        SELECT term, count(*) AS cf
+        FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY term),
+      tot AS (SELECT sum(cf) AS tot FROM cf),
+      lm AS (SELECT term, ln(tot::DOUBLE / cf::DOUBLE) AS s
+             FROM cf CROSS JOIN tot),
+      vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS rnk
+                FROM cf),
+      vsize AS (SELECT count(*) AS v FROM cf),
+      cscore AS (
+        SELECT canary, ${Oracle.dsum("s")} AS nll
+        FROM (SELECT canary, unnest(string_split(canary, ' ')) AS term
+              FROM canaries)
+        JOIN lm USING (term) GROUP BY canary),
+      picks AS (
+        SELECT j, pos,
+          ${PipelineOps.u32Sql(
+            "'canary:' || CAST(j AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")}
+            % v + 1 AS rnk
+        FROM (SELECT unnest(range(0, $CanaryDecoys)) AS j)
+        CROSS JOIN (SELECT unnest(range(0, $CanaryN)) AS pos)
+        CROSS JOIN vsize),
+      dscore AS (
+        SELECT j, ${Oracle.dsum("s")} AS dnll
+        FROM picks JOIN vocab USING (rnk) JOIN lm USING (term)
+        GROUP BY j),
+      ranked AS (
+        SELECT canary, nll,
+          1 + sum(CASE WHEN dnll < nll THEN 1 ELSE 0 END)::BIGINT
+            AS cand_rank
+        FROM cscore CROSS JOIN dscore GROUP BY canary, nll)
+      SELECT canary, nll, cand_rank,
+        ${Oracle.qround(s"(ln(${CanaryDecoys + 1}.0) - " +
+          "ln(CAST(cand_rank AS DOUBLE))) / ln(2.0)")} AS exposure_bits
+      FROM ranked
+      ORDER BY canary""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qRepetitionStats, qRedactPii, qContamination, qBloomContamination,
       qLengthHistogram, qSourceOverlap, qBoilerplateRate,
-      qMemorizationNgrams, qGopherRules, qNgramNovelty, qFilterAblation)
+      qMemorizationNgrams, qGopherRules, qNgramNovelty, qFilterAblation,
+      qCanaryExposure)
 }

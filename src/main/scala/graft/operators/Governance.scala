@@ -1181,8 +1181,124 @@ object Governance {
       ORDER BY event_type""")
   )
 
+  /** DP-SGD noise multiplier assumed by [[qDpAccountant]]. */
+  val DpSgdSigma = 4.0
+
+  /** DP-SGD logical batch size (sampling rate q = batch / corpus). */
+  val DpSgdBatch = 64
+
+  /** Training epochs the [[qDpAccountant]] ledger composes over. */
+  val DpSgdEpochs = 3
+
+  /** Highest integer Rényi order in the [[qDpAccountant]] grid. */
+  val DpSgdAlphaMax = 32
+
+  /** (α, j, ln C(α,j)) grid rows for every integer order 2..[[DpSgdAlphaMax]]
+    * — binomials are exact BigInts (≤ C(32,16) < 2⁵³, so the double is the
+    * exact integer) logged once driver-side and inlined as literals in BOTH
+    * engines, keeping libm out of the cross-engine contract for the
+    * combinatorial part. */
+  private[graft] val dpGrid: Seq[(Int, Int, Double)] = {
+    def choose(n: Int, k: Int): BigInt =
+      (BigInt(1) to BigInt(k)).foldLeft(BigInt(1))((acc, i) =>
+        acc * (n - k + i.toInt) / i)
+    for { a <- 2 to DpSgdAlphaMax; j <- 0 to a }
+      yield (a, j, math.log(choose(a, j).toDouble))
+  }
+
+  // Shared IEEE expression strings (the MlEval.DetM discipline): `expr()`ed
+  // Spark-side and interpolated into the DuckDB oracle verbatim.
+  private val DpQ = s"least($DpSgdBatch.0 / nd, 0.5)"
+  private val DpSteps = s"ceil(nd * $DpSgdEpochs.0 / $DpSgdBatch.0)"
+  private val DpTerm = "exp(lc + (ad - jd)*ln(1.0 - q) + jd*ln(q)" +
+    s" + jd*(jd - 1.0)/(2.0*$DpSgdSigma*$DpSgdSigma))"
+  private val DpEpsStep = "ln(msum) / (ad - 1.0)"
+  private val DpEpsTotal = s"sd * ($DpEpsStep)"
+  private val DpEpsDelta = s"$DpEpsTotal + ln(nd * nd) / (ad - 1.0)"
+
+  /** DP-SGD privacy ledger by Rényi-DP accounting — the privacy budget a
+    * training run on THIS corpus would spend, the governance companion to
+    * [[qDpRelease]] (which privatizes a release; this prices the training
+    * itself). For each integer order α ∈ [2, [[DpSgdAlphaMax]]], the RDP of
+    * the subsampled Gaussian mechanism at sampling rate q = batch/n and
+    * noise σ uses Mironov–Talwar–Zhang 2019 ("Rényi Differential Privacy of
+    * the Sampled Gaussian Mechanism", arXiv:1908.10530, Thm 9's integer-α
+    * upper bound): ε(α) = ln(Σⱼ C(α,j)(1−q)^{α−j} qʲ e^{j(j−1)/2σ²})/(α−1);
+    * composition over the corpus-derived step count multiplies, and the
+    * (ε, δ)-DP conversion adds ln(1/δ)/(α−1) with δ = 1/n². The row
+    * minimizing ε(δ) is the ledger's quote — flagged `is_best`.
+    *
+    * Exactness: binomial logs are exact literals; each per-(α,j) term is
+    * ONE shared exp/ln expression tree; the per-α sum is decimal-cast
+    * (order-free) and rounded once ([[Det.dsum]] — the 6-dp quantization
+    * bounds the smallest resolvable per-step ε, documented trade); the ε
+    * arithmetic above that is shared textually.
+    *
+    * Scale shape: the ONLY corpus-priced op is count(documents) — one
+    * partial+final count; the ledger itself is a ~560-row literal grid
+    * crossed with the broadcast 1-row stats, entirely model-scale. At
+    * 100 TB nothing changes: the accountant's cost is the count. */
+  val qDpAccountant = GraftQuery(
+    "q_dp_accountant",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("nd", $"n".cast(DoubleType))
+        .withColumn("q", expr(DpQ))
+        .withColumn("sd", expr(DpSteps))
+      val grid = dpGrid.toDF("alpha", "j", "lc")
+      val perA = grid.crossJoin(broadcast(base))
+        .withColumn("ad", $"alpha".cast(DoubleType))
+        .withColumn("jd", $"j".cast(DoubleType))
+        .withColumn("t", expr(DpTerm))
+        .groupBy($"alpha", $"ad", $"sd", $"nd")
+        .agg(Det.dsum($"t").as("msum"))
+      perA
+        .withColumn("eps_q", Det.qround(expr(DpEpsDelta)))
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"eps_q", $"alpha")))
+        .select($"alpha", $"sd".cast(LongType).as("steps"),
+          Det.qround(expr(DpEpsStep)).as("rdp_step"),
+          Det.qround(expr(DpEpsTotal)).as("rdp_total"),
+          $"eps_q".as("eps_at_delta"),
+          ($"rn" === 1).as("is_best"))
+        .orderBy($"alpha")
+    },
+    Some {
+      val values = dpGrid
+        .map { case (a, j, l) => s"($a, $j, ${f"$l%.17e"})" }
+        .mkString(", ")
+      s"""
+      WITH base AS (
+        SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd
+        FROM documents),
+      b2 AS (SELECT *, $DpQ AS q, $DpSteps AS sd FROM base),
+      grid(alpha, j, lc) AS (VALUES $values),
+      rows_ AS (
+        SELECT alpha, CAST(alpha AS DOUBLE) AS ad, CAST(j AS DOUBLE) AS jd,
+          lc, q, sd, nd
+        FROM grid CROSS JOIN b2),
+      pera AS (
+        SELECT alpha, ad, sd, nd, ${Oracle.dsum("t")} AS msum
+        FROM (SELECT *, $DpTerm AS t FROM rows_)
+        GROUP BY alpha, ad, sd, nd),
+      fin AS (
+        SELECT alpha, sd, nd, msum, ad,
+          ${Oracle.qround(DpEpsDelta)} AS eps_q
+        FROM pera)
+      SELECT alpha, CAST(sd AS BIGINT) AS steps,
+        ${Oracle.qround(DpEpsStep)} AS rdp_step,
+        ${Oracle.qround(DpEpsTotal)} AS rdp_total,
+        eps_q AS eps_at_delta,
+        (row_number() OVER (ORDER BY eps_q, alpha) = 1) AS is_best
+      FROM fin
+      ORDER BY alpha"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qJsdDrift,
       qHllSketchMerge, qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias,
-      qBenford, qHllIntersect, qDpRelease)
+      qBenford, qHllIntersect, qDpRelease, qDpAccountant)
 }

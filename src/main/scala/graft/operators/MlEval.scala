@@ -2105,10 +2105,125 @@ object MlEval {
     }
   )
 
+  // ------------------------------------------- leave-one-out influence —
+
+  /** Symmetric cofactors of the 3×3 Gramian [[DetM]] expands — together
+    * with det they give (XᵀX)⁻¹ in closed form, so per-row leverage is one
+    * quadratic form instead of a solve. Shared textually with the oracle
+    * (the [[DetM]] discipline). */
+  private val LooC00 = "sqq*sdd - sqd*sqd"
+  private val LooC01 = "-(sq*sdd - sqd*sd)"
+  private val LooC02 = "sq*sqd - sqq*sd"
+  private val LooC11 = "nd*sdd - sd*sd"
+  private val LooC12 = "-(nd*sqd - sq*sd)"
+  private val LooC22 = "nd*sqq - sq*sq"
+  private val LooH =
+    "(c00 + 2*c01*l_quantity + 2*c02*l_discount" +
+      " + c11*l_quantity*l_quantity + 2*c12*l_quantity*l_discount" +
+      " + c22*l_discount*l_discount) / det"
+  private val LooResid =
+    "l_extendedprice - (det0/det + (det1/det)*l_quantity" +
+      " + (det2/det)*l_discount)"
+  private val LooS2 = "sse / (nd - 3)"
+  private val LooCooks = "(resid*resid*h) / (3*s2*(1-h)*(1-h))"
+
+  /** Rows reported by [[qLooInfluence]]. */
+  val LooTopK = 12
+
+  /** Core of [[qLooInfluence]] over any relation carrying the three model
+    * columns — factored out so specs can drive planted designs. */
+  private[graft] def looInfluence(li: DataFrame, topK: Int): DataFrame = {
+    import li.sparkSession.implicits._
+    val m = olsFinish(olsMomentsDec(li))
+      .withColumn("det", expr(DetM))
+      .withColumn("det0", expr(Det0))
+      .withColumn("det1", expr(Det1))
+      .withColumn("det2", expr(Det2))
+      .withColumn("sse", expr(Sse))
+      .withColumn("s2", expr(LooS2))
+      .withColumn("c00", expr(LooC00))
+      .withColumn("c01", expr(LooC01))
+      .withColumn("c02", expr(LooC02))
+      .withColumn("c11", expr(LooC11))
+      .withColumn("c12", expr(LooC12))
+      .withColumn("c22", expr(LooC22))
+    li.crossJoin(broadcast(m))
+      .withColumn("h", expr(LooH))
+      .withColumn("resid", expr(LooResid))
+      .withColumn("cooks", expr(LooCooks))
+      .select($"l_orderkey", $"l_linenumber",
+        Det.qround($"h").as("leverage"),
+        Det.qround($"resid").as("resid"),
+        Det.qround($"cooks").as("cooks_d"))
+      .orderBy($"cooks_d".desc, $"l_orderkey", $"l_linenumber")
+      .limit(topK)
+  }
+
+  /** Leave-one-out influence (Cook 1977, "Detection of Influential
+    * Observation in Linear Regression") for the [[qOlsFit]] model — the
+    * data-valuation readout a training pipeline runs to find the rows
+    * whose REMOVAL most moves the fitted model: leverage
+    * hᵢ = xᵢᵀ(XᵀX)⁻¹xᵢ, residual rᵢ, and Cook's distance
+    * Dᵢ = rᵢ²·hᵢ / (p·s²·(1−hᵢ)²) with p = 3 and s² = SSE/(n−p). Because
+    * OLS has the Sherman–Morrison closed form, the exact LOO effect needs
+    * NO refit per row — the whole audit is one broadcast of the moment
+    * row. Emits the [[LooTopK]] most influential rows (the candidates an
+    * influence-based pruning pass would inspect first).
+    *
+    * Exactness: the moment row is decimal-exact and rounded once (the
+    * [[qOlsFit]] path); det/cofactors/per-row h, r, D are ONE fixed IEEE
+    * expression tree shared textually with the oracle, so both engines
+    * produce bit-identical doubles; ordering is on the 6-dp-rounded D with
+    * a total (orderkey, linenumber) tie-break.
+    *
+    * Scale shape: corpus → one partial+final moments aggregate (1 row,
+    * broadcast back); the scoring pass is map-only inside whole-stage
+    * codegen (zero joins wider than the 1-row broadcast); the readout is
+    * TakeOrderedAndProject top-K. The fact table is never shuffled. */
+  val qLooInfluence = GraftQuery(
+    "q_loo_influence",
+    (spark, dir) => looInfluence(Tables.spread(Tables.lineitem(spark, dir)),
+      LooTopK),
+    Some(s"""
+      WITH m AS (
+        SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd,
+          ${Oracle.dsum("l_quantity")} AS sq,
+          ${Oracle.dsum("l_discount")} AS sd,
+          ${Oracle.dsum("l_extendedprice")} AS sy,
+          ${Oracle.dsum("l_quantity*l_quantity")} AS sqq,
+          ${Oracle.dsum("l_quantity*l_discount")} AS sqd,
+          ${Oracle.dsum("l_discount*l_discount")} AS sdd,
+          ${Oracle.dsum("l_quantity*l_extendedprice")} AS sqy,
+          ${Oracle.dsum("l_discount*l_extendedprice")} AS sdy,
+          ${Oracle.dsum("l_extendedprice*l_extendedprice")} AS syy
+        FROM lineitem),
+      c AS (SELECT *, $DetM AS det, $Det0 AS det0, $Det1 AS det1,
+              $Det2 AS det2 FROM m),
+      e AS (SELECT *, $Sse AS sse FROM c),
+      s AS (SELECT *, $LooS2 AS s2, $LooC00 AS c00, $LooC01 AS c01,
+              $LooC02 AS c02, $LooC11 AS c11, $LooC12 AS c12,
+              $LooC22 AS c22 FROM e),
+      r AS (
+        SELECT l_orderkey, l_linenumber, s2,
+          $LooH AS h, $LooResid AS resid
+        FROM lineitem CROSS JOIN s),
+      k AS (
+        SELECT l_orderkey, l_linenumber, h, resid,
+          $LooCooks AS cooks
+        FROM r)
+      SELECT l_orderkey, l_linenumber,
+        ${Oracle.qround("h")} AS leverage,
+        ${Oracle.qround("resid")} AS resid,
+        ${Oracle.qround("cooks")} AS cooks_d
+      FROM k
+      ORDER BY ${Oracle.qround("cooks")} DESC, l_orderkey, l_linenumber
+      LIMIT $LooTopK""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
       qRidgePath, qBrierDecomp, qTextClassifier, qTextClassifierV2,
       qFilterImpact, qFilterThresholdSweep, qClassifierCalibration,
-      qCorpusPrepV2)
+      qCorpusPrepV2, qLooInfluence)
 }

@@ -269,4 +269,33 @@ class CorpusQualitySpec extends SparkSpec {
     assert(rows.exists(r => r._8 != 0.0),
       "ablation vacuous: no filter moved the held-out xent")
   }
+
+  test("q_canary_exposure: canaries are corpus singletons, exposure is the " +
+      "rank law on a 256-candidate space") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQuality.qCanaryExposure.run(spark, dir)
+      .as[(String, Double, Long, Double)].collect().toSeq
+    assert(out.nonEmpty && out.size <= CorpusQuality.CanaryCount)
+    // every audited canary occurs EXACTLY once in the corpus — recount
+    // independently over the raw shingle stream
+    val occ = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(call_function("word_shingles_all", col("text"),
+        lit(CorpusQuality.CanaryN))).as("g"))
+      .groupBy(col("g")).count()
+      .as[(String, Long)].collect().toMap
+    for ((c, _, _, _) <- out) assert(occ(c) === 1L, s"canary '$c' not a singleton")
+    for ((c, nll, rank, bits) <- out) {
+      assert(c.split(" ").length === CorpusQuality.CanaryN)
+      assert(nll > 0.0)
+      assert(rank >= 1L && rank <= (CorpusQuality.CanaryDecoys + 1).toLong)
+      // exposure = log2(256) − log2(rank), qrounded
+      val want = (math.log(CorpusQuality.CanaryDecoys + 1.0) -
+        math.log(rank.toDouble)) / math.log(2.0)
+      assert(math.abs(bits - want) < 1e-6, s"$c: $bits vs $want")
+      assert(bits >= 0.0 && bits <= 8.0 + 1e-9)
+    }
+    // exposure is monotone in rank across the report
+    for (Seq(a, b) <- out.sortBy(_._3).sliding(2).toSeq
+         if a._3 < b._3) assert(a._4 >= b._4)
+  }
 }

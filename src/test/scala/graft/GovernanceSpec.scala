@@ -315,4 +315,37 @@ class GovernanceSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect().toSeq
     assert(got === expect)
   }
+
+  test("dp accountant: α-grid shape, composition algebra, closed form at " +
+      "α=2, and a unique optimal order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Governance.qDpAccountant.run(spark, dir)
+      .as[(Int, Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) === (2 to Governance.DpSgdAlphaMax).toSeq)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val steps = math.ceil(
+      n.toDouble * Governance.DpSgdEpochs / Governance.DpSgdBatch).toLong
+    assert(out.forall(_._2 === steps))
+    val q = math.min(Governance.DpSgdBatch.toDouble / n, 0.5)
+    // α=2 closed form: ε₂ = ln(1 + q²(e^{1/σ²} − 1)) (6-dp msum quantization
+    // → loose tolerance)
+    val s2 = Governance.DpSgdSigma * Governance.DpSgdSigma
+    val want2 = math.log(1.0 + q * q * (math.exp(1.0 / s2) - 1.0))
+    assert(math.abs(out.head._3 - want2) < 1e-4, s"${out.head._3} vs $want2")
+    for ((alpha, _, rdpStep, rdpTotal, epsDelta, _) <- out) {
+      assert(rdpStep > 0.0)
+      // composition: total = steps × per-step (both 6-dp rounded once)
+      assert(math.abs(rdpTotal - steps * rdpStep) < steps * 1e-6 + 1e-6)
+      // the δ-conversion only adds on top of the composed RDP
+      assert(epsDelta >= rdpTotal - 1e-9)
+      assert(epsDelta - rdpTotal <=
+        math.log(n.toDouble * n) / (alpha - 1.0) + 1e-6)
+    }
+    // RDP is non-decreasing in the order α (fixed mechanism)
+    for (Seq(a, b) <- out.sliding(2).toSeq) assert(b._3 >= a._3 - 1e-9)
+    // exactly one quoted row, and it attains the grid minimum of ε(δ)
+    val best = out.filter(_._6)
+    assert(best.size === 1)
+    assert(best.head._5 === out.map(_._5).min)
+  }
 }

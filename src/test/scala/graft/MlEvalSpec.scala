@@ -429,4 +429,31 @@ class MlEvalSpec extends SparkSpec {
     assert(cell.getAs[Long]("n_disagree")
       === dis.count(t => t._2 == dl && t._3 == ds).toLong)
   }
+
+  test("LOO influence ranks a planted outlier first and respects trace(H)=p") {
+    // clean grid exactly on y = 2 + 3q + 5d, plus ONE gross outlier at an
+    // interior design point: the outlier carries essentially all of the
+    // SSE, so its Cook's distance dominates every clean row's.
+    val clean = for { q <- 1 to 4; d <- 1 to 4 } yield
+      (100L + q * 10 + d, 1, q.toDouble, d.toDouble, 2.0 + 3 * q + 5 * d)
+    val rows = clean :+ ((999L, 1, 2.0, 2.0, 2.0 + 6 + 10 + 400.0))
+    val df = rows.toDF("l_orderkey", "l_linenumber", "l_quantity",
+      "l_discount", "l_extendedprice")
+    val out = MlEval.looInfluence(df, 17).collect()
+    assert(out.length === 17)
+    assert(out.head.getAs[Long]("l_orderkey") === 999L)
+    // the outlier's residual is by far the largest in magnitude
+    assert(math.abs(out.head.getAs[Double]("resid")) >
+      out.tail.map(r => math.abs(r.getAs[Double]("resid"))).max * 5)
+    // hat-matrix trace: Σ hᵢ = p = 3 (6-dp rounding per row → loose tol)
+    val traceH = out.map(_.getAs[Double]("leverage")).sum
+    assert(math.abs(traceH - 3.0) < 1e-4, s"trace(H) = $traceH")
+    // every leverage sits in (0, 1) — the textbook bounds for a design
+    // with an intercept and no duplicated-row degeneracy at p < n
+    assert(out.forall { r =>
+      val h = r.getAs[Double]("leverage"); h > 0.0 && h < 1.0
+    })
+    // Cook's D is non-negative everywhere (rounded)
+    assert(out.forall(_.getAs[Double]("cooks_d") >= 0.0))
+  }
 }
