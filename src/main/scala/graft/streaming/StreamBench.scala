@@ -30,8 +30,9 @@ import org.apache.spark.sql.types._
   * With NO arguments it runs the standard envelopes — 500 rec/batch ×1
   * (the reference consumer's configured volume, reddit_consumer.py:497)
   * and 5,000 rec/batch ×10 (10× volume), for the parity pipeline, the
-  * [[IngestHub]] six-maintainer composite, AND the [[StreamIvf]]
-  * maintained-ANN ingest (`runMain … StreamBench ingest|ann
+  * [[IngestHub]] six-maintainer composite, the [[StreamIvf]]
+  * maintained-ANN ingest AND the [[StreamCanary]] memorization-audit
+  * maintainer (`runMain … StreamBench ingest|ann|canary
   * [recordsPerBatch] [replicate]` drives one alone) — and, in addition
   * to printing each run's JSON line, writes
   * the combined artifact to `SPARK_GRAFT_STREAMBENCH_OUT` (default
@@ -207,6 +208,40 @@ object StreamBench {
     progressLine("ann", q, rows, perBatch, wall)
   }
 
+  /** One StreamCanary replay at the given volume — the memorization-audit
+    * maintainer's ingest shape (two additive logs per batch: gram
+    * occurrences + term counts). Same stats, same 10 s budget. */
+  def runCanaryOnce(spark: SparkSession, sfDir: String, perBatch: Int,
+      replicate: Int): String = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val all = (0 until replicate).map { r =>
+      docs.select(($"doc_id" + lit(r.toLong * (1L << 40))).as("doc_id"),
+        $"text")
+    }.reduce(_ unionByName _)
+    val rows = all.count()
+    val nSlices = math.max(1, math.ceil(rows.toDouble / perBatch).toInt)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-can")
+    for (s <- 0 until nSlices)
+      all.filter(pmod($"doc_id", lit(nSlices.toLong)) === s)
+        .coalesce(1) // one file per slice = one slice per trigger
+        .write.parquet(f"$srcDir/slice_$s%05d.parquet")
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-sbench-canary").toString
+
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+    val t0 = System.nanoTime()
+    val q = StreamCanary.run(stream, logDir, Trigger.AvailableNow())
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    progressLine("canary", q, rows, perBatch, wall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -225,7 +260,7 @@ object StreamBench {
       // leading "ingest" drives the IngestHub composite, leading "ann"
       // the StreamIvf maintainer, instead of the parity pipeline
       val mode = args.head match {
-        case m @ ("ingest" | "ann") => m
+        case m @ ("ingest" | "ann" | "canary") => m
         case _ => "stream"
       }
       val rest = if (mode == "stream") args else args.tail
@@ -234,12 +269,14 @@ object StreamBench {
       println(mode match {
         case "ingest" => runIngestOnce(spark, sfDir, perBatch, replicate)
         case "ann" => runAnnOnce(spark, sfDir, perBatch, replicate)
+        case "canary" => runCanaryOnce(spark, sfDir, perBatch, replicate)
         case _ => runOnce(spark, sfDir, perBatch, replicate)
       })
     } else {
-      // artifact mode: all six standard envelopes (parity pipeline,
-      // IngestHub composite, StreamIvf maintainer — each at reference
-      // and 10x volume), combined JSON to disk
+      // artifact mode: all eight standard envelopes (parity pipeline,
+      // IngestHub composite, StreamIvf maintainer, StreamCanary
+      // maintainer — each at reference and 10x volume), combined JSON
+      // to disk
       val ref = runOnce(spark, sfDir, 500, 1)
       println(ref)
       val x10 = runOnce(spark, sfDir, 5000, 10)
@@ -252,11 +289,16 @@ object StreamBench {
       println(ann)
       val annX10 = runAnnOnce(spark, sfDir, 5000, 10)
       println(annX10)
+      val can = runCanaryOnce(spark, sfDir, 500, 1)
+      println(can)
+      val canX10 = runCanaryOnce(spark, sfDir, 5000, 10)
+      println(canX10)
       val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (s"""{"metric":"streambench","sfDir":"$sfDir","reference":$ref,"x10":$x10,""" +
           s""""ingest":$ing,"ingest_x10":$ingX10,""" +
-          s""""ann":$ann,"ann_x10":$annX10}\n""").getBytes("UTF-8"))
+          s""""ann":$ann,"ann_x10":$annX10,""" +
+          s""""canary":$can,"canary_x10":$canX10}\n""").getBytes("UTF-8"))
       println(s"wrote $out")
     }
     spark.stop()
