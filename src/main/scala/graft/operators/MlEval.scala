@@ -2220,10 +2220,199 @@ object MlEval {
       LIMIT $LooTopK""")
   )
 
+  // ------------------------------------------- Bradley–Terry strengths —
+
+  /** 2-dp quantization of the 6-dp quality score — the comparison value
+    * domain of [[qBradleyTerry]] (bounded, so win counts come from
+    * histogram algebra instead of doc×doc pairs; comparisons that tie at
+    * 2 dp are DROPPED, the standard ties-excluded BT convention,
+    * documented). Shared textually with the oracle. */
+  private val BtBin = "floor(q * 100.0 + 0.5) / 100.0"
+
+  /** Per-opponent MM denominator addend (Hunter 2004 Eq. 1.4's
+    * n_ij/(w_i+w_j)) and the guarded strength update W_i/den — `wp`
+    * carries the previous weight forward when a source has NO decided
+    * comparison at all (den = 0, the degenerate all-tie corpus). These
+    * are the ORACLE's round expressions; [[bradleyTerryOf]]'s driver-side
+    * loop mirrors them op-for-op (same IEEE tree, same decimal-sum
+    * contract). */
+  private val BtTerm = "CAST(nij AS DOUBLE) / (wi + wj)"
+  private val BtRaw =
+    "CASE WHEN den = 0.0 THEN wp ELSE CAST(wtot AS DOUBLE) / den END"
+
+  /** MM iterations [[qBradleyTerry]] runs — fixed (not converge-tested)
+    * so the readout is a deterministic cross-engine contract; with the
+    * per-round sum-to-one normalization, 6-dp strengths are stationary
+    * well before 8 rounds on every tested corpus. */
+  val BtIters = 8
+
+  /** Core of [[qBradleyTerry]] over any (source, q) scored relation —
+    * factored out so specs can drive planted score distributions. */
+  private[graft] def bradleyTerryOf(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // the ONE corpus-priced exchange: (source, 2-dp value) counts; every
+    // relation below is bounded by sources × value-domain
+    val h = scored
+      .select($"source", expr(BtBin).as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vals = h.select($"v").distinct()
+    val srcs = h.select($"source").distinct()
+    // wins(i over j) = Σ_v c_i(v)·C_j(<v): an equi-join of the histogram
+    // against per-source strict-cumulative counts on the shared value
+    // grid — never a v1 > v2 θ-join, never doc×doc pairs
+    val cum = srcs.crossJoin(vals)
+      .join(h, Seq("source", "v"), "left")
+      .select($"source", $"v", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("clt", coalesce(sum($"c").over(
+        Window.partitionBy($"source").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source".as("j"), $"v", $"clt")
+    val wins = h.select($"source".as("i"), $"v", $"c")
+      .join(cum, "v")
+      .filter($"i" =!= $"j")
+      .groupBy($"i", $"j").agg(sum($"c" * $"clt").as("w"))
+    // the win matrix is model-sized (S² rows) — collect it ONCE and run
+    // the MM rounds driver-side (the bpeLearnFrom precedent: iterating
+    // model-scale state in-plan pays ~6 scheduler stages per round for
+    // 20-row relations — measured 32 s warm at sf0.1 vs ~2 s this way).
+    // The arithmetic below replicates the engines' textual contract
+    // exactly: dsumD is Det.dsum / Oracle.dsum (cast-to-DECIMAL(38,9)
+    // via the shortest-decimal repr — Spark's Decimal(Double) path —
+    // exact sum, HALF_UP round at 6 dp), qroundD is Det.qround's IEEE
+    // floor tree, and the update/normalization mirror BtTerm/BtRaw.
+    val winRows = wins.as[(String, String, Long)].collect()
+    if (winRows.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit("").as("source"), lit(0L).as("n_games"),
+          lit(0L).as("n_wins"), lit(0.0).as("strength"), lit(0L).as("rank"))
+    val wij = winRows.map { case (i, j, w) => (i, j) -> w }.toMap
+    val srcList = winRows.map(_._1).distinct.sorted
+    val nij = wij.map { case ((i, j), w) => (i, j) -> (w + wij((j, i))) }
+    val wtot = srcList.map(i =>
+      i -> srcList.filter(_ != i).map(j => wij((i, j))).sum).toMap
+    val games = srcList.map(i =>
+      i -> srcList.filter(_ != i).map(j => nij((i, j))).sum).toMap
+    def dsumD(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def qroundD(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    var wts = srcList.map(_ -> 1.0).toMap
+    for (_ <- 1 to BtIters) {
+      val wraw = srcList.map { i =>
+        val den = dsumD(srcList.filter(_ != i)
+          .map(j => nij((i, j)).toDouble / (wts(i) + wts(j))))
+        i -> (if (den == 0.0) wts(i) else wtot(i).toDouble / den)
+      }
+      val s = dsumD(wraw.map(_._2))
+      wts = wraw.map { case (i, r) => i -> qroundD(r / s) }.toMap
+    }
+    val ranked = srcList
+      .map(i => (i, games(i), wtot(i), wts(i)))
+      .sortBy { case (i, _, _, w) => (-w, i) }
+      .zipWithIndex
+      .map { case ((i, g, wn, w), k) => (i, g, wn, w, (k + 1).toLong) }
+    ranked.toSeq.toDF("source", "n_games", "n_wins", "strength", "rank")
+      .orderBy($"rank")
+  }
+
+  /** Bradley–Terry provenance-strength fit (Bradley & Terry 1952; the MM
+    * solver of Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    * models", Ann. Statist. 32(1), Eq. 1.4) — the reward-modeling readout
+    * over the corpus' implicit preference data: every cross-source
+    * document pair is a "match" decided by the shared quality score
+    * (q_preference_pairs' judge), and the fit answers "which sources win
+    * the quality comparisons, on a calibrated ratio scale" — strengths
+    * satisfy P(i beats j) = w_i/(w_i+w_j), the Elo-without-ordering
+    * ladder a data-sourcing team publishes next to its q_gini_source
+    * concentration audit.
+    *
+    * Exactness: win counts are exact integer histogram algebra (2-dp
+    * value bins; ties dropped); each MM round's per-source denominator is
+    * a decimal-exact [[Det.dsum]] over a textually-shared IEEE term, the
+    * update and sum-to-one normalization are shared expression trees, and
+    * weights are 6-dp-quantized every round, so both engines walk
+    * identical iterates.
+    *
+    * Scale shape: ONE (source, 2-dp bin) exchange collapses the corpus;
+    * the win matrix is cumulative-histogram algebra on the bounded
+    * sources×bins grid (equi-join, no θ-join, no doc pairs); the MM loop
+    * runs driver-side over the collected S²-row win matrix — model-sized
+    * state, the bpeLearnFrom precedent (in-plan iteration paid ~6
+    * scheduler stages per round for 20-row relations). At 100 TB the
+    * fit's cost is the histogram pass. */
+  val qBradleyTerry = GraftQuery(
+    "q_bradley_terry",
+    (spark, dir) => {
+      import spark.implicits._
+      bradleyTerryOf(Tables.spread(Tables.documents(spark, dir))
+        .select($"source", TextAnalytics.qualityCol.as("q")))
+    },
+    Some {
+      def mmSql(prev: String, out: String): String = s"""
+      ${out}_d AS (
+        SELECT source, wp, ${Oracle.dsum("term")} AS den
+        FROM (
+          SELECT source, nij, wi, wj, wi AS wp, $BtTerm AS term
+          FROM (
+            SELECT p.source, p.nij, a.w AS wi, b.w AS wj
+            FROM pairs p
+            JOIN $prev a ON a.source = p.source
+            JOIN $prev b ON b.source = p.j))
+        GROUP BY source, wp),
+      ${out}_r AS (
+        SELECT t.source, $BtRaw AS wraw
+        FROM tot t JOIN ${out}_d d USING (source)),
+      $out AS MATERIALIZED (
+        SELECT source, ${Oracle.qround("wraw / s")} AS w
+        FROM (SELECT *,
+          round(sum(CAST(wraw AS DECIMAL(38,9))) OVER (), 6)::DOUBLE AS s
+          FROM ${out}_r))"""
+      val rounds = (1 to BtIters)
+        .map(k => mmSql(s"w${k - 1}", s"w$k")).mkString(",")
+      s"""
+      WITH q AS (
+        SELECT source, ${TextAnalytics.qualitySqlExpr} AS q FROM documents),
+      h AS MATERIALIZED (
+        SELECT source, $BtBin AS v, count(*)::BIGINT AS c
+        FROM q GROUP BY 1, 2),
+      vals AS (SELECT DISTINCT v FROM h),
+      srcs AS (SELECT DISTINCT source FROM h),
+      cum AS (
+        SELECT source AS j, v,
+          coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS clt
+        FROM (
+          SELECT s.source, vv.v, coalesce(h.c, 0)::BIGINT AS c
+          FROM srcs s CROSS JOIN vals vv
+          LEFT JOIN h ON h.source = s.source AND h.v = vv.v)),
+      wins AS MATERIALIZED (
+        SELECT h.source AS i, cum.j AS j, sum(h.c * cum.clt)::BIGINT AS w
+        FROM h JOIN cum ON h.v = cum.v AND h.source <> cum.j
+        GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT a.i AS source, a.j, a.w AS wij, (a.w + b.w)::BIGINT AS nij
+        FROM wins a JOIN wins b ON a.i = b.j AND a.j = b.i),
+      tot AS MATERIALIZED (
+        SELECT source, sum(wij)::BIGINT AS wtot, sum(nij)::BIGINT AS games
+        FROM pairs GROUP BY 1),
+      w0 AS MATERIALIZED (SELECT source, 1.0::DOUBLE AS w FROM srcs),$rounds
+      SELECT t.source, t.games AS n_games, t.wtot AS n_wins,
+        f.w AS strength,
+        row_number() OVER (ORDER BY f.w DESC, t.source)::BIGINT AS rank
+      FROM tot t JOIN w$BtIters f ON f.source = t.source
+      ORDER BY rank"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qOlsFit, qRocAuc, qCalibrationBins, qMutualInfo, qConformalInterval,
       qLiftCurve, qCrossvalOls, qFeatureImportance, qLogisticIrls,
       qRidgePath, qBrierDecomp, qTextClassifier, qTextClassifierV2,
       qFilterImpact, qFilterThresholdSweep, qClassifierCalibration,
-      qCorpusPrepV2, qLooInfluence)
+      qCorpusPrepV2, qLooInfluence, qBradleyTerry)
 }

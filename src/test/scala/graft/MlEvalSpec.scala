@@ -456,4 +456,47 @@ class MlEvalSpec extends SparkSpec {
     // Cook's D is non-negative everywhere (rounded)
     assert(out.forall(_.getAs[Double]("cooks_d") >= 0.0))
   }
+
+  test("Bradley-Terry recovers a planted dominance order with exact " +
+      "hand-counted wins; ties drop; strengths normalize") {
+    // a's values beat b's except one 2-dp tie (dropped); c loses every
+    // decided comparison → wins: a>b 5 (1 tie), a>c 6, b>c 4, W = (11,4,0)
+    val scored = Seq(
+      ("a", 0.9), ("a", 0.8), ("a", 0.9),
+      ("b", 0.5), ("b", 0.8),
+      ("c", 0.1), ("c", 0.2)).toDF("source", "q")
+    val out = MlEval.bradleyTerryOf(scored).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    val byS = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_games"), r.getAs[Long]("n_wins"),
+        r.getAs[Double]("strength"))).toMap
+    assert(byS("a")._1 === 11L && byS("a")._2 === 11L)
+    assert(byS("b")._1 === 9L && byS("b")._2 === 4L)
+    assert(byS("c")._1 === 10L && byS("c")._2 === 0L)
+    // zero wins → zero strength, exactly; the rest sum to one (per-row
+    // 6-dp rounding → loose tol)
+    assert(byS("c")._3 === 0.0)
+    assert(math.abs(out.map(_.getAs[Double]("strength")).sum - 1.0) < 1e-5)
+    assert(byS("a")._3 > byS("b")._3)
+    // a undefeated among decided comparisons vs b: the fitted model must
+    // put P(a beats b) = wa/(wa+wb) above 0.9
+    assert(byS("a")._3 / (byS("a")._3 + byS("b")._3) > 0.9)
+  }
+
+  test("q_bradley_terry on sf0.001: one row per source, rank is a " +
+      "permutation, global win accounting balances") {
+    val out = MlEval.qBradleyTerry.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 20)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq
+      === (1L to 20L).toSeq)
+    // Σ_i games_i counts every decided pair twice, Σ_i wins_i once
+    assert(out.map(_.getAs[Long]("n_games")).sum
+      === 2L * out.map(_.getAs[Long]("n_wins")).sum)
+    assert(math.abs(out.map(_.getAs[Double]("strength")).sum - 1.0) < 1e-4)
+    // output is ordered by rank = strength desc
+    assert(out.map(_.getAs[Double]("strength")).toSeq
+      === out.map(_.getAs[Double]("strength")).sortBy(-_).toSeq)
+  }
 }
