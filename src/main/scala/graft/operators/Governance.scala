@@ -1297,8 +1297,129 @@ object Governance {
     }
   )
 
+  /** Four-fifths-rule threshold for [[qFairnessAudit]]'s disparate-impact
+    * flag (EEOC Uniform Guidelines §4D — selection rate under 80% of the
+    * most-favored group's is adverse-impact evidence). */
+  val FairnessImpactFloor = 0.8
+
+  /** Core of [[qFairnessAudit]] over any (source, kept, correct) per-doc
+    * relation — factored so specs can plant group rates exactly. */
+  private[graft] def fairnessAuditOf(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    // per-group counts: the one corpus collapse; referenced three ways
+    // below (per-row readout, totals, max selection rate) — persist the
+    // model-sized relation (the differently-pruned-aggregate law)
+    val g = base.groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"correct", 1L).otherwise(0L)).as("n_correct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = g.agg(sum($"n").as("tn"), sum($"n_kept").as("tk"),
+      sum($"n_correct").as("tc"))
+    val mx = g.agg(max(Det.qround($"n_kept".cast(DoubleType) /
+      $"n".cast(DoubleType))).as("max_sel"))
+    g.crossJoin(broadcast(tot)).crossJoin(broadcast(mx))
+      .withColumn("sel_rate",
+        Det.qround($"n_kept".cast(DoubleType) / $"n".cast(DoubleType)))
+      .withColumn("acc",
+        Det.qround($"n_correct".cast(DoubleType) / $"n".cast(DoubleType)))
+      .select($"source", $"n".as("n_docs"), $"sel_rate",
+        Det.qround($"sel_rate" -
+          Det.qround($"tk".cast(DoubleType) / $"tn".cast(DoubleType)))
+          .as("parity_gap"),
+        Det.qround($"sel_rate" / $"max_sel").as("impact_ratio"),
+        (Det.qround($"sel_rate" / $"max_sel") < FairnessImpactFloor)
+          .as("below_80pct"),
+        $"acc",
+        Det.qround($"acc" -
+          Det.qround($"tc".cast(DoubleType) / $"tn".cast(DoubleType)))
+          .as("acc_gap"))
+      .orderBy($"source")
+  }
+
+  /** Provenance-group fairness audit of the curation pipeline — the
+    * disparate-impact readout a governance review runs over the SAME two
+    * decisions the pipeline already makes per document: the quality-gate
+    * selection (kept = quality ≥ [[PipelineOps.QualityThreshold]], the
+    * q_corpus_prep gate) and the language-ID classifier's per-doc
+    * correctness (the q_lang_id predictions). Per source: selection rate,
+    * statistical-parity gap vs the corpus rate, the four-fifths
+    * disparate-impact ratio vs the most-favored group (flagged under
+    * [[FairnessImpactFloor]] — the EEOC 80% rule), and
+    * accuracy/predictive-parity gap (Hardt et al. 2016's
+    * equalized-odds family, collapsed to multi-class accuracy since every
+    * document carries its true lang).
+    *
+    * Exactness: group counts are exact longs; every rate is ONE qround'd
+    * quotient and every gap/ratio is qround arithmetic on those rounded
+    * rates (shared textually), so the 0.8 comparison is on identical
+    * doubles in both engines.
+    *
+    * Scale shape: the corpus collapses ONCE to per-source counts (the
+    * quality column and the lang prediction are both map-side; the join
+    * of the two per-doc relations is one doc_id hash join of thin
+    * columns — bucketize both sides by doc_id at 100 TB); totals and the
+    * max rate are broadcast 1-row reads of the persisted group table. */
+  val qFairnessAudit = GraftQuery(
+    "q_fairness_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"source",
+          (TextAnalytics.qualityCol >= PipelineOps.QualityThreshold)
+            .as("kept"))
+      val preds = TextAnalytics.langPredictions(spark, dir)
+        .select($"doc_id", $"correct")
+      fairnessAuditOf(scored.join(preds, Seq("doc_id")))
+    },
+    Some {
+      val selRate = Oracle.qround("n_kept / n")
+      val acc = Oracle.qround("n_correct / n")
+      s"""
+      WITH ${TextAnalytics.langPredCtes},
+      q AS (
+        SELECT doc_id, source,
+          (${TextAnalytics.qualitySqlExpr} >= ${PipelineOps.QualityThreshold})
+            AS kept
+        FROM documents),
+      b AS (
+        SELECT q.source, q.kept, p.correct
+        FROM q JOIN preds p USING (doc_id)),
+      g AS MATERIALIZED (
+        SELECT source, count(*)::BIGINT AS nl,
+          sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS nk,
+          sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS nc
+        FROM b GROUP BY 1),
+      gg AS (
+        SELECT source, nl, nk, nc, nl::DOUBLE AS n, nk::DOUBLE AS n_kept,
+          nc::DOUBLE AS n_correct
+        FROM g),
+      tot AS (
+        SELECT sum(nl)::DOUBLE AS tn, sum(nk)::DOUBLE AS tk,
+          sum(nc)::DOUBLE AS tc
+        FROM g),
+      mx AS (SELECT max($selRate) AS max_sel FROM gg),
+      r AS (
+        SELECT source, nl, $selRate AS sel_rate, $acc AS acc, tn, tk, tc,
+          max_sel
+        FROM gg CROSS JOIN tot CROSS JOIN mx)
+      SELECT source, nl AS n_docs, sel_rate,
+        ${Oracle.qround(s"sel_rate - ${Oracle.qround("tk / tn")}")}
+          AS parity_gap,
+        ${Oracle.qround("sel_rate / max_sel")} AS impact_ratio,
+        (${Oracle.qround("sel_rate / max_sel")} < $FairnessImpactFloor)
+          AS below_80pct,
+        acc,
+        ${Oracle.qround(s"acc - ${Oracle.qround("tc / tn")}")} AS acc_gap
+      FROM r
+      ORDER BY source"""
+    }
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qScd2History, qKAnonymity, qDqRules, qPsiDrift, qJsdDrift,
       qHllSketchMerge, qHistQuantiles, qCusumDrift, qTCloseness, qChi2Bias,
-      qBenford, qHllIntersect, qDpRelease, qDpAccountant)
+      qBenford, qHllIntersect, qDpRelease, qDpAccountant, qFairnessAudit)
 }

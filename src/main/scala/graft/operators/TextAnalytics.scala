@@ -596,7 +596,7 @@ object TextAnalytics {
 
   /** Oracle CTE block exposing `preds(doc_id, pred_lang, actual_lang,
     * correct)` — shared by [[qLangId]] and [[qLangConfusion]]. */
-  private def langPredCtes: String = """toks AS (
+  private[graft] def langPredCtes: String = """toks AS (
         SELECT doc_id, lang, unnest(list_distinct(string_split_regex(lower(text), '[[:space:]]+'))) AS term
         FROM documents),
       profiles AS (

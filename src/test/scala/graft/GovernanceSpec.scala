@@ -348,4 +348,50 @@ class GovernanceSpec extends SparkSpec {
     assert(best.size === 1)
     assert(best.head._5 === out.map(_._5).min)
   }
+
+  test("fairness audit: planted group rates, the 80%-rule boundary is " +
+      "exclusive, gaps are vs corpus rates") {
+    // a: sel 4/4, acc 2/4; b: sel 2/4 (impact 0.5 → flagged);
+    // c: sel 4/5 = 0.8 exactly → NOT flagged (the rule is strict-<)
+    val rows =
+      Seq.fill(4)(("a", true, false)).take(2) ++
+        Seq.fill(2)(("a", true, true)) ++
+        Seq(("b", true, true), ("b", true, true), ("b", false, true),
+          ("b", false, true)) ++
+        (Seq.fill(4)(("c", true, false)) :+ (("c", false, false)))
+    val out = Governance.fairnessAuditOf(
+      rows.toDF("source", "kept", "correct")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    val byS = out.map(r => r.getString(0) -> r).toMap
+    assert(byS("a").getAs[Double]("sel_rate") === 1.0)
+    assert(byS("b").getAs[Double]("impact_ratio") === 0.5)
+    assert(byS("b").getAs[Boolean]("below_80pct"))
+    assert(byS("c").getAs[Double]("impact_ratio") === 0.8)
+    assert(!byS("c").getAs[Boolean]("below_80pct"))
+    assert(!byS("a").getAs[Boolean]("below_80pct"))
+    // overall sel = 10/13; a's parity gap = qround(1 − qround(10/13))
+    val overall = math.floor(10.0 / 13.0 * 1e6 + 0.5) / 1e6
+    assert(byS("a").getAs[Double]("parity_gap")
+      === math.floor((1.0 - overall) * 1e6 + 0.5) / 1e6)
+    // accuracy: a 0.5, b 1.0, c 0.0; gaps are vs 6/13
+    assert(byS("a").getAs[Double]("acc") === 0.5)
+    assert(byS("c").getAs[Double]("acc") === 0.0)
+  }
+
+  test("q_fairness_audit on sf0.001: a row per source, exactly one group " +
+      "at impact 1.0, accounting balances") {
+    val out = Governance.qFairnessAudit.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 20)
+    val top = out.filter(_.getAs[Double]("impact_ratio") === 1.0)
+    assert(top.nonEmpty)
+    assert(top.forall(r => !r.getAs[Boolean]("below_80pct")))
+    assert(out.forall { r =>
+      val ir = r.getAs[Double]("impact_ratio"); ir > 0.0 - 1e-9 && ir <= 1.0
+    })
+    // n-weighted parity gaps cancel up to per-group rounding
+    val wg = out.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Double]("parity_gap")).sum
+    assert(math.abs(wg) < out.map(_.getAs[Long]("n_docs")).sum * 1e-6 + 0.01)
+  }
 }
