@@ -2227,7 +2227,7 @@ object MlEval {
     * histogram algebra instead of doc×doc pairs; comparisons that tie at
     * 2 dp are DROPPED, the standard ties-excluded BT convention,
     * documented). Shared textually with the oracle. */
-  private val BtBin = "floor(q * 100.0 + 0.5) / 100.0"
+  private val BtBin = "CAST(floor(q * 100.0 + 0.5) AS DOUBLE) / 100.0"
 
   /** Per-opponent MM denominator addend (Hunter 2004 Eq. 1.4's
     * n_ij/(w_i+w_j)) and the guarded strength update W_i/den — `wp`
@@ -2246,16 +2246,30 @@ object MlEval {
     * well before 8 rounds on every tested corpus. */
   val BtIters = 8
 
-  /** Core of [[qBradleyTerry]] over any (source, q) scored relation —
-    * factored out so specs can drive planted score distributions. */
-  private[graft] def bradleyTerryOf(scored: DataFrame): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // the ONE corpus-priced exchange: (source, 2-dp value) counts; every
-    // relation below is bounded by sources × value-domain
-    val h = scored
+  /** The ONE corpus-priced exchange of [[qBradleyTerry]]: (source, 2-dp
+    * value) counts. ADDITIVE — summing per-batch histograms equals the
+    * union-corpus histogram, which is what lets
+    * [[graft.streaming.StreamBt]] maintain the fit from per-batch deltas
+    * bit-equal. */
+  private[graft] def btHistOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
       .select($"source", expr(BtBin).as("v"))
       .groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+  }
+
+  /** Core of [[qBradleyTerry]] over any (source, q) scored relation —
+    * factored out so specs can drive planted score distributions. */
+  private[graft] def bradleyTerryOf(scored: DataFrame): DataFrame =
+    bradleyTerryFromHist(btHistOf(scored))
+
+  /** The fit + readout from a (source, v, c) histogram relation — shared
+    * by the batch query and the streaming maintainer's fold. */
+  private[graft] def bradleyTerryFromHist(hIn: DataFrame): DataFrame = {
+    val spark = hIn.sparkSession
+    import spark.implicits._
+    // every relation below is bounded by sources × value-domain
+    val h = hIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vals = h.select($"v").distinct()
     val srcs = h.select($"source").distinct()

@@ -31,8 +31,9 @@ import org.apache.spark.sql.types._
   * (the reference consumer's configured volume, reddit_consumer.py:497)
   * and 5,000 rec/batch ×10 (10× volume), for the parity pipeline, the
   * [[IngestHub]] six-maintainer composite, the [[StreamIvf]]
-  * maintained-ANN ingest AND the [[StreamCanary]] memorization-audit
-  * maintainer (`runMain … StreamBench ingest|ann|canary
+  * maintained-ANN ingest, the [[StreamCanary]] memorization-audit
+  * maintainer AND the [[StreamBt]] preference-ladder maintainer
+  * (`runMain … StreamBench ingest|ann|canary|bt
   * [recordsPerBatch] [replicate]` drives one alone) — and, in addition
   * to printing each run's JSON line, writes
   * the combined artifact to `SPARK_GRAFT_STREAMBENCH_OUT` (default
@@ -242,6 +243,41 @@ object StreamBench {
     progressLine("canary", q, rows, perBatch, wall)
   }
 
+  /** One StreamBt replay at the given volume — the preference-ladder
+    * maintainer's ingest shape (one additive histogram delta per batch).
+    * Same stats, same 10 s budget. */
+  def runBtOnce(spark: SparkSession, sfDir: String, perBatch: Int,
+      replicate: Int): String = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val all = (0 until replicate).map { r =>
+      docs.select(($"doc_id" + lit(r.toLong * (1L << 40))).as("doc_id"),
+        $"source", $"text")
+    }.reduce(_ unionByName _)
+    val rows = all.count()
+    val nSlices = math.max(1, math.ceil(rows.toDouble / perBatch).toInt)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-bt")
+    for (s <- 0 until nSlices)
+      all.filter(pmod($"doc_id", lit(nSlices.toLong)) === s)
+        .coalesce(1) // one file per slice = one slice per trigger
+        .write.parquet(f"$srcDir/slice_$s%05d.parquet")
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft-sbench-btlog").toString
+
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+    val t0 = System.nanoTime()
+    val q = StreamBt.run(stream, logDir, Trigger.AvailableNow())
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    progressLine("bt", q, rows, perBatch, wall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -260,7 +296,7 @@ object StreamBench {
       // leading "ingest" drives the IngestHub composite, leading "ann"
       // the StreamIvf maintainer, instead of the parity pipeline
       val mode = args.head match {
-        case m @ ("ingest" | "ann" | "canary") => m
+        case m @ ("ingest" | "ann" | "canary" | "bt") => m
         case _ => "stream"
       }
       val rest = if (mode == "stream") args else args.tail
@@ -270,13 +306,14 @@ object StreamBench {
         case "ingest" => runIngestOnce(spark, sfDir, perBatch, replicate)
         case "ann" => runAnnOnce(spark, sfDir, perBatch, replicate)
         case "canary" => runCanaryOnce(spark, sfDir, perBatch, replicate)
+        case "bt" => runBtOnce(spark, sfDir, perBatch, replicate)
         case _ => runOnce(spark, sfDir, perBatch, replicate)
       })
     } else {
-      // artifact mode: all eight standard envelopes (parity pipeline,
+      // artifact mode: all ten standard envelopes (parity pipeline,
       // IngestHub composite, StreamIvf maintainer, StreamCanary
-      // maintainer — each at reference and 10x volume), combined JSON
-      // to disk
+      // maintainer, StreamBt maintainer — each at reference and 10x
+      // volume), combined JSON to disk
       val ref = runOnce(spark, sfDir, 500, 1)
       println(ref)
       val x10 = runOnce(spark, sfDir, 5000, 10)
@@ -293,12 +330,17 @@ object StreamBench {
       println(can)
       val canX10 = runCanaryOnce(spark, sfDir, 5000, 10)
       println(canX10)
+      val bt = runBtOnce(spark, sfDir, 500, 1)
+      println(bt)
+      val btX10 = runBtOnce(spark, sfDir, 5000, 10)
+      println(btX10)
       val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (s"""{"metric":"streambench","sfDir":"$sfDir","reference":$ref,"x10":$x10,""" +
           s""""ingest":$ing,"ingest_x10":$ingX10,""" +
           s""""ann":$ann,"ann_x10":$annX10,""" +
-          s""""canary":$can,"canary_x10":$canX10}\n""").getBytes("UTF-8"))
+          s""""canary":$can,"canary_x10":$canX10,""" +
+          s""""bt":$bt,"bt_x10":$btX10}\n""").getBytes("UTF-8"))
       println(s"wrote $out")
     }
     spark.stop()

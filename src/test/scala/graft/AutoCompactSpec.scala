@@ -125,4 +125,44 @@ class AutoCompactSpec extends SparkSpec {
     assert(rows(StreamIvf.annTopk(spark, logDir)) === ann)
     assert(rows(StreamIvf.annTopkPq(spark, logDir, pqCents)) === ivfpq)
   }
+
+  test("StreamCanary: auto-compacts BOTH logs past the threshold; exposure bit-equal + recovery") {
+    import graft.operators.CorpusQuality
+    import graft.streaming.StreamCanary
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val logDir = Files.createTempDirectory("graft-ac-canary").toString
+    for (s <- 0 until NBatches)
+      StreamCanary.processBatch(
+        docs.filter($"doc_id" % NBatches === s), s.toLong, logDir)
+    for (sub <- Seq("grams", "terms")) {
+      val nDirs = batchDirCount(s"$logDir/$sub")
+      assert(nDirs < NBatches - 2, s"$sub never compacted: $nDirs dirs")
+    }
+    val batch = rows(CorpusQuality.qCanaryExposure.run(spark, dir))
+    assert(batch.nonEmpty)
+    assert(rows(StreamCanary.exposure(spark, logDir)) === batch)
+    StreamCanary.processBatch(
+      docs.filter($"doc_id" % NBatches === (NBatches - 1)),
+      (NBatches - 1).toLong, logDir)
+    assert(rows(StreamCanary.exposure(spark, logDir)) === batch)
+  }
+
+  test("StreamBt: auto-compacts past the threshold; strengths bit-equal + recovery") {
+    import graft.operators.MlEval
+    import graft.streaming.StreamBt
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"text")
+    val logDir = Files.createTempDirectory("graft-ac-bt").toString
+    for (s <- 0 until NBatches)
+      StreamBt.processBatch(
+        docs.filter($"doc_id" % NBatches === s), s.toLong, logDir)
+    val nDirs = batchDirCount(s"$logDir/hist")
+    assert(nDirs < NBatches - 2, s"hist never compacted: $nDirs dirs")
+    val batch = rows(MlEval.qBradleyTerry.run(spark, dir))
+    assert(batch.nonEmpty)
+    assert(rows(StreamBt.strengths(spark, logDir)) === batch)
+    StreamBt.processBatch(
+      docs.filter($"doc_id" % NBatches === (NBatches - 1)),
+      (NBatches - 1).toLong, logDir)
+    assert(rows(StreamBt.strengths(spark, logDir)) === batch)
+  }
 }

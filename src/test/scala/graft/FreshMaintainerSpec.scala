@@ -98,7 +98,9 @@ class FreshMaintainerSpec extends SparkSpec {
       ("StreamWelch", "msprtReport", 0L,
         d => StreamWelch.msprtReport(spark, d)),
       ("StreamXent", "heldout", 0L, d => StreamXent.heldout(spark, d)),
-      ("StreamXent", "scaling", 0L, d => StreamXent.scaling(spark, d)))
+      ("StreamXent", "scaling", 0L, d => StreamXent.scaling(spark, d)),
+      ("StreamCanary", "exposure", 0L, d => StreamCanary.exposure(spark, d)),
+      ("StreamBt", "strengths", 0L, d => StreamBt.strengths(spark, d)))
 
   for ((mod, ro, expected, mk) <- readouts)
     test(s"$mod.$ro: fresh maintainer degrades to $expected rows, no throw") {
@@ -237,6 +239,22 @@ class FreshMaintainerSpec extends SparkSpec {
       .parquet(s"$d/probes").schema.toDDL) === norm(StreamIvf.ProbesDdl))
     assert(norm(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$d/codes").schema.toDDL) === norm(StreamIvf.CodesDdl))
+  }
+
+  test("StreamCanary: Gram/Term DDLs pin the written delta schemas") {
+    val d = Files.createTempDirectory("graft-ddlpin-canary").toString
+    StreamCanary.processBatch(docs.select($"doc_id", $"text"), 0L, d)
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/grams").schema.toDDL) === norm(StreamCanary.GramDdl))
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/terms").schema.toDDL) === norm(StreamCanary.TermDdl))
+  }
+
+  test("StreamBt: Hist DDL pins the written delta schema") {
+    val d = Files.createTempDirectory("graft-ddlpin-bt").toString
+    StreamBt.processBatch(docs.select($"source", $"text"), 0L, d)
+    assert(norm(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$d/hist").schema.toDDL) === norm(StreamBt.HistDdl))
   }
 
   test("StreamIso: Norms/Pos DDLs pin the written delta schemas") {
