@@ -1937,6 +1937,145 @@ object Similarity {
     }
   )
 
+  // ------------------------------------------------------- MMD drift —
+
+  /** One-vs-rest mean/moment deltas for [[qMmdDrift]] — NULL-guarded for
+    * the degenerate single-group corpus (no rest to compare against).
+    * Shared textually with the oracle over columns (sx|sxy, tx|txy, ngd,
+    * ntd). */
+  private val MmdD1 =
+    "CASE WHEN ntd > ngd THEN sx / ngd - (tx - sx) / (ntd - ngd) END"
+  private val MmdD2 =
+    "CASE WHEN ntd > ngd THEN sxy / ngd - (txy - sxy) / (ntd - ngd) END"
+
+  /** Off-diagonal Frobenius weight: the upper triangle stores each (i<j)
+    * entry once, the symmetric matrix counts it twice. */
+  private val MmdW2 = "(CASE WHEN i = j THEN 1.0 ELSE 2.0 END) * d2 * d2"
+
+  /** Core of [[qMmdDrift]] over any (label, embedding) relation —
+    * factored so specs can plant distributions with known moments. */
+  private[graft] def mmdDriftOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nl = emb.groupBy($"label").agg(count(lit(1)).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nt = nl.agg(sum($"ng").as("nt_"))
+    val s1 = emb
+      .select($"label", posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"label", $"i")
+      .agg(sum($"v".cast(DoubleType).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("sx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t1 = s1.groupBy($"i")
+      .agg(sum($"sx".cast(DecimalType(38, 12))).cast(DoubleType).as("tx"))
+    val s2 = emb
+      .select($"label",
+        explode(call_function("upper_products", $"embedding")).as("c"))
+      .select($"label", $"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+      .groupBy($"label", $"i", $"j")
+      .agg(sum($"p".cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t2 = s2.groupBy($"i", $"j")
+      .agg(sum($"sxy".cast(DecimalType(38, 12))).cast(DoubleType).as("txy"))
+    val lin = s1.join(broadcast(t1), Seq("i"))
+      .join(broadcast(nl), Seq("label")).crossJoin(broadcast(nt))
+      .withColumn("ngd", $"ng".cast(DoubleType))
+      .withColumn("ntd", $"nt_".cast(DoubleType))
+      .withColumn("d1", expr(MmdD1))
+      .groupBy($"label").agg(Det.dsum(expr("d1 * d1")).as("mmd2_lin"))
+    val quad = s2.join(broadcast(t2), Seq("i", "j"))
+      .join(broadcast(nl), Seq("label")).crossJoin(broadcast(nt))
+      .withColumn("ngd", $"ng".cast(DoubleType))
+      .withColumn("ntd", $"nt_".cast(DoubleType))
+      .withColumn("d2", expr(MmdD2))
+      .groupBy($"label").agg(Det.dsum(expr(MmdW2)).as("mmd2_quad"))
+    nl.join(lin, Seq("label")).join(quad, Seq("label"))
+      .select($"label", $"ng".as("n_vecs"), $"mmd2_lin", $"mmd2_quad")
+      .orderBy($"label")
+  }
+
+  /** Kernel two-sample drift between each label's embedding distribution
+    * and the rest of the corpus (Gretton et al. 2012, "A Kernel
+    * Two-Sample Test", JMLR 13 — the biased V-statistic MMD²), in the
+    * two kernels whose population MMD collapses to CLOSED-FORM moment
+    * algebra: linear k(x,y)=x·y gives MMD² = ‖μ_g − μ_rest‖² (pure mean
+    * shift), and the homogeneous quadratic k(x,y)=(x·y)² gives
+    * MMD² = ‖M_g − M_rest‖²_F with M = E[xxᵀ] (covariance/shape shift —
+    * E[(x·y)²] = ⟨E[xxᵀ], E[yyᵀ]⟩_F), so the label-conditional
+    * distribution-shift audit needs NO pairwise kernel evaluations at
+    * all. A label with near-zero linear but large quadratic MMD drifted
+    * in spread, not location — the embedding-space companion to the
+    * scalar q_psi_drift/q_jsd_drift monitors.
+    *
+    * Exactness: per-(label, dim[, dim]) moment sums go through the
+    * scale-12 decimal cast (the q_embed_covariance contract); rest
+    * moments are total − group on those doubles; the delta and Frobenius
+    * terms are shared IEEE strings; each label's sum is a [[Det.dsum]];
+    * single-group corpora yield NULL (no rest), not NaN.
+    *
+    * Scale shape: two corpus-priced map-side generates (posexplode for
+    * means, the codegen `upper_products` stream for second moments),
+    * each collapsing into a partial+final aggregate whose exchange
+    * carries at most |labels|·d(d+1)/2 rows per partition however large
+    * the corpus; totals are re-aggregations of the model-sized per-label
+    * relations, and everything downstream is broadcast model-scale. */
+  val qMmdDrift = GraftQuery(
+    "q_mmd_drift",
+    (spark, dir) =>
+      mmdDriftOf(Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("label"), col("embedding"))),
+    Some(s"""
+      WITH ex AS (
+        SELECT label, unnest(range(len(embedding))) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+      s1 AS MATERIALIZED (
+        SELECT label, i, sum(CAST(v AS DECIMAL(38,12)))::DOUBLE AS sx
+        FROM ex GROUP BY 1, 2),
+      t1 AS (
+        SELECT i, sum(CAST(sx AS DECIMAL(38,12)))::DOUBLE AS tx
+        FROM s1 GROUP BY 1),
+      pr AS (
+        SELECT label, unnest(flatten(
+          [[{'i': i, 'j': j,
+             'p': embedding[i+1]::DOUBLE * embedding[j+1]::DOUBLE}
+            for j in range(i, len(embedding))]
+           for i in range(0, len(embedding))])) AS c
+        FROM embeddings),
+      s2 AS MATERIALIZED (
+        SELECT label, c.i AS i, c.j AS j,
+          sum(CAST(c.p AS DECIMAL(38,12)))::DOUBLE AS sxy
+        FROM pr GROUP BY 1, 2, 3),
+      t2 AS (
+        SELECT i, j, sum(CAST(sxy AS DECIMAL(38,12)))::DOUBLE AS txy
+        FROM s2 GROUP BY 1, 2),
+      nl AS MATERIALIZED (
+        SELECT label, count(*)::BIGINT AS ng FROM embeddings GROUP BY 1),
+      nt AS (SELECT sum(ng)::BIGINT AS nt_ FROM nl),
+      lin AS (
+        SELECT label, ${Oracle.dsum("d1 * d1")} AS mmd2_lin
+        FROM (
+          SELECT label, $MmdD1 AS d1
+          FROM (
+            SELECT s1.label, s1.sx, t1.tx,
+              CAST(ng AS DOUBLE) AS ngd, CAST(nt_ AS DOUBLE) AS ntd
+            FROM s1 JOIN t1 USING (i) JOIN nl USING (label) CROSS JOIN nt))
+        GROUP BY label),
+      quad AS (
+        SELECT label, ${Oracle.dsum(MmdW2)} AS mmd2_quad
+        FROM (
+          SELECT label, i, j, $MmdD2 AS d2
+          FROM (
+            SELECT s2.label, s2.i, s2.j, s2.sxy, t2.txy,
+              CAST(ng AS DOUBLE) AS ngd, CAST(nt_ AS DOUBLE) AS ntd
+            FROM s2 JOIN t2 USING (i, j) JOIN nl USING (label)
+            CROSS JOIN nt))
+        GROUP BY label)
+      SELECT nl.label, ng AS n_vecs, mmd2_lin, mmd2_quad
+      FROM nl JOIN lin USING (label) JOIN quad USING (label)
+      ORDER BY nl.label""")
+  )
+
   val all: Seq[GraftQuery] =
     Seq(qAnnCosineTopk, qAnnCosineFast, qEmbedNeardupLsh, qAnnIvf,
       qIvfRecallAudit, qIvfTune, qAnnPq, qPqDistortion, qAnnIvfpq,
@@ -1944,5 +2083,5 @@ object Similarity {
       qSemanticDedup,
       qSemdedupCellAudit, qSemanticContamination, qEmbedCovariance,
       qPcaPower, qEmbedLabelProfile, qLabelCentroidDist, qMrlRecall,
-      qEmbedIsotropy, qGeomedian)
+      qEmbedIsotropy, qGeomedian, qMmdDrift)
 }

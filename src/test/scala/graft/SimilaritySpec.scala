@@ -385,4 +385,46 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.forall(r => r._4 >= 0.0 && r._4 <= 1.0
       && r._5 >= 0.0 && r._5 <= 1.0))
   }
+
+  test("mmd drift: pure variance shift shows in the quadratic kernel " +
+      "only; single-group corpus degrades to NULL") {
+    // two labels, both mean-zero on axis 0: linear MMD is exactly 0;
+    // second moments M0 = diag(1, 0) vs M1 = diag(4, 0), so one-vs-rest
+    // quadratic MMD^2 = (1-4)^2 = 9 for both labels
+    val emb = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(-1.0f, 0.0f)),
+      (1, Array(2.0f, 0.0f)), (1, Array(-2.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.mmdDriftOf(emb).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1))
+    assert(out.forall(_.getAs[Long]("n_vecs") === 2L))
+    assert(out.forall(_.getAs[Double]("mmd2_lin") === 0.0))
+    assert(out.forall(_.getAs[Double]("mmd2_quad") === 9.0))
+
+    // mean shift shows in BOTH kernels
+    val emb2 = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(-1.0f, 0.0f)), (1, Array(-1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out2 = Similarity.mmdDriftOf(emb2).collect()
+    // mu diff = 2 on axis 0 -> lin = 4; M identical -> quad = 0
+    assert(out2.forall(_.getAs[Double]("mmd2_lin") === 4.0))
+    assert(out2.forall(_.getAs[Double]("mmd2_quad") === 0.0))
+
+    // single group: no rest to compare against -> NULL metrics, row kept
+    val solo = Similarity.mmdDriftOf(
+      Seq((7, Array(1.0f, 2.0f))).toDF("label", "embedding")).collect()
+    assert(solo.length === 1)
+    assert(solo.head.isNullAt(solo.head.fieldIndex("mmd2_lin")))
+    assert(solo.head.isNullAt(solo.head.fieldIndex("mmd2_quad")))
+  }
+
+  test("q_mmd_drift on sf0.001: a row per label, nonnegative metrics") {
+    val out = Similarity.qMmdDrift.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === 500L)
+    assert(out.forall(_.getAs[Double]("mmd2_lin") >= 0.0))
+    assert(out.forall(_.getAs[Double]("mmd2_quad") >= 0.0))
+  }
 }
