@@ -1244,6 +1244,9 @@ object Governance {
       import spark.implicits._
       val base = Tables.documents(spark, dir)
         .agg(count(lit(1)).as("n"))
+        // an empty corpus prices no training run: emit an empty ledger
+        // instead of dividing the sampling rate by zero (ANSI throws)
+        .filter($"n" > 0)
         .withColumn("nd", $"n".cast(DoubleType))
         .withColumn("q", expr(DpQ))
         .withColumn("sd", expr(DpSteps))
@@ -1273,7 +1276,7 @@ object Governance {
       WITH base AS (
         SELECT count(*)::BIGINT AS n, count(*)::DOUBLE AS nd
         FROM documents),
-      b2 AS (SELECT *, $DpQ AS q, $DpSteps AS sd FROM base),
+      b2 AS (SELECT *, $DpQ AS q, $DpSteps AS sd FROM base WHERE n > 0),
       grid(alpha, j, lc) AS (VALUES $values),
       rows_ AS (
         SELECT alpha, CAST(alpha AS DOUBLE) AS ad, CAST(j AS DOUBLE) AS jd,
