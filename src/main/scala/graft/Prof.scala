@@ -22,6 +22,61 @@ object Prof {
         println(q.run(spark, dir).queryExecution.executedPlan.toString)
       spark.stop(); return
     }
+    if (args.headOption.contains("-fmt")) {
+      // write each query's POST-EXECUTION formatted plan (AQE final plan,
+      // PushedFilters/ReadSchema per scan) to <outDir>/<name>_<suffix>.txt
+      // — the plan evidence files the optimization rounds commit under
+      // plans/. Usage: Prof -fmt <outDir> <suffix> q_name [q_name ...]
+      val outDir = args(1); val suffix = args(2)
+      new java.io.File(outDir).mkdirs()
+      for (n <- args.drop(3); q <- Queries.byName.get(n)) {
+        val df = q.run(spark, dir)
+        df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("-stages")) {
+      // per-stage wall/shuffle attribution: run each query once warm, then
+      // once with a stage listener, printing each stage's duration, task
+      // count, shuffle read/write and input bytes. Dev-only forensics.
+      val names = args.tail
+      for (n <- names; q <- Queries.byName.get(n)) {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        val stages =
+          new scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Long, Long, Long, String)]
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val t = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+            stages += ((si.stageId, t.getOrElse(-1L), si.numTasks,
+              si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+              si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+              si.taskMetrics.inputMetrics.bytesRead,
+              si.name.takeWhile(_ != '\n').take(60)))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // drain the async listener bus
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"STAGES $n wall=$wall%.2f s, ${stages.size} stages")
+        for ((id, ms, nt, sr, sw, in, nm) <- stages.sortBy(-_._2).take(12))
+          println(f"  stage $id%4d ${ms / 1000.0}%7.2f s tasks=$nt%3d " +
+            f"shufR=${sr / 1e6}%8.1fMB shufW=${sw / 1e6}%8.1fMB " +
+            f"in=${in / 1e6}%8.1fMB $nm")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("-buildscale")) {
       // build the Nx salted-replica dir only (for per-query 10x rehearsals
       // via SPARK_GRAFT_SF_DIR without re-measuring the whole family set)
