@@ -17,6 +17,11 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev A/B hook: SPARK_GRAFT_PROF_CONF="k=v;k=v" applies runtime SQL
+    // confs before profiling (e.g. autoBroadcastJoinThreshold sweeps)
+    sys.env.get("SPARK_GRAFT_PROF_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     if (args.headOption.contains("-explain")) {
       for (n <- args.tail; q <- Queries.byName.get(n))
         println(q.run(spark, dir).queryExecution.executedPlan.toString)

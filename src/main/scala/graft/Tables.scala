@@ -68,6 +68,25 @@ object Tables {
     }
   }
 
+  /** Persist AND materialize a shared intermediate before its consumers
+    * fan out. `persist()` alone is lazy: when several independent subtrees
+    * of one query (AQE materializes exchange subqueries CONCURRENTLY, and
+    * broadcast subqueries race ahead of the main plan) first touch a
+    * not-yet-materialized cache, each computes the full lineage instead of
+    * reading the other's result — Prof -stages showed the corpus-sized
+    * shingle/tokenize projections of the pair-join queries executing 2-7×
+    * per run behind an already-persisted relation. One `count()` through
+    * the fresh InMemoryRelation populates the cache in a single pass; every
+    * consumer then reads it. The extra action costs one scheduler
+    * round-trip (~50 ms locally), so use it only where a persisted relation
+    * has ≥2 concurrent consumers. Cache lifetime is bounded by the
+    * clearCache-between-queries protocol of Verify/Bench/Prof. */
+  def eager(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Spread a scan across the cluster ONLY when the scan itself cannot: the
     * driver's sf tables are single small parquet files (1 split), which
     * would pin every downstream per-row projection (md5 sketches, dot

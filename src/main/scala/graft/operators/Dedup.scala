@@ -188,14 +188,17 @@ object Dedup {
       .distinct()
   }
 
-  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // persisted for the same reason as in q_ngram_jaccard: banding + the
-    // two verify joins would otherwise re-run the shingle projection
-    val docsSh = docShingles(spark, dir, 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // eager for the same reason as in q_ngram_jaccard: banding + the two
+    // verify joins would otherwise re-run the shingle projection (lazily
+    // persisted they still race — see Tables.eager)
+    minhashPairsOf(Tables.eager(docShingles(spark, dir, 2)))
+
+  /** [[minhashPairs]] over an explicit shingle relation (pass it
+    * eager-persisted) — lets [[qMinhashEstimate]] feed ONE shingle pass to
+    * the pair pipeline AND its signature projection. */
+  private[graft] def minhashPairsOf(docsSh: DataFrame): DataFrame =
     verifyJaccard(minhashCandidates(docsSh), docsSh)
-  }
 
   /** The LSH candidate relation (`cand(ia, ib)`) as oracle CTEs — the SQL
     * twin of [[minhashCandidates]], shared by the pair/cluster oracles and
@@ -925,8 +928,12 @@ object Dedup {
       .filter($"df" > greatest(lit(NgramDfCapFloor),
         expr(s"n_docs div $NgramDfCapDivisor")))
       .select($"shingle")
-    ex.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager, not lazy persist: the df aggregate, the sizes aggregate and
+    // BOTH sides of the pair self-join consume this relation through
+    // concurrently-materialized AQE subqueries — Prof -stages showed the
+    // whole scan→shingle→explode lineage executing up to 7× per run behind
+    // the lazy persist (the cache-population race Tables.eager documents)
+    Tables.eager(ex.join(broadcast(hot), Seq("shingle"), "left_anti"))
   }
 
   /** Candidate pair groups (ia, ib, na, nb, inter) BEFORE the similarity
@@ -946,8 +953,11 @@ object Dedup {
     // entering the count shuffle drop before grouping.
     // NO broadcast hint: sizes is one row per document — corpus-sized —
     // and must flow through a shuffle join at scale (AQE still broadcasts
-    // it locally when it is actually small)
-    val withNs = pruned.join(sizes, Seq("doc_id"))
+    // it locally when it is actually small).
+    // eager: BOTH sides of the pair self-join consume this relation; lazily
+    // each side re-ran the sizes aggregate + the join (Prof -stages showed
+    // the duplicated subtree), and exchange reuse does not collapse it
+    val withNs = Tables.eager(pruned.join(sizes, Seq("doc_id")))
     withNs.as("a").join(withNs.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
           $"a.ns" * lit(LengthFilterDen) >= $"b.ns" * lit(LengthFilterNum) &&
@@ -1039,10 +1049,13 @@ object Dedup {
     val pruned = ngramPostings(spark, dir)
     val dfreq = pruned.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
-    val ranked = pruned.join(dfreq, Seq("shingle"))
+    // eager: the prefix side and the full side below both read this ranked
+    // relation — lazily persisted (or bare) it is computed once per side
+    // (join + window, two exchanges each); materialized it computes once
+    val ranked = Tables.eager(pruned.join(dfreq, Seq("shingle"))
       .select($"doc_id", $"shingle",
         row_number().over(wDoc.orderBy($"df", $"shingle")).as("rk"),
-        count(lit(1)).over(wDoc).cast(LongType).as("ns"))
+        count(lit(1)).over(wDoc).cast(LongType).as("ns")))
     val prefix = ranked
       .filter($"rk" <=
         $"ns" - expr(s"(ns * $ContainNum + ${ContainDen - 1}) div $ContainDen")
@@ -1056,9 +1069,10 @@ object Dedup {
       .select(least($"a.doc_id", $"b.doc_id").as("ia"),
         greatest($"a.doc_id", $"b.doc_id").as("ib"))
       .distinct()
-    val sets = pruned.groupBy($"doc_id")
+    // eager: consumed twice (ia- and ib-side verify joins) — see ranked
+    val sets = Tables.eager(pruned.groupBy($"doc_id")
       .agg(collect_list($"shingle").as("sh"),
-        count(lit(1)).cast(LongType).as("ns"))
+        count(lit(1)).cast(LongType).as("ns")))
     cand
       .join(sets.select($"doc_id".as("ia"), $"sh".as("sha"), $"ns".as("na")),
         Seq("ia"))
@@ -1267,29 +1281,43 @@ object Dedup {
   /** Ranked prefix posting rows (doc_id, shingle, ns) under the global
     * (df ASC, shingle ASC) order — the AllPairs/PPJoin candidate-generation
     * input (each doc indexes only its first ns − ⌈t′·ns⌉ + 1 shingles). */
-  private[graft] def prefixPostings(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def prefixPostings(spark: SparkSession, dir: String): DataFrame =
+    prefixPostingsOf(docShingles(spark, dir, 3))
+
+  /** [[prefixPostings]] over an explicit (doc_id, sh) shingle relation —
+    * factored so [[qJaccardPrefix]] can feed ONE eager-persisted shingle
+    * relation to candidate generation AND the verify joins (the shingle
+    * projection over the corpus used to run three times per query). The
+    * RESULT is eager-persisted too: both sides of the candidate self-join
+    * read it, and lazily each side re-ran the df-join + window. */
+  private[graft] def prefixPostingsOf(docsSh: DataFrame): DataFrame = {
+    val spark = docsSh.sparkSession
     import spark.implicits._
-    // persisted: feeds the df aggregate AND the ranked prefix projection
-    val ex = docShingles(spark, dir, 3)
-      .select($"doc_id", explode($"sh").as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: feeds the df aggregate AND the ranked prefix projection
+    // through concurrent subqueries (see Tables.eager)
+    val ex = Tables.eager(
+      docsSh.select($"doc_id", explode($"sh").as("shingle")))
     val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id")
-    ex.join(dfreq, Seq("shingle"))
+    Tables.eager(ex.join(dfreq, Seq("shingle"))
       .select($"doc_id", $"shingle",
         row_number().over(wDoc.orderBy($"df", $"shingle")).as("rk"),
         count(lit(1)).over(wDoc).as("ns"))
       .filter($"rk" <=
         $"ns" - expr(s"(ns * $PrefixNum + ${PrefixDen - 1}) div $PrefixDen")
           + lit(1))
-      .select($"doc_id", $"shingle", $"ns")
+      .select($"doc_id", $"shingle", $"ns"))
   }
 
   /** Distinct candidate pairs (ia, ib) from the prefix-shingle equi-join
     * with the symmetric in-join length filter — pre-verification. */
-  private[graft] def prefixCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def prefixCandidates(spark: SparkSession, dir: String): DataFrame =
+    prefixCandidatesOf(docShingles(spark, dir, 3))
+
+  private[graft] def prefixCandidatesOf(docsSh: DataFrame): DataFrame = {
+    val spark = docsSh.sparkSession
     import spark.implicits._
-    val prefix = prefixPostings(spark, dir)
+    val prefix = prefixPostingsOf(docsSh)
     prefix.as("a").join(prefix.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
           $"a.ns" * lit(PrefixDen) >= $"b.ns" * lit(PrefixNum) &&
@@ -1301,8 +1329,10 @@ object Dedup {
     "q_jaccard_prefix",
     (spark, dir) => {
       import spark.implicits._
-      val docsSh = docShingles(spark, dir, 3)
-      prefixCandidates(spark, dir)
+      // ONE eager shingle relation for candidate generation AND both
+      // verify joins — was three independent corpus projections
+      val docsSh = Tables.eager(docShingles(spark, dir, 3))
+      prefixCandidatesOf(docsSh)
         .join(docsSh.select($"doc_id".as("ia"), $"sh".as("sha")), Seq("ia"))
         .join(docsSh.select($"doc_id".as("ib"), $"sh".as("shb")), Seq("ib"))
         .select($"ia", $"ib",
@@ -1516,12 +1546,14 @@ object Dedup {
     "q_minhash_estimate",
     (spark, dir) => {
       import spark.implicits._
-      val sigs = docShingles(spark, dir, 2)
+      // ONE shingle pass feeds the signature projection AND the verified
+      // pair pipeline (was two independent corpus shingle+minhash passes)
+      val docsSh = Tables.eager(docShingles(spark, dir, 2))
+      val sigs = Tables.eager(docsSh
         .select($"doc_id", posexplode(
           call_function("minhash_bands", $"sh", lit(MinHashK), lit(1)))
-          .as(Seq("h", "mh")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      minhashPairs(spark, dir)
+          .as(Seq("h", "mh"))))
+      minhashPairsOf(docsSh)
         .join(sigs.select($"doc_id".as("ia"), $"h", $"mh".as("ma")), Seq("ia"))
         .join(sigs.select($"doc_id".as("ib"), $"h", $"mh".as("mb")), Seq("ib", "h"))
         .groupBy($"ia", $"ib", $"jaccard")

@@ -72,6 +72,39 @@ object Retrieval {
     corpusToks(spark, dir).filter($"term".isInCollection(terms))
   }
 
+  /** ONE tokenize pass per query (doc_id, dl, mt): the per-doc
+    * stopword-removed length AND the query-term token matches from the
+    * same projection. Every BM25/QL entry point used to run the corpus
+    * tokenize+stopword HOF twice — once for the matched postings, once for
+    * the 1-row length stats — and the eval/fusion queries that score two
+    * rankers ran it up to four times. This relation is MODEL-SIZED (a long
+    * plus the ≤|q|-term matches per doc, never the token stream), so
+    * eager-persisting it is scale-safe; [[matchedOfMdl]]/[[statsOfMdl]]
+    * derive both former relations from the cache. */
+  private[graft] def matchedWithDl(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Tables.eager(Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id",
+        Text.withoutStopwords(Text.tokens($"text")).as("toks"))
+      .select($"doc_id", size($"toks").as("dl"),
+        filter($"toks", t => t.isin(terms: _*)).as("mt")))
+  }
+
+  /** The (doc_id, dl, term) matched postings of [[matchedWithDl]] — the
+    * exact [[matchedToks]] relation, off the cached pass. */
+  private[graft] def matchedOfMdl(m: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
+    m.select($"doc_id", $"dl", explode($"mt").as("term"))
+  }
+
+  /** The 1-row (n_docs, sum_dl) corpus stats of [[matchedWithDl]] — the
+    * exact [[corpusDl]] relation, off the cached pass. */
+  private[graft] def statsOfMdl(m: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
+    m.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+  }
+
   /** (doc_id, dl, term) postings for the WHOLE vocabulary — the feedback
     * side of [[qPrfExpansion]] needs unfiltered postings (expansion terms
     * are mined from the data, not known at plan time). */
@@ -93,8 +126,11 @@ object Retrieval {
   }
 
   private[graft] def bm25Ranked(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame =
-    bm25RankedFrom(matchedToks(spark, dir, terms), corpusDl(spark, dir))
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    // one tokenize pass: postings AND length stats off matchedWithDl
+    val m = matchedWithDl(spark, dir, terms)
+    bm25RankedFrom(matchedOfMdl(m), statsOfMdl(m))
+  }
 
   /** The per-(doc, term) Okapi BM25 factor as a column expression over
     * `tf, df, dl, n_docs, sum_dl` — ONE definition shared by the base
@@ -244,8 +280,10 @@ object Retrieval {
     "q_hard_negatives",
     (spark, dir) => {
       import spark.implicits._
-      val scored = bm25Scored(
-        matchedToks(spark, dir, QueryTerms), corpusDl(spark, dir))
+      // one tokenize pass; scored is eager — the two mines and the
+      // min-positive aggregate all consume it through concurrent subqueries
+      val m = matchedWithDl(spark, dir, QueryTerms)
+      val scored = Tables.eager(bm25Scored(matchedOfMdl(m), statsOfMdl(m)))
       def mine(cond: org.apache.spark.sql.Column, k: Int, role: String) =
         scored.filter(cond).orderBy($"score".desc, $"doc_id").limit(k)
           .withColumn("rank", row_number().over(
@@ -388,8 +426,11 @@ object Retrieval {
     * limited ≤[[FuseDepth]]-row relation like BM25.
     */
   private[graft] def qlRanked(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame =
-    qlRankedFrom(matchedToks(spark, dir, terms), corpusDl(spark, dir), terms)
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    // one tokenize pass: postings AND length stats off matchedWithDl
+    val m = matchedWithDl(spark, dir, terms)
+    qlRankedFrom(matchedOfMdl(m), statsOfMdl(m), terms)
+  }
 
   private def qlRankedFrom(matched: DataFrame, stats: DataFrame,
       terms: Seq[String]): DataFrame =
@@ -504,12 +545,13 @@ object Retrieval {
     * [[bm25Ranked]] convention — fixture specs replay it on their own
     * vocabulary; the verified query pins [[QueryTerms]]). */
   private[graft] def rankEval(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame =
-    // ONE tokenize pass reduced to tf feeds both rankers and the labels
-    // (5 corpus HOF passes → 2 with the shared 1-row length stats;
-    // measured 2.9 s → see NOTES round 12)
-    rankEvalFromTf(tfOf(matchedToks(spark, dir, terms)),
-      corpusDl(spark, dir), terms)
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    // ONE tokenize pass: tf feeds both rankers and the labels, and the
+    // 1-row length stats come off the same cached matchedWithDl pass
+    // (was 2 corpus HOF passes — postings + corpusDl)
+    val m = matchedWithDl(spark, dir, terms)
+    rankEvalFromTf(tfOf(matchedOfMdl(m)), statsOfMdl(m), terms)
+  }
 
   /** The eval core over an explicit tf relation — shared by the batch
     * query and StreamIndex's maintained-index readout (one definition of
@@ -523,8 +565,10 @@ object Retrieval {
       terms: Seq[String]): DataFrame = {
     val spark = tfIn.sparkSession
     import spark.implicits._
-    val tf = tfIn.persist()
-    val stats = statsIn.persist()
+    // eager, not lazy persist: both rankers and the labels consume these
+    // through concurrently-materialized subqueries (see Tables.eager)
+    val tf = Tables.eager(tfIn)
+    val stats = Tables.eager(statsIn)
     val rels = relsFromTf(tf)
     val gain = expr("shiftleft(1, cast(rel as int)) - 1")
     val disc = log(col("i") + 1) / log(lit(2.0))
@@ -609,9 +653,11 @@ object Retrieval {
     * trec_eval `map_cut` convention) so a ranker is not penalized for
     * relevant docs it could not possibly fit in the cutoff. */
   private[graft] def mapMrr(spark: SparkSession, dir: String,
-      terms: Seq[String] = QueryTerms): DataFrame =
-    mapMrrFromTf(tfOf(matchedToks(spark, dir, terms)),
-      corpusDl(spark, dir), terms)
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    // one tokenize pass: postings AND length stats off matchedWithDl
+    val m = matchedWithDl(spark, dir, terms)
+    mapMrrFromTf(tfOf(matchedOfMdl(m)), statsOfMdl(m), terms)
+  }
 
   /** The set-metric core over an explicit tf relation — shared by the
     * batch query and StreamIndex's maintained-index readout (the
@@ -620,8 +666,9 @@ object Retrieval {
       terms: Seq[String]): DataFrame = {
     val spark = tfIn.sparkSession
     import spark.implicits._
-    val tf = tfIn.persist()
-    val stats = statsIn.persist()
+    // eager, not lazy persist — see rankEvalFromTf
+    val tf = Tables.eager(tfIn)
+    val stats = Tables.eager(statsIn)
     val rels = relsFromTf(tf)
     // every label row has rel ≥ 1 by construction, so R = |rels|
     val rtot = rels.agg(count(lit(1)).as("r_total"))
@@ -742,11 +789,19 @@ object Retrieval {
       terms: Seq[String] = QueryTerms): DataFrame = {
     import spark.implicits._
     // the unfiltered posting relation feeds BOTH passes (feedback-doc term
-    // mining + expanded scoring) — persist so the tokenize HOF runs once
-    val toks = corpusToks(spark, dir).persist()
-    val stats = corpusDl(spark, dir).persist()
-    val base = bm25RankedFrom(
-      toks.filter($"term".isInCollection(terms)), stats).persist()
+    // mining + expanded scoring) — EAGER so the tokenize HOF runs once
+    // (lazily persisted, the three consumers raced and re-ran it)
+    val toks = Tables.eager(corpusToks(spark, dir))
+    // length stats derived from the cached postings + a column-pruned
+    // count of documents instead of a second corpus tokenize pass:
+    // sum_dl over per-doc dl equals corpusDl's sum (docs with no postings
+    // contribute 0 there), n_docs is the plain row count
+    val stats = Tables.eager(
+      Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.groupBy($"doc_id").agg(max($"dl").as("d0"))
+          .agg(sum($"d0").as("sum_dl"))))
+    val base = Tables.eager(bm25RankedFrom(
+      toks.filter($"term".isInCollection(terms)), stats))
     // RM1 relevance model over the top-FbDocs feedback set: p(w|R) =
     // Σ_d p(w|d) · w_d with w_d = the doc's share of the feedback scores
     val fb = base.filter($"rank" <= FbDocs).select($"doc_id", $"score")
@@ -895,8 +950,16 @@ object Retrieval {
     "q_rbo_overlap",
     (spark, dir) => {
       import spark.implicits._
-      val shared = bm25Ranked(spark, dir).select($"doc_id", $"rank".as("rb"))
-        .join(qlRanked(spark, dir).select($"doc_id", $"rank".as("rq")),
+      // ONE tokenize pass and ONE tf reduction feed BOTH rankers (each
+      // ranker used to run its own matched-postings pass + its own
+      // corpusDl pass — four corpus tokenize passes per query)
+      val mdl = matchedWithDl(spark, dir, QueryTerms)
+      val tf = Tables.eager(tfOf(matchedOfMdl(mdl)))
+      val stats = statsOfMdl(mdl)
+      val shared = bm25RankedFromTf(tf, stats)
+        .select($"doc_id", $"rank".as("rb"))
+        .join(qlRankedFromTf(tf, stats, QueryTerms)
+          .select($"doc_id", $"rank".as("rq")),
           Seq("doc_id"))
         .select(greatest($"rb", $"rq").as("m"))
       val depths = spark.range(1, FuseDepth + 1).toDF("depth")
