@@ -64,6 +64,25 @@ object Bench {
       // legacy-compat: lets Tables.events read old INT64 TIMESTAMP(NANOS)
       // files; no-op on the current timestamp[us] testdata (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE's byte-based coalescing floor (default 1m) collapses CPU-DENSE
+      // model-sized exchanges — pair-verify intersections, per-pair ADC
+      // scoring — to one task: bytes are a bad proxy for compute density.
+      // 64k keeps such stages spread up to the parallelism target; at any
+      // scale, corpus-sized exchanges sit far above either floor, so this
+      // only affects model-sized intermediate stages (which a large
+      // cluster single-tasks identically without it). Parameterized; the
+      // default is what the driver's bench measures.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // standard production bump on large-memory executors (the
+      // optimization guide's §3.1 band: a few hundred MB of broadcast is
+      // fine; the hard cap is 8 GB). Model-sized relations (per-doc
+      // shingle-set arrays, code tables) then broadcast instead of
+      // shuffling, keeping the probe side's partitioning; corpus-sized
+      // relations stay far above 64m at scale, so the size-based choice
+      // still degrades to shuffle exactly where it must.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

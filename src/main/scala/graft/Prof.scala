@@ -14,6 +14,11 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       // legacy-compat for old INT64(NANOS) events files; see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's session shape so profiles match bench plans
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,12 @@ object Verify {
       // files; no-op on the current timestamp[us] testdata (schema-adaptive
       // loader branches on the loaded type — see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's session shape (see the rationale there) so the
+      // correctness gate exercises the same physical plans the bench times
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -526,6 +526,10 @@ object Clustering {
     "q_mauve_frontier",
     (spark, dir) => {
       import spark.implicits._
+      // lazy persist is right here: the consumer chain (cents0 → cents1 →
+      // final assignment → g join) is SEQUENTIAL, so the first full scan
+      // materializes the cache with no concurrent-recompute race and an
+      // eager count job would be pure overhead (measured +0.5 s)
       val emb = Tables.spread(Tables.embeddings(spark, dir))
         .select($"vec_id", $"embedding", ($"label" % 2).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -401,10 +401,9 @@ object LexicalStats {
       // join, both LM counts, the scalar totals) — persist it so the (doc,
       // term) exchange runs once, not per consumer (the q_contamination
       // discipline; Verify/Bench clearCache() between queries)
-      val tf = Tables.spread(Tables.documents(spark, dir))
+      val tf = Tables.eager(Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
-        .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf")))
       val cfc = tf.groupBy($"term").agg(sum($"tf").as("cfc"))
       val cft = tf.filter($"lang" === DsirTargetLang)
         .groupBy($"term").agg(sum($"tf").as("cft"))
@@ -950,8 +949,11 @@ object LexicalStats {
       .distinct()
     val dfr = dt.groupBy($"term").agg(count(lit(1)).as("df"))
     val med = dfr.agg(expr("percentile(df, 0.5)").as("med"))
-    dt.join(broadcast(dfr.crossJoin(broadcast(med)).filter($"df" <= $"med")),
-      Seq("term"))
+    // eager: BOTH sides of the PMI pair self-join consume this membership
+    // relation; lazily each side re-ran the distinct + df + median chain
+    Tables.eager(dt.join(
+      broadcast(dfr.crossJoin(broadcast(med)).filter($"df" <= $"med")),
+      Seq("term")))
   }
 
   private[graft] def cooccurPairRows(spark: org.apache.spark.sql.SparkSession,
@@ -2035,9 +2037,8 @@ object LexicalStats {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.spread(Tables.documents(spark, dir))
-      val toks = docs.select($"doc_id", $"source",
-          explode(Text.tokens($"text")).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = Tables.eager(docs.select($"doc_id", $"source",
+          explode(Text.tokens($"text")).as("term")))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val ost = toks.groupBy($"source", $"term")
         .agg(count(lit(1)).as("o"))

@@ -739,8 +739,17 @@ object Similarity {
   }
 
   private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (codes, qlut) = pqModel(spark, dir)
+    pqAdcOf(codes, qlut)
+  }
+
+  /** Full-corpus ADC over explicit model relations — lets
+    * [[qIvfpqRecall]] encode the corpus ONCE and feed both the full-PQ
+    * and the composite rankings (the encode join — n·M·K decimal
+    * distances into the per-(vector, subspace) argmin — is the dominant
+    * cost and used to run twice there). */
+  private def pqAdcOf(codes: DataFrame, qlut: DataFrame): DataFrame = {
+    import codes.sparkSession.implicits._
     codes.join(broadcast(qlut),
         codes("s") === qlut("s") && codes("code") === qlut("cid") &&
           codes("vec_id") =!= qlut("qid"))
@@ -961,10 +970,17 @@ object Similarity {
     "q_ivfpq_recall",
     (spark, dir) => {
       import spark.implicits._
+      // encode the corpus ONCE: the eager codes/LUT relations (model-sized
+      // — M ints per vector, M·K LUT rows) feed BOTH the full-PQ ranking
+      // and the IVF-PQ composite; the n·M·K encode join used to run twice
+      val (codes0, qlut0) = pqModel(spark, dir)
+      val codes = Tables.eager(codes0)
+      val qlut = Tables.eager(qlut0)
+      val pairs = ivfCand(spark, dir, NProbe).select($"qid", $"tid")
       exactTopk(spark, dir).select($"qid", $"tid")
-        .join(pqTopk(pqAdc(spark, dir))
+        .join(pqTopk(pqAdcOf(codes, qlut))
           .select($"qid", $"tid", lit(1).as("mp")), Seq("qid", "tid"), "left")
-        .join(ivfPqTopk(spark, dir)
+        .join(ivfPqRank(pairs, codes, qlut)
           .select($"qid", $"tid", lit(1).as("mi")), Seq("qid", "tid"), "left")
         .groupBy($"qid")
         .agg(count($"mp").as("n_pq_hits"), count($"mi").as("n_ivfpq_hits"))
