@@ -59,17 +59,30 @@ object Prof {
         q.run(spark, dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         val stages =
-          new scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Long, Long, Long, String)]
+          new scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Long, Long, Long, String, Long, Long, Long, Long)]
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val si = sc.stageInfo
             val t = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+            // callsite: the submitting action is a future thunk for AQE
+            // subqueries, so si.name is useless ($anonfun...); the stage's
+            // RDD scope names (physical operators, innermost first) name
+            // the work, falling back to the first graft.* stack frame
+            val ops = si.rddInfos.sortBy(-_.id).flatMap(_.scope)
+              .map(_.name).distinct.take(5).mkString("<")
+            val site = (if (ops.nonEmpty) ops else si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("graft.Prof"))
+              .getOrElse(si.name.takeWhile(_ != '\n'))).trim.take(90)
             stages += ((si.stageId, t.getOrElse(-1L), si.numTasks,
               si.taskMetrics.shuffleReadMetrics.totalBytesRead,
               si.taskMetrics.shuffleWriteMetrics.bytesWritten,
               si.taskMetrics.inputMetrics.bytesRead,
-              si.name.takeWhile(_ != '\n').take(60)))
+              site,
+              si.taskMetrics.executorRunTime,
+              si.taskMetrics.executorCpuTime / 1000000,
+              si.taskMetrics.executorDeserializeTime,
+              si.taskMetrics.jvmGCTime))
           }
         }
         spark.sparkContext.addSparkListener(listener)
@@ -78,11 +91,16 @@ object Prof {
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // drain the async listener bus
         spark.sparkContext.removeSparkListener(listener)
-        println(f"STAGES $n wall=$wall%.2f s, ${stages.size} stages")
-        for ((id, ms, nt, sr, sw, in, nm) <- stages.sortBy(-_._2).take(12))
+        println(f"STAGES $n wall=$wall%.2f s, ${stages.size} stages, " +
+          f"sum(run)=${stages.map(_._8).sum / 1000.0}%.2f " +
+          f"sum(cpu)=${stages.map(_._9).sum / 1000.0}%.2f " +
+          f"sum(deser)=${stages.map(_._10).sum / 1000.0}%.2f " +
+          f"sum(gc)=${stages.map(_._11).sum / 1000.0}%.2f")
+        for ((id, ms, nt, sr, sw, in, nm, rt, cpu, de, gc) <- stages.sortBy(-_._2).take(12))
           println(f"  stage $id%4d ${ms / 1000.0}%7.2f s tasks=$nt%3d " +
-            f"shufR=${sr / 1e6}%8.1fMB shufW=${sw / 1e6}%8.1fMB " +
-            f"in=${in / 1e6}%8.1fMB $nm")
+            f"shufR=${sr / 1e6}%6.1fMB shufW=${sw / 1e6}%6.1fMB " +
+            f"in=${in / 1e6}%6.1fMB run=${rt / 1000.0}%6.2f cpu=${cpu / 1000.0}%6.2f " +
+            f"deser=${de / 1000.0}%5.2f gc=${gc / 1000.0}%5.2f $nm")
         spark.catalog.clearCache()
       }
       spark.stop(); return

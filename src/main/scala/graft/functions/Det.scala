@@ -45,4 +45,20 @@ object Det {
     * exists for). */
   def davg(c: Column): Column =
     qround(sum(c.cast(DecimalType(38, Scale))).cast(DoubleType) / count(lit(1)))
+
+  /** [[dsum]] over the WHOLE relation as an unpartitioned window — the
+    * "global total next to each row" shape. Value-identical to
+    * `crossJoin(broadcast(df.agg(dsum)))` (same exact decimal sum over the
+    * same rows), but stays INSIDE one plan subtree: the separate aggregate
+    * job + broadcast materialization barrier that the crossJoin form pays
+    * on the critical path collapses into a single in-subtree exchange.
+    * ONLY for relations bounded by construction (top-k cuts, model-sized
+    * grids) — an unpartitioned window over a corpus-sized relation would
+    * funnel it through one task. */
+  def dsumAll(c: Column): Column = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    round(sum(c.cast(DecimalType(38, Scale))).over(w), OutScale)
+      .cast(DoubleType)
+  }
 }

@@ -805,8 +805,10 @@ object Retrieval {
     // RM1 relevance model over the top-FbDocs feedback set: p(w|R) =
     // Σ_d p(w|d) · w_d with w_d = the doc's share of the feedback scores
     val fb = base.filter($"rank" <= FbDocs).select($"doc_id", $"score")
-    val fbTot = fb.agg(Det.dsum($"score").as("stot"))
-    val fbw = fb.crossJoin(broadcast(fbTot)).filter($"stot" > 0)
+    // global total as an unpartitioned window over the ≤FbDocs-row feedback
+    // set (bounded by the rank cut) — same exact decimal sum as the former
+    // agg+broadcast crossJoin, one barrier fewer on the sequential chain
+    val fbw = fb.withColumn("stot", Det.dsumAll($"score")).filter($"stot" > 0)
       .select($"doc_id", Det.qround($"score" / $"stot").as("wd"))
     val ptf = toks.join(broadcast(fbw), Seq("doc_id"))
       .groupBy($"doc_id", $"term")
@@ -816,8 +818,8 @@ object Retrieval {
         Det.qround(($"tf".cast(DoubleType) / $"dl") * $"wd").as("c"))
       .groupBy($"term").agg(Det.dsum($"c").as("rm1"))
     val sel = rm1.orderBy($"rm1".desc, $"term").limit(FbTerms)
-    val selTot = sel.agg(Det.dsum($"rm1").as("tot"))
-    val seln = sel.crossJoin(broadcast(selTot)).filter($"tot" > 0)
+    // same windowed-total shape over the ≤FbTerms-row selection
+    val seln = sel.withColumn("tot", Det.dsumAll($"rm1")).filter($"tot" > 0)
       .select($"term",
         Det.qround(lit(1.0 - FbAlpha) * ($"rm1" / $"tot")).as("p"))
     // RM3 = α·uniform-original + (1−α)·renormalized RM1 (union-sum keeps

@@ -1408,13 +1408,19 @@ object Similarity {
     * what keeps both engines' power iterations on bit-identical inputs). */
   private def covUpper(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.spread(Tables.embeddings(spark, dir))
-    val n = emb.agg(count(lit(1)).as("n"))
-    val sx = emb
+    val embT = Tables.embeddings(spark, dir)
+    val emb = Tables.spread(embT)
+    // count off the bare scan: spread()'s repartition exists for the per-row
+    // product work, a row count through it would pay the exchange for nothing
+    val n = embT.agg(count(lit(1)).as("n"))
+    // eager: consumed twice below under DIFFERENT projections (i-keyed and
+    // j-renamed broadcasts canonicalize differently, so exchange reuse never
+    // fires and the corpus posexplode pass ran twice — the q_minhash_tune law)
+    val sx = Tables.eager(emb
       .select(posexplode($"embedding").as(Seq("i", "v")))
       .groupBy($"i")
       .agg(sum($"v".cast(DoubleType).cast(DecimalType(38, 12)))
-        .cast(DoubleType).as("sx"))
+        .cast(DoubleType).as("sx")))
     emb
       .select(explode(call_function("upper_products", $"embedding")).as("c"))
       .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
@@ -1486,8 +1492,10 @@ object Similarity {
     * bit-identical across engines and the 6-dp output rounding is safe.
     *
     * Scale shape: the corpus-priced work is covUpper's d(d+1)/2-per-
-    * partition Gramian exchange (done ONCE — the d²-row matrix relation is
-    * then `localCheckpoint`ed, MLlib's own iterative-algorithm discipline:
+    * partition Gramian exchange (done ONCE — the d(d+1)/2-row TRIANGLE is
+    * `localCheckpoint`ed before the d²-row mirror union, so the union's two
+    * branches read the materialized leaf instead of each re-running the
+    * Gramian; MLlib's own iterative-algorithm discipline:
     * without lineage truncation each of the [[PowerIters]] unrolled steps
     * re-embeds the whole covariance subtree TWICE — once under the norm,
     * once under the normalized iterate — and the logical plan grows 2^k
@@ -1499,15 +1507,23 @@ object Similarity {
     "q_pca_power",
     (spark, dir) => {
       import spark.implicits._
-      val up = covUpper(spark, dir)
+      // checkpoint the UPPER triangle, not the mirrored union: the union's
+      // two branches both embed covUpper, so checkpointing only the union
+      // ran the corpus-priced Gramian exchange TWICE inside the one
+      // materialization job (Prof -stages: two ~1.5 s product-agg stages).
+      // The mirror is then a flat d²-row map over the materialized leaf.
+      val up = covUpper(spark, dir).localCheckpoint()
       val full = up.union(
         up.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"cov"))
-        .localCheckpoint()
-      val d = full.agg(countDistinct($"i").as("d"))
+      // d and v₀ off the d-row DIAGONAL slice of the checkpointed triangle
+      // (every dimension has its (i,i) row) — not a distinct over the
+      // d²-row mirrored relation
+      val diag = up.filter($"i" === $"j").select($"i")
+      val d = diag.agg(count(lit(1)).as("d"))
       // only `w` needs truncating: each iterate's norm and normalization
       // derive FLATLY from the checkpointed w, so checkpointing them too
       // would just add eager jobs (~130 ms each) without shrinking any plan
-      var v = full.select($"i").distinct()
+      var v = diag
         .crossJoin(broadcast(d))
         .select($"i", (lit(1.0) / sqrt($"d".cast(DoubleType))).as("v"))
       var lambda: DataFrame = null
