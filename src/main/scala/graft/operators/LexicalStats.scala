@@ -404,15 +404,22 @@ object LexicalStats {
       val tf = Tables.eager(Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
         .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("tf")))
-      val cfc = tf.groupBy($"term").agg(sum($"tf").as("cfc"))
-      val cft = tf.filter($"lang" === DsirTargetLang)
-        .groupBy($"term").agg(sum($"tf").as("cft"))
-      val scal = cfc.agg(count(lit(1)).as("v"), sum($"cfc").as("nc"))
-        .crossJoin(cft.agg(sum($"cft").as("nt")))
-      val lm = cfc.join(cft, Seq("term"), "left")
+      // ONE vocabulary aggregate for BOTH LMs: the former separate cfc/cft
+      // relations were each consumed twice (the scalar totals AND the lm
+      // projection), and unpersisted they executed twice apiece — four
+      // term-keyed exchanges over the tf cache plus a join. A conditional
+      // sum folds the target stratum into the same pass (a term with no
+      // target rows gets cft = 0, exactly what the old left join's
+      // coalesce(cft, 0) produced), and the totals read the eager cache.
+      val cf = Tables.eager(tf.groupBy($"term").agg(
+        sum($"tf").as("cfc"),
+        sum(when($"lang" === DsirTargetLang, $"tf").otherwise(0L)).as("cft")))
+      val scal = cf.agg(count(lit(1)).as("v"), sum($"cfc").as("nc"),
+        sum($"cft").as("nt"))
+      val lm = cf
         .crossJoin(broadcast(scal))
         .select($"term",
-          (log((coalesce($"cft", lit(0L)) + lit(1L)).cast(DoubleType) /
+          (log(($"cft" + lit(1L)).cast(DoubleType) /
                ($"nt" + $"v").cast(DoubleType)) -
            log(($"cfc" + lit(1L)).cast(DoubleType) /
                ($"nc" + $"v").cast(DoubleType))).as("lr"))
@@ -2039,9 +2046,12 @@ object LexicalStats {
       val docs = Tables.spread(Tables.documents(spark, dir))
       val toks = Tables.eager(docs.select($"doc_id", $"source",
           explode(Text.tokens($"text")).as("term")))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val ost = toks.groupBy($"source", $"term")
-        .agg(count(lit(1)).as("o"))
+      // count off the bare scan, not through spread()'s repartition
+      val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      // eager: the (source, term) counts feed the per-source masses AND the
+      // χ² join — unpersisted, the corpus exchange ran once per consumer
+      val ost = Tables.eager(toks.groupBy($"source", $"term")
+        .agg(count(lit(1)).as("o")))
       val ns = ost.groupBy($"source").agg(sum($"o").as("n_s"))
       val tot = ns.agg(sum($"n_s").as("nn"))
       val chi = ost.join(ns, "source").crossJoin(broadcast(tot))

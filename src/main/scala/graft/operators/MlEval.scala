@@ -732,12 +732,16 @@ object MlEval {
     "q_crossval_ols",
     (spark, dir) => {
       import spark.implicits._
-      val li = Tables.spread(Tables.lineitem(spark, dir))
+      // eager ×2: li feeds the moment pass AND the scoring pass (lazy, the
+      // two raced and re-ran the salted-md5 fold projection); mfold is a
+      // 5-row relation consumed by the totals AND the train subtraction —
+      // unpersisted, the 9-decimal-sum moment aggregate over the whole
+      // fact table executed twice (Prof -stages: two ~10 s-CPU stages)
+      val li = Tables.eager(Tables.spread(Tables.lineitem(spark, dir))
         .withColumn("fold", expr(PipelineOps.u32Expr(
           "concat('fold:', cast(l_orderkey as string), ':', " +
-            "cast(l_linenumber as string))") + s" % $CvFolds"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mfold = olsMomentsDec(li, Seq($"fold"))
+            "cast(l_linenumber as string))") + s" % $CvFolds")))
+      val mfold = Tables.eager(olsMomentsDec(li, Seq($"fold")))
       val names = Seq("n") ++
         Seq("sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy", "syy")
           .map(_ + "_d")

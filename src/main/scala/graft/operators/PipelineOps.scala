@@ -1128,12 +1128,16 @@ object PipelineOps {
     "q_skipgram_pairs",
     (spark, dir) => {
       import spark.implicits._
-      val toks = Tables.spread(Tables.documents(spark, dir))
+      // eager: the token stream feeds the total, the vocab frequencies AND
+      // the subsample filter (three racing consumers re-ran the posexplode
+      // pass); freqs is vocab-sized and consumed by the filter join and the
+      // final readout join
+      val toks = Tables.eager(Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id",
           posexplode(graft.functions.Text.tokens($"text"))
-            .as(Seq("pos", "word")))
+            .as(Seq("pos", "word"))))
       val tot = toks.agg(count(lit(1)).as("tot"))
-      val freqs = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val freqs = Tables.eager(toks.groupBy($"word").agg(count(lit(1)).as("cnt")))
       val kept = toks
         .join(freqs, Seq("word"))
         .crossJoin(broadcast(tot))
@@ -1149,9 +1153,12 @@ object PipelineOps {
             "concat(cast(doc_id as string), ':', cast(pos as string), ':', word)"))
             < floor(least($"pk", lit(1.0)) * lit(4294967296.0)))
         .select($"doc_id", $"pos", $"word")
-      val seq2 = kept.withColumn("ri", row_number().over(
+      // eager: both self-join sides AND the kept-occurrence readout come
+      // off this one windowed relation (unpersisted, the subsample filter
+      // pipeline executed once per consumer)
+      val seq2 = Tables.eager(kept.withColumn("ri", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"pos")))
-        .select($"doc_id", $"ri", $"word")
+        .select($"doc_id", $"ri", $"word"))
       val left = seq2
         .withColumn("d", explode(typedlit((1 to SgWindow).toList)))
         .select($"doc_id", $"word", ($"ri" + $"d").as("rj"))
@@ -1161,7 +1168,9 @@ object PipelineOps {
       val pairs = adj
         .select(explode(array($"word", $"wr")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("n_pairs"))
-      val keptOcc = kept.groupBy($"word").agg(count(lit(1)).as("kept_occ"))
+      // kept occurrences off the cached windowed relation (same rows —
+      // the window only appends ri), not a second run of the filter
+      val keptOcc = seq2.groupBy($"word").agg(count(lit(1)).as("kept_occ"))
       pairs
         .join(keptOcc, Seq("word"))
         .join(freqs.select($"word", $"cnt".as("total_occ")), Seq("word"))
@@ -1342,11 +1351,14 @@ object PipelineOps {
     "q_curriculum_plan",
     (spark, dir) => {
       import spark.implicits._
-      val buckets = LexicalStats.docSurprisal(spark, dir)
+      // eager: the CurrQ-row bucket aggregate feeds the grand total AND the
+      // epoch join — unpersisted, the whole docSurprisal corpus chain
+      // (unigram LM + per-doc rollup + ntile) executed once per consumer
+      val buckets = Tables.eager(LexicalStats.docSurprisal(spark, dir)
         .withColumn("bucket", ntile(CurrQ).over(
           Window.orderBy($"mean_surprisal", $"doc_id")))
         .groupBy($"bucket")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens")))
       val tot = buckets.agg(sum($"n_tokens").as("tot"))
       val epochs = (1 to CurrEpochs).map(_.toLong).toDF("epoch")
       buckets.join(broadcast(epochs),

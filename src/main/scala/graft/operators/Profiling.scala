@@ -626,11 +626,15 @@ object Profiling {
     (spark, dir) => {
       import spark.implicits._
       val dec = DecimalType(38, 0)
-      val grid = Tables.events(spark, dir)
+      // eager, not lazy persist: fx and fy materialize as concurrent
+      // broadcast subqueries, so a lazily-persisted grid raced and rebuilt
+      // its corpus aggregate per consumer (see Tables.eager); spread()
+      // parallelizes the partial aggregate off the driver's single-split
+      // file (no-op on a real multi-split table)
+      val grid = Tables.eager(Tables.spread(Tables.events(spark, dir))
         .select($"value",
           expr("pmod(ts_us, 86400000000) div 3600000000").as("hour"))
-        .groupBy($"value", $"hour").agg(count(lit(1)).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy($"value", $"hour").agg(count(lit(1)).as("w")))
       val W = org.apache.spark.sql.expressions.Window
       val fx = grid.groupBy($"value").agg(sum($"w").as("f"))
         .withColumn("cum", sum($"f").over(W.orderBy($"value")

@@ -511,6 +511,58 @@ object Retrieval {
           doc_id, n_match, score
         FROM qtop)"""
 
+  /** BOTH rankers' top-[[FuseDepth]] rankings off ONE aggregation pipeline
+    * over the shared tf relation — the two-ranker queries (nDCG eval,
+    * MAP/MRR, RBO agreement) used to run [[bm25RankedFromTf]] AND
+    * [[qlRankedFromTf]] side by side: two per-term aggregates (df; cf),
+    * two per-doc candidate aggregates and two per-doc score rollups over
+    * the same posting-bounded rows — five exchanges where three suffice.
+    * Here the QL smoothing grid (candidates × query terms, tf = 0 rows
+    * kept) carries the BM25 addend too, guarded to the matched rows
+    * (`when(tf > 0, …)` — exactly the rows the standalone BM25 pipeline
+    * aggregates), and ONE per-doc rollup computes both scores; each
+    * ranking is then a ≤[[FuseDepth]]-row top-k cut of the shared scored
+    * relation (eager: two ranked consumers plus whatever the caller joins
+    * back). Addend expression trees, decimal sums, tie orders and output
+    * schemas are identical to the standalone rankers, so results are
+    * bit-equal (the oracle replays the two independent CTE chains).
+    * Returns (bm25_ranked, ql_ranked). */
+  private[graft] def dualRankedFromTf(tf: DataFrame, stats: DataFrame,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    // df and cf in ONE term-keyed pass (bm25 used df alone, ql cf alone)
+    val dfcf = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+    val cands = tf.groupBy($"doc_id")
+      .agg(max($"dl").as("dl"), count(lit(1)).as("n_match"))
+    val grid = cands
+      .crossJoin(broadcast(terms.toDF("term")))
+      .join(broadcast(dfcf), Seq("term")) // inner: cf = 0 terms drop
+      .join(tf.select($"doc_id", $"term", $"tf"), Seq("doc_id", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"n_match",
+        when($"tf" > 0, bm25Factor).as("tsb"),
+        log(($"tf" + lit(DirichletMu) * ($"cf" / $"sum_dl")) /
+          ($"dl" + lit(DirichletMu))).as("tsq"))
+    val scored = Tables.eager(grid.groupBy($"doc_id")
+      .agg(max($"n_match").as("n_match"),
+        Det.dsum($"tsb").as("score_bm"),
+        Det.dsum($"tsq").as("score_ql")))
+    def ranked(df: DataFrame, nName: String): DataFrame = {
+      val top = df.orderBy($"score".desc, $"doc_id").limit(FuseDepth)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+        .select($"rank".cast(LongType).as("rank"), $"doc_id",
+          col(nName), $"score")
+    }
+    (ranked(scored.select($"doc_id", $"n_match".as("n_terms"),
+        $"score_bm".as("score")), "n_terms"),
+      ranked(scored.select($"doc_id", $"n_match",
+        $"score_ql".as("score")), "n_match"))
+  }
+
   val qQlScores = GraftQuery(
     "q_ql_scores",
     (spark, dir) => qlRanked(spark, dir).orderBy("rank"),
@@ -583,8 +635,9 @@ object Retrieval {
         .agg(count(when($"rel" > 0, 1)).as("n_rel"),
           Det.dsum(gain / (log($"rank" + 1) / log(lit(2.0)))).as("dcg"))
         .select(lit(name).as("ranker"), $"n_rel", $"dcg")
-    dcgOf(bm25RankedFromTf(tf, stats), "bm25")
-      .unionByName(dcgOf(qlRankedFromTf(tf, stats, terms), "ql"))
+    val (bmRanked, qlRankedDf) = dualRankedFromTf(tf, stats, terms)
+    dcgOf(bmRanked, "bm25")
+      .unionByName(dcgOf(qlRankedDf, "ql"))
       .crossJoin(broadcast(idcg))
       .select($"ranker", $"n_rel", $"dcg", $"idcg",
         when($"idcg" > 0, Det.qround($"dcg" / $"idcg"))
@@ -699,8 +752,9 @@ object Retrieval {
             Det.qround($"n_rel".cast(DoubleType) / $"r_total"))
             .otherwise(lit(0.0)).as("recall_at_k"))
     }
-    prAt(bm25RankedFromTf(tf, stats), "bm25")
-      .unionByName(prAt(qlRankedFromTf(tf, stats, terms), "ql"))
+    val (bmRanked, qlRankedDf) = dualRankedFromTf(tf, stats, terms)
+    prAt(bmRanked, "bm25")
+      .unionByName(prAt(qlRankedDf, "ql"))
       .orderBy($"ranker")
   }
 
@@ -958,9 +1012,10 @@ object Retrieval {
       val mdl = matchedWithDl(spark, dir, QueryTerms)
       val tf = Tables.eager(tfOf(matchedOfMdl(mdl)))
       val stats = statsOfMdl(mdl)
-      val shared = bm25RankedFromTf(tf, stats)
+      val (bmRanked, qlRankedDf) = dualRankedFromTf(tf, stats, QueryTerms)
+      val shared = bmRanked
         .select($"doc_id", $"rank".as("rb"))
-        .join(qlRankedFromTf(tf, stats, QueryTerms)
+        .join(qlRankedDf
           .select($"doc_id", $"rank".as("rq")),
           Seq("doc_id"))
         .select(greatest($"rb", $"rq").as("m"))
