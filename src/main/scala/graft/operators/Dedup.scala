@@ -1449,6 +1449,11 @@ object Dedup {
     * both sides of the pair join. */
   private[graft] def winnowPostings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // fps stays a LAZY persist: its two consumers are SEQUENTIAL — the
+    // df-cap broadcast (hot) must materialize before the anti-join can
+    // run, so the first touch fills the cache with no race and an eager
+    // count job is pure overhead (measured +0.3 s). pruned below is the
+    // opposite case: sizes and both pair-join sides race.
     val fps = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id",
         explode(call_function("winnow_hashes", $"text", lit(WinnowN), lit(WinnowW)))
@@ -1460,8 +1465,7 @@ object Dedup {
       .filter($"df" > greatest(lit(WinnowDfCapFloor),
         expr(s"n_docs div $WinnowDfCapDivisor")))
       .select($"fp")
-    fps.join(broadcast(hot), Seq("fp"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Tables.eager(fps.join(broadcast(hot), Seq("fp"), "left_anti"))
   }
 
   /** Candidate pairs (ia, ib, shared, na, nb) BEFORE the MinShared

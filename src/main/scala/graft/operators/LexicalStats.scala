@@ -1913,15 +1913,18 @@ object LexicalStats {
       : org.apache.spark.sql.DataFrame = {
     val spark = stIn.sparkSession
     import spark.implicits._
-    val st = stIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager (was lazy persist): tg, ns and the scored join materialize as
+    // concurrent subqueries, each re-running the (source, term) corpus
+    // aggregate behind a lazily-persisted st; tg and ns are themselves
+    // each consumed twice (totals + join), so they cache too
+    val st = Tables.eager(stIn)
     locally {
-      val tg = st.groupBy($"term").agg(sum($"ctf").as("ctf_g"))
+      val tg = Tables.eager(st.groupBy($"term").agg(sum($"ctf").as("ctf_g")))
       val ng = tg.agg(sum($"ctf_g").as("n_g"),
         count(when($"ctf_g" > 0, 1)).as("v_g"))
-      val ns = st.groupBy($"source")
+      val ns = Tables.eager(st.groupBy($"source")
         .agg(sum($"ctf").as("n_s"), count(when($"ctf" > 0, 1)).as("v_s"),
-          sum($"vtf").as("n_val"))
+          sum($"vtf").as("n_val")))
       val scored = st.filter($"vtf" > 0)
         .join(tg, "term").join(ns, "source").crossJoin(broadcast(ng))
         .groupBy($"source")
@@ -1945,9 +1948,14 @@ object LexicalStats {
         .withColumn("excess",
           Det.qround($"xent_global" - $"xent_self"))
         .withColumn("w_raw", $"prior" * exp(coalesce($"excess", lit(0.0))))
-      val z = ex.agg(sum($"w_raw".cast(DecimalType(38, Det.Scale)))
-        .cast(DoubleType).as("z"))
-      ex.crossJoin(broadcast(z))
+      // normalizer as an unpartitioned window over the |sources|-row
+      // relation (bounded) — same exact decimal sum as the former
+      // agg+broadcast crossJoin, one barrier fewer (and ex is no longer
+      // consumed twice)
+      val allW = org.apache.spark.sql.expressions.Window.partitionBy()
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      ex.withColumn("z", sum($"w_raw".cast(DecimalType(38, Det.Scale)))
+          .over(allW).cast(DoubleType))
         .select($"source", $"n_s".as("n_train_tokens"),
           $"n_val".as("n_val_tokens"), $"xent_global", $"xent_self",
           $"excess", Det.qround($"w_raw" / $"z").as("weight"))

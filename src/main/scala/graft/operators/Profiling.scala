@@ -729,31 +729,38 @@ object Profiling {
     "q_raking",
     (spark, dir) => {
       import spark.implicits._
-      def d12sum(c: org.apache.spark.sql.Column) =
-        sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
-      val grid = Tables.events(spark, dir)
+      val W = org.apache.spark.sql.expressions.Window
+      def d12sumOver(c: org.apache.spark.sql.Column,
+          part: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 12))).over(W.partitionBy(part))
+          .cast(DoubleType)
+      // eager (was lazy): the totals broadcast and the weight chain race
+      // the cache build; spread() parallelizes the partial aggregate off
+      // the single-split events file
+      val grid = Tables.eager(Tables.spread(Tables.events(spark, dir))
         .select($"event_type",
           expr("pmod(ts_us, 86400000000) div 3600000000").as("hour"))
-        .groupBy($"event_type", $"hour").agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy($"event_type", $"hour").agg(count(lit(1)).as("n")))
       val tot = grid.agg(sum($"n").as("nn"),
         countDistinct($"event_type").as("nt"),
         countDistinct($"hour").as("nh"))
       var w = grid.crossJoin(broadcast(tot))
         .select($"event_type", $"hour", $"n", $"nn", $"nt", $"nh",
           lit(1.0).as("w"))
+      // each IPF margin is a PARTITIONED WINDOW over the bounded grid —
+      // the same per-key exact decimal sum as the former groupBy +
+      // broadcast join back, but inside one plan: six aggregate jobs,
+      // six broadcast materializations and the per-round persists
+      // collapse into one stage chain of alternating-key exchanges
       for (_ <- 1 to RakeIters) {
-        val rm = w.groupBy($"event_type".as("rt"))
-          .agg(d12sum($"w" * $"n").as("rmass"))
-        w = w.join(broadcast(rm), $"event_type" === $"rt")
+        w = w
+          .withColumn("rmass", d12sumOver($"w" * $"n", $"event_type"))
           .select($"event_type", $"hour", $"n", $"nn", $"nt", $"nh",
             ($"w" * (($"nn" / $"nt") / $"rmass")).as("w"))
-        val cm = w.groupBy($"hour".as("ch"))
-          .agg(d12sum($"w" * $"n").as("cmass"))
-        w = w.join(broadcast(cm), $"hour" === $"ch")
+        w = w
+          .withColumn("cmass", d12sumOver($"w" * $"n", $"hour"))
           .select($"event_type", $"hour", $"n", $"nn", $"nt", $"nh",
             ($"w" * (($"nn" / $"nh") / $"cmass")).as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       w.select($"event_type", $"hour", $"n",
           Det.qround($"w").as("weight"),
