@@ -269,17 +269,32 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("q_spearman / q_raking: margin relations broadcast onto the grid") {
-    for (n <- Seq("q_spearman", "q_raking")) {
-      val p = Queries.byName(n).run(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
-      // the bounded marginal/margin relations must reach the grid as
-      // BroadcastHashJoins — a SortMergeJoin means the bounded relation
-      // shuffled as if corpus-sized
-      assert(p.contains("BroadcastHashJoin"), s"$n\n$p")
-      assert(!p.contains("SortMergeJoin"), s"$n\n$p")
-      assert(!p.contains("CartesianProduct"), s"$n\n$p")
-    }
+  test("q_spearman: marginal relations broadcast onto the grid") {
+    // the bounded marginal relations must reach the grid as
+    // BroadcastHashJoins — a SortMergeJoin means the bounded relation
+    // shuffled as if corpus-sized
+    val p = Queries.byName("q_spearman").run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"q_spearman\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_spearman\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_spearman\n$p")
+  }
+
+  test("q_raking: IPF margins are windows, only broadcast joins remain") {
+    // each IPF round's margin is a partitioned window sum inside one
+    // plan (round 17 — was two groupBy+broadcast-join barriers per
+    // round); the only joins left may be broadcasts of bounded
+    // relations, and the per-round Window nodes must be PARTITIONED
+    // (an unpartitioned window would single-task the grid)
+    val p = Queries.byName("q_raking").run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"q_raking\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_raking\n$p")
+    for (line <- p.linesIterator if line.contains("Join"))
+      assert(line.contains("Broadcast"), s"q_raking non-broadcast join: $line")
+    val margins = p.linesIterator.count(_.contains("windowspecdefinition("))
+    assert(margins >= 6, s"q_raking: expected >=6 margin windows, got $margins\n$p")
+    assert(!p.contains("windowspecdefinition(specified"), s"q_raking: unpartitioned window\n$p")
   }
 
   test("q_textrank_keywords / q_mauve_frontier / q_rbo_overlap: no pair enumeration") {
