@@ -1194,6 +1194,11 @@ object Dedup {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.spread(Tables.documents(spark, dir))
+      // deliberately LAZY: spans feeds the df aggregate and the semi-join
+      // side, but an eager persist A/B-measured SLOWER (r17: 2.33/2.55/2.96
+      // vs 2.63/3.22/2.64 s interleaved min-of-3) — the exploded relation
+      // is ~SpanN× the input text, so caching it costs more than the
+      // second shingle pass it saves; same law as the IngestHub token view
       val spans = docs.select($"doc_id",
         posexplode(call_function("word_shingles_all", $"text", lit(SpanN)))
           .as(Seq("pos", "s")))
