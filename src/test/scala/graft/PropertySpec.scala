@@ -30,6 +30,26 @@ class PropertySpec extends SparkSpec {
     assert(total(rnd.shuffle(values), 13) === reference)
   }
 
+  test("Det.dsumAll equals the aggregate+crossJoin total it replaces (r17)") {
+    // dsumAll is the windowed form of crossJoin(broadcast(agg(dsum)));
+    // the two must agree bit-for-bit on every row, and both must return
+    // ZERO rows on an empty relation (the window emits nothing; the
+    // 1-row null-total aggregate crossJoins against nothing)
+    val df = spark.createDataset(
+        Seq.fill(200)(rnd.nextDouble() * 2e3 - 1e3)).toDF("v")
+      .withColumn("id", monotonically_increasing_id())
+    val viaWindow = df.withColumn("tot", Det.dsumAll($"v"))
+      .select($"id", $"tot").as[(Long, Double)].collect().toMap
+    val viaAgg = df.crossJoin(
+        broadcast(df.agg(Det.dsum($"v").as("tot"))))
+      .select($"id", $"tot").as[(Long, Double)].collect().toMap
+    assert(viaWindow === viaAgg)
+    val empty = df.filter($"v" > 1e9)
+    assert(empty.withColumn("tot", Det.dsumAll($"v")).count() === 0L)
+    assert(empty.crossJoin(
+      broadcast(empty.agg(Det.dsum($"v").as("tot")))).count() === 0L)
+  }
+
   test("shingleArray law: equals distinct sliding n-grams of the token list") {
     val texts = Seq.fill(200)(randText()).filter(_.split("\\s+").length >= 3)
     val toks = Text.tokens($"text")

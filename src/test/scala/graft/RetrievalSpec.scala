@@ -31,6 +31,25 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.qBm25Scores.run(spark, fixtureDir).count() === 0L)
   }
 
+  test("dual-ranker pass is bit-equal to the standalone rankers (r17)") {
+    // the two-ranker evals (q_rank_eval, q_map_mrr, q_rbo_overlap) score
+    // BM25 and QL in ONE aggregation pipeline; this pins the restructure's
+    // equivalence claim against the lean single-ranker paths that
+    // q_bm25_scores / q_ql_scores still run — scores must match
+    // bit-for-bit (same addend trees, same decimal sums, same tie order)
+    val m = Retrieval.matchedWithDl(spark, fixtureDir, FixtureTerms)
+    val tf = Retrieval.tfOf(Retrieval.matchedOfMdl(m))
+    val stats = Retrieval.statsOfMdl(m)
+    val (bmDual, qlDual) = Retrieval.dualRankedFromTf(tf, stats, FixtureTerms)
+    val bmSolo = Retrieval.bm25RankedFromTf(tf, stats)
+    val qlSolo = Retrieval.qlRankedFromTf(tf, stats, FixtureTerms)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.orderBy("rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows(bmDual) === rows(bmSolo))
+    assert(rows(qlDual) === rows(qlSolo))
+    assert(rows(bmDual).nonEmpty && rows(qlDual).nonEmpty)
+  }
+
   test("rrf fusion: cosine evidence reorders the bm25 tie, agreement wins") {
     // bm25 ranks: d0,d1,d2,d3 -> 1/61,1/62,1/63,1/64
     // cosine ranks vs vec 0: d1 (cos 1.0), d3 (0.6), d2 (0.0) -> 1/61..1/63
