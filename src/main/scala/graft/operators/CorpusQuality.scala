@@ -579,6 +579,12 @@ object CorpusQuality {
     "q_gopher_rules",
     (spark, dir) => {
       import spark.implicits._
+      // the output orderBy's range partitioner SAMPLES its child, so the
+      // regex-HOF projection executes twice (sample pass + real exchange);
+      // caching the narrow stat rows first A/B-measured SLOWER at bench
+      // scale (r17: 1.31/1.40/1.55 vs 1.41/1.73/2.09 s — the extra count
+      // job outweighs the duplicated single-task map), so the lazy
+      // double-projection stays
       Tables.documents(spark, dir)
         .select(($"doc_id" +: gopherStatCols): _*)
         .select(Seq($"doc_id", $"n_words",
