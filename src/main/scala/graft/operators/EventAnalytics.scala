@@ -1311,11 +1311,16 @@ object EventAnalytics {
   }
 
   /** The ACF readout over a daily series — see [[qAutocorr]]. */
-  private[graft] def autocorrReport(daily: org.apache.spark.sql.DataFrame)
+  private[graft] def autocorrReport(dailyIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val spark = daily.sparkSession
+    val spark = dailyIn.sparkSession
     import spark.implicits._
     {
+      // eager: the day-domain-sized series is consumed by the means
+      // broadcast, the den broadcast AND the num chain — uncached, the
+      // corpus-priced (type, day) aggregate lineage ran once per
+      // consumer; cached it is a few rows per type per day (r17)
+      val daily = Tables.eager(dailyIn)
       val means = daily.groupBy($"event_type")
         .agg(count(lit(1)).as("n_days"), dsum($"v").as("sv"))
         .select($"event_type", Det.qround($"sv" / $"n_days").as("m"))
@@ -1371,8 +1376,10 @@ object EventAnalytics {
       : org.apache.spark.sql.DataFrame = {
     val spark = dailyIn.sparkSession
     import spark.implicits._
-    val daily = dailyIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager (was lazy persist): the nDays broadcast and the acf chain
+    // raced the first materialization, each re-running the corpus-priced
+    // daily aggregate lineage (r17)
+    val daily = Tables.eager(dailyIn)
     val nDays = daily.groupBy($"event_type")
       .agg(count(lit(1)).as("n"))
     val acf = autocorrReport(daily)
@@ -1703,11 +1710,15 @@ object EventAnalytics {
     * seasonal relation are day-domain-sized, partitioned by type. */
   /** The decomposition readout over a daily series — see
     * [[qStlDecompose]]. */
-  private[graft] def stlReport(daily: org.apache.spark.sql.DataFrame)
+  private[graft] def stlReport(dailyIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val spark = daily.sparkSession
+    val spark = dailyIn.sparkSession
     import spark.implicits._
     {
+      // eager: trended is derived twice (the seasonal broadcast and the
+      // final join's left side) — uncached, each derivation re-ran the
+      // corpus-priced daily aggregate; the cache is day-domain-sized (r17)
+      val daily = Tables.eager(dailyIn)
       val w = Window.partitionBy($"event_type").orderBy($"day")
         .rowsBetween(-3, 3)
       val trended = daily
@@ -1809,8 +1820,11 @@ object EventAnalytics {
     import spark.implicits._
     {
       val H = ForecastHorizon
-      val daily = dailyIn
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager (was lazy persist): the bounds broadcast, the spine
+      // broadcast and the grid join all raced the first materialization
+      // — Prof showed SIX concurrent re-executions of the daily exchange
+      // on the cold path (r17)
+      val daily = Tables.eager(dailyIn)
       val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
       val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
       val types = daily.select($"event_type").distinct()
